@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-oriented defaults.
+  *
+  * The reference engine (de_polars/engine/duckdb_engine.py:16-376) opens a
+  * fresh in-memory DuckDB per query and eagerly materializes the whole
+  * dataset. We do the opposite, Spark-first: one long-lived session, lazy
+  * temp views over parquet, and Catalyst/AQE doing pruning + join planning.
+  *
+  * Defaults are chosen for cluster-scale behavior, tested on local[N]:
+  *   - AQE on (runtime shuffle coalescing, broadcast conversion, skew-join
+  *     splitting) — at 100 TB the same plans re-optimize per stage.
+  *   - shuffle.partitions matched to parallelism locally; on a real cluster
+  *     AQE coalesces from a high initial number, so this knob is safe.
+  *   - UTC session timezone for deterministic date semantics.
+  */
+object GraftSession {
+
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def local(
+      cores: Int = defaultParallelism,
+      shufflePartitions: Int = -1,
+      appName: String = "graft"): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else math.max(cores, 8)
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft defaults to an externally built session (cluster use). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}

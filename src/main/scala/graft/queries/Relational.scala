@@ -1,0 +1,500 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator suite — one query per operator family in
+  * SURVEY.md §2, re-expressed over the driver's TPC-H-ish tables, each with
+  * a DuckDB oracle (see `oracle`). All implemented with the DataFrame API so
+  * Catalyst owns the physical plan (pushdown, broadcast, AQE).
+  *
+  * Determinism contract with the oracle hash-compare:
+  *  - floating SUMs use fixed-point aggregation (`fpsum`): per-row values
+  *    are rounded at a decimal scale, summed as exact Longs, then divided
+  *    back — immune to accumulation-order nondeterminism across
+  *    partitions/runs (a plain double sum can flip a rounded 2dp value when
+  *    it lands on a .005 boundary). At 100 TB swap the Long accumulator for
+  *    sum(DECIMAL(38,s)) — same idea, no overflow.
+  *  - every query has a total ORDER BY on a unique key set;
+  *  - integer-valued computed columns are BIGINT on both sides;
+  *  - truncated dates are cast to DATE on both sides.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Fixed-point deterministic SUM (see scaladoc above). */
+  private def fpsum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")) / f
+  }
+
+  /** Fixed-point SUM over a window — exact Long arithmetic under the hood. */
+  private def fpsumOver(c: Column, scale: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")).over(w) / f
+  }
+
+  /** Oracle-side fixed-point SUM snippet (DuckDB SQL). */
+  private def oSum(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale) + ".0"
+    s"sum(CAST(round(($expr)*$f) AS BIGINT))/$f"
+  }
+
+  // ---- A1/A2/A4: pricing-summary aggregation (covers SUM/AVG/COUNT) ----
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        fpsum(col("l_quantity"), 2).as("sum_qty"),
+        fpsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        fpsum(revenue, 4).as("sum_disc_price"),
+        (fpsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (fpsum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- O1/O2: top-k over aggregate (TakeOrderedAndProject) -------------
+  def q02TopkParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(fpsum(revenue, 4).as("part_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("part_revenue").desc, col("l_partkey"))
+      .limit(10)
+
+  // ---- P2/P7/P1: filter + projection, pushed to the parquet scan -------
+  def q03Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") < lit(10.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- P9/A7: CASE WHEN classification + conditional aggregation ------
+  def q04CaseWhen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        fpsum(when(col("l_quantity") < 10, col("l_extendedprice")).otherwise(0.0), 2).as("small_rev"),
+        fpsum(when(col("l_quantity").between(10, 30), col("l_extendedprice")).otherwise(0.0), 2).as("mid_rev"),
+        fpsum(when(col("l_quantity") > 30, col("l_extendedprice")).otherwise(0.0), 2).as("big_rev"),
+        count(when(col("l_discount") === 0.0, lit(1))).as("full_price_items"))
+      .orderBy("l_returnflag")
+
+  // ---- J2: fact ⋈ broadcast dims (explicit broadcast hints) -----------
+  def q05JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val supp = t(s, dir, "supplier")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_name"))
+      .agg(fpsum(revenue, 4).as("brand_rev"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand", "s_name")
+  }
+
+  // ---- J1-style multi-way join: revenue by nation (the flagship) ------
+  def q06MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(fpsum(revenue, 4).as("nation_rev"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ---- W1/W2/W5: LAG MoM + YoY over monthly totals --------------------
+  def q07WindowLag(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(fpsum(col("o_totalprice"), 2).as("raw_total"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("raw_total"), 1).over(w))
+      .withColumn("prev12", lag(col("raw_total"), 12).over(w))
+      .select(
+        col("month"),
+        col("raw_total").as("total"),
+        (col("raw_total") - col("prev")).as("mom_change"),
+        (lit(100.0) * (col("raw_total") - col("prev12")) /
+          nullif(col("prev12"), lit(0.0))).as("yoy_pct"))
+      .orderBy("month")
+  }
+
+  // ---- W4: RANK over aggregate, partitioned, top-3 per group ----------
+  def q08WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(fpsum(col("o_totalprice"), 2).as("total"))
+    val w = Window.partitionBy("c_nationkey").orderBy(col("total").desc, col("c_custkey"))
+    spend.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  // ---- J4/A13: percent-of-total via scalar total (cross join) ---------
+  def q09PctOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val total = ord.agg(fpsum(col("o_totalprice"), 2).as("grand_total"))
+    ord.groupBy(col("o_orderpriority"))
+      .agg(fpsum(col("o_totalprice"), 2).as("raw"))
+      .crossJoin(broadcast(total))
+      .select(col("o_orderpriority"),
+        col("raw").as("total"),
+        (lit(100.0) * col("raw") / col("grand_total")).as("pct"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---- A9: HAVING post-aggregate filter -------------------------------
+  def q10Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), fpsum(col("o_totalprice"), 2).as("total"))
+      .filter(col("n_orders") > 12)
+      .orderBy("o_custkey")
+
+  // ---- A3/A12: DISTINCT + COUNT(DISTINCT) -----------------------------
+  def q11DistinctCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  def q12Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- A11/A5/A6: aggregate-of-aggregate + stddev/min/max -------------
+  def q13AggOfAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(fpsum(col("o_totalprice"), 2).as("cust_total"))
+      .agg(
+        (fpsum(col("cust_total"), 2) / count(lit(1))).as("avg_cust_spend"),
+        round(stddev(col("cust_total")), 2).as("sd_cust_spend"),
+        min(col("cust_total")).as("min_cust_spend"),
+        max(col("cust_total")).as("max_cust_spend"),
+        count(lit(1)).as("n_customers"))
+
+  // ---- §2.8: scalar function coverage ---------------------------------
+  def q14ScalarFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        (round(col("p_retailprice") * 1.1 * 1000.0).cast("long") / 1000.0).as("taxed_price"),
+        abs(col("p_size") - 25).as("size_dist"),
+        coalesce(nullif(col("p_type"), lit("STANDARD")), lit("NONE")).as("type_or_none"))
+      .orderBy("p_partkey")
+
+  // ---- anti join (NOT EXISTS) -----------------------------------------
+  def q15AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- semi join (EXISTS) ---------------------------------------------
+  def q16SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- §2.7: UNION ALL / INTERSECT ------------------------------------
+  def q17Union(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val high = ord.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), lit("high_value").as("tier"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"), lit("urgent_big").as("tier"))
+    high.unionAll(urgent).orderBy("o_orderkey", "tier")
+  }
+
+  def q18Intersect(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val in1995 = ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val in2000 = ord.filter(year(col("o_orderdate")) === 2000).select(col("o_custkey"))
+    in1995.intersect(in2000).orderBy("o_custkey")
+  }
+
+  // ---- ROLLUP (free beyond reference; SURVEY §2.4 note) ---------------
+  def q19Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(fpsum(col("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("qty"), col("n"))
+      .orderBy("flag", "status")
+
+  // ---- J5: stats join + z-score anomalies over events -----------------
+  def q20Zscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(fpsum(col("value"), 2).as("daily_total"))
+    val stats = daily.groupBy(col("event_type").as("et"))
+      .agg(avg(col("daily_total")).as("mean_t"), stddev(col("daily_total")).as("sd_t"))
+    val z = (col("daily_total") - col("mean_t")) / nullif(col("sd_t"), lit(0.0))
+    daily.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(abs(z) > 1.5)
+      .select(col("event_type"), col("day"),
+        col("daily_total").as("daily_total"),
+        round(z, 4).as("zscore"))
+      .orderBy("event_type", "day")
+  }
+
+  // ---- time-series bucketing over the events table --------------------
+  def q21EventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), fpsum(col("value"), 2).as("total"))
+      .orderBy("hour", "event_type")
+
+  // ---- running window frame (ROWS BETWEEN) ----------------------------
+  def q22Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        fpsumOver(col("o_totalprice"), 2, w).as("running_total"))
+      .orderBy("o_custkey", "od", "o_orderkey")
+  }
+
+  // ---- dialect-translated SQL through the engine (SURVEY §7.1) --------
+  /** The SQL below is written in the REFERENCE dialect (`::` casts,
+    * `INTERVAL '6 months'`) and run through SqlTranslator; the oracle runs
+    * the identical text natively in DuckDB. */
+  val dialectSql: String =
+    """SELECT o_orderkey,
+      |       o_orderdate::DATE AS od,
+      |       o_totalprice::FLOAT AS price_f,
+      |       upper(o_orderpriority) AS pri
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' - INTERVAL '6 months'
+      |ORDER BY o_orderkey""".stripMargin
+
+  def q23Dialect(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+    new graft.engine.GraftEngine(s).query(dialectSql)
+  }
+
+  // =====================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> q01Agg _,
+    "q02_topk_parts" -> q02TopkParts _,
+    "q03_filter" -> q03Filter _,
+    "q04_case_when" -> q04CaseWhen _,
+    "q05_join_broadcast" -> q05JoinBroadcast _,
+    "q06_multi_join" -> q06MultiJoin _,
+    "q07_window_lag" -> q07WindowLag _,
+    "q08_window_rank" -> q08WindowRank _,
+    "q09_pct_of_total" -> q09PctOfTotal _,
+    "q10_having" -> q10Having _,
+    "q11_distinct_counts" -> q11DistinctCounts _,
+    "q12_distinct" -> q12Distinct _,
+    "q13_agg_of_agg" -> q13AggOfAgg _,
+    "q14_scalar_fns" -> q14ScalarFns _,
+    "q15_anti_join" -> q15AntiJoin _,
+    "q16_semi_join" -> q16SemiJoin _,
+    "q17_union" -> q17Union _,
+    "q18_intersect" -> q18Intersect _,
+    "q19_rollup" -> q19Rollup _,
+    "q20_zscore" -> q20Zscore _,
+    "q21_events_hourly" -> q21EventsHourly _,
+    "q22_running" -> q22Running _,
+    "q23_dialect" -> q23Dialect _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${oSum("l_quantity", 2)} AS sum_qty,
+         | ${oSum("l_extendedprice", 2)} AS sum_base_price,
+         | ${oSum("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price,
+         | ${oSum("l_quantity", 2)}/count(*) AS avg_qty,
+         | ${oSum("l_discount", 2)}/count(*) AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_parts" ->
+      s"""SELECT l_partkey,
+         | ${oSum("l_extendedprice*(1-l_discount)", 4)} AS part_revenue,
+         | count(*) AS n_items
+         |FROM lineitem GROUP BY l_partkey
+         |ORDER BY part_revenue DESC, l_partkey LIMIT 10""".stripMargin,
+    "q03_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_case_when" ->
+      s"""SELECT l_returnflag,
+         | ${oSum("CASE WHEN l_quantity < 10 THEN l_extendedprice ELSE 0 END", 2)} AS small_rev,
+         | ${oSum("CASE WHEN l_quantity BETWEEN 10 AND 30 THEN l_extendedprice ELSE 0 END", 2)} AS mid_rev,
+         | ${oSum("CASE WHEN l_quantity > 30 THEN l_extendedprice ELSE 0 END", 2)} AS big_rev,
+         | count(CASE WHEN l_discount = 0 THEN 1 END) AS full_price_items
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q05_join_broadcast" ->
+      s"""SELECT p_brand, s_name,
+         | ${oSum("l_extendedprice*(1-l_discount)", 4)} AS brand_rev,
+         | count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
+    "q06_multi_join" ->
+      s"""SELECT r_name, n_name,
+         | ${oSum("l_extendedprice*(1-l_discount)", 4)} AS nation_rev,
+         | count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q07_window_lag" ->
+      s"""WITH monthly AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         ${oSum("o_totalprice", 2)} AS raw_total
+         |  FROM orders GROUP BY 1)
+         |SELECT month, raw_total AS total,
+         | raw_total - lag(raw_total,1) OVER (ORDER BY month) AS mom_change,
+         | 100.0*(raw_total - lag(raw_total,12) OVER (ORDER BY month))
+         |   / nullif(lag(raw_total,12) OVER (ORDER BY month),0) AS yoy_pct
+         |FROM monthly ORDER BY month""".stripMargin,
+    "q08_window_rank" ->
+      s"""WITH spend AS (
+         |  SELECT c_nationkey, c_custkey, ${oSum("o_totalprice", 2)} AS total
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY c_nationkey, c_custkey)
+         |SELECT c_nationkey, c_custkey, total, rnk FROM (
+         |  SELECT *, CAST(rank() OVER (PARTITION BY c_nationkey
+         |    ORDER BY total DESC, c_custkey) AS BIGINT) AS rnk FROM spend) x
+         |WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+    "q09_pct_of_total" ->
+      s"""SELECT o_orderpriority,
+         | ${oSum("o_totalprice", 2)} AS total,
+         | 100.0*(${oSum("o_totalprice", 2)})
+         |   / (SELECT ${oSum("o_totalprice", 2)} FROM orders) AS pct
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_having" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         | ${oSum("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY o_custkey HAVING count(*) > 12
+         |ORDER BY o_custkey""".stripMargin,
+    "q11_distinct_counts" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_agg_of_agg" ->
+      s"""WITH per_cust AS (
+         |  SELECT o_custkey, ${oSum("o_totalprice", 2)} AS cust_total
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT ${oSum("cust_total", 2)}/count(*) AS avg_cust_spend,
+         | round(stddev(cust_total),2) AS sd_cust_spend,
+         | min(cust_total) AS min_cust_spend,
+         | max(cust_total) AS max_cust_spend,
+         | count(*) AS n_customers
+         |FROM per_cust""".stripMargin,
+    "q14_scalar_fns" ->
+      """SELECT p_partkey,
+        | lower(p_name) AS name_lower,
+        | split_part(p_name, ' ', 1) AS first_word,
+        | concat(p_brand, ':', p_type) AS brand_type,
+        | regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        | CAST(round(p_retailprice * 1.1 * 1000.0) AS BIGINT)/1000.0 AS taxed_price,
+        | abs(p_size - 25) AS size_dist,
+        | coalesce(nullif(p_type,'STANDARD'), 'NONE') AS type_or_none
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_union" ->
+      """SELECT o_orderkey, 'high_value' AS tier FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, 'urgent_big' AS tier FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+        |ORDER BY o_orderkey, tier""".stripMargin,
+    "q18_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
+    "q19_rollup" ->
+      s"""SELECT coalesce(l_returnflag,'ALL') AS flag,
+         | coalesce(l_linestatus,'ALL') AS status,
+         | ${oSum("l_quantity", 2)} AS qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+    "q20_zscore" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         ${oSum("value", 2)} AS daily_total
+         |  FROM events GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT event_type AS et, avg(daily_total) AS mean_t,
+         |         stddev(daily_total) AS sd_t
+         |  FROM daily GROUP BY 1)
+         |SELECT event_type, day,
+         | daily_total AS daily_total,
+         | round((daily_total - mean_t)/nullif(sd_t,0),4) AS zscore
+         |FROM daily JOIN stats ON event_type = et
+         |WHERE abs((daily_total - mean_t)/nullif(sd_t,0)) > 1.5
+         |ORDER BY event_type, day""".stripMargin,
+    "q21_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         | count(*) AS n, ${oSum("value", 2)} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q22_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | sum(CAST(round(o_totalprice*100.0) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_total
+        |FROM orders ORDER BY o_custkey, od, o_orderkey""".stripMargin,
+    "q23_dialect" -> dialectSql,
+  )
+}
