@@ -76,9 +76,12 @@ object SqlTranslator {
 
   // --- API-layer guards, mirroring sql_endpoints.py ----------------------
 
-  /** SQL firewall (sql_endpoints.py:42-69): read-only statements only. */
+  /** SQL firewall (sql_endpoints.py:42-69): read-only statements only.
+    * EXECUTE/MERGE added beyond the reference list: Spark 4 supports
+    * EXECUTE IMMEDIATE and MERGE INTO, and `\bEXEC\b` does not match
+    * EXECUTE — defense-in-depth beyond the SELECT/WITH prefix check. */
   private val banned = Seq("DROP", "DELETE", "INSERT", "UPDATE", "CREATE",
-    "ALTER", "TRUNCATE", "GRANT", "REVOKE", "EXEC")
+    "ALTER", "TRUNCATE", "GRANT", "REVOKE", "EXEC", "EXECUTE", "MERGE")
 
   def validateReadOnly(sql: String): Either[String, String] = {
     val upper = sql.toUpperCase
@@ -91,8 +94,11 @@ object SqlTranslator {
     }
   }
 
-  /** LIMIT injection if absent (sql_endpoints.py:144-147). */
+  /** LIMIT injection if absent (sql_endpoints.py:144-147). Mirrors the
+    * reference: skip whenever LIMIT appears ANYWHERE in the query — a
+    * trailing `LIMIT 5 OFFSET 10` or a subquery LIMIT must not receive a
+    * second, syntactically invalid LIMIT suffix. */
   def injectLimit(sql: String, limit: Int): String =
-    if (sql.toUpperCase.matches("(?s).*\\bLIMIT\\s+\\d+\\s*;?\\s*$")) sql
+    if (sql.toUpperCase.matches("(?s).*\\bLIMIT\\b.*")) sql
     else sql.trim.stripSuffix(";") + s" LIMIT $limit"
 }

@@ -44,6 +44,43 @@ object Relational {
     s"sum(CAST(round(($expr)*$f) AS BIGINT))/$f"
   }
 
+  /** Deterministic sample stddev from EXACT fixed-point sums (ADVICE round 1):
+    * values are scaled to integers, Σx and Σx² accumulate exactly
+    * (decimal(38,0) — order-independent), and the final
+    * sqrt((nΣx²−(Σx)²)/(n(n−1)))/10^s is a fixed sequence of IEEE double ops,
+    * identical in Spark and DuckDB. A plain `stddev` would leave ULP noise
+    * from summation order and could flip a rounded digit vs the hash oracle.
+    */
+  private def fpStddev(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    val x = round(c * f).cast("decimal(38,0)")
+    val n = count(lit(1))
+    val s1 = sum(x)
+    val s2 = sum(x * x)
+    sqrt((n * s2 - s1 * s1).cast("double") /
+      (n * (n - lit(1))).cast("double")) / f
+  }
+
+  /** Deterministic mean from the exact fixed-point sum: (Σfp/10^s)/n with a
+    * fixed op order mirrored in the oracle SQL. */
+  private def fpAvg(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    (sum(round(c * f).cast("long")).cast("double") / f) /
+      count(lit(1)).cast("double")
+  }
+
+  /** Oracle-side twins of fpStddev/fpAvg (DuckDB SQL, HUGEINT for Σx²). */
+  private def oStddev(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale) + ".0"
+    val x = s"CAST(round(($expr)*$f) AS BIGINT)"
+    s"sqrt(CAST(count(*)*sum(CAST($x AS HUGEINT)*$x) - sum(CAST($x AS HUGEINT))*sum(CAST($x AS HUGEINT)) AS DOUBLE)" +
+      s"/CAST(count(*)*(count(*)-1) AS DOUBLE))/$f"
+  }
+  private def oAvg(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale) + ".0"
+    s"(CAST(sum(CAST(round(($expr)*$f) AS BIGINT)) AS DOUBLE)/$f)/CAST(count(*) AS DOUBLE)"
+  }
+
   // ---- A1/A2/A4: pricing-summary aggregation (covers SUM/AVG/COUNT) ----
   def q01Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -188,7 +225,7 @@ object Relational {
       .groupBy(col("o_custkey")).agg(fpsum(col("o_totalprice"), 2).as("cust_total"))
       .agg(
         (fpsum(col("cust_total"), 2) / count(lit(1))).as("avg_cust_spend"),
-        round(stddev(col("cust_total")), 2).as("sd_cust_spend"),
+        round(fpStddev(col("cust_total"), 2), 2).as("sd_cust_spend"),
         min(col("cust_total")).as("min_cust_spend"),
         max(col("cust_total")).as("max_cust_spend"),
         count(lit(1)).as("n_customers"))
@@ -260,7 +297,8 @@ object Relational {
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(fpsum(col("value"), 2).as("daily_total"))
     val stats = daily.groupBy(col("event_type").as("et"))
-      .agg(avg(col("daily_total")).as("mean_t"), stddev(col("daily_total")).as("sd_t"))
+      .agg(fpAvg(col("daily_total"), 2).as("mean_t"),
+        fpStddev(col("daily_total"), 2).as("sd_t"))
     val z = (col("daily_total") - col("mean_t")) / nullif(col("sd_t"), lit(0.0))
     daily.join(broadcast(stats), col("event_type") === col("et"))
       .filter(abs(z) > 1.5)
@@ -427,7 +465,7 @@ object Relational {
          |  SELECT o_custkey, ${oSum("o_totalprice", 2)} AS cust_total
          |  FROM orders GROUP BY o_custkey)
          |SELECT ${oSum("cust_total", 2)}/count(*) AS avg_cust_spend,
-         | round(stddev(cust_total),2) AS sd_cust_spend,
+         | round(${oStddev("cust_total", 2)},2) AS sd_cust_spend,
          | min(cust_total) AS min_cust_spend,
          | max(cust_total) AS max_cust_spend,
          | count(*) AS n_customers
@@ -476,8 +514,8 @@ object Relational {
          |         ${oSum("value", 2)} AS daily_total
          |  FROM events GROUP BY 1, 2),
          |stats AS (
-         |  SELECT event_type AS et, avg(daily_total) AS mean_t,
-         |         stddev(daily_total) AS sd_t
+         |  SELECT event_type AS et, ${oAvg("daily_total", 2)} AS mean_t,
+         |         ${oStddev("daily_total", 2)} AS sd_t
          |  FROM daily GROUP BY 1)
          |SELECT event_type, day,
          | daily_total AS daily_total,

@@ -12,15 +12,17 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events table carries TIMESTAMP(NANOS) — illegal for Spark's
-    // parquet reader. Read nanos as Long and convert to micros (Spark's
-    // native timestamp precision); loss below 1µs is irrelevant to every
-    // query (hour/day grains).
+    // parquet reader. Read nanos as Long (conf set once in GraftSession /
+    // the entrypoint mains) and convert to micros (Spark's native timestamp
+    // precision) with exact integer division: epoch-nanos (~1.7e18) exceed
+    // double's 53-bit exact range, so `/ 1000.0` could be off by ~1us.
     val df = if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
     df.createOrReplaceTempView(name)
     df
