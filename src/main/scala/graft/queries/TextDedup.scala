@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline: analysis, fingerprinting, and the dedup
+  * family (exact, n-gram Jaccard, MinHash+LSH, SimHash) over the driver's
+  * `documents` table. These go beyond the reference's operator surface (it
+  * has no text pipeline) and are designed for the 100 TB case:
+  *
+  *  - shingle/candidate generation always goes through an equi-join key
+  *    (shared shingle, LSH band bucket, SimHash chunk) — never an O(n²)
+  *    cross join of the corpus;
+  *  - every hash is MD5 (identical in Spark and DuckDB) so the driver's
+  *    oracle can recompute signatures bit-for-bit;
+  *  - similarity ratios are computed from exact integer counts with a fixed
+  *    IEEE op order (see Relational's fpsum scaladoc) so rounded outputs
+  *    hash-match across engines.
+  *
+  * Scale notes per operator are on each query.
+  */
+object TextDedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Whitespace tokens (documents are single-space separated). */
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles. Word shingles (not char) because the
+    * corpus is word-salad; k=3 gives clean dup/noise separation (measured:
+    * planted near-dup pairs sit at J>0.8, noise at J<0.1). */
+  private def shingles3(w: Column): Column = {
+    val sh = transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    array_distinct(when(size(w) >= 3, sh).otherwise(array().cast("array<string>")))
+  }
+
+  /** Oracle twin of shingles3 (DuckDB list comprehension). */
+  private val oShingles3 =
+    "list_distinct(CASE WHEN len(w) >= 3 THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] ELSE [] END)"
+
+  // =====================================================================
+  // q24: token counting + quality scoring (text analysis)
+  // =====================================================================
+
+  /** Per-document token stats and a quality score from length / stopword /
+    * type-token ratios. All ratios are exact-int divisions (deterministic).
+    * Scale: embarrassingly parallel projection — no shuffle at all; at
+    * 100 TB this is a single map stage over the parquet scan. */
+  def q24DocStats(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val ttr = nDis.cast("double") / nTok.cast("double")
+    val stopR = nStop.cast("double") / nTok.cast("double")
+    val lenScore = when(col("n_chars") >= 200 && col("n_chars") <= 450, lit(1.0))
+      .when(col("n_chars") >= 100, lit(0.5)).otherwise(lit(0.0))
+    val quality = round((lenScore + ttr + (lit(1.0) - stopR)) / 3.0, 6)
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      nTok.as("n_tokens"), nDis.as("n_distinct"), nStop.as("n_stopwords"),
+      round(ttr, 6).as("ttr"), round(stopR, 6).as("stop_ratio"),
+      quality.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ24: String =
+    """SELECT doc_id, lang,
+      | CAST(len(w) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      | CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stopwords,
+      | round(CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE), 6) AS ttr,
+      | round(CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE)/CAST(len(w) AS DOUBLE), 6) AS stop_ratio,
+      | round(((CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 1.0 WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
+      |   + CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE)
+      |   + (1.0 - CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE)/CAST(len(w) AS DOUBLE)))/3.0, 6) AS quality
+      |FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // q25: language-ID heuristic vs labeled lang (confusion summary)
+  // =====================================================================
+
+  /** N-gram/stopword language-ID heuristic: predict 'en' when the English
+    * stopword ratio clears a threshold, else 'other'; report the confusion
+    * matrix against the labeled `lang` column. (The synthetic corpus shares
+    * one vocabulary across langs, so accuracy is the data's problem — the
+    * operator mechanics are what's under test.)
+    * Scale: map + tiny groupBy — one shuffle over ≤ (langs × 2) groups. */
+  def q25LangId(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t === "the" || t === "a" || t === "of")).cast("long")
+    val pred = when(nStop.cast("double") / nTok.cast("double") > 0.05, lit("en"))
+      .otherwise(lit("other"))
+    docs(s, dir)
+      .select(col("lang"), pred.as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  val oracleQ25: String =
+    """SELECT lang, predicted, count(*) AS n_docs FROM (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE)
+      |           / CAST(len(w) AS DOUBLE) > 0.05
+      |         THEN 'en' ELSE 'other' END AS predicted
+      |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // =====================================================================
+  // q26: document fingerprinting (md5 + polynomial rolling hash)
+  // =====================================================================
+
+  /** Content fingerprints: full-text MD5 plus an exact base-7 polynomial
+    * hash of the first 16 chars (sum ascii(c_i)*7^i — max ≈ 9e15, exact in
+    * BIGINT on both engines). Scale: pure projection, no shuffle. */
+  def q26Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val poly = (0 until 16).map { i =>
+      ascii(substring(col("text"), i + 1, 1)).cast("long") * lit(pow7(i))
+    }.reduce(_ + _)
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      poly.as("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  private def pow7(i: Int): Long = { var v = 1L; var k = 0; while (k < i) { v *= 7L; k += 1 }; v }
+
+  val oracleQ26: String = {
+    val poly = (0 until 16)
+      .map(i => s"CAST(ascii(substr(text, ${i + 1}, 1)) AS BIGINT)*${pow7(i)}")
+      .mkString(" + ")
+    s"""SELECT doc_id, md5(text) AS fp_md5, $poly AS fp_poly
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
+  // q27: exact deduplication (hash-groupBy)
+  // =====================================================================
+
+  /** Exact dedup: group by full-content MD5, keep the lowest doc_id as the
+    * canonical copy. Output one row per distinct content with its copy
+    * count. Scale: one hash-partitioned shuffle on a 32-char key — the
+    * canonical 100 TB exact-dedup plan (the wide text column is dropped
+    * before the shuffle; only the hash travels). */
+  def q27ExactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(md5(col("text")).as("content_hash"), col("doc_id"), col("n_chars"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_chars")).as("n_chars"))
+      .select(col("keeper_id"), col("n_copies"), col("n_chars"))
+      .orderBy("keeper_id")
+
+  val oracleQ27: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, max(n_chars) AS n_chars
+      |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
+
+  // =====================================================================
+  // q28: n-gram Jaccard near-dup pairs (shared-shingle candidate join)
+  // =====================================================================
+
+  /** Near-dup pairs with word-3-gram Jaccard >= 0.5. Candidates come from
+    * a self-equi-join on shingle value (only pairs sharing >= 1 shingle are
+    * ever materialized — never the O(n²) cross product); the Jaccard ratio
+    * is exact-int intersection over exact-int union. Scale: shuffle on
+    * shingle (skew-safe: 3-gram frequencies are near-uniform here; a
+    * frequency cap on pathological shingles is the standard guard). */
+  def q28JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = docs(s, dir)
+      .select(col("doc_id"), shingles3(toks).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"), col("ts"))
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("sh"))
+    val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"), min("na").as("na"), min("nb").as("nb"))
+    val j = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    inter.filter(j >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
+        round(j, 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val oracleQ28: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, n_common, na, nb,
+       |  round(CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       |WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =====================================================================
+  // q29/q30: MinHash signatures + LSH candidate pairs
+  // =====================================================================
+
+  private val K = 18 // minhashes
+  private val BANDS = 6 // bands of 3 rows: P(cand | J=.8) ≈ .99, noise ≈ 0
+
+  /** Per-document MinHash signature digest: K=18 min-hashes (min over the
+    * shingle set of md5("<i>|" + shingle) — MD5's hex ordering is the hash
+    * family, identical in both engines), banded into 6 band keys of 3.
+    * Output is the 6 band hashes per doc. Scale: explode + one groupBy on
+    * doc_id with K min-aggregates — map-side combinable, single shuffle. */
+  def q29MinhashSig(s: SparkSession, dir: String): DataFrame =
+    bandDf(s, dir).orderBy("doc_id")
+
+  /** doc_id + band0..band5 columns. */
+  private def bandDf(s: SparkSession, dir: String): DataFrame = {
+    val ex = docs(s, dir)
+      .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
+    val mh = ex.groupBy("doc_id")
+      .agg((0 until K).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")).head,
+        (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")).tail: _*)
+    val bands = (0 until BANDS).map { b =>
+      substring(md5(concat(col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}"))), 1, 16)
+        .as(s"band$b")
+    }
+    mh.select(col("doc_id") +: bands: _*)
+  }
+
+  private def oMinhashCtes: String = {
+    val mhs = (0 until K).map(i => s"min(md5('$i|'||sh)) AS mh$i").mkString(", ")
+    val bands = (0 until BANDS)
+      .map(b => s"substr(md5(mh${3 * b}||mh${3 * b + 1}||mh${3 * b + 2}), 1, 16) AS band$b")
+      .mkString(", ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest($oShingles3) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bands FROM mh)""".stripMargin
+  }
+
+  val oracleQ29: String = {
+    val cols = (0 until BANDS).map(b => s"band$b").mkString(", ")
+    s"WITH ${oMinhashCtes}\nSELECT doc_id, $cols FROM sig ORDER BY doc_id"
+  }
+
+  /** Full MinHash-LSH dedup pipeline: candidate pairs are docs sharing at
+    * least one band bucket (equi-join on (band_idx, band_hash) — the 100 TB
+    * path: bucket sizes stay tiny, no cross product), then each candidate
+    * is scored with the estimated similarity (fraction of equal minhashes)
+    * AND the true 3-gram Jaccard. Scale: the true-Jaccard re-check joins
+    * the two shingle sets only for candidate pairs (≈ dup pairs), so the
+    * expensive verification is proportional to the number of near-dups,
+    * not the corpus size. */
+  def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = bandDf(s, dir).cache()
+    val bandRows = sig.select(col("doc_id"),
+      explode(array((0 until BANDS).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.h").as("h"))
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
+    // estimated similarity from full signatures
+    val sa = sig.select(col("doc_id").as("id_a") +:
+      (0 until BANDS).map(b => col(s"band$b").as(s"a_band$b")): _*)
+    val sb = sig.select(col("doc_id").as("id_b") +:
+      (0 until BANDS).map(b => col(s"band$b").as(s"b_band$b")): _*)
+    val estNum = (0 until BANDS)
+      .map(b => when(col(s"a_band$b") === col(s"b_band$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(estNum.cast("double") / BANDS.toDouble, 6).as("est_sim"))
+    // true jaccard re-check on candidates only
+    val sets = docs(s, dir).select(col("doc_id"), shingles3(toks).as("ts"))
+    val ta = sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
+    val tb = sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))
+    val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    val unionC = (size(col("ts_a")) + size(col("ts_b"))).cast("long") - interC
+    est.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"), col("est_sim"),
+        round(interC.cast("double") / unionC.cast("double"), 6).as("true_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val oracleQ30: String = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, $b AS b, band$b AS h FROM sig").mkString(" UNION ALL ")
+    val estNum = (0 until BANDS)
+      .map(b => s"CASE WHEN sa.band$b = sb.band$b THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${oMinhashCtes},
+       |bandrows AS ($bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id),
+       |sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST($estNum AS DOUBLE)/${BANDS}.0, 6) AS est_sim,
+       |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |    / CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS true_jaccard
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.id_a
+       |JOIN sig sb ON sb.doc_id = c.id_b
+       |JOIN sets ta ON ta.doc_id = c.id_a
+       |JOIN sets tb ON tb.doc_id = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
+  // =====================================================================
+  // q31: SimHash near-dup pairs (chunked-hamming candidate join)
+  // =====================================================================
+
+  private val SIMBITS = 48 // 12 md5 hex digits
+  private val CHUNKS = 6 // 8-bit chunks: pigeonhole-complete for hamming<=5
+
+  /** 48-bit SimHash over the 3-gram shingle set: bit j is the sign of
+    * Σ_shingles (±1) where the ±1 is bit j of md5(shingle). Candidate pairs
+    * share at least one of 6 8-bit chunks (by pigeonhole this finds EVERY
+    * pair with hamming distance <= 5 — no cross join), then the exact
+    * hamming distance filters to <= 5. All integer arithmetic — bit-exact
+    * across engines. Scale: chunk join ~ LSH banding; collision rate for
+    * random 48-bit hashes is 6/256 ≈ 2% of pairs. */
+  def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = docs(s, dir)
+      .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    // bit j of the shingle hash: value of hex digit j/4, then bit j%4.
+    // (instr over the hex alphabet instead of conv(): DuckDB has no conv,
+    // and strpos/instr agree across engines.)
+    def bitOf(j: Int): Column = {
+      val v = expr(s"instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1")
+      (shiftright(v, j % 4) % 2).cast("int")
+    }
+    val sums = ex.groupBy("doc_id")
+      .agg((0 until SIMBITS).map(j =>
+        sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"s$j")).head,
+        (0 until SIMBITS).map(j =>
+          sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"s$j")).tail: _*)
+    val simhash = (0 until SIMBITS).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sh = sums.select(col("doc_id"), simhash.as("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until CHUNKS).map(c =>
+        struct(lit(c).as("c"), (shiftright(col("simhash"), 8 * c) % 256).as("v"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.c").as("c"), col("e.v").as("v"))
+    val a = chunks.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"), col("c"), col("v"))
+    val b = chunks.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"), col("c"), col("v"))
+    val ham = expr("bit_count(sim_a ^ sim_b)")
+    a.join(b, Seq("c", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
+      .filter(ham <= 5)
+      .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val oracleQ31: String = {
+    val sums = (0 until SIMBITS).map { j =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val simhash = (0 until SIMBITS)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val chunkUnion = (0 until CHUNKS)
+      .map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${8 * c}) % 256 AS v FROM sh")
+      .mkString(" UNION ALL ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, md5(sh) AS h FROM (
+       |    SELECT doc_id, unnest($oShingles3) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |sums AS (SELECT doc_id, $sums FROM ex GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $simhash AS simhash FROM sums),
+       |chunks AS ($chunkUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // =====================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_doc_stats" -> q24DocStats _,
+    "q25_lang_id" -> q25LangId _,
+    "q26_fingerprint" -> q26Fingerprint _,
+    "q27_exact_dedup" -> q27ExactDedup _,
+    "q28_jaccard_pairs" -> q28JaccardPairs _,
+    "q29_minhash_sig" -> q29MinhashSig _,
+    "q30_lsh_pairs" -> q30LshPairs _,
+    "q31_simhash_pairs" -> q31SimhashPairs _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_doc_stats" -> oracleQ24,
+    "q25_lang_id" -> oracleQ25,
+    "q26_fingerprint" -> oracleQ26,
+    "q27_exact_dedup" -> oracleQ27,
+    "q28_jaccard_pairs" -> oracleQ28,
+    "q29_minhash_sig" -> oracleQ29,
+    "q30_lsh_pairs" -> oracleQ30,
+    "q31_simhash_pairs" -> oracleQ31,
+  )
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic checks for the text-pipeline operators at sf0.001; value-level
+  * equality is enforced by the DuckDB oracle gate (tools/check_oracle.py). */
+class TextDedupSpec extends SparkSpec {
+
+  for ((name, fn) <- TextDedup.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows") {
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q24 ratios are in range and token counts positive") {
+    val rows = TextDedup.q24DocStats(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("q27 exact dedup keeps one keeper per content hash") {
+    val rows = TextDedup.q27ExactDedup(spark, sfDir).collect()
+    val keepers = rows.map(_.getAs[Long]("keeper_id"))
+    assert(keepers.distinct.length == keepers.length)
+    rows.foreach(r => assert(r.getAs[Long]("n_copies") >= 1))
+  }
+
+  test("q28 jaccard pairs are all above the 0.5 threshold and ordered") {
+    val rows = TextDedup.q28JaccardPairs(spark, sfDir).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("q30 LSH recall: every true near-dup pair (J>=0.8) is a candidate") {
+    val trueDups = TextDedup.q28JaccardPairs(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = TextDedup.q30LshPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val missed = trueDups -- lsh
+    assert(missed.isEmpty, s"LSH missed true near-dups: $missed")
+  }
+
+  test("q31 simhash pairs are within the hamming bound") {
+    TextDedup.q31SimhashPairs(spark, sfDir).collect()
+      .foreach(r => assert(r.getAs[Long]("hamming") <= 5))
+  }
+
+  test("SparkEntry query and oracle key sets are identical") {
+    assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
+  }
+}
