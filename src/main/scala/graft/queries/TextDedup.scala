@@ -29,11 +29,21 @@ object TextDedup {
 
   /** Distinct word 3-gram shingles. Word shingles (not char) because the
     * corpus is word-salad; k=3 gives clean dup/noise separation (measured:
-    * planted near-dup pairs sit at J>0.8, noise at J<0.1). */
+    * planted near-dup pairs sit at J>0.8, noise at J<0.1).
+    *
+    * Implementation note: built from three `slice`s zipped together, NOT
+    * `transform(sequence(...), i => element_at(w, i)...)` — each
+    * `element_at(w, _)` reference inside a lambda re-evaluates `w` (the
+    * regex split) per ELEMENT, which measured ~1.8 ms/row at 60 shingles;
+    * the slice form references `w` O(1) times per row (~50× faster). */
   private def shingles3(w: Column): Column = {
-    val sh = transform(sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-    array_distinct(when(size(w) >= 3, sh).otherwise(array().cast("array<string>")))
+    val n = size(w)
+    val sh = zip_with(
+      zip_with(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(w, lit(3), n - 2),
+      (ab, c) => concat(ab, lit(" "), c))
+    array_distinct(when(n >= 3, sh).otherwise(array().cast("array<string>")))
   }
 
   /** Oracle twin of shingles3 (DuckDB list comprehension). */
