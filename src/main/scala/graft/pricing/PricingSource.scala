@@ -1,0 +1,117 @@
+package graft.pricing
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Live AWS price lookups behind a trait (SURVEY.md §2.1 S13-S18,
+  * reference aws_pricing_manager.py). The reference calls the Pricing /
+  * EC2 / SavingsPlans APIs with thread pools; this build runs in a
+  * zero-egress environment, so the HTTP client is a pluggable
+  * implementation detail and the deterministic [[MockPricingSource]] backs
+  * every test. Results land as DataFrames registered under the reference's
+  * table names (README.md:585-592) so CUR joins (J6/J7) work verbatim.
+  */
+trait PricingSource {
+  /** On-demand price (aws_pricing_manager.py:279-326, S13). */
+  def onDemandPrice(instanceType: String, region: String, os: String,
+      tenancy: String = "Shared"): Option[Double]
+
+  /** RI terms → (upfront, hourly) (aws_pricing_manager.py:332-399, S14). */
+  def reservedPrice(instanceType: String, region: String, termYears: Int,
+      paymentOption: String): Option[(Double, Double)]
+
+  /** Latest spot price (aws_pricing_manager.py:405-488, S15). */
+  def spotPrice(instanceType: String, region: String): Option[Double]
+
+  /** Savings-plans rate (aws_pricing_manager.py:494-549, S16). */
+  def savingsPlanRate(instanceType: String, region: String,
+      planType: String): Option[Double]
+
+  /** Instance hardware attributes (aws_pricing_manager.py:67-124, S18). */
+  def instanceAttributes(instanceType: String): Option[InstanceAttrs]
+}
+
+final case class InstanceAttrs(vcpu: Int, memoryGiB: Double, processor: String)
+
+/** Deterministic mock: prices derived from a stable hash of the lookup key
+  * — exercises the full join surface with zero egress. Mirrors the shape
+  * of the reference's bulk matrix fan-out (aws_pricing_manager.py:164-273,
+  * S17) in [[pricingTable]].
+  */
+final class MockPricingSource extends PricingSource {
+
+  private def h(key: String): Double = {
+    // stable 0..1 from the key (not Random: deterministic across JVMs)
+    val x = key.foldLeft(1125899906842597L)((a, c) => 31 * a + c)
+    ((x % 100000L).abs + 1) / 100000.0
+  }
+
+  override def onDemandPrice(it: String, region: String, os: String,
+      tenancy: String): Option[Double] =
+    Some(0.01 + 0.5 * h(s"od|$it|$region|$os|$tenancy"))
+
+  override def reservedPrice(it: String, region: String, termYears: Int,
+      paymentOption: String): Option[(Double, Double)] = {
+    val od = onDemandPrice(it, region, "Linux", "Shared").get
+    val discount = if (termYears >= 3) 0.55 else 0.70
+    val upfrontShare = paymentOption match {
+      case "All Upfront" => 1.0
+      case "Partial Upfront" => 0.5
+      case _ => 0.0
+    }
+    val hourlyEff = od * discount
+    val hoursPerTerm = 8760.0 * termYears
+    Some((hourlyEff * hoursPerTerm * upfrontShare, hourlyEff * (1 - upfrontShare)))
+  }
+
+  override def spotPrice(it: String, region: String): Option[Double] =
+    Some(onDemandPrice(it, region, "Linux", "Shared").get * (0.25 + 0.1 * h(s"spot|$it|$region")))
+
+  override def savingsPlanRate(it: String, region: String, planType: String): Option[Double] = {
+    val disc = if (planType == "ComputeSavingsPlans") 0.66 else 0.60
+    Some(onDemandPrice(it, region, "Linux", "Shared").get * disc)
+  }
+
+  override def instanceAttributes(it: String): Option[InstanceAttrs] = {
+    val size = it.split('.').lastOption.getOrElse("large")
+    val mult = size match {
+      case "micro" => 0.25; case "small" => 0.5; case "medium" => 1.0
+      case "large" => 2.0; case "xlarge" => 4.0; case "2xlarge" => 8.0
+      case _ => 2.0
+    }
+    val proc =
+      if (it.contains("g.") || it.endsWith("g")) "AWS Graviton"
+      else if (it.contains("a.")) "AMD" else "Intel"
+    Some(InstanceAttrs(math.max(1, (mult * 2).toInt), mult * 4.0, proc))
+  }
+}
+
+object PricingTables {
+  /** Bulk pricing matrix → `aws_pricing` temp view (README.md:585-589,
+    * S17): one row per (instance_type, region, os, tenancy). Built on the
+    * driver (the matrix is tiny) and broadcast into CUR joins. */
+  def registerPricingTable(spark: SparkSession, src: PricingSource,
+      instanceTypes: Seq[String], regions: Seq[String],
+      oses: Seq[String] = Seq("Linux"), tenancies: Seq[String] = Seq("Shared")): DataFrame = {
+    val rows = for {
+      it <- instanceTypes; r <- regions; os <- oses; t <- tenancies
+      p <- src.onDemandPrice(it, r, os, t)
+    } yield (it, r, os, t, p)
+    val df = spark.createDataFrame(rows)
+      .toDF("instance_type", "region_code", "operating_system", "tenancy", "price_per_hour_usd")
+    df.createOrReplaceTempView("aws_pricing")
+    df
+  }
+
+  /** `aws_savings_plans` fixture-shaped table (api_data_examples.py:101-112). */
+  def registerSavingsPlansTable(spark: SparkSession, arns: Seq[String]): DataFrame = {
+    val rows = arns.zipWithIndex.map { case (arn, i) =>
+      (arn, 0.5 + 0.1 * i, if (i % 2 == 0) "Compute" else "EC2Instance",
+        if (i % 3 == 0) "All Upfront" else "No Upfront", if (i % 2 == 0) 1 else 3)
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("savings_plan_arn", "commitment_amount_hourly", "savings_plan_type",
+        "payment_option", "term_duration_years")
+    df.createOrReplaceTempView("aws_savings_plans")
+    df
+  }
+}

@@ -1,0 +1,79 @@
+package graft.utils
+
+import scala.collection.concurrent.TrieMap
+
+/** Query profiling + TTL result cache, mirroring
+  * de_polars/utils/performance.py (QueryProfiler :11-137, CacheManager
+  * :140-281). Driver-side utilities — they wrap the *submission* of a
+  * query, not its distributed execution.
+  */
+object Performance {
+
+  final case class QueryStats(
+      count: Long, totalSec: Double, minSec: Double, maxSec: Double,
+      failures: Long) {
+    def avgSec: Double = if (count == 0) 0.0 else totalSec / count
+    def successRate: Double =
+      if (count + failures == 0) 1.0 else count.toDouble / (count + failures)
+  }
+
+  /** Per-name wall-clock stats (performance.py:11-137). */
+  final class QueryProfiler {
+    private val stats = TrieMap.empty[String, QueryStats]
+
+    def profile[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      try {
+        val out = f
+        record(name, (System.nanoTime() - t0) / 1e9, failed = false)
+        out
+      } catch {
+        case e: Throwable =>
+          record(name, (System.nanoTime() - t0) / 1e9, failed = true)
+          throw e
+      }
+    }
+
+    private def record(name: String, sec: Double, failed: Boolean): Unit =
+      stats.updateWith(name) {
+        case Some(s) =>
+          Some(if (failed) s.copy(failures = s.failures + 1)
+          else QueryStats(s.count + 1, s.totalSec + sec,
+            math.min(s.minSec, sec), math.max(s.maxSec, sec), s.failures))
+        case None =>
+          Some(if (failed) QueryStats(0, 0, Double.MaxValue, 0, 1)
+          else QueryStats(1, sec, sec, sec, 0))
+      }
+
+    def snapshot: Map[String, QueryStats] = stats.readOnlySnapshot().toMap
+    def reset(): Unit = stats.clear()
+  }
+
+  /** TTL cache keyed by normalized SQL (performance.py:140-281; default TTL
+    * 300 s per performance.py:143). Values should be SMALL collected
+    * results, never DataFrames backed by live plans. */
+  final class TtlCache[V](ttlSeconds: Long = 300, clock: () => Long = System.currentTimeMillis) {
+    private val store = TrieMap.empty[String, (Long, V)]
+
+    def key(sql: String): String = sql.trim.toLowerCase.replaceAll("\\s+", " ")
+
+    def getOrElseUpdate(sql: String)(compute: => V): V = {
+      val k = key(sql)
+      val now = clock()
+      store.get(k) match {
+        case Some((t, v)) if now - t < ttlSeconds * 1000 => v
+        case _ =>
+          val v = compute
+          store.put(k, (now, v))
+          v
+      }
+    }
+
+    def invalidate(): Unit = store.clear()
+    def size: Int = { prune(); store.size }
+    private def prune(): Unit = {
+      val now = clock()
+      store.filterInPlace { case (_, (t, _)) => now - t < ttlSeconds * 1000 }
+    }
+  }
+}

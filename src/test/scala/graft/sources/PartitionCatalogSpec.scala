@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.config.{DataConfig, DataExportType}
+import graft.fixtures.CurFixture
+import java.nio.file.Files
+
+class PartitionCatalogSpec extends SparkSpec {
+
+  lazy val root: String = {
+    val d = Files.createTempDirectory("cur_fixture").toString
+    CurFixture.writePartitioned(spark, d)
+    d
+  }
+
+  test("partition discovery lists every month") {
+    val parts = PartitionCatalog.listAvailablePartitions(root, DataExportType.Cur2)
+    assert(parts == CurFixture.months.sorted)
+  }
+
+  test("date-range pruning selects only in-range partitions (string compare)") {
+    val cfg = DataConfig(localDataPath = Some(root),
+      dateStart = Some("2025-01"), dateEnd = Some("2025-03"))
+    val files = PartitionCatalog.discoverFiles(root, cfg)
+    assert(files.nonEmpty)
+    val parts = files.map(_.getParentFile.getName).distinct.sorted
+    assert(parts == Seq("BILLING_PERIOD=2025-01", "BILLING_PERIOD=2025-02", "BILLING_PERIOD=2025-03"))
+  }
+
+  test("register exposes pruned data with billing_period column") {
+    val cfg = DataConfig(localDataPath = Some(root), tableName = "CUR",
+      dateStart = Some("2025-01"), dateEnd = Some("2025-03"))
+    val df = PartitionCatalog.register(spark, root, cfg)
+    assert(df.columns.contains("billing_period"))
+    val months = df.select("billing_period").distinct().collect().map(_.getString(0)).sorted
+    assert(months.sameElements(Array("2025-01", "2025-02", "2025-03")))
+    // the registered view answers the reference's canonical query (README.md:289-298)
+    val top = spark.sql(
+      """SELECT product_servicecode, SUM(line_item_unblended_cost) AS total_cost
+        |FROM CUR WHERE line_item_unblended_cost > 0
+        |GROUP BY 1 ORDER BY 2 DESC LIMIT 10""".stripMargin).collect()
+    assert(top.nonEmpty && top.head.getString(0) == "AmazonEC2")
+  }
+
+  test("partition pruning reaches the physical scan (PartitionFilters)") {
+    val cfg = DataConfig(localDataPath = Some(root), tableName = "CUR_pruned",
+      dateStart = Some("2025-01"), dateEnd = Some("2025-01"))
+    PartitionCatalog.register(spark, root, cfg)
+    val plan = spark.sql("SELECT count(*) FROM CUR_pruned")
+      .queryExecution.executedPlan.toString
+    // only the selected month's files are in the scan relation
+    assert(!plan.contains("2024-06"))
+  }
+
+  test("format detection majority-votes parquet") {
+    val files = PartitionCatalog.discoverFiles(root,
+      DataConfig(localDataPath = Some(root)))
+    assert(PartitionCatalog.detectFormat(files) == "parquet")
+  }
+
+  test("chooseRoot prefers populated local mirror, falls back to s3") {
+    val cfg = DataConfig(localDataPath = Some(root), s3Bucket = Some("b"), s3Prefix = Some("p"))
+    assert(PartitionCatalog.chooseRoot(cfg).contains(root))
+    assert(PartitionCatalog.chooseRoot(cfg, forceS3 = true).contains("s3a://b/p"))
+    val empty = DataConfig(localDataPath = Some("/nonexistent"), s3Bucket = Some("b"))
+    assert(PartitionCatalog.chooseRoot(empty).exists(_.startsWith("s3a://b/")))
+  }
+
+  test("COH daily partitions validate date format") {
+    assert(DataExportType.Coh.validDate("2025-07-14"))
+    assert(!DataExportType.Coh.validDate("2025-07"))
+    assert(DataExportType.Cur2.validDate("2025-07"))
+    assert(!DataExportType.Cur2.validDate("2025-07-14"))
+    intercept[IllegalArgumentException] {
+      DataConfig(exportType = DataExportType.Coh, dateStart = Some("2025-07"))
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.utils
+
+import graft.SparkSpec
+import graft.fixtures.CurFixture
+
+class UtilsSpec extends SparkSpec {
+
+  test("validator flags credits, counts nulls, scores quality in one pass") {
+    val rep = Validators.validateCostData(CurFixture.df(spark))
+    assert(rep.rowCount == CurFixture.rows.size)
+    // one Credit + one SavingsPlanNegation row per month are negative
+    assert(rep.negativeCostRows == 2 * CurFixture.months.size)
+    assert(rep.duplicateRows == 0)
+    assert(rep.qualityScore > 80.0 && rep.qualityScore <= 100.0)
+    assert(rep.issues.exists(_.contains("negative")))
+    assert(rep.maxUsageStartDate.nonEmpty)
+  }
+
+  test("validator reports missing required columns") {
+    val rep = Validators.validateCostData(CurFixture.df(spark).drop("line_item_unblended_cost"))
+    assert(rep.qualityScore == 0.0)
+    assert(rep.issues.exists(_.contains("missing required column")))
+  }
+
+  test("exporters round-trip csv/json/markdown") {
+    val df = spark.createDataFrame(Seq(("a", 1.5), ("b,with comma", 2.0))).toDF("name", "v")
+    val csv = Exporters.toCsvString(df)
+    assert(csv.startsWith("name,v"))
+    assert(csv.contains("\"b,with comma\""))
+    val json = Exporters.toJsonString(df)
+    assert(json.startsWith("[{") && json.contains("\"name\":\"a\""))
+    val md = Exporters.toMarkdown(df)
+    assert(md.contains("| name | v |"))
+  }
+
+  test("profiler records stats and failures") {
+    val p = new Performance.QueryProfiler
+    p.profile("q")(1 + 1)
+    p.profile("q")(2 + 2)
+    intercept[RuntimeException] { p.profile("q")(throw new RuntimeException("x")) }
+    val s = p.snapshot("q")
+    assert(s.count == 2 && s.failures == 1)
+    assert(s.successRate > 0.6 && s.successRate < 0.7)
+  }
+
+  test("ttl cache: hit within ttl, recompute after expiry, sql normalization") {
+    var t = 0L
+    var computes = 0
+    val c = new Performance.TtlCache[Int](ttlSeconds = 10, clock = () => t)
+    def get(): Int = c.getOrElseUpdate("SELECT  1") { computes += 1; computes }
+    assert(get() == 1)
+    assert(c.getOrElseUpdate("select 1") { computes += 1; computes } == 1) // normalized hit
+    t = 11000
+    assert(get() == 2)
+  }
+
+  test("formatters") {
+    assert(Formatters.currency(1234.567) == "$1,234.57")
+    assert(Formatters.percent(12.34) == "12.3%")
+    assert(Formatters.bytesHuman(1536L * 1024) == "1.5 MB")
+    assert(Formatters.compact(1234567.0) == "1.2M")
+  }
+}
