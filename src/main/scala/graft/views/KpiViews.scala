@@ -1,0 +1,539 @@
+package graft.views
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** The reference's SQL view DAG (SURVEY.md §3 entry 2), re-expressed
+  * Spark-first. Levels (kpi_summary.py:80-114):
+  *
+  *   1. summary_view, kpi_instance_mapping, kpi_ebs_storage_all,
+  *      kpi_ebs_snap, kpi_s3_storage_all  — RECONSTRUCTED: the reference
+  *      snapshot ships only levels 2-3 (kpi_summary.py:109-111 warns and
+  *      continues); level-1 semantics are derived from their consumption in
+  *      kpi_tracker.sql:82-205 and the public AWS CID/CUDOS KPI
+  *      definitions they originate from.
+  *   2. kpi_instance_all (kpi_instance_all.sql) — the 26-key conditional
+  *      aggregation + instance-family mapping join.
+  *   3. kpi_tracker (kpi_tracker.sql) — 5-way left join of per-service
+  *      aggregates on (billing_period, payer, linked, tags_json).
+  *
+  * All derived-cost CASE semantics follow kpi_instance_all.sql:37-115; the
+  * ~64 repetitive per-service columns are generated from templates instead
+  * of hand-writing each CASE (same semantics, one definition).
+  *
+  * Scale: every view is a LAZY temp view — Catalyst inlines the whole DAG
+  * into one plan per query, pushes the month filter into the partition-
+  * pruned scan, and AQE broadcasts the small post-aggregation join sides
+  * (the reference materializes each view eagerly in DuckDB RAM instead).
+  *
+  * `asOf` pins the reference's CURRENT_DATE-relative 3-month window
+  * (kpi_tracker.sql:93,206) for deterministic tests.
+  */
+object KpiViews {
+
+  // ---- shared line-item derivations (kpi_instance_all.sql:10-39) -------
+
+  /** 8-branch amortized cost (kpi_instance_all.sql:37) — SP/RI fees folded
+    * into effective cost; THE core domain formula. */
+  def amortizedCost: Column = {
+    val t = col("line_item_line_item_type")
+    when(t === "SavingsPlanCoveredUsage", col("savings_plan_savings_plan_effective_cost"))
+      .when(t === "SavingsPlanRecurringFee",
+        col("savings_plan_total_commitment_to_date") - col("savings_plan_used_commitment"))
+      .when(t === "SavingsPlanNegation", lit(0.0))
+      .when(t === "SavingsPlanUpfrontFee", lit(0.0))
+      .when(t === "DiscountedUsage", col("reservation_effective_cost"))
+      .when(t === "RIFee",
+        col("reservation_unused_amortized_upfront_fee_for_billing_period") +
+          col("reservation_unused_recurring_fee"))
+      .when(t === "Fee" && coalesce(col("reservation_reservation_a_r_n"), lit("")) =!= "", lit(0.0))
+      .otherwise(col("line_item_unblended_cost"))
+  }
+
+  /** On-demand-equivalent cost (kpi_instance_all.sql:38): like amortized
+    * but usage rows priced at public on-demand. */
+  def adjustedAmortizedCost: Column = {
+    val t = col("line_item_line_item_type")
+    when(col("line_item_usage_type").like("%Spot%") &&
+        col("pricing_public_on_demand_cost") > 0, col("pricing_public_on_demand_cost"))
+      .when(t === "SavingsPlanCoveredUsage", col("pricing_public_on_demand_cost"))
+      .when(t === "SavingsPlanRecurringFee",
+        col("savings_plan_total_commitment_to_date") - col("savings_plan_used_commitment"))
+      .when(t === "SavingsPlanNegation", lit(0.0))
+      .when(t === "SavingsPlanUpfrontFee", lit(0.0))
+      .when(t === "DiscountedUsage", col("pricing_public_on_demand_cost"))
+      .when(t === "RIFee",
+        col("reservation_unused_amortized_upfront_fee_for_billing_period") +
+          col("reservation_unused_recurring_fee"))
+      .when(t === "Fee" && coalesce(col("reservation_reservation_a_r_n"), lit("")) =!= "", lit(0.0))
+      .otherwise(col("line_item_unblended_cost"))
+  }
+
+  /** Purchase option (kpi_instance_all.sql:19). */
+  def purchaseOption: Column =
+    when(coalesce(col("savings_plan_savings_plan_a_r_n"), lit("")) =!= "", "SavingsPlan")
+      .when(coalesce(col("reservation_reservation_a_r_n"), lit("")) =!= "", "Reserved")
+      .when(col("line_item_usage_type").like("%Spot%"), "Spot")
+      .otherwise("OnDemand")
+
+  /** Commit-service grouping (kpi_instance_all.sql:21). */
+  def commitServiceGroup: Column = {
+    val pc = col("line_item_product_code")
+    when(pc.isin("AmazonSageMaker", "MachineLearningSavingsPlans"), "Machine Learning")
+      .when(pc.isin("AmazonEC2", "AmazonECS", "AmazonEKS", "AWSLambda", "ComputeSavingsPlans"), "Compute")
+      .when(pc === "AmazonElastiCache", "ElastiCache")
+      .when(pc === "AmazonES", "OpenSearch")
+      .when(pc === "AmazonRDS", "RDS")
+      .when(pc === "AmazonRedshift", "Redshift")
+      .when(pc === "AmazonDynamoDB" && col("line_item_operation") === "CommittedThroughput", "DynamoDB")
+      .otherwise("Other")
+  }
+
+  /** Graviton/AMD classification (kpi_instance_all.sql:31). */
+  def adjustedProcessor: Column = {
+    val usage = col("line_item_line_item_type").like("%Usage%")
+    val proc = col("product").getItem("physical_processor")
+    when(usage && proc.like("%Graviton%"), "Graviton")
+      .when(usage && proc.like("%AMD%"), "AMD")
+      .when(col("line_item_product_code").isin("AmazonES", "AmazonElastiCache") &&
+        (col("product_instance_type").like("%6g%") ||
+          col("product_instance_type").like("%7g%") ||
+          col("product_instance_type").like("%4g%")), "Graviton")
+      .when(col("line_item_product_code") === "AWSLambda" &&
+        col("line_item_usage_type").like("%ARM%"), "Graviton")
+      .when(col("line_item_usage_type").like("%Fargate%") &&
+        col("line_item_usage_type").like("%ARM%"), "Graviton")
+      .otherwise("Other")
+  }
+
+  /** RDS/ElastiCache families live after the size prefix
+    * (kpi_instance_all.sql:26). */
+  def instanceTypeFamily: Column =
+    when(col("line_item_product_code").isin("AmazonRDS", "AmazonElastiCache"),
+      lower(split_part(col("product_instance_type"), lit("."), lit(2))))
+      .otherwise(lower(split_part(col("product_instance_type"), lit("."), lit(1))))
+
+  // ---- level 1: instance-family mapping (reconstructed lookup) ---------
+
+  /** (family, latest_graviton, latest_amd, latest_intel, generation,
+    * instance_processor) — consumed at kpi_instance_all.sql:3-7,116-118.
+    * Reconstructed from the public CID instance-mapping KPI table. */
+  val instanceMapping: Seq[(String, String, String, String, String, String)] = Seq(
+    ("m5", "m6g", "m5a", "m5", "Current", "Intel"),
+    ("m5a", "m6g", "m5a", "m5", "Current", "AMD"),
+    ("m6g", "m6g", "", "m5", "Current", "Graviton"),
+    ("m4", "m6g", "m5a", "m5", "Previous", "Intel"),
+    ("c5", "c6g", "c5a", "c5", "Current", "Intel"),
+    ("c5a", "c6g", "c5a", "c5", "Current", "AMD"),
+    ("c6g", "c6g", "", "c5", "Current", "Graviton"),
+    ("c4", "c6g", "c5a", "c5", "Previous", "Intel"),
+    ("r5", "r6g", "r5a", "r5", "Current", "Intel"),
+    ("r6g", "r6g", "", "r5", "Current", "Graviton"),
+    ("r4", "r6g", "r5a", "r5", "Previous", "Intel"),
+    ("t3", "t4g", "t3a", "t3", "Current", "Intel"),
+    ("t4g", "t4g", "", "t3", "Current", "Graviton"),
+    ("t2", "t4g", "t3a", "t3", "Previous", "Intel"),
+    ("r6i", "r7g", "r6a", "r6i", "Current", "Intel"),
+    ("x1", "x2g", "", "x1", "Previous", "Intel"))
+
+  def registerInstanceMapping(spark: SparkSession): DataFrame = {
+    val df = spark.createDataFrame(instanceMapping)
+      .toDF("family", "latest_graviton", "latest_amd", "latest_intel",
+        "generation", "instance_processor")
+    df.createOrReplaceTempView("kpi_instance_mapping")
+    df
+  }
+
+  // ---- level 1: summary_view (reconstructed) ---------------------------
+
+  /** Per-key amortized + unblended roll-up of CUR — consumed at
+    * kpi_tracker.sql:84-94. */
+  def registerSummaryView(spark: SparkSession): DataFrame = {
+    val df = spark.table("CUR").select(
+      split_part(col("billing_period"), lit("-"), lit(1)).as("year"),
+      split_part(col("billing_period"), lit("-"), lit(2)).as("month"),
+      col("bill_billing_period_start_date").as("billing_period"),
+      col("bill_payer_account_id").as("payer_account_id"),
+      col("line_item_usage_account_id").as("linked_account_id"),
+      lit("{}").as("tags_json"),
+      amortizedCost.as("amortized_cost"),
+      col("line_item_unblended_cost").as("unblended_cost"))
+    df.createOrReplaceTempView("summary_view")
+    df
+  }
+
+  // ---- level 1: EBS / snapshot / S3 storage views (reconstructed) ------
+
+  private def keyCols: Seq[Column] = Seq(
+    col("bill_billing_period_start_date").as("billing_period"),
+    col("bill_payer_account_id").as("payer_account_id"),
+    col("line_item_usage_account_id").as("linked_account_id"),
+    lit("{}").as("tags_json"))
+
+  /** gp2→gp3 migration saves ~20% (public CID KPI assumption) —
+    * consumed at kpi_tracker.sql:165-179. */
+  def registerEbsStorageAll(spark: SparkSession): DataFrame = {
+    val cost = col("line_item_unblended_cost")
+    val df = spark.table("CUR")
+      .filter(col("line_item_usage_type").like("%EBS:VolumeUsage%"))
+      .select(keyCols :+
+        cost.as("ebs_all_cost") :+
+        when(col("line_item_usage_type").like("%gp2%"), cost).otherwise(0.0).as("ebs_gp2_cost") :+
+        when(col("line_item_usage_type").like("%gp3%"), cost).otherwise(0.0).as("ebs_gp3_cost") :+
+        when(col("line_item_usage_type").like("%gp2%"), cost * 0.2).otherwise(0.0)
+          .as("ebs_gp3_potential_savings"): _*)
+    df.createOrReplaceTempView("kpi_ebs_storage_all")
+    df
+  }
+
+  /** Snapshot age split at 1 year — consumed at kpi_tracker.sql:180-192. */
+  def registerEbsSnap(spark: SparkSession, asOf: LocalDate): DataFrame = {
+    val cost = col("line_item_unblended_cost")
+    val oneYearAgo = lit(asOf.minusYears(1).toString).cast("date")
+    val under = col("line_item_usage_start_date").cast("date") >= oneYearAgo
+    val df = spark.table("CUR")
+      .filter(col("line_item_usage_type").like("%EBS:Snapshot%"))
+      .select(keyCols :+
+        when(under, cost).otherwise(0.0).as("ebs_snapshots_under_1yr_cost") :+
+        when(!under, cost).otherwise(0.0).as("ebs_snapshots_over_1yr_cost") :+
+        cost.as("ebs_snapshot_cost"): _*)
+    df.createOrReplaceTempView("kpi_ebs_snap")
+    df
+  }
+
+  /** Standard-storage → IA/Glacier savings ~30% (public CID assumption) —
+    * consumed at kpi_tracker.sql:193-205. */
+  def registerS3StorageAll(spark: SparkSession): DataFrame = {
+    val cost = col("line_item_unblended_cost")
+    val standard = col("line_item_usage_type").like("%TimedStorage-ByteHrs%")
+    val df = spark.table("CUR")
+      .filter(col("line_item_product_code") === "AmazonS3" &&
+        col("line_item_usage_type").like("%Storage%"))
+      .select(keyCols :+
+        cost.as("s3_all_storage_cost") :+
+        when(standard, cost).otherwise(0.0).as("s3_standard_storage_cost") :+
+        when(standard, cost * 0.3).otherwise(0.0).as("s3_standard_storage_potential_savings"): _*)
+    df.createOrReplaceTempView("kpi_s3_storage_all")
+    df
+  }
+
+  // ---- level 2: kpi_instance_all ---------------------------------------
+
+  /** The 26-key dedup-aggregate over instance-scoped CUR rows
+    * (kpi_instance_all.sql:8-43). */
+  def curAll(spark: SparkSession, asOf: LocalDate): DataFrame = {
+    val monthStart = lit(asOf.withDayOfMonth(1).minusMonths(3).toString).cast("date")
+    val ut = coalesce(col("line_item_usage_type"), lit(""))
+    val it = coalesce(col("product_instance_type"), lit(""))
+    val pc = col("line_item_product_code")
+    // the big instance-scope filter (kpi_instance_all.sql:42)
+    val scope =
+      (pc === "AmazonEC2" && it =!= "" && col("line_item_operation").like("%RunInstances%")) ||
+        (pc === "AmazonElastiCache" && it =!= "") ||
+        (pc === "AmazonES" && it =!= "") ||
+        (pc === "AmazonRDS" && it =!= "") ||
+        (pc === "AmazonRedshift" && it =!= "") ||
+        (pc === "AmazonDynamoDB" &&
+          col("line_item_operation").isin("CommittedThroughput", "PayPerRequestThroughput") &&
+          (ut.like("%ReadCapacityUnit-Hrs%") || ut.like("%WriteCapacityUnit-Hrs%")) &&
+          !ut.like("%Repl%")) ||
+        (pc === "AWSLambda" && (ut.like("%Lambda-Provisioned-GB-Second%") ||
+          ut.like("%Lambda-GB-Second%") || ut.like("%Lambda-Provisioned-Concurrency%"))) ||
+        ut.like("%Fargate%") ||
+        (pc === "AmazonSageMaker" && it =!= "") ||
+        pc === "ComputeSavingsPlans" || pc === "MachineLearningSavingsPlans"
+    spark.table("CUR")
+      .filter(
+        to_date(concat(col("billing_period"), lit("-01"))) >= monthStart &&
+          col("bill_payer_account_id") =!= "" &&
+          col("line_item_resource_id") =!= "" &&
+          col("product_servicecode") =!= "AWSDataTransfer" &&
+          !ut.like("%DataXfer%") &&
+          (col("line_item_line_item_type").like("%Usage%") ||
+            col("line_item_line_item_type").isin("RIFee", "SavingsPlanRecurringFee")) &&
+          scope)
+      .groupBy(
+        split_part(col("billing_period"), lit("-"), lit(1)).as("year"),
+        split_part(col("billing_period"), lit("-"), lit(2)).as("month"),
+        col("bill_billing_period_start_date").as("billing_period"),
+        date_trunc("month", col("line_item_usage_start_date")).as("usage_date"),
+        col("bill_payer_account_id").as("payer_account_id"),
+        col("line_item_usage_account_id").as("linked_account_id"),
+        col("line_item_resource_id").as("resource_id"),
+        lit("{}").as("tags_json"),
+        coalesce(col("line_item_line_item_type"), lit("")).as("charge_type"),
+        purchaseOption.as("purchase_option"),
+        pc.as("product_code"),
+        commitServiceGroup.as("commit_service_group"),
+        coalesce(col("savings_plan_offering_type"), lit("")).as("savings_plan_offering_type"),
+        col("product").getItem("region").as("region"),
+        col("line_item_operation").as("operation"),
+        col("line_item_usage_type").as("usage_type"),
+        instanceTypeFamily.as("instance_type_family"),
+        it.as("instance_type"),
+        coalesce(col("product").getItem("operating_system"), lit("")).as("platform"),
+        col("product").getItem("tenancy").as("tenancy"),
+        col("product").getItem("physical_processor").as("processor"),
+        adjustedProcessor.as("adjusted_processor"),
+        col("product").getItem("database_engine").as("database_engine"),
+        col("product").getItem("deployment_option").as("deployment_option"),
+        col("product").getItem("license_model").as("license_model"),
+        col("product").getItem("cache_engine").as("cache_engine"))
+      .agg(
+        sum(col("line_item_usage_amount")).as("usage_quantity"),
+        sum(amortizedCost).as("amortized_cost"),
+        sum(adjustedAmortizedCost).as("adjusted_amortized_cost"),
+        sum(col("pricing_public_on_demand_cost")).as("public_cost"))
+  }
+
+  /** Per-service derived-cost columns (kpi_instance_all.sql:47-115),
+    * generated from templates: every service gets all/usage/ondemand/
+    * commit-savings/commit-potential; EC2 adds spot/graviton/AMD/
+    * previous-generation variants. */
+  def registerKpiInstanceAll(spark: SparkSession, asOf: LocalDate): DataFrame = {
+    registerInstanceMapping(spark)
+    val mapping = spark.table("kpi_instance_mapping")
+    val base = curAll(spark, asOf)
+      .join(broadcast(mapping), col("instance_type_family") === col("family"), "left")
+      // graviton recommendation only applies on eligible platforms/engines
+      // (kpi_instance_all.sql:118-124 latest_graviton projection)
+      .withColumn("latest_graviton",
+        when(col("product_code") === "AmazonEC2" && !lower(col("platform")).like("%window%"),
+          col("latest_graviton"))
+          .when(col("product_code") === "AmazonRDS" &&
+            col("database_engine").isin("Aurora MySQL", "Aurora PostgreSQL", "MariaDB", "PostgreSQL", "MySQL"),
+            col("latest_graviton"))
+          .when(col("product_code").isin("AmazonES", "AmazonElastiCache"), col("latest_graviton")))
+      .drop("family")
+
+    val usage = col("charge_type").like("%Usage%")
+    val od = col("purchase_option") === "OnDemand"
+    val committed = col("purchase_option").isin("Reserved", "SavingsPlan")
+    val itNE = col("instance_type") =!= ""
+    val amort = col("amortized_cost")
+    val adj = col("adjusted_amortized_cost")
+    val commitDelta = adj - amort
+    val gravNotYet = (od || col("savings_plan_offering_type") === "ComputeSavingsPlans") &&
+      col("adjusted_processor") =!= "Graviton" && coalesce(col("latest_graviton"), lit("")) =!= ""
+
+    def z(c: Column): Column = coalesce(c, lit(0.0))
+
+    // template: the five standard columns per service selector
+    def std(prefix: String, inGroup: Column, usageExtra: Column = lit(true))
+        : Seq[(String, Column)] = Seq(
+      s"${prefix}_all_cost" -> when(inGroup, adj).otherwise(0.0),
+      s"${prefix}_usage_cost" -> when(usage && inGroup && usageExtra, amort).otherwise(0.0),
+      s"${prefix}_ondemand_cost" -> when(usage && inGroup && usageExtra && od, adj).otherwise(0.0),
+      s"${prefix}_commit_savings" -> when(committed && inGroup, commitDelta).otherwise(0.0),
+      s"${prefix}_commit_potential_savings" ->
+        when(usage && inGroup && usageExtra && od, amort * 0.2).otherwise(0.0))
+
+    val ec2 = col("product_code") === "AmazonEC2" && itNE &&
+      col("operation").like("%RunInstances%")
+    val notCommittedEc2 = col("purchase_option") =!= "Spot" &&
+      col("purchase_option") =!= "Reserved" &&
+      !col("savings_plan_offering_type").like("%EC2%")
+
+    val derived: Seq[(String, Column)] =
+      std("sagemaker", col("commit_service_group") === "Machine Learning", itNE) ++
+        std("compute", col("commit_service_group") === "Compute") ++
+        std("dynamodb", col("commit_service_group") === "DynamoDB") ++
+        std("rds", col("product_code") === "AmazonRDS", itNE) ++
+        std("elasticache", col("product_code") === "AmazonElastiCache", itNE) ++
+        std("opensearch", col("product_code") === "AmazonES", itNE) ++
+        std("redshift", col("product_code") === "AmazonRedshift", itNE) ++
+        std("lambda", col("product_code") === "AWSLambda") ++
+        Seq(
+          // EC2 family (kpi_instance_all.sql:61-76)
+          "ec2_all_cost" -> when(col("product_code") === "AmazonEC2", adj).otherwise(0.0),
+          "ec2_usage_cost" -> when(usage && ec2, amort).otherwise(0.0),
+          "ec2_spot_cost" -> when(usage && ec2 && col("purchase_option") === "Spot", adj).otherwise(0.0),
+          "ec2_spot_savings" -> when(usage && ec2 && col("purchase_option") === "Spot", commitDelta).otherwise(0.0),
+          "ec2_spot_potential_savings" -> when(usage && ec2 && notCommittedEc2, adj * 0.55).otherwise(0.0),
+          "ec2_previous_generation_cost" ->
+            when(usage && ec2 && col("generation") === "Previous" && notCommittedEc2, amort).otherwise(0.0),
+          "ec2_previous_generation_potential_savings" ->
+            when(usage && ec2 && col("generation") === "Previous" && notCommittedEc2, amort * 0.05).otherwise(0.0),
+          "ec2_graviton_cost" ->
+            when(usage && ec2 && col("adjusted_processor") === "Graviton", amort).otherwise(0.0),
+          "ec2_graviton_eligible_cost" ->
+            when(usage && ec2 && !lower(col("platform")).like("%window%") &&
+              (col("adjusted_processor") === "Graviton" || gravNotYet), amort).otherwise(0.0),
+          "ec2_graviton_potential_savings" ->
+            when(usage && ec2 && !lower(col("platform")).like("%window%") && gravNotYet &&
+              col("adjusted_processor") =!= "AMD", amort * 0.2)
+              .when(usage && ec2 && !lower(col("platform")).like("%window%") && gravNotYet &&
+                col("adjusted_processor") === "AMD", amort * 0.1)
+              .otherwise(0.0),
+          "ec2_amd_cost" ->
+            when(usage && ec2 && col("instance_processor") === "AMD", amort).otherwise(0.0),
+          "ec2_amd_eligible_cost" ->
+            when(col("adjusted_processor") === "Graviton", lit(0.0))
+              .when(usage && ec2 && (col("adjusted_processor") === "AMD" ||
+                ((od || col("savings_plan_offering_type") === "ComputeSavingsPlans") &&
+                  col("adjusted_processor") =!= "AMD" &&
+                  coalesce(col("latest_amd"), lit("")) =!= "")), amort)
+              .otherwise(0.0),
+          "ec2_amd_potential_savings" ->
+            when(usage && ec2 &&
+              (od || col("savings_plan_offering_type") === "ComputeSavingsPlans") &&
+              col("adjusted_processor") =!= "Graviton" &&
+              col("adjusted_processor") =!= "AMD" &&
+              coalesce(col("latest_amd"), lit("")) =!= "", amort * 0.1).otherwise(0.0),
+          // RDS graviton family (kpi_instance_all.sql:77-84)
+          "rds_graviton_cost" ->
+            when(usage && col("product_code") === "AmazonRDS" && itNE &&
+              col("database_engine").isin("Aurora MySQL", "Aurora PostgreSQL", "MariaDB", "PostgreSQL", "MySQL") &&
+              col("adjusted_processor") === "Graviton", amort).otherwise(0.0),
+          "rds_graviton_eligible_cost" ->
+            when(usage && col("product_code") === "AmazonRDS" &&
+              col("adjusted_processor") === "Graviton", amort)
+              .when(col("charge_type") === "Usage" && col("product_code") === "AmazonRDS" && itNE &&
+                col("database_engine").isin("Aurora MySQL", "Aurora PostgreSQL", "MariaDB", "PostgreSQL", "MySQL") &&
+                gravNotYet, amort)
+              .otherwise(0.0),
+          "rds_graviton_potential_savings" ->
+            when(usage && col("product_code") === "AmazonRDS" &&
+              col("adjusted_processor") =!= "Graviton" &&
+              coalesce(col("latest_graviton"), lit("")) =!= "" && od &&
+              col("database_engine").isin("Aurora MySQL", "Aurora PostgreSQL", "MariaDB", "PostgreSQL", "MySQL"),
+              amort * 0.1).otherwise(0.0),
+          "rds_oracle_cost" ->
+            when(usage && col("product_code") === "AmazonRDS" && itNE &&
+              col("database_engine") === "Oracle", adj).otherwise(0.0),
+          "rds_sql_server_cost" ->
+            when(usage && col("product_code") === "AmazonRDS" && itNE &&
+              col("database_engine") === "SQL Server", adj).otherwise(0.0),
+          // ElastiCache/OpenSearch graviton (kpi_instance_all.sql:92-104)
+          "elasticache_graviton_cost" ->
+            when(usage && col("product_code") === "AmazonElastiCache" && itNE &&
+              col("instance_processor") === "Graviton", amort).otherwise(0.0),
+          "elasticache_graviton_eligible_cost" ->
+            when(col("product_code") === "AmazonElastiCache" && itNE &&
+              col("adjusted_processor") === "Graviton", amort)
+              .when(col("charge_type") === "Usage" && col("product_code") === "AmazonElastiCache" &&
+                itNE && coalesce(col("latest_graviton"), lit("")) =!= "", amort)
+              .otherwise(0.0),
+          "elasticache_graviton_potential_savings" ->
+            when(col("adjusted_processor") === "Graviton", lit(0.0))
+              .when(usage && col("product_code") === "AmazonElastiCache" && itNE &&
+                coalesce(col("latest_graviton"), lit("")) =!= "", amort * 0.05)
+              .otherwise(0.0),
+          "opensearch_graviton_cost" ->
+            when(usage && col("product_code") === "AmazonES" && itNE &&
+              col("adjusted_processor") === "Graviton", amort).otherwise(0.0),
+          "opensearch_graviton_eligible_cost" ->
+            when(col("product_code") === "AmazonES" && itNE &&
+              col("adjusted_processor") === "Graviton", amort)
+              .when(col("charge_type") === "Usage" && col("product_code") === "AmazonES" && itNE &&
+                coalesce(col("latest_graviton"), lit("")) =!= "", amort)
+              .otherwise(0.0),
+          "opensearch_graviton_potential_savings" ->
+            when(usage && col("product_code") === "AmazonES" && itNE &&
+              col("adjusted_processor") === "Graviton", lit(0.0))
+              .when(col("charge_type") === "Usage" && col("product_code") === "AmazonES" && itNE &&
+                coalesce(col("latest_graviton"), lit("")) =!= "", amort * 0.05)
+              .otherwise(0.0),
+          "dynamodb_committed_cost" ->
+            when(usage && col("commit_service_group") === "DynamoDB", adj).otherwise(0.0),
+          "lambda_graviton_cost" ->
+            when(usage && col("product_code") === "AWSLambda" &&
+              col("adjusted_processor") === "Graviton", amort).otherwise(0.0),
+          "lambda_graviton_eligible_cost" ->
+            when(usage && col("product_code") === "AWSLambda", amort).otherwise(0.0),
+          "lambda_graviton_potential_savings" ->
+            when(usage && col("product_code") === "AWSLambda" &&
+              col("adjusted_processor") =!= "Graviton", amort * 0.2).otherwise(0.0))
+
+    val out = derived.foldLeft(base) { case (df, (name, c)) => df.withColumn(name, z(c)) }
+    out.createOrReplaceTempView("kpi_instance_all")
+    out
+  }
+
+  // ---- level 3: kpi_tracker --------------------------------------------
+
+  private val trackerKey = Seq("billing_period", "payer_account_id", "linked_account_id", "tags_json")
+
+  /** 5-way left join of per-service aggregates (kpi_tracker.sql:82-205).
+    * Every side is small after aggregation — broadcast explicitly. */
+  def registerKpiTracker(spark: SparkSession, asOf: LocalDate): DataFrame = {
+    val windowStart = lit(asOf.withDayOfMonth(1).minusMonths(3).toString).cast("timestamp")
+
+    val spendAll = spark.table("summary_view")
+      .filter(to_date(concat(col("year"), lit("-"), col("month"), lit("-01"))) >=
+        lit(asOf.withDayOfMonth(1).minusMonths(3).toString).cast("date"))
+      .groupBy(trackerKey.map(col): _*)
+      .agg(sum(col("amortized_cost")).as("spend_all_cost"),
+        sum(col("unblended_cost")).as("unblended_cost"))
+
+    val instCols = Seq(
+      "ec2_all_cost", "ec2_usage_cost", "ec2_spot_cost", "ec2_spot_potential_savings",
+      "ec2_previous_generation_cost", "ec2_previous_generation_potential_savings",
+      "ec2_graviton_eligible_cost", "ec2_graviton_cost", "ec2_graviton_potential_savings",
+      "ec2_amd_eligible_cost", "ec2_amd_cost", "ec2_amd_potential_savings",
+      "rds_all_cost", "rds_ondemand_cost", "rds_graviton_cost", "rds_graviton_eligible_cost",
+      "rds_graviton_potential_savings", "rds_commit_potential_savings", "rds_commit_savings",
+      "elasticache_all_cost", "elasticache_ondemand_cost", "elasticache_graviton_cost",
+      "elasticache_graviton_eligible_cost", "elasticache_graviton_potential_savings",
+      "elasticache_commit_potential_savings", "elasticache_commit_savings",
+      "compute_all_cost", "compute_ondemand_cost", "compute_commit_potential_savings",
+      "compute_commit_savings",
+      "dynamodb_all_cost", "dynamodb_committed_cost", "dynamodb_ondemand_cost",
+      "dynamodb_commit_potential_savings", "dynamodb_commit_savings",
+      "opensearch_all_cost", "opensearch_ondemand_cost", "opensearch_graviton_cost",
+      "opensearch_graviton_eligible_cost", "opensearch_graviton_potential_savings",
+      "opensearch_commit_potential_savings", "opensearch_commit_savings",
+      "redshift_all_cost", "redshift_ondemand_cost", "redshift_commit_potential_savings",
+      "redshift_commit_savings",
+      "sagemaker_all_cost", "sagemaker_ondemand_cost", "sagemaker_commit_potential_savings",
+      "sagemaker_commit_savings",
+      "lambda_all_cost", "lambda_graviton_cost", "lambda_graviton_eligible_cost",
+      "lambda_graviton_potential_savings",
+      "rds_sql_server_cost", "rds_oracle_cost")
+    // license flags ride along the instance aggregate (kpi_tracker.sql:120-121)
+    val instAggs = instCols.map(c => sum(col(c)).as(c)) ++ Seq(
+      max(when(col("license_model").isin("License included", "Bring your own license"), 1)
+        .otherwise(0)).as("rds_license"),
+      max(when(col("license_model") === "No license required", 1).otherwise(0))
+        .as("rds_no_license"))
+    val instanceAll = spark.table("kpi_instance_all")
+      .groupBy(trackerKey.map(col): _*)
+      .agg(instAggs.head, instAggs.tail: _*)
+
+    def rollup(view: String, sums: Seq[String], derived: Seq[(String, Column)] = Seq.empty): DataFrame =
+      derived.foldLeft(
+        spark.table(view).groupBy(trackerKey.map(col): _*)
+          .agg(sums.map(c => sum(col(c)).as(c)).head, sums.map(c => sum(col(c)).as(c)).tail: _*)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+
+    val ebsAll = rollup("kpi_ebs_storage_all",
+      Seq("ebs_all_cost", "ebs_gp2_cost", "ebs_gp3_cost", "ebs_gp3_potential_savings"),
+      Seq("ebs_gp_all_cost" -> (col("ebs_gp2_cost") + col("ebs_gp3_cost"))))
+    val snap = rollup("kpi_ebs_snap",
+      Seq("ebs_snapshots_under_1yr_cost", "ebs_snapshots_over_1yr_cost", "ebs_snapshot_cost"))
+    val s3All = rollup("kpi_s3_storage_all",
+      Seq("s3_all_storage_cost", "s3_standard_storage_cost", "s3_standard_storage_potential_savings"))
+
+    val out = spendAll
+      .join(broadcast(instanceAll), trackerKey, "left")
+      .join(broadcast(ebsAll), trackerKey, "left")
+      .join(broadcast(snap), trackerKey, "left")
+      .join(broadcast(s3All), trackerKey, "left")
+      .filter(col("billing_period") >= windowStart)
+    out.createOrReplaceTempView("kpi_tracker")
+    out
+  }
+
+  /** Create the whole DAG in dependency order (kpi_summary.py:80-114). */
+  def registerAll(spark: SparkSession, asOf: LocalDate): DataFrame = {
+    registerSummaryView(spark)
+    registerInstanceMapping(spark)
+    registerEbsStorageAll(spark)
+    registerEbsSnap(spark, asOf)
+    registerS3StorageAll(spark)
+    registerKpiInstanceAll(spark, asOf)
+    registerKpiTracker(spark, asOf)
+  }
+}
