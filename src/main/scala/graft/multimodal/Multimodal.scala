@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines. Media is carried as an opaque `binary` column plus a typed
+  * metadata struct; decode / feature-extraction run as `mapPartitions`
+  * over typed Datasets so heavyweight decoder state is initialized once
+  * per partition (the Scala analogue of a pandas UDF over mapInPandas —
+  * same batch shape: iterator-in / iterator-out, no per-row setup).
+  *
+  * STUB NOTICE: this container has no image/audio codecs, so
+  * [[StubCodec]] implements `decode` as a DETERMINISTIC FAKE (byte-level
+  * statistics standing in for pixels). The Spark-side plumbing — schema,
+  * partitioning, batch iteration, feature vector shape — is real and
+  * tested; swapping in a JNI/javax.imageio decoder changes only the codec
+  * object.
+  */
+object Multimodal {
+
+  /** Typed media row: id, modality (image|audio|video), raw bytes, and
+    * parse-free metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String,
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      // decoded-domain features (from the codec; see StubCodec)
+      mean_intensity: Double,
+      intensity_variance: Double,
+      edge_density: Double,
+      // resize/frame-sample plumbing outputs
+      thumb_width: Int,
+      thumb_height: Int,
+      n_frames_sampled: Int,
+      feature_vector: Array[Float])
+
+  /** Decoder interface: one instance per partition. */
+  trait MediaCodec extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Deterministic fake decode: byte statistics in place of pixel math.
+    * The `???`-equivalent seam — replace with a real codec off-container. */
+  object StubCodec extends MediaCodec {
+    override def decode(row: MediaRow): MediaFeatures = {
+      val bytes = row.content
+      val n = bytes.length.max(1)
+      var sum = 0.0
+      var sumSq = 0.0
+      var edges = 0
+      var i = 0
+      while (i < bytes.length) {
+        val v = bytes(i) & 0xff
+        sum += v
+        sumSq += v.toDouble * v
+        if (i > 0 && math.abs(v - (bytes(i - 1) & 0xff)) > 32) edges += 1
+        i += 1
+      }
+      val mean = sum / n
+      val variance = sumSq / n - mean * mean
+      // resize plumbing: target thumbnail bounded at 64px, aspect preserved
+      val scale = if (row.width > 0) math.min(1.0, 64.0 / row.width) else 1.0
+      val (tw, th) = ((row.width * scale).toInt.max(1), (row.height * scale).toInt.max(1))
+      // frame sampling: 1 fps for video, 1 frame for stills
+      val frames = if (row.modality == "video") (row.duration_ms / 1000).toInt.max(1) else 1
+      // fixed-width feature vector from strided byte means (batch shape that
+      // a downstream embedding model would consume)
+      val dim = 16
+      val vec = Array.tabulate(dim) { k =>
+        val start = k * bytes.length / dim
+        val end = ((k + 1) * bytes.length / dim).max(start + 1)
+        var s = 0.0
+        var j = start
+        while (j < end && j < bytes.length) { s += (bytes(j) & 0xff); j += 1 }
+        (s / (end - start) / 255.0).toFloat
+      }
+      MediaFeatures(row.media_id, row.modality, bytes.length.toLong,
+        mean, variance, edges.toDouble / n, tw, th, frames, vec)
+    }
+  }
+
+  /** Decode + featurize a media Dataset. mapPartitions: the codec is
+    * instantiated once per partition; rows stream through it. At 100 TB
+    * this stage is a pure map — no shuffle — and parallelism is governed
+    * by input-split size (`spark.sql.files.maxPartitionBytes` should be
+    * LOWERED for binary-heavy tables so a partition of ~128 MB of media
+    * doesn't decode on one core while others idle). */
+  def extractFeatures(media: Dataset[MediaRow], codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val c = codec // per-partition init seam (real codecs open handles here)
+      rows.map(c.decode)
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table:
+    * text bytes stand in for media payloads (this container ships no
+    * codecs or media fixtures). */
+  def syntheticMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.queries.Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("content"),
+        (col("n_chars") % 640 + 64).cast("int").as("width"),
+        (col("n_chars") % 480 + 48).cast("int").as("height"),
+        when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"),
+        (col("n_chars") * 100).cast("long").as("duration_ms"))
+      .as[MediaRow]
+  }
+
+  /** Modality-level feature aggregate — the query a curation pipeline runs
+    * after extraction. */
+  def featureSummary(features: Dataset[MediaFeatures]): DataFrame =
+    features.groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("mean_intensity"), 4).as("avg_intensity"),
+        round(avg("edge_density"), 4).as("avg_edge_density"),
+        sum("n_frames_sampled").as("total_frames"),
+        round(avg(element_at(col("feature_vector"), 1)), 4).as("avg_f0"))
+      .orderBy("modality")
+}

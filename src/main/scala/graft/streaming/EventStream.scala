@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §1.4: the
+  * reference has no real streaming — its WebSocket config is mocked — so
+  * this is the Spark-native stretch surface: readStream → watermarked
+  * windowed aggregation → sink, plus arbitrary stateful processing with
+  * mapGroupsWithState).
+  *
+  * The same transformations run identically on a batch DataFrame (the
+  * `*Batch` twins) — the Structured Streaming contract that makes the
+  * pipeline testable: batch output == streaming output after all input is
+  * processed.
+  *
+  * Scale: the windowed aggregate shuffles on (window, event_type) with
+  * state pruned by the watermark; state size is O(active windows ×
+  * event types), not O(stream length).
+  */
+object EventStream {
+
+  /** The events schema (TESTDATA.md; ts arrives as TIMESTAMP already
+    * converted by the batch loader — for file streams we read the raw
+    * nanos Long and convert the same way). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts", LongType), // epoch nanos (legacy nanosAsLong)
+    StructField("value", DoubleType)))
+
+  /** File-based stream of the events table under `dir` (one parquet file
+    * today; in production a growing directory of partition files — the
+    * file source tails it). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window aggregate: per (1h window, event_type)
+    * count + sum, tolerating 2h late data. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total"))
+
+  /** Batch twin of [[hourlyAgg]] for equivalence testing. */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total"))
+
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, value: Double)
+  final case class TypeState(n: Long, total: Double, maxValue: Double)
+  final case class TypeUpdate(event_type: String, n: Long, total: Double,
+      max_value: Double)
+
+  /** Arbitrary stateful processing: running per-event-type totals via
+    * mapGroupsWithState (KeyValueGroupedDataset). State lives in the state
+    * store, checkpointed, and survives restarts — the Spark-native
+    * replacement for hand-rolled stream state. */
+  def runningTotals(events: Dataset[EventRow]): Dataset[TypeUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TypeState, TypeUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EventRow], state: GroupState[TypeState]) =>
+          val prev = state.getOption.getOrElse(TypeState(0L, 0.0, Double.MinValue))
+          var n = prev.n
+          var total = prev.total
+          var mx = prev.maxValue
+          rows.foreach { r =>
+            n += 1
+            total += r.value
+            if (r.value > mx) mx = r.value
+          }
+          state.update(TypeState(n, total, mx))
+          TypeUpdate(key, n, total, mx)
+      }
+  }
+
+  /** Run the hourly aggregate to a memory sink until all currently
+    * available input is processed (Trigger.AvailableNow — the batch-parity
+    * run mode); returns the finished query. Results land in the
+    * `tableName` in-memory table. */
+  def runToMemory(agg: DataFrame, tableName: String, checkpoint: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append()) // watermark closes windows
+      .format("memory")
+      .queryName(tableName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Production-shaped sink: partitioned parquet via foreachBatch (gives
+    * exactly-once per epoch plus the ability to run arbitrary batch logic
+    * — the standard pattern for parquet/warehouse sinks). */
+  def runToParquet(agg: DataFrame, outDir: String, checkpoint: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming hourly aggregate equals the batch aggregate (AvailableNow parity)") {
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val stream = EventStream.readEvents(spark, sfDir)
+    EventStream.runToMemory(EventStream.hourlyAgg(stream), "stream_hourly", checkpoint)
+
+    val batch = EventStream.hourlyAggBatch(
+      graft.queries.Tables.load(spark, sfDir, "events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = spark.table("stream_hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // Append-mode only emits windows the watermark has CLOSED; with
+    // AvailableNow the final watermark still holds back the last 2h of
+    // windows, so streamed ⊆ batch and covers everything older.
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed results not in batch: ${(streamed -- batch).take(3)}")
+    val batchHours = batch.map(_._1.getTime)
+    val streamedHours = streamed.map(_._1.getTime)
+    // 2h watermark + 1h window + one-batch watermark propagation lag
+    assert(batchHours.max - streamedHours.max <= 4 * 3600 * 1000L)
+  }
+
+  test("mapGroupsWithState accumulates running per-type totals") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = graft.queries.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[EventStream.EventRow]
+    val updates = EventStream.runningTotals(events).collect()
+    val expected = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"), max("value").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(updates.length == expected.size)
+    updates.foreach { u =>
+      val (n, total, mx) = expected(u.event_type)
+      assert(u.n == n)
+      assert(math.abs(u.total - total) < 1e-6)
+      assert(u.max_value == mx)
+    }
+  }
+
+  test("foreachBatch parquet sink writes closed windows") {
+    val checkpoint = Files.createTempDirectory("ckpt2").toString
+    val out = Files.createTempDirectory("stream_out").toString + "/agg"
+    val stream = EventStream.readEvents(spark, sfDir)
+    EventStream.runToParquet(EventStream.hourlyAgg(stream), out, checkpoint)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() > 0)
+    assert(rows.columns.toSeq == Seq("hour", "event_type", "n", "total"))
+  }
+}
