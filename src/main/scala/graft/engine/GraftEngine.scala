@@ -14,21 +14,23 @@ import java.nio.file.{Files, Paths}
   * conversion fallback, and no eager materialization — Catalyst plans a
   * distributed scan with pushdown each time.
   */
-class GraftEngine(val spark: SparkSession) {
+class GraftEngine(val spark: SparkSession,
+    referenceDate: Option[java.time.LocalDate] = None) {
 
   /** Execute SQL text or a `.sql` file path. */
   def query(sqlOrFile: String): DataFrame = {
     val sql =
       if (sqlOrFile.trim.endsWith(".sql")) loadSqlFile(sqlOrFile.trim)
       else sqlOrFile
-    spark.sql(SqlTranslator.translate(sql))
+    spark.sql(SqlTranslator.translate(sql, referenceDate))
   }
 
   /** Guarded ad-hoc endpoint semantics (sql_endpoints.py:89-233): firewall +
     * LIMIT injection. Returns Left(reason) on rejected SQL. */
   def guardedQuery(sql: String, maxRows: Int = 1000): Either[String, DataFrame] =
     SqlTranslator.validateReadOnly(sql).map { ok =>
-      spark.sql(SqlTranslator.translate(SqlTranslator.injectLimit(ok, maxRows)))
+      spark.sql(SqlTranslator.translate(
+        SqlTranslator.injectLimit(ok, maxRows), referenceDate))
     }
 
   /** Load a SQL file, trying absolute then cwd-relative path

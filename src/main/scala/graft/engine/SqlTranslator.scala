@@ -63,14 +63,59 @@ object SqlTranslator {
   def rewriteRowConstructor(sql: String): String =
     sql.replaceAll("""(?i)\bROW\s*\(""", "(")
 
-  /** Full pipeline. Pure; order matters (casts before intervals is safe). */
-  def translate(sql: String): String = {
+  /** DuckDB/Presto double-quoted identifiers (`"billing_period"`,
+    * `"sum"(...)` — pervasive in the cur2_views SQL files) → bare
+    * identifiers.
+    * Spark treats double quotes as STRING literals, so these must be
+    * unwrapped. A hand scanner (not a regex) so content inside
+    * single-quoted string literals is never touched; quoted content that
+    * is not identifier-shaped is left as-is. */
+  def rewriteQuotedIdentifiers(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' => // copy single-quoted literal verbatim ('' escape)
+          val start = i
+          i += 1
+          while (i < n && (sql.charAt(i) != '\'' ||
+            (i + 1 < n && sql.charAt(i + 1) == '\'' && { i += 1; true }))) i += 1
+          i = math.min(i + 1, n)
+          out.append(sql.substring(start, i))
+        case '"' =>
+          val close = sql.indexOf('"', i + 1)
+          if (close < 0) { out.append(sql.substring(i)); i = n }
+          else {
+            val inner = sql.substring(i + 1, close)
+            if (inner.matches("[A-Za-z_][A-Za-z0-9_]*")) { out.append(inner); i = close + 1 }
+            else { out.append(sql.substring(i, close + 1)); i = close + 1 }
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Pin CURRENT_DATE / CURRENT_TIMESTAMP to a fixed date (SURVEY.md §7.1
+    * item 7): the reference's relative windows (kpi_tracker.sql:93,206)
+    * become deterministic under test and replayable over historical data. */
+  def rewriteReferenceDate(sql: String, asOf: java.time.LocalDate): String =
+    sql
+      .replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", s"TIMESTAMP '$asOf 00:00:00'")
+      .replaceAll("(?i)\\bCURRENT_DATE\\b", s"DATE '$asOf'")
+
+  /** Full pipeline. Pure; order matters (quoted identifiers first so later
+    * regexes see bare names; casts before intervals is safe). */
+  def translate(sql: String, referenceDate: Option[java.time.LocalDate] = None): String = {
     var s = sql
+    s = rewriteQuotedIdentifiers(s)
     s = rewritePathRelations(s)
     s = rewriteSubstringFrom(s)
     s = rewriteCasts(s)
     s = rewriteIntervals(s)
     s = rewriteRowConstructor(s)
+    referenceDate.foreach(d => s = rewriteReferenceDate(s, d))
     s
   }
 

@@ -1,0 +1,35 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.fixtures.CurFixture
+import java.nio.file.Files
+
+class QueryLibrarySpec extends SparkSpec {
+
+  test("metadata header parse") {
+    val meta = QueryLibrary.extractMetadata(
+      "-- Title\n-- Description: something useful\n-- Output: rows\nSELECT 1")
+    assert(meta.description.contains("something useful"))
+    assert(meta.output.contains("rows"))
+    assert(meta.partitioning.isEmpty)
+  }
+
+  test("runAll executes every library file against CUR and mirrors layout") {
+    CurFixture.df(spark).createOrReplaceTempView("CUR")
+    val out = Files.createTempDirectory("qlib_out").toString
+    val (results, errors) = QueryLibrary.runAll(spark, "query_library", out)
+    assert(errors.isEmpty, s"library errors: $errors")
+    assert(results.map(_.sqlFile).toSet ==
+      Set("analytics/service_costs.sql", "compute/ec2_usage_categories.sql"))
+    results.foreach { r =>
+      assert(r.rows > 0)
+      assert(r.outputPath.startsWith(out))
+      assert(spark.read.parquet(r.outputPath).count() == r.rows)
+    }
+    // the :: cast file produced a date column (dialect translation ran)
+    val ec2 = spark.read.parquet(
+      results.find(_.sqlFile.contains("ec2")).get.outputPath)
+    assert(ec2.schema("usage_day").dataType.typeName == "date")
+    assert(results.find(_.sqlFile.contains("ec2")).get.meta.description.exists(_.contains("EC2")))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.views
+
+import graft.SparkSpec
+import graft.engine.GraftEngine
+import graft.fixtures.CurFixture
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+/** The strongest available parity check: execute the REFERENCE'S OWN view
+  * SQL (read at test time from the read-only snapshot, never copied into
+  * this repo) through the dialect translator against the CUR fixture, and
+  * compare aggregate results with the Spark-first DataFrame
+  * reimplementation in [[KpiViews]]. */
+class ReferenceViewParitySpec extends SparkSpec {
+
+  val asOf: LocalDate = LocalDate.of(2025, 7, 15)
+  val refSql = "/root/reference/cur2_views/level_2_dependent/kpi_instance_all.sql"
+
+  test("reference kpi_instance_all.sql runs through the translator and matches KpiViews") {
+    assume(Files.exists(Paths.get(refSql)), "reference snapshot not present")
+    CurFixture.df(spark).createOrReplaceTempView("CUR")
+    KpiViews.registerInstanceMapping(spark)
+
+    // reference SQL (strip the CREATE VIEW comment header like
+    // kpi_summary.py:116-146 does)
+    val raw = new String(Files.readAllBytes(Paths.get(refSql)), "UTF-8")
+      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+    val engine = new GraftEngine(spark, referenceDate = Some(asOf))
+    val refDf = engine.query(raw)
+
+    val mine = KpiViews.registerKpiInstanceAll(spark, asOf)
+
+    // compare the tracker-consumed aggregate surface
+    val cols = Seq("amortized_cost", "adjusted_amortized_cost", "public_cost",
+      "ec2_all_cost", "ec2_usage_cost", "ec2_spot_cost", "ec2_graviton_cost",
+      "ec2_amd_cost", "rds_all_cost", "lambda_all_cost", "dynamodb_all_cost",
+      "compute_all_cost", "ec2_spot_potential_savings", "ec2_graviton_potential_savings")
+    def agg(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val r = df.agg(cols.map(c => sum(col(c)).as(c)).head, cols.map(c => sum(col(c)).as(c)).tail: _*)
+        .collect()(0)
+      cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) 0.0 else r.getAs[Double](c))).toMap
+    }
+    val refAgg = agg(refDf)
+    val myAgg = agg(mine)
+    cols.foreach { c =>
+      assert(math.abs(refAgg(c) - myAgg(c)) < 1e-6,
+        s"$c: reference=${refAgg(c)} mine=${myAgg(c)}")
+    }
+    // same grain: row counts match
+    assert(refDf.count() == mine.count())
+  }
+}
