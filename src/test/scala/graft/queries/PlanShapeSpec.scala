@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the shapes that decide 100 TB viability.
+  * `.explain` inspection encoded as tests so a regression in pushdown /
+  * broadcast / top-k planning fails loudly. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03 pushes filters into the parquet scan and prunes columns") {
+    val p = plan(Relational.q03Filter(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n${p.take(2000)}")
+    // projection pruning: the 16-column lineitem scan reads only needed cols
+    assert(p.contains("ReadSchema"), "no ReadSchema in scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q05/q06 dimension joins broadcast (no shuffle of the fact side for dims)") {
+    assert(plan(Relational.q05JoinBroadcast(spark, sfDir)).contains("BroadcastHashJoin"))
+    assert(plan(Relational.q06MultiJoin(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("q02 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q02TopkParts(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n${p.take(1500)}")
+  }
+
+  test("q01 aggregate is map-side partial (two-phase HashAggregate)") {
+    val df = Relational.q01Agg(spark, sfDir)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"), "no map-side partial sums")
+    // whole-stage codegen renders as `*(n)` stage markers in toString
+    assert(p.contains("*(1)"), "aggregate fell out of codegen")
+  }
+
+  test("q32 knn scan stays in whole-stage codegen with the custom int-dot") {
+    val df = Similarity.q32KnnBrute(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_int_dot") || p.contains("array_int_dot"),
+      s"custom expression missing from plan:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "knn top-k not TakeOrdered")
+  }
+}
