@@ -81,6 +81,39 @@ final class SpendAnalytics(spark: SparkSession, table: String = "CUR",
       .limit(limit)
   }
 
+  /** Golden-shape query 1 (tests/test_14, advanced_query_1_results.json):
+    * per-service cost trend across billing periods with LAG-based change
+    * percent — output schema (billing_period, product_servicecode,
+    * current_cost, previous_cost, cost_change_percent). */
+  def advancedQuery1(): DataFrame = {
+    val monthly = cur
+      .groupBy(col("bill_billing_period_start_date").as("billing_period"),
+        col("product_servicecode"))
+      .agg(sum("line_item_unblended_cost").as("current_cost"))
+    val w = Window.partitionBy("product_servicecode").orderBy("billing_period")
+    monthly
+      .withColumn("previous_cost", lag(col("current_cost"), 1).over(w))
+      .withColumn("cost_change_percent",
+        when(col("previous_cost") > 0,
+          round((col("current_cost") - col("previous_cost")) / col("previous_cost") * 100, 2)))
+      .orderBy(col("billing_period").desc, col("current_cost").desc)
+  }
+
+  /** Golden-shape query 2 (advanced_query_2_results.json): account cost
+    * distribution with rank — (line_item_usage_account_id, total_cost,
+    * cost_percentage, cost_rank). */
+  def advancedQuery2(): DataFrame = {
+    val acct = cur.filter(col("line_item_unblended_cost") > 0)
+      .groupBy(col("line_item_usage_account_id"))
+      .agg(sum("line_item_unblended_cost").as("total_cost"))
+    val total = acct.agg(sum("total_cost").as("grand"))
+    acct.crossJoin(broadcast(total))
+      .select(col("line_item_usage_account_id"), col("total_cost"),
+        round(col("total_cost") / col("grand") * 100, 2).as("cost_percentage"))
+      .withColumn("cost_rank", rank().over(Window.orderBy(col("total_cost").desc)).cast("long"))
+      .orderBy("cost_rank")
+  }
+
   /** C1: linear forecast — last-3-month average plus average trend
     * (spend_analytics.py:338-357). Pure function over collected months. */
   def linearForecast(monthlyTotalsAsc: Seq[Double], horizonMonths: Int = 3): Seq[Double] = {

@@ -344,6 +344,38 @@ object Relational {
     new graft.engine.GraftEngine(s).query(dialectSql)
   }
 
+  // ---- exact percentiles (interpolated — matches DuckDB quantile_cont) -
+  def q35Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("price_iqr"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
+        round(element_at(col("price_iqr"), 2) - element_at(col("price_iqr"), 1), 2).as("price_iqr_width"))
+      .orderBy("l_returnflag")
+
+  // ---- CUBE grouping sets (beyond reference; SURVEY §2.4 note) ---------
+  def q36Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), fpsum(col("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Scale variant of A3 (SURVEY §2.4): HyperLogLog distinct counts for
+    * the 100 TB path. Not oracle-checked — sketch implementations differ
+    * across engines by design; `SimilaritySpec`-style spec asserts the
+    * estimate lands within 5% of exact. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
@@ -369,6 +401,8 @@ object Relational {
     "q21_events_hourly" -> q21EventsHourly _,
     "q22_running" -> q22Running _,
     "q23_dialect" -> q23Dialect _,
+    "q35_percentiles" -> q35Percentiles _,
+    "q36_cube" -> q36Cube _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -534,5 +568,17 @@ object Relational {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_total
         |FROM orders ORDER BY o_custkey, od, o_orderkey""".stripMargin,
     "q23_dialect" -> dialectSql,
+    "q35_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25), 2) AS price_iqr_width
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_cube" ->
+      s"""SELECT coalesce(o_orderstatus,'ALL') AS status,
+         | coalesce(o_orderpriority,'ALL') AS priority,
+         | count(*) AS n, ${oSum("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
   )
 }
