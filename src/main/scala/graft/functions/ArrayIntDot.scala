@@ -31,6 +31,7 @@ case class ArrayIntDot(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
       case ArrayType(LongType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL literal → null result
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess

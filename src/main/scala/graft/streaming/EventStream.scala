@@ -104,6 +104,19 @@ object EventStream {
     q
   }
 
+  /** Streaming exact-dedup — the training-data-pipeline operator in its
+    * incremental form: content-hashed rows deduplicated within the
+    * watermark horizon via `dropDuplicatesWithinWatermark`. State holds
+    * one hash per distinct document seen in the horizon (bounded), the
+    * streaming analogue of batch q27. */
+  def dedupStream(docs: DataFrame, idCol: String, contentCol: String,
+      tsCol: String, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(contentCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col(idCol), col("content_hash"), col(tsCol))
+
   /** Production-shaped sink: partitioned parquet via foreachBatch (gives
     * exactly-once per epoch plus the ability to run arbitrary batch logic
     * — the standard pattern for parquet/warehouse sinks). */

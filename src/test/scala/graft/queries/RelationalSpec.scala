@@ -21,6 +21,13 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct scale variant lands within 5% of exact") {
+    val r = Relational.approxDistinct(spark, sfDir).collect()(0)
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("q01 aggregates are exact fixed-point values") {
     val rows = Relational.q01Agg(spark, sfDir).collect()
     assert(rows.length == 6)

@@ -48,6 +48,29 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-dedup drops duplicate content within the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    input.addData(
+      (1L, "alpha text", ts(0)), (2L, "beta text", ts(1)),
+      (3L, "alpha text", ts(2)), // dup of 1 within horizon
+      (4L, "gamma text", ts(3)), (5L, "beta text", ts(4))) // dup of 2
+    val deduped = EventStream.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+    assert(out.length == 3) // alpha, beta, gamma — dups dropped
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+  }
+
   test("foreachBatch parquet sink writes closed windows") {
     val checkpoint = Files.createTempDirectory("ckpt2").toString
     val out = Files.createTempDirectory("stream_out").toString + "/agg"
