@@ -376,6 +376,37 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  // ---- as-of join (time-series; absent from both reference and Spark) --
+  /** For every `purchase` event, the user's most recent `view` event at or
+    * before it (LEFT semantics: purchases with no prior view keep null).
+    *
+    * Spark has no ASOF JOIN operator; per the custom-operator preference
+    * order this is COMPOSED from existing ops (union + partitioned window
+    * + last_value ignoreNulls) rather than a custom SparkPlan: the
+    * composition shuffles each side once on user_id and sorts within
+    * partitions — the same cost profile a native as-of operator would
+    * have, with AQE/codegen intact. The DuckDB oracle uses its native
+    * ASOF LEFT JOIN, so the test proves the composition implements the
+    * standard semantics. */
+  def q38AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("src"),
+        col("event_id").as("view_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("src"),
+        lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
+    // views sort before purchases at equal ts => inclusive v.ts <= p.ts
+    val w = Window.partitionBy("user_id").orderBy("ts", "src")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(purchases)
+      .withColumn("matched_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("ts").cast("date").as("purchase_day"), col("matched_view_id"))
+      .orderBy("purchase_id")
+  }
+
   // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
@@ -403,6 +434,7 @@ object Relational {
     "q23_dialect" -> q23Dialect _,
     "q35_percentiles" -> q35Percentiles _,
     "q36_cube" -> q36Cube _,
+    "q38_asof_join" -> q38AsofJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -580,5 +612,13 @@ object Relational {
          | count(*) AS n, ${oSum("o_totalprice", 2)} AS total
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
+    "q38_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | CAST(p.ts AS DATE) AS purchase_day,
+        | v.event_id AS matched_view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
   )
 }

@@ -214,15 +214,86 @@ object Similarity {
   }
 
   // =====================================================================
+  // q37: IVF-bucketed ANN (centroid coarse quantizer + probed buckets)
+  // =====================================================================
+
+  private val NPROBE = 2
+
+  /** ANN via IVF: labels act as the inverted-file cell assignment (the
+    * k-means step of a real IVF build — deterministic here so the oracle
+    * can replay it), centroids are computed IN-QUERY as exact per-cell
+    * integer sums, the query probes its NPROBE nearest centroids by
+    * cosine, and only vectors in probed cells pay the exact re-rank.
+    *
+    * Centroid cosine needs no division: cos(q, mean(cell)) =
+    * Σq·s / (√Σs² · √Σq²) — the 1/count factors cancel, so everything
+    * stays in exact BIGINT sums (order-independent, oracle-identical).
+    * Scale: centroid pass is one groupBy over (cell, dim); the probe is a
+    * driver-size top-NPROBE; the re-rank scans only probed cells —
+    * the IVF contract that replaces q32's full scan. */
+  def q37KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ex = e.select(col("vec_id"), col("label"), posexplode(col("efp")).as(Seq("i", "x")))
+    val qex = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
+    // per-cell per-dim exact sums (query vector excluded from cells to
+    // keep it from matching itself)
+    val cells = ex.filter(col("vec_id") =!= 0)
+      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
+    // centroid scores: Σ q_i·s_i and Σ s_i² per cell
+    val probe = cells.join(broadcast(qex), Seq("i"))
+      .groupBy(col("label"))
+      .agg(sum(col("qx") * col("sx")).as("dotq"), sum(col("sx") * col("sx")).as("cnorm"))
+      .select(col("label"),
+        (col("dotq").cast("double") / sqrt(col("cnorm").cast("double"))).as("cscore"))
+      .orderBy(col("cscore").desc, col("label"))
+      .limit(NPROBE)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("efp").as("qefp"), col("nrm").as("qnrm"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe.select(col("label"))), Seq("label"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val oracleQ37: String = {
+    val dot = oDot("e.efp", "q.qefp")
+    s"""WITH $oEfpCte,
+       |ex AS (
+       |  SELECT vec_id, label, generate_subscripts(efp, 1) AS i, unnest(efp) AS x
+       |  FROM efp),
+       |qex AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+       |cells AS (
+       |  SELECT label, i, sum(x) AS sx FROM ex WHERE vec_id <> 0 GROUP BY label, i),
+       |probe AS (
+       |  SELECT label,
+       |    CAST(sum(qx*sx) AS DOUBLE)/sqrt(CAST(sum(CAST(sx AS HUGEINT)*sx) AS DOUBLE)) AS cscore
+       |  FROM cells JOIN qex USING (i)
+       |  GROUP BY label ORDER BY cscore DESC, label LIMIT $NPROBE)
+       |SELECT e.vec_id, e.label,
+       |  round(${oCos(dot, oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))}, 6) AS cos
+       |FROM efp e
+       |JOIN probe ON e.label = probe.label
+       |CROSS JOIN (SELECT efp AS qefp FROM efp WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
     "q34_knn_lsh" -> q34KnnLsh _,
+    "q37_knn_ivf" -> q37KnnIvf _,
   )
 
   val oracle: Map[String, String] = Map(
     "q32_knn_brute" -> oracleQ32,
     "q33_neardup_pairs" -> oracleQ33,
     "q34_knn_lsh" -> oracleQ34,
+    "q37_knn_ivf" -> oracleQ37,
   )
 }

@@ -21,6 +21,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q38 as-of join: matched view is the latest at-or-before the purchase") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events").cache()
+    val out = Relational.q38AsofJoin(spark, sfDir).limit(50).collect()
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[java.sql.Timestamp]("ts")).toMap
+    out.foreach { r =>
+      val pts = purchases(r.getAs[Long]("purchase_id"))
+      val candidates = views.getOrElse(r.getAs[Long]("user_id"), Array.empty)
+        .filter(v => !v.getAs[java.sql.Timestamp]("ts").after(pts))
+      val expected: Option[Long] =
+        if (candidates.isEmpty) None
+        else Some(candidates.maxBy(_.getAs[java.sql.Timestamp]("ts").getTime).getAs[Long]("event_id"))
+      assert(Option(r.get(3)).map(_.asInstanceOf[Long]) == expected)
+    }
+  }
+
   test("approx_count_distinct scale variant lands within 5% of exact") {
     val r = Relational.approxDistinct(spark, sfDir).collect()(0)
     val approx = r.getLong(0).toDouble

@@ -25,6 +25,19 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("q37 IVF re-rank scores agree with brute force for shared candidates") {
+    val brute = Similarity.q32KnnBrute(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.q37KnnIvf(spark, sfDir).collect()
+    assert(ivf.length == 10)
+    ivf.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(bc => assert(math.abs(bc - r.getAs[Double]("cos")) < 1e-9))
+    }
+    // probed-cell containment: at most NPROBE distinct labels in results
+    assert(ivf.map(_.getAs[Int]("label")).distinct.length <= 2)
+  }
+
   test("q34 LSH candidates score exactly like the brute-force scan") {
     // every vector the LSH variant returns must carry the same cosine the
     // brute-force query computes for it (the re-rank is exact)
