@@ -46,3 +46,19 @@ class GraftEngine(val spark: SparkSession,
   def schema(table: String): Map[String, String] = Catalog.schema(spark, table)
   def sample(table: String, n: Int = 10): DataFrame = Catalog.sample(spark, table, n)
 }
+
+object GraftEngine {
+  /** Error taxonomy for API responses (sql_endpoints.py:214-233), keyed
+    * off Spark's error classes with the reference's message-sniffing as
+    * fallback. */
+  def classifyError(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse("").toLowerCase
+    if (msg.contains("table_or_view_not_found") || msg.contains("not found") ||
+      msg.contains("does not exist")) "TABLE_NOT_FOUND"
+    else if (msg.contains("parse_syntax_error") || msg.contains("syntax error") ||
+      msg.contains("parser error")) "SQL_SYNTAX_ERROR"
+    else if (msg.contains("unresolved_column") || msg.contains("cannot resolve") ||
+      msg.contains("bind")) "COLUMN_NOT_FOUND"
+    else "EXECUTION_ERROR"
+  }
+}

@@ -105,6 +105,33 @@ object SqlTranslator {
       .replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", s"TIMESTAMP '$asOf 00:00:00'")
       .replaceAll("(?i)\\bCURRENT_DATE\\b", s"DATE '$asOf'")
 
+  /** Apply `f` to the text BETWEEN single-quoted literals, copying literal
+    * content verbatim — for rules whose syntax never includes a string
+    * literal (casts, ROW(, reference-date), so a literal containing
+    * dialect-looking text (`'a::b'`) survives translation. Rules whose
+    * own syntax CONTAINS literals (SUBSTRING FROM 'regex', INTERVAL 'n',
+    * path relations) must keep seeing them. */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var segStart = 0
+    val n = sql.length
+    while (i < n) {
+      if (sql.charAt(i) == '\'') {
+        out.append(f(sql.substring(segStart, i)))
+        val litStart = i
+        i += 1
+        while (i < n && (sql.charAt(i) != '\'' ||
+          (i + 1 < n && sql.charAt(i + 1) == '\'' && { i += 1; true }))) i += 1
+        i = math.min(i + 1, n)
+        out.append(sql.substring(litStart, i))
+        segStart = i
+      } else i += 1
+    }
+    out.append(f(sql.substring(segStart, n)))
+    out.toString
+  }
+
   /** Full pipeline. Pure; order matters (quoted identifiers first so later
     * regexes see bare names; casts before intervals is safe). */
   def translate(sql: String, referenceDate: Option[java.time.LocalDate] = None): String = {
@@ -112,10 +139,11 @@ object SqlTranslator {
     s = rewriteQuotedIdentifiers(s)
     s = rewritePathRelations(s)
     s = rewriteSubstringFrom(s)
-    s = rewriteCasts(s)
+    s = mapOutsideLiterals(s)(rewriteCasts)
     s = rewriteIntervals(s)
-    s = rewriteRowConstructor(s)
-    referenceDate.foreach(d => s = rewriteReferenceDate(s, d))
+    s = mapOutsideLiterals(s)(rewriteRowConstructor)
+    referenceDate.foreach(d =>
+      s = mapOutsideLiterals(s)(seg => rewriteReferenceDate(seg, d)))
     s
   }
 

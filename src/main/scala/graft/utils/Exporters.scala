@@ -15,6 +15,19 @@ object Exporters {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
 
+  /** Partition-layout parquet sink: `<col>=<value>/` directories matching
+    * the CUR export layout (S6's mirrored structure, data_config.py:18-23).
+    * Repartitioned on the partition column first so each partition writes
+    * one file per shuffle task that holds it — at scale, set
+    * `spark.sql.shuffle.partitions` (or add a salt column) to control
+    * file counts per partition. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Distributed CSV sink (exports.py:46-68). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

@@ -34,6 +34,10 @@ object Performance {
       }
     }
 
+    /** Listener entry point (see [[ProfilingListener]]). */
+    def recordExternal(name: String, sec: Double, failed: Boolean): Unit =
+      record(name, sec, failed)
+
     private def record(name: String, sec: Double, failed: Boolean): Unit =
       stats.updateWith(name) {
         case Some(s) =>
@@ -47,6 +51,27 @@ object Performance {
 
     def snapshot: Map[String, QueryStats] = stats.readOnlySnapshot().toMap
     def reset(): Unit = stats.clear()
+  }
+
+  /** Plan-level metrics hook (SURVEY.md §4 profiler row): a
+    * QueryExecutionListener feeding the profiler with per-query execution
+    * wall time, keyed by a caller-set tag (the `spark.graft.queryTag`
+    * SESSION conf — listener callbacks run on the bus thread, so a
+    * thread-local property would not be visible) or the plan's top node.
+    * Attach once per session. */
+  final class ProfilingListener(profiler: QueryProfiler)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    import org.apache.spark.sql.execution.QueryExecution
+
+    private def tag(qe: QueryExecution): String =
+      qe.sparkSession.conf.getOption("spark.graft.queryTag")
+        .getOrElse(qe.executedPlan.nodeName)
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      profiler.recordExternal(tag(qe), durationNs / 1e9, failed = false)
+
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      profiler.recordExternal(tag(qe), 0.0, failed = true)
   }
 
   /** TTL cache keyed by normalized SQL (performance.py:140-281; default TTL

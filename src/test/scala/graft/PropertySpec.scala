@@ -1,0 +1,84 @@
+package graft
+
+import graft.engine.SqlTranslator
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests (SURVEY.md §5): the dialect translator's safety
+  * properties and the fixed-point determinism contract. Raw ScalaCheck
+  * (the scalatest bridge artifact is not in the offline cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, tests: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(tests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(6, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  test("translate is idempotent: translating translated SQL is a no-op") {
+    val sqlGen = for {
+      col <- ident
+      tbl <- ident
+      typ <- Gen.oneOf("DATE", "FLOAT", "BIGINT", "DECIMAL(10,2)")
+      n <- Gen.choose(1, 99)
+      unit <- Gen.oneOf("month", "day", "hour")
+    } yield s"""SELECT "$col"::$typ, SUBSTRING($col FROM 'x(.)y') FROM $tbl """ +
+      s"WHERE $col > CURRENT_DATE - INTERVAL '$n ${unit}s'"
+    check(Prop.forAll(sqlGen) { sql =>
+      val once = SqlTranslator.translate(sql)
+      SqlTranslator.translate(once) == once
+    })
+  }
+
+  test("translate never touches literal content for literal-free rules (casts, ROW, CURRENT_DATE)") {
+    check(Prop.forAll(ident, ident) { (a, b) =>
+      val lit = s"$a::$b ROW (x) CURRENT_DATE text"
+      val sql = s"SELECT '$lit' AS s, c::DATE FROM t"
+      val out = SqlTranslator.translate(sql,
+        Some(java.time.LocalDate.of(2025, 1, 1)))
+      out.contains(s"'$lit'") && out.contains("CAST(c AS DATE)")
+    })
+  }
+
+  test("quoted-identifier unwrap only unwraps identifier-shaped content") {
+    check(Prop.forAll(ident) { id =>
+      SqlTranslator.rewriteQuotedIdentifiers(s"""SELECT "$id" FROM t""") ==
+        s"SELECT $id FROM t"
+    })
+    assert(SqlTranslator.rewriteQuotedIdentifiers("""SELECT "a b" FROM t""") ==
+      """SELECT "a b" FROM t""")
+  }
+
+  test("firewall never passes statements containing banned keywords") {
+    val banned = Gen.oneOf("DROP", "DELETE", "INSERT", "UPDATE", "CREATE",
+      "ALTER", "TRUNCATE", "GRANT", "REVOKE", "EXEC", "EXECUTE", "MERGE")
+    check(Prop.forAll(banned, ident) { (kw, id) =>
+      SqlTranslator.validateReadOnly(s"SELECT 1; $kw TABLE $id").isLeft &&
+        SqlTranslator.validateReadOnly(s"$kw TABLE $id").isLeft &&
+        // the keyword inside an identifier does not trip it
+        SqlTranslator.validateReadOnly(s"SELECT ${kw}_count FROM $id").isRight
+    })
+  }
+
+  test("fixed-point sum is invariant under permutation (the determinism contract)") {
+    val doubles = Gen.listOfN(50, Gen.choose(-1e6, 1e6))
+    check(Prop.forAll(doubles, Gen.choose(0L, Long.MaxValue)) { (xs, seed) =>
+      def fp(vals: Seq[Double]): Long =
+        vals.map(v => math.rint(v * 100).toLong).sum
+      fp(xs) == fp(new scala.util.Random(seed).shuffle(xs))
+    })
+  }
+
+  test("LIMIT injection: exactly one trailing LIMIT when absent") {
+    check(Prop.forAll(ident, Gen.choose(1, 10000)) { (tbl, n) =>
+      val out = SqlTranslator.injectLimit(s"SELECT * FROM $tbl", n)
+      out.endsWith(s"LIMIT $n") &&
+        "(?i)\\bLIMIT\\b".r.findAllIn(out).size == 1
+    })
+  }
+}

@@ -54,6 +54,46 @@ class UtilsSpec extends SparkSpec {
     assert(get() == 2)
   }
 
+  test("profiling listener records tagged query executions") {
+    val p = new Performance.QueryProfiler
+    val listener = new Performance.ProfilingListener(p)
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.graft.queryTag", "tagged_count")
+      spark.range(100).count()
+      // listener events are delivered asynchronously
+      var waited = 0
+      while (!p.snapshot.contains("tagged_count") && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(p.snapshot.contains("tagged_count"))
+      assert(p.snapshot("tagged_count").count >= 1)
+    } finally {
+      spark.conf.unset("spark.graft.queryTag")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
+  test("partitioned parquet sink writes the export directory layout") {
+    val out = java.nio.file.Files.createTempDirectory("part_out").toString
+    Exporters.writePartitioned(
+      CurFixture.df(spark).withColumnRenamed("billing_period", "BILLING_PERIOD"),
+      out, "BILLING_PERIOD")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("BILLING_PERIOD=")) == CurFixture.months.size)
+    assert(spark.read.parquet(out).count() == CurFixture.rows.size)
+  }
+
+  test("error taxonomy classifies spark failures") {
+    import graft.engine.GraftEngine
+    def errOf(sql: String): String =
+      GraftEngine.classifyError(intercept[Exception](spark.sql(sql).collect()))
+    assert(errOf("SELECT * FROM definitely_not_a_table") == "TABLE_NOT_FOUND")
+    assert(errOf("SELEC wat") == "SQL_SYNTAX_ERROR")
+    CurFixture.df(spark).createOrReplaceTempView("CUR")
+    assert(errOf("SELECT no_such_column FROM CUR") == "COLUMN_NOT_FOUND")
+  }
+
   test("formatters") {
     assert(Formatters.currency(1234.567) == "$1,234.57")
     assert(Formatters.percent(12.34) == "12.3%")
