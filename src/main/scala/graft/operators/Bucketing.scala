@@ -20,6 +20,21 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    // an in-memory catalog forgets managed tables across JVMs but their
+    // warehouse directories survive; reclaim the orphaned location so
+    // Overwrite semantics hold (unqualified default-db names only)
+    if (!table.contains(".")) {
+      val wh = df.sparkSession.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
