@@ -66,6 +66,38 @@ class PartitionCatalogSpec extends SparkSpec {
     assert(PartitionCatalog.chooseRoot(empty).exists(_.startsWith("s3a://b/")))
   }
 
+  test("COH daily-grain layout discovers and prunes by parsed day range") {
+    val root = Files.createTempDirectory("coh").toString
+    // date=YYYY-MM-DD daily layout (data_config.py:21)
+    val days = Seq("2025-07-01", "2025-07-02", "2025-07-03", "2025-07-10")
+    days.foreach { d =>
+      CurFixture.df(spark).limit(5)
+        .write.mode("overwrite").parquet(s"$root/date=$d")
+    }
+    val t = DataExportType.Coh
+    assert(PartitionCatalog.listAvailablePartitions(root, t) == days)
+    val cfg = DataConfig(localDataPath = Some(root), exportType = t,
+      tableName = "COH", dateStart = Some("2025-07-02"), dateEnd = Some("2025-07-09"))
+    val files = PartitionCatalog.discoverFiles(root, cfg)
+    assert(files.map(_.getParentFile.getName).distinct.sorted ==
+      Seq("date=2025-07-02", "date=2025-07-03"))
+    val df = PartitionCatalog.register(spark, root, cfg)
+    assert(df.columns.contains("date")) // lowercase partition col kept as-is
+    assert(df.count() == 10)
+  }
+
+  test("FOCUS lowercase billing_period layout registers without rename") {
+    val root = Files.createTempDirectory("focus").toString
+    // the data column must not collide with the partition directory key
+    CurFixture.df(spark).drop("billing_period").limit(3)
+      .write.mode("overwrite").parquet(s"$root/billing_period=2025-07")
+    val cfg = DataConfig(localDataPath = Some(root),
+      exportType = DataExportType.Focus1, tableName = "FOCUS")
+    val df = PartitionCatalog.register(spark, root, cfg)
+    assert(df.columns.count(_ == "billing_period") == 1)
+    assert(df.count() == 3)
+  }
+
   test("COH daily partitions validate date format") {
     assert(DataExportType.Coh.validDate("2025-07-14"))
     assert(!DataExportType.Coh.validDate("2025-07"))
