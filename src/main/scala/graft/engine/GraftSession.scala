@@ -56,4 +56,29 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark
   }
+
+  /** Cluster-deployment builder settings, as code instead of a wiki page.
+    * Returns the conf map to merge into spark-defaults / the builder for a
+    * 100 TB deployment of this library:
+    *
+    *  - shuffle.partitions high (AQE coalesces DOWN at runtime; it cannot
+    *    split an under-partitioned stage UP) — ~2-3x total cores.
+    *  - maxPartitionBytes default 128m for relational scans, but LOWERED
+    *    for binary-media tables (multimodal module) so one task does not
+    *    decode 128 MB of media serially while the rest idle.
+    *  - skewJoin + advisory sizes let AQE split hot partitions; the
+    *    explicit SkewTools salting covers pre-aggregation skew AQE cannot.
+    *  - extensions installs the custom expressions cluster-wide.
+    */
+  def clusterDefaults(totalCores: Int, binaryHeavy: Boolean = false): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
+    "spark.sql.shuffle.partitions" -> (totalCores * 3).toString,
+    "spark.sql.files.maxPartitionBytes" -> (if (binaryHeavy) "16m" else "128m"),
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
 }
