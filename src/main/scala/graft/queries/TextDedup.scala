@@ -183,7 +183,8 @@ object TextDedup {
     val sets = docs(s, dir)
       .select(col("doc_id"), shingles3(toks).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("n"), col("ts"))
-    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("sh"))
+    // cached: both sides of the shingle self-join consume it
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("sh")).cache()
     val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -361,7 +362,9 @@ object TextDedup {
     val simhash = (0 until SIMBITS).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sh = sums.select(col("doc_id"), simhash.as("simhash"))
+    // cached: both sides of the chunk self-join consume it — without this
+    // the whole shingle+aggregate pipeline runs twice (measured 2x)
+    val sh = sums.select(col("doc_id"), simhash.as("simhash")).cache()
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until CHUNKS).map(c =>
         struct(lit(c).as("c"), (shiftright(col("simhash"), 8 * c) % 256).as("v"))): _*)).as("e"))
