@@ -50,4 +50,37 @@ class ReferenceViewParitySpec extends SparkSpec {
     // same grain: row counts match
     assert(refDf.count() == mine.count())
   }
+
+  val refTrackerSql = "/root/reference/cur2_views/level_3_final/kpi_tracker.sql"
+
+  test("reference kpi_tracker.sql over our level-1/2 views matches the DataFrame tracker") {
+    assume(Files.exists(Paths.get(refTrackerSql)), "reference snapshot not present")
+    CurFixture.df(spark).createOrReplaceTempView("CUR")
+    KpiViews.registerAll(spark, asOf) // registers levels 1-3 as temp views
+
+    val raw = graft.engine.SqlTranslator.applyReferenceViewPatches(
+      new String(Files.readAllBytes(Paths.get(refTrackerSql)), "UTF-8")
+        .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n"))
+    val engine = new GraftEngine(spark, referenceDate = Some(asOf))
+    val refDf = engine.query(raw)
+    val mine = spark.table("kpi_tracker")
+
+    val cols = Seq("spend_all_cost", "ec2_all_cost", "ec2_spot_cost",
+      "ec2_graviton_cost", "ec2_amd_cost", "rds_all_cost", "lambda_all_cost",
+      "dynamodb_all_cost", "compute_all_cost", "ebs_gp2_cost", "ebs_gp3_cost",
+      "ebs_gp3_potential_savings", "ebs_snapshot_cost", "s3_all_storage_cost",
+      "ec2_spot_potential_savings", "ec2_graviton_potential_savings")
+    def agg(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val r = df.agg(cols.map(c => sum(col(c)).as(c)).head, cols.map(c => sum(col(c)).as(c)).tail: _*)
+        .collect()(0)
+      cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) 0.0 else r.getAs[Double](c))).toMap
+    }
+    val refAgg = agg(refDf)
+    val myAgg = agg(mine)
+    cols.foreach { c =>
+      assert(math.abs(refAgg(c) - myAgg(c)) < 1e-6,
+        s"$c: reference=${refAgg(c)} mine=${myAgg(c)}")
+    }
+    assert(refDf.count() == mine.count())
+  }
 }
