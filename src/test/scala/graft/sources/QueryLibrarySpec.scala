@@ -14,6 +14,22 @@ class QueryLibrarySpec extends SparkSpec {
     assert(meta.partitioning.isEmpty)
   }
 
+  test("the REFERENCE'S query-library files run end-to-end through the engine") {
+    // read at test time from the read-only snapshot, never copied in
+    val refLib = "/root/reference/cur2_query_library"
+    assume(new java.io.File(refLib).isDirectory, "reference snapshot not present")
+    CurFixture.df(spark).createOrReplaceTempView("CUR")
+    val out = Files.createTempDirectory("reflib_out").toString
+    val (results, errors) = QueryLibrary.runAll(spark, refLib, out)
+    assert(errors.isEmpty, s"reference library errors: $errors")
+    assert(results.map(_.sqlFile).toSet ==
+      Set("analytics/amazon_athena.sql", "analytics/sample.sql", "compute/lambda.sql"))
+    // lambda.sql (EC2 usage categorization) finds fixture rows; the athena
+    // query legitimately matches none (fixture has no Athena line items)
+    assert(results.find(_.sqlFile == "compute/lambda.sql").get.rows > 0)
+    assert(results.find(_.sqlFile == "analytics/sample.sql").get.rows == 10)
+  }
+
   test("runAll executes every library file against CUR and mirrors layout") {
     CurFixture.df(spark).createOrReplaceTempView("CUR")
     val out = Files.createTempDirectory("qlib_out").toString
