@@ -55,12 +55,16 @@ object TextDedup {
   // =====================================================================
 
   /** Per-document token stats and a quality score from length / stopword /
-    * type-token ratios. All ratios are exact-int divisions (deterministic).
+    * type-token ratios. Token counts come in two flavors: whitespace
+    * tokens and a BPE-ish subword count (greedy ≤4-char alpha chunks — a
+    * stand-in for a real tokenizer's subword rate, deterministic and
+    * engine-portable). All ratios are exact-int divisions.
     * Scale: embarrassingly parallel projection — no shuffle at all; at
     * 100 TB this is a single map stage over the parquet scan. */
   def q24DocStats(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(toks).cast("long")
     val nDis = size(array_distinct(toks)).cast("long")
+    val nBpe = expr("regexp_count(text, '[a-z]{1,4}')").cast("long")
     val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("long")
     val ttr = nDis.cast("double") / nTok.cast("double")
     val stopR = nStop.cast("double") / nTok.cast("double")
@@ -69,7 +73,8 @@ object TextDedup {
     val quality = round((lenScore + ttr + (lit(1.0) - stopR)) / 3.0, 6)
     docs(s, dir).select(
       col("doc_id"), col("lang"),
-      nTok.as("n_tokens"), nDis.as("n_distinct"), nStop.as("n_stopwords"),
+      nTok.as("n_tokens"), nDis.as("n_distinct"), nBpe.as("n_bpe_tokens"),
+      nStop.as("n_stopwords"),
       round(ttr, 6).as("ttr"), round(stopR, 6).as("stop_ratio"),
       quality.as("quality"))
       .orderBy("doc_id")
@@ -79,6 +84,7 @@ object TextDedup {
     """SELECT doc_id, lang,
       | CAST(len(w) AS BIGINT) AS n_tokens,
       | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      | CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_tokens,
       | CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stopwords,
       | round(CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE), 6) AS ttr,
       | round(CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE)/CAST(len(w) AS DOUBLE), 6) AS stop_ratio,

@@ -79,6 +79,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(ai.parseIntent("hello") == "summary")
   }
 
+  test("rightsizing recommends one size down for low-utilization instances") {
+    val rows = finops.optimization.rightsizing().collect()
+    // fixture daily EC2 rows: m5.large with avg usage 24 (<30) and >10
+    // records per month per resource -> recommend m5.medium at half cost
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[String]("current_instance_type") == "m5.large").foreach { r =>
+      assert(r.getAs[String]("recommended_instance_type") == "m5.medium")
+      assert(math.abs(r.getAs[Double]("estimated_new_cost") -
+        r.getAs[Double]("monthly_cost") * 0.5) < 1e-9)
+    }
+  }
+
+  test("idle detection bands savings by utilization threshold") {
+    // with a threshold above the fixture's usage (24), everything in the
+    // EC2/RDS scope is idle or underutilized
+    val rows = finops.optimization.idleResources(utilizationThreshold = 30.0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val status = r.getAs[String]("status")
+      assert(status == "idle" || status == "underutilized")
+      val expected = if (status == "idle") 0.9 else 0.3
+      assert(math.abs(r.getAs[Double]("potential_savings") -
+        r.getAs[Double]("monthly_cost") * expected) < 1e-9)
+    }
+  }
+
   test("tagging compliance scores the fixture's tag mix") {
     val c = finops.allocation.complianceSummary()
     assert(c.totalResources > 0)
