@@ -80,15 +80,28 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("rightsizing recommends one size down for low-utilization instances") {
-    val rows = finops.optimization.rightsizing().collect()
-    // fixture daily EC2 rows: m5.large with avg usage 24 (<30) and >10
-    // records per month per resource -> recommend m5.medium at half cost
-    assert(rows.nonEmpty)
-    rows.filter(_.getAs[String]("current_instance_type") == "m5.large").foreach { r =>
-      assert(r.getAs[String]("recommended_instance_type") == "m5.medium")
-      assert(math.abs(r.getAs[Double]("estimated_new_cost") -
-        r.getAs[Double]("monthly_cost") * 0.5) < 1e-9)
-    }
+    // dedicated table: the shared fixture has one record per resource per
+    // month, below the reference's HAVING COUNT(*) > 10 data floor
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2025-07-$day%02d $hour%02d:00:00")
+    val rows15 = (1 to 15).map { i =>
+      ("i-downsize", "m5.xlarge", ts(10 + i % 5, i), "AmazonEC2", 30.0, 2.0)
+    } ++ (1 to 15).map { i =>
+      ("i-keep", "m5.xlarge", ts(1 + i % 5, i), "AmazonEC2", 55.0, 2.0)
+    } // keep: 55 < 60 appears in results, but no downsize branch fires
+    spark.createDataFrame(rows15)
+      .toDF("line_item_resource_id", "product_instance_type",
+        "line_item_usage_start_date", "product_servicecode",
+        "line_item_usage_amount", "line_item_unblended_cost")
+      .createOrReplaceTempView("CUR_RS")
+    val opt = new Optimization(spark, "CUR_RS", asOf)
+    val rows = opt.rightsizing().collect()
+    val down = rows.find(_.getAs[String]("resource_id") == "i-downsize").get
+    assert(down.getAs[String]("recommended_instance_type") == "m5.large")
+    assert(math.abs(down.getAs[Double]("estimated_new_cost") -
+      down.getAs[Double]("monthly_cost") * 0.5) < 1e-9)
+    val keep = rows.find(_.getAs[String]("resource_id") == "i-keep").get
+    assert(keep.getAs[String]("recommended_instance_type") == "m5.xlarge")
   }
 
   test("idle detection bands savings by utilization threshold") {
