@@ -83,4 +83,21 @@ class ReferenceViewParitySpec extends SparkSpec {
     }
     assert(refDf.count() == mine.count())
   }
+
+  test("reference kpi_tracker_restructured.sql (CTE variant, LIMIT 1) runs and agrees") {
+    val p = "/root/reference/cur2_views/level_3_final/kpi_tracker_restructured.sql"
+    assume(Files.exists(Paths.get(p)), "reference snapshot not present")
+    CurFixture.df(spark).createOrReplaceTempView("CUR")
+    KpiViews.registerAll(spark, asOf)
+    val raw = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+    val row = new GraftEngine(spark, referenceDate = Some(asOf)).query(raw).collect()
+    assert(row.length == 1) // trailing LIMIT 1 (kpi_tracker_restructured.sql:203)
+    val spend = row(0).getAs[Double]("spend_all_cost")
+    // the single row is one (month, account) cell of our tracker
+    val mine = spark.table("kpi_tracker")
+      .select("spend_all_cost").collect().map(_.getDouble(0)).toSet
+    assert(mine.exists(v => math.abs(v - spend) < 1e-6),
+      s"restructured spend $spend not found among tracker rows")
+  }
 }
