@@ -407,6 +407,21 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  // ---- full window-function suite (beyond reference's LAG/RANK) --------
+  def q39WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("top_order"),
+        row_number().over(w).cast("long").as("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
   // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
@@ -435,6 +450,7 @@ object Relational {
     "q35_percentiles" -> q35Percentiles _,
     "q36_cube" -> q36Cube _,
     "q38_asof_join" -> q38AsofJoin _,
+    "q39_window_suite" -> q39WindowSuite _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -620,5 +636,17 @@ object Relational {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q39_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | first_value(o_orderkey) OVER w AS top_order,
+        | CAST(row_number() OVER w AS BIGINT) AS rn
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
   )
 }
