@@ -406,9 +406,11 @@ object TextDedup {
     val a = chunks.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"), col("c"), col("v"))
     val b = chunks.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"), col("c"), col("v"))
     val ham = expr("bit_count(sim_a ^ sim_b)")
-    a.join(b, Seq("c", "v")).filter(col("id_a") < col("id_b"))
+    // hamming filter BEFORE the dedup: the filter is a per-row bit op and
+    // cuts the distinct's input from every chunk-collision row (~2% of all
+    // pairs) to just the near-dup survivors
+    a.join(b, Seq("c", "v")).filter(col("id_a") < col("id_b") && ham <= 5)
       .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
-      .filter(ham <= 5)
       .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
