@@ -1,0 +1,96 @@
+package graft
+
+import graft.analytics.{FinOps, McpIntegration}
+import graft.config.DataConfig
+import graft.engine.{Catalog, GraftEngine, GraftSession}
+import graft.sources.{MirrorDownloader, PartitionCatalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The top-level engine — the 1:1 surface of the reference's
+  * `FinOpsEngine` (finops_engine.py): construct with a [[DataConfig]],
+  * data registers lazily on first use with local-vs-remote source
+  * selection, and every capability hangs off one object:
+  *
+  * {{{
+  * val engine = GraftFinOpsEngine(DataConfig(localDataPath = Some("/data/cur"),
+  *   dateStart = Some("2025-04"), dateEnd = Some("2025-07")))
+  * engine.query("SELECT ... FROM CUR ...")        // SQL or .sql file
+  * engine.finops.healthCheck()                     // analytics modules
+  * engine.downloadDataLocally()                    // S6 mirror
+  * }}}
+  *
+  * Differences from the reference, by design (SURVEY.md §4): one
+  * long-lived SparkSession instead of a connection per query; lazy
+  * pruned temp views instead of eager materialization; results are
+  * DataFrames the caller collects.
+  */
+final class GraftFinOpsEngine(
+    val config: DataConfig,
+    val spark: SparkSession) {
+
+  private val engine = new GraftEngine(spark, config.referenceDate)
+  @volatile private var registered = false
+
+  /** Source selection + registration (duckdb_engine.py:246-266), once per
+    * forceS3 state change. */
+  def ensureRegistered(forceS3: Boolean = false): Unit = synchronized {
+    if (!registered) {
+      val root = PartitionCatalog.chooseRoot(config, forceS3)
+        .getOrElse(throw new IllegalStateException(
+          "no data source configured: set localDataPath or s3Bucket"))
+      PartitionCatalog.register(spark, root, config)
+      registered = true
+    }
+  }
+
+  /** The workhorse (finops_engine.py:147-168): SQL text or `.sql` file,
+    * through the dialect translator, against the registered table. */
+  def query(sqlOrFile: String, forceS3: Boolean = false): DataFrame = {
+    ensureRegistered(forceS3)
+    engine.query(sqlOrFile)
+  }
+
+  /** Guarded ad-hoc endpoint (sql_endpoints.py semantics). */
+  def guardedQuery(sql: String, maxRows: Int = 1000): Either[String, DataFrame] = {
+    ensureRegistered()
+    engine.guardedQuery(sql, maxRows)
+  }
+
+  def schema(): Map[String, String] = {
+    ensureRegistered()
+    Catalog.schema(spark, config.tableName)
+  }
+
+  def sample(n: Int = 10): DataFrame = {
+    ensureRegistered()
+    Catalog.sample(spark, config.tableName, n)
+  }
+
+  /** S6: mirror the remote export locally (data_downloader.py). */
+  def downloadDataLocally(sourceRoot: String, overwrite: Boolean = false): MirrorDownloader.DownloadReport =
+    MirrorDownloader.downloadDataLocally(sourceRoot, config, overwrite)
+
+  /** S7: size/cost estimate before downloading. */
+  def estimateDownloadSize(sourceRoot: String): MirrorDownloader.DownloadEstimate =
+    MirrorDownloader.estimateDownloadSize(sourceRoot, config)
+
+  /** The seven analytics modules (finops_engine.py module accessors). */
+  lazy val finops: FinOps = {
+    ensureRegistered()
+    new FinOps(spark, config.tableName,
+      config.referenceDate.getOrElse(java.time.LocalDate.now()))
+  }
+
+  /** MCP-style NL/tooling surface. */
+  lazy val mcp: McpIntegration = {
+    ensureRegistered()
+    new McpIntegration(spark, config.tableName,
+      config.referenceDate.getOrElse(java.time.LocalDate.now()))
+  }
+}
+
+object GraftFinOpsEngine {
+  def apply(config: DataConfig,
+      spark: SparkSession = GraftSession.local()): GraftFinOpsEngine =
+    new GraftFinOpsEngine(config, spark)
+}
