@@ -298,9 +298,11 @@ object TextDedup {
   /** Full MinHash-LSH dedup pipeline: candidate pairs are docs sharing at
     * least one band bucket (equi-join on (band_idx, band_hash) — the 100 TB
     * path: bucket sizes stay tiny, no cross product), then each candidate
-    * is scored with the estimated similarity (fraction of equal minhashes)
-    * AND the true 3-gram Jaccard. Scale: the true-Jaccard re-check joins
-    * the two shingle sets only for candidate pairs (≈ dup pairs), so the
+    * is scored with a band-level similarity estimate (fraction of the 6
+    * band keys that agree — each band agreeing means its 3 minhashes
+    * agree, so est ≈ J³ granularized; cheap and monotone in J) AND the
+    * true 3-gram Jaccard. Scale: the true-Jaccard re-check joins the two
+    * shingle sets only for candidate pairs (≈ dup pairs), so the
     * expensive verification is proportional to the number of near-dups,
     * not the corpus size. */
   def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
