@@ -29,17 +29,21 @@ final class GraftFinOpsEngine(
     val spark: SparkSession) {
 
   private val engine = new GraftEngine(spark, config.referenceDate)
-  @volatile private var registered = false
+  // root the current registration was made over; None = not yet registered.
+  // The reference honors force_s3 per query (duckdb_engine.py:246-266), so
+  // source selection re-resolves on every call and re-registers only when
+  // the resolved root actually changes.
+  @volatile private var registeredRoot: Option[String] = None
 
-  /** Source selection + registration (duckdb_engine.py:246-266), once per
-    * forceS3 state change. */
+  /** Source selection + registration (duckdb_engine.py:246-266), re-run
+    * whenever the requested forceS3 resolves to a different root. */
   def ensureRegistered(forceS3: Boolean = false): Unit = synchronized {
-    if (!registered) {
-      val root = PartitionCatalog.chooseRoot(config, forceS3)
-        .getOrElse(throw new IllegalStateException(
-          "no data source configured: set localDataPath or s3Bucket"))
+    val root = PartitionCatalog.chooseRoot(config, forceS3)
+      .getOrElse(throw new IllegalStateException(
+        "no data source configured: set localDataPath or s3Bucket"))
+    if (!registeredRoot.contains(root)) {
       PartitionCatalog.register(spark, root, config)
-      registered = true
+      registeredRoot = Some(root)
     }
   }
 

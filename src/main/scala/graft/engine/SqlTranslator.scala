@@ -64,12 +64,15 @@ object SqlTranslator {
     sql.replaceAll("""(?i)\bROW\s*\(""", "(")
 
   /** DuckDB/Presto double-quoted identifiers (`"billing_period"`,
-    * `"sum"(...)` — pervasive in the cur2_views SQL files) → bare
-    * identifiers.
-    * Spark treats double quotes as STRING literals, so these must be
-    * unwrapped. A hand scanner (not a regex) so content inside
-    * single-quoted string literals is never touched; quoted content that
-    * is not identifier-shaped is left as-is. */
+    * `"sum"(...)` — pervasive in the cur2_views SQL files) → BACKTICK
+    * identifiers, never bare names: Spark treats double quotes as STRING
+    * literals, and a bare unwrap would break on reserved words under ANSI
+    * mode while a non-identifier-shaped name (`"my col"`, `"a.b"`) would
+    * silently become a literal. In the source dialect a double-quoted
+    * token is ALWAYS an identifier, so the faithful rewrite is uniform.
+    * A hand scanner (not a regex) so content inside single-quoted string
+    * literals is never touched; `""` escapes unwrap to `"` and backticks
+    * inside names escape as ` `` `. */
   def rewriteQuotedIdentifiers(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var i = 0
@@ -84,12 +87,19 @@ object SqlTranslator {
           i = math.min(i + 1, n)
           out.append(sql.substring(start, i))
         case '"' =>
-          val close = sql.indexOf('"', i + 1)
-          if (close < 0) { out.append(sql.substring(i)); i = n }
+          val name = new StringBuilder
+          var j = i + 1
+          var closed = false
+          while (j < n && !closed) {
+            if (sql.charAt(j) == '"') {
+              if (j + 1 < n && sql.charAt(j + 1) == '"') { name.append('"'); j += 2 }
+              else { closed = true; j += 1 }
+            } else { name.append(sql.charAt(j)); j += 1 }
+          }
+          if (!closed) { out.append(sql.substring(i)); i = n }
           else {
-            val inner = sql.substring(i + 1, close)
-            if (inner.matches("[A-Za-z_][A-Za-z0-9_]*")) { out.append(inner); i = close + 1 }
-            else { out.append(sql.substring(i, close + 1)); i = close + 1 }
+            out.append('`').append(name.toString.replace("`", "``")).append('`')
+            i = j
           }
         case c => out.append(c); i += 1
       }

@@ -396,8 +396,11 @@ object Relational {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("src"),
         lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
-    // views sort before purchases at equal ts => inclusive v.ts <= p.ts
-    val w = Window.partitionBy("user_id").orderBy("ts", "src")
+    // views sort before purchases at equal ts => inclusive v.ts <= p.ts;
+    // view_id as the final key resolves same-timestamp view ties
+    // deterministically (highest view_id wins) instead of leaving the
+    // match to partition-internal row order
+    val w = Window.partitionBy("user_id").orderBy("ts", "src", "view_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.unionAll(purchases)
       .withColumn("matched_view_id", last(col("view_id"), ignoreNulls = true).over(w))
@@ -628,13 +631,18 @@ object Relational {
          | count(*) AS n, ${oSum("o_totalprice", 2)} AS total
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
+    // the declarative as-of definition with an explicit tie-break (latest
+    // ts, then highest event_id) — DuckDB's native ASOF LEFT JOIN picks an
+    // arbitrary row among same-timestamp views, which would flake
     "q38_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         | CAST(p.ts AS DATE) AS purchase_day,
-        | v.event_id AS matched_view_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        | (SELECT v.event_id FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |     AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_view_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
     "q39_window_suite" ->
       """SELECT o_orderpriority, o_orderkey,

@@ -319,11 +319,20 @@ object KpiViews {
 
     def z(c: Column): Column = coalesce(c, lit(0.0))
 
-    // template: the five standard columns per service selector
-    def std(prefix: String, inGroup: Column, usageExtra: Column = lit(true))
+    // template: the five standard columns per service selector.
+    // Three services deviate from the template in the reference
+    // (kpi_instance_all.sql:58,75,105-107), hence the overrides:
+    //   allCond   — condition for `_all_cost` (default: inGroup)
+    //   usageCond — condition for `_usage_cost` (default: usage+group+extra)
+    //   usageValue — value for `_usage_cost` (default: amortized;
+    //                compute uses adjusted_amortized_cost)
+    def std(prefix: String, inGroup: Column, usageExtra: Column = lit(true),
+        allCond: Column = null, usageCond: Column = null, usageValue: Column = null)
         : Seq[(String, Column)] = Seq(
-      s"${prefix}_all_cost" -> when(inGroup, adj).otherwise(0.0),
-      s"${prefix}_usage_cost" -> when(usage && inGroup && usageExtra, amort).otherwise(0.0),
+      s"${prefix}_all_cost" -> when(Option(allCond).getOrElse(inGroup), adj).otherwise(0.0),
+      s"${prefix}_usage_cost" ->
+        when(Option(usageCond).getOrElse(usage && inGroup && usageExtra),
+          Option(usageValue).getOrElse(amort)).otherwise(0.0),
       s"${prefix}_ondemand_cost" -> when(usage && inGroup && usageExtra && od, adj).otherwise(0.0),
       s"${prefix}_commit_savings" -> when(committed && inGroup, commitDelta).otherwise(0.0),
       s"${prefix}_commit_potential_savings" ->
@@ -337,9 +346,21 @@ object KpiViews {
 
     val derived: Seq[(String, Column)] =
       std("sagemaker", col("commit_service_group") === "Machine Learning", itNE) ++
-        std("compute", col("commit_service_group") === "Compute") ++
-        std("dynamodb", col("commit_service_group") === "DynamoDB") ++
-        std("rds", col("product_code") === "AmazonRDS", itNE) ++
+        // compute_usage_cost sums adjusted (on-demand-equivalent), not
+        // amortized — kpi_instance_all.sql:58
+        std("compute", col("commit_service_group") === "Compute",
+          usageValue = adj) ++
+        // dynamodb_all_cost/_usage_cost key on product_code (so
+        // PayPerRequestThroughput rows count), while ondemand/commit columns
+        // key on the commit group — kpi_instance_all.sql:105-110
+        std("dynamodb", col("commit_service_group") === "DynamoDB",
+          allCond = col("product_code") === "AmazonDynamoDB",
+          usageCond = usage && col("product_code") === "AmazonDynamoDB") ++
+        // rds_all_cost requires a usage charge with an instance type (so
+        // RIFee/SavingsPlanRecurringFee rows are excluded) —
+        // kpi_instance_all.sql:75
+        std("rds", col("product_code") === "AmazonRDS", itNE,
+          allCond = usage && col("product_code") === "AmazonRDS" && itNE) ++
         std("elasticache", col("product_code") === "AmazonElastiCache", itNE) ++
         std("opensearch", col("product_code") === "AmazonES", itNE) ++
         std("redshift", col("product_code") === "AmazonRedshift", itNE) ++
@@ -386,12 +407,15 @@ object KpiViews {
             when(usage && col("product_code") === "AmazonRDS" && itNE &&
               col("database_engine").isin("Aurora MySQL", "Aurora PostgreSQL", "MariaDB", "PostgreSQL", "MySQL") &&
               col("adjusted_processor") === "Graviton", amort).otherwise(0.0),
+          // second branch has NO purchase-option condition (unlike EC2's
+          // gravNotYet) — kpi_instance_all.sql:77
           "rds_graviton_eligible_cost" ->
             when(usage && col("product_code") === "AmazonRDS" &&
               col("adjusted_processor") === "Graviton", amort)
               .when(col("charge_type") === "Usage" && col("product_code") === "AmazonRDS" && itNE &&
                 col("database_engine").isin("Aurora MySQL", "Aurora PostgreSQL", "MariaDB", "PostgreSQL", "MySQL") &&
-                gravNotYet, amort)
+                col("adjusted_processor") =!= "Graviton" &&
+                coalesce(col("latest_graviton"), lit("")) =!= "", amort)
               .otherwise(0.0),
           "rds_graviton_potential_savings" ->
             when(usage && col("product_code") === "AmazonRDS" &&

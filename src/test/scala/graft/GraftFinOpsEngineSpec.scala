@@ -46,4 +46,15 @@ class GraftFinOpsEngineSpec extends SparkSpec {
     val bare = new GraftFinOpsEngine(DataConfig(), spark)
     intercept[IllegalStateException](bare.query("SELECT 1"))
   }
+
+  test("forceS3 is honored per query, not only at first registration") {
+    val e = engine // local-only config
+    assert(e.query("SELECT count(*) AS n FROM CUR").collect().head.getLong(0) > 0)
+    // duckdb_engine.py:246-251: force_s3 bypasses the local source on EVERY
+    // call — with no S3 configured this must fail, not silently reuse the
+    // already-registered local table
+    intercept[IllegalStateException](e.query("SELECT 1", forceS3 = true))
+    // and the engine still works for local queries afterwards
+    assert(e.query("SELECT count(*) AS n FROM CUR").collect().head.getLong(0) > 0)
+  }
 }

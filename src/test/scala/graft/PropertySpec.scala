@@ -45,13 +45,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("quoted-identifier unwrap only unwraps identifier-shaped content") {
+  test("quoted identifiers become backtick identifiers, never literals or bare names") {
     check(Prop.forAll(ident) { id =>
       SqlTranslator.rewriteQuotedIdentifiers(s"""SELECT "$id" FROM t""") ==
-        s"SELECT $id FROM t"
+        s"SELECT `$id` FROM t"
     })
+    // non-identifier-shaped names stay identifiers (would silently become
+    // string literals if passed through to Spark)
     assert(SqlTranslator.rewriteQuotedIdentifiers("""SELECT "a b" FROM t""") ==
-      """SELECT "a b" FROM t""")
+      "SELECT `a b` FROM t")
+    assert(SqlTranslator.rewriteQuotedIdentifiers("""SELECT "a.b" FROM t""") ==
+      "SELECT `a.b` FROM t")
+    // DuckDB's "" escape unwraps; quotes inside single-quoted literals survive
+    assert(SqlTranslator.rewriteQuotedIdentifiers("""SELECT "we""ird" FROM t""") ==
+      "SELECT `we\"ird` FROM t")
+    assert(SqlTranslator.rewriteQuotedIdentifiers("""SELECT '"not an id"' FROM t""") ==
+      """SELECT '"not an id"' FROM t""")
   }
 
   test("firewall never passes statements containing banned keywords") {

@@ -195,6 +195,45 @@ object CurFixture {
       product_database_engine = "PostgreSQL",
       line_item_unblended_cost = 0.25 * growth, line_item_blended_cost = 0.25 * growth,
       resource_tags = """{"Environment":"dev"}""")
+    // RDS RIFee: in the kpi_instance_all scope (instance_type set) but NOT a
+    // usage charge — must be excluded from rds_all_cost
+    // (kpi_instance_all.sql:75)
+    val rdsRiFee = base(m, 1, "111111111111").copy(
+      line_item_line_item_type = "RIFee",
+      line_item_product_code = "AmazonRDS", product_servicecode = "AmazonRDS",
+      line_item_operation = "CreateDBInstance",
+      line_item_usage_type = "", line_item_resource_id = "db-ri",
+      product_instance_type = "db.r5.large",
+      reservation_reservation_a_r_n = "arn:aws:rds:us-east-1:111111111111:ri/rds-ri-1",
+      reservation_unused_amortized_upfront_fee_for_billing_period = 0.4,
+      reservation_unused_recurring_fee = 0.1,
+      line_item_unblended_cost = 1.5, line_item_blended_cost = 1.5,
+      product = prodMap("us-east-1", "Linux", "Intel Xeon", engine = "MySQL"),
+      product_database_engine = "MySQL")
+    // DynamoDB on-demand (PayPerRequestThroughput): counted by
+    // dynamodb_all_cost (product_code-keyed) but NOT in the commit group
+    // (kpi_instance_all.sql:21,105)
+    val dynamoPpr = base(m, 9, "222222222222").copy(
+      line_item_product_code = "AmazonDynamoDB", product_servicecode = "AmazonDynamoDB",
+      line_item_operation = "PayPerRequestThroughput",
+      line_item_usage_type = "WriteCapacityUnit-Hrs", line_item_resource_id = "table/t2",
+      line_item_unblended_cost = 0.09 * growth, line_item_blended_cost = 0.09 * growth,
+      product = prodMap("us-east-1", "", ""))
+    // RDS Intel 'Usage' row covered by a non-Compute savings plan: eligible
+    // for graviton per the reference's branch (no purchase-option condition,
+    // kpi_instance_all.sql:77) — would be dropped by an EC2-style
+    // OnDemand/ComputeSavingsPlans gate
+    val rdsSpIntel = base(m, 9, "333333333333").copy(
+      line_item_product_code = "AmazonRDS", product_servicecode = "AmazonRDS",
+      line_item_operation = "CreateDBInstance",
+      line_item_usage_type = "InstanceUsage:db.r5.large",
+      product_instance_type = "db.r5.large", line_item_resource_id = "db-2",
+      savings_plan_savings_plan_a_r_n = spArn,
+      savings_plan_savings_plan_effective_cost = 0.0,
+      savings_plan_offering_type = "EC2InstanceSavingsPlans",
+      product = prodMap("us-east-1", "Linux", "Intel Xeon", engine = "MySQL"),
+      product_database_engine = "MySQL",
+      line_item_unblended_cost = 0.22 * growth, line_item_blended_cost = 0.22 * growth)
     val s3r = base(m, 10, "333333333333").copy(
       line_item_product_code = "AmazonS3", product_servicecode = "AmazonS3",
       line_item_operation = "StandardStorage",
@@ -217,7 +256,8 @@ object CurFixture {
       line_item_line_item_type = "Credit", line_item_usage_type = "",
       line_item_unblended_cost = -0.3, line_item_blended_cost = -0.3)
     daily ++ Seq(graviton, amd, spot, spUsage, spFee, spNeg, riUsage, riFee,
-      gp2, gp3, snap, lambda, dynamo, rds, s3r, vpc, dt, credit)
+      gp2, gp3, snap, lambda, dynamo, dynamoPpr, rds, rdsRiFee, rdsSpIntel,
+      s3r, vpc, dt, credit)
   }
 
   /** In-memory DataFrame of the fixture. */

@@ -26,12 +26,13 @@ class KpiViewsSpec extends SparkSpec {
   test("amortized cost folds SP/RI fees (the 8-branch formula)") {
     setup()
     // payer account in 2025-07: SavingsPlanRecurringFee -> commitment-used = 2.0,
-    // RIFee -> unused upfront+recurring = 1.0, Credit -> -0.3  =>  2.7
+    // EC2 RIFee -> unused upfront+recurring = 1.0, RDS RIFee -> 0.4+0.1 = 0.5,
+    // Credit -> -0.3  =>  3.2
     val spend = spark.table("kpi_tracker")
       .filter(col("linked_account_id") === "111111111111" &&
         date_format(col("billing_period"), "yyyy-MM") === "2025-07")
       .select("spend_all_cost").collect()(0).getDouble(0)
-    assert(math.abs(spend - 2.7) < 1e-9, s"payer spend was $spend")
+    assert(math.abs(spend - 3.2) < 1e-9, s"payer spend was $spend")
   }
 
   test("ec2 graviton / amd / spot costs classify by processor and purchase option") {

@@ -31,11 +31,13 @@ class ReferenceViewParitySpec extends SparkSpec {
 
     val mine = KpiViews.registerKpiInstanceAll(spark, asOf)
 
-    // compare the tracker-consumed aggregate surface
-    val cols = Seq("amortized_cost", "adjusted_amortized_cost", "public_cost",
-      "ec2_all_cost", "ec2_usage_cost", "ec2_spot_cost", "ec2_graviton_cost",
-      "ec2_amd_cost", "rds_all_cost", "lambda_all_cost", "dynamodb_all_cost",
-      "compute_all_cost", "ec2_spot_potential_savings", "ec2_graviton_potential_savings")
+    // compare EVERY numeric column both sides share — a hand-picked list
+    // previously let three derived-column divergences slip through
+    val numeric = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.DoubleType)
+    val cols = refDf.schema.fields.filter(f => numeric(f.dataType)).map(_.name)
+      .toSeq.intersect(mine.schema.fields.filter(f => numeric(f.dataType)).map(_.name).toSeq)
+    assert(cols.size > 60, s"expected the full derived-column surface, got ${cols.size}")
     def agg(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
       val r = df.agg(cols.map(c => sum(col(c)).as(c)).head, cols.map(c => sum(col(c)).as(c)).tail: _*)
         .collect()(0)
