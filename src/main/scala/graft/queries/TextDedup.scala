@@ -36,6 +36,8 @@ object TextDedup {
     * `element_at(w, _)` reference inside a lambda re-evaluates `w` (the
     * regex split) per ELEMENT, which measured ~1.8 ms/row at 60 shingles;
     * the slice form references `w` O(1) times per row (~50× faster). */
+  private[graft] def shinglesForProbe(w: Column): Column = shingles3(w)
+
   private def shingles3(w: Column): Column = {
     val n = size(w)
     val sh = zip_with(
@@ -189,8 +191,13 @@ object TextDedup {
     val sets = docs(s, dir)
       .select(col("doc_id"), shingles3(toks).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("n"), col("ts"))
-    // cached: both sides of the shingle self-join consume it
-    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("sh")).cache()
+    // cached: both sides of the shingle self-join consume it. The join key
+    // is xxhash64 of the shingle (8-byte long), not the shingle string:
+    // the wide text never travels through the shuffle and the hash join
+    // probes longs (shingles are distinct within a doc, so hashing
+    // preserves the intersection count)
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("shs"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh")).cache()
     val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -241,12 +248,12 @@ object TextDedup {
   def q29MinhashSig(s: SparkSession, dir: String): DataFrame =
     bandDf(s, dir).orderBy("doc_id")
 
-  /** hex[c..c+7] of column `h` as a 32-bit value (Spark SQL expr). */
+  /** hex[from..from+7] of column `h` as a 32-bit value. Spark-side this is
+    * one `conv()`; the DuckDB oracle spells the same value with per-digit
+    * strpos arithmetic (DuckDB has no conv) — both parse the same hex
+    * digits most-significant-first, so the values are bit-identical. */
   private def hexInt(from: Int): String =
-    (0 until 8).map { k =>
-      val pow = 1L << (4 * (7 - k))
-      s"(instr('0123456789abcdef', substring(h, ${from + k}, 1)) - 1) * ${pow}L"
-    }.mkString("(", " + ", ")")
+    s"CAST(conv(substring(h, $from, 8), 16, 10) AS BIGINT)"
 
   /** doc_id + band0..band5 columns. */
   private def bandDf(s: SparkSession, dir: String): DataFrame = {
@@ -301,30 +308,31 @@ object TextDedup {
     * is scored with a band-level similarity estimate (fraction of the 6
     * band keys that agree — each band agreeing means its 3 minhashes
     * agree, so est ≈ J³ granularized; cheap and monotone in J) AND the
-    * true 3-gram Jaccard. Scale: the true-Jaccard re-check joins the two
-    * shingle sets only for candidate pairs (≈ dup pairs), so the
-    * expensive verification is proportional to the number of near-dups,
-    * not the corpus size. */
+    * true 3-gram Jaccard.
+    *
+    * Physical shape: bands equal ⟺ the band join produces a row, so the
+    * estimate is `count(matching bands)/6` aggregated straight off the
+    * candidate join — no distinct + re-join of the signature table (two
+    * shuffles and a codegen stage cheaper than the naive form). Band keys
+    * are xxhash64 longs, not hash-hex strings: an 8-byte shuffle/join key
+    * instead of 16 chars. The true-Jaccard re-check joins the two shingle
+    * sets only for candidate pairs (≈ dup pairs), so the expensive
+    * verification is proportional to the number of near-dups, not the
+    * corpus size. */
   def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = bandDf(s, dir).cache()
+    val sig = bandDf(s, dir)
     val bandRows = sig.select(col("doc_id"),
-      explode(array((0 until BANDS).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("e"))
+      explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("b"),
+          xxhash64(lit(b), col(s"band$b")).as("h"))): _*)).as("e"))
       .select(col("doc_id"), col("e.b").as("b"), col("e.h").as("h"))
-    val cand = bandRows.as("x").join(bandRows.as("y"),
+      .cache() // both sides of the self-join consume it
+    // one row per matching band per pair => count = agreeing bands
+    val est = bandRows.as("x").join(bandRows.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
-    // estimated similarity from full signatures
-    val sa = sig.select(col("doc_id").as("id_a") +:
-      (0 until BANDS).map(b => col(s"band$b").as(s"a_band$b")): _*)
-    val sb = sig.select(col("doc_id").as("id_b") +:
-      (0 until BANDS).map(b => col(s"band$b").as(s"b_band$b")): _*)
-    val estNum = (0 until BANDS)
-      .map(b => when(col(s"a_band$b") === col(s"b_band$b"), 1).otherwise(0))
-      .reduce(_ + _)
-    val est = cand.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(estNum.cast("double") / BANDS.toDouble, 6).as("est_sim"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(round(count(lit(1)).cast("double") / BANDS.toDouble, 6).as("est_sim"))
     // true jaccard re-check on candidates only (cached: consumed by both
     // sides of the pair join; at 100 TB this would be an explicit persist
     // of the shingle-set table, spillable to disk)
@@ -381,22 +389,37 @@ object TextDedup {
     * random 48-bit hashes is 6/256 ≈ 2% of pairs. */
   def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // hex digit values are extracted ONCE per shingle (d0..d11) instead of
-    // re-running instr/substring inside all 48 bit aggregates (measured
-    // ~2x on the groupBy stage). instr over the hex alphabet instead of
-    // conv(): DuckDB has no conv, and strpos/instr agree across engines.
+    // re-running instr/substring inside the bit aggregates. instr over the
+    // hex alphabet instead of conv(): DuckDB has no conv, and strpos/instr
+    // agree across engines.
+    //
+    // Bit-count packing: each digit's 4 bits are spread into four 16-bit
+    // fields of ONE long (bit k of d at field k), so the per-doc aggregate
+    // is 12 packed sums + count(*) instead of 48 independent sums — same
+    // exact arithmetic (ones_j recovered per field; the ±1 sum is
+    // 2*ones_j - n), a quarter of the agg state and far smaller codegen.
+    // Field capacity 65535 shingles/doc >> any document here.
     val ex = docs(s, dir)
       .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
       .withColumn("h", md5(col("sh")))
+      // one conv() parses the whole 48-bit prefix; digit p (hex position
+      // p+1, most significant first) is then (v >> 4*(11-p)) & 15 —
+      // identical values to the oracle's per-digit strpos arithmetic
+      .withColumn("v", expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)"))
       .select(col("doc_id") +: (0 until SIMBITS / 4).map(p =>
-        expr(s"instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1").as(s"d$p")): _*)
-    def bitOf(j: Int): Column = (shiftright(col(s"d${j / 4}"), j % 4) % 2).cast("int")
+        expr(s"(v >> ${4 * (11 - p)}) & 15").as(s"d$p")): _*)
+      .select(col("doc_id") +: (0 until SIMBITS / 4).map(p =>
+        expr(s"CAST((d$p & 1) + ((d$p >> 1) & 1) * ${1L << 16} + " +
+          s"((d$p >> 2) & 1) * ${1L << 32} + ((d$p >> 3) & 1) * ${1L << 48} AS BIGINT)")
+          .as(s"p$p")): _*)
+    val packedSums = (0 until SIMBITS / 4).map(p => sum(col(s"p$p")).as(s"p$p"))
     val sums = ex.groupBy("doc_id")
-      .agg((0 until SIMBITS).map(j =>
-        sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"s$j")).head,
-        (0 until SIMBITS).map(j =>
-          sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"s$j")).tail: _*)
+      .agg(count(lit(1)).as("n"), packedSums: _*)
+    def onesOf(j: Int): Column =
+      shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
     val simhash = (0 until SIMBITS).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      // sign of the ±1 sum: 2*ones - n > 0
+      when(onesOf(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     // cached: both sides of the chunk self-join consume it — without this
     // the whole shingle+aggregate pipeline runs twice (measured 2x)
