@@ -467,6 +467,85 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q40: dedup clusters (connected components over near-dup pairs)
+  // =====================================================================
+
+  /** The step after pair generation that an actual dedup pipeline needs:
+    * group near-dup PAIRS into CLUSTERS and pick one keeper per cluster.
+    * Edges are the q28 Jaccard >= 0.5 pairs (exact dups are J=1 so they are
+    * included); every document is a node (singletons keep themselves).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min cluster label among itself and its neighbors; converges
+    * in O(component diameter) rounds. This is the standard distributed
+    * connected-components shape: each round is one join + one groupBy
+    * (both shuffle on doc_id), `localCheckpoint` cuts the growing lineage
+    * so round N's plan does not replay rounds 1..N-1. At 100 TB: same
+    * loop with reliable `checkpoint()` instead, or the large-star/
+    * small-star variant when diameters are large; near-dup components are
+    * shallow (dup groups, not social graphs), so the simple loop is the
+    * right tool.
+    *
+    * The DuckDB oracle computes the same fixpoint declaratively with a
+    * recursive CTE (min reachable id per node). */
+  def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q28JaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
+      .cache()
+    var labels = docs(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val viaNbr = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionAll(viaNbr)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ40: String = {
+    // q28's pair derivation inlined as CTEs, then min-reachable-id per node
+    s"""WITH RECURSIVE sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
+       |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id)
+       |  WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -476,6 +555,7 @@ object TextDedup {
     "q29_minhash_sig" -> q29MinhashSig _,
     "q30_lsh_pairs" -> q30LshPairs _,
     "q31_simhash_pairs" -> q31SimhashPairs _,
+    "q40_dedup_clusters" -> q40DedupClusters _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -487,5 +567,6 @@ object TextDedup {
     "q29_minhash_sig" -> oracleQ29,
     "q30_lsh_pairs" -> oracleQ30,
     "q31_simhash_pairs" -> oracleQ31,
+    "q40_dedup_clusters" -> oracleQ40,
   )
 }
