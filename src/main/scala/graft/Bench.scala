@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: the 40-query suite generates far more
+      // than 100 whole-stage-codegen classes, so with the default the
+      // warm-up's compiled classes are EVICTED before the timed runs and
+      // every timed query re-pays janino compilation (measured: q31 8.7s
+      // evicted vs 2.9s warm). A long-lived session sizes this to its
+      // workload; same knob in GraftSession.clusterDefaults.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JVM JIT, whole-stage-codegen class compilation, and parquet
@@ -20,6 +27,10 @@ object Bench {
     // session sees (codegen compiles once per plan shape, not per batch).
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) warmDir else sfDir
+    // Surface which warm-up regime ran: warming at the target SF also
+    // warms the OS page cache for the timed run, so numbers from the two
+    // regimes are not comparable (see BENCH_NOTES.md).
+    System.err.println(s"bench warmup dir: $warm (target: $sfDir)")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warm).count() } catch { case _: Throwable => () }

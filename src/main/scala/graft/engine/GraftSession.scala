@@ -80,5 +80,10 @@ object GraftSession {
     "spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    // Static conf, default 100 entries: a long-lived analytics session
+    // runs hundreds of distinct plan shapes; at the default the codegen
+    // class cache thrashes and queries silently re-pay janino compilation
+    // (seconds for wide plans). Size to the session's working set.
+    "spark.sql.codegen.cache.maxEntries" -> "2000",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
 }
