@@ -377,65 +377,95 @@ object TextDedup {
   // q31: SimHash near-dup pairs (chunked-hamming candidate join)
   // =====================================================================
 
-  private val SIMBITS = 48 // 12 md5 hex digits
-  private val CHUNKS = 6 // 8-bit chunks: pigeonhole-complete for hamming<=5
+  private val SIMBITS = 64 // 16 md5 hex digits
+  private val CHUNKS = 8 // 8-bit chunks; candidate keys are CHUNK PAIRS
+  private val HAMMAX = 6 // chunk-pair keys are pigeonhole-complete for <=6
+  private val chunkPairs: Seq[(Int, Int)] =
+    for (c1 <- 0 until CHUNKS; c2 <- c1 + 1 until CHUNKS) yield (c1, c2)
 
-  /** 48-bit SimHash over the 3-gram shingle set: bit j is the sign of
-    * Σ_shingles (±1) where the ±1 is bit j of md5(shingle). Candidate pairs
-    * share at least one of 6 8-bit chunks (by pigeonhole this finds EVERY
-    * pair with hamming distance <= 5 — no cross join), then the exact
-    * hamming distance filters to <= 5. All integer arithmetic — bit-exact
-    * across engines. Scale: chunk join ~ LSH banding; collision rate for
-    * random 48-bit hashes is 6/256 ≈ 2% of pairs. */
+  /** 64-bit SimHash over the 3-gram shingle set: bit j is the sign of
+    * Σ_shingles (±1) where the ±1 is bit j of md5(shingle).
+    *
+    * Candidate generation joins on CHUNK-PAIR keys: the signature is split
+    * into 8 byte-chunks and every pair shares one of C(8,2)=28 (chunk-pair,
+    * 16-bit value) keys. Pigeonhole: hamming <= 6 dirties at most 6 of the
+    * 8 chunks, so >= 2 chunks agree and the candidate join finds EVERY pair
+    * with hamming <= 6 — no cross join, no recall loss. A random unrelated
+    * pair collides on any key with probability 28/2^16 ≈ 4.3e-4 (vs 6/256 ≈
+    * 2.3% for single 8-bit chunk keys — 54x fewer false candidates); this
+    * is what keeps candidate volume ~n²·2e-4 instead of ~n²/43 at corpus
+    * scale. For larger corpora / higher thresholds the same construction
+    * extends to chunk-TRIPLE keys (C(10,3) over 10 chunks, complete for
+    * d<=7) or Manku et al.'s permuted sorted tables (WWW'07).
+    * All integer arithmetic — bit-exact across engines. */
   def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // hex digit values are extracted ONCE per shingle (d0..d11) instead of
-    // re-running instr/substring inside the bit aggregates. instr over the
-    // hex alphabet instead of conv(): DuckDB has no conv, and strpos/instr
-    // agree across engines.
-    //
-    // Bit-count packing: each digit's 4 bits are spread into four 16-bit
-    // fields of ONE long (bit k of d at field k), so the per-doc aggregate
-    // is 12 packed sums + count(*) instead of 48 independent sums — same
-    // exact arithmetic (ones_j recovered per field; the ±1 sum is
-    // 2*ones_j - n), a quarter of the agg state and far smaller codegen.
-    // Field capacity 65535 shingles/doc >> any document here.
+    // Bit-count packing: each hex digit's 4 bits are spread into four
+    // 16-bit fields of ONE long (bit k of d at field k) via a 16-entry
+    // lookup array, so the per-doc aggregate is 16 packed sums + count(*)
+    // instead of 64 independent sums — same exact arithmetic (ones_j
+    // recovered per field; the ±1 sum is 2*ones_j - n), a quarter of the
+    // agg state and far smaller codegen. Field capacity: the top field
+    // occupies bits 48-63, so the packed sum stays sign-safe up to 32767
+    // shingles/doc (documents here have <= 98); beyond that pack 3 fields
+    // per long.
+    val spreadTable: Seq[Long] = (0 until 16).map { d =>
+      (0 until 4).map(k => ((d >> k) & 1).toLong << (16 * k)).sum
+    }
     val ex = docs(s, dir)
       .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
       .withColumn("h", md5(col("sh")))
-      // one conv() parses the whole 48-bit prefix; digit p (hex position
-      // p+1, most significant first) is then (v >> 4*(11-p)) & 15 —
-      // identical values to the oracle's per-digit strpos arithmetic
-      .withColumn("v", expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)"))
+      // two conv() calls parse the 64-bit hash as two unsigned 32-bit
+      // halves (a single 16-digit conv would overflow signed BIGINT);
+      // digit p (hex position p+1, most significant first) is then a
+      // shift+mask — identical values to the oracle's per-digit strpos
+      // arithmetic
+      .withColumn("vh", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("vl", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+      .select(col("doc_id") +: (0 until SIMBITS / 4).map { p =>
+        val (src, shft) = if (p < 8) ("vh", 4 * (7 - p)) else ("vl", 4 * (15 - p))
+        expr(s"($src >> $shft) & 15").as(s"d$p")
+      }: _*)
       .select(col("doc_id") +: (0 until SIMBITS / 4).map(p =>
-        expr(s"(v >> ${4 * (11 - p)}) & 15").as(s"d$p")): _*)
-      .select(col("doc_id") +: (0 until SIMBITS / 4).map(p =>
-        expr(s"CAST((d$p & 1) + ((d$p >> 1) & 1) * ${1L << 16} + " +
-          s"((d$p >> 2) & 1) * ${1L << 32} + ((d$p >> 3) & 1) * ${1L << 48} AS BIGINT)")
-          .as(s"p$p")): _*)
+        element_at(typedLit(spreadTable), col(s"d$p").cast("int") + 1).as(s"p$p")): _*)
     val packedSums = (0 until SIMBITS / 4).map(p => sum(col(s"p$p")).as(s"p$p"))
     val sums = ex.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), packedSums: _*)
     def onesOf(j: Int): Column =
       shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
-    val simhash = (0 until SIMBITS).map { j =>
-      // sign of the ±1 sum: 2*ones - n > 0
-      when(onesOf(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    // sign of the ±1 sum for bit j: 2*ones_j - n > 0. The signature is
+    // carried as two NON-NEGATIVE 32-bit halves (sim_lo = bytes 0-3,
+    // sim_hi = bytes 4-7) so every later shift/mask is on a non-negative
+    // long — no arithmetic-shift sign-extension traps in either engine.
+    def half(bytes: Range): Column = bytes.map { c =>
+      (0 until 8).map { i =>
+        val j = 8 * c + i
+        when(onesOf(j) * 2 > col("n"), lit(1L << (8 * (c % 4) + i))).otherwise(lit(0L))
+      }.reduce(_ + _)
     }.reduce(_ + _)
-    // cached: both sides of the chunk self-join consume it — without this
-    // the whole shingle+aggregate pipeline runs twice (measured 2x)
-    val sh = sums.select(col("doc_id"), simhash.as("simhash")).cache()
-    val chunks = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until CHUNKS).map(c =>
-        struct(lit(c).as("c"), (shiftright(col("simhash"), 8 * c) % 256).as("v"))): _*)).as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.c").as("c"), col("e.v").as("v"))
-    val a = chunks.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"), col("c"), col("v"))
-    val b = chunks.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"), col("c"), col("v"))
-    val ham = expr("bit_count(sim_a ^ sim_b)")
+    // cached: both sides of the chunk-pair self-join consume it — without
+    // this the whole shingle+aggregate pipeline runs twice (measured 2x)
+    val sh = sums.select(col("doc_id"),
+      half(0 until 4).as("sim_lo"), half(4 until 8).as("sim_hi")).cache()
+    def byteOf(c: Int): Column =
+      shiftright(col(if (c < 4) "sim_lo" else "sim_hi"), 8 * (c % 4))
+        .bitwiseAND(lit(255L))
+    val keyed = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array(chunkPairs.map { case (c1, c2) =>
+        struct(lit(c1 * CHUNKS + c2).as("k"), byteOf(c1).as("v1"), byteOf(c2).as("v2"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("e.k").as("k"), col("e.v1").as("v1"), col("e.v2").as("v2"))
+    val a = keyed.select(col("doc_id").as("id_a"), col("sim_lo").as("lo_a"),
+      col("sim_hi").as("hi_a"), col("k"), col("v1"), col("v2"))
+    val b = keyed.select(col("doc_id").as("id_b"), col("sim_lo").as("lo_b"),
+      col("sim_hi").as("hi_b"), col("k"), col("v1"), col("v2"))
+    val ham = expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     // hamming filter BEFORE the dedup: the filter is a per-row bit op and
-    // cuts the distinct's input from every chunk-collision row (~2% of all
-    // pairs) to just the near-dup survivors
-    a.join(b, Seq("c", "v")).filter(col("id_a") < col("id_b") && ham <= 5)
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
+    // cuts the distinct's input from every key-collision row to just the
+    // near-dup survivors
+    a.join(b, Seq("k", "v1", "v2")).filter(col("id_a") < col("id_b") && ham <= HAMMAX)
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
@@ -444,25 +474,35 @@ object TextDedup {
     val sums = (0 until SIMBITS).map { j =>
       s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(", ")
-    val simhash = (0 until SIMBITS)
-      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    val chunkUnion = (0 until CHUNKS)
-      .map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${8 * c}) % 256 AS v FROM sh")
-      .mkString(" UNION ALL ")
+    def half(bytes: Range): String = bytes.flatMap { c =>
+      (0 until 8).map { i =>
+        s"CASE WHEN s${8 * c + i} > 0 THEN ${1L << (8 * (c % 4) + i)} ELSE 0 END"
+      }
+    }.mkString(" + ")
+    def byteOf(c: Int): String =
+      s"((${if (c < 4) "sim_lo" else "sim_hi"} >> ${8 * (c % 4)}) & 255)"
+    val keyUnion = chunkPairs.map { case (c1, c2) =>
+      s"SELECT doc_id, sim_lo, sim_hi, ${c1 * CHUNKS + c2} AS k, " +
+        s"${byteOf(c1)} AS v1, ${byteOf(c2)} AS v2 FROM sh"
+    }.mkString(" UNION ALL ")
     s"""WITH ex AS (
        |  SELECT doc_id, md5(sh) AS h FROM (
        |    SELECT doc_id, unnest($oShingles3) AS sh
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
        |sums AS (SELECT doc_id, $sums FROM ex GROUP BY doc_id),
-       |sh AS (SELECT doc_id, $simhash AS simhash FROM sums),
-       |chunks AS ($chunkUnion),
+       |sh AS (SELECT doc_id, ${half(0 until 4)} AS sim_lo,
+       |       ${half(4 until 8)} AS sim_hi FROM sums),
+       |keyed AS ($keyUnion),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM chunks a JOIN chunks b
-       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5
+       |         a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+       |         b.sim_lo AS lo_b, b.sim_hi AS hi_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.k = b.k AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $HAMMAX
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -499,18 +539,34 @@ object TextDedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val viaNbr = edges
         .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionAll(viaNbr)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("self"))
+      // change detection is folded INTO the label aggregation: each node's
+      // previous label rides along as `prev` (max of the single self row;
+      // neighbor rows contribute null), so detecting convergence is a
+      // cheap scan of the just-checkpointed result instead of an extra
+      // join of two label snapshots per round (halves the per-round jobs).
+      val next = labels.withColumn("self", lit(true))
+        .unionAll(viaNbr)
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"),
+          max(when(col("self"), col("cluster_id"))).as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
+    // Min-label propagation converges in O(component diameter) rounds;
+    // silently returning unconverged labels would diverge from the
+    // oracle's recursive-CTE fixpoint, so an over-deep graph is an error.
+    // (A corpus whose dup graph has diameter > 50 should use the
+    // large-star/small-star algorithm, which converges in O(log d).)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds ($changed labels still changing)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     labels
       .withColumn("n_members", count(lit(1)).over(w))

@@ -49,8 +49,9 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("q31 simhash pairs are within the hamming bound") {
-    TextDedup.q31SimhashPairs(spark, sfDir).collect()
-      .foreach(r => assert(r.getAs[Long]("hamming") <= 5))
+    val rows = TextDedup.q31SimhashPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
   test("SparkEntry query and oracle key sets are identical") {
