@@ -36,8 +36,6 @@ object TextDedup {
     * `element_at(w, _)` reference inside a lambda re-evaluates `w` (the
     * regex split) per ELEMENT, which measured ~1.8 ms/row at 60 shingles;
     * the slice form references `w` O(1) times per row (~50× faster). */
-  private[graft] def shinglesForProbe(w: Column): Column = shingles3(w)
-
   private def shingles3(w: Column): Column = {
     val n = size(w)
     val sh = zip_with(
@@ -195,7 +193,13 @@ object TextDedup {
     // is xxhash64 of the shingle (8-byte long), not the shingle string:
     // the wide text never travels through the shuffle and the hash join
     // probes longs (shingles are distinct within a doc, so hashing
-    // preserves the intersection count)
+    // preserves the intersection count WITHIN a doc exactly). Caveat: a
+    // 64-bit collision between DISTINCT shingles of two different docs
+    // would inflate n_common, so parity with a string-keyed oracle is
+    // probabilistic with birthday bound ~s²/2^64 for s distinct shingles
+    // corpus-wide (~1e-9 at s=10^5 here; revisit consciously at 100 TB,
+    // where s~10^11 puts the bound near 1 — switch the key to the
+    // 128-bit md5 there).
     val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("shs"))
       .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh")).cache()
     val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))

@@ -1,8 +1,8 @@
 package graft.sources
 
 import graft.config.DataConfig
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path}
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -11,12 +11,13 @@ import scala.concurrent.duration.Duration
   * (SURVEY.md §2.1 S6/S7, reference data_downloader.py:26-240).
   *
   * The reference downloads S3 objects over boto3 with a 5-thread pool,
-  * mirroring the bucket layout and skipping existing files. This build is
-  * zero-egress, so the transfer endpoint is a filesystem-to-filesystem
-  * copy behind the same interface — partition discovery, layout
-  * mirroring, skip/overwrite semantics, parallelism, and the estimator's
-  * sample-and-extrapolate logic are all reproduced. Swapping the `copy`
-  * lambda for an S3 GetObject call is the only cloud delta.
+  * mirroring the bucket layout and skipping existing files. Here the
+  * transfer runs over the Hadoop `FileSystem` API, so the SAME code copies
+  * `file://`→`file://` in the zero-egress specs and `s3a://`→`file://` on
+  * a cluster with the S3A connector on the classpath — partition
+  * discovery, layout mirroring, skip/overwrite semantics, parallelism, and
+  * the estimator's sample-and-extrapolate logic all reproduce the
+  * reference behind one scheme-agnostic endpoint.
   */
 object MirrorDownloader {
 
@@ -31,17 +32,22 @@ object MirrorDownloader {
     * `cfg.localDataPath`, preserving the partition directory layout
     * (data_downloader.py:26-167). */
   def downloadDataLocally(sourceRoot: String, cfg: DataConfig,
-      overwrite: Boolean = false): DownloadReport = {
+      overwrite: Boolean = false,
+      conf: Configuration = new Configuration()): DownloadReport = {
     val localRoot = cfg.localDataPath.getOrElse(
       throw new IllegalArgumentException("local_data_path must be configured for data download"))
-    val files = PartitionCatalog.discoverFiles(sourceRoot, cfg)
-    val srcBase = Paths.get(sourceRoot)
+    val (srcFs, srcBase) = PartitionCatalog.fsFor(sourceRoot, conf)
+    val (dstFs, dstBase) = PartitionCatalog.fsFor(localRoot, conf)
+    val srcBasePath = srcFs.makeQualified(srcBase).toUri.getPath
+    val files = PartitionCatalog.discoverFiles(sourceRoot, cfg, conf)
     val tasks = files.map { f =>
-      val rel = srcBase.relativize(f.toPath)
-      (f, Paths.get(localRoot).resolve(rel))
+      // relativize on the scheme-less URI path: the mirrored layout under
+      // the local root matches the remote layout byte-for-byte
+      val rel = f.path.toUri.getPath.stripPrefix(srcBasePath).stripPrefix("/")
+      (f.path, new Path(dstBase, rel))
     }
     val (existing, toCopy) =
-      tasks.partition { case (_, dst) => Files.exists(dst) && !overwrite }
+      tasks.partition { case (_, dst) => dstFs.exists(dst) && !overwrite }
 
     val pool = Executors.newFixedThreadPool(DownloadThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -49,9 +55,9 @@ object MirrorDownloader {
       val results = Future.traverse(toCopy) { case (src, dst) =>
         Future {
           try {
-            Files.createDirectories(dst.getParent)
-            Files.copy(src.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-            true
+            dstFs.mkdirs(dst.getParent)
+            FileUtil.copy(srcFs, src, dstFs, dst,
+              /*deleteSource=*/ false, /*overwrite=*/ true, conf)
           } catch { case _: Throwable => false }
         }
       }
@@ -68,12 +74,14 @@ object MirrorDownloader {
 
   /** Sample ≤10 files, extrapolate total size, estimate transfer time at
     * the assumed throughput and the monthly scan-cost savings
-    * (data_downloader.py:169-240). */
-  def estimateDownloadSize(sourceRoot: String, cfg: DataConfig): DownloadEstimate = {
-    val files = PartitionCatalog.discoverFiles(sourceRoot, cfg)
+    * (data_downloader.py:169-240). Sizes come from the partition listing
+    * itself — no extra HEAD per file. */
+  def estimateDownloadSize(sourceRoot: String, cfg: DataConfig,
+      conf: Configuration = new Configuration()): DownloadEstimate = {
+    val files = PartitionCatalog.discoverFiles(sourceRoot, cfg, conf)
     if (files.isEmpty) return DownloadEstimate(0, 0.0, 0.0, 0.0)
     val sample = files.take(10)
-    val sampleBytes = sample.map(_.length()).sum
+    val sampleBytes = sample.map(_.sizeBytes).sum
     val totalBytes =
       if (files.size > 10) sampleBytes.toDouble / sample.size * files.size
       else sampleBytes.toDouble

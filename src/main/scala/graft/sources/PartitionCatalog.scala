@@ -1,8 +1,9 @@
 package graft.sources
 
 import graft.config.{DataConfig, DataExportType}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.io.File
 
 /** Partition-pruned discovery + registration of the billing fact table,
   * mirroring the reference's data managers
@@ -11,40 +12,66 @@ import java.io.File
   * Catalyst pushes filters/projections into the parquet scan instead of the
   * reference's eager CREATE TABLE AS materialization.
   *
+  * All listing goes through the Hadoop `FileSystem` API, so the SAME
+  * pruning drives every scheme the deployment has on its classpath —
+  * `file://` locally (covered by the specs), `s3a://`/`abfs://`/`gs://` on
+  * a cluster. The reference hard-splits this into a boto3 S3 manager and an
+  * os.listdir local manager; one scheme-agnostic catalog replaces both.
+  *
   * Pruning semantics are file-list level, reproducing the reference
   * exactly: partition dirs named `<PARTITION_COL>=<value>` are filtered by
   * string comparison for `YYYY-MM` grains (s3_data_manager.py:156-162) and
-  * by parsed dates for COH daily partitions. At 100 TB the same listing is
-  * a namenode/S3 LIST per partition — O(partitions), not O(files) — and
-  * the pruned file list keeps Spark from even planning a scan of excluded
-  * months.
+  * by parsed dates for COH daily partitions. At 100 TB the listing is one
+  * LIST per partition dir (`listFiles(recursive)` is the S3A flat-list
+  * fast path) — O(partitions), not O(files) — and the pruned file list
+  * keeps Spark from even planning a scan of excluded months.
   */
 object PartitionCatalog {
 
-  /** `(partitionValue, files)` for every partition dir under root. */
-  def listPartitions(root: String, t: DataExportType): Seq[(String, Seq[File])] = {
-    val base = new File(root)
-    val dirs = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(t.partitionColumn + "="))
-    dirs.toSeq.map { d =>
-      val v = d.getName.substring(t.partitionColumn.length + 1)
-      v -> dataFiles(d)
-    }.sortBy(_._1)
+  /** One discovered data file: qualified path + size (both come straight
+    * from the listing, so estimators never re-stat). */
+  final case class PartFile(path: Path, sizeBytes: Long) {
+    def name: String = path.getName
+    def partitionDirName: String = path.getParent.getName
   }
 
-  /** Recursive data-file walk (local_data_manager.py:20-44). */
-  private def dataFiles(dir: File): Seq[File] = {
-    val fs = Option(dir.listFiles()).getOrElse(Array.empty)
-    fs.toSeq.flatMap { f =>
-      if (f.isDirectory) dataFiles(f)
-      else if (f.getName.endsWith(".parquet") || f.getName.endsWith(".gz")) Seq(f)
-      else Seq.empty
+  private[sources] def fsFor(root: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** `(partitionValue, files)` for every partition dir under root. */
+  def listPartitions(root: String, t: DataExportType,
+      conf: Configuration = new Configuration()): Seq[(String, Seq[PartFile])] = {
+    val (fs, base) = fsFor(root, conf)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(t.partitionColumn + "="))
+      .map { st =>
+        val v = st.getPath.getName.substring(t.partitionColumn.length + 1)
+        v -> dataFiles(fs, st.getPath)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Recursive data-file walk (local_data_manager.py:20-44). One flat LIST
+    * per partition dir on object stores. */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[PartFile] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[PartFile]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet") || n.endsWith(".gz"))
+        buf += PartFile(st.getPath, st.getLen)
     }
+    buf.result()
   }
 
   /** Available partition values (s3_data_manager.py:65-99). */
-  def listAvailablePartitions(root: String, t: DataExportType): Seq[String] =
-    listPartitions(root, t).map(_._1)
+  def listAvailablePartitions(root: String, t: DataExportType,
+      conf: Configuration = new Configuration()): Seq[String] =
+    listPartitions(root, t, conf).map(_._1)
 
   /** Range check, inclusive on both ends. `YYYY-MM`/`YYYY-MM-DD` string
     * compare is order-correct (s3_data_manager.py:132-162). */
@@ -52,15 +79,16 @@ object PartitionCatalog {
     start.forall(v >= _) && end.forall(v <= _)
 
   /** Pruned file list for the configured date range. */
-  def discoverFiles(root: String, cfg: DataConfig): Seq[File] =
-    listPartitions(root, cfg.exportType)
+  def discoverFiles(root: String, cfg: DataConfig,
+      conf: Configuration = new Configuration()): Seq[PartFile] =
+    listPartitions(root, cfg.exportType, conf)
       .filter { case (v, _) => inRange(v, cfg.dateStart, cfg.dateEnd) }
       .flatMap(_._2)
 
   /** Majority-vote format detection (s3_data_manager.py:206-216). */
-  def detectFormat(files: Seq[File]): String = {
-    val pq = files.count(_.getName.endsWith(".parquet"))
-    val gz = files.count(_.getName.endsWith(".gz"))
+  def detectFormat(files: Seq[PartFile]): String = {
+    val pq = files.count(_.name.endsWith(".parquet"))
+    val gz = files.count(_.name.endsWith(".gz"))
     if (gz > pq) "gz" else "parquet"
   }
 
@@ -71,16 +99,23 @@ object PartitionCatalog {
     * gives it natively; we select it under the export type's column name
     * lowercased for query compatibility). */
   def register(spark: SparkSession, root: String, cfg: DataConfig): DataFrame = {
-    val files = discoverFiles(root, cfg)
+    // the session's Hadoop conf carries cluster credentials/endpoints for
+    // remote schemes; a bare Configuration would miss them
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, base) = fsFor(root, conf)
+    val files = discoverFiles(root, cfg, conf)
     require(files.nonEmpty, s"no data files under $root for range " +
       s"${cfg.dateStart.getOrElse("-inf")}..${cfg.dateEnd.getOrElse("+inf")}")
+    // qualify basePath the same way the listing qualified the file paths,
+    // or partition-column discovery breaks on scheme mismatch
+    val qualifiedBase = fs.makeQualified(base).toString
+    val paths = files.map(_.path.toString)
     val df = detectFormat(files) match {
       case "parquet" =>
-        spark.read.option("basePath", root)
-          .parquet(files.map(_.getAbsolutePath): _*)
+        spark.read.option("basePath", qualifiedBase).parquet(paths: _*)
       case "gz" => // legacy CUR CSV exports (s3_data_manager.py:206-216)
         spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(files.map(_.getAbsolutePath): _*)
+          .csv(paths: _*)
     }
     // normalize the partition column to lowercase `billing_period` (or the
     // COH `date`) so downstream SQL is case-stable across export types
@@ -94,12 +129,14 @@ object PartitionCatalog {
   }
 
   /** Source selection local-vs-S3 (duckdb_engine.py:246-266): prefer the
-    * local mirror when configured and populated, unless forced to S3.
-    * (S3 roots require a Hadoop filesystem for the scheme; same listing
-    * logic applies through it — local-path tests cover the pruning.) */
-  def chooseRoot(cfg: DataConfig, forceS3: Boolean = false): Option[String] = {
+    * local mirror when configured and populated, unless forced to S3. The
+    * returned root — local or remote — is listable by `register` through
+    * the same `FileSystem` API, provided the scheme's implementation is on
+    * the classpath. */
+  def chooseRoot(cfg: DataConfig, forceS3: Boolean = false,
+      conf: Configuration = new Configuration()): Option[String] = {
     val localOk = !forceS3 && cfg.preferLocalData &&
-      cfg.localDataPath.exists(p => listPartitions(p, cfg.exportType).nonEmpty)
+      cfg.localDataPath.exists(p => listPartitions(p, cfg.exportType, conf).nonEmpty)
     if (localOk) cfg.localDataPath
     else cfg.s3Bucket.map(b => s"s3a://$b/${cfg.s3Prefix.getOrElse("")}")
   }

@@ -23,8 +23,21 @@ class PartitionCatalogSpec extends SparkSpec {
       dateStart = Some("2025-01"), dateEnd = Some("2025-03"))
     val files = PartitionCatalog.discoverFiles(root, cfg)
     assert(files.nonEmpty)
-    val parts = files.map(_.getParentFile.getName).distinct.sorted
+    val parts = files.map(_.partitionDirName).distinct.sorted
     assert(parts == Seq("BILLING_PERIOD=2025-01", "BILLING_PERIOD=2025-02", "BILLING_PERIOD=2025-03"))
+  }
+
+  test("scheme-qualified root (file://) drives the same discovery and registration") {
+    // the s3a:// cluster path goes through exactly this FileSystem code;
+    // file:// is the scheme we can exercise in a zero-egress sandbox
+    val uriRoot = "file://" + root
+    val parts = PartitionCatalog.listAvailablePartitions(uriRoot, DataExportType.Cur2)
+    assert(parts == CurFixture.months.sorted)
+    val cfg = DataConfig(localDataPath = Some(uriRoot), tableName = "CUR_uri",
+      dateStart = Some("2025-01"), dateEnd = Some("2025-02"))
+    val df = PartitionCatalog.register(spark, uriRoot, cfg)
+    assert(df.columns.contains("billing_period"))
+    assert(df.select("billing_period").distinct().count() == 2)
   }
 
   test("register exposes pruned data with billing_period column") {
@@ -79,7 +92,7 @@ class PartitionCatalogSpec extends SparkSpec {
     val cfg = DataConfig(localDataPath = Some(root), exportType = t,
       tableName = "COH", dateStart = Some("2025-07-02"), dateEnd = Some("2025-07-09"))
     val files = PartitionCatalog.discoverFiles(root, cfg)
-    assert(files.map(_.getParentFile.getName).distinct.sorted ==
+    assert(files.map(_.partitionDirName).distinct.sorted ==
       Seq("date=2025-07-02", "date=2025-07-03"))
     val df = PartitionCatalog.register(spark, root, cfg)
     assert(df.columns.contains("date")) // lowercase partition col kept as-is
