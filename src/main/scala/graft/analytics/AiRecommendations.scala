@@ -71,6 +71,92 @@ final class AiRecommendations(spark: SparkSession, table: String = "CUR",
       .orderBy(col("growth_rate_pct").desc)
   }
 
+  /** AI optimization insights — the INTENDED pattern-recognition query of
+    * ai_recommendations.py:153-212 (`patterns_sql`; the reference defines
+    * it and then executes a stale `sql` variable, so its endpoint dead-
+    * letters — SURVEY.md §7.5 item 4): trailing-6-month spend per service
+    * with volatility (stddev), growth rate (max-min)/min, and a
+    * rapid_growth / growing / stable / declining pattern class.
+    * `minAvgMonthlySpend` defaults to the reference's 1000 USD floor
+    * (tests pass 0 against the small fixture). */
+  def optimizationInsights(minAvgMonthlySpend: Double = 1000.0): DataFrame = {
+    val cutoff = lit(asOf.minusMonths(6).toString).cast("timestamp")
+    cur.filter(col("line_item_unblended_cost") > 0 &&
+        col("line_item_usage_start_date") >= cutoff)
+      .groupBy(date_trunc("month", col("line_item_usage_start_date")).as("month"),
+        col("product_servicecode").as("service"))
+      .agg(sum("line_item_unblended_cost").as("monthly_spend"),
+        countDistinct("line_item_resource_id").as("resource_count"))
+      .groupBy("service")
+      .agg(avg("monthly_spend").as("avg_monthly_spend"),
+        stddev("monthly_spend").as("spend_volatility"),
+        ((max("monthly_spend") - min("monthly_spend")) /
+          min("monthly_spend") * 100).as("growth_rate"),
+        count(lit(1)).as("months_data"))
+      .filter(col("months_data") >= 3 && col("avg_monthly_spend") > minAvgMonthlySpend)
+      .withColumn("pattern_type",
+        when(col("growth_rate") > 50, "rapid_growth")
+          .when(col("growth_rate") > 20, "growing")
+          .when(col("growth_rate") > -10, "stable")
+          .otherwise("declining"))
+      .orderBy(col("avg_monthly_spend").desc)
+  }
+
+  final case class ServiceInsight(
+      insights: Seq[String], opportunities: Seq[String],
+      priority: Int, confidence: Int)
+
+  /** Per-service insight text + priority/confidence from the pattern class
+    * (ai_recommendations.py:522-551). Pure. */
+  def serviceInsight(service: String, pattern: String,
+      growthRatePct: Double): ServiceInsight = pattern match {
+    case "rapid_growth" => ServiceInsight(
+      Seq(f"$service showing rapid $growthRatePct%.1f%% growth - review scaling efficiency"),
+      Seq("Consider Reserved Instances or Savings Plans",
+        "Implement automated scaling policies"), 95, 90)
+    case "declining" => ServiceInsight(
+      Seq(f"$service usage declining by ${math.abs(growthRatePct)}%.1f%% - potential cost savings"),
+      Seq("Review unused resources for termination",
+        "Optimize resource allocation"), 70, 85)
+    case other => ServiceInsight(
+      Seq(s"$service showing $other usage pattern"),
+      Seq("Monitor for optimization opportunities"), 50, 75)
+  }
+
+  final case class Benchmark(
+      service: String, ourMonthlySpend: Double, industryAverage: Double,
+      vsIndustry: String, efficiencyScore: Int, percentile: Double)
+
+  /** Industry benchmark comparison (mock table in the reference too,
+    * ai_recommendations.py:553-579). Pure. */
+  def industryBenchmarks(spendByService: Map[String, Double]): Seq[Benchmark] = {
+    val table = Map(
+      "AmazonEC2" -> (15000.0, 78), "AmazonRDS" -> (8000.0, 82),
+      "AmazonS3" -> (5000.0, 85), "AWSLambda" -> (2000.0, 90))
+    spendByService.toSeq.sortBy(_._1).flatMap { case (svc, ours) =>
+      table.get(svc).map { case (industryAvg, eff) =>
+        Benchmark(svc, ours, industryAvg,
+          if (ours > industryAvg) "above" else "below", eff,
+          math.min(95.0, math.max(5.0, 50 + (industryAvg - ours) / industryAvg * 50)))
+      }
+    }
+  }
+
+  final case class PatternSummary(
+      totalServicesAnalyzed: Int, rapidGrowthServices: Int,
+      decliningServices: Int, stableServices: Int,
+      avgGrowthRate: Double, growthVolatility: String)
+
+  /** Portfolio pattern rollup (ai_recommendations.py:581-597). Pure. */
+  def patternSummary(rows: Seq[(String, String, Double)]): PatternSummary = {
+    val total = rows.size
+    val rapid = rows.count(_._2 == "rapid_growth")
+    val declining = rows.count(_._2 == "declining")
+    PatternSummary(total, rapid, declining, total - rapid - declining,
+      if (total == 0) 0.0 else math.rint(rows.map(_._3).sum / total * 10) / 10,
+      if (total > 0 && rapid > total * 0.3) "high" else "low")
+  }
+
   // ---- pure post-processing -------------------------------------------
 
   /** C3: severity + confidence from the z-score

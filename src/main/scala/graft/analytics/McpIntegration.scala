@@ -52,4 +52,47 @@ final class McpIntegration(spark: SparkSession, table: String = "CUR",
   /** Guarded ad-hoc SQL tool (delegates to the engine firewall). */
   def sqlQuery(sql: String, maxRows: Int = 1000): Either[String, DataFrame] =
     engine.guardedQuery(sql, maxRows)
+
+  final case class StreamAuth(required: Boolean, methods: Seq[String], sessionTimeoutSec: Int)
+  final case class StreamConfig(
+      websocketUrl: String, supportedEvents: Seq[String],
+      streamModes: Seq[String], authentication: StreamAuth)
+  final case class SampleEvent(eventType: String, data: Map[String, String])
+
+  /** Real-time streaming capability metadata
+    * (mcp_integration.py:353-434): the reference returns a static
+    * configuration (its WebSocket is not implemented either) — reproduced
+    * as typed metadata. The actual streaming execution path in this
+    * engine is Structured Streaming (graft.streaming.EventStream);
+    * this descriptor is what the MCP surface advertises to clients. */
+  def streamConfig(): StreamConfig = StreamConfig(
+    websocketUrl = "/api/v1/finops/mcp/stream",
+    supportedEvents = Seq("cost_alert", "budget_threshold",
+      "optimization_opportunity", "anomaly_detected", "forecast_update"),
+    streamModes = Seq("real_time", "batched", "scheduled"),
+    authentication = StreamAuth(required = true, Seq("jwt", "api_key"), 3600))
+
+  /** Event JSON-schema catalog for stream consumers
+    * (mcp_integration.py:384-409). */
+  def eventSchemas(): Map[String, Map[String, String]] = Map(
+    "cost_alert" -> Map(
+      "alert_id" -> "string", "alert_type" -> "string", "service" -> "string",
+      "current_cost" -> "number", "threshold" -> "number",
+      "severity" -> "string", "timestamp" -> "date-time"),
+    "optimization_opportunity" -> Map(
+      "opportunity_id" -> "string", "type" -> "string",
+      "potential_savings" -> "number", "confidence" -> "number",
+      "action_required" -> "boolean"))
+
+  /** Deterministic sample events (the reference stamps datetime.now();
+    * asOf keeps golden tests stable). */
+  def sampleEvents(): Seq[SampleEvent] = Seq(
+    SampleEvent("cost_alert", Map(
+      "alert_id" -> "alert_001", "alert_type" -> "budget_exceeded",
+      "service" -> "EC2", "current_cost" -> "5200.00", "threshold" -> "5000.00",
+      "severity" -> "medium", "timestamp" -> s"${asOf}T00:00:00Z")),
+    SampleEvent("optimization_opportunity", Map(
+      "opportunity_id" -> "opt_001", "type" -> "rightsizing",
+      "potential_savings" -> "350.00", "confidence" -> "0.87",
+      "action_required" -> "true")))
 }

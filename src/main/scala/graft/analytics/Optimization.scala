@@ -77,6 +77,75 @@ final class Optimization(spark: SparkSession, table: String = "CUR",
       .limit(20)
   }
 
+  /** Cross-service migration opportunities
+    * (optimization.py:201-264): micro EC2 instances are the Lambda
+    * candidates; estimated Lambda cost is 30% of current, so the
+    * opportunity is the 70% delta. One aggregate row per migration type
+    * (extensible to more types by unioning candidate frames). */
+  def crossServiceMigration(): DataFrame =
+    cur
+      .filter(col("product_servicecode") === "AmazonEC2" &&
+        col("product_instance_type").like("%micro%") &&
+        col("line_item_unblended_cost") > 0 && curMonth)
+      .agg(countDistinct("line_item_resource_id").as("resource_count"),
+        sum("line_item_unblended_cost").as("current_monthly_cost"))
+      .select(lit("EC2_to_Lambda").as("migration_type"),
+        col("resource_count"),
+        col("current_monthly_cost"),
+        (col("current_monthly_cost") * 0.3).as("estimated_lambda_cost"),
+        (col("current_monthly_cost") * 0.7).as("potential_monthly_savings"))
+      .filter(col("resource_count") > 0)
+
+  final case class MigrationPhase(phase: String, duration: String, activities: Seq[String])
+  final case class MigrationBusinessCase(
+      caseName: String, annualSavings: Double, paybackPeriod: String, riskAssessment: String)
+
+  /** Migration business case (optimization.py:407-421). Pure. */
+  def migrationBusinessCase(annualSavingsTotal: Double): Seq[MigrationBusinessCase] =
+    if (annualSavingsTotal <= 0) Seq.empty
+    else Seq(MigrationBusinessCase("Cost Reduction", annualSavingsTotal, "3-6 months", "Medium"))
+
+  /** Migration roadmap phases (optimization.py:423-444). Pure. */
+  def migrationRoadmap(hasOpportunities: Boolean): Seq[MigrationPhase] =
+    if (!hasOpportunities) Seq.empty
+    else Seq(
+      MigrationPhase("Assessment", "2-4 weeks", Seq("Workload analysis", "Dependency mapping")),
+      MigrationPhase("Pilot Migration", "4-6 weeks", Seq("Select pilot workloads", "Implement monitoring")),
+      MigrationPhase("Full Migration", "3-6 months", Seq("Migrate remaining workloads", "Optimize performance")))
+
+  /** Cross-VPC / cross-AZ data-transfer cost analysis
+    * (optimization.py:266-340): per (region, AZ) transfer spend over the
+    * current month with a 70%-reduction opportunity, significant costs
+    * only. The reference reads `product_location`; CUR 2.0 exports carry
+    * the AZ under the product map when present, else the region code
+    * stands in. `minTransferCost` defaults to the reference's 100 USD
+    * floor (tests pass 0 against the small fixture). */
+  def vpcOptimization(minTransferCost: Double = 100.0): DataFrame =
+    cur
+      .filter(col("line_item_unblended_cost") > 0 &&
+        (col("line_item_usage_type").like("%DataTransfer%") ||
+          col("line_item_usage_type").like("%Data%")) && curMonth)
+      .groupBy(col("product_region"),
+        coalesce(element_at(col("product"), "location"), col("product_region_code"))
+          .as("availability_zone"))
+      .agg(sum(when(col("line_item_usage_type").like("%DataTransfer%"),
+          col("line_item_unblended_cost")).otherwise(0.0)).as("transfer_cost"),
+        countDistinct("line_item_resource_id").as("resource_count"))
+      .withColumn("potential_savings", col("transfer_cost") * 0.7)
+      .filter(col("transfer_cost") > minTransferCost)
+      .orderBy(col("transfer_cost").desc)
+
+  final case class VpcRecommendation(
+      recommendation: String, potentialSavings: Double, complexity: String)
+
+  /** Canned VPC optimization recommendations split 40/30 over the total
+    * opportunity (optimization.py:319-331). Pure. */
+  def vpcRecommendations(totalSavings: Double): Seq[VpcRecommendation] = Seq(
+    VpcRecommendation("Consolidate resources within same AZ",
+      math.rint(totalSavings * 0.4 * 100) / 100, "medium"),
+    VpcRecommendation("Implement VPC peering optimization",
+      math.rint(totalSavings * 0.3 * 100) / 100, "high"))
+
   /** C8: termination-risk classification (optimization.py:368-377). */
   def terminationRisk(service: String, status: String): String =
     if (service == "ElasticLoadBalancing") "high"

@@ -167,4 +167,167 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.overallScore > 0 && h.overallScore <= 100)
   }
 
+  test("cross-service migration flags micro instances with the 70% delta") {
+    import org.apache.spark.sql.functions._
+    val base = CurFixture.df(spark)
+    val micro = Seq("i-micro1", "i-micro2").map { rid =>
+      base.limit(1)
+        .withColumn("product_servicecode", lit("AmazonEC2"))
+        .withColumn("product_instance_type", lit("t2.micro"))
+        .withColumn("line_item_resource_id", lit(rid))
+        .withColumn("line_item_unblended_cost", lit(10.0))
+        .withColumn("line_item_usage_start_date",
+          lit("2025-07-03 00:00:00").cast("timestamp"))
+    }.reduce(_ unionAll _)
+    base.unionAll(micro).createOrReplaceTempView("CUR_MIG")
+    val opt = new Optimization(spark, "CUR_MIG", asOf)
+    val rows = opt.crossServiceMigration().collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("migration_type") == "EC2_to_Lambda")
+    assert(r.getAs[Long]("resource_count") == 2)
+    assert(math.abs(r.getAs[Double]("potential_monthly_savings") - 14.0) < 1e-9)
+    assert(opt.migrationBusinessCase(14.0 * 12).head.paybackPeriod == "3-6 months")
+    assert(opt.migrationRoadmap(hasOpportunities = true).map(_.phase) ==
+      Seq("Assessment", "Pilot Migration", "Full Migration"))
+    assert(opt.migrationBusinessCase(0.0).isEmpty)
+  }
+
+  test("vpc optimization surfaces data-transfer costs with 70% opportunity") {
+    val rows = finops.optimization.vpcOptimization(minTransferCost = 0.0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("potential_savings") -
+        r.getAs[Double]("transfer_cost") * 0.7) < 1e-9)
+      assert(r.getAs[String]("availability_zone") == "us-east-1")
+    }
+    val recs = finops.optimization.vpcRecommendations(100.0)
+    assert(recs.map(_.potentialSavings) == Seq(40.0, 30.0))
+  }
+
+  test("account hierarchy buckets accounts by monthly cost") {
+    val f = finops
+    val rows = f.allocation.accountHierarchy().collect()
+    assert(rows.nonEmpty)
+    val costs = rows.map(_.getAs[Double]("account_total_cost"))
+    assert(costs.sameElements(costs.sortBy(-_.toDouble)))
+    // fixture accounts spend well under the Large/Medium thresholds
+    assert(rows.forall(_.getAs[String]("account_size") == "Small"))
+    assert(f.allocation.costCenterOf("222222222222") == "cost-center-2222")
+    assert(f.allocation.allocationRules().map(_.ruleId) ==
+      Seq("shared_services_allocation", "environment_allocation"))
+  }
+
+  test("cost-center breakdown groups by env/team/project with counts") {
+    val rows = finops.allocation.costCenterBreakdown().collect()
+    assert(rows.nonEmpty)
+    val prod = rows.filter(_.getAs[String]("environment") == "Production")
+    assert(prod.nonEmpty)
+    assert(prod.forall(r => r.getAs[Long]("resource_count") >= 1 &&
+      r.getAs[Long]("service_count") >= 1))
+    val vs = finops.allocation.budgetVariances(Map("Production" -> 60000.0))
+    assert(vs.head.variance == 10000.0 && vs.head.variancePct == 20.0)
+    assert(finops.allocation.budgetVariances(Map("Unknown" -> 1.0)).isEmpty)
+  }
+
+  test("third-party integration status aggregates sync state") {
+    val a = finops.allocation
+    val s = a.syncStatus()
+    assert(s.totalIntegrations == 3 && s.connected == 2)
+    assert(s.averageDataQuality == 90.0)
+    assert(s.lastSuccessfulSync == "2025-01-15T09:15:00Z")
+    assert(a.syncStatus(Seq.empty).lastSuccessfulSync == "Never")
+  }
+
+  test("current agreements inventory with deterministic utilization") {
+    val d = finops.discounts
+    val rep = d.currentAgreements()
+    assert(rep.agreements.nonEmpty)
+    rep.agreements.foreach { a =>
+      assert(a.utilizationRate >= 65 && a.utilizationRate <= 95)
+      assert(math.abs(a.annualCommitment - a.monthlyCost * 12) < 1e-6)
+      assert(Set("Reserved Instance", "Savings Plan").contains(a.agreementType))
+    }
+    assert(rep.averageUtilization > 0)
+    val renewals = d.renewalTimeline(rep.agreements)
+    assert(renewals.size <= 5)
+    assert(renewals.map(_.daysUntilExpiration) ==
+      renewals.map(_.daysUntilExpiration).sorted)
+  }
+
+  test("negotiation opportunities tier discounts by trailing-12mo spend") {
+    val d = finops.discounts
+    val rows = d.negotiationOpportunities(minAnnualSpend = 0.0).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[String]("service") == "AmazonEC2") // biggest spend
+    rows.foreach { r =>
+      assert(r.getAs[Int]("potential_discount_pct") == 5) // small fixture spend
+      assert(r.getAs[String]("negotiation_priority") == "low")
+      assert(math.abs(r.getAs[Double]("estimated_savings") -
+        r.getAs[Double]("current_spend") * 0.05) < 1e-9)
+    }
+    assert(d.commitmentRequirement(600000) == "3_year")
+    assert(d.commitmentRequirement(200000) == "1_year")
+    assert(d.negotiationRecommendation(600000, 16) == "Schedule enterprise negotiation meeting")
+    assert(d.negotiationRecommendation(200000, 10) == "Request volume discount review")
+    assert(d.marketBenchmarks("AmazonEC2") == ((12, 18)))
+  }
+
+  test("usage forecasting classifies patterns and projects with seasonality") {
+    val d = finops.discounts
+    val rows = d.usageForecastingDf().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("months_of_data") >= 3)
+      assert(Set("stable", "moderate", "volatile")
+        .contains(r.getAs[String]("usage_pattern")))
+    }
+    val fc = d.monthlyForecasts(avgUsage = 100.0, avgCost = 50.0, months = 12)
+    assert(fc.size == 12)
+    // month 1: 100 * (1 + 0.1*sin(pi/6)) * 1.02 = 100 * 1.05 * 1.02
+    assert(math.abs(fc.head.forecastedUsage - 107.1) < 1e-9)
+    assert(math.abs(fc.head.forecastedCost - 53.55) < 1e-9)
+    assert(d.forecastRisk("volatile", 0.0, 1.0) == "high")
+    assert(d.forecastRisk("stable", 0.6, 1.0) == "high") // CV > 0.5 overrides
+    assert(d.forecastRisk("moderate", 0.3, 1.0) == "medium")
+    val rec = d.commitmentRecommendation("AmazonEC2", 20000, "stable", "low")
+    assert(rec.exists(r => r.recommendation == "Reserved Instance" && r.term == "3_year"))
+    assert(d.commitmentRecommendation("X", 5000, "stable", "low").isEmpty)
+    val risk = d.portfolioRisk(Seq(("a", "stable", "low"), ("b", "volatile", "high")))
+    assert(risk.portfolioRiskLevel == "high" && risk.stableServicesPercentage == 50.0)
+    val (overall, byService) = d.forecastConfidence(Seq("a" -> "stable", "b" -> "moderate"))
+    assert(overall == 50.0 && byService("b") == 70)
+  }
+
+  test("optimization insights runs the intended pattern query (dead SQL in reference)") {
+    val ai = finops.ai
+    val rows = ai.optimizationInsights(minAvgMonthlySpend = 0.0).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[String]("service") == "AmazonEC2"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("months_data") >= 3)
+      assert(Set("rapid_growth", "growing", "stable", "declining")
+        .contains(r.getAs[String]("pattern_type")))
+    }
+    val ins = ai.serviceInsight("AmazonEC2", "rapid_growth", 60.0)
+    assert(ins.priority == 95 && ins.opportunities.size == 2)
+    assert(ai.serviceInsight("AmazonS3", "declining", -20.0).priority == 70)
+    val bm = ai.industryBenchmarks(Map("AmazonEC2" -> 20000.0))
+    assert(bm.head.vsIndustry == "above" && bm.head.percentile >= 5 && bm.head.percentile <= 95)
+    val ps = ai.patternSummary(Seq(("a", "rapid_growth", 60.0), ("b", "stable", 5.0)))
+    assert(ps.rapidGrowthServices == 1 && ps.growthVolatility == "high")
+  }
+
+  test("mcp stream config advertises events, schemas, and sample payloads") {
+    val mcp = new McpIntegration(spark, "CUR", asOf)
+    val cfg = mcp.streamConfig()
+    assert(cfg.supportedEvents.contains("anomaly_detected"))
+    assert(cfg.streamModes == Seq("real_time", "batched", "scheduled"))
+    assert(cfg.authentication.required && cfg.authentication.sessionTimeoutSec == 3600)
+    assert(mcp.eventSchemas().keySet == Set("cost_alert", "optimization_opportunity"))
+    val ev = mcp.sampleEvents()
+    assert(ev.map(_.eventType) == Seq("cost_alert", "optimization_opportunity"))
+    assert(ev.head.data("timestamp") == "2025-07-15T00:00:00Z")
+  }
+
 }
