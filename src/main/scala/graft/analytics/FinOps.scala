@@ -8,8 +8,8 @@ import java.time.LocalDate
   * (SURVEY.md §2.9 C6) and the dashboard composite
   * (finops_engine.py:203-233).
   */
-final class FinOps(val spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+final class FinOps(val spark: SparkSession, val table: String = "CUR",
+    val asOf: LocalDate = LocalDate.now()) {
 
   val spend = new SpendAnalytics(spark, table, asOf)
   val optimization = new Optimization(spark, table, asOf)

@@ -13,7 +13,11 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   */
 object ApiResponses {
 
-  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    // java.time as ISO-8601 strings (expiration dates in the discounts API)
+    .registerModule(new com.fasterxml.jackson.datatype.jsr310.JavaTimeModule)
+    .disable(com.fasterxml.jackson.databind.SerializationFeature.WRITE_DATES_AS_TIMESTAMPS)
 
   final case class QueryResponse(
       success: Boolean,
@@ -78,4 +82,8 @@ object ApiResponses {
   }
 
   def toJson(v: Any): String = mapper.writeValueAsString(v)
+
+  /** Parse a JSON request body (server-side request decoding). */
+  def readTree(raw: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(raw)
 }
