@@ -19,8 +19,14 @@ trait PricingSource {
   def reservedPrice(instanceType: String, region: String, termYears: Int,
       paymentOption: String): Option[(Double, Double)]
 
-  /** Latest spot price (aws_pricing_manager.py:405-488, S15). */
+  /** Latest spot price (aws_pricing_manager.py:405-445, S15). */
   def spotPrice(instanceType: String, region: String): Option[Double]
+
+  /** N-day spot price history, most recent first
+    * (aws_pricing_manager.py:447-488 `get_spot_price_history`). */
+  def spotPriceHistory(instanceType: String, region: String,
+      daysBack: Int = 7,
+      asOf: java.time.LocalDate = java.time.LocalDate.now()): Seq[SpotPricePoint]
 
   /** Savings-plans rate (aws_pricing_manager.py:494-549, S16). */
   def savingsPlanRate(instanceType: String, region: String,
@@ -31,6 +37,12 @@ trait PricingSource {
 }
 
 final case class InstanceAttrs(vcpu: Int, memoryGiB: Double, processor: String)
+
+/** One spot-price observation (the reference's SpotPriceHistory row shape,
+  * aws_pricing_manager.py:474-481). */
+final case class SpotPricePoint(
+    timestamp: String, availabilityZone: String, instanceType: String,
+    productDescription: String, spotPrice: Double)
 
 /** Deterministic mock: prices derived from a stable hash of the lookup key
   * — exercises the full join surface with zero egress. Mirrors the shape
@@ -66,6 +78,23 @@ final class MockPricingSource extends PricingSource {
   override def spotPrice(it: String, region: String): Option[Double] =
     Some(onDemandPrice(it, region, "Linux", "Shared").get * (0.25 + 0.1 * h(s"spot|$it|$region")))
 
+  /** Deterministic daily history: the latest price modulated by a
+    * per-(day, AZ) factor in ±10% — stable across runs so golden tests
+    * hold; most recent first, two AZs per region like the real API. */
+  override def spotPriceHistory(it: String, region: String, daysBack: Int,
+      asOf: java.time.LocalDate): Seq[SpotPricePoint] = {
+    val latest = spotPrice(it, region).get
+    for {
+      d <- 0 until daysBack
+      az <- Seq(s"${region}a", s"${region}b")
+    } yield SpotPricePoint(
+      timestamp = s"${asOf.minusDays(d)}T00:00:00Z",
+      availabilityZone = az,
+      instanceType = it,
+      productDescription = "Linux/UNIX",
+      spotPrice = math.rint(latest * (0.9 + 0.2 * h(s"hist|$it|$az|$d")) * 1e6) / 1e6)
+  }
+
   override def savingsPlanRate(it: String, region: String, planType: String): Option[Double] = {
     val disc = if (planType == "ComputeSavingsPlans") 0.66 else 0.60
     Some(onDemandPrice(it, region, "Linux", "Shared").get * disc)
@@ -99,6 +128,23 @@ object PricingTables {
     val df = spark.createDataFrame(rows)
       .toDF("instance_type", "region_code", "operating_system", "tenancy", "price_per_hour_usd")
     df.createOrReplaceTempView("aws_pricing")
+    df
+  }
+
+  /** Spot history → `spot_price_history` temp view so price-over-time
+    * joins/windows run in SQL (aws_pricing_manager.py:447-488, S15). */
+  def registerSpotHistoryTable(spark: SparkSession, src: PricingSource,
+      instanceTypes: Seq[String], regions: Seq[String], daysBack: Int = 7,
+      asOf: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
+    val rows = for {
+      it <- instanceTypes; r <- regions
+      p <- src.spotPriceHistory(it, r, daysBack, asOf)
+    } yield (p.timestamp, p.availabilityZone, p.instanceType,
+      p.productDescription, p.spotPrice)
+    val df = spark.createDataFrame(rows)
+      .toDF("timestamp", "availability_zone", "instance_type",
+        "product_description", "spot_price")
+    df.createOrReplaceTempView("spot_price_history")
     df
   }
 

@@ -51,6 +51,75 @@ object Exporters {
     (header +: rows).mkString("\n")
   }
 
+  /** Driver-side Excel (.xlsx) sink (exports.py:70-89, S11). The
+    * reference shells out to openpyxl; an xlsx file is just a zip of XML
+    * parts, so this writes the OOXML worksheet directly (inline strings,
+    * numbers as native cells) with zero dependencies. API-sized results
+    * only — same collect contract as the other driver-side exporters. */
+  def writeExcel(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    val cols = df.columns
+    val rows = df.collect()
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    def cellXml(ref: String, v: Any): String = v match {
+      case null => ""
+      case n: Number => s"""<c r="$ref"><v>$n</v></c>"""
+      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case other => s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+    }
+    def colRef(i: Int): String = { // 0 -> A, 25 -> Z, 26 -> AA ...
+      var n = i; var s = ""
+      while (n >= 0) { s = ('A' + n % 26).toChar.toString + s; n = n / 26 - 1 }
+      s
+    }
+    val headerXml = cols.zipWithIndex.map { case (c, i) =>
+      cellXml(s"${colRef(i)}1", c)
+    }.mkString
+    val bodyXml = rows.zipWithIndex.map { case (r, ri) =>
+      val cells = cols.indices.map(ci => cellXml(s"${colRef(ci)}${ri + 2}", r.get(ci))).mkString
+      s"""<row r="${ri + 2}">$cells</row>"""
+    }.mkString
+    val sheet =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData><row r="1">$headerXml</row>$bodyXml</sheetData></worksheet>""".stripMargin
+    val workbook =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+         | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val workbookRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    try {
+      Seq("[Content_Types].xml" -> contentTypes, "_rels/.rels" -> rootRels,
+        "xl/workbook.xml" -> workbook, "xl/_rels/workbook.xml.rels" -> workbookRels,
+        "xl/worksheets/sheet1.xml" -> sheet).foreach { case (name, content) =>
+        zip.putNextEntry(new java.util.zip.ZipEntry(name))
+        zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zip.closeEntry()
+      }
+    } finally zip.close()
+  }
+
   /** Markdown table (exports.py report path). */
   def toMarkdown(df: DataFrame): String = {
     val cols = df.columns

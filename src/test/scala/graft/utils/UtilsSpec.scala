@@ -33,6 +33,27 @@ class UtilsSpec extends SparkSpec {
     assert(md.contains("| name | v |"))
   }
 
+  test("excel sink writes a valid OOXML package with typed cells") {
+    val df = spark.createDataFrame(Seq(("a & <b>", 1.5), ("plain", 2.0))).toDF("name", "v")
+    val path = java.nio.file.Files.createTempDirectory("xlsx").resolve("out.xlsx").toString
+    Exporters.writeExcel(df, path, sheetName = "Costs")
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names == Set("[Content_Types].xml", "_rels/.rels",
+        "xl/workbook.xml", "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"))
+      def read(n: String): String = new String(
+        zf.getInputStream(zf.getEntry(n)).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sheet = read("xl/worksheets/sheet1.xml")
+      assert(sheet.contains("<t>name</t>")) // header row
+      assert(sheet.contains("<t>a &amp; &lt;b&gt;</t>")) // XML escaping
+      assert(sheet.contains("""<c r="B2"><v>1.5</v></c>""")) // numeric cell
+      assert(read("xl/workbook.xml").contains("""name="Costs""""))
+    } finally zf.close()
+  }
+
   test("profiler records stats and failures") {
     val p = new Performance.QueryProfiler
     p.profile("q")(1 + 1)
