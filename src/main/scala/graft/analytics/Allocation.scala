@@ -152,6 +152,30 @@ final class Allocation(spark: SparkSession, table: String = "CUR",
       }
     }
 
+  final case class TaggingRule(
+      name: String, tagKey: String, tagValue: String,
+      criteriaService: Option[String] = None, enforcement: String = "monitor")
+
+  final case class CreatedRule(
+      ruleId: String, status: String, ruleName: String, tagKey: String,
+      tagValue: String, affectedResources: Int, enforcementMode: String)
+
+  /** Mock per-service rule impact estimate (allocation.py:470-486). Pure. */
+  def ruleImpactEstimate(criteriaService: Option[String]): Int =
+    criteriaService.flatMap(Map(
+      "EC2" -> 150, "RDS" -> 25, "S3" -> 200, "Lambda" -> 75).get).getOrElse(50)
+
+  /** Tagging-rule creation (allocation.py:343-392): the reference mocks
+    * the Organizations/Config integration and stamps rule ids with
+    * datetime.now(); ids here are index-based so results are stable. */
+  def createTaggingRules(rules: Seq[TaggingRule]): (Seq[CreatedRule], Int) = {
+    val created = rules.zipWithIndex.map { case (r, i) =>
+      CreatedRule(f"tag_rule_${i + 1}%03d", "created", r.name, r.tagKey,
+        r.tagValue, ruleImpactEstimate(r.criteriaService), r.enforcement)
+    }
+    (created, created.map(_.affectedResources).sum)
+  }
+
   final case class IntegrationStatus(
       integrationName: String, status: String, lastSync: String,
       resourcesManaged: Long, tagCoverage: Double, dataQualityScore: Int,

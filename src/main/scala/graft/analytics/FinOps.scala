@@ -62,6 +62,37 @@ final class FinOps(val spark: SparkSession, val table: String = "CUR",
     HealthCheck(overall, scores, findings.result(), recs.result())
   }
 
+  final case class ExecutiveSummary(
+      summaryDate: String, currentMonthlySpend: Double,
+      monthOverMonthChange: Double, optimizationPotential: Double,
+      costHealthScore: Double, executiveInsights: Seq[String],
+      priorityActions: Seq[String], detailedFindings: Seq[String])
+
+  /** Executive summary for leadership reporting
+    * (finops_engine.py:293-332): key metrics from the KPI summary, invoice
+    * trend, and health check, with the reference's formatted insight
+    * lines. */
+  def executiveSummary(): ExecutiveSummary = {
+    val summary = kpi.comprehensiveSummary()
+    val invoice = spend.invoiceSummary()
+    val health = healthCheck()
+    val mom = invoice.momChangePct.getOrElse(0.0)
+    val potential = summary.savings.totalPotentialSavings
+    ExecutiveSummary(
+      summaryDate = asOf.toString,
+      currentMonthlySpend = summary.spendAllCost,
+      monthOverMonthChange = mom,
+      optimizationPotential = potential,
+      costHealthScore = health.overallScore,
+      executiveInsights = Seq(
+        f"Current monthly spend: $$${summary.spendAllCost}%,.2f",
+        f"Month-over-month change: $mom%+.1f%%",
+        f"Optimization opportunity: $$$potential%,.2f potential monthly savings",
+        f"Cost health score: ${health.overallScore}%.1f/100"),
+      priorityActions = health.recommendations.take(3),
+      detailedFindings = health.findings)
+  }
+
   /** Dashboard composite: the 8 module summaries merged
     * (finops_engine.py:203-233) — here as a map of collected frames. */
   def dashboard(): Map[String, Any] = Map(

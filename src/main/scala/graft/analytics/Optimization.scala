@@ -146,6 +146,22 @@ final class Optimization(spark: SparkSession, table: String = "CUR",
     VpcRecommendation("Implement VPC peering optimization",
       math.rint(totalSavings * 0.3 * 100) / 100, "high"))
 
+  final case class Implementation(
+      implementationId: String, status: String, approvalRequired: Boolean,
+      implementationDate: String, monitoringPeriod: String, estimatedCompletion: String)
+
+  /** Implementation tracking for a recommendation
+    * (optimization.py:340-366): the reference returns a mock tracker
+    * stamped with datetime.now(); asOf keeps it deterministic. Pure. */
+  def implementRecommendation(recommendationId: String,
+      autoApprove: Boolean = false): Implementation = Implementation(
+    implementationId = s"impl_${recommendationId}_$asOf",
+    status = if (autoApprove) "scheduled" else "pending_approval",
+    approvalRequired = !autoApprove,
+    implementationDate = s"${asOf}T00:00:00Z",
+    monitoringPeriod = "30_days",
+    estimatedCompletion = "2-5 business days")
+
   /** C8: termination-risk classification (optimization.py:368-377). */
   def terminationRisk(service: String, status: String): String =
     if (service == "ElasticLoadBalancing") "high"

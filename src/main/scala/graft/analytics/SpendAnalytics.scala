@@ -139,4 +139,49 @@ final class SpendAnalytics(spark: SparkSession, table: String = "CUR",
     val asc = rows.reverse.map(_.getDouble(1)).toSeq
     InvoiceSummary(head.getDouble(1), opt(2), opt(3), linearForecast(asc))
   }
+
+  /** Multi-dimensional current-month spend breakdown
+    * (spend_analytics.py:225-262): dynamic GROUP BY over the requested
+    * dimensions (region/service), top 50 by spend. */
+  def spendBreakdown(dimensions: Seq[String] = Seq("region", "service")): DataFrame = {
+    val dims = Seq(
+      "region" -> col("product_region").as("region"),
+      "service" -> col("product_servicecode").as("service"))
+      .collect { case (name, c) if dimensions.contains(name) => c }
+    val base = cur.filter(col("line_item_unblended_cost") > 0 &&
+      date_trunc("month", col("line_item_usage_start_date")) === monthOf(asOf.withDayOfMonth(1)))
+    val grouped =
+      if (dims.isEmpty)
+        base.agg(sum("line_item_unblended_cost").as("spend"),
+          countDistinct("line_item_resource_id").as("resource_count"))
+          .select(lit("All").as("dimension"), col("spend"), col("resource_count"))
+      else
+        base.groupBy(dims: _*)
+          .agg(sum("line_item_unblended_cost").as("spend"),
+            countDistinct("line_item_resource_id").as("resource_count"))
+    grouped.orderBy(col("spend").desc).limit(50)
+  }
+
+  final case class ExportInfo(
+      exportUrl: String, format: String, expiresAt: String, recordCount: Long)
+
+  /** Export preparation metadata (spend_analytics.py:288-332): counts the
+    * date-filtered detail rows and returns the download descriptor — the
+    * actual bytes come from utils.Exporters against the same frame. The
+    * reference stamps the URL/expiry with datetime.now(); asOf keeps both
+    * deterministic. The count is a Spark aggregate — the 10k LIMIT applies
+    * to the exported file, not to a driver-side collect here. */
+  def exportSpendData(format: String = "csv",
+      dateStart: Option[String] = None, dateEnd: Option[String] = None): ExportInfo = {
+    val filtered = cur.filter(col("line_item_unblended_cost") > 0)
+    val withStart = dateStart.fold(filtered)(s =>
+      filtered.filter(col("line_item_usage_start_date") >= lit(s).cast("timestamp")))
+    val withEnd = dateEnd.fold(withStart)(e =>
+      withStart.filter(col("line_item_usage_start_date") <= lit(e).cast("timestamp")))
+    ExportInfo(
+      exportUrl = s"/exports/spend_data_$asOf.$format",
+      format = format,
+      expiresAt = s"${asOf.plusDays(1)}T00:00:00Z",
+      recordCount = math.min(10000L, withEnd.count()))
+  }
 }

@@ -77,12 +77,38 @@ final class FinOpsServer(finops: FinOps, engine: GraftEngine, port: Int = 0) {
     // KPI (kpi_endpoints.py)
     ("GET", "/api/v1/finops/kpi/summary") -> (_ => finops.kpi.comprehensiveSummary()),
     ("GET", "/api/v1/finops/kpi/health-check") -> (_ => finops.healthCheck()),
+    ("GET", "/api/v1/finops/kpi/executive-summary") -> (_ => finops.executiveSummary()),
+    ("GET", "/api/v1/finops/kpi/dashboard-data") -> { _ =>
+      // finops_engine.py:203-233 — every dashboard component in one call,
+      // JSON-shaped here (the FinOps.dashboard() variant returns Rows)
+      Map(
+        "invoice_summary" -> finops.spend.invoiceSummary(),
+        "top_services" -> collectRows(finops.spend.topServices()),
+        "top_regions" -> collectRows(finops.spend.topRegions()),
+        "idle_resources" -> collectRows(finops.optimization.idleResources()),
+        "tagging" -> finops.allocation.complianceSummary(),
+        "pricing_models" -> collectRows(finops.discounts.pricingModelBreakdown()),
+        "anomalies" -> collectRows(finops.ai.detectAnomalies()),
+        "trends" -> collectRows(finops.ai.trendInsights()))
+    },
 
     // Spend (spend_endpoints.py)
     ("GET", "/api/v1/finops/spend/invoice/summary") -> (_ => finops.spend.invoiceSummary()),
     ("GET", "/api/v1/finops/spend/regions/top") -> (_ => df(finops.spend.topRegions())),
     ("GET", "/api/v1/finops/spend/services/top") -> (_ => df(finops.spend.topServices())),
-    ("GET", "/api/v1/finops/spend/breakdown") -> (_ => df(finops.spend.monthlySpend())),
+    ("GET", "/api/v1/finops/spend/breakdown") -> { ex =>
+      val dims = param(ex, "dimensions")
+        .map(_.split(",").toSeq).getOrElse(Seq("region", "service"))
+      df(finops.spend.spendBreakdown(dims))
+    },
+    ("GET", "/api/v1/finops/spend/trend") -> (_ => df(finops.spend.monthlySpend())),
+    ("POST", "/api/v1/finops/spend/export") -> { ex =>
+      val raw = body(ex)
+      finops.spend.exportSpendData(
+        format = jsonField(raw, "format").getOrElse("csv"),
+        dateStart = jsonField(raw, "start"),
+        dateEnd = jsonField(raw, "end"))
+    },
 
     // Optimization (optimization_endpoints.py)
     ("GET", "/api/v1/finops/optimization/idle-resources") ->
@@ -106,7 +132,33 @@ final class FinOpsServer(finops: FinOps, engine: GraftEngine, port: Int = 0) {
         "savings" -> math.rint(total * 100) / 100)
     },
 
+    ("POST", "/api/v1/finops/optimization/implement-recommendation") -> { ex =>
+      val raw = body(ex)
+      finops.optimization.implementRecommendation(
+        recommendationId = jsonField(raw, "recommendation_id").getOrElse("unknown"),
+        autoApprove = jsonField(raw, "auto_approve").exists(_.toBoolean))
+    },
+
     // Allocation (allocation_endpoints.py)
+    ("POST", "/api/v1/finops/allocation/tagging-rules") -> { ex =>
+      val node = ApiResponses.readTree(body(ex)).get("rules")
+      val rules = if (node == null || !node.isArray) Seq.empty else {
+        (0 until node.size()).map { i =>
+          val r = node.get(i)
+          def s(f: String, dflt: String) =
+            Option(r.get(f)).filterNot(_.isNull).map(_.asText()).getOrElse(dflt)
+          finops.allocation.TaggingRule(
+            name = s("name", "Unnamed Rule"),
+            tagKey = s("tag_key", ""), tagValue = s("tag_value", ""),
+            criteriaService = Option(r.at("/criteria/service"))
+              .filterNot(n => n.isMissingNode || n.isNull).map(_.asText()),
+            enforcement = s("enforcement", "monitor"))
+        }
+      }
+      val (created, affected) = finops.allocation.createTaggingRules(rules)
+      Map("created_rules" -> created, "total_rules" -> created.size,
+        "total_affected_resources" -> affected, "status" -> "success")
+    },
     ("GET", "/api/v1/finops/allocation/account-hierarchy") -> { _ =>
       val rows = collectRows(finops.allocation.accountHierarchy())
       Map("accounts" -> rows.map(r => r +

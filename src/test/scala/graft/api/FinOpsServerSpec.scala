@@ -55,6 +55,10 @@ class FinOpsServerSpec extends SparkSpec {
     val routes = Seq(
       "/api/v1/finops/kpi/summary",
       "/api/v1/finops/kpi/health-check",
+      "/api/v1/finops/kpi/executive-summary",
+      "/api/v1/finops/kpi/dashboard-data",
+      "/api/v1/finops/spend/trend",
+      "/api/v1/finops/spend/breakdown?dimensions=region",
       "/api/v1/finops/spend/invoice/summary",
       "/api/v1/finops/spend/regions/top",
       "/api/v1/finops/spend/services/top",
@@ -135,6 +139,43 @@ class FinOpsServerSpec extends SparkSpec {
       Some("{}"))
     assert(status == 200)
     assert(body.contains("simulation_results"))
+  }
+
+  test("spend/export POST returns deterministic export metadata") {
+    val (status, body) = request("POST", "/api/v1/finops/spend/export",
+      Some("""{"format": "xlsx", "start": "2025-07-01"}"""))
+    assert(status == 200)
+    assert(body.contains("/exports/spend_data_2025-07-15.xlsx"))
+    assert(body.contains("\"recordCount\":"))
+  }
+
+  test("tagging-rules POST creates rules with impact estimates") {
+    val (status, body) = request("POST", "/api/v1/finops/allocation/tagging-rules",
+      Some("""{"rules": [
+        {"name": "envs", "tag_key": "Environment", "tag_value": "prod",
+         "criteria": {"service": "EC2"}},
+        {"tag_key": "Team", "tag_value": "data"}]}"""))
+    assert(status == 200)
+    assert(body.contains("\"total_rules\":2"))
+    assert(body.contains("\"total_affected_resources\":200")) // 150 (EC2) + 50 (default)
+    assert(body.contains("Unnamed Rule"))
+  }
+
+  test("implement-recommendation POST tracks approval state") {
+    val (status, body) = request("POST",
+      "/api/v1/finops/optimization/implement-recommendation",
+      Some("""{"recommendation_id": "r42", "auto_approve": true}"""))
+    assert(status == 200)
+    assert(body.contains("impl_r42_"))
+    assert(body.contains("\"status\":\"scheduled\""))
+    assert(body.contains("\"approvalRequired\":false"))
+  }
+
+  test("executive summary formats leadership insights") {
+    val (_, body) = get("/api/v1/finops/kpi/executive-summary")
+    assert(body.contains("Current monthly spend"))
+    assert(body.contains("Cost health score"))
+    assert(body.contains("\"summaryDate\":\"2025-07-15\""))
   }
 
   test("unknown path returns a 404 envelope") {
