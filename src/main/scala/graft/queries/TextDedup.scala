@@ -606,6 +606,98 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q41: frequency-capped Jaccard pairs (the 100 TB hot-shingle guard)
+  // =====================================================================
+
+  private val DFCAP = 100L // max shingle document-frequency for candidates
+
+  /** q28 with the scale guard applied: the self-join is restricted to
+    * shingles whose corpus-wide DOCUMENT FREQUENCY is <= [[DFCAP]], so a
+    * pathological shingle shared by millions of documents can never
+    * produce an O(hot²) join bucket — the standard guard that keeps the
+    * shared-shingle join feasible at 100 TB (shingle frequency here is
+    * near-uniform with max df 25, so the cap is invisible; on web corpora
+    * boilerplate n-grams hit df ~10^6 without it).
+    *
+    * The Jaccard stays EXACT: n_common = (cold intersection, counted off
+    * the capped join exactly like q28) + (hot intersection, computed by
+    * intersecting the per-doc HOT-shingle arrays — only docs containing a
+    * hot shingle carry one, and each array holds at most the few shingles
+    * with df > cap, so this side is tiny by construction). A pair is lost
+    * only when EVERY shared shingle is hot, which a genuine near-dup
+    * (many shared shingles) never triggers — the standard, documented
+    * recall trade of this guard. The cap is mirrored in the oracle, so
+    * parity holds by construction. */
+  def q41JaccardCapped(s: SparkSession, dir: String): DataFrame = {
+    // (doc, shingle-hash) rows + corpus-wide document frequency; cached:
+    // consumed by the df aggregate, the capped self-join, and the
+    // hot-array builder
+    // document frequency via a COUNT window over sh: one shuffle on sh
+    // (vs groupBy + join = two), and the result comes out hash-partitioned
+    // on sh — exactly the partitioning the candidate self-join needs, so
+    // Catalyst reuses the exchange instead of shuffling again
+    val exDf = docs(s, dir)
+      .select(col("doc_id"), shingles3(toks).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"), explode(col("ts")).as("shs"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .cache()
+    val cold = exDf.filter(col("df") <= DFCAP).select("doc_id", "n", "sh")
+    // per-doc hot-shingle arrays: rows exist ONLY for docs touching a hot
+    // shingle; broadcast into the candidate join (tiny by construction)
+    val hot = exDf.filter(col("df") > DFCAP)
+      .groupBy("doc_id").agg(collect_list(col("sh")).as("hot"))
+    val a = cold.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+    val b = cold.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_cold"), min("na").as("na"), min("nb").as("nb"))
+    val emptyArr = array().cast("array<bigint>")
+    val nHot = size(array_intersect(
+      coalesce(col("hot_a"), emptyArr), coalesce(col("hot_b"), emptyArr))).cast("long")
+    val withHot = inter
+      .join(broadcast(hot.select(col("doc_id").as("id_a"), col("hot").as("hot_a"))), Seq("id_a"), "left")
+      .join(broadcast(hot.select(col("doc_id").as("id_b"), col("hot").as("hot_b"))), Seq("id_b"), "left")
+      .withColumn("n_common", col("n_cold") + nHot)
+    val j = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    withHot.filter(j >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
+        round(j, 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val oracleQ41: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |freq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+       |exdf AS (SELECT e.doc_id, e.n, e.sh, f.df FROM ex e JOIN freq f ON f.sh = e.sh),
+       |cold AS (SELECT doc_id, n, sh FROM exdf WHERE df <= $DFCAP),
+       |hot AS (SELECT doc_id, list(sh) AS hot FROM exdf WHERE df > $DFCAP GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*) AS n_cold, min(a.n) AS na, min(b.n) AS nb
+       |  FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |scored AS (
+       |  SELECT i.id_a, i.id_b,
+       |         i.n_cold + CAST(len(list_intersect(
+       |           coalesce(ha.hot, []), coalesce(hb.hot, []))) AS BIGINT) AS n_common,
+       |         i.na, i.nb
+       |  FROM inter i
+       |  LEFT JOIN hot ha ON ha.doc_id = i.id_a
+       |  LEFT JOIN hot hb ON hb.doc_id = i.id_b)
+       |SELECT id_a, id_b, n_common, na, nb,
+       |  round(CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE), 6) AS jaccard
+       |FROM scored
+       |WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -616,6 +708,7 @@ object TextDedup {
     "q30_lsh_pairs" -> q30LshPairs _,
     "q31_simhash_pairs" -> q31SimhashPairs _,
     "q40_dedup_clusters" -> q40DedupClusters _,
+    "q41_jaccard_capped" -> q41JaccardCapped _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -628,5 +721,6 @@ object TextDedup {
     "q30_lsh_pairs" -> oracleQ30,
     "q31_simhash_pairs" -> oracleQ31,
     "q40_dedup_clusters" -> oracleQ40,
+    "q41_jaccard_capped" -> oracleQ41,
   )
 }

@@ -54,6 +54,13 @@ class TextDedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
+  test("q41 capped candidates recover exactly q28's pairs (cap invisible here)") {
+    val uncapped = TextDedup.q28JaccardPairs(spark, sfDir).collect().map(_.toString)
+    val capped = TextDedup.q41JaccardCapped(spark, sfDir).collect().map(_.toString)
+    assert(capped.nonEmpty)
+    assert(capped.sameElements(uncapped)) // max shingle df << cap on this corpus
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
