@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * per partition (the Scala analogue of a pandas UDF over mapInPandas —
   * same batch shape: iterator-in / iterator-out, no per-row setup).
   *
-  * STUB NOTICE: this container has no image/audio codecs, so
-  * [[StubCodec]] implements `decode` as a DETERMINISTIC FAKE (byte-level
-  * statistics standing in for pixels). The Spark-side plumbing — schema,
-  * partitioning, batch iteration, feature vector shape — is real and
-  * tested; swapping in a JNI/javax.imageio decoder changes only the codec
-  * object.
+  * Decode is REAL for images (javax.imageio: PNG/JPEG/BMP/GIF ship in
+  * every JDK) and WAV audio (plain RIFF/PCM parse) via
+  * [[RealCodecs.SniffingCodec]], which sniffs container magic and
+  * dispatches. Video has no in-JDK decoder, so video payloads (and any
+  * unrecognized bytes) fall through to [[StubCodec]] — a DETERMINISTIC
+  * FAKE (byte-level statistics standing in for pixels) kept as the one
+  * documented stub; swapping in a JNI/FFmpeg decoder changes only the
+  * codec object.
   */
 object Multimodal {
 
@@ -95,7 +97,8 @@ object Multimodal {
     * by input-split size (`spark.sql.files.maxPartitionBytes` should be
     * LOWERED for binary-heavy tables so a partition of ~128 MB of media
     * doesn't decode on one core while others idle). */
-  def extractFeatures(media: Dataset[MediaRow], codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: MediaCodec = RealCodecs.SniffingCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val c = codec // per-partition init seam (real codecs open handles here)
