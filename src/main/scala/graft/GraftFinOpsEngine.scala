@@ -91,6 +91,17 @@ final class GraftFinOpsEngine(
     new McpIntegration(spark, config.tableName,
       config.referenceDate.getOrElse(java.time.LocalDate.now()))
   }
+
+  /** Start the REST layer over this engine — the analogue of the
+    * reference's `FinOpsAPI(engine)` + uvicorn (fastapi_app.py:225-260).
+    * Binds every reference route; port 0 picks an ephemeral port
+    * (`serve().boundPort`). Caller stops it with `.stop()`. */
+  def serve(port: Int = 8000): graft.api.FinOpsServer = {
+    ensureRegistered()
+    val s = new graft.api.FinOpsServer(finops, engine, port)
+    s.start()
+    s
+  }
 }
 
 object GraftFinOpsEngine {

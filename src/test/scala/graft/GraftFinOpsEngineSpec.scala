@@ -42,6 +42,16 @@ class GraftFinOpsEngineSpec extends SparkSpec {
     assert(months.head == "2025-04" && months.last == "2025-07")
   }
 
+  test("serve() binds the REST layer over the registered engine") {
+    val server = engine.serve(port = 0)
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/health").toURL
+      val body = new String(url.openStream().readAllBytes())
+      assert(body.contains("\"status\":\"healthy\""))
+    } finally server.stop()
+  }
+
   test("unconfigured source fails loudly") {
     val bare = new GraftFinOpsEngine(DataConfig(), spark)
     intercept[IllegalStateException](bare.query("SELECT 1"))
