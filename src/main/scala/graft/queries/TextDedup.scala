@@ -553,12 +553,15 @@ object TextDedup {
       // neighbor rows contribute null), so detecting convergence is a
       // cheap scan of the just-checkpointed result instead of an extra
       // join of two label snapshots per round (halves the per-round jobs).
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round runs ONE job (update + count)
+      // instead of an eager-checkpoint job followed by a count job
       val next = labels.withColumn("self", lit(true))
         .unionAll(viaNbr)
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"),
           max(when(col("self"), col("cluster_id"))).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
