@@ -701,6 +701,107 @@ object TextDedup {
        |ORDER BY id_a, id_b""".stripMargin
 
   // =====================================================================
+  // q42: deterministic stratified sampling (reproducible splits at scale)
+  // =====================================================================
+
+  /** Language-stratified DETERMINISTIC sample: keep a document when
+    * `md5(doc_id) mod 1000` falls under its stratum's per-mille rate
+    * (en: 10%, other langs: 30%). Hash-mod sampling instead of RNG is
+    * what a training pipeline actually wants: the split is a pure
+    * function of the stable id — reproducible across runs/engines,
+    * stable under repartitioning, and membership is decidable per row
+    * with no sampling state. Scale: map + filter, zero shuffle; at
+    * 100 TB this is a scan whose output is the sample. */
+  def q42StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000")
+    val rate = when(col("lang") === "en", lit(100L)).otherwise(lit(300L))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        bucket.as("bucket"), rate.as("rate_permille"))
+      .filter(col("bucket") < col("rate_permille"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ42: String = {
+    val bucket = (0 until 8).map { k =>
+      val pow = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+    s"""SELECT doc_id, lang, n_chars, bucket, rate_permille FROM (
+       |  SELECT doc_id, lang, n_chars, $bucket % 1000 AS bucket,
+       |         CASE WHEN lang = 'en' THEN 100 ELSE 300 END AS rate_permille
+       |  FROM (SELECT doc_id, lang, n_chars,
+       |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+       |WHERE bucket < rate_permille ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
+  // q43: canonical document per dedup cluster (keep-best)
+  // =====================================================================
+
+  /** The decision step a dedup pipeline ends with: for every q40 cluster,
+    * KEEP the member with the highest q24 quality score (ties broken by
+    * lowest doc_id — fully deterministic). Output is one row per cluster:
+    * the keeper, the member count, and the winning quality. Scale: the
+    * cluster labels (narrow: two longs per doc) join the quality
+    * projection on doc_id, then one window partitioned by cluster_id —
+    * both shuffles are on compact keys; text never travels. */
+  def q43KeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = q40DedupClusters(s, dir)
+    val quality = q24DocStats(s, dir).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val oracleQ43: String = {
+    val quality =
+      """round(((CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 1.0
+        |         WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
+        |  + CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE)
+        |  + (1.0 - CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+        |      /CAST(len(w) AS DOUBLE)))/3.0, 6)""".stripMargin
+    s"""WITH RECURSIVE sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
+       |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id)
+       |  WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |quality AS (
+       |  SELECT doc_id, $quality AS quality
+       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)),
+       |ranked AS (
+       |  SELECT lab.cluster_id, lab.doc_id, q.quality,
+       |         row_number() OVER (PARTITION BY lab.cluster_id
+       |                            ORDER BY q.quality DESC, lab.doc_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY lab.cluster_id) AS n_members
+       |  FROM lab JOIN quality q ON q.doc_id = lab.doc_id)
+       |SELECT cluster_id, doc_id AS keeper_id, n_members, quality AS best_quality
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -712,6 +813,8 @@ object TextDedup {
     "q31_simhash_pairs" -> q31SimhashPairs _,
     "q40_dedup_clusters" -> q40DedupClusters _,
     "q41_jaccard_capped" -> q41JaccardCapped _,
+    "q42_stratified_sample" -> q42StratifiedSample _,
+    "q43_keep_best" -> q43KeepBest _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -725,5 +828,7 @@ object TextDedup {
     "q31_simhash_pairs" -> oracleQ31,
     "q40_dedup_clusters" -> oracleQ40,
     "q41_jaccard_capped" -> oracleQ41,
+    "q42_stratified_sample" -> oracleQ42,
+    "q43_keep_best" -> oracleQ43,
   )
 }

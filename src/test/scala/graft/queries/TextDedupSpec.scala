@@ -61,6 +61,31 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.sameElements(uncapped)) // max shingle df << cap on this corpus
   }
 
+  test("q42 sampling is a pure function of doc_id (stable under repartition)") {
+    val a = TextDedup.q42StratifiedSample(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Long]("bucket") < r.getAs[Long]("rate_permille"))
+      if (r.getAs[String]("lang") == "en") assert(r.getAs[Long]("rate_permille") == 100L)
+    }
+    val b = TextDedup.q42StratifiedSample(spark, sfDir).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).sameElements(b.map(_.getAs[Long]("doc_id"))))
+  }
+
+  test("q43 picks exactly one keeper per cluster with the max quality") {
+    val clusters = TextDedup.q40DedupClusters(spark, sfDir).collect()
+    val keepers = TextDedup.q43KeepBest(spark, sfDir).collect()
+    assert(keepers.length == clusters.map(_.getAs[Long]("cluster_id")).distinct.length)
+    val qual = TextDedup.q24DocStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val members = clusters.groupBy(_.getAs[Long]("cluster_id"))
+    keepers.foreach { k =>
+      val cid = k.getAs[Long]("cluster_id")
+      val best = members(cid).map(r => qual(r.getAs[Long]("doc_id"))).max
+      assert(k.getAs[Double]("best_quality") == best)
+    }
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
