@@ -110,6 +110,9 @@ final class SpendAnalytics(spark: SparkSession, table: String = "CUR",
     acct.crossJoin(broadcast(total))
       .select(col("line_item_usage_account_id"), col("total_cost"),
         round(col("total_cost") / col("grand") * 100, 2).as("cost_percentage"))
+      // global rank is safe HERE ONLY because input is one row per
+      // ACCOUNT (post-aggregation, thousands at most) — never use an
+      // un-partitioned window over line-item-grain data
       .withColumn("cost_rank", rank().over(Window.orderBy(col("total_cost").desc)).cast("long"))
       .orderBy("cost_rank")
   }

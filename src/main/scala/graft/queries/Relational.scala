@@ -160,6 +160,9 @@ object Relational {
     val monthly = t(s, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(fpsum(col("o_totalprice"), 2).as("raw_total"))
+    // GLOBAL window is safe HERE ONLY because the input is one row per
+    // month (bounded by the calendar, not the data) — a global window
+    // over raw rows would funnel everything through one task at scale
     val w = Window.orderBy("month")
     monthly
       .withColumn("prev", lag(col("raw_total"), 1).over(w))

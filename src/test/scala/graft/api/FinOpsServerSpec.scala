@@ -178,6 +178,28 @@ class FinOpsServerSpec extends SparkSpec {
     assert(body.contains("\"summaryDate\":\"2025-07-15\""))
   }
 
+  test("concurrent requests share the session and all succeed") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val paths = Seq(
+        "/api/v1/finops/spend/services/top",
+        "/api/v1/finops/spend/regions/top",
+        "/api/v1/finops/optimization/idle-resources",
+        "/api/v1/finops/allocation/tagging-compliance",
+        "/api/v1/finops/discounts/negotiation-opportunities?min_annual_spend=0",
+        "/api/v1/finops/ai/anomaly-detection")
+      val results = Await.result(
+        Future.traverse(paths)(p => Future(get(p))), 120.seconds)
+      results.foreach { case (status, body) =>
+        assert(status == 200 && body.startsWith("{"))
+      }
+    } finally pool.shutdown()
+  }
+
   test("unknown path returns a 404 envelope") {
     val (status, body) = get("/api/v1/finops/nope")
     assert(status == 404)
