@@ -55,6 +55,62 @@ class PricingSpec extends SparkSpec {
     trend.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
   }
 
+  test("SigV4 signer reproduces the documented worked example") {
+    // public SigV4 example: IAM ListUsers @ 20150830T123600Z. Expected
+    // values also re-derived with an independent implementation.
+    val headers = Seq(
+      "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+      "host" -> "iam.amazonaws.com",
+      "x-amz-date" -> "20150830T123600Z")
+    val cr = AwsSigV4.canonicalRequest("GET", "/",
+      Seq("Action" -> "ListUsers", "Version" -> "2010-05-08"),
+      headers, Array.emptyByteArray)
+    assert(AwsSigV4.sha256Hex(cr.getBytes("UTF-8")) ==
+      "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59")
+    val sts = AwsSigV4.stringToSign("20150830T123600Z", "20150830",
+      "us-east-1", "iam", cr)
+    val sig = AwsSigV4.signature("wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+      "20150830", "us-east-1", "iam", sts)
+    assert(sig == "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
+  test("pricing client builds the boto3-shaped GetProducts request") {
+    val body = AwsPricingClient.getProductsBody("AmazonEC2", Seq(
+      "termType" -> "OnDemand", "instanceType" -> "m5.large"))
+    assert(body.contains(""""ServiceCode":"AmazonEC2""""))
+    assert(body.contains(""""Type":"TERM_MATCH","Field":"termType","Value":"OnDemand""""))
+    val client = new AwsPricingClient(
+      AwsSigV4.Credentials("AKIDEXAMPLE", "secret", sessionToken = Some("tok")),
+      clock = () => java.time.ZonedDateTime.of(2025, 7, 15, 12, 0, 0, 0,
+        java.time.ZoneOffset.UTC))
+    val req = client.buildRequest("AWSPriceListService.GetProducts", body)
+    assert(req.uri().toString == "https://api.pricing.us-east-1.amazonaws.com/")
+    val h = req.headers()
+    assert(h.firstValue("x-amz-target").get == "AWSPriceListService.GetProducts")
+    assert(h.firstValue("x-amz-date").get == "20250715T120000Z")
+    assert(h.firstValue("x-amz-security-token").get == "tok")
+    val auth = h.firstValue("Authorization").get
+    assert(auth.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20250715/us-east-1/pricing/aws4_request"))
+    assert(auth.contains(
+      "SignedHeaders=content-type;host;x-amz-date;x-amz-security-token;x-amz-target"))
+  }
+
+  test("pricing client parses the double-encoded PriceList walk") {
+    // PriceList items are JSON *strings* inside the JSON response, exactly
+    // like the real API (the reference json.loads()es each one)
+    val item =
+      """{"product":{"attributes":{"vcpu":"2","memory":"8 GiB","physicalProcessor":"Intel Xeon"}},
+        |"terms":{"OnDemand":{"T1":{"priceDimensions":{"D1":{"unit":"Hrs","pricePerUnit":{"USD":"0.096"}}}}}}}"""
+        .stripMargin.replace("\n", "")
+    val response = s"""{"PriceList":[${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(item)}]}"""
+    val parsed = AwsPricingClient.parsePriceList(response)
+    assert(parsed.size == 1)
+    assert(AwsPricingClient.firstUsdPrice(parsed.head, "OnDemand").contains(0.096))
+    assert(AwsPricingClient.firstUsdPrice(parsed.head, "Reserved").isEmpty)
+    assert(AwsPricingClient.regionDisplayName("us-east-1") == "US East (N. Virginia)")
+    assert(AwsPricingClient.regionDisplayName("mars-north-1") == "mars-north-1")
+  }
+
   test("savings plans view joins against CUR-shaped ARNs") {
     val arns = Seq("arn:sp/1", "arn:sp/2")
     val df = PricingTables.registerSavingsPlansTable(spark, arns)
