@@ -117,6 +117,28 @@ object EventStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col(tsCol))
 
+  /** Per-user SESSION windows (native `session_window`): events gapped
+    * less than `gap` apart merge into one session; a session closes — and
+    * emits — once the watermark passes its end. The canonical
+    * sessionization shape for behavioral/training-data pipelines: state
+    * is O(open sessions), merges are handled by the state store, and the
+    * output is one row per (user, session) with span and totals. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Batch twin of [[userSessions]] for equivalence testing. */
+  def userSessionsBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Production-shaped sink: partitioned parquet via foreachBatch (gives
     * exactly-once per epoch plus the ability to run arbitrary batch logic
     * — the standard pattern for parquet/warehouse sinks). */

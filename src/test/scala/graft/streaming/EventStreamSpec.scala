@@ -29,6 +29,29 @@ class EventStreamSpec extends SparkSpec {
     assert(batchHours.max - streamedHours.max <= 4 * 3600 * 1000L)
   }
 
+  test("session windows merge gapped events and match the batch twin") {
+    val checkpoint = Files.createTempDirectory("ckpt_sess").toString
+    val stream = EventStream.readEvents(spark, sfDir)
+    EventStream.runToMemory(EventStream.userSessions(stream), "stream_sessions", checkpoint)
+
+    val batch = EventStream.userSessionsBatch(
+      graft.queries.Tables.load(spark, sfDir, "events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val streamed = spark.table("stream_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // append mode: only watermark-closed sessions emit; all of them must
+    // agree with the batch sessionization exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch: ${(streamed -- batch).take(3)}")
+    // sessions are genuine merges: at least one session has >1 event and
+    // every session spans end >= start
+    assert(batch.exists(_._4 > 1))
+    batch.foreach { case (_, s, e, _, _) => assert(!e.before(s)) }
+  }
+
   test("mapGroupsWithState accumulates running per-type totals") {
     val spark0 = spark
     import spark0.implicits._
