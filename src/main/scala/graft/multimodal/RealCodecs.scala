@@ -31,21 +31,25 @@ object RealCodecs {
     else "unknown"
 
   /** Production codec: sniff → real decode where the JDK has one, stub
-    * otherwise. One instance per partition via `extractFeatures`. */
+    * otherwise. One instance per partition via `extractFeatures`.
+    * GIF goes through the multi-frame path — animated GIFs are the one
+    * video-like container the JDK decodes, so frame SAMPLING is real
+    * there; other video containers remain stubbed. */
   object SniffingCodec extends MediaCodec {
     override def decode(row: MediaRow): MediaFeatures = sniff(row.content) match {
-      case "png" | "jpeg" | "bmp" | "gif" =>
+      case "png" | "jpeg" | "bmp" =>
         decodeImage(row).getOrElse(StubCodec.decode(row))
+      case "gif" =>
+        decodeGifFrames(row).getOrElse(StubCodec.decode(row))
       case "wav" =>
         decodeWav(row).getOrElse(StubCodec.decode(row))
       case _ => StubCodec.decode(row)
     }
   }
 
-  /** Pixel-domain decode via javax.imageio. Luma = (r+g+b)/3. */
-  def decodeImage(row: MediaRow): Option[MediaFeatures] = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(row.content))
-    if (img == null) return None
+  /** Pixel stats for one frame: (mean, variance, edgeDensity, 4x4 grid). */
+  private def imageStats(img: java.awt.image.BufferedImage)
+      : (Double, Double, Double, Array[Float]) = {
     val w = img.getWidth
     val h = img.getHeight
     var sum = 0.0
@@ -75,14 +79,53 @@ object RealCodecs {
     }
     val n = (w.toLong * h).max(1L).toDouble
     val mean = sum / n
-    val variance = sumSq / n - mean * mean
-    val scale = math.min(1.0, 64.0 / w)
     val vec = Array.tabulate(16)(k =>
       if (gridN(k) == 0) 0f else (grid(k) / gridN(k) / 255.0).toFloat)
+    (mean, sumSq / n - mean * mean,
+      if (horiz == 0) 0.0 else edges.toDouble / horiz, vec)
+  }
+
+  /** Pixel-domain decode via javax.imageio. Luma = (r+g+b)/3. */
+  def decodeImage(row: MediaRow): Option[MediaFeatures] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(row.content))
+    if (img == null) return None
+    val (mean, variance, edges, vec) = imageStats(img)
+    val scale = math.min(1.0, 64.0 / img.getWidth)
     Some(MediaFeatures(row.media_id, row.modality, row.content.length.toLong,
-      mean, variance, if (horiz == 0) 0.0 else edges.toDouble / horiz,
-      (w * scale).toInt.max(1), (h * scale).toInt.max(1),
+      mean, variance, edges,
+      (img.getWidth * scale).toInt.max(1), (img.getHeight * scale).toInt.max(1),
       /*n_frames_sampled=*/ 1, vec))
+  }
+
+  /** Multi-frame GIF decode: REAL frame sampling — up to `maxFrames`
+    * frames evenly spaced across the animation, per-frame pixel stats
+    * averaged, feature vector from the first sampled frame. */
+  def decodeGifFrames(row: MediaRow, maxFrames: Int = 4): Option[MediaFeatures] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(row.content))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val total = reader.getNumImages(true)
+      if (total <= 0) return None
+      val idxs =
+        if (total <= maxFrames) 0 until total
+        else (0 until maxFrames).map(k => k * (total - 1) / (maxFrames - 1))
+      val stats = idxs.map(i => imageStats(reader.read(i)))
+      val first = reader.read(idxs.head)
+      val scale = math.min(1.0, 64.0 / first.getWidth)
+      Some(MediaFeatures(row.media_id, row.modality, row.content.length.toLong,
+        stats.map(_._1).sum / stats.size,
+        stats.map(_._2).sum / stats.size,
+        stats.map(_._3).sum / stats.size,
+        (first.getWidth * scale).toInt.max(1), (first.getHeight * scale).toInt.max(1),
+        /*n_frames_sampled=*/ idxs.size, stats.head._4))
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** RIFF/PCM WAV parse: walks the chunk list to `fmt ` (channels, bits)

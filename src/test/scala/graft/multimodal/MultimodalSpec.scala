@@ -111,6 +111,31 @@ class MultimodalSpec extends SparkSpec {
     f.feature_vector.foreach(v => assert(math.abs(v - 0.5f) < 0.01f))
   }
 
+  test("animated GIF decode samples real frames") {
+    // 6-frame GIF, frame i uniformly gray at 40*i: multi-image write via
+    // the JDK's GIF writer sequence API
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 6).foreach { i =>
+      val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = 40 * i
+      for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    val bytes = out.toByteArray
+    assert(RealCodecs.sniff(bytes) == "gif")
+    val f = RealCodecs.SniffingCodec.decode(mediaRow(6, "video", bytes))
+    assert(f.n_frames_sampled == 4) // capped even sampling over 6 frames
+    // sampled frames 0,1,3,5 -> lumas 0,40,120,200; GIF palette may shift
+    // values slightly, so assert the mean within a tolerance
+    assert(math.abs(f.mean_intensity - (0 + 40 + 120 + 200) / 4.0) < 8.0)
+    assert(f.thumb_width == 20 && f.thumb_height == 10)
+  }
+
   test("sniffing dispatch: unknown payloads fall back to the stub") {
     val blob = mediaRow(5, "video", Array.tabulate[Byte](256)(_.toByte))
     val viaSniff = RealCodecs.SniffingCodec.decode(blob)
