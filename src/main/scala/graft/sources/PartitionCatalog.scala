@@ -37,7 +37,19 @@ object PartitionCatalog {
 
   private[sources] def fsFor(root: String, conf: Configuration): (FileSystem, Path) = {
     val p = new Path(root)
-    (p.getFileSystem(conf), p)
+    val fs =
+      try p.getFileSystem(conf)
+      catch {
+        case e: java.io.IOException =>
+          // "No FileSystem for scheme" is the classic misconfiguration
+          // (e.g. an s3a:// root without hadoop-aws on the classpath) —
+          // resurface it with the fix instead of a bare scheme name
+          throw new IllegalStateException(
+            s"cannot access '$root': ${e.getMessage}. Remote schemes need their " +
+              "Hadoop connector on the classpath (s3a: hadoop-aws + AWS SDK; " +
+              "abfs: hadoop-azure; gs: gcs-connector).", e)
+      }
+    (fs, p)
   }
 
   /** `(partitionValue, files)` for every partition dir under root. */

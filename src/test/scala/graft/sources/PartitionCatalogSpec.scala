@@ -111,6 +111,14 @@ class PartitionCatalogSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("missing filesystem connector fails with actionable guidance") {
+    val e = intercept[IllegalStateException] {
+      PartitionCatalog.listPartitions("nosuchscheme://bucket/prefix", DataExportType.Cur2)
+    }
+    assert(e.getMessage.contains("nosuchscheme://bucket/prefix"))
+    assert(e.getMessage.contains("connector on the classpath"))
+  }
+
   test("COH daily partitions validate date format") {
     assert(DataExportType.Coh.validDate("2025-07-14"))
     assert(!DataExportType.Coh.validDate("2025-07"))
