@@ -74,6 +74,12 @@ class PricingSpec extends SparkSpec {
     assert(sig == "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
   }
 
+  test("SigV4 uri encoding uses the AWS unreserved set") {
+    assert(AwsSigV4.uriEncode("AbZ09-._~") == "AbZ09-._~")
+    assert(AwsSigV4.uriEncode("a b/c:d") == "a%20b%2Fc%3Ad") // space is %20, not +
+    assert(AwsSigV4.uriEncode("é") == "%C3%A9") // UTF-8 bytes, uppercase hex
+  }
+
   test("pricing client builds the boto3-shaped GetProducts request") {
     val body = AwsPricingClient.getProductsBody("AmazonEC2", Seq(
       "termType" -> "OnDemand", "instanceType" -> "m5.large"))

@@ -54,6 +54,26 @@ class UtilsSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("excel sink column references extend past Z") {
+    val cols = (1 to 30).map(i => s"c$i")
+    val row = org.apache.spark.sql.Row.fromSeq((1 to 30).map(_.toDouble))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.List.of(row)),
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType))))
+    val path = java.nio.file.Files.createTempDirectory("xlsx2").resolve("wide.xlsx").toString
+    Exporters.writeExcel(df, path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val sheet = new String(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(sheet.contains("""<c r="Z1"""")) // 26th column
+      assert(sheet.contains("""<c r="AA1"""")) // 27th rolls over
+      assert(sheet.contains("""<c r="AD2"><v>30.0</v></c>""")) // last data cell
+    } finally zf.close()
+  }
+
   test("profiler records stats and failures") {
     val p = new Performance.QueryProfiler
     p.profile("q")(1 + 1)
