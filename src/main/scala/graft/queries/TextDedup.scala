@@ -802,6 +802,64 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q44: repetition / quality signals (Gopher-style filters)
+  // =====================================================================
+
+  /** The within-document repetition signals quality-filter pipelines use
+    * (the Gopher/C4 rule family): duplicate-3-gram ratio (1 − distinct /
+    * total shingles WITH multiplicity) and the most-frequent-token share.
+    * High values flag boilerplate/spam for removal before training. All
+    * ratios are exact integer divisions rounded once — engine-portable.
+    * Scale: pure per-row projection (array ops + one `aggregate` fold for
+    * the mode count) — no shuffle at all. */
+  def q44RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    // total 3-grams WITH multiplicity = max(n_tokens - 2, 0)
+    val total3 = greatest(nTok - 2, lit(0L))
+    val nDis3 = size(shingles3(toks)).cast("long") // shingles3 is distinct
+    val dupRatio = when(total3 > 0,
+      round((total3 - nDis3).cast("double") / total3.cast("double"), 6))
+      .otherwise(lit(0.0))
+    // most frequent token count: fold over distinct tokens counting
+    // occurrences via array filtering (tokens per doc are <= 100 here;
+    // document the O(distinct × n) bound — fine for short docs, switch to
+    // explode+groupBy for book-length inputs)
+    val maxTf = expr(
+      "aggregate(array_distinct(split(text, ' ')), 0L, " +
+        "(acc, t) -> greatest(acc, size(filter(split(text, ' '), x -> x = t))))")
+      .cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      total3.as("n_3grams"),
+      nDis3.as("n_distinct_3grams"),
+      dupRatio.as("dup_3gram_ratio"),
+      maxTf.as("max_token_freq"),
+      when(nTok > 0, round(maxTf.cast("double") / nTok.cast("double"), 6))
+        .otherwise(lit(0.0)).as("max_token_share"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ44: String =
+    s"""SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_3grams,
+       |  CAST(len($oShingles3) AS BIGINT) AS n_distinct_3grams,
+       |  CASE WHEN len(w) - 2 > 0 THEN
+       |    round(CAST(greatest(len(w) - 2, 0) - len($oShingles3) AS DOUBLE)
+       |      / CAST(greatest(len(w) - 2, 0) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS dup_3gram_ratio,
+       |  CAST(list_max(list_transform(list_distinct(w),
+       |    t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS max_token_freq,
+       |  CASE WHEN len(w) > 0 THEN
+       |    round(CAST(list_max(list_transform(list_distinct(w),
+       |      t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+       |      / CAST(len(w) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS max_token_share
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -815,6 +873,7 @@ object TextDedup {
     "q41_jaccard_capped" -> q41JaccardCapped _,
     "q42_stratified_sample" -> q42StratifiedSample _,
     "q43_keep_best" -> q43KeepBest _,
+    "q44_repetition_stats" -> q44RepetitionStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -830,5 +889,6 @@ object TextDedup {
     "q41_jaccard_capped" -> oracleQ41,
     "q42_stratified_sample" -> oracleQ42,
     "q43_keep_best" -> oracleQ43,
+    "q44_repetition_stats" -> oracleQ44,
   )
 }
