@@ -200,6 +200,13 @@ class FinOpsServerSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("malformed JSON body maps to a 500 error envelope, not a hang") {
+    val (status, body) = request("POST", "/api/v1/finops/sql/query",
+      Some("{not json"))
+    assert(status == 500)
+    assert(body.contains("\"success\":false"))
+  }
+
   test("unknown path returns a 404 envelope") {
     val (status, body) = get("/api/v1/finops/nope")
     assert(status == 404)
