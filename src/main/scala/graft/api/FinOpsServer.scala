@@ -281,9 +281,17 @@ final class FinOpsServer(finops: FinOps, engine: GraftEngine, port: Int = 0) {
   /** Marker for handlers that already produced a JSON string. */
   private case class Raw(json: String)
 
+  /** Route discovery — the stand-in for FastAPI's generated /docs:
+    * GET /api/v1/finops/routes lists every bound (method, path). */
+  private val allRoutes: Map[(String, String), Handler] = routes +
+    (("GET", "/api/v1/finops/routes") -> ((_: HttpExchange) =>
+      Map("routes" -> (routes.keys.toSeq :+ ("GET", "/api/v1/finops/routes"))
+        .sortBy(r => (r._2, r._1))
+        .map { case (m, p) => Map("method" -> m, "path" -> p) })))
+
   server.createContext("/", (ex: HttpExchange) => {
     val key = (ex.getRequestMethod, ex.getRequestURI.getPath)
-    val (status, json) = routes.get(key) match {
+    val (status, json) = allRoutes.get(key) match {
       case None =>
         404 -> toJson(Map("success" -> false, "error" -> "not found",
           "path" -> ex.getRequestURI.getPath))

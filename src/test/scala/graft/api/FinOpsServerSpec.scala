@@ -200,6 +200,14 @@ class FinOpsServerSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("route listing advertises the full bound surface") {
+    val (status, body) = get("/api/v1/finops/routes")
+    assert(status == 200)
+    assert(body.contains("/api/v1/finops/kpi/summary"))
+    assert(body.contains("/api/v1/finops/sql/query"))
+    assert(body.contains("/api/v1/finops/mcp/stream-config"))
+  }
+
   test("malformed JSON body maps to a 500 error envelope, not a hang") {
     val (status, body) = request("POST", "/api/v1/finops/sql/query",
       Some("{not json"))
