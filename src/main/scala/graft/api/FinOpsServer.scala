@@ -27,14 +27,18 @@ final class FinOpsServer(finops: FinOps, engine: GraftEngine, port: Int = 0) {
   import ApiResponses.{collectRows, toJson}
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(8))
+  private val pool = Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   private val mcp = new McpIntegration(finops.spark, finops.table, finops.asOf)
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   // ---- helpers ---------------------------------------------------------
 
