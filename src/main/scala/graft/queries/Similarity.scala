@@ -288,11 +288,58 @@ object Similarity {
   }
 
   // =====================================================================
+  // =====================================================================
+  // q45: batch multi-query KNN (the serving shape)
+  // =====================================================================
+
+  /** Top-5 neighbors for a BATCH of query vectors (vec_id < 5) in one
+    * pass: the query batch broadcasts once, a single corpus scan computes
+    * every (row, query) dot, and a per-query window keeps the top-k.
+    * This is the shape a retrieval/serving job actually runs — q32's
+    * single-query scan does not amortize; here the scan cost is shared
+    * across the whole batch (at 100 TB: thousands of queries per scan,
+    * the batch still broadcast-sized). Ties break on vec_id —
+    * deterministic. */
+  def q45KnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val oracleQ45: String = {
+    val dot = oDot("e.efp", "q.qefp")
+    s"""WITH $oEfpCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, e.label,
+       |    round(${oCos(dot, oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))}, 6) AS cos
+       |  FROM efp e
+       |  CROSS JOIN (SELECT vec_id, efp AS qefp FROM efp WHERE vec_id < 5) q
+       |  WHERE e.vec_id >= 5),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, cos, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
     "q34_knn_lsh" -> q34KnnLsh _,
     "q37_knn_ivf" -> q37KnnIvf _,
+    "q45_knn_batch" -> q45KnnBatch _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -300,5 +347,6 @@ object Similarity {
     "q33_neardup_pairs" -> oracleQ33,
     "q34_knn_lsh" -> oracleQ34,
     "q37_knn_ivf" -> oracleQ37,
+    "q45_knn_batch" -> oracleQ45,
   )
 }
