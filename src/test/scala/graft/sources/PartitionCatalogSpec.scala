@@ -111,6 +111,23 @@ class PartitionCatalogSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("legacy gz CSV exports register through the same catalog") {
+    val root = Files.createTempDirectory("cur_gz").toString
+    // the reference's legacy CUR path: gzipped CSV under the partition dir
+    CurFixture.df(spark)
+      .select("billing_period", "product_servicecode", "line_item_unblended_cost")
+      .limit(50)
+      .write.option("header", "true").option("compression", "gzip")
+      .csv(s"$root/BILLING_PERIOD=2025-07")
+    val cfg = DataConfig(localDataPath = Some(root), tableName = "CUR_GZ")
+    val files = PartitionCatalog.discoverFiles(root, cfg)
+    assert(files.nonEmpty && PartitionCatalog.detectFormat(files) == "gz")
+    val df = PartitionCatalog.register(spark, root, cfg)
+    assert(df.count() == 50)
+    assert(spark.sql(
+      "SELECT sum(line_item_unblended_cost) FROM CUR_GZ").head().get(0) != null)
+  }
+
   test("missing filesystem connector fails with actionable guidance") {
     val e = intercept[IllegalStateException] {
       PartitionCatalog.listPartitions("nosuchscheme://bucket/prefix", DataExportType.Cur2)
