@@ -48,4 +48,36 @@ class PlanShapeSpec extends SparkSpec {
       s"custom expression missing from plan:\n${p.take(1500)}")
     assert(p.contains("TakeOrderedAndProject"), "knn top-k not TakeOrdered")
   }
+
+  test("q31 hamming filter sits inside the candidate join, not after the distinct") {
+    val p = plan(TextDedup.q31SimhashPairs(spark, sfDir))
+    // the bit_count predicate must appear as part of a join condition so
+    // only near-dup survivors reach the pair-dedup shuffle
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("bit_count")).toSeq
+    assert(joinLines.nonEmpty,
+      s"hamming predicate not in the join condition:\n${p.take(2000)}")
+  }
+
+  test("q41 document frequency reuses one shingle exchange (window, not groupBy+join)") {
+    val p = plan(TextDedup.q41JaccardCapped(spark, sfDir))
+    assert(p.contains("Window"), "df not computed via a window")
+    // exactly one exchange partitions the exploded shingle rows by hash:
+    // the window's — the capped self-join reuses that distribution through
+    // the cached relation rather than shuffling the rows again. The cached
+    // plan prints once per InMemoryTableScan, so count DISTINCT plan ids.
+    val shExchangeIds = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(sh#"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(shExchangeIds.size <= 1,
+      s"shingle rows shuffled by ${shExchangeIds.size} distinct exchanges:\n${p.take(2000)}")
+  }
+
+  test("q45 batch knn broadcasts the query batch and never shuffles the corpus for the join") {
+    val p = plan(Similarity.q45KnnBatch(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the batch join")
+  }
 }
