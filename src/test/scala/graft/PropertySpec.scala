@@ -83,6 +83,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhash chunk-pair keys are pigeonhole-complete for hamming <= 6") {
+    // the mathematical core of q31's candidate generation: ANY two 64-bit
+    // signatures within hamming distance 6 must share at least one of the
+    // C(8,2)=28 (chunk-pair, byte, byte) keys — otherwise the equi-join
+    // would silently lose near-dup pairs. Flipping <= 6 bits dirties at
+    // most 6 of the 8 byte-chunks, so >= 2 chunks stay clean.
+    def keys(sig: Long): Set[(Int, Int, Long, Long)] = {
+      def byte(c: Int): Long = (sig >>> (8 * c)) & 0xffL
+      (for (c1 <- 0 until 8; c2 <- c1 + 1 until 8)
+        yield (c1, c2, byte(c1), byte(c2))).toSet
+    }
+    val gen = for {
+      sig <- Gen.choose(Long.MinValue, Long.MaxValue)
+      nFlips <- Gen.choose(0, 6)
+      flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+    } yield (sig, flips)
+    check(Prop.forAll(gen) { case (sig, flips) =>
+      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+      (keys(sig) intersect keys(other)).nonEmpty
+    }, tests = 500)
+    // and the bound is tight: 7 flips across 7 DISTINCT chunks can leave
+    // only one clean chunk — no clean pair — so d=7 would be incomplete
+    val sig = 0L
+    val sevenFlips = (0 until 7).foldLeft(sig)((s, c) => s ^ (1L << (8 * c)))
+    assert((keys(sig) intersect keys(sevenFlips)).size == 0)
+  }
+
   test("LIMIT injection: exactly one trailing LIMIT when absent") {
     check(Prop.forAll(ident, Gen.choose(1, 10000)) { (tbl, n) =>
       val out = SqlTranslator.injectLimit(s"SELECT * FROM $tbl", n)
