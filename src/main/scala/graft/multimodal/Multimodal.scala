@@ -52,7 +52,9 @@ object Multimodal {
   }
 
   /** Deterministic fake decode: byte statistics in place of pixel math.
-    * The `???`-equivalent seam — replace with a real codec off-container. */
+    * Reached only for payloads no JDK codec handles (non-GIF video and
+    * unrecognized blobs — see [[RealCodecs.SniffingCodec]]); the seam to
+    * swap in a JNI/FFmpeg decoder off-container. */
   object StubCodec extends MediaCodec {
     override def decode(row: MediaRow): MediaFeatures = {
       val bytes = row.content
