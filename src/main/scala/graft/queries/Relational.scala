@@ -318,6 +318,44 @@ object Relational {
       .agg(count(lit(1)).as("n"), fpsum(col("value"), 2).as("total"))
       .orderBy("hour", "event_type")
 
+  // ---- gap-filled time series (spine + left join) ---------------------
+  /** Hourly event totals with the GAPS FILLED: a complete hour spine from
+    * min to max via `sequence`, left-joined to the sparse aggregate with
+    * zero-fill. The operator dashboards/forecasters need on sparse
+    * billing/event data — a missing hour must read as 0, not as absent.
+    * Scale: the spine generates from ONE aggregated (min, max) row and is
+    * broadcast; the fact side aggregates before the join. */
+  def q46GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val hourly = ev.groupBy("hour")
+      .agg(count(lit(1)).as("n"), fpsum(col("value"), 2).as("total"))
+    val spine = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy("hour")
+  }
+
+  // ---- sessionization (batch session_window vs gaps-and-islands) ------
+  /** Per-user 30-minute-gap sessions via Spark's native `session_window`.
+    * The DuckDB oracle computes the SAME sessions with the classic
+    * gaps-and-islands construction (lag + cumulative new-session flags) —
+    * hash-matching them proves Spark's session semantics (merge while
+    * next.ts < last.ts + gap; session end = last.ts + gap) against an
+    * independent implementation. Scale: one shuffle on user_id; the state
+    * analogue streams in EventStream.userSessions. */
+  def q47Sessions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), fpsum(col("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   // ---- running window frame (ROWS BETWEEN) ----------------------------
   def q22Running(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -451,6 +489,8 @@ object Relational {
     "q19_rollup" -> q19Rollup _,
     "q20_zscore" -> q20Zscore _,
     "q21_events_hourly" -> q21EventsHourly _,
+    "q46_gapfill" -> q46GapFill _,
+    "q47_sessions" -> q47Sessions _,
     "q22_running" -> q22Running _,
     "q23_dialect" -> q23Dialect _,
     "q35_percentiles" -> q35Percentiles _,
@@ -615,6 +655,37 @@ object Relational {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
          | count(*) AS n, ${oSum("value", 2)} AS total
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q46_gapfill" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value FROM events),
+         |hourly AS (
+         |  SELECT hour, count(*) AS n, ${oSum("value", 2)} AS total
+         |  FROM ev GROUP BY hour),
+         |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+         |spine AS (
+         |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds)
+         |SELECT s.hour, coalesce(h.n, 0) AS n, coalesce(h.total, 0.0) AS total
+         |FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+         |ORDER BY s.hour""".stripMargin,
+    "q47_sessions" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |numbered AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged)
+         |SELECT user_id,
+         |  min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events, ${oSum("value", 2)} AS total_value
+         |FROM numbered GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
     "q22_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
         | sum(CAST(round(o_totalprice*100.0) AS BIGINT)) OVER (
