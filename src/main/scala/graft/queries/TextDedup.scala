@@ -545,8 +545,13 @@ object TextDedup {
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
       .cache()
-    var labels = docs(s, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // iterate ONLY over nodes that have at least one edge: a singleton's
+    // label can never change (no neighbors), so it joins the result at
+    // the end with its own id. At corpus scale this shrinks every round
+    // from O(corpus) to O(dup-graph nodes) — usually orders of magnitude
+    // smaller (here: ~50 of 5000 docs).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -581,8 +586,12 @@ object TextDedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds ($changed labels still changing)")
+    // singletons rejoin with their own id as the cluster label
+    val all = docs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    labels
+    all
       .withColumn("n_members", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster_id"), col("n_members"))
       .orderBy("doc_id")
