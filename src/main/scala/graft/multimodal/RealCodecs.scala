@@ -36,15 +36,21 @@ object RealCodecs {
     * video-like container the JDK decodes, so frame SAMPLING is real
     * there; other video containers remain stubbed. */
   object SniffingCodec extends MediaCodec {
-    override def decode(row: MediaRow): MediaFeatures = sniff(row.content) match {
-      case "png" | "jpeg" | "bmp" =>
-        decodeImage(row).getOrElse(StubCodec.decode(row))
-      case "gif" =>
-        decodeGifFrames(row).getOrElse(StubCodec.decode(row))
-      case "wav" =>
-        decodeWav(row).getOrElse(StubCodec.decode(row))
-      case _ => StubCodec.decode(row)
+    override def decode(row: MediaRow): MediaFeatures = {
+      val real = sniff(row.content) match {
+        case "png" | "jpeg" | "bmp" => safely(decodeImage(row))
+        case "gif"                  => safely(decodeGifFrames(row))
+        case "wav"                  => safely(decodeWav(row))
+        case _                      => None
+      }
+      real.getOrElse(StubCodec.decode(row))
     }
+
+    /** A payload that passes the magic sniff can still be truncated or
+      * corrupt and make the underlying reader throw; one bad blob in a
+      * large media table must degrade to the stub, not kill the batch. */
+    private def safely(f: => Option[MediaFeatures]): Option[MediaFeatures] =
+      try f catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Pixel stats for one frame: (mean, variance, edgeDensity, 4x4 grid). */
@@ -139,16 +145,22 @@ object RealCodecs {
     var bits = 0
     var dataOff = -1
     var dataLen = 0
-    while (off + 8 <= b.length && (dataOff < 0 || bits == 0)) {
+    var walking = true
+    while (walking && off + 8 <= b.length && (dataOff < 0 || bits == 0)) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = le32(off + 4)
-      if (id == "fmt ") bits = le16(off + 22)
-      else if (id == "data") { dataOff = off + 8; dataLen = math.min(size, b.length - dataOff) }
-      off += 8 + size + (size & 1)
+      if (size <= 0) walking = false // corrupt: a non-positive chunk size cannot advance the walk
+      else {
+        if (id == "fmt " && off + 24 <= b.length) bits = le16(off + 22)
+        else if (id == "data") { dataOff = off + 8; dataLen = math.min(size, b.length - dataOff) }
+        // advance in Long space so a near-MaxValue chunk size cannot wrap negative
+        val next = off.toLong + 8L + size.toLong + (size & 1).toLong
+        if (next > b.length.toLong) walking = false else off = next.toInt
+      }
     }
     if (dataOff < 0 || (bits != 8 && bits != 16)) return None
     val nSamples = if (bits == 16) dataLen / 2 else dataLen
-    if (nSamples == 0) return None
+    if (nSamples <= 0) return None
     def sample(i: Int): Double =
       if (bits == 16) le16(dataOff + 2 * i).toShort / 32768.0
       else ((b(dataOff + i) & 0xff) - 128) / 128.0

@@ -35,9 +35,13 @@ object AwsSigV4 {
     * exact wire values. */
   def canonicalRequest(method: String, uri: String, query: Seq[(String, String)],
       headers: Seq[(String, String)], payload: Array[Byte]): String = {
+    // Sort by (encoded key, encoded value) PAIRS, not the joined "k=v"
+    // strings: '%' sorts before '=', so prefix-sharing keys (e.g. "a b"
+    // encoding to "a%20b" vs "a") would order wrongly under string sort.
     val canonicalQuery = query
-      .map { case (k, v) => s"${uriEncode(k)}=${uriEncode(v)}" }
-      .sorted.mkString("&")
+      .map { case (k, v) => (uriEncode(k), uriEncode(v)) }
+      .sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("&")
     val sortedHeaders = headers
       .map { case (k, v) => k.toLowerCase -> v.trim }
       .sortBy(_._1)

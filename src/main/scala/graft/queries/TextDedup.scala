@@ -642,7 +642,8 @@ object TextDedup {
     * the capped join exactly like q28) + (hot intersection, computed by
     * intersecting the per-doc HOT-shingle arrays — only docs containing a
     * hot shingle carry one, and each array holds at most the few shingles
-    * with df > cap, so this side is tiny by construction). A pair is lost
+    * with df > cap; the ROW count can still be large, see the join-side
+    * note below). A pair is lost
     * only when EVERY shared shingle is hot, which a genuine near-dup
     * (many shared shingles) never triggers — the standard, documented
     * recall trade of this guard. The cap is mirrored in the oracle, so
@@ -664,7 +665,11 @@ object TextDedup {
       .cache()
     val cold = exDf.filter(col("df") <= DFCAP).select("doc_id", "n", "sh")
     // per-doc hot-shingle arrays: rows exist ONLY for docs touching a hot
-    // shingle; broadcast into the candidate join (tiny by construction)
+    // shingle. Each ARRAY is tiny (the few shingles with df > cap), but the
+    // ROW COUNT is one per document touching any hot shingle — on a web
+    // corpus a boilerplate shingle with df ~ 10^6 puts millions of docs
+    // here, so this side must NOT be force-broadcast; AQE broadcasts it
+    // when it measures small and falls back to a shuffle join when not
     val hot = exDf.filter(col("df") > DFCAP)
       .groupBy("doc_id").agg(collect_list(col("sh")).as("hot"))
     val a = cold.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
@@ -676,8 +681,8 @@ object TextDedup {
     val nHot = size(array_intersect(
       coalesce(col("hot_a"), emptyArr), coalesce(col("hot_b"), emptyArr))).cast("long")
     val withHot = inter
-      .join(broadcast(hot.select(col("doc_id").as("id_a"), col("hot").as("hot_a"))), Seq("id_a"), "left")
-      .join(broadcast(hot.select(col("doc_id").as("id_b"), col("hot").as("hot_b"))), Seq("id_b"), "left")
+      .join(hot.select(col("doc_id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
+      .join(hot.select(col("doc_id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
       .withColumn("n_common", col("n_cold") + nHot)
     val j = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common")).cast("double")

@@ -147,6 +147,51 @@ class MultimodalSpec extends SparkSpec {
     assert(RealCodecs.sniff(blob.content) == "unknown")
   }
 
+  test("corrupt payloads terminate and degrade to the stub, never throw") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // RIFF/WAVE magic with a NEGATIVE fmt chunk size: without the size
+    // guard the chunk walk's step is zero and the loop never terminates
+    val negFmt = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    negFmt.put("RIFF".getBytes); negFmt.putInt(56); negFmt.put("WAVE".getBytes)
+    negFmt.put("fmt ".getBytes); negFmt.putInt(-8)
+    assert(RealCodecs.sniff(negFmt.array()) == "wav")
+    assert(RealCodecs.decodeWav(mediaRow(7, "audio", negFmt.array())).isEmpty)
+
+    // a valid fmt but a NEGATIVE data size: nSamples must not go negative
+    // and leak NaN/garbage features out of a Some(...)
+    val negData = ByteBuffer.allocate(52).order(ByteOrder.LITTLE_ENDIAN)
+    negData.put("RIFF".getBytes); negData.putInt(44); negData.put("WAVE".getBytes)
+    negData.put("fmt ".getBytes); negData.putInt(16)
+    negData.putShort(1); negData.putShort(1); negData.putInt(16000)
+    negData.putInt(32000); negData.putShort(2); negData.putShort(16)
+    negData.put("data".getBytes); negData.putInt(-4)
+    assert(RealCodecs.decodeWav(mediaRow(8, "audio", negData.array())).isEmpty)
+
+    // fmt chunk header at the very tail: reading the bits field would run
+    // past the buffer without the bounds check
+    val tailFmt = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    tailFmt.put("RIFF".getBytes); tailFmt.putInt(36); tailFmt.put("WAVE".getBytes)
+    tailFmt.put("JUNK".getBytes); tailFmt.putInt(16); tailFmt.put(new Array[Byte](16))
+    tailFmt.put("fmt ".getBytes); tailFmt.putInt(16)
+    assert(RealCodecs.decodeWav(mediaRow(9, "audio", tailFmt.array())).isEmpty)
+
+    // truncated image/GIF payloads pass the magic sniff but make the JDK
+    // readers throw; SniffingCodec must degrade per row, not kill the job
+    for ((bytes, kind) <- Seq(
+        pngBytes(32, 32)((_, _) => 99).take(40) -> "png",
+        { val out = new java.io.ByteArrayOutputStream()
+          val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          javax.imageio.ImageIO.write(img, "gif", out)
+          out.toByteArray.take(20) } -> "gif")) {
+      assert(RealCodecs.sniff(bytes) == kind)
+      val row = mediaRow(10, "image", bytes)
+      val f = RealCodecs.SniffingCodec.decode(row)
+      val stub = Multimodal.StubCodec.decode(row)
+      assert(f.mean_intensity == stub.mean_intensity)
+      assert(f.feature_vector.sameElements(stub.feature_vector))
+    }
+  }
+
   test("real decode runs distributed through extractFeatures") {
     val s = spark
     import s.implicits._

@@ -74,6 +74,20 @@ class PricingSpec extends SparkSpec {
     assert(sig == "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
   }
 
+  test("SigV4 canonical query sorts by encoded (key, value) pairs") {
+    // '%' (0x25) < '=' (0x3D): under a joined-"k=v" string sort the key
+    // "a b" (encoding to "a%20b") would wrongly sort BEFORE "a", because
+    // "a%" < "a=". The spec orders by key, then value.
+    val cr = AwsSigV4.canonicalRequest("GET", "/",
+      Seq("a b" -> "1", "a" -> "2"), Seq("host" -> "x"), Array.emptyByteArray)
+    val queryLine = cr.split("\n")(2)
+    assert(queryLine == "a=2&a%20b=1")
+    // duplicate keys order by value
+    val cr2 = AwsSigV4.canonicalRequest("GET", "/",
+      Seq("k" -> "zz", "k" -> "aa"), Seq("host" -> "x"), Array.emptyByteArray)
+    assert(cr2.split("\n")(2) == "k=aa&k=zz")
+  }
+
   test("SigV4 uri encoding uses the AWS unreserved set") {
     assert(AwsSigV4.uriEncode("AbZ09-._~") == "AbZ09-._~")
     assert(AwsSigV4.uriEncode("a b/c:d") == "a%20b%2Fc%3Ad") // space is %20, not +
