@@ -50,6 +50,40 @@ object TextDedup {
   private val oShingles3 =
     "list_distinct(CASE WHEN len(w) >= 3 THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] ELSE [] END)"
 
+  // ---------------------------------------------------------------------
+  // Shared shingle base — the dedup family (q28/q29/q30/q31/q40/q41/q43)
+  // all start from the same doc -> distinct-3-gram derivation, which is
+  // the expensive scalar work (split + slices + concats per document).
+  // Deriving every query from ONE cached node means a session computes it
+  // once and every later query in the family starts from the in-memory
+  // relation (Spark's cache matches by canonicalized plan identity, so
+  // each query still works standalone — the first one to run pays the
+  // materialization). At 100 TB the same nodes would be persist(DISK_ONLY)
+  // or a materialized table rather than memory cache; the plan shape
+  // above them is unchanged.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, ts = distinct 3-gram shingles) — cached array form; also the
+    * direct input of q30's true-Jaccard re-check. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), shingles3(toks).as("ts")).cache()
+
+  /** (doc_id, n = |shingles|, sh = shingle string) exploded rows, derived
+    * from the cached array form (the explode itself is cheap; the string
+    * derivation above it is what the cache saves). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+        explode(col("ts")).as("sh"))
+
+  /** (doc_id, n, sh = xxhash64(shingle)) — cached; both sides of q28's
+    * self-join and q41's df-window derivation consume it. The join key is
+    * the 8-byte hash, not the shingle string: the wide text never travels
+    * through a shuffle (collision caveat on q28). */
+  private def hashedShingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRows(s, dir)
+      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+
   // =====================================================================
   // q24: token counting + quality scoring (text analysis)
   // =====================================================================
@@ -186,22 +220,19 @@ object TextDedup {
     * shingle (skew-safe: 3-gram frequencies are near-uniform here; a
     * frequency cap on pathological shingles is the standard guard). */
   def q28JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = docs(s, dir)
-      .select(col("doc_id"), shingles3(toks).as("ts"))
-      .select(col("doc_id"), size(col("ts")).cast("long").as("n"), col("ts"))
-    // cached: both sides of the shingle self-join consume it. The join key
-    // is xxhash64 of the shingle (8-byte long), not the shingle string:
-    // the wide text never travels through the shuffle and the hash join
-    // probes longs (shingles are distinct within a doc, so hashing
-    // preserves the intersection count WITHIN a doc exactly). Caveat: a
-    // 64-bit collision between DISTINCT shingles of two different docs
-    // would inflate n_common, so parity with a string-keyed oracle is
+    // Shared cached base (see hashedShingleRows): both sides of the
+    // self-join read the in-memory hashed rows. The join key is xxhash64
+    // of the shingle (8-byte long), not the shingle string: the wide text
+    // never travels through the shuffle and the hash join probes longs
+    // (shingles are distinct within a doc, so hashing preserves the
+    // intersection count WITHIN a doc exactly). Caveat: a 64-bit
+    // collision between DISTINCT shingles of two different docs would
+    // inflate n_common, so parity with a string-keyed oracle is
     // probabilistic with birthday bound ~s²/2^64 for s distinct shingles
     // corpus-wide (~1e-9 at s=10^5 here; revisit consciously at 100 TB,
     // where s~10^11 puts the bound near 1 — switch the key to the
     // 128-bit md5 there).
-    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("shs"))
-      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh")).cache()
+    val ex = hashedShingleRows(s, dir)
     val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -259,10 +290,12 @@ object TextDedup {
   private def hexInt(from: Int): String =
     s"CAST(conv(substring(h, $from, 8), 16, 10) AS BIGINT)"
 
-  /** doc_id + band0..band5 columns. */
+  /** doc_id + band0..band5 columns. Cached: q29 returns it directly and
+    * q30 derives its band rows from it, so the minhash aggregation runs
+    * once per session; the shingle derivation below it comes from the
+    * shared [[shingleSets]] cache. */
   private def bandDf(s: SparkSession, dir: String): DataFrame = {
-    val ex = docs(s, dir)
-      .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
+    val ex = shingleRows(s, dir)
       .withColumn("h", md5(col("sh")))
       .select(col("doc_id"),
         expr(hexInt(1)).as("ha"), expr(hexInt(9)).as("hb"))
@@ -276,7 +309,7 @@ object TextDedup {
         col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}"))), 1, 16)
         .as(s"band$b")
     }
-    mh.select(col("doc_id") +: bands: _*)
+    mh.select(col("doc_id") +: bands: _*).cache()
   }
 
   /** Oracle twin of hexInt: DuckDB's 0x-literal cast parses the 8 hex
@@ -322,24 +355,30 @@ object TextDedup {
     * sets only for candidate pairs (≈ dup pairs), so the expensive
     * verification is proportional to the number of near-dups, not the
     * corpus size. */
-  def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = bandDf(s, dir)
-    val bandRows = sig.select(col("doc_id"),
+  /** Exploded (doc_id, band-idx b, band-hash h) rows over [[bandDf]] —
+    * cached: q30's self-join sides and q48's batch-vs-corpus index probe
+    * all consume it. Band keys are xxhash64 longs, not hash-hex strings:
+    * an 8-byte shuffle/join key instead of 16 chars. */
+  private def bandRows(s: SparkSession, dir: String): DataFrame =
+    bandDf(s, dir).select(col("doc_id"),
       explode(array((0 until BANDS).map(b =>
         struct(lit(b).as("b"),
           xxhash64(lit(b), col(s"band$b")).as("h"))): _*)).as("e"))
       .select(col("doc_id"), col("e.b").as("b"), col("e.h").as("h"))
-      .cache() // both sides of the self-join consume it
+      .cache()
+
+  def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(s, dir)
     // one row per matching band per pair => count = agreeing bands
-    val est = bandRows.as("x").join(bandRows.as("y"),
+    val est = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(round(count(lit(1)).cast("double") / BANDS.toDouble, 6).as("est_sim"))
-    // true jaccard re-check on candidates only (cached: consumed by both
-    // sides of the pair join; at 100 TB this would be an explicit persist
-    // of the shingle-set table, spillable to disk)
-    val sets = docs(s, dir).select(col("doc_id"), shingles3(toks).as("ts")).cache()
+    // true jaccard re-check on candidates only, off the shared cached
+    // shingle-set table (at 100 TB this would be an explicit persist
+    // spillable to disk)
+    val sets = shingleSets(s, dir)
     val ta = sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
     val tb = sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))
     val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
@@ -414,8 +453,7 @@ object TextDedup {
     val spreadTable: Seq[Long] = (0 until 16).map { d =>
       (0 until 4).map(k => ((d >> k) & 1).toLong << (16 * k)).sum
     }
-    val ex = docs(s, dir)
-      .select(col("doc_id"), explode(shingles3(toks)).as("sh"))
+    val ex = shingleRows(s, dir)
       .withColumn("h", md5(col("sh")))
       // two conv() calls parse the 64-bit hash as two unsigned 32-bit
       // halves (a single 16-digit conv would overflow signed BIGINT);
@@ -649,17 +687,14 @@ object TextDedup {
     * recall trade of this guard. The cap is mirrored in the oracle, so
     * parity holds by construction. */
   def q41JaccardCapped(s: SparkSession, dir: String): DataFrame = {
-    // (doc, shingle-hash) rows + corpus-wide document frequency; cached:
-    // consumed by the df aggregate, the capped self-join, and the
-    // hot-array builder
+    // shared hashed-shingle base + corpus-wide document frequency; the
+    // windowed result is cached in its own right: consumed by the capped
+    // self-join (both sides) and the hot-array builder.
     // document frequency via a COUNT window over sh: one shuffle on sh
     // (vs groupBy + join = two), and the result comes out hash-partitioned
     // on sh — exactly the partitioning the candidate self-join needs, so
     // Catalyst reuses the exchange instead of shuffling again
-    val exDf = docs(s, dir)
-      .select(col("doc_id"), shingles3(toks).as("ts"))
-      .select(col("doc_id"), size(col("ts")).cast("long").as("n"), explode(col("ts")).as("shs"))
-      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh"))
+    val exDf = hashedShingleRows(s, dir)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .cache()
@@ -881,6 +916,126 @@ object TextDedup {
        |ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q48: incremental dedup — new batch vs the existing corpus index
+  // =====================================================================
+
+  /** The serving shape of a production ingest pipeline: an INCOMING BATCH
+    * (a deterministic ~10% hash-mod slice of `documents`, standing in for
+    * "today's crawl") is deduplicated AGAINST THE EXISTING CORPUS rather
+    * than all-pairs. Two layers, exactly as deployed systems stack them:
+    *
+    *  1. exact: the batch's content hashes probe the corpus's
+    *     min-id-per-hash map — verdict `exact_dup`;
+    *  2. near: the batch's MinHash band rows probe the corpus band INDEX
+    *     (the same [[bandRows]] relation q30 uses — in a long-lived ingest
+    *     session that cache IS the stored index), candidates are verified
+    *     with true 3-gram Jaccard >= 0.5, and the best partner wins
+    *     (highest Jaccard, ties to the lowest corpus id) — `near_dup`;
+    *  otherwise the document is `new`.
+    *
+    * Intra-batch duplicates are deliberately out of scope (q27/q28 handle
+    * those); verdicts are batch-vs-corpus only. Scale: the expensive side
+    * is BATCH-proportional — the corpus contributes its (precomputed)
+    * signatures through an equi-join, never a scan per batch doc; exactly
+    * why incremental ingest stays cheap when the corpus is 100 TB and the
+    * batch is 0.1%. */
+  def q48IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    // same deterministic hash-mod family as q42: pure function of doc_id
+    def bucketOf(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 1000
+    val isBatch = bucketOf(col("doc_id")) < 100
+    val d = docs(s, dir)
+    // exact layer: batch content hashes probe min-id-per-hash over the
+    // corpus (one narrow groupBy + a left join on a 32-char key)
+    val hashed = d.select(col("doc_id"), md5(col("text")).as("ch"))
+    val exact = hashed.filter(isBatch)
+      .join(hashed.filter(!isBatch)
+        .groupBy("ch").agg(min("doc_id").as("exact_partner")), Seq("ch"), "left")
+      .select(col("doc_id"), col("exact_partner"))
+    // near layer: batch band rows probe the corpus band index
+    val bands = bandRows(s, dir)
+    val cand = bands.filter(bucketOf(col("doc_id")) < 100).as("x")
+      .join(bands.filter(bucketOf(col("doc_id")) >= 100).as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
+      .distinct()
+    val sets = shingleSets(s, dir)
+    val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    val j = interC.cast("double") /
+      ((size(col("ts_a")) + size(col("ts_b"))).cast("long") - interC).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("j").desc, col("partner_id").asc)
+    val best = cand
+      .join(sets.select(col("doc_id"), col("ts").as("ts_a")), "doc_id")
+      .join(sets.select(col("doc_id").as("partner_id"), col("ts").as("ts_b")), "partner_id")
+      .withColumn("j", j).filter(col("j") >= 0.5)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner_id").as("near_partner"), col("j"))
+    d.filter(isBatch).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_partner").isNotNull, lit("exact_dup"))
+          .when(col("near_partner").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_partner"), col("near_partner")).as("partner_id"),
+        when(col("exact_partner").isNotNull, lit(1.0))
+          .otherwise(round(col("j"), 6)).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ48: String = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, $b AS b, band$b AS h FROM sig").mkString(" UNION ALL ")
+    s"""WITH ${oMinhashCtes},
+       |flags AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 100)
+       |      AS is_batch
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT d.doc_id, md5(d.text) AS ch, f.is_batch
+       |  FROM documents d JOIN flags f ON f.doc_id = d.doc_id),
+       |exact AS (
+       |  SELECT b.doc_id, min(c.doc_id) AS exact_partner
+       |  FROM hashes b JOIN hashes c ON c.ch = b.ch AND NOT c.is_batch
+       |  WHERE b.is_batch GROUP BY b.doc_id),
+       |bandrows AS ($bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS partner_id
+       |  FROM bandrows x
+       |  JOIN flags fx ON fx.doc_id = x.doc_id AND fx.is_batch
+       |  JOIN bandrows y ON y.b = x.b AND y.h = x.h
+       |  JOIN flags fy ON fy.doc_id = y.doc_id AND NOT fy.is_batch),
+       |sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |scored AS (
+       |  SELECT c.doc_id, c.partner_id,
+       |    CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |      / CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) AS j
+       |  FROM cand c
+       |  JOIN sets ta ON ta.doc_id = c.doc_id
+       |  JOIN sets tb ON tb.doc_id = c.partner_id),
+       |best AS (
+       |  SELECT doc_id, partner_id AS near_partner, j FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY j DESC, partner_id ASC) AS rn
+       |    FROM scored WHERE j >= 0.5) WHERE rn = 1)
+       |SELECT f.doc_id,
+       |  CASE WHEN e.exact_partner IS NOT NULL THEN 'exact_dup'
+       |       WHEN b.near_partner IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(e.exact_partner, b.near_partner) AS partner_id,
+       |  CASE WHEN e.exact_partner IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(b.j, 6) END AS jaccard
+       |FROM flags f
+       |LEFT JOIN exact e ON e.doc_id = f.doc_id
+       |LEFT JOIN best b ON b.doc_id = f.doc_id
+       |WHERE f.is_batch ORDER BY f.doc_id""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -895,6 +1050,7 @@ object TextDedup {
     "q42_stratified_sample" -> q42StratifiedSample _,
     "q43_keep_best" -> q43KeepBest _,
     "q44_repetition_stats" -> q44RepetitionStats _,
+    "q48_incremental_dedup" -> q48IncrementalDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -911,5 +1067,6 @@ object TextDedup {
     "q42_stratified_sample" -> oracleQ42,
     "q43_keep_best" -> oracleQ43,
     "q44_repetition_stats" -> oracleQ44,
+    "q48_incremental_dedup" -> oracleQ48,
   )
 }

@@ -86,6 +86,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q48 verdicts are batch-vs-corpus consistent") {
+    val docs = Tables.load(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def isBatch(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000 < 100
+    }
+    val rows = TextDedup.q48IncrementalDedup(spark, sfDir).collect()
+    // exactly the batch slice, once each
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      docs.keys.filter(isBatch).toSeq.sorted)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("verdict") match {
+        case "exact_dup" =>
+          val p = r.getAs[Long]("partner_id")
+          assert(!isBatch(p), "partner must be a corpus doc")
+          assert(docs(p) == docs(id), "exact_dup partner text differs")
+          assert(r.getAs[Double]("jaccard") == 1.0)
+        case "near_dup" =>
+          val p = r.getAs[Long]("partner_id")
+          assert(!isBatch(p), "partner must be a corpus doc")
+          assert(docs(p) != docs(id), "near_dup should not be byte-identical")
+          assert(r.getAs[Double]("jaccard") >= 0.5)
+        case "new" =>
+          assert(r.isNullAt(r.fieldIndex("partner_id")))
+          assert(r.isNullAt(r.fieldIndex("jaccard")))
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+    // the planted dup structure must actually surface some dups
+    assert(rows.exists(_.getAs[String]("verdict") != "new"))
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
