@@ -1036,6 +1036,59 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q49: benchmark decontamination (eval-set n-gram overlap scan)
+  // =====================================================================
+
+  /** Training-data decontamination, the published recipe (n-gram overlap
+    * against the evaluation sets, as described in the GPT-3 and PaLM
+    * appendices): every 3-gram of the held-out BENCHMARK slice (here the
+    * deterministic `doc_id % 97 = 0` docs, standing in for an eval set)
+    * is collected into one distinct set, and every training document
+    * reports how many of its shingles appear in it. Any overlap flags the
+    * document for removal/review.
+    *
+    * Scale shape: the benchmark side is BOUNDED BY CONSTRUCTION — eval
+    * sets are thousands of documents, so their distinct-shingle set is
+    * broadcastable no matter how big the training corpus is (this is the
+    * legitimate broadcast case, unlike q41's per-document hot rows). The
+    * corpus side is then a map-side broadcast-hash join + a partial-agg
+    * count per doc_id: one shuffle of (doc_id, count) pairs, no
+    * corpus-side shuffle of shingles at all. Rides the same
+    * [[hashedShingleRows]] cache as the dedup family. */
+  def q49Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val rows = hashedShingleRows(s, dir)
+    val bench = rows.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+    val overlaps = rows.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    shingleSets(s, dir).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ49: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(ts) AS sh FROM sets),
+       |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0),
+       |ov AS (
+       |  SELECT e.doc_id, count(*) AS n_overlap
+       |  FROM ex e JOIN bench b ON b.sh = e.sh
+       |  WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id)
+       |SELECT s.doc_id, CAST(len(s.ts) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(CASE WHEN coalesce(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS contaminated
+       |FROM sets s LEFT JOIN ov o ON o.doc_id = s.doc_id
+       |WHERE s.doc_id % 97 <> 0 ORDER BY s.doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1051,6 +1104,7 @@ object TextDedup {
     "q43_keep_best" -> q43KeepBest _,
     "q44_repetition_stats" -> q44RepetitionStats _,
     "q48_incremental_dedup" -> q48IncrementalDedup _,
+    "q49_decontamination" -> q49Decontamination _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1068,5 +1122,6 @@ object TextDedup {
     "q43_keep_best" -> oracleQ43,
     "q44_repetition_stats" -> oracleQ44,
     "q48_incremental_dedup" -> oracleQ48,
+    "q49_decontamination" -> oracleQ49,
   )
 }

@@ -122,6 +122,26 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("verdict") != "new"))
   }
 
+  test("q49 overlap counts match a driver-side recount") {
+    val docs = Tables.load(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def sh3(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val bench = docs.collect { case (id, t) if id % 97 == 0 => sh3(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val rows = TextDedup.q49Decontamination(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keys.filter(_ % 97 != 0).toSet)
+    rows.foreach { r =>
+      val expected = (sh3(docs(r.getAs[Long]("doc_id"))) & bench).size.toLong
+      assert(r.getAs[Long]("n_overlap") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}: got ${r.getAs[Long]("n_overlap")}, want $expected")
+      assert(r.getAs[Long]("contaminated") == (if (expected > 0) 1L else 0L))
+    }
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
