@@ -5,10 +5,11 @@ import java.io.ByteArrayInputStream
 
 /** REAL decoders on top of the JDK — no external codec libraries needed:
   * `javax.imageio` ships PNG/JPEG/BMP/GIF readers in every standard JDK
-  * (headless-safe), and WAV is a plain RIFF/PCM container parsed by hand.
-  * Video containers have no in-JDK decoder, so they (and any
-  * unrecognized payload) fall back to [[Multimodal.StubCodec]] — the one
-  * remaining documented stub.
+  * (headless-safe), WAV is a plain RIFF/PCM container parsed by hand, and
+  * MJPEG-in-AVI video is a RIFF walk whose frame chunks are JPEG stills.
+  * Video CODECS with inter-frame compression (H.264/VP9/AV1) have no
+  * in-JDK decoder, so those (and any unrecognized payload) fall back to
+  * [[Multimodal.StubCodec]] — the one remaining documented stub.
   *
   * Features keep the [[MediaFeatures]] contract across modalities:
   * `mean_intensity`/`intensity_variance` are pixel luma (0-255) for
@@ -28,19 +29,22 @@ object RealCodecs {
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else "unknown"
 
   /** Production codec: sniff → real decode where the JDK has one, stub
     * otherwise. One instance per partition via `extractFeatures`.
-    * GIF goes through the multi-frame path — animated GIFs are the one
-    * video-like container the JDK decodes, so frame SAMPLING is real
-    * there; other video containers remain stubbed. */
+    * GIF and MJPEG-AVI go through the multi-frame paths, so frame
+    * SAMPLING is real for both; video codecs the JDK cannot decode
+    * remain stubbed. */
   object SniffingCodec extends MediaCodec {
     override def decode(row: MediaRow): MediaFeatures = {
       val real = sniff(row.content) match {
         case "png" | "jpeg" | "bmp" => safely(decodeImage(row))
         case "gif"                  => safely(decodeGifFrames(row))
         case "wav"                  => safely(decodeWav(row))
+        case "avi"                  => safely(decodeAviFrames(row))
         case _                      => None
       }
       real.getOrElse(StubCodec.decode(row))
@@ -132,6 +136,67 @@ object RealCodecs {
       reader.dispose()
       iis.close()
     }
+  }
+
+  /** MJPEG-in-AVI video: the one general video container a pure JDK can
+    * truly decode — the RIFF chunk walk yields `##dc`/`##db` stream
+    * chunks whose payloads are complete JPEG images, decoded via
+    * javax.imageio like any still; frame SAMPLING picks up to `maxFrames`
+    * evenly spaced frames (same policy as the GIF path). Codecs with
+    * inter-frame compression (H.264 etc.) have no JDK decoder and fall
+    * through to the stub. Same corrupt-input discipline as the WAV walk:
+    * non-positive chunk sizes stop the walk, advances happen in Long
+    * space, and per-frame decode failures are skipped. */
+  def decodeAviFrames(row: MediaRow, maxFrames: Int = 4): Option[MediaFeatures] = {
+    val b = row.content
+    def le32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var walking = true
+      while (walking && off + 8 <= end) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = le32(off + 4)
+        if (size < 0) walking = false
+        else {
+          val body = off + 8
+          val bodyEnd = math.min(end.toLong, body.toLong + size).toInt
+          if (id == "RIFF" || id == "LIST") {
+            if (body + 4 <= bodyEnd) walk(body + 4, bodyEnd) // skip subtype fourcc
+          } else if (isFrameChunk(id) && size > 0 && body + size <= b.length)
+            frames += ((body, size))
+          val next = off.toLong + 8L + size.toLong + (size & 1).toLong
+          if (next > end.toLong) walking = false else off = next.toInt
+        }
+      }
+    }
+    walk(0, b.length)
+    val jpegs = frames.filter { case (o, n) =>
+      n >= 2 && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xff) == 0xd8
+    }
+    if (jpegs.isEmpty) return None
+    val idxs =
+      if (jpegs.size <= maxFrames) jpegs.indices.toSeq
+      else (0 until maxFrames).map(k => k * (jpegs.size - 1) / (maxFrames - 1))
+    val imgs = idxs.flatMap { i =>
+      val (o, n) = jpegs(i)
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(b, o, n)))
+    }
+    if (imgs.isEmpty) return None
+    val stats = imgs.map(imageStats)
+    val first = imgs.head
+    val scale = math.min(1.0, 64.0 / first.getWidth)
+    Some(MediaFeatures(row.media_id, row.modality, b.length.toLong,
+      stats.map(_._1).sum / stats.size,
+      stats.map(_._2).sum / stats.size,
+      stats.map(_._3).sum / stats.size,
+      (first.getWidth * scale).toInt.max(1), (first.getHeight * scale).toInt.max(1),
+      /*n_frames_sampled=*/ imgs.size, stats.head._4))
   }
 
   /** RIFF/PCM WAV parse: walks the chunk list to `fmt ` (channels, bits)

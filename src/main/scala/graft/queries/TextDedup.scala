@@ -576,8 +576,36 @@ object TextDedup {
     * right tool.
     *
     * The DuckDB oracle computes the same fixpoint declaratively with a
-    * recursive CTE (min reachable id per node). */
+    * recursive CTE (min reachable id per node).
+    *
+    * Split as [[clusterMemo]]/[[dedupClusterLabels]]/[[computeClusterLabels]]
+    * below; `q40DedupClusters` adds the member-count window on top. */
+  /** Session-lifetime memo of the converged (doc_id, cluster_id) labels
+    * per (session, dir). The propagation loop is DRIVER-side iteration, so
+    * Spark's plan-identity cache cannot share it across calls the way it
+    * shares declarative subplans — without this, q43 re-runs q40's whole
+    * fixpoint. Same staleness semantics as any .cache(): valid for the
+    * session; restart (or clear) if the files under `dir` mutate. A race
+    * between concurrent first calls computes the loop twice and keeps one
+    * result — idempotent, so harmless. */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Converged cluster labels (doc_id, cluster_id) — memoized; see
+    * [[clusterMemo]]. */
+  private def dedupClusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.getOrElseUpdate((s, dir), computeClusterLabels(s, dir).cache())
+
   def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val all = dedupClusterLabels(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    all
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = q28JaccardPairs(s, dir).select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -625,14 +653,9 @@ object TextDedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds ($changed labels still changing)")
     // singletons rejoin with their own id as the cluster label
-    val all = docs(s, dir).select(col("doc_id"))
+    docs(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    all
-      .withColumn("n_members", count(lit(1)).over(w))
-      .select(col("doc_id"), col("cluster_id"), col("n_members"))
-      .orderBy("doc_id")
   }
 
   val oracleQ40: String = {

@@ -147,6 +147,49 @@ class MultimodalSpec extends SparkSpec {
     assert(RealCodecs.sniff(blob.content) == "unknown")
   }
 
+  private def jpegBytes(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid MJPEG AVI: RIFF(AVI  LIST(hdrl avih)
+    * LIST(movi 00dc*)) — the container our decoder walks. */
+  private def aviMjpegBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes("US-ASCII")); buf.putInt(body.length); buf.put(body)
+      buf.array()
+    }
+    def list(subtype: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ children)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  test("MJPEG AVI decode samples real video frames") {
+    // 6 frames, frame i uniformly gray at 30*i
+    val avi = aviMjpegBytes((0 until 6).map(i => jpegBytes(24, 12, 30 * i)))
+    assert(RealCodecs.sniff(avi) == "avi")
+    val f = RealCodecs.SniffingCodec.decode(mediaRow(11, "video", avi))
+    assert(f.n_frames_sampled == 4) // capped even sampling over 6 frames
+    // sampled frames 0,1,3,5 -> lumas 0,30,90,150 (JPEG lossy tolerance)
+    assert(math.abs(f.mean_intensity - (0 + 30 + 90 + 150) / 4.0) < 6.0)
+    assert(f.thumb_width == 24 && f.thumb_height == 12)
+    // flat frames: essentially no edges
+    assert(f.edge_density < 0.05)
+    // truncated mid-container: must degrade to the stub, not throw
+    val cut = avi.take(avi.length / 2)
+    assert(RealCodecs.sniff(cut) == "avi")
+    val g = RealCodecs.SniffingCodec.decode(mediaRow(12, "video", cut))
+    assert(g.n_frames_sampled >= 1) // either sampled surviving frames or stub
+  }
+
   test("corrupt payloads terminate and degrade to the stub, never throw") {
     import java.nio.{ByteBuffer, ByteOrder}
     // RIFF/WAVE magic with a NEGATIVE fmt chunk size: without the size
