@@ -156,7 +156,11 @@ object RealCodecs {
     def isFrameChunk(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.substring(2) == "dc" || id.substring(2) == "db")
-    def walk(start: Int, end: Int): Unit = {
+    // depth-capped: real AVIs nest <= ~4 LISTs deep; an adversarial chain
+    // of nested LISTs must not StackOverflowError (which NonFatal does NOT
+    // catch — it would escape the per-row fallback and kill the job)
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var off = start
       var walking = true
       while (walking && off + 8 <= end) {
@@ -167,7 +171,7 @@ object RealCodecs {
           val body = off + 8
           val bodyEnd = math.min(end.toLong, body.toLong + size).toInt
           if (id == "RIFF" || id == "LIST") {
-            if (body + 4 <= bodyEnd) walk(body + 4, bodyEnd) // skip subtype fourcc
+            if (body + 4 <= bodyEnd) walk(body + 4, bodyEnd, depth + 1) // skip subtype fourcc
           } else if (isFrameChunk(id) && size > 0 && body + size <= b.length)
             frames += ((body, size))
           val next = off.toLong + 8L + size.toLong + (size & 1).toLong
@@ -175,7 +179,7 @@ object RealCodecs {
         }
       }
     }
-    walk(0, b.length)
+    walk(0, b.length, 0)
     val jpegs = frames.filter { case (o, n) =>
       n >= 2 && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xff) == 0xd8
     }

@@ -218,6 +218,24 @@ class MultimodalSpec extends SparkSpec {
     tailFmt.put("fmt ".getBytes); tailFmt.putInt(16)
     assert(RealCodecs.decodeWav(mediaRow(9, "audio", tailFmt.array())).isEmpty)
 
+    // adversarially nested AVI LISTs: the walk must depth-cap, not
+    // StackOverflowError (which NonFatal would not catch)
+    var nested: Array[Byte] = Array.fill[Byte](8)(0)
+    (0 until 20000).foreach { _ => // deep enough to overflow without the cap
+      val body = "LIST".getBytes("US-ASCII") ++ nested
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("LIST".getBytes("US-ASCII")); buf.putInt(body.length); buf.put(body)
+      nested = buf.array()
+    }
+    val bomb = {
+      val body = "AVI ".getBytes("US-ASCII") ++ nested
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(body.length); buf.put(body)
+      buf.array()
+    }
+    assert(RealCodecs.sniff(bomb) == "avi")
+    assert(RealCodecs.decodeAviFrames(mediaRow(13, "video", bomb)).isEmpty)
+
     // truncated image/GIF payloads pass the magic sniff but make the JDK
     // readers throw; SniffingCodec must degrade per row, not kill the job
     for ((bytes, kind) <- Seq(
