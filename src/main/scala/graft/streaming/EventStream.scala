@@ -139,6 +139,47 @@ object EventStream {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Watermarked STREAM-STREAM interval join — the attribution shape:
+    * each `purchase` joins the same user's `click` events from the
+    * preceding hour. Both sides carry watermarks and the join condition
+    * bounds the event-time range, which is what lets Spark EXPIRE buffered
+    * state on both sides — an unbounded-time stream-stream join buffers
+    * forever. State: O(events inside the watermark horizon) per side,
+    * shuffled on user_id. */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Batch twin of [[attributionJoin]] for equivalence testing (the
+    * watermarks are no-ops in batch; the join predicate is identical). */
+  def attributionJoinBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Production-shaped sink: partitioned parquet via foreachBatch (gives
     * exactly-once per epoch plus the ability to run arbitrary batch logic
     * — the standard pattern for parquet/warehouse sinks). */

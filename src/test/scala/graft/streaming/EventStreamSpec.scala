@@ -52,6 +52,28 @@ class EventStreamSpec extends SparkSpec {
     batch.foreach { case (_, s, e, _, _) => assert(!e.before(s)) }
   }
 
+  test("stream-stream attribution join matches the batch twin") {
+    val checkpoint = Files.createTempDirectory("ckpt_attr").toString
+    val stream = EventStream.readEvents(spark, sfDir)
+    EventStream.runToMemory(EventStream.attributionJoin(stream), "stream_attr", checkpoint)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))
+    val batch = EventStream.attributionJoinBatch(
+      graft.queries.Tables.load(spark, sfDir, "events")).collect().map(key).toSet
+    val streamed = spark.table("stream_attr").collect().map(key).toSet
+    // append mode: pairs emit once the watermark clears them; everything
+    // emitted must agree with the batch join exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed pairs not in batch: ${(streamed -- batch).take(3)}")
+    // the interval bound is real: every pair's click precedes its purchase
+    // by less than an hour
+    batch.foreach { case (_, _, _, pTs, cTs) =>
+      assert(cTs.before(pTs) && pTs.getTime - cTs.getTime <= 3600 * 1000L)
+    }
+  }
+
   test("mapGroupsWithState accumulates running per-type totals") {
     val spark0 = spark
     import spark0.implicits._
