@@ -219,19 +219,23 @@ object TextDedup {
     * is exact-int intersection over exact-int union. Scale: shuffle on
     * shingle (skew-safe: 3-gram frequencies are near-uniform here; a
     * frequency cap on pathological shingles is the standard guard). */
-  def q28JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // Shared cached base (see hashedShingleRows): both sides of the
-    // self-join read the in-memory hashed rows. The join key is xxhash64
-    // of the shingle (8-byte long), not the shingle string: the wide text
-    // never travels through the shuffle and the hash join probes longs
-    // (shingles are distinct within a doc, so hashing preserves the
-    // intersection count WITHIN a doc exactly). Caveat: a 64-bit
-    // collision between DISTINCT shingles of two different docs would
-    // inflate n_common, so parity with a string-keyed oracle is
-    // probabilistic with birthday bound ~s²/2^64 for s distinct shingles
-    // corpus-wide (~1e-9 at s=10^5 here; revisit consciously at 100 TB,
-    // where s~10^11 puts the bound near 1 — switch the key to the
-    // 128-bit md5 there).
+  /** Unordered q28 pair frame — cached: q28's output and q40's edge
+    * derivation both consume it, so the pair join+aggregate executes once
+    * per session instead of once per consumer.
+    *
+    * Shared cached base (see hashedShingleRows): both sides of the
+    * self-join read the in-memory hashed rows. The join key is xxhash64
+    * of the shingle (8-byte long), not the shingle string: the wide text
+    * never travels through the shuffle and the hash join probes longs
+    * (shingles are distinct within a doc, so hashing preserves the
+    * intersection count WITHIN a doc exactly). Caveat: a 64-bit
+    * collision between DISTINCT shingles of two different docs would
+    * inflate n_common, so parity with a string-keyed oracle is
+    * probabilistic with birthday bound ~s²/2^64 for s distinct shingles
+    * corpus-wide (~1e-9 at s=10^5 here; revisit consciously at 100 TB,
+    * where s~10^11 puts the bound near 1 — switch the key to the
+    * 128-bit md5 there). */
+  private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame = {
     val ex = hashedShingleRows(s, dir)
     val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
@@ -243,8 +247,11 @@ object TextDedup {
     inter.filter(j >= 0.5)
       .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
         round(j, 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+      .cache()
   }
+
+  def q28JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrame(s, dir).orderBy("id_a", "id_b")
 
   val oracleQ28: String =
     s"""WITH sets AS (
@@ -606,7 +613,7 @@ object TextDedup {
   }
 
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q28JaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = jaccardPairsFrame(s, dir).select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
