@@ -71,16 +71,31 @@ class PlanShapeSpec extends SparkSpec {
     // plan (where the window's one legitimate sh-exchange lives, possibly
     // twice), while collect() treats the scan as a leaf — so this holds
     // regardless of whether earlier suites materialized the caches.
+    assert(shShufflesOf(df).isEmpty,
+      "shingle rows re-shuffled outside the cached window derivation")
+  }
+
+  /** sh-partitioned shuffles in the EXECUTED tree only — tree traversal
+    * treats InMemoryTableScan as a leaf, so shuffles inside cached
+    * derivations (which toString would print) are excluded. */
+  private def shShufflesOf(df: org.apache.spark.sql.DataFrame) = {
     val exec = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
-    val shShuffles = exec.collect {
+    exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.outputPartitioning.toString.contains("sh#") => e
     }
-    assert(shShuffles.isEmpty,
-      s"shingle rows re-shuffled outside the cached window derivation:\n${shShuffles.mkString("\n")}")
+  }
+
+  test("q49 decontamination joins via broadcast; the corpus never shuffles its shingles") {
+    val df = TextDedup.q49Decontamination(spark, sfDir)
+    assert(plan(df).contains("BroadcastHashJoin"), "eval-set probe not a broadcast join")
+    // the only legitimate sh-shuffle is the EVAL side's distinct (tiny);
+    // the corpus side must reach the broadcast join shuffle-free
+    assert(shShufflesOf(df).size <= 1,
+      "corpus shingles shuffled for the decontamination join")
   }
 
   test("q45 batch knn broadcasts the query batch and never shuffles the corpus for the join") {
