@@ -28,4 +28,28 @@ class ConcurrencySpec extends SparkSpec {
     val results = Await.result(Future.sequence(futures), 5.minutes)
     assert(results.forall(identity))
   }
+
+  test("concurrent dedup-family queries share cached bases and the label memo safely") {
+    import graft.queries.TextDedup
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // serial ground truth first (also exercises memo-hit-after-compute)
+    val serial28 = TextDedup.q28JaccardPairs(spark, sfDir).collect().map(_.toString).toSet
+    val serial40 = TextDedup.q40DedupClusters(spark, sfDir).collect().map(_.toString).toSet
+    val serial49 = TextDedup.q49Decontamination(spark, sfDir).count()
+    // the racing path: cached shingle bases + the cluster-label TrieMap
+    // all hit from parallel threads; results must equal the serial runs
+    val futures = (1 to 6).map { i =>
+      Future {
+        i % 3 match {
+          case 0 => TextDedup.q28JaccardPairs(spark, sfDir).collect()
+            .map(_.toString).toSet == serial28
+          case 1 => TextDedup.q40DedupClusters(spark, sfDir).collect()
+            .map(_.toString).toSet == serial40
+          case 2 => TextDedup.q49Decontamination(spark, sfDir).count() == serial49
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 5.minutes)
+    assert(results.forall(identity))
+  }
 }
