@@ -64,25 +64,36 @@ object TextDedup {
   // ---------------------------------------------------------------------
 
   /** (doc_id, ts = distinct 3-gram shingles) — cached array form; also the
-    * direct input of q30's true-Jaccard re-check. */
+    * direct input of q30's true-Jaccard re-check. The `*Of` forms take any
+    * (doc_id, text) frame — [[TextOps]] builds its generic operators on
+    * them; the (s, dir) forms bind them to the driver's documents table. */
+  private[queries] def shingleSetsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), shingles3(toks).as("ts")).cache()
+
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), shingles3(toks).as("ts")).cache()
+    shingleSetsOf(docs(s, dir))
 
   /** (doc_id, n = |shingles|, sh = shingle string) exploded rows, derived
     * from the cached array form (the explode itself is cheap; the string
     * derivation above it is what the cache saves). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir)
+  private[queries] def shingleRowsOf(d: DataFrame): DataFrame =
+    shingleSetsOf(d)
       .select(col("doc_id"), size(col("ts")).cast("long").as("n"),
         explode(col("ts")).as("sh"))
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(docs(s, dir))
 
   /** (doc_id, n, sh = xxhash64(shingle)) — cached; both sides of q28's
     * self-join and q41's df-window derivation consume it. The join key is
     * the 8-byte hash, not the shingle string: the wide text never travels
     * through a shuffle (collision caveat on q28). */
-  private def hashedShingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir)
+  private[queries] def hashedShingleRowsOf(d: DataFrame): DataFrame =
+    shingleRowsOf(d)
       .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+
+  private def hashedShingleRows(s: SparkSession, dir: String): DataFrame =
+    hashedShingleRowsOf(docs(s, dir))
 
   // =====================================================================
   // q24: token counting + quality scoring (text analysis)
@@ -235,8 +246,8 @@ object TextDedup {
     * corpus-wide (~1e-9 at s=10^5 here; revisit consciously at 100 TB,
     * where s~10^11 puts the bound near 1 — switch the key to the
     * 128-bit md5 there). */
-  private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame = {
-    val ex = hashedShingleRows(s, dir)
+  private[queries] def jaccardPairsOf(d: DataFrame, threshold: Double): DataFrame = {
+    val ex = hashedShingleRowsOf(d)
     val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -244,11 +255,14 @@ object TextDedup {
       .agg(count(lit(1)).as("n_common"), min("na").as("na"), min("nb").as("nb"))
     val j = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common")).cast("double")
-    inter.filter(j >= 0.5)
+    inter.filter(j >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
         round(j, 6).as("jaccard"))
       .cache()
   }
+
+  private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(docs(s, dir), 0.5)
 
   def q28JaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsFrame(s, dir).orderBy("id_a", "id_b")
@@ -300,9 +314,9 @@ object TextDedup {
   /** doc_id + band0..band5 columns. Cached: q29 returns it directly and
     * q30 derives its band rows from it, so the minhash aggregation runs
     * once per session; the shingle derivation below it comes from the
-    * shared [[shingleSets]] cache. */
-  private def bandDf(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir)
+    * shared [[shingleSetsOf]] cache. */
+  private[queries] def bandDfOf(d: DataFrame): DataFrame = {
+    val ex = shingleRowsOf(d)
       .withColumn("h", md5(col("sh")))
       .select(col("doc_id"),
         expr(hexInt(1)).as("ha"), expr(hexInt(9)).as("hb"))
@@ -318,6 +332,9 @@ object TextDedup {
     }
     mh.select(col("doc_id") +: bands: _*).cache()
   }
+
+  private def bandDf(s: SparkSession, dir: String): DataFrame =
+    bandDfOf(docs(s, dir))
 
   /** Oracle twin of hexInt: DuckDB's 0x-literal cast parses the 8 hex
     * digits in one shot (same value as per-digit strpos arithmetic,
@@ -362,17 +379,20 @@ object TextDedup {
     * sets only for candidate pairs (≈ dup pairs), so the expensive
     * verification is proportional to the number of near-dups, not the
     * corpus size. */
-  /** Exploded (doc_id, band-idx b, band-hash h) rows over [[bandDf]] —
+  /** Exploded (doc_id, band-idx b, band-hash h) rows over [[bandDfOf]] —
     * cached: q30's self-join sides and q48's batch-vs-corpus index probe
     * all consume it. Band keys are xxhash64 longs, not hash-hex strings:
     * an 8-byte shuffle/join key instead of 16 chars. */
-  private def bandRows(s: SparkSession, dir: String): DataFrame =
-    bandDf(s, dir).select(col("doc_id"),
+  private[queries] def bandRowsOf(d: DataFrame): DataFrame =
+    bandDfOf(d).select(col("doc_id"),
       explode(array((0 until BANDS).map(b =>
         struct(lit(b).as("b"),
           xxhash64(lit(b), col(s"band$b")).as("h"))): _*)).as("e"))
       .select(col("doc_id"), col("e.b").as("b"), col("e.h").as("h"))
       .cache()
+
+  private def bandRows(s: SparkSession, dir: String): DataFrame =
+    bandRowsOf(docs(s, dir))
 
   def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandRows(s, dir)
@@ -613,7 +633,17 @@ object TextDedup {
   }
 
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairsFrame(s, dir).select(col("id_a"), col("id_b"))
+    val labels = propagateLabels(jaccardPairsFrame(s, dir).select(col("id_a"), col("id_b")))
+    // singletons rejoin with their own id as the cluster label
+    docs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation over undirected (id_a, id_b) pairs → converged
+    * (doc_id, cluster_id) for every node that HAS an edge. Reused by
+    * [[TextOps.dedupClusters]] for arbitrary input frames. */
+  private[queries] def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
@@ -659,10 +689,7 @@ object TextDedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds ($changed labels still changing)")
-    // singletons rejoin with their own id as the cluster label
-    docs(s, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    labels
   }
 
   val oracleQ40: String = {
@@ -716,7 +743,11 @@ object TextDedup {
     * (many shared shingles) never triggers — the standard, documented
     * recall trade of this guard. The cap is mirrored in the oracle, so
     * parity holds by construction. */
-  def q41JaccardCapped(s: SparkSession, dir: String): DataFrame = {
+  def q41JaccardCapped(s: SparkSession, dir: String): DataFrame =
+    cappedJaccardPairsOf(docs(s, dir), 0.5, DFCAP).orderBy("id_a", "id_b")
+
+  private[queries] def cappedJaccardPairsOf(d: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame = {
     // shared hashed-shingle base + corpus-wide document frequency; the
     // windowed result is cached in its own right: consumed by the capped
     // self-join (both sides) and the hot-array builder.
@@ -724,18 +755,18 @@ object TextDedup {
     // (vs groupBy + join = two), and the result comes out hash-partitioned
     // on sh — exactly the partitioning the candidate self-join needs, so
     // Catalyst reuses the exchange instead of shuffling again
-    val exDf = hashedShingleRows(s, dir)
+    val exDf = hashedShingleRowsOf(d)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .cache()
-    val cold = exDf.filter(col("df") <= DFCAP).select("doc_id", "n", "sh")
+    val cold = exDf.filter(col("df") <= dfCap).select("doc_id", "n", "sh")
     // per-doc hot-shingle arrays: rows exist ONLY for docs touching a hot
     // shingle. Each ARRAY is tiny (the few shingles with df > cap), but the
     // ROW COUNT is one per document touching any hot shingle — on a web
     // corpus a boilerplate shingle with df ~ 10^6 puts millions of docs
     // here, so this side must NOT be force-broadcast; AQE broadcasts it
     // when it measures small and falls back to a shuffle join when not
-    val hot = exDf.filter(col("df") > DFCAP)
+    val hot = exDf.filter(col("df") > dfCap)
       .groupBy("doc_id").agg(collect_list(col("sh")).as("hot"))
     val a = cold.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
     val b = cold.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
@@ -751,10 +782,9 @@ object TextDedup {
       .withColumn("n_common", col("n_cold") + nHot)
     val j = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common")).cast("double")
-    withHot.filter(j >= 0.5)
+    withHot.filter(j >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
         round(j, 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   val oracleQ41: String =

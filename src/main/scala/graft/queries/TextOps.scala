@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-parameterized LIBRARY forms of the dedup/decontamination
+  * operators, for use over ANY (id, text) DataFrame — the oracle-checked
+  * q27/q28/q40/q41/q48/q49 queries are these same pipelines bound to the
+  * driver's `documents` table (`TextOpsSpec` pins the equivalence, so the
+  * generic surface inherits the DuckDB-verified semantics).
+  *
+  * All operators reuse the shared cached derivation chain
+  * ([[TextDedup.shingleSetsOf]] → hashed rows → bands), so repeated calls
+  * over the same input frame in one session share the expensive shingle
+  * work via plan-identity cache matching. Scale notes live on the
+  * underlying TextDedup pipelines.
+  */
+object TextOps {
+
+  /** Normalize any frame to the internal (doc_id: long, text: string)
+    * contract. `id` must be (castable to) an integral id. */
+  private def norm(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).cast("long").as("doc_id"), col(text).cast("string").as("text"))
+
+  /** Exact dedup: one row per distinct content, lowest id as keeper. */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
+    norm(df, id, text)
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id")
+
+  /** Word-3-gram Jaccard near-dup pairs at `threshold` (q28 semantics). */
+  def nearDupPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.5): DataFrame =
+    TextDedup.jaccardPairsOf(norm(df, id, text), threshold)
+      .orderBy("id_a", "id_b")
+
+  /** [[nearDupPairs]] with the hot-shingle document-frequency cap — the
+    * guard that keeps the candidate join feasible on corpora with
+    * boilerplate n-grams (q41 semantics). */
+  def cappedNearDupPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.5, dfCap: Long = 100L): DataFrame =
+    TextDedup.cappedJaccardPairsOf(norm(df, id, text), threshold, dfCap)
+      .orderBy("id_a", "id_b")
+
+  /** Near-dup connected components: every document labeled with its
+    * cluster (min reachable id) + member count (q40 semantics). */
+  def dedupClusters(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.5): DataFrame = {
+    val d = norm(df, id, text)
+    val labels = TextDedup.propagateLabels(
+      TextDedup.jaccardPairsOf(d, threshold).select(col("id_a"), col("id_b")))
+    val all = d.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    all.withColumn("n_members", count(lit(1)).over(w)).orderBy("doc_id")
+  }
+
+  /** One keeper per dedup cluster: the member maximizing `quality`
+    * (a Column over `df`'s row; ties to the lowest id — q43 semantics). */
+  def keepBestPerCluster(df: DataFrame, id: String, text: String,
+      quality: Column, threshold: Double = 0.5): DataFrame = {
+    val q = df.select(col(id).cast("long").as("doc_id"), quality.as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    dedupClusters(df, id, text, threshold).join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
+  /** Benchmark decontamination (q49 semantics): per corpus document, how
+    * many of its 3-grams appear anywhere in `bench` (the eval set). The
+    * eval side's distinct shingles broadcast — bounded by the eval set's
+    * size, independent of corpus scale. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String): DataFrame = {
+    val nc = norm(corpus, id, text)
+    val benchSh = TextDedup.hashedShingleRowsOf(norm(bench, id, text))
+      .select(col("sh")).distinct()
+    val overlaps = TextDedup.hashedShingleRowsOf(nc)
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    TextDedup.shingleSetsOf(nc)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental ingest dedup (q48 semantics): verdict per batch document
+    * against the corpus only — `exact_dup` (content hash match, lowest
+    * corpus id), `near_dup` (MinHash band candidate verified by exact
+    * Jaccard >= threshold; best partner by (jaccard desc, id asc)), else
+    * `new`. The corpus contributes precomputed signatures via equi-join;
+    * cost is batch-proportional. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, id: String,
+      text: String, threshold: Double = 0.5): DataFrame = {
+    val nb = norm(batch, id, text)
+    val nc = norm(corpus, id, text)
+    val exact = nb.select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(nc.select(col("doc_id"), md5(col("text")).as("ch"))
+        .groupBy("ch").agg(min("doc_id").as("exact_partner")), Seq("ch"), "left")
+      .select(col("doc_id"), col("exact_partner"))
+    val cand = TextDedup.bandRowsOf(nb).as("x")
+      .join(TextDedup.bandRowsOf(nc).as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
+      .distinct()
+    val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    val j = interC.cast("double") /
+      ((size(col("ts_a")) + size(col("ts_b"))).cast("long") - interC).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("j").desc, col("partner_id").asc)
+    val best = cand
+      .join(TextDedup.shingleSetsOf(nb).select(col("doc_id"), col("ts").as("ts_a")), "doc_id")
+      .join(TextDedup.shingleSetsOf(nc).select(col("doc_id").as("partner_id"),
+        col("ts").as("ts_b")), "partner_id")
+      .withColumn("j", j).filter(col("j") >= threshold)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner_id").as("near_partner"), col("j"))
+    nb.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_partner").isNotNull, lit("exact_dup"))
+          .when(col("near_partner").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_partner"), col("near_partner")).as("partner_id"),
+        when(col("exact_partner").isNotNull, lit(1.0))
+          .otherwise(round(col("j"), 6)).as("jaccard"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The generic column-parameterized operators must produce EXACTLY what
+  * the oracle-checked queries produce on the same data — this is what
+  * lets TextOps inherit the DuckDB-verified semantics. Inputs are fed
+  * with RENAMED columns to prove real genericity. */
+class TextOpsSpec extends SparkSpec {
+
+  /** documents with renamed columns, as an arbitrary user frame. */
+  private def renamed: DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("nearDupPairs == q28 on the documents table") {
+    assert(rows(TextOps.nearDupPairs(renamed, "id", "body")) ==
+      rows(TextDedup.q28JaccardPairs(spark, sfDir)))
+  }
+
+  test("cappedNearDupPairs == q41 on the documents table") {
+    assert(rows(TextOps.cappedNearDupPairs(renamed, "id", "body", 0.5, 100L)) ==
+      rows(TextDedup.q41JaccardCapped(spark, sfDir)))
+  }
+
+  test("dedupClusters == q40 on the documents table") {
+    assert(rows(TextOps.dedupClusters(renamed, "id", "body")) ==
+      rows(TextDedup.q40DedupClusters(spark, sfDir)))
+  }
+
+  test("exactDedup == q27 keepers and copy counts") {
+    val got = TextOps.exactDedup(renamed, "id", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = TextDedup.q27ExactDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).toSeq
+    assert(got == want)
+  }
+
+  test("incrementalDedup == q48 on the hash-mod split") {
+    val bucket = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val batch = renamed.filter(bucket < 100)
+    val corpus = renamed.filter(bucket >= 100)
+    assert(rows(TextOps.incrementalDedup(batch, corpus, "id", "body")) ==
+      rows(TextDedup.q48IncrementalDedup(spark, sfDir)))
+  }
+
+  test("decontaminate == q49 on the modulo split") {
+    val corpus = renamed.filter(col("id") % 97 =!= 0)
+    val bench = renamed.filter(col("id") % 97 === 0)
+    assert(rows(TextOps.decontaminate(corpus, bench, "id", "body")) ==
+      rows(TextDedup.q49Decontamination(spark, sfDir)))
+  }
+
+  test("keepBestPerCluster picks the max-quality member per cluster") {
+    val kept = TextOps.keepBestPerCluster(renamed, "id", "body",
+      length(col("body")).cast("double")).collect()
+    val clusters = TextOps.dedupClusters(renamed, "id", "body").collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    val lengths = renamed.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("body").length.toDouble).toMap
+    assert(kept.length == clusters.size)
+    kept.foreach { k =>
+      val members = clusters(k.getAs[Long]("cluster_id")).map(_.getAs[Long]("doc_id"))
+      assert(k.getAs[Double]("best_quality") == members.map(lengths).max)
+      assert(k.getAs[Long]("n_members") == members.length)
+    }
+  }
+}
