@@ -1,23 +1,24 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
-  * array<float>, label). Three operators: brute-force cosine top-k (the
-  * correctness baseline), all-pairs near-dup ranking, and a random-
-  * hyperplane-LSH bucketed variant (the 100 TB path: candidates come from
-  * an equi-join on signature bands, then only candidates pay the exact
-  * cosine).
+  * array<float>, label) — the ORACLE-CHECKED bindings of the generic
+  * [[VectorOps]] library to the driver's test table. One implementation
+  * lives in [[VectorOps]] (column-parameterized, usable over any
+  * (id, vec) frame); these queries bind it to `embeddings` and the DuckDB
+  * twins below pin its semantics cross-engine.
   *
-  * Determinism contract: each float coordinate is quantized ONCE —
-  * widened to double (exact) and `round(x*1e6)` to a BIGINT. Because a
-  * float has a 24-bit mantissa and 1e6 = 2^6·5^6, x*1e6 is EXACT in
-  * double, so Spark and DuckDB round identical values and every
-  * downstream dot/norm is pure integer arithmetic (order-independent,
-  * overflow-free: |xfp| ≤ 5e5, 64-dim dot ≤ 1.6e13). The final cosine is
-  * a fixed sequence of IEEE double ops from those exact integers.
+  * Determinism contract (implemented in [[VectorOps.index]]): each float
+  * coordinate is quantized ONCE — widened to double (exact) and
+  * `round(x*1e6)` to a BIGINT. Because a float has a 24-bit mantissa and
+  * 1e6 = 2^6·5^6, x*1e6 is EXACT in double, so Spark and DuckDB round
+  * identical values and every downstream dot/norm is pure integer
+  * arithmetic (order-independent, overflow-free: |xfp| ≤ 5e5, 64-dim dot
+  * ≤ 1.6e13). The final cosine is a fixed sequence of IEEE double ops
+  * from those exact integers.
   *
   * The integer dot itself is [[graft.functions.ArrayIntDot]] — a custom
   * codegen'd Catalyst expression (HOF lambdas measured ~7.6 µs per 64-dim
@@ -26,28 +27,16 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  private val SCALE = 1e6
-
-  /** Quantized copy of the embedding: array<long> of round(x*1e6). */
-  private def efp(c: Column): Column =
-    transform(c, x => round(x.cast("double") * SCALE).cast("long"))
-
-  /** Quantized embeddings + precomputed self-dot norms — cached: every
-    * similarity query (q32/q33/q34/q37/q45) starts here, so a session
-    * quantizes and norms the corpus once (plan-identity matching keeps
-    * each query standalone; at 100 TB this is the materialized
-    * vector-index table a serving deployment would persist). */
+  /** The shared cached vector index — every similarity query
+    * (q32/q33/q34/q37/q45) starts here, so a session quantizes and norms
+    * the corpus once (plan-identity matching keeps each query standalone;
+    * at 100 TB this is the materialized vector-index table a serving
+    * deployment would persist). */
   private def emb(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), efp(col("embedding")).as("efp"))
-      .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp")))
-      .cache()
+    VectorOps.index(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      carry = Seq("label"))
   }
-
-  /** cos = dot / (sqrt(na)*sqrt(nb)) — the 1e12 scales cancel. */
-  private def cosOf(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Oracle twins: quantized-list CTE + integer list dot (DuckDB). */
   private val oEfpCte =
@@ -68,15 +57,8 @@ object Similarity {
     * variant (q34) is measured against. */
   def q32KnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("efp").as("qefp"), col("nrm").as("qnrm"))
-    e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
-          col("nrm"), col("qnrm")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+    VectorOps.knnBruteIndexed(e.filter(col("vec_id") =!= 0),
+      e.filter(col("vec_id") === 0), k = 10, carry = Seq("label"))
   }
 
   val oracleQ32: String = {
@@ -96,23 +78,9 @@ object Similarity {
 
   /** Top-20 most-similar embedding pairs within label blocks. The corpus
     * has no planted embedding dups (max cos ≈ 0.51), so this ranks rather
-    * than thresholds. Pairs are only formed inside a block (10 blocks) —
-    * the bucketed-join pattern; at 100 TB this exact shape runs within
-    * LSH/IVF buckets (q34 builds those buckets). Norms are precomputed per
-    * vector BEFORE the join, so each pair pays one integer dot. */
-  def q33NearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val a = e.select(col("label").as("blk"), col("vec_id").as("id_a"),
-      col("efp").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("label").as("blk"), col("vec_id").as("id_b"),
-      col("efp").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .select(col("blk").as("label"), col("id_a"), col("id_b"),
-        round(cosOf(GraftFunctions.intDot(col("ea"), col("eb")),
-          col("na"), col("nb")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
-      .limit(20)
-  }
+    * than thresholds ([[VectorOps.blockedPairs]] semantics). */
+  def q33NearDupPairs(s: SparkSession, dir: String): DataFrame =
+    VectorOps.blockedPairsIndexed(emb(s, dir), block = "label", topN = 20)
 
   val oracleQ33: String = {
     val dot = oDot("a.efp", "b.efp")
@@ -132,60 +100,16 @@ object Similarity {
   private val DIMS = 64
   private val NIBBLES = 4 // 4 bands of 4 sign bits
 
-  /** Hyperplane weights ±1 derived from md5(p + "_" + i) — a deterministic
-    * pseudo-random source both engines reproduce exactly. Computed
-    * driver-side here (java MessageDigest md5 == Spark/DuckDB md5) and
-    * embedded as LITERAL arrays, so signature computation is a single
-    * codegen'd projection instead of an explode + broadcast join + two
-    * groupBys (measured ~4 fewer stages; in local mode each stage
-    * round-trip costs ~0.2s, and at cluster scale each is a shuffle). */
-  private lazy val planeWeights: IndexedSeq[Array[Long]] =
-    (0 until PLANES).map { p =>
-      Array.tabulate(DIMS) { i =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-        val hex = d.digest(s"${p}_$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (("0123456789abcdef".indexOf(hex.charAt(0))) % 2 == 0) 1L else -1L
-      }
-    }
-
-  /** ANN via random-hyperplane LSH: 16 sign bits per vector (sign of the
-    * quantized projection onto each pseudo-random ±1 hyperplane, an
-    * ArrayIntDot against the literal weight vectors), banded into 4
-    * nibbles; candidates share >= 1 nibble with the query vector's
-    * signature; only candidates pay the exact cosine; output the top-10.
-    * Scale: signatures are a pure map over the scan — no shuffle; the
-    * candidate set is an equi-join on (band, nibble) — per-bucket work
-    * replaces the full scan of q32. */
+  /** ANN via random-hyperplane LSH ([[VectorOps.knnLsh]] semantics):
+    * 16 sign bits per vector, banded into 4 nibbles; candidates share
+    * >= 1 nibble with the query vector's signature; only candidates pay
+    * the exact cosine; output the top-10. */
   def q34KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val bits = (0 until PLANES).map { p =>
-      val w = typedLit(planeWeights(p).toSeq)
-      when(GraftFunctions.intDot(col("efp"), w) > 0, 1).otherwise(0).as(s"bit$p")
-    }
-    val sig = e.select(col("vec_id") +: bits: _*)
-    val nib = (0 until NIBBLES).map { k =>
-      (0 until 4).map(j => col(s"bit${4 * k + j}") * lit(1 << j)).reduce(_ + _).as(s"nib$k")
-    }
-    val sigN = sig.select(col("vec_id") +: nib: _*)
-    val bands = sigN.select(col("vec_id"),
-      explode(array((0 until NIBBLES).map(k =>
-        struct(lit(k).as("k"), col(s"nib$k").as("v"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.k").as("k"), col("e.v").as("v"))
-    val qBands = bands.filter(col("vec_id") === 0)
-      .select(col("k"), col("v"))
-    val candIds = bands.filter(col("vec_id") =!= 0)
-      .join(broadcast(qBands), Seq("k", "v"))
-      .select(col("vec_id")).distinct()
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("efp").as("qefp"), col("nrm").as("qnrm"))
-    e.join(candIds, Seq("vec_id"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
-          col("nrm"), col("qnrm")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+    VectorOps.knnLshIndexed(e.filter(col("vec_id") =!= 0),
+      e.filter(col("vec_id") === 0), k = 10,
+      planes = PLANES, bands = NIBBLES, dims = DIMS, carry = Seq("label"))
+      .drop("query_id", "rank")
   }
 
   val oracleQ34: String = {
@@ -230,44 +154,17 @@ object Similarity {
 
   private val NPROBE = 2
 
-  /** ANN via IVF: labels act as the inverted-file cell assignment (the
-    * k-means step of a real IVF build — deterministic here so the oracle
-    * can replay it), centroids are computed IN-QUERY as exact per-cell
-    * integer sums, the query probes its NPROBE nearest centroids by
-    * cosine, and only vectors in probed cells pay the exact re-rank.
-    *
-    * Centroid cosine needs no division: cos(q, mean(cell)) =
-    * Σq·s / (√Σs² · √Σq²) — the 1/count factors cancel, so everything
-    * stays in exact BIGINT sums (order-independent, oracle-identical).
-    * Scale: centroid pass is one groupBy over (cell, dim); the probe is a
-    * driver-size top-NPROBE; the re-rank scans only probed cells —
-    * the IVF contract that replaces q32's full scan. */
+  /** ANN via IVF ([[VectorOps.knnIvf]] semantics): labels act as the
+    * inverted-file cell assignment (the k-means step of a real IVF build —
+    * deterministic here so the oracle can replay it), centroids are exact
+    * per-cell integer sums, the query probes its NPROBE nearest centroids
+    * by cosine, and only vectors in probed cells pay the exact re-rank. */
   def q37KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val ex = e.select(col("vec_id"), col("label"), posexplode(col("efp")).as(Seq("i", "x")))
-    val qex = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
-    // per-cell per-dim exact sums (query vector excluded from cells to
-    // keep it from matching itself)
-    val cells = ex.filter(col("vec_id") =!= 0)
-      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
-    // centroid scores: Σ q_i·s_i and Σ s_i² per cell
-    val probe = cells.join(broadcast(qex), Seq("i"))
-      .groupBy(col("label"))
-      .agg(sum(col("qx") * col("sx")).as("dotq"), sum(col("sx") * col("sx")).as("cnorm"))
-      .select(col("label"),
-        (col("dotq").cast("double") / sqrt(col("cnorm").cast("double"))).as("cscore"))
-      .orderBy(col("cscore").desc, col("label"))
-      .limit(NPROBE)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("efp").as("qefp"), col("nrm").as("qnrm"))
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe.select(col("label"))), Seq("label"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
-          col("nrm"), col("qnrm")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+    VectorOps.knnIvfIndexed(e.filter(col("vec_id") =!= 0),
+      e.filter(col("vec_id") === 0), cell = "label", k = 10,
+      nprobe = NPROBE, carry = Seq("label"))
+      .drop("query_id", "rank")
   }
 
   val oracleQ37: String = {
@@ -294,33 +191,21 @@ object Similarity {
   }
 
   // =====================================================================
-  // =====================================================================
   // q45: batch multi-query KNN (the serving shape)
   // =====================================================================
 
   /** Top-5 neighbors for a BATCH of query vectors (vec_id < 5) in one
-    * pass: the query batch broadcasts once, a single corpus scan computes
-    * every (row, query) dot, and a per-query window keeps the top-k.
-    * This is the shape a retrieval/serving job actually runs — q32's
-    * single-query scan does not amortize; here the scan cost is shared
-    * across the whole batch (at 100 TB: thousands of queries per scan,
-    * the batch still broadcast-sized). Ties break on vec_id —
-    * deterministic. */
+    * pass ([[VectorOps.knnBatch]] semantics): the query batch broadcasts
+    * once, a single corpus scan computes every (row, query) dot, and a
+    * per-query window keeps the top-k. This is the shape a
+    * retrieval/serving job actually runs — q32's single-query scan does
+    * not amortize; here the scan cost is shared across the whole batch
+    * (at 100 TB: thousands of queries per scan, the batch still
+    * broadcast-sized). Ties break on vec_id — deterministic. */
   def q45KnnBatch(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("efp").as("qefp"), col("nrm").as("qnrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.filter(col("vec_id") >= 5)
-      .crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id"), col("label"),
-        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
-          col("nrm"), col("qnrm")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .orderBy("query_id", "rank")
+    VectorOps.knnBatchIndexed(e.filter(col("vec_id") >= 5),
+      e.filter(col("vec_id") < 5), k = 5, carry = Seq("label"))
   }
 
   val oracleQ45: String = {

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Column-parameterized LIBRARY forms of the vector-similarity operators,
+  * for use over ANY (id, vec: array&lt;float&gt;) DataFrame — the
+  * oracle-checked q32/q33/q34/q37/q45 queries ([[Similarity]]) are these
+  * same pipelines bound to the driver's `embeddings` table, so the generic
+  * surface inherits the DuckDB-verified semantics (`VectorOpsSpec` pins
+  * bit-exact equivalence on renamed columns).
+  *
+  * Two layers, like a real vector store:
+  *   - [[index]] quantizes + norms once and caches — the materialized
+  *     vector index a serving deployment persists. At 100 TB this is the
+  *     table you write to parquet and scan per query batch.
+  *   - `*Indexed` operators consume indexed frames (so one shared index
+  *     serves many queries); same-named raw-frame overloads compose
+  *     `index` + the operator for one-shot use.
+  *
+  * Determinism contract (shared with [[Similarity]], proven by its
+  * oracles): each float coordinate is quantized ONCE — widened to double
+  * (exact) and `round(x*1e6)` to BIGINT (exact in double for a 24-bit
+  * float mantissa), so every downstream dot/norm is pure integer
+  * arithmetic via the codegen'd [[graft.functions.ArrayIntDot]].
+  *
+  * Scale shapes (the reason each operator exists):
+  *   - [[knnBrute]]: single scan + broadcast query + TakeOrderedAndProject
+  *     — the exact baseline.
+  *   - [[knnBatch]]: one corpus scan amortized over a broadcast query
+  *     BATCH + per-query window top-k — the serving shape.
+  *   - [[knnLsh]]: random-hyperplane signatures (pure map), candidates
+  *     from a band equi-join, exact re-rank on candidates only.
+  *   - [[knnIvf]]: per-cell exact integer centroids, nprobe cells probed,
+  *     re-rank scans only probed cells.
+  *   - [[blockedPairs]]: all-pairs restricted to a block column — the
+  *     bucketed-join pattern LSH/IVF feed at scale.
+  */
+object VectorOps {
+
+  private val SCALE = 1e6
+
+  /** Quantized copy of the embedding: array<long> of round(x*1e6). */
+  private def efpCol(c: Column): Column =
+    transform(c, x => round(x.cast("double") * SCALE).cast("long"))
+
+  /** cos = dot / (sqrt(na)*sqrt(nb)) — the 1e12 scales cancel. */
+  private def cosOf(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Normalize any (id, vec) frame to the internal indexed contract:
+    * (vec_id: long, carry..., efp: array<long>, nrm: long), cached.
+    * Repeated calls with the same input share the cache entry by
+    * plan identity. `carry` columns ride along into operator output
+    * (must not collide with vec_id/efp/nrm/cos/rank/query_id). */
+  def index(df: DataFrame, id: String, vec: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(id).cast("long").as("vec_id") +: carry.map(col) :+
+        efpCol(col(vec)).as("efp"): _*)
+      .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp")))
+      .cache()
+  }
+
+  // =====================================================================
+  // Brute-force exact KNN — single query (q32 semantics)
+  // =====================================================================
+
+  /** Top-k of `corpus` by cosine against the single row of `query`.
+    * Plan: broadcast the query, one codegen'd integer dot per corpus row,
+    * distributed top-k (TakeOrderedAndProject) — no corpus shuffle. */
+  def knnBruteIndexed(corpus: DataFrame, query: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val q = query.select(col("efp").as("qefp"), col("nrm").as("qnrm"))
+    corpus.crossJoin(broadcast(q))
+      .select(col("vec_id") +: carry.map(col) :+
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"): _*)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def knnBrute(corpus: DataFrame, query: DataFrame, id: String, vec: String,
+      k: Int, carry: Seq[String] = Nil): DataFrame =
+    knnBruteIndexed(index(corpus, id, vec, carry), index(query, id, vec), k, carry)
+
+  // =====================================================================
+  // Batch exact KNN — the serving shape (q45 semantics)
+  // =====================================================================
+
+  /** Top-k per query for a BATCH of queries in ONE corpus scan: the batch
+    * broadcasts once, each corpus row scores against every query, a
+    * per-query window keeps the top-k. Output: (query_id, vec_id,
+    * carry..., cos, rank) ordered by (query_id, rank); ties break on
+    * vec_id — deterministic. */
+  def knnBatchIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(q))
+      .select(Seq(col("query_id"), col("vec_id")) ++ carry.map(col) :+
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def knnBatch(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, carry: Seq[String] = Nil): DataFrame =
+    knnBatchIndexed(index(corpus, id, vec, carry), index(queries, id, vec), k, carry)
+
+  // =====================================================================
+  // Random-hyperplane LSH ANN (q34 semantics, multi-query)
+  // =====================================================================
+
+  /** Hyperplane weights ±1 derived from md5(p + "_" + i) — a deterministic
+    * pseudo-random source both engines reproduce exactly (see
+    * [[Similarity]] q34's oracle). Computed driver-side and embedded as
+    * LITERAL arrays so signature computation is a single codegen'd
+    * projection — no explode/join/groupBy stages. */
+  private def planeWeights(planes: Int, dims: Int): IndexedSeq[Array[Long]] =
+    (0 until planes).map { p =>
+      Array.tabulate(dims) { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        val hex = d.digest(s"${p}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (("0123456789abcdef".indexOf(hex.charAt(0))) % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** ANN via random-hyperplane LSH: `planes` sign bits per vector (sign of
+    * the quantized projection onto each pseudo-random ±1 hyperplane),
+    * banded into `bands` groups of planes/bands bits; candidates share
+    * >= 1 band value with a query; only candidates pay the exact cosine.
+    * Output: (query_id, vec_id, carry..., cos, rank), top-k per query.
+    * Scale: signatures are a pure map over the scan — no shuffle; the
+    * candidate set is an equi-join on (band, value); the window runs over
+    * candidates only (small by construction). */
+  def knnLshIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(planes % bands == 0, s"bands=$bands must divide planes=$planes")
+    val bitsPer = planes / bands
+    val pw = planeWeights(planes, dims)
+
+    def bandsOf(idx: DataFrame): DataFrame = {
+      val bits = (0 until planes).map { p =>
+        val w = typedLit(pw(p).toSeq)
+        when(GraftFunctions.intDot(col("efp"), w) > 0, 1).otherwise(0).as(s"bit$p")
+      }
+      val sig = idx.select(col("vec_id") +: bits: _*)
+      val nib = (0 until bands).map { b =>
+        (0 until bitsPer).map(j => col(s"bit${bitsPer * b + j}") * lit(1 << j))
+          .reduce(_ + _).as(s"nib$b")
+      }
+      sig.select(col("vec_id") +: nib: _*)
+        .select(col("vec_id"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("k"), col(s"nib$b").as("v"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.k").as("k"), col("e.v").as("v"))
+    }
+
+    val qBands = bandsOf(queries)
+      .select(col("vec_id").as("query_id"), col("k"), col("v"))
+    val cand = bandsOf(corpus).join(broadcast(qBands), Seq("k", "v"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(cand, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ carry.map(col) :+
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def knnLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      carry: Seq[String] = Nil): DataFrame =
+    knnLshIndexed(index(corpus, id, vec, carry), index(queries, id, vec),
+      k, planes, bands, dims, carry)
+
+  // =====================================================================
+  // IVF ANN — coarse cells + probed re-rank (q37 semantics, multi-query)
+  // =====================================================================
+
+  /** ANN via IVF: `cell` is the inverted-file cell assignment (the k-means
+    * step of a real IVF build, supplied by the caller so it stays
+    * deterministic), centroids are computed IN-QUERY as exact per-cell
+    * integer sums, each query probes its `nprobe` nearest centroids by
+    * cosine, and only vectors in probed cells pay the exact re-rank.
+    *
+    * Centroid cosine needs no division: cos(q, mean(cell)) =
+    * Σq·s / (√Σs² · √Σq²) — the 1/count factors cancel, so everything
+    * stays in exact BIGINT sums. Output: (query_id, vec_id, carry...,
+    * cos, rank), top-k per query.
+    * Scale: centroid pass is one groupBy over (cell, dim); the probe is a
+    * per-query top-nprobe window over |cells| rows; the re-rank scans only
+    * probed cells — the IVF contract that replaces the full scan. */
+  def knnIvfIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
+      k: Int, nprobe: Int = 2, carry: Seq[String] = Nil): DataFrame = {
+    val cex = corpus.select(col(cell).as("cell"),
+      posexplode(col("efp")).as(Seq("i", "x")))
+    val cells = cex.groupBy(col("cell"), col("i")).agg(sum(col("x")).as("sx"))
+    val qex = queries.select(col("vec_id").as("query_id"),
+      posexplode(col("efp")).as(Seq("i", "qx")))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probe = cells.join(broadcast(qex), Seq("i"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(sum(col("qx") * col("sx")).as("dotq"),
+        sum(col("sx") * col("sx")).as("cnorm"))
+      .select(col("query_id"), col("cell"),
+        (col("dotq").cast("double") / sqrt(col("cnorm").cast("double"))).as("cscore"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell").as(cell))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(probe), Seq(cell))
+      .join(broadcast(q), Seq("query_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ carry.map(col) :+
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def knnIvf(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      cell: String, k: Int, nprobe: Int = 2,
+      carry: Seq[String] = Nil): DataFrame =
+    knnIvfIndexed(index(corpus, id, vec, (carry :+ cell).distinct),
+      index(queries, id, vec), cell, k, nprobe, carry)
+
+  // =====================================================================
+  // Blocked all-pairs near-dup ranking (q33 semantics)
+  // =====================================================================
+
+  /** Top-n most-similar pairs WITHIN each `block` value, ranked globally
+    * by cosine. Pairs are only formed inside a block — the bucketed-join
+    * pattern; at 100 TB this exact shape runs within LSH/IVF buckets.
+    * Norms are precomputed per vector BEFORE the join, so each pair pays
+    * one integer dot. Output: (block, id_a, id_b, cos). */
+  def blockedPairsIndexed(idx: DataFrame, block: String, topN: Int): DataFrame = {
+    val a = idx.select(col(block).as("blk"), col("vec_id").as("id_a"),
+      col("efp").as("ea"), col("nrm").as("na"))
+    val b = idx.select(col(block).as("blk"), col("vec_id").as("id_b"),
+      col("efp").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("blk").as(block), col("id_a"), col("id_b"),
+        round(cosOf(GraftFunctions.intDot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
+  def blockedPairs(df: DataFrame, id: String, vec: String, block: String,
+      topN: Int): DataFrame =
+    blockedPairsIndexed(index(df, id, vec, Seq(block)), block, topN)
+}

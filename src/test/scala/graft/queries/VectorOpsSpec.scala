@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The generic column-parameterized vector operators must produce EXACTLY
+  * what the oracle-checked queries produce on the same data — this is
+  * what lets VectorOps inherit the DuckDB-verified semantics. Inputs are
+  * fed with RENAMED columns to prove real genericity. */
+class VectorOpsSpec extends SparkSpec {
+
+  /** embeddings with renamed columns, as an arbitrary user frame. */
+  private def renamed: DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("v"),
+        col("label").as("tag"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("knnBrute == q32 on renamed columns") {
+    val got = VectorOps.knnBrute(renamed.filter(col("vid") =!= 0),
+      renamed.filter(col("vid") === 0), "vid", "v", 10, Seq("tag"))
+      .withColumnRenamed("tag", "label")
+    assert(rows(got) == rows(Similarity.q32KnnBrute(spark, sfDir)))
+  }
+
+  test("knnBatch == q45 on renamed columns") {
+    val got = VectorOps.knnBatch(renamed.filter(col("vid") >= 5),
+      renamed.filter(col("vid") < 5), "vid", "v", 5, Seq("tag"))
+      .withColumnRenamed("tag", "label")
+    assert(rows(got) == rows(Similarity.q45KnnBatch(spark, sfDir)))
+  }
+
+  test("knnLsh == q34 on renamed columns") {
+    val got = VectorOps.knnLsh(renamed.filter(col("vid") =!= 0),
+      renamed.filter(col("vid") === 0), "vid", "v", 10, carry = Seq("tag"))
+      .drop("query_id", "rank").withColumnRenamed("tag", "label")
+    assert(rows(got) == rows(Similarity.q34KnnLsh(spark, sfDir)))
+  }
+
+  test("knnIvf == q37 on renamed columns") {
+    val got = VectorOps.knnIvf(renamed.filter(col("vid") =!= 0),
+      renamed.filter(col("vid") === 0), "vid", "v", cell = "tag", k = 10,
+      nprobe = 2, carry = Seq("tag"))
+      .drop("query_id", "rank").withColumnRenamed("tag", "label")
+    assert(rows(got) == rows(Similarity.q37KnnIvf(spark, sfDir)))
+  }
+
+  test("blockedPairs == q33 on renamed columns") {
+    val got = VectorOps.blockedPairs(renamed, "vid", "v", "tag", 20)
+      .withColumnRenamed("tag", "label")
+    assert(rows(got) == rows(Similarity.q33NearDupPairs(spark, sfDir)))
+  }
+
+  test("knnBatch per-query slice == single-query knnBrute (window/limit parity)") {
+    val corpus = renamed.filter(col("vid") >= 5)
+    val batch = VectorOps.knnBatch(corpus, renamed.filter(col("vid") < 5),
+      "vid", "v", 5, Seq("tag"))
+    for (qid <- Seq(0L, 3L)) {
+      val single = VectorOps.knnBrute(corpus,
+        renamed.filter(col("vid") === qid), "vid", "v", 5, Seq("tag"))
+      assert(rows(batch.filter(col("query_id") === qid).drop("query_id", "rank")) ==
+        rows(single))
+    }
+  }
+
+  test("knnLsh multi-query returns an independent top-k per query") {
+    val corpus = renamed.filter(col("vid") >= 5)
+    val multi = VectorOps.knnLsh(corpus, renamed.filter(col("vid") < 2),
+      "vid", "v", 5, carry = Seq("tag"))
+    for (qid <- Seq(0L, 1L)) {
+      val single = VectorOps.knnLsh(corpus,
+        renamed.filter(col("vid") === qid), "vid", "v", 5, carry = Seq("tag"))
+      assert(rows(multi.filter(col("query_id") === qid)) ==
+        rows(single.filter(col("query_id") === qid)))
+    }
+  }
+
+  test("knnIvf multi-query probes cells and ranks per query") {
+    val corpus = renamed.filter(col("vid") >= 5)
+    val multi = VectorOps.knnIvf(corpus, renamed.filter(col("vid") < 2),
+      "vid", "v", cell = "tag", k = 5, nprobe = 2)
+    for (qid <- Seq(0L, 1L)) {
+      val single = VectorOps.knnIvf(corpus,
+        renamed.filter(col("vid") === qid), "vid", "v", cell = "tag",
+        k = 5, nprobe = 2)
+      assert(rows(multi.filter(col("query_id") === qid)) ==
+        rows(single.filter(col("query_id") === qid)))
+    }
+  }
+}
