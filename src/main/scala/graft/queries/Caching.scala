@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-configurable persistence for the shared derivation caches.
+  *
+  * The dedup/vector pipelines hang many queries off a few expensive cached
+  * nodes (shingle sets, band signatures, the quantized vector index). In
+  * local/test mode the default `MEMORY_AND_DISK` is right; at 100 TB those
+  * nodes outgrow executor memory and a deployment wants
+  * `persist(DISK_ONLY)` (or a materialized table). Rather than hard-coding
+  * either, each family reads a session conf at cache time:
+  *
+  *   - `spark.graft.dedup.storageLevel`  — [[TextDedup]]'s shared caches
+  *   - `spark.graft.vector.storageLevel` — [[VectorOps.index]]
+  *
+  * Values are [[StorageLevel.fromString]] names (`MEMORY_AND_DISK`,
+  * `DISK_ONLY`, `MEMORY_ONLY`, ...). The level applies when a plan is
+  * FIRST cached in a session; later identical plans share the existing
+  * entry (Spark cache semantics).
+  */
+private[queries] object Caching {
+
+  def cached(df: DataFrame, confKey: String): DataFrame = {
+    val lvl = df.sparkSession.conf.get(confKey, "MEMORY_AND_DISK")
+    df.persist(StorageLevel.fromString(lvl))
+  }
+
+  /** Lineage cut for driver-side fixpoint loops: `localCheckpoint` by
+    * default (blocks on executors — fine single-JVM, lossy under executor
+    * failure); when `spark.graft.dedup.checkpointDir` is set, a RELIABLE
+    * `checkpoint()` into that directory — the cluster-scale option (HDFS/
+    * object-store backed, survives executor loss). The conf is read per
+    * call, so a session can opt in before running the clustering queries. */
+  def cutLineage(df: DataFrame, eager: Boolean): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.dedup.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+  }
+}

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** All shared dedup caches go through the session-configurable storage
+    * level (`spark.graft.dedup.storageLevel`, default MEMORY_AND_DISK) —
+    * see [[Caching]]. */
+  private implicit class DedupCache(private val df: DataFrame) {
+    def dedupCached: DataFrame = Caching.cached(df, "spark.graft.dedup.storageLevel")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -58,9 +65,9 @@ object TextDedup {
   // once and every later query in the family starts from the in-memory
   // relation (Spark's cache matches by canonicalized plan identity, so
   // each query still works standalone — the first one to run pays the
-  // materialization). At 100 TB the same nodes would be persist(DISK_ONLY)
-  // or a materialized table rather than memory cache; the plan shape
-  // above them is unchanged.
+  // materialization). At 100 TB these nodes outgrow memory: set
+  // `spark.graft.dedup.storageLevel=DISK_ONLY` (see [[Caching]]) — or
+  // materialize them as tables; the plan shape above them is unchanged.
   // ---------------------------------------------------------------------
 
   /** (doc_id, ts = distinct 3-gram shingles) — cached array form; also the
@@ -68,7 +75,7 @@ object TextDedup {
     * (doc_id, text) frame — [[TextOps]] builds its generic operators on
     * them; the (s, dir) forms bind them to the driver's documents table. */
   private[queries] def shingleSetsOf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), shingles3(toks).as("ts")).cache()
+    d.select(col("doc_id"), shingles3(toks).as("ts")).dedupCached
 
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     shingleSetsOf(docs(s, dir))
@@ -90,7 +97,7 @@ object TextDedup {
     * through a shuffle (collision caveat on q28). */
   private[queries] def hashedShingleRowsOf(d: DataFrame): DataFrame =
     shingleRowsOf(d)
-      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).dedupCached
 
   private def hashedShingleRows(s: SparkSession, dir: String): DataFrame =
     hashedShingleRowsOf(docs(s, dir))
@@ -258,7 +265,7 @@ object TextDedup {
     inter.filter(j >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
         round(j, 6).as("jaccard"))
-      .cache()
+      .dedupCached
   }
 
   private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame =
@@ -330,7 +337,7 @@ object TextDedup {
         col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}"))), 1, 16)
         .as(s"band$b")
     }
-    mh.select(col("doc_id") +: bands: _*).cache()
+    mh.select(col("doc_id") +: bands: _*).dedupCached
   }
 
   private def bandDf(s: SparkSession, dir: String): DataFrame =
@@ -389,7 +396,7 @@ object TextDedup {
         struct(lit(b).as("b"),
           xxhash64(lit(b), col(s"band$b")).as("h"))): _*)).as("e"))
       .select(col("doc_id"), col("e.b").as("b"), col("e.h").as("h"))
-      .cache()
+      .dedupCached
 
   private def bandRows(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(docs(s, dir))
@@ -513,7 +520,7 @@ object TextDedup {
     // cached: both sides of the chunk-pair self-join consume it — without
     // this the whole shingle+aggregate pipeline runs twice (measured 2x)
     val sh = sums.select(col("doc_id"),
-      half(0 until 4).as("sim_lo"), half(4 until 8).as("sim_hi")).cache()
+      half(0 until 4).as("sim_lo"), half(4 until 8).as("sim_hi")).dedupCached
     def byteOf(c: Int): Column =
       shiftright(col(if (c < 4) "sim_lo" else "sim_hi"), 8 * (c % 4))
         .bitwiseAND(lit(255L))
@@ -595,12 +602,14 @@ object TextDedup {
     * takes the min cluster label among itself and its neighbors; converges
     * in O(component diameter) rounds. This is the standard distributed
     * connected-components shape: each round is one join + one groupBy
-    * (both shuffle on doc_id), `localCheckpoint` cuts the growing lineage
-    * so round N's plan does not replay rounds 1..N-1. At 100 TB: same
-    * loop with reliable `checkpoint()` instead, or the large-star/
-    * small-star variant when diameters are large; near-dup components are
-    * shallow (dup groups, not social graphs), so the simple loop is the
-    * right tool.
+    * (both shuffle on doc_id), and a lineage cut per round keeps round
+    * N's plan from replaying rounds 1..N-1. The cut is `localCheckpoint`
+    * by default; set `spark.graft.dedup.checkpointDir` to switch to a
+    * RELIABLE `checkpoint()` (see [[Caching.cutLineage]]) — the cluster-
+    * scale option, since localCheckpoint blocks die with their executor.
+    * For graphs with large diameters use the large-star/small-star
+    * variant; near-dup components are shallow (dup groups, not social
+    * graphs), so the simple loop is the right tool.
     *
     * The DuckDB oracle computes the same fixpoint declaratively with a
     * recursive CTE (min reachable id per node).
@@ -621,7 +630,7 @@ object TextDedup {
   /** Converged cluster labels (doc_id, cluster_id) — memoized; see
     * [[clusterMemo]]. */
   private def dedupClusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.getOrElseUpdate((s, dir), computeClusterLabels(s, dir).cache())
+    clusterMemo.getOrElseUpdate((s, dir), computeClusterLabels(s, dir).dedupCached)
 
   def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val all = dedupClusterLabels(s, dir)
@@ -647,7 +656,7 @@ object TextDedup {
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
-      .cache()
+      .dedupCached
     // iterate ONLY over nodes that have at least one edge: a singleton's
     // label can never change (no neighbors), so it joins the result at
     // the end with its own id. At corpus scale this shrinks every round
@@ -655,7 +664,7 @@ object TextDedup {
     // smaller (here: ~50 of 5000 docs).
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .transform(Caching.cutLineage(_, eager = true))
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
@@ -676,7 +685,7 @@ object TextDedup {
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"),
           max(when(col("self"), col("cluster_id"))).as("prev"))
-        .localCheckpoint(false)
+        .transform(Caching.cutLineage(_, eager = false))
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
@@ -758,7 +767,7 @@ object TextDedup {
     val exDf = hashedShingleRowsOf(d)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .cache()
+      .dedupCached
     val cold = exDf.filter(col("df") <= dfCap).select("doc_id", "n", "sh")
     // per-doc hot-shingle arrays: rows exist ONLY for docs touching a hot
     // shingle. Each ARRAY is tiny (the few shingles with df > cap), but the

@@ -51,17 +51,20 @@ object VectorOps {
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Normalize any (id, vec) frame to the internal indexed contract:
-    * (vec_id: long, carry..., efp: array<long>, nrm: long), cached.
+    * (vec_id: long, carry..., efp: array<long>, nrm: long), cached at
+    * the `spark.graft.vector.storageLevel` level (default MEMORY_AND_DISK;
+    * DISK_ONLY for indexes that outgrow memory — see [[Caching]]).
     * Repeated calls with the same input share the cache entry by
     * plan identity. `carry` columns ride along into operator output
     * (must not collide with vec_id/efp/nrm/cos/rank/query_id). */
   def index(df: DataFrame, id: String, vec: String,
       carry: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(col(id).cast("long").as("vec_id") +: carry.map(col) :+
-        efpCol(col(vec)).as("efp"): _*)
-      .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp")))
-      .cache()
+    Caching.cached(
+      df.select(col(id).cast("long").as("vec_id") +: carry.map(col) :+
+          efpCol(col(vec)).as("efp"): _*)
+        .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp"))),
+      "spark.graft.vector.storageLevel")
   }
 
   // =====================================================================

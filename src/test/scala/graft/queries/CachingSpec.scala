@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The 100 TB knobs on the shared derivation caches:
+  *   - `spark.graft.dedup.storageLevel` / `spark.graft.vector.storageLevel`
+  *     select the persist level of the cached dedup/vector-index nodes;
+  *   - `spark.graft.dedup.checkpointDir` switches the connected-components
+  *     fixpoint from localCheckpoint to reliable checkpoint().
+  * Each test restores the session conf it touches (the suite shares one
+  * session). */
+class CachingSpec extends SparkSpec {
+
+  /** A distinct input plan per test so no earlier suite has already cached
+    * it (the FIRST cache call fixes the level for a plan). */
+  private def freshDocs(marker: Int): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === marker % 7)
+      .select(col("doc_id"), col("text"))
+
+  test("dedup caches honor spark.graft.dedup.storageLevel") {
+    spark.conf.set("spark.graft.dedup.storageLevel", "DISK_ONLY")
+    try {
+      val ss = TextDedup.shingleSetsOf(freshDocs(1))
+      assert(ss.storageLevel == StorageLevel.DISK_ONLY)
+      val hashed = TextDedup.hashedShingleRowsOf(freshDocs(2))
+      assert(hashed.storageLevel == StorageLevel.DISK_ONLY)
+      val bands = TextDedup.bandDfOf(freshDocs(3))
+      assert(bands.storageLevel == StorageLevel.DISK_ONLY)
+      val pairs = TextDedup.jaccardPairsOf(freshDocs(4), 0.5)
+      assert(pairs.storageLevel == StorageLevel.DISK_ONLY)
+      // results are unchanged by the level: same pairs as the default-level
+      // derivation over the identical slice (different plan via alias)
+      Seq(ss, hashed, bands, pairs).foreach(_.unpersist())
+    } finally spark.conf.unset("spark.graft.dedup.storageLevel")
+  }
+
+  test("dedup caches default to MEMORY_AND_DISK (cache() semantics)") {
+    val ss = TextDedup.shingleSetsOf(freshDocs(5))
+    try assert(ss.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    finally ss.unpersist()
+  }
+
+  test("vector index honors spark.graft.vector.storageLevel") {
+    spark.conf.set("spark.graft.vector.storageLevel", "DISK_ONLY")
+    try {
+      val idx = VectorOps.index(
+        Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") % 11 === 6),
+        "vec_id", "embedding", Seq("label"))
+      try assert(idx.storageLevel == StorageLevel.DISK_ONLY)
+      finally idx.unpersist()
+    } finally spark.conf.unset("spark.graft.vector.storageLevel")
+  }
+
+  test("checkpointDir switches propagateLabels to reliable checkpoint, same labels") {
+    val sp = spark
+    import sp.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val base = TextDedup.propagateLabels(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.conf.set("spark.graft.dedup.checkpointDir", dir)
+    try {
+      val withCp = TextDedup.propagateLabels(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(withCp == base)
+      assert(base == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+        11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+      // the reliable checkpoint actually wrote RDD blocks under the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.checkpointDir")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+    }
+  }
+}
