@@ -180,6 +180,43 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming INCREMENTAL dedup — the ingest-pipeline shape of batch q48:
+    * each micro-batch of incoming documents is deduplicated AGAINST THE
+    * EXISTING CORPUS (not just within-stream like [[dedupStream]]), via
+    * [[graft.queries.TextOps.incrementalDedup]] inside foreachBatch — the
+    * exact oracle-checked batch operator, so streaming verdicts match q48
+    * bit-for-bit on the same slices (pinned by `EventStreamSpec`).
+    *
+    * Per epoch: the batch's content hashes probe the corpus min-id-per-hash
+    * map (exact layer), its MinHash band rows probe the corpus band index
+    * (near layer), survivors verified by true Jaccard. The corpus-side
+    * signatures/bands are CACHED derivations with plan identity stable
+    * across epochs — the first micro-batch materializes the corpus index,
+    * every later one equi-joins against it; per-epoch cost is
+    * batch-proportional, the q48 scale contract. (Batch-side derivations
+    * are also cached per epoch; a long-lived deployment should point
+    * `spark.graft.dedup.storageLevel` at DISK_ONLY and periodically clear
+    * the session cache, or materialize the corpus index as a table.)
+    *
+    * `sink` receives the verdict frame (doc_id, verdict, partner_id,
+    * jaccard) and the epoch id — exactly-once per epoch under AvailableNow
+    * with a checkpoint, the standard foreachBatch contract. */
+  def runIncrementalDedup(docStream: DataFrame, corpus: DataFrame,
+      id: String, text: String, checkpoint: String, threshold: Double = 0.5)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(graft.queries.TextOps.incrementalDedup(
+          batch, corpus, id, text, threshold), epochId)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Production-shaped sink: partitioned parquet via foreachBatch (gives
     * exactly-once per epoch plus the ability to run arbitrary batch logic
     * — the standard pattern for parquet/warehouse sinks). */

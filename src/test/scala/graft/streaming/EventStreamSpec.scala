@@ -116,6 +116,42 @@ class EventStreamSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
   }
 
+  test("streaming incremental dedup emits exactly q48's verdicts on the same slices") {
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    // q48's deterministic hash-mod split: <100 = incoming, >=100 = corpus
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val corpus = docs.filter(bucket >= 100).select("doc_id", "text")
+    // land the incoming slice as several files and stream them one per
+    // trigger, so the parity below covers genuine multi-epoch increments
+    val inDir = Files.createTempDirectory("ingest_docs").toString
+    docs.filter(bucket < 100).select("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, String, Option[Any], Option[Any])]
+    val epochs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckpt = Files.createTempDirectory("ckpt_incr").toString
+    EventStream.runIncrementalDedup(stream, corpus, "doc_id", "text", ckpt) {
+      (verdicts, _) =>
+        got.synchronized { got ++= verdicts.collect().map(key) }
+        epochs.incrementAndGet()
+        ()
+    }
+    assert(epochs.get() >= 2, "expected multiple micro-batches")
+    val want = graft.queries.TextDedup.q48IncrementalDedup(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1))
+  }
+
   test("foreachBatch parquet sink writes closed windows") {
     val checkpoint = Files.createTempDirectory("ckpt2").toString
     val out = Files.createTempDirectory("stream_out").toString + "/agg"
