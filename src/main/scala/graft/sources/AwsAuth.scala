@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.time.{Duration, Instant, LocalDateTime, OffsetDateTime, ZoneOffset}
+import scala.util.Try
+
+/** AWS credential utilities — the Spark-native twin of the reference's
+  * shared auth module (de_polars/auth.py).
+  *
+  * Two capabilities, re-expressed for a Spark deployment:
+  *
+  *  - [[checkCredentialExpiration]] (auth.py:9-46): classify a temporary
+  *    credential's expiration timestamp into expired / expiring-soon /
+  *    info / valid, with the reference's exact thresholds (0 s, 300 s,
+  *    900 s) and its lenient ISO-8601 parsing (`Z` suffix, explicit
+  *    offset, or naive-assumed-UTC). The clock is INJECTED (`now`) per the
+  *    repo's determinism contract — the reference reads the wall clock
+  *    inline, which makes its behavior untestable at a boundary.
+  *
+  *  - [[storageOptions]] (auth.py:103-165): the credential material →
+  *    data-access-options mapping. The reference emits polars/fsspec
+  *    `storage_options` keys; a Spark engine's equivalent surface is the
+  *    Hadoop `fs.s3a.*` configuration consumed by the S3A connector, so
+  *    this returns those keys (public Hadoop configuration names) ready
+  *    for `sparkContext.hadoopConfiguration` or a per-bucket override.
+  *    Role assumption maps to S3A's AssumedRoleCredentialProvider rather
+  *    than an inline STS call — the connector refreshes the session
+  *    itself, which is the correct long-job behavior (the reference's
+  *    one-shot STS token silently dies mid-job at 100 TB scan times).
+  */
+object AwsAuth {
+
+  /** Reference thresholds (auth.py:33-42). */
+  val WarnSeconds = 300L
+  val InfoSeconds = 900L
+
+  sealed trait ExpiryStatus {
+    /** The reference's printed warning text, or None when silent. */
+    def message: Option[String]
+  }
+
+  /** No expiration supplied — permanent credentials (auth.py:11-12). */
+  case object NoExpiration extends ExpiryStatus { val message = None }
+
+  final case class Expired(at: OffsetDateTime) extends ExpiryStatus {
+    val message = Some(s"WARNING: AWS credentials expired at $at. " +
+      "You may encounter authentication errors. Please refresh your credentials.")
+  }
+
+  final case class ExpiringSoon(minutesLeft: Long, at: OffsetDateTime) extends ExpiryStatus {
+    val message = Some(s"WARNING: AWS credentials expire in $minutesLeft minutes at $at. " +
+      "Consider refreshing your credentials soon.")
+  }
+
+  final case class ExpiringInfo(minutesLeft: Long, at: OffsetDateTime) extends ExpiryStatus {
+    val message = Some(s"INFO: AWS credentials expire in $minutesLeft minutes at $at.")
+  }
+
+  final case class Valid(at: OffsetDateTime) extends ExpiryStatus { val message = None }
+
+  /** Unparseable input degrades to a warning, never an exception
+    * (auth.py:44-46). */
+  final case class Unparseable(raw: String, error: String) extends ExpiryStatus {
+    val message = Some(s"Warning: Could not parse expiration timestamp '$raw': $error. " +
+      "Expected format: ISO 8601 (e.g., '2025-01-15T10:30:00Z')")
+  }
+
+  /** Lenient ISO-8601 parse (auth.py:19-27): `Z` → +00:00; naive
+    * timestamps assume UTC. */
+  private[sources] def parseExpiration(s: String): Try[OffsetDateTime] = Try {
+    val normalized = s.trim.replace("Z", "+00:00")
+    Try(OffsetDateTime.parse(normalized))
+      .getOrElse(LocalDateTime.parse(normalized).atOffset(ZoneOffset.UTC))
+  }
+
+  /** Classify `expiration` against `now` with the reference's thresholds
+    * (auth.py:9-46). */
+  def checkCredentialExpiration(expiration: Option[String], now: Instant): ExpiryStatus =
+    expiration.filter(_.nonEmpty) match {
+      case None => NoExpiration
+      case Some(raw) =>
+        parseExpiration(raw).fold(
+          e => Unparseable(raw, e.getMessage),
+          at => {
+            val left = Duration.between(now, at.toInstant).getSeconds
+            if (left <= 0) Expired(at)
+            else if (left <= WarnSeconds) ExpiringSoon(left / 60, at)
+            else if (left <= InfoSeconds) ExpiringInfo(left / 60, at)
+            else Valid(at)
+          })
+    }
+
+  /** Credential material, mirroring the reference's parameter surface
+    * (auth.py:49-56 / client.py:34-41). */
+  final case class Credentials(
+      region: Option[String] = None,
+      accessKeyId: Option[String] = None,
+      secretAccessKey: Option[String] = None,
+      sessionToken: Option[String] = None,
+      profile: Option[String] = None,
+      roleArn: Option[String] = None,
+      externalId: Option[String] = None,
+      expiration: Option[String] = None)
+
+  /** Hadoop S3A configuration for the supplied credentials — the Spark
+    * twin of auth.py:103-165's polars `storage_options`. Precedence
+    * mirrors the reference: explicit keys win; else role assumption; else
+    * profile; else the default provider chain (by emitting nothing and
+    * letting S3A's own chain resolve — auth.py:146-163's boto3 fallback). */
+  def storageOptions(c: Credentials): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    c.region.foreach(r => b += "fs.s3a.endpoint.region" -> r)
+    (c.accessKeyId, c.secretAccessKey) match {
+      case (Some(ak), Some(sk)) =>
+        b += "fs.s3a.access.key" -> ak
+        b += "fs.s3a.secret.key" -> sk
+        c.sessionToken.foreach { t =>
+          b += "fs.s3a.session.token" -> t
+          b += "fs.s3a.aws.credentials.provider" ->
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        }
+      case _ if c.roleArn.isDefined =>
+        // S3A assumes + auto-renews the role (vs the reference's one-shot
+        // sts.assume_role token, auth.py:124-143)
+        b += "fs.s3a.aws.credentials.provider" ->
+          "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+        c.roleArn.foreach(a => b += "fs.s3a.assumed.role.arn" -> a)
+        c.externalId.foreach(e => b += "fs.s3a.assumed.role.external.id" -> e)
+        b += "fs.s3a.assumed.role.session.name" -> "graft-session"
+      case _ if c.profile.isDefined =>
+        // profile resolution happens in the AWS SDK's ProfileCredentialsProvider
+        // (v2 SDK class name — what Hadoop 3.4's S3A, bundled with Spark 4,
+        // loads)
+        b += "fs.s3a.aws.credentials.provider" ->
+          "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider"
+      case _ => // default chain: emit nothing (auth.py:99-100)
+    }
+    b.result()
+  }
+
+  /** Apply [[storageOptions]] onto a Hadoop configuration (the
+    * `sparkContext.hadoopConfiguration` / per-session path). */
+  def applyStorageOptions(conf: org.apache.hadoop.conf.Configuration,
+      c: Credentials): org.apache.hadoop.conf.Configuration = {
+    storageOptions(c).foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+}
