@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-family scale stress: times q28/q30/q31/q40/q41/q48 on the sf0.1
+  * documents (1×) and on a deterministically REPLICATED corpus (~10×,
+  * `SPARK_GRAFT_REPS`), printing one JSON line with both series — the
+  * empirical check that the banded/bucketed plans grow near-linearly
+  * rather than quadratically.
+  *
+  * Replication preserves the dup structure instead of inflating it:
+  * replica k re-ids every document (`doc_id + k·1e6`) and SALTS every
+  * token with `_k` (k>0), so shingles never collide across replicas —
+  * each replica reproduces the same internal near-dup graph and the
+  * corpus-wide dup RATE stays constant as the corpus grows (the realistic
+  * scaling). Naive replication (identical text) would instead make every
+  * document a 10-way exact dup and grow candidate pairs ×R² by
+  * construction — measuring that would stress a different corpus, not the
+  * algorithms. Per-document token/shingle counts are unchanged, so 10×
+  * rows means 10× shingle volume exactly.
+  *
+  * q40 completing at 10× also certifies the fixpoint round count stays
+  * bounded: component diameters are replica-invariant (each replica's
+  * graph is isomorphic to the 1× graph), and `propagateLabels` throws
+  * rather than returning unconverged labels.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleStress [baseSfDir] [outDir]"
+  */
+object ScaleStress {
+
+  val Queries: Seq[String] = Seq("q28_jaccard_pairs", "q30_lsh_pairs",
+    "q31_simhash_pairs", "q40_dedup_clusters", "q41_jaccard_capped",
+    "q48_incremental_dedup")
+
+  /** Build the salted replicated corpus under `outDir` (idempotent). */
+  def buildReplicated(spark: SparkSession, baseDir: String, outDir: String,
+      reps: Int): Unit = {
+    val target = new java.io.File(s"$outDir/documents.parquet")
+    if (target.exists()) return
+    val d = spark.read.parquet(s"$baseDir/documents.parquet")
+    val replicas = (0 until reps).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))), " ")
+      d.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    replicas.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildReplicated(spark, baseDir, outDir, reps)
+
+    // codegen warm-up at the smallest SF (plan shapes identical across
+    // dirs), so timed runs measure data processing, not janino
+    val warmDir = "/root/testdata/sf0.001"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      Queries.foreach(q => try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case _: Throwable => () })
+    spark.catalog.clearCache()
+
+    def timeSuite(dir: String): Seq[(String, Double, Long)] = {
+      val r = Queries.map { q =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(q)(spark, dir).count()
+          catch { case e: Throwable => System.err.println(s"$q: $e"); -1L }
+        (q, (System.nanoTime() - t0) / 1e9, n)
+      }
+      spark.catalog.clearCache() // dirs must not share cache memory
+      r
+    }
+
+    val base = timeSuite(baseDir)
+    val big = timeSuite(outDir)
+    def js(rs: Seq[(String, Double, Long)]) = rs
+      .map { case (q, t, n) => s"""\"$q\":{\"sec\":$t,\"rows\":$n}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_stress","reps":$reps,"base":${js(base)},"replicated":${js(big)}}""")
+    spark.stop()
+  }
+}
