@@ -61,8 +61,19 @@ final class DataExportsSpark(
   credentialStatus.message.foreach(m => Console.err.println(s"[graft] $m"))
 
   // credential material reaches the S3A connector exactly once, at
-  // construction — the reference threads storage_options through every read
-  AwsAuth.applyStorageOptions(spark.sparkContext.hadoopConfiguration, credentials)
+  // construction — the reference threads storage_options through every
+  // read. Scoped to this client's bucket via per-bucket override keys
+  // (fs.s3a.bucket.<bucket>.*), so concurrent clients with different
+  // credentials on one shared session don't clobber each other; only a
+  // bucket-less client (purely local) falls back to the global keys.
+  locally {
+    val opts = s3Bucket match {
+      case Some(b) => AwsAuth.storageOptionsForBucket(credentials, b)
+      case None => AwsAuth.storageOptions(credentials)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    opts.foreach { case (k, v) => conf.set(k, v) }
+  }
 
   /** The modular engine underneath (client.py:68). */
   val engine: GraftFinOpsEngine = GraftFinOpsEngine(config, spark)

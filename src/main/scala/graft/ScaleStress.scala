@@ -34,10 +34,16 @@ object ScaleStress {
     "q31_simhash_pairs", "q40_dedup_clusters", "q41_jaccard_capped",
     "q48_incremental_dedup")
 
-  /** Build the salted replicated corpus under `outDir` (idempotent). */
+  /** The replicated corpus lives under a reps-encoded directory
+    * (`<outDir>/x<reps>`), so a rerun with a different `SPARK_GRAFT_REPS`
+    * never silently reuses a stale corpus built for another factor. */
+  def replicatedDir(outDir: String, reps: Int): String = s"$outDir/x$reps"
+
+  /** Build the salted replicated corpus under [[replicatedDir]]
+    * (idempotent per reps value). */
   def buildReplicated(spark: SparkSession, baseDir: String, outDir: String,
       reps: Int): Unit = {
-    val target = new java.io.File(s"$outDir/documents.parquet")
+    val target = new java.io.File(s"${replicatedDir(outDir, reps)}/documents.parquet")
     if (target.exists()) return
     val d = spark.read.parquet(s"$baseDir/documents.parquet")
     val replicas = (0 until reps).map { k =>
@@ -50,7 +56,8 @@ object ScaleStress {
     }
     replicas.reduce(_.unionAll(_))
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      .write.mode("overwrite")
+      .parquet(s"${replicatedDir(outDir, reps)}/documents.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,7 +97,7 @@ object ScaleStress {
     }
 
     val base = timeSuite(baseDir)
-    val big = timeSuite(outDir)
+    val big = timeSuite(replicatedDir(outDir, reps))
     def js(rs: Seq[(String, Double, Long)]) = rs
       .map { case (q, t, n) => s"""\"$q\":{\"sec\":$t,\"rows\":$n}""" }
       .mkString("{", ",", "}")

@@ -38,7 +38,20 @@ private[queries] object Caching {
     s.conf.getOption("spark.graft.dedup.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = s.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // honor the conf even when some earlier code already set a
+        // DIFFERENT context checkpoint dir — silently checkpointing into
+        // the stale location would ignore the operator's explicit choice.
+        // (setCheckpointDir creates a fresh unique subdir; already-written
+        // checkpoints under the old dir stay valid.)
+        // getCheckpointDir returns the scheme-qualified per-context subdir
+        // (file:/<dir>/<uuid>), so compare on the scheme-stripped prefix
+        def norm(p: String) = p.stripPrefix("file:")
+        val current = sc.getCheckpointDir
+        if (!current.exists(c => norm(c).startsWith(norm(dir)))) {
+          current.foreach(old => Console.err.println(
+            s"[graft] resetting checkpoint dir $old -> $dir (spark.graft.dedup.checkpointDir)"))
+          sc.setCheckpointDir(dir)
+        }
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }

@@ -401,6 +401,18 @@ object TextDedup {
   private def bandRows(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(docs(s, dir))
 
+  /** Drop every shared cached derivation of frame `d` (band rows, band
+    * signatures, hashed shingle rows, shingle sets). Rebuilding each plan
+    * re-registers it first (persist is idempotent and lazy), so derivations
+    * that were never cached unpersist as clean no-ops; `cascade = false`
+    * semantics (Dataset.unpersist) leave caches built ON TOP of these
+    * intact. The streaming incremental-dedup loop calls this per epoch so
+    * a long-lived stream's per-batch derivations don't accumulate — only
+    * the corpus-side index (a different plan) stays cached across epochs. */
+  private[graft] def unpersistDerivationsOf(d: DataFrame): Unit =
+    Seq(bandRowsOf(d), bandDfOf(d), hashedShingleRowsOf(d), shingleSetsOf(d))
+      .foreach(_.unpersist(false))
+
   def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandRows(s, dir)
     // one row per matching band per pair => count = agreeing bands

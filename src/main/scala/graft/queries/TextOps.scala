@@ -139,4 +139,15 @@ object TextOps {
           .otherwise(round(col("j"), 6)).as("jaccard"))
       .orderBy("doc_id")
   }
+
+  /** Release the shared cached derivations (shingle sets, band signatures,
+    * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
+    * side's derivations under that batch's plan identity; a long-lived
+    * streaming loop processes a fresh plan per epoch, so without cleanup
+    * the entries accumulate unboundedly.
+    * [[graft.streaming.EventStream.runIncrementalDedup]] calls this at the
+    * end of every epoch — the corpus-side index (a different plan) stays
+    * cached across epochs. */
+  def unpersistDedupCaches(df: DataFrame, id: String, text: String): Unit =
+    TextDedup.unpersistDerivationsOf(norm(df, id, text))
 }

@@ -105,14 +105,18 @@ object AwsAuth {
     * twin of auth.py:103-165's polars `storage_options`. Precedence
     * mirrors the reference: explicit keys win; else role assumption; else
     * profile; else the default provider chain (by emitting nothing and
-    * letting S3A's own chain resolve — auth.py:146-163's boto3 fallback). */
+    * letting S3A's own chain resolve — auth.py:146-163's boto3 fallback).
+    * A PARTIALLY-specified static pair is emitted as-is, exactly like the
+    * reference (auth.py:117-122 sets whichever of the two keys exist) —
+    * S3A then fails fast on the incomplete pair instead of this layer
+    * silently falling through to a different credential source. */
   def storageOptions(c: Credentials): Map[String, String] = {
     val b = Map.newBuilder[String, String]
     c.region.foreach(r => b += "fs.s3a.endpoint.region" -> r)
     (c.accessKeyId, c.secretAccessKey) match {
-      case (Some(ak), Some(sk)) =>
-        b += "fs.s3a.access.key" -> ak
-        b += "fs.s3a.secret.key" -> sk
+      case (ak, sk) if ak.isDefined || sk.isDefined =>
+        ak.foreach(v => b += "fs.s3a.access.key" -> v)
+        sk.foreach(v => b += "fs.s3a.secret.key" -> v)
         c.sessionToken.foreach { t =>
           b += "fs.s3a.session.token" -> t
           b += "fs.s3a.aws.credentials.provider" ->
@@ -144,4 +148,15 @@ object AwsAuth {
     storageOptions(c).foreach { case (k, v) => conf.set(k, v) }
     conf
   }
+
+  /** [[storageOptions]] rewritten to S3A's PER-BUCKET override keys
+    * (`fs.s3a.bucket.<bucket>.*`) — scoped credential material, so two
+    * clients on one session with different buckets/credentials don't
+    * clobber each other through the shared `sparkContext
+    * .hadoopConfiguration` (S3A resolves the per-bucket key first and
+    * falls back to the global `fs.s3a.*` one). */
+  def storageOptionsForBucket(c: Credentials, bucket: String): Map[String, String] =
+    storageOptions(c).map { case (k, v) =>
+      s"fs.s3a.bucket.$bucket.${k.stripPrefix("fs.s3a.")}" -> v
+    }
 }

@@ -193,10 +193,12 @@ object EventStream {
     * signatures/bands are CACHED derivations with plan identity stable
     * across epochs — the first micro-batch materializes the corpus index,
     * every later one equi-joins against it; per-epoch cost is
-    * batch-proportional, the q48 scale contract. (Batch-side derivations
-    * are also cached per epoch; a long-lived deployment should point
-    * `spark.graft.dedup.storageLevel` at DISK_ONLY and periodically clear
-    * the session cache, or materialize the corpus index as a table.)
+    * batch-proportional, the q48 scale contract. The BATCH side's cached
+    * derivations are released at the end of every epoch
+    * ([[graft.queries.TextOps.unpersistDedupCaches]]) — each epoch is a
+    * fresh plan, so without the per-epoch unpersist a long-lived stream
+    * would accumulate cache entries unboundedly; only the corpus index
+    * stays cached across epochs.
     *
     * `sink` receives the verdict frame (doc_id, verdict, partner_id,
     * jaccard) and the epoch id — exactly-once per epoch under AvailableNow
@@ -209,8 +211,9 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        sink(graft.queries.TextOps.incrementalDedup(
+        try sink(graft.queries.TextOps.incrementalDedup(
           batch, corpus, id, text, threshold), epochId)
+        finally graft.queries.TextOps.unpersistDedupCaches(batch, id, text)
       }
       .start()
     q.awaitTermination()

@@ -75,18 +75,31 @@ class DataExportsSparkSpec extends SparkSpec {
     assert(c.credentialStatus.isInstanceOf[AwsAuth.ExpiringSoon])
   }
 
-  test("credential material lands in the session Hadoop configuration") {
-    DataExportsSpark(s3Bucket = Some("b"), s3DataPrefix = Some("p"),
-      dataExportType = "CUR2.0", tableName = "CUR_CREDS",
+  test("credential material lands per-bucket: concurrent clients don't clobber") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    DataExportsSpark(s3Bucket = Some("bucket-a"), s3DataPrefix = Some("p"),
+      dataExportType = "CUR2.0", tableName = "CUR_CREDS_A",
       localDataPath = Some(root),
       credentials = AwsAuth.Credentials(
-        accessKeyId = Some("AKID-TEST"), secretAccessKey = Some("SECRET-TEST")),
+        accessKeyId = Some("AKID-A"), secretAccessKey = Some("SECRET-A")),
+      spark = spark)
+    DataExportsSpark(s3Bucket = Some("bucket-b"), s3DataPrefix = Some("p"),
+      dataExportType = "CUR2.0", tableName = "CUR_CREDS_B",
+      localDataPath = Some(root),
+      credentials = AwsAuth.Credentials(
+        accessKeyId = Some("AKID-B"), secretAccessKey = Some("SECRET-B")),
       spark = spark)
     try {
-      assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.access.key") == "AKID-TEST")
+      // each client's material is scoped to ITS bucket; the global key
+      // stays untouched, so neither client sees the other's credentials
+      assert(conf.get("fs.s3a.bucket.bucket-a.access.key") == "AKID-A")
+      assert(conf.get("fs.s3a.bucket.bucket-b.access.key") == "AKID-B")
+      assert(conf.get("fs.s3a.access.key") == null)
     } finally {
-      spark.sparkContext.hadoopConfiguration.unset("fs.s3a.access.key")
-      spark.sparkContext.hadoopConfiguration.unset("fs.s3a.secret.key")
+      Seq("a", "b").foreach { s =>
+        conf.unset(s"fs.s3a.bucket.bucket-$s.access.key")
+        conf.unset(s"fs.s3a.bucket.bucket-$s.secret.key")
+      }
     }
   }
 

@@ -80,4 +80,25 @@ class CachingSpec extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
     }
   }
+
+  test("conf checkpointDir wins over a pre-set different context dir") {
+    val sp = spark
+    import sp.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val stale = java.nio.file.Files.createTempDirectory("graft_stale_ckpt_").toString
+    val want = java.nio.file.Files.createTempDirectory("graft_conf_ckpt_").toString
+    spark.sparkContext.setCheckpointDir(stale)
+    spark.conf.set("spark.graft.dedup.checkpointDir", want)
+    try {
+      TextDedup.propagateLabels(pairs).collect()
+      // the reliable checkpoint landed under the CONF dir, not the stale one
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(want))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"checkpoint ignored spark.graft.dedup.checkpointDir=$want")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.checkpointDir")
+      Seq(stale, want).foreach(d =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    }
+  }
 }

@@ -100,4 +100,29 @@ class AwsAuthSpec extends AnyFunSuite {
       accessKeyId = Some("AKID"), secretAccessKey = Some("SECRET")))
     assert(conf.get("fs.s3a.access.key") == "AKID")
   }
+
+  test("a partial static pair is emitted as-is, not silently dropped (auth.py:117-122)") {
+    val lone = AwsAuth.storageOptions(AwsAuth.Credentials(
+      accessKeyId = Some("AKID"), profile = Some("should-not-win")))
+    assert(lone("fs.s3a.access.key") == "AKID")
+    assert(!lone.contains("fs.s3a.secret.key"))
+    // the incomplete pair takes the static branch — no fall-through to profile
+    assert(!lone.contains("fs.s3a.aws.credentials.provider"))
+    val loneSecret = AwsAuth.storageOptions(AwsAuth.Credentials(
+      secretAccessKey = Some("SECRET")))
+    assert(loneSecret("fs.s3a.secret.key") == "SECRET")
+    assert(!loneSecret.contains("fs.s3a.access.key"))
+  }
+
+  test("storageOptionsForBucket rewrites every key to the per-bucket namespace") {
+    val opts = AwsAuth.storageOptionsForBucket(AwsAuth.Credentials(
+      region = Some("us-east-1"), accessKeyId = Some("AKID"),
+      secretAccessKey = Some("SECRET"), sessionToken = Some("TOKEN")),
+      "my-bucket")
+    assert(opts("fs.s3a.bucket.my-bucket.access.key") == "AKID")
+    assert(opts("fs.s3a.bucket.my-bucket.session.token") == "TOKEN")
+    assert(opts("fs.s3a.bucket.my-bucket.endpoint.region") == "us-east-1")
+    // nothing escapes the bucket scope
+    assert(opts.keys.forall(_.startsWith("fs.s3a.bucket.my-bucket.")))
+  }
 }

@@ -140,6 +140,7 @@ class EventStreamSpec extends SparkSpec {
     val got = collection.mutable.ArrayBuffer.empty[(Long, String, Option[Any], Option[Any])]
     val epochs = new java.util.concurrent.atomic.AtomicInteger(0)
     val ckpt = Files.createTempDirectory("ckpt_incr").toString
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     EventStream.runIncrementalDedup(stream, corpus, "doc_id", "text", ckpt) {
       (verdicts, _) =>
         got.synchronized { got ++= verdicts.collect().map(key) }
@@ -147,6 +148,12 @@ class EventStreamSpec extends SparkSpec {
         ()
     }
     assert(epochs.get() >= 2, "expected multiple micro-batches")
+    // per-epoch batch-side derivations are unpersisted at epoch end: only
+    // the corpus-side index (<=3 cached nodes) may remain after the run —
+    // without the cleanup this grows by ~3 entries PER epoch
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 3,
+      s"batch-side cache entries leaked across epochs: $cachedBefore -> $cachedAfter")
     val want = graft.queries.TextDedup.q48IncrementalDedup(spark, sfDir)
       .collect().map(key).toSeq
     assert(got.sortBy(_._1).toSeq == want.sortBy(_._1))
