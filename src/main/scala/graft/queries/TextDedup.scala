@@ -1170,6 +1170,138 @@ object TextDedup {
        |WHERE s.doc_id % 97 <> 0 ORDER BY s.doc_id""".stripMargin
 
   // =====================================================================
+  // q50: composite quality filter (the Gopher/C4 rule family as a verdict)
+  // =====================================================================
+
+  /** Rule-based quality FILTER: the q24/q44 signals composed into
+    * per-rule pass flags and a keep/drop verdict — the shape a training
+    * pipeline actually consumes (FILTER the corpus, not just score it;
+    * the rule set follows the published Gopher/C4 heuristics: token
+    * count bounds, mean word length bounds, minimum distinct stopwords,
+    * max-token-share cap, duplicate-3-gram cap).
+    *
+    * Determinism: every signal is exact integer arithmetic or a single
+    * IEEE division evaluated identically in both engines; thresholds
+    * compare the UNROUNDED values; `round(..., 6)` exactly once for the
+    * reported columns. Flags are BIGINT 0/1 (portable hashing).
+    * Scale: pure per-row projection — zero shuffle; at 100 TB this is a
+    * map over the scan, the cheapest possible plan. */
+  private[queries] def qualityFilterOf(d: DataFrame): DataFrame = {
+    val nTok = size(toks).cast("long")
+    // exact sum of token lengths (a fold, not the n_chars shortcut — the
+    // generic form cannot assume single-space separation is lossless)
+    val sumWl = expr(
+      "CAST(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t)) AS BIGINT)")
+    val meanWl = sumWl.cast("double") / nTok.cast("double")
+    val stops = array(Seq("the", "a", "of", "to", "and", "in").map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(toks), stops)).cast("long")
+    val maxTf = expr(
+      "aggregate(array_distinct(split(text, ' ')), 0L, " +
+        "(acc, t) -> greatest(acc, size(filter(split(text, ' '), x -> x = t))))")
+      .cast("long")
+    val maxShare = maxTf.cast("double") / nTok.cast("double")
+    val total3 = greatest(nTok - 2, lit(0L))
+    val dupRatio = when(total3 > 0,
+      (total3 - size(shingles3(toks)).cast("long")).cast("double") /
+        total3.cast("double")).otherwise(lit(0.0))
+    def flag(c: Column) = when(c, lit(1L)).otherwise(lit(0L))
+    val rLen = flag(nTok >= 20 && nTok <= 100000)
+    val rWl = flag(meanWl >= 3.0 && meanWl <= 10.0)
+    val rStop = flag(nStop >= 2)
+    val rRep = flag(maxShare <= 0.15)
+    val rDup = flag(dupRatio < 0.3)
+    val nFail = lit(5L) - (rLen + rWl + rStop + rRep + rDup)
+    d.select(
+      col("doc_id"), nTok.as("n_tokens"),
+      round(meanWl, 6).as("mean_word_len"), nStop.as("n_stop_distinct"),
+      round(maxShare, 6).as("max_token_share"),
+      round(dupRatio, 6).as("dup_3gram_ratio"),
+      rLen.as("r_len"), rWl.as("r_word_len"), rStop.as("r_stopwords"),
+      rRep.as("r_repetition"), rDup.as("r_dup_3gram"),
+      nFail.as("n_rules_failed"),
+      flag(nFail === 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def q50QualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(docs(s, dir))
+
+  val oracleQ50: String = {
+    val meanWl = "CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)/CAST(len(w) AS DOUBLE)"
+    val nStop = "CAST(len(list_intersect(list_distinct(w), ['the','a','of','to','and','in'])) AS BIGINT)"
+    val maxTf = "CAST(list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS BIGINT)"
+    val maxShare = s"CAST($maxTf AS DOUBLE)/CAST(len(w) AS DOUBLE)"
+    val dupRatio = s"CASE WHEN len(w) - 2 > 0 THEN CAST(greatest(len(w) - 2, 0) - len($oShingles3) AS DOUBLE)/CAST(greatest(len(w) - 2, 0) AS DOUBLE) ELSE 0.0 END"
+    s"""SELECT doc_id, n_tokens, mean_word_len, n_stop_distinct,
+       |  max_token_share, dup_3gram_ratio,
+       |  r_len, r_word_len, r_stopwords, r_repetition, r_dup_3gram,
+       |  n_rules_failed,
+       |  CAST(CASE WHEN n_rules_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (
+       |  SELECT doc_id, n_tokens, round(mwl, 6) AS mean_word_len,
+       |    n_stop_distinct, round(mshare, 6) AS max_token_share,
+       |    round(dup3, 6) AS dup_3gram_ratio,
+       |    r_len, r_word_len, r_stopwords, r_repetition, r_dup_3gram,
+       |    5 - (r_len + r_word_len + r_stopwords + r_repetition + r_dup_3gram)
+       |      AS n_rules_failed
+       |  FROM (
+       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |      $meanWl AS mwl, $nStop AS n_stop_distinct,
+       |      $maxShare AS mshare, $dupRatio AS dup3,
+       |      CAST(CASE WHEN len(w) >= 20 AND len(w) <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       |      CAST(CASE WHEN $meanWl >= 3.0 AND $meanWl <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_word_len,
+       |      CAST(CASE WHEN $nStop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+       |      CAST(CASE WHEN $maxShare <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS r_repetition,
+       |      CAST(CASE WHEN $dupRatio < 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_dup_3gram
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
+  // q51: deterministic weighted corpus mixing (training-mix construction)
+  // =====================================================================
+
+  /** Build a training MIX with exact per-stratum quotas: within each
+    * source, rank documents by `(md5(doc_id), doc_id)` — a deterministic
+    * pseudo-random order, a pure function of the stable id — and keep the
+    * first `quota` rows. Here even-numbered sources get quota 14 and odd
+    * ones 6 per slice (a 70/30 mix over equal-width strata).
+    *
+    * Two mixing shapes exist at scale: RATE-based (q42's hash-mod — zero
+    * shuffle, budget only approximate) and QUOTA-exact (this — one
+    * shuffle by stratum + per-stratum rank). Quota-exact is the shape for
+    * "exactly N docs of source X in the mix"; the rank window shuffles
+    * once on the stratum key and never materializes more than the
+    * per-partition top-k when Spark pushes the rank limit (AQE at 100 TB:
+    * strata are independent, so skew splits cleanly). */
+  private[queries] def weightedMixOf(d: DataFrame, strata: String,
+      quota: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), col(strata),
+        md5(col("doc_id").cast("string")).as("h"), quota.as("quota"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("doc_id"), col(strata), col("pick_rank"), col("quota"))
+      .orderBy("doc_id")
+  }
+
+  def q51CorpusMix(s: SparkSession, dir: String): DataFrame =
+    weightedMixOf(docs(s, dir), "source",
+      when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0, lit(14L))
+        .otherwise(lit(6L)))
+
+  val oracleQ51: String =
+    """SELECT doc_id, source, pick_rank, quota FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick_rank,
+      |    CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+      |      THEN 14 ELSE 6 END AS BIGINT) AS quota
+      |  FROM documents)
+      |WHERE pick_rank <= quota ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1186,6 +1318,8 @@ object TextDedup {
     "q44_repetition_stats" -> q44RepetitionStats _,
     "q48_incremental_dedup" -> q48IncrementalDedup _,
     "q49_decontamination" -> q49Decontamination _,
+    "q50_quality_filter" -> q50QualityFilter _,
+    "q51_corpus_mix" -> q51CorpusMix _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1204,5 +1338,7 @@ object TextDedup {
     "q44_repetition_stats" -> oracleQ44,
     "q48_incremental_dedup" -> oracleQ48,
     "q49_decontamination" -> oracleQ49,
+    "q50_quality_filter" -> oracleQ50,
+    "q51_corpus_mix" -> oracleQ51,
   )
 }

@@ -140,6 +140,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher/C4-style composite quality FILTER over any (id, text) frame:
+    * per-rule pass flags (token-count bounds, mean-word-length bounds,
+    * min distinct stopwords, max-token-share cap, duplicate-3-gram cap)
+    * plus a keep/drop verdict (q50 semantics). Zero-shuffle projection. */
+  def qualityFilter(df: DataFrame, id: String, text: String): DataFrame =
+    TextDedup.qualityFilterOf(norm(df, id, text))
+
+  /** Deterministic QUOTA-exact training-mix construction (q51 semantics):
+    * within each `strata` value, rank rows by (md5(id), id) and keep the
+    * first `quota` (a Column over the row, so quotas can vary per
+    * stratum). Rate-based mixing at unbounded scale wants hash-mod
+    * (zero shuffle) instead; this is the exact-budget shape. */
+  def weightedMix(df: DataFrame, id: String, strata: String,
+      quota: Column): DataFrame =
+    TextDedup.weightedMixOf(
+      df.select(col(id).cast("long").as("doc_id"), col(strata)), strata, quota)
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

@@ -57,6 +57,45 @@ class TextOpsSpec extends SparkSpec {
       rows(TextDedup.q49Decontamination(spark, sfDir)))
   }
 
+  test("qualityFilter == q50 on the documents table") {
+    assert(rows(TextOps.qualityFilter(renamed, "id", "body")) ==
+      rows(TextDedup.q50QualityFilter(spark, sfDir)))
+  }
+
+  test("qualityFilter verdict composes exactly its rule flags") {
+    val got = TextOps.qualityFilter(renamed, "id", "body").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val flags = Seq("r_len", "r_word_len", "r_stopwords", "r_repetition",
+        "r_dup_3gram").map(r.getAs[Long])
+      assert(r.getAs[Long]("n_rules_failed") == 5L - flags.sum)
+      assert(r.getAs[Long]("keep") == (if (flags.sum == 5L) 1L else 0L))
+    }
+    // the filter must actually split this corpus, else thresholds are dead
+    assert(got.exists(_.getAs[Long]("keep") == 1L))
+    assert(got.exists(_.getAs[Long]("keep") == 0L))
+  }
+
+  test("weightedMix == q51 on the documents table") {
+    val src = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("source"))
+    val quota = when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0,
+      lit(14L)).otherwise(lit(6L))
+    assert(rows(TextOps.weightedMix(src, "id", "source", quota)) ==
+      rows(TextDedup.q51CorpusMix(spark, sfDir)))
+  }
+
+  test("weightedMix fills every stratum to exactly its quota") {
+    val src = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("source"))
+    val mix = TextOps.weightedMix(src, "id", "source", lit(5L)).collect()
+    val bySrc = mix.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.forall(_.length == 5))
+    // deterministic: a second run picks the identical documents
+    val again = TextOps.weightedMix(src, "id", "source", lit(5L)).collect()
+    assert(mix.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("keepBestPerCluster picks the max-quality member per cluster") {
     val kept = TextOps.keepBestPerCluster(renamed, "id", "body",
       length(col("body")).cast("double")).collect()
