@@ -1302,6 +1302,40 @@ object TextDedup {
       |WHERE pick_rank <= quota ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q52: corpus vocabulary top-k (token + document frequency)
+  // =====================================================================
+
+  /** Corpus-level vocabulary table: the k most frequent tokens with term
+    * frequency (total occurrences) and document frequency (documents
+    * containing the token), ties broken by token for determinism — the
+    * vocab-building pass every tokenizer/quality pipeline runs first.
+    *
+    * Scale shape: explode → two-phase hash aggregate keyed on the token
+    * (map-side partial collapses each partition's duplicates, so hot
+    * tokens — exactly the top-k targets — shrink before the shuffle);
+    * doc frequency via count(DISTINCT doc_id) rides the same aggregate
+    * (Spark plans the standard two-shuffle distinct-agg). The top-k is
+    * TakeOrderedAndProject over the ≤|vocab| aggregate output — never a
+    * global sort of occurrences. */
+  private[queries] def vocabTopKOf(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
+  def q52VocabTopK(s: SparkSession, dir: String): DataFrame =
+    vocabTopKOf(docs(s, dir), 100)
+
+  val oracleQ52: String =
+    """SELECT token, count(*) AS n_occurrences,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1320,6 +1354,7 @@ object TextDedup {
     "q49_decontamination" -> q49Decontamination _,
     "q50_quality_filter" -> q50QualityFilter _,
     "q51_corpus_mix" -> q51CorpusMix _,
+    "q52_vocab_topk" -> q52VocabTopK _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1340,5 +1375,6 @@ object TextDedup {
     "q49_decontamination" -> oracleQ49,
     "q50_quality_filter" -> oracleQ50,
     "q51_corpus_mix" -> oracleQ51,
+    "q52_vocab_topk" -> oracleQ52,
   )
 }

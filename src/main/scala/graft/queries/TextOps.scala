@@ -157,6 +157,12 @@ object TextOps {
     TextDedup.weightedMixOf(
       df.select(col(id).cast("long").as("doc_id"), col(strata)), strata, quota)
 
+  /** Corpus vocabulary top-k over any (id, text) frame: the k most
+    * frequent tokens with term and document frequency, ties broken by
+    * token (q52 semantics). Two-phase aggregate + TakeOrdered top-k. */
+  def vocabulary(df: DataFrame, id: String, text: String, k: Int = 100): DataFrame =
+    TextDedup.vocabTopKOf(norm(df, id, text), k)
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

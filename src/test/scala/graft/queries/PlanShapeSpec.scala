@@ -104,4 +104,42 @@ class PlanShapeSpec extends SparkSpec {
       s"query batch not broadcast:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"), "corpus shuffled for the batch join")
   }
+
+  /** Hash-partitioned shuffles in the executed tree (the data-movement
+    * shuffles; the final ORDER BY's range exchange is excluded). */
+  private def hashShufflesOf(df: org.apache.spark.sql.DataFrame) = {
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.startsWith("hashpartitioning") => e
+    }
+  }
+
+  test("q50 quality filter is a pure projection: no joins, no hash shuffle") {
+    val df = TextDedup.q50QualityFilter(spark, sfDir)
+    assert(hashShufflesOf(df).isEmpty,
+      "quality filter hash-shuffled; it must stay a map over the scan")
+    assert(!plan(df).contains("Join"), "quality filter grew a join")
+  }
+
+  test("q52 vocab top-k is partial-aggregated and TakeOrdered, not globally sorted") {
+    val df = TextDedup.q52VocabTopK(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k fell back to a global sort:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation before the token shuffle")
+  }
+
+  test("q51 mix shuffles exactly once, on the stratum key") {
+    val df = TextDedup.q51CorpusMix(spark, sfDir)
+    val sh = hashShufflesOf(df)
+    assert(sh.size == 1,
+      s"expected 1 stratum-key shuffle for the rank window, got ${sh.size}")
+    assert(sh.head.outputPartitioning.toString.contains("source#"),
+      s"shuffle not on the stratum key: ${sh.head.outputPartitioning}")
+  }
 }

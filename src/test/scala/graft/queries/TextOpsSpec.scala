@@ -96,6 +96,16 @@ class TextOpsSpec extends SparkSpec {
     assert(mix.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("vocabulary == q52 on the documents table") {
+    assert(rows(TextOps.vocabulary(renamed, "id", "body", 100)) ==
+      rows(TextDedup.q52VocabTopK(spark, sfDir)))
+    // k is honored and df <= tf always
+    val top5 = TextOps.vocabulary(renamed, "id", "body", 5).collect()
+    assert(top5.length == 5)
+    top5.foreach(r =>
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
+  }
+
   test("keepBestPerCluster picks the max-quality member per cluster") {
     val kept = TextOps.keepBestPerCluster(renamed, "id", "body",
       length(col("body")).cast("double")).collect()
