@@ -34,6 +34,15 @@ object ScaleStress {
     "q31_simhash_pairs", "q40_dedup_clusters", "q41_jaccard_capped",
     "q48_incremental_dedup")
 
+  /** ANN family measured against the replicated EMBEDDINGS corpus. The
+    * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so
+    * replication grows ONLY the corpus — the serving contract whose cost
+    * should be ~linear in corpus size for the bucketed paths. q33 (the
+    * blocked exact all-pairs baseline) is deliberately excluded: it is
+    * quadratic within blocks by design. */
+  val VectorQueries: Seq[String] = Seq("q34_knn_lsh", "q37_knn_ivf",
+    "q45_knn_batch")
+
   /** The replicated corpus lives under a reps-encoded directory
     * (`<outDir>/x<reps>`), so a rerun with a different `SPARK_GRAFT_REPS`
     * never silently reuses a stale corpus built for another factor. */
@@ -43,8 +52,9 @@ object ScaleStress {
     * (idempotent per reps value). */
   def buildReplicated(spark: SparkSession, baseDir: String, outDir: String,
       reps: Int): Unit = {
-    val target = new java.io.File(s"${replicatedDir(outDir, reps)}/documents.parquet")
-    if (target.exists()) return
+    val rd = replicatedDir(outDir, reps)
+    if (new java.io.File(s"$rd/documents.parquet").exists() &&
+      new java.io.File(s"$rd/embeddings.parquet").exists()) return
     val d = spark.read.parquet(s"$baseDir/documents.parquet")
     val replicas = (0 until reps).map { k =>
       val text =
@@ -58,6 +68,26 @@ object ScaleStress {
       .repartition(32)
       .write.mode("overwrite")
       .parquet(s"${replicatedDir(outDir, reps)}/documents.parquet")
+
+    // embeddings: replica k circular-shifts every vector by k positions —
+    // inner products WITHIN a replica are exactly preserved (both operands
+    // shift together), so each replica reproduces the 1× neighborhood
+    // structure, while cross-replica cosines decorrelate; labels (the IVF
+    // cells) are preserved, so cells grow 10× in membership, not in count.
+    val e = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val eReplicas = (0 until reps).map { k =>
+      val emb =
+        if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+          slice(col("embedding"), lit(1), lit(k)))
+      e.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        emb.as("embedding"), col("label"))
+    }
+    eReplicas.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite")
+      .parquet(s"${replicatedDir(outDir, reps)}/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,12 +111,13 @@ object ScaleStress {
     // dirs), so timed runs measure data processing, not janino
     val warmDir = "/root/testdata/sf0.001"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      Queries.foreach(q => try SparkEntry.queries(q)(spark, warmDir).count()
+      (Queries ++ VectorQueries).foreach(q =>
+        try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () })
     spark.catalog.clearCache()
 
-    def timeSuite(dir: String): Seq[(String, Double, Long)] = {
-      val r = Queries.map { q =>
+    def timeSuite(dir: String, qs: Seq[String]): Seq[(String, Double, Long)] = {
+      val r = qs.map { q =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(q)(spark, dir).count()
           catch { case e: Throwable => System.err.println(s"$q: $e"); -1L }
@@ -96,8 +127,9 @@ object ScaleStress {
       r
     }
 
-    val base = timeSuite(baseDir)
-    val big = timeSuite(replicatedDir(outDir, reps))
+    val repDir = replicatedDir(outDir, reps)
+    val base = timeSuite(baseDir, Queries ++ VectorQueries)
+    val big = timeSuite(repDir, Queries ++ VectorQueries)
     def js(rs: Seq[(String, Double, Long)]) = rs
       .map { case (q, t, n) => s"""\"$q\":{\"sec\":$t,\"rows\":$n}""" }
       .mkString("{", ",", "}")
