@@ -271,4 +271,88 @@ object VectorOps {
   def blockedPairs(df: DataFrame, id: String, vec: String, block: String,
       topN: Int): DataFrame =
     blockedPairsIndexed(index(df, id, vec, Seq(block)), block, topN)
+
+  // =====================================================================
+  // Deterministic k-means coarse quantizer (the IVF build step)
+  // =====================================================================
+
+  /** Assign every indexed vector to one of `k` cells via Lloyd's k-means
+    * with a FIXED iteration count and deterministic seeding — the
+    * coarse-quantizer build a real IVF deployment runs before
+    * [[knnIvfIndexed]] can serve (q37 takes the cell column as caller
+    * input; this produces one for any corpus).
+    *
+    * Determinism (no RNG anywhere):
+    *   - seeds: the `k` vectors with the smallest `(md5(vec_id), vec_id)`
+    *     — a pseudo-random but reproducible draw, stable under
+    *     repartitioning;
+    *   - assignment: argmax of cos(v, centroid); since |v| is a common
+    *     positive factor it reduces to argmax of dot/|centroid| — ties
+    *     break to the LOWEST cell id via a struct array-max;
+    *   - update: exact integer per-dimension sums; the new centroid is
+    *     the mean re-quantized to the 1e6 grid (round-half-up), keeping
+    *     centroid coordinates in the same integer range as vectors so
+    *     BIGINT dots never overflow regardless of cell population;
+    *   - `iters` is fixed — no data-dependent convergence test, so cost
+    *     and output are exactly reproducible.
+    *
+    * Scale shape per iteration: assignment is a PURE MAP (centroids ride
+    * along as k×dims literals — no join, no shuffle), the update is one
+    * (cell, dim)-keyed partial-aggregated groupBy collecting k×dims rows
+    * to the driver (bounded by construction, independent of corpus
+    * size). Empty cells keep their previous centroid. Returns
+    * (vec_id, cell: int). */
+  def kmeansCells(idx: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k>=1, iters>=1 (got $k, $iters)")
+    val dims = idx.select(size(col("efp"))).head().getInt(0)
+
+    def assignCol(cents: IndexedSeq[Array[Long]]): Column = {
+      val scored = (0 until cents.length).map { c =>
+        val cn = math.sqrt(cents(c).map(x => x.toDouble * x.toDouble).sum)
+        val score =
+          if (cn == 0.0) lit(Double.MinValue)
+          else GraftFunctions.intDot(col("efp"), typedLit(cents(c).toSeq))
+            .cast("double") / lit(cn)
+        struct(score.as("s"), lit(-c).as("nc"))
+      }
+      (array_max(array(scored: _*)).getField("nc") * -1).as("cell")
+    }
+
+    val seeds = idx
+      .select(col("vec_id"), col("efp"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("efp")).collect()
+      .map(_.getSeq[Long](0).toArray).toIndexedSeq
+    require(seeds.length == k, s"corpus has fewer than k=$k vectors")
+
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val sums = idx.select(assignCol(cents), posexplode(col("efp")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(c => cents(c).clone())
+      sums.groupBy(_.getAs[Int]("cell")).foreach { case (c, rows) =>
+        val cent = new Array[Long](dims)
+        rows.foreach { r =>
+          cent(r.getAs[Int]("i")) =
+            math.round(r.getAs[Long]("sx").toDouble / r.getAs[Long]("n"))
+        }
+        next(c) = cent
+      }
+      cents = next.toIndexedSeq
+    }
+    idx.select(col("vec_id"), assignCol(cents))
+  }
+
+  /** [[kmeansCells]] + [[knnIvfIndexed]] in one call: build the coarse
+    * quantizer from the corpus itself, then serve the query batch — IVF
+    * over any (id, vec) frame with no precomputed cell column. */
+  def knnIvfAuto(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nCells: Int, nprobe: Int = 2, iters: Int = 5,
+      carry: Seq[String] = Nil): DataFrame = {
+    val idx = index(corpus, id, vec, carry)
+    val withCells = idx.join(kmeansCells(idx, nCells, iters), "vec_id")
+    knnIvfIndexed(withCells, index(queries, id, vec), "cell", k, nprobe, carry)
+  }
 }

@@ -90,4 +90,33 @@ class VectorOpsSpec extends SparkSpec {
         rows(single.filter(col("query_id") === qid)))
     }
   }
+
+  test("kmeansCells is deterministic, total, and assigns each vector to its best centroid") {
+    val idx = VectorOps.index(renamed, "vid", "v")
+    val a = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val b = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(a == b, "two identical builds diverged")
+    assert(a.length == renamed.count(), "assignment not total")
+    assert(a.map(_._2).toSet.subsetOf((0 until 8).toSet))
+    // more than one cell actually used (the quantizer partitions the space)
+    assert(a.map(_._2).distinct.length > 1)
+  }
+
+  test("knnIvfAuto serves IVF over a frame with no cell column, with real recall") {
+    val corpus = renamed.filter(col("vid") =!= 0)
+    val query = renamed.filter(col("vid") === 0)
+    val got = VectorOps.knnIvfAuto(corpus, query, "vid", "v",
+      k = 10, nCells = 8, nprobe = 3)
+    val ids = got.collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.length == 10)
+    assert(ids.distinct.length == 10)
+    // the probed-cells result must overlap the exact brute-force top-10
+    // substantially (nprobe=3 of 8 cells; exactness is q37's oracle story,
+    // recall is the quantizer's)
+    val exact = VectorOps.knnBrute(corpus, query, "vid", "v", 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.count(exact) >= 5, s"recall too low: ${ids.count(exact)}/10")
+  }
 }
