@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextDedup.queries ++
+      graft.queries.TextPipeline.queries ++
       graft.queries.Similarity.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -23,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.TextDedup.oracle ++
+      graft.queries.TextPipeline.oracle ++
       graft.queries.Similarity.oracle
 }

@@ -163,6 +163,37 @@ object TextOps {
   def vocabulary(df: DataFrame, id: String, text: String, k: Int = 100): DataFrame =
     TextDedup.vocabTopKOf(norm(df, id, text), k)
 
+  /** Sliding-window chunking over any (id, text) frame (q53 semantics):
+    * `chunkLen`-token windows every `stride` tokens, one output row per
+    * chunk with its md5 content hash. Zero-shuffle fan-out projection. */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+      chunkLen: Int = TextPipeline.ChunkLen,
+      stride: Int = TextPipeline.ChunkStride): DataFrame =
+    TextPipeline.chunksOf(norm(df, id, text), chunkLen, stride)
+
+  /** Top-`k` most distinctive terms per document by the log-free BM25
+    * idf score (q54 semantics). The df/N sides are bounded and
+    * broadcast; per-doc top-k plans as WindowGroupLimit. */
+  def distinctiveTerms(df: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame =
+    TextPipeline.tfidfTopKOf(norm(df, id, text), k)
+
+  /** Pack documents into contiguous token-`budget` bins per `strata`
+    * value, deterministically ordered by (md5(id), id) (q55 semantics).
+    * One shuffle; the parallelism unit is the stratum. */
+  def packSequences(df: DataFrame, id: String, text: String,
+      strata: String, budget: Long = TextPipeline.PackBudget): DataFrame =
+    TextPipeline.packOf(
+      df.select(col(id).cast("long").as("doc_id"),
+        col(text).cast("string").as("text"), col(strata)),
+      strata, budget)
+
+  /** Bigram-LM fluency score over any (id, text) frame (q56 semantics):
+    * fixed-point conditional probabilities under the corpus's own bigram
+    * model, summed exactly per document. */
+  def lmFluency(df: DataFrame, id: String, text: String): DataFrame =
+    TextPipeline.bigramLmScoreOf(norm(df, id, text))
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

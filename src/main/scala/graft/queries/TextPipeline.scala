@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data corpus preparation beyond scoring/dedup ([[TextDedup]]):
+  * the operators that turn a cleaned corpus into model-ready input —
+  * chunking, distinctive-term extraction, sequence packing, and LM-based
+  * fluency scoring. All four follow the repo's determinism contract
+  * (md5-only hashing, exact integer counts, IEEE-exact arithmetic — add /
+  * subtract / multiply / divide only, no transcendentals — and a single
+  * `round` per reported column) so every query has a bit-exact DuckDB
+  * oracle twin.
+  *
+  * Scale notes are on each operator; none of them introduces a plan shape
+  * the dedup family hasn't already proven at 10× replication
+  * ([[graft.ScaleStress]]) — pure projections, token-keyed two-phase
+  * aggregates, bounded-vocab broadcast joins, and per-stratum windows.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Whitespace tokens (documents are single-space separated). */
+  private val toks: Column = split(col("text"), " ")
+
+  // =====================================================================
+  // q53: sliding-window document chunking (context-length preparation)
+  // =====================================================================
+
+  /** Chunk length / stride of the oracle-checked binding: 64-token
+    * windows every 48 tokens (25% overlap) — the shape embedding and
+    * context-window pipelines use. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Split each document into fixed-token-count sliding windows: starts
+    * at 1, 1+stride, 1+2·stride, … ≤ n_tokens, each chunk `chunkLen`
+    * tokens (the tail chunks run short instead of re-reading earlier
+    * tokens — every token is covered, chunk boundaries are a pure
+    * function of the token count). Output one row per chunk with its
+    * token count and an md5 content hash (the id downstream chunk-level
+    * dedup/embedding joins on).
+    *
+    * Scale: explode of an arithmetic sequence + per-row slice/hash — a
+    * pure map with ~n/stride output rows per doc, zero shuffle. At
+    * 100 TB this is the canonical "fan out rows, never fan in" stage;
+    * the final ORDER BY exists only for the oracle's determinism. */
+  private[queries] def chunksOf(d: DataFrame, chunkLen: Int,
+      stride: Int): DataFrame = {
+    val w = col("w")
+    d.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), w,
+        explode(sequence(lit(1), greatest(size(w), lit(1)), lit(stride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        floor((col("start") - 1) / lit(stride)).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        size(slice(w, col("start"), lit(chunkLen))).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(w, col("start"), lit(chunkLen))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def q53DocChunks(s: SparkSession, dir: String): DataFrame =
+    chunksOf(docs(s, dir), ChunkLen, ChunkStride)
+
+  val oracleQ53: String =
+    s"""SELECT doc_id,
+       |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_token,
+       |  CAST(len(list_slice(w, start, start + ${ChunkLen - 1})) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(w, start, start + ${ChunkLen - 1}), ' '))
+       |    AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, w,
+       |    unnest(range(1, greatest(len(w), 1) + 1, $ChunkStride)) AS start
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // =====================================================================
+  // q54: distinctive-term top-k per document (TF-IDF family)
+  // =====================================================================
+
+  /** Top-`k` most distinctive terms per document, scored by
+    * tf · (N − df + 0.5)/(df + 0.5) — the BM25 idf ratio WITHOUT the log.
+    * The log is monotone, so per-document ranking is identical to BM25
+    * idf ranking, and dropping it keeps the score inside IEEE-exact
+    * arithmetic (league rule: `ln` is not exactly specified across
+    * engines; +,−,×,÷ are — see Relational's fpsum scaladoc).
+    *
+    * Scale: tf is a two-phase hash aggregate on (doc_id, token); df and
+    * the corpus size N are BOUNDED-size aggregates of it (|vocab| and 1
+    * row) and broadcast — the corpus-sized tf side never reshuffles for
+    * the joins. The per-doc top-k is `row_number ≤ k`, which Spark ≥3.5
+    * plans with WindowGroupLimit: each map task keeps only its local
+    * top-k per doc before the window shuffle (plan-asserted). */
+  private[queries] def tfidfTopKOf(d: DataFrame, k: Int): DataFrame = {
+    val tf = d.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nTbl = d.select(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfTbl), "token")
+      .crossJoin(broadcast(nTbl))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def q54TfidfTopK(s: SparkSession, dir: String): DataFrame =
+    tfidfTopKOf(docs(s, dir), 5)
+
+  val oracleQ54: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, df, round(score, 6) AS score, rank FROM (
+      |  SELECT t.doc_id, t.token, t.tf, d.df,
+      |    CAST(t.tf AS DOUBLE) *
+      |      ((CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+      |       (CAST(d.df AS DOUBLE) + 0.5)) AS score,
+      |    CAST(row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY CAST(t.tf AS DOUBLE) *
+      |        ((CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+      |         (CAST(d.df AS DOUBLE) + 0.5)) DESC, t.token ASC) AS BIGINT)
+      |      AS rank
+      |  FROM tf t JOIN df d USING (token) CROSS JOIN n)
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  // =====================================================================
+  // q55: sequence packing into token-budget bins (batch construction)
+  // =====================================================================
+
+  /** Tokens per packed training sequence in the oracle-checked binding. */
+  val PackBudget = 2048L
+
+  /** Pack documents into contiguous token-budget bins, per stratum:
+    * within each `strata` value, order documents by `(md5(doc_id),
+    * doc_id)` — deterministic pseudo-random, so bins are content-mixed —
+    * and assign `bin_id = floor(running_tokens_before / budget)`
+    * (contiguous fill; a document straddling a boundary starts the next
+    * bin's worth — bins can overflow by at most one document, never
+    * underfill). `bin_offset` is the document's token position inside
+    * its bin.
+    *
+    * Scale: ONE shuffle (the per-stratum window); the running sum is a
+    * single pass per stratum partition. Packing is inherently sequential
+    * WITHIN a bin, so the parallelism unit is the stratum — at 100 TB
+    * you pack per (source × hash-shard) so each partition streams once;
+    * there is no global coordination by construction. */
+  private[queries] def packOf(d: DataFrame, strata: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(strata).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), col(strata),
+        size(toks).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col(strata), col("n_tokens"),
+        floor(col("cum_before") / lit(budget)).cast("long").as("bin_id"),
+        (col("cum_before") % budget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  def q55SeqPacking(s: SparkSession, dir: String): DataFrame =
+    packOf(docs(s, dir), "source", PackBudget)
+
+  val oracleQ55: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(cum_before // $PackBudget AS BIGINT) AS bin_id,
+       |  CAST(cum_before % $PackBudget AS BIGINT) AS bin_offset
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS cum_before
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      md5(CAST(doc_id AS VARCHAR)) AS h
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // q56: corpus bigram-LM fluency scoring (model-based quality signal)
+  // =====================================================================
+
+  /** Score each document under a bigram language model fitted on the
+    * corpus itself: for every bigram occurrence (a,b), its conditional
+    * probability P(b|a) = C(a,b)/C(a,·) as a fixed-point integer
+    * `round(1e6 · C(ab)/C(a·))`; per document, the count, the exact
+    * integer SUM, and the rounded mean of those fixed-point
+    * probabilities. Low mean ⇒ improbable token transitions — the
+    * perplexity-style fluency signal, kept log-free so both engines
+    * compute it bit-identically (sums of BIGINTs are order-independent,
+    * unlike sums of doubles).
+    *
+    * Scale: the model (bigram counts) is a token-keyed two-phase hash
+    * aggregate — hot bigrams collapse map-side; prefix counts are a
+    * second, smaller aggregate OF the model, not of the corpus. Scoring
+    * re-joins the corpus's bigram occurrences to the model on the bigram
+    * key: a plain equi-join that AQE sizes (model ≤ |vocab|² but
+    * Zipf-light; broadcast when small, shuffled-hash when not) — never a
+    * corpus self-join. */
+  private[queries] def bigramLmScoreOf(d: DataFrame): DataFrame = {
+    val w = col("w")
+    // one row per bigram OCCURRENCE (not distinct — frequency is signal)
+    val occ = d.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        explode(zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val model = occ.groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
+    val prefix = model
+      .groupBy(substring_index(col("bg"), " ", 1).as("pre"))
+      .agg(sum(col("cnt_bg")).as("cnt_pre"))
+    val probFp = round((lit(1e6) * col("cnt_bg").cast("double")) /
+      col("cnt_pre").cast("double")).cast("long")
+    val scored = occ
+      .join(model, "bg")
+      .join(prefix, substring_index(col("bg"), " ", 1) === col("pre"))
+      .select(col("doc_id"), probFp.as("p_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_p_fp"))
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_fp"), lit(0L)).as("sum_p_fp"),
+        coalesce(
+          round(col("sum_p_fp").cast("double") /
+            col("n_bigrams").cast("double")).cast("long"),
+          lit(0L)).as("mean_p_fp"))
+      .orderBy("doc_id")
+  }
+
+  def q56BigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmScoreOf(docs(s, dir))
+
+  val oracleQ56: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+      |    AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |model AS (SELECT bg, count(*) AS cnt_bg FROM occ GROUP BY bg),
+      |prefix AS (
+      |  SELECT split_part(bg, ' ', 1) AS pre, sum(cnt_bg) AS cnt_pre
+      |  FROM model GROUP BY 1),
+      |scored AS (
+      |  SELECT o.doc_id, count(*) AS n_bigrams,
+      |    sum(CAST(round((1000000.0 * CAST(m.cnt_bg AS DOUBLE)) /
+      |      CAST(p.cnt_pre AS DOUBLE)) AS BIGINT)) AS sum_p_fp
+      |  FROM occ o
+      |  JOIN model m USING (bg)
+      |  JOIN prefix p ON split_part(o.bg, ' ', 1) = p.pre
+      |  GROUP BY o.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(s.sum_p_fp, 0) AS BIGINT) AS sum_p_fp,
+      |  CAST(coalesce(CAST(round(CAST(s.sum_p_fp AS DOUBLE) /
+      |    CAST(s.n_bigrams AS DOUBLE)) AS BIGINT), 0) AS BIGINT) AS mean_p_fp
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // =====================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_doc_chunks" -> q53DocChunks _,
+    "q54_tfidf_topk" -> q54TfidfTopK _,
+    "q55_seq_packing" -> q55SeqPacking _,
+    "q56_bigram_lm" -> q56BigramLm _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q53_doc_chunks" -> oracleQ53,
+    "q54_tfidf_topk" -> oracleQ54,
+    "q55_seq_packing" -> oracleQ55,
+    "q56_bigram_lm" -> oracleQ56,
+  )
+}

@@ -142,4 +142,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(sh.head.outputPartitioning.toString.contains("source#"),
       s"shuffle not on the stratum key: ${sh.head.outputPartitioning}")
   }
+
+  test("q53 chunking is a pure fan-out: no joins, no hash shuffle") {
+    val df = TextPipeline.q53DocChunks(spark, sfDir)
+    assert(hashShufflesOf(df).isEmpty,
+      "chunking hash-shuffled; it must stay a map over the scan")
+    assert(!plan(df).contains("Join"), "chunking grew a join")
+  }
+
+  test("q54 tf-idf joins broadcast and the per-doc top-k is group-limited") {
+    val df = TextPipeline.q54TfidfTopK(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"df/N joins shuffled the corpus-sized tf side:\n${p.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).nonEmpty,
+      "bounded df/N sides not broadcast")
+    // Spark >= 3.5 prunes rank > k before the window shuffle: each map
+    // task keeps only its local top-k per doc (the 100 TB guarantee that
+    // per-doc token lists never hit the wire in full)
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number <= k not planned as WindowGroupLimit:\n${p.take(2000)}")
+  }
+
+  test("q55 packing shuffles exactly once, on the stratum key") {
+    val df = TextPipeline.q55SeqPacking(spark, sfDir)
+    val sh = hashShufflesOf(df)
+    assert(sh.size == 1,
+      s"expected 1 stratum-key shuffle for the packing window, got ${sh.size}")
+    assert(sh.head.outputPartitioning.toString.contains("source#"),
+      s"shuffle not on the stratum key: ${sh.head.outputPartitioning}")
+  }
+
+  test("q56 bigram model aggregates partially map-side; no corpus self-join") {
+    val df = TextPipeline.q56BigramLm(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bigram counts not partial-aggregated before the shuffle")
+    // the occurrences side joins the MODEL (an aggregate), never itself:
+    // no join may have raw scans of the documents table on both sides
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val selfJoins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.left.collectLeaves().toString.contains("documents") &&
+            j.right.collectLeaves().toString.contains("documents") &&
+            !j.right.toString.contains("HashAggregate") &&
+            !j.right.toString.contains("Exchange") => j
+    }
+    assert(selfJoins.isEmpty, "scoring joined raw corpus to raw corpus")
+  }
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q53–q56 corpus-preparation operators: semantic invariants the DuckDB
+  * hash-match can't see (coverage, bin feasibility, probability bounds)
+  * plus the generic TextOps wrappers' bit-exact equivalence. Plan shapes
+  * live in [[PlanShapeSpec]]. */
+class TextPipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet(s"$sfDir/documents.parquet")
+
+  test("q53 chunks cover every token exactly: windows tile with stride overlap") {
+    val ch = TextPipeline.q53DocChunks(spark, sfDir).cache()
+    val perDoc = ch.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("start_token") + col("n_chunk_tokens") - 1).as("last_covered"),
+      max("chunk_idx").as("max_idx"))
+    val withN = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(perDoc, "doc_id")
+    // the last chunk's end reaches exactly the doc's token count, and
+    // chunk_idx is dense 0..n_chunks-1
+    assert(withN.filter(col("last_covered") =!= col("n")).count() === 0)
+    assert(withN.filter(col("max_idx") =!= col("n_chunks") - 1).count() === 0)
+    // every chunk's length is exactly min(chunkLen, n - start + 1):
+    // interior windows are full; only windows overhanging the end run
+    // short (window > stride, so up to TWO tail chunks may be short)
+    val lenOk = ch.join(withN.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("n_chunk_tokens") =!=
+        least(lit(TextPipeline.ChunkLen.toLong), col("n") - col("start_token") + 1))
+    assert(lenOk.count() === 0, "a chunk's length broke the slice identity")
+    ch.unpersist()
+  }
+
+  test("q54 ranks are dense 1..k per doc and ordering is score-desc") {
+    val t = TextPipeline.q54TfidfTopK(spark, sfDir).cache()
+    val perDoc = t.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perDoc.filter(col("mx") =!= col("n") || col("mn") =!= 1).count() === 0)
+    assert(perDoc.filter(col("n") > 5).count() === 0)
+    // within a doc, score never increases with rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    assert(t.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev") < col("score")).count() === 0)
+    t.unpersist()
+  }
+
+  test("q55 packing: offsets stay under budget and bins fill contiguously") {
+    val p = TextPipeline.q55SeqPacking(spark, sfDir).cache()
+    assert(p.filter(col("bin_offset") >= TextPipeline.PackBudget ||
+      col("bin_offset") < 0).count() === 0)
+    // bins are dense per source: every bin id 0..max exists
+    val bins = p.groupBy("source").agg(
+      countDistinct(col("bin_id")).as("n_bins"), max("bin_id").as("mx"))
+    assert(bins.filter(col("mx") =!= col("n_bins") - 1).count() === 0)
+    // every bin except the stratum's last holds >= budget tokens once its
+    // boundary-straddling doc is counted (contiguous fill never underfills):
+    // sum of n_tokens in bins 0..k-1 >= k * budget
+    val cum = p.groupBy("source", "bin_id")
+      .agg(sum("n_tokens").as("bin_tokens"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    assert(cum.withColumn("through", sum("bin_tokens").over(ws))
+      .filter(col("through") < (col("bin_id") + 1) * TextPipeline.PackBudget)
+      .join(bins.select(col("source"), col("mx")), "source")
+      .filter(col("bin_id") =!= col("mx"))
+      .count() === 0)
+    p.unpersist()
+  }
+
+  test("q56 probabilities are bounded and bigram counts match token counts") {
+    val f = TextPipeline.q56BigramLm(spark, sfDir).cache()
+    assert(f.filter(col("mean_p_fp") < 0 || col("mean_p_fp") > 1000000L).count() === 0)
+    val withN = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(f, "doc_id")
+    assert(withN.filter(col("n_bigrams") =!= greatest(col("n") - 1, lit(0L)))
+      .count() === 0)
+    // a document's mean probability can't exceed its max single-step prob,
+    // which is capped at 1e6 == P(b|a)=1; repeated-phrase docs sit high
+    assert(f.filter(col("n_bigrams") > 0 && col("sum_p_fp") === 0).count() === 0)
+    f.unpersist()
+  }
+
+  private def renamed: DataFrame = docs
+    .withColumnRenamed("doc_id", "my_id")
+    .withColumnRenamed("text", "body")
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.fieldNames.sameElements(b.schema.fieldNames))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("TextOps wrappers are bit-exact twins of the oracle-checked queries") {
+    sameRows(TextOps.chunkDocuments(renamed, "my_id", "body"),
+      TextPipeline.q53DocChunks(spark, sfDir))
+    sameRows(TextOps.distinctiveTerms(renamed, "my_id", "body"),
+      TextPipeline.q54TfidfTopK(spark, sfDir))
+    sameRows(TextOps.packSequences(renamed, "my_id", "body", "source"),
+      TextPipeline.q55SeqPacking(spark, sfDir))
+    sameRows(TextOps.lmFluency(renamed, "my_id", "body"),
+      TextPipeline.q56BigramLm(spark, sfDir))
+  }
+}
