@@ -194,6 +194,18 @@ object TextOps {
   def lmFluency(df: DataFrame, id: String, text: String): DataFrame =
     TextPipeline.bigramLmScoreOf(norm(df, id, text))
 
+  /** Fit the bigram model once (persistable — parquet round-trips score
+    * bit-identically); see [[scoreFluency]] for the scoring half. */
+  def fitLanguageModel(df: DataFrame, id: String, text: String): DataFrame =
+    TextPipeline.fitBigramModel(norm(df, id, text))
+
+  /** Score a (held-out) frame under a model from [[fitLanguageModel]]:
+    * unseen transitions score 0 but still count, so the mean degrades
+    * with OOV rate. The fit-once/score-daily serving split. */
+  def scoreFluency(df: DataFrame, id: String, text: String,
+      model: DataFrame): DataFrame =
+    TextPipeline.scoreUnderModel(norm(df, id, text), model)
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

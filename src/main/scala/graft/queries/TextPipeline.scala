@@ -219,23 +219,43 @@ object TextPipeline {
     * key: a plain equi-join that AQE sizes (model ≤ |vocab|² but
     * Zipf-light; broadcast when small, shuffled-hash when not) — never a
     * corpus self-join. */
-  private[queries] def bigramLmScoreOf(d: DataFrame): DataFrame = {
+  /** One row per bigram OCCURRENCE (not distinct — frequency is signal). */
+  private def bigramOccOf(d: DataFrame): DataFrame = {
     val w = col("w")
-    // one row per bigram OCCURRENCE (not distinct — frequency is signal)
-    val occ = d.select(col("doc_id"), toks.as("w"))
+    d.select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"),
         explode(zip_with(slice(w, lit(1), size(w) - 1),
           slice(w, lit(2), size(w) - 1),
           (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val model = occ.groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
+  }
+
+  /** FIT the bigram model on a corpus: (bg, cnt_bg, cnt_pre) — each
+    * bigram's occurrence count plus its prefix-token total, pre-joined so
+    * scoring needs a single equi-join. This is the artifact a production
+    * pipeline persists (write to parquet, score every later batch against
+    * it — the fit-once/score-daily split; `TextPipelineSpec` pins that a
+    * parquet round-trip of the model scores bit-identically). */
+  def fitBigramModel(d: DataFrame): DataFrame = {
+    val model = bigramOccOf(d).groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
     val prefix = model
       .groupBy(substring_index(col("bg"), " ", 1).as("pre"))
       .agg(sum(col("cnt_bg")).as("cnt_pre"))
-    val probFp = round((lit(1e6) * col("cnt_bg").cast("double")) /
-      col("cnt_pre").cast("double")).cast("long")
-    val scored = occ
-      .join(model, "bg")
-      .join(prefix, substring_index(col("bg"), " ", 1) === col("pre"))
+    model.join(prefix, substring_index(col("bg"), " ", 1) === col("pre"))
+      .select(col("bg"), col("cnt_bg"), col("cnt_pre"))
+  }
+
+  /** Score any (doc_id, text) frame under a fitted model. Bigrams absent
+    * from the model score 0 (the OOV floor — an unseen transition is
+    * maximally surprising) but still count toward `n_bigrams`, so a
+    * held-out document's mean degrades with OOV rate as it should. */
+  private[queries] def scoreUnderModel(d: DataFrame,
+      model: DataFrame): DataFrame = {
+    val probFp = coalesce(
+      round((lit(1e6) * col("cnt_bg").cast("double")) /
+        col("cnt_pre").cast("double")).cast("long"),
+      lit(0L))
+    val scored = bigramOccOf(d)
+      .join(model, Seq("bg"), "left")
       .select(col("doc_id"), probFp.as("p_fp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_p_fp"))
@@ -249,6 +269,9 @@ object TextPipeline {
           lit(0L)).as("mean_p_fp"))
       .orderBy("doc_id")
   }
+
+  private[queries] def bigramLmScoreOf(d: DataFrame): DataFrame =
+    scoreUnderModel(d, fitBigramModel(d))
 
   def q56BigramLm(s: SparkSession, dir: String): DataFrame =
     bigramLmScoreOf(docs(s, dir))

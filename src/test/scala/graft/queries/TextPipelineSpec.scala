@@ -97,6 +97,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("bigram model round-trips through parquet and scores bit-identically") {
+    val norm = docs.select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    TextPipeline.fitBigramModel(norm).write.mode("overwrite").parquet(tmp)
+    val reloaded = spark.read.parquet(tmp)
+    sameRows(TextPipeline.scoreUnderModel(norm, reloaded),
+      TextPipeline.q56BigramLm(spark, sfDir))
+  }
+
+  test("held-out scoring floors unseen transitions at 0 and keeps them counted") {
+    val train = docs.filter(col("source") =!= "src0")
+    val heldOut = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val model = TextPipeline.fitBigramModel(
+      train.select(col("doc_id"), col("text")))
+    val scored = TextPipeline.scoreUnderModel(heldOut, model).cache()
+    // every held-out doc is scored, with its full bigram count (OOV
+    // transitions count toward the denominator)
+    assert(scored.count() === heldOut.count())
+    val withN = heldOut.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(scored, "doc_id")
+    assert(withN.filter(col("n_bigrams") =!= greatest(col("n") - 1, lit(0L)))
+      .count() === 0)
+    assert(scored.filter(col("mean_p_fp") < 0 || col("mean_p_fp") > 1000000L)
+      .count() === 0)
+    scored.unpersist()
+  }
+
   test("TextOps wrappers are bit-exact twins of the oracle-checked queries") {
     sameRows(TextOps.chunkDocuments(renamed, "my_id", "body"),
       TextPipeline.q53DocChunks(spark, sfDir))
