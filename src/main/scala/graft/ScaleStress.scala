@@ -43,6 +43,15 @@ object ScaleStress {
   val VectorQueries: Seq[String] = Seq("q34_knn_lsh", "q37_knn_ivf",
     "q45_knn_batch")
 
+  /** Round-9 corpus-preparation operators over the replicated documents.
+    * Salted replication grows the vocabulary ~R× (each replica's tokens
+    * are distinct), which is the realistic regime for q54's df table and
+    * q56's bigram model: the MODEL side grows with the corpus, so these
+    * time the aggregate + (broadcast|shuffled) model join at 10× on both
+    * axes. q53/q55 ride along as the linear-map baselines. */
+  val PipelineQueries: Seq[String] = Seq("q53_doc_chunks", "q54_tfidf_topk",
+    "q55_seq_packing", "q56_bigram_lm")
+
   /** The replicated corpus lives under a reps-encoded directory
     * (`<outDir>/x<reps>`), so a rerun with a different `SPARK_GRAFT_REPS`
     * never silently reuses a stale corpus built for another factor. */
@@ -111,7 +120,7 @@ object ScaleStress {
     // dirs), so timed runs measure data processing, not janino
     val warmDir = "/root/testdata/sf0.001"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      (Queries ++ VectorQueries).foreach(q =>
+      (Queries ++ VectorQueries ++ PipelineQueries).foreach(q =>
         try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () })
     spark.catalog.clearCache()
@@ -128,8 +137,8 @@ object ScaleStress {
     }
 
     val repDir = replicatedDir(outDir, reps)
-    val base = timeSuite(baseDir, Queries ++ VectorQueries)
-    val big = timeSuite(repDir, Queries ++ VectorQueries)
+    val base = timeSuite(baseDir, Queries ++ VectorQueries ++ PipelineQueries)
+    val big = timeSuite(repDir, Queries ++ VectorQueries ++ PipelineQueries)
     def js(rs: Seq[(String, Double, Long)]) = rs
       .map { case (q, t, n) => s"""\"$q\":{\"sec\":$t,\"rows\":$n}""" }
       .mkString("{", ",", "}")
