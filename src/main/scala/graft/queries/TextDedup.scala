@@ -1220,11 +1220,10 @@ object TextDedup {
       rRep.as("r_repetition"), rDup.as("r_dup_3gram"),
       nFail.as("n_rules_failed"),
       flag(nFail === 0L).as("keep"))
-      .orderBy("doc_id")
   }
 
   def q50QualityFilter(s: SparkSession, dir: String): DataFrame =
-    qualityFilterOf(docs(s, dir))
+    qualityFilterOf(docs(s, dir)).orderBy("doc_id")
 
   val oracleQ50: String = {
     val meanWl = "CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)/CAST(len(w) AS DOUBLE)"

@@ -143,9 +143,15 @@ object TextOps {
   /** Gopher/C4-style composite quality FILTER over any (id, text) frame:
     * per-rule pass flags (token-count bounds, mean-word-length bounds,
     * min distinct stopwords, max-token-share cap, duplicate-3-gram cap)
-    * plus a keep/drop verdict (q50 semantics). Zero-shuffle projection. */
-  def qualityFilter(df: DataFrame, id: String, text: String): DataFrame =
-    TextDedup.qualityFilterOf(norm(df, id, text))
+    * plus a keep/drop verdict (q50 semantics). Zero-shuffle projection.
+    * `ordered = false` skips the final global sort — the streaming/
+    * 100 TB mode (a stateless projection needs no sort, and streaming
+    * frames forbid one). */
+  def qualityFilter(df: DataFrame, id: String, text: String,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextDedup.qualityFilterOf(norm(df, id, text))
+    if (ordered) r.orderBy("doc_id") else r
+  }
 
   /** Deterministic QUOTA-exact training-mix construction (q51 semantics):
     * within each `strata` value, rank rows by (md5(id), id) and keep the
@@ -165,34 +171,48 @@ object TextOps {
 
   /** Sliding-window chunking over any (id, text) frame (q53 semantics):
     * `chunkLen`-token windows every `stride` tokens, one output row per
-    * chunk with its md5 content hash. Zero-shuffle fan-out projection. */
+    * chunk with its md5 content hash. Zero-shuffle fan-out projection.
+    * `ordered = false` skips the final global sort — required for
+    * streaming frames and the right call at scale (the sort exists only
+    * for deterministic presentation). */
   def chunkDocuments(df: DataFrame, id: String, text: String,
       chunkLen: Int = TextPipeline.ChunkLen,
-      stride: Int = TextPipeline.ChunkStride): DataFrame =
-    TextPipeline.chunksOf(norm(df, id, text), chunkLen, stride)
+      stride: Int = TextPipeline.ChunkStride,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.chunksOf(norm(df, id, text), chunkLen, stride)
+    if (ordered) r.orderBy("doc_id", "chunk_idx") else r
+  }
 
   /** Top-`k` most distinctive terms per document by the log-free BM25
     * idf score (q54 semantics). The df/N sides are bounded and
     * broadcast; per-doc top-k plans as WindowGroupLimit. */
   def distinctiveTerms(df: DataFrame, id: String, text: String,
-      k: Int = 5): DataFrame =
-    TextPipeline.tfidfTopKOf(norm(df, id, text), k)
+      k: Int = 5, ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.tfidfTopKOf(norm(df, id, text), k)
+    if (ordered) r.orderBy("doc_id", "rank") else r
+  }
 
   /** Pack documents into contiguous token-`budget` bins per `strata`
     * value, deterministically ordered by (md5(id), id) (q55 semantics).
     * One shuffle; the parallelism unit is the stratum. */
   def packSequences(df: DataFrame, id: String, text: String,
-      strata: String, budget: Long = TextPipeline.PackBudget): DataFrame =
-    TextPipeline.packOf(
+      strata: String, budget: Long = TextPipeline.PackBudget,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.packOf(
       df.select(col(id).cast("long").as("doc_id"),
         col(text).cast("string").as("text"), col(strata)),
       strata, budget)
+    if (ordered) r.orderBy("doc_id") else r
+  }
 
   /** Bigram-LM fluency score over any (id, text) frame (q56 semantics):
     * fixed-point conditional probabilities under the corpus's own bigram
     * model, summed exactly per document. */
-  def lmFluency(df: DataFrame, id: String, text: String): DataFrame =
-    TextPipeline.bigramLmScoreOf(norm(df, id, text))
+  def lmFluency(df: DataFrame, id: String, text: String,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.bigramLmScoreOf(norm(df, id, text))
+    if (ordered) r.orderBy("doc_id") else r
+  }
 
   /** Fit the bigram model once (persistable — parquet round-trips score
     * bit-identically); see [[scoreFluency]] for the scoring half. */
@@ -203,8 +223,10 @@ object TextOps {
     * unseen transitions score 0 but still count, so the mean degrades
     * with OOV rate. The fit-once/score-daily serving split. */
   def scoreFluency(df: DataFrame, id: String, text: String,
-      model: DataFrame): DataFrame =
-    TextPipeline.scoreUnderModel(norm(df, id, text), model)
+      model: DataFrame, ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.scoreUnderModel(norm(df, id, text), model)
+    if (ordered) r.orderBy("doc_id") else r
+  }
 
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH

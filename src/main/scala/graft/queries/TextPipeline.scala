@@ -63,11 +63,11 @@ object TextPipeline {
           .as("n_chunk_tokens"),
         md5(concat_ws(" ", slice(w, col("start"), lit(chunkLen))))
           .as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   def q53DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(docs(s, dir), ChunkLen, ChunkStride)
+      .orderBy("doc_id", "chunk_idx")
 
   val oracleQ53: String =
     s"""SELECT doc_id,
@@ -117,11 +117,10 @@ object TextPipeline {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("score"), 6).as("score"), col("rank"))
-      .orderBy("doc_id", "rank")
   }
 
   def q54TfidfTopK(s: SparkSession, dir: String): DataFrame =
-    tfidfTopKOf(docs(s, dir), 5)
+    tfidfTopKOf(docs(s, dir), 5).orderBy("doc_id", "rank")
 
   val oracleQ54: String =
     """WITH tok AS (
@@ -175,11 +174,10 @@ object TextPipeline {
       .select(col("doc_id"), col(strata), col("n_tokens"),
         floor(col("cum_before") / lit(budget)).cast("long").as("bin_id"),
         (col("cum_before") % budget).as("bin_offset"))
-      .orderBy("doc_id")
   }
 
   def q55SeqPacking(s: SparkSession, dir: String): DataFrame =
-    packOf(docs(s, dir), "source", PackBudget)
+    packOf(docs(s, dir), "source", PackBudget).orderBy("doc_id")
 
   val oracleQ55: String =
     s"""SELECT doc_id, source, n_tokens,
@@ -267,14 +265,13 @@ object TextPipeline {
           round(col("sum_p_fp").cast("double") /
             col("n_bigrams").cast("double")).cast("long"),
           lit(0L)).as("mean_p_fp"))
-      .orderBy("doc_id")
   }
 
   private[queries] def bigramLmScoreOf(d: DataFrame): DataFrame =
     scoreUnderModel(d, fitBigramModel(d))
 
   def q56BigramLm(s: SparkSession, dir: String): DataFrame =
-    bigramLmScoreOf(docs(s, dir))
+    bigramLmScoreOf(docs(s, dir)).orderBy("doc_id")
 
   val oracleQ56: String =
     """WITH occ AS (

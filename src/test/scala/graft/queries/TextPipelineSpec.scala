@@ -126,6 +126,32 @@ class TextPipelineSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("chunking and quality filtering run unchanged on a streaming source") {
+    // the unordered forms are stateless projections, so the SAME library
+    // call serves batch and Structured Streaming (orderBy would throw on
+    // a stream — which is why the cores don't sort)
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input.addData(rows.take(20)); input.addData(rows.drop(20))
+    val stream = input.toDF().toDF("doc_id", "text")
+    val chunked = TextOps.chunkDocuments(stream, "doc_id", "text", ordered = false)
+    val filtered = TextOps.qualityFilter(stream, "doc_id", "text", ordered = false)
+    assert(chunked.isStreaming && filtered.isStreaming)
+    val ckpt1 = java.nio.file.Files.createTempDirectory("ckpt-chunk").toString
+    val q1 = chunked.writeStream.outputMode("append").format("memory")
+      .queryName("chunk_out").option("checkpointLocation", ckpt1).start()
+    q1.processAllAvailable(); q1.stop()
+    val batchDf = spark.createDataFrame(rows).toDF("doc_id", "text")
+    sameRows(
+      spark.table("chunk_out").orderBy("doc_id", "chunk_idx"),
+      TextOps.chunkDocuments(batchDf, "doc_id", "text"))
+  }
+
   test("TextOps wrappers are bit-exact twins of the oracle-checked queries") {
     sameRows(TextOps.chunkDocuments(renamed, "my_id", "body"),
       TextPipeline.q53DocChunks(spark, sfDir))
