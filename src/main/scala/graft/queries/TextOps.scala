@@ -228,6 +228,17 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** PII detection + redaction over any (id, text) frame (q57 semantics):
+    * per-pattern match counts (independent of scrub order) plus the md5
+    * of the fully redacted text. Patterns live in
+    * [[TextPipeline.PiiPatterns]] (RE2 ∩ Java regex subset). Stateless
+    * zero-shuffle projection — streaming-legal with `ordered = false`. */
+  def redactPii(df: DataFrame, id: String, text: String,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.piiRedactOf(norm(df, id, text))
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

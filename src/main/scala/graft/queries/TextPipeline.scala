@@ -299,11 +299,81 @@ object TextPipeline {
       |ORDER BY d.doc_id""".stripMargin
 
   // =====================================================================
+  // q57: PII detection + redaction (compliance scrubbing)
+  // =====================================================================
+
+  /** The four scrub patterns, shared by the Spark and DuckDB sides.
+    * Written to the RE2 ∩ java.util.regex common subset: character
+    * classes, bounded repetition, alternation — no backreferences, no
+    * lookaround, `[0-9]` over `\d` — so both engines match identically. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", "[0-9]{4}(-[0-9]{4}){3}", "<CARD>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Detect and redact PII over any (doc_id, text) frame: per-pattern
+    * match counts (counted independently, BEFORE any replacement, so
+    * counts don't depend on scrub order) plus the md5 of the fully
+    * redacted text (redaction applies the patterns in [[PiiPatterns]]
+    * order — email, card, SSN, then IPv4 — so the output is one
+    * deterministic string; the hash keeps the oracle row narrow).
+    * Scale: pure per-row regex projection — zero shuffle, the same
+    * map-over-the-scan shape as q50. */
+  private[queries] def piiRedactOf(d: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_${name}s")
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    d.select(col("doc_id") +: counts :+
+      md5(redacted).as("redacted_hash"): _*)
+  }
+
+  /** Oracle-checked binding: the corpus has no natural PII (word-salad
+    * text), so the QUERY deterministically injects synthetic PII derived
+    * from the stable doc_id before scrubbing — both engines derive the
+    * same injected text, so the oracle exercises real matches (not
+    * all-zero counts) while [[piiRedactOf]] stays a genuine redactor for
+    * user corpora. */
+  def q57PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" from 10."), col("doc_id") % 200, lit(".0.7"),
+        lit(" card 4111-1111-1111-"), lpad(col("doc_id") % 10000, 4, "0"),
+        lit(" ssn 123-45-"), lpad(col("doc_id") % 10000, 4, "0")
+      ).as("text"))
+    piiRedactOf(seeded).orderBy("doc_id")
+  }
+
+  val oracleQ57: String = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_${name}s"
+    }.mkString(",\n  ")
+    val redacted = PiiPatterns.foldLeft("text") {
+      case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  $counts,
+       |  md5($redacted) AS redacted_hash
+       |FROM (
+       |  SELECT doc_id, text || ' contact user' || doc_id ||
+       |    '@mail.example.com' || ' from 10.' || (doc_id % 200) || '.0.7' ||
+       |    ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
     "q55_seq_packing" -> q55SeqPacking _,
     "q56_bigram_lm" -> q56BigramLm _,
+    "q57_pii_redact" -> q57PiiRedact _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -311,5 +381,6 @@ object TextPipeline {
     "q54_tfidf_topk" -> oracleQ54,
     "q55_seq_packing" -> oracleQ55,
     "q56_bigram_lm" -> oracleQ56,
+    "q57_pii_redact" -> oracleQ57,
   )
 }

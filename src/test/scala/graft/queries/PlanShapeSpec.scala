@@ -174,6 +174,13 @@ class PlanShapeSpec extends SparkSpec {
       s"shuffle not on the stratum key: ${sh.head.outputPartitioning}")
   }
 
+  test("q57 redaction is a pure projection: no joins, no hash shuffle") {
+    val df = TextPipeline.q57PiiRedact(spark, sfDir)
+    assert(hashShufflesOf(df).isEmpty,
+      "redaction hash-shuffled; it must stay a map over the scan")
+    assert(!plan(df).contains("Join"), "redaction grew a join")
+  }
+
   test("q56 bigram model aggregates partially map-side; no corpus self-join") {
     val df = TextPipeline.q56BigramLm(spark, sfDir)
     df.collect() // finalize the adaptive plan

@@ -126,6 +126,39 @@ class TextPipelineSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("q57 redaction scrubs every counted match and leaves clean text alone") {
+    val spark0 = spark
+    import spark0.implicits._
+    val synthetic = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org today"),
+      (2L, "server 192.168.1.77 and card 4111-1111-1111-1234"),
+      (3L, "ssn 078-05-1120 repeated ssn 078-05-1120"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(synthetic, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1)
+    assert(out(2L).getAs[Long]("n_ipv4s") == 1 && out(2L).getAs[Long]("n_cards") == 1)
+    assert(out(3L).getAs[Long]("n_ssns") == 2)
+    assert(Seq("n_emails", "n_ipv4s", "n_cards", "n_ssns")
+      .forall(c => out(4L).getAs[Long](c) == 0))
+    // doc 4 is untouched: its hash equals md5 of the original text
+    val cleanHash = synthetic.filter(col("doc_id") === 4)
+      .select(md5(col("text"))).head().getString(0)
+    assert(out(4L).getAs[String]("redacted_hash") == cleanHash)
+    // redacted text carries no residual matches: re-redacting is a no-op
+    val once = TextPipeline.piiRedactOf(
+      synthetic.select(col("doc_id"), col("text")))
+    val redactedText = TextPipeline.PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    val twice = TextPipeline.piiRedactOf(
+      synthetic.select(col("doc_id"), redactedText.as("text")))
+    assert(twice.agg(sum(col("n_emails") + col("n_cards") + col("n_ssns") +
+      col("n_ipv4s"))).head().getLong(0) == 0)
+    assert(once.select("doc_id", "redacted_hash").exceptAll(
+      twice.select("doc_id", "redacted_hash")).isEmpty)
+  }
+
   test("chunking and quality filtering run unchanged on a streaming source") {
     // the unordered forms are stateless projections, so the SAME library
     // call serves batch and Structured Streaming (orderBy would throw on
