@@ -239,6 +239,18 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Span-level exact-substring dedup over any (id, text) frame (q58
+    * semantics): every `spanLen`-token run occurring more than once in
+    * the corpus, with position, occurrence count, and a canonical-copy
+    * flag — the sub-document duplication (boilerplate, license blocks,
+    * quoted passages) that document-level dedup cannot see. */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+      spanLen: Int = TextPipeline.SpanLen,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.duplicatedSpansOf(norm(df, id, text), spanLen)
+    if (ordered) r.orderBy("doc_id", "span_start", "span_hash") else r
+  }
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

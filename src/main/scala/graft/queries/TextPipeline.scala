@@ -368,12 +368,85 @@ object TextPipeline {
   }
 
   // =====================================================================
+  // q58: span-level exact-substring dedup (sub-document duplication)
+  // =====================================================================
+
+  /** Span length of the oracle-checked binding: 20-token exact runs, the
+    * published threshold for training-corpus substring dedup. */
+  val SpanLen = 20
+
+  /** Find every `spanLen`-token run that occurs MORE THAN ONCE anywhere
+    * in the corpus — the sub-document duplication (boilerplate headers,
+    * license blocks, quoted passages) that document-level dedup cannot
+    * see because the containing documents differ. One row per occurrence
+    * of a duplicated span: its position, corpus-wide occurrence count,
+    * and whether this occurrence is the canonical (first by (doc_id,
+    * pos)) copy — downstream removal keeps canonical spans and cuts the
+    * rest.
+    *
+    * Scale: spans explode one row per token position (narrow rows — id,
+    * pos, 128-bit hash), then a span-hash-keyed two-phase aggregate and
+    * an equi-join of occurrences back to the >1 groups: the q28/q52
+    * shapes composed, never an all-pairs comparison. The `HAVING > 1`
+    * filter drops the overwhelmingly-unique span mass BEFORE the join
+    * back, so the join's build side is only the duplicated tail. */
+  private[queries] def duplicatedSpansOf(d: DataFrame,
+      spanLen: Int): DataFrame = {
+    val w = col("w")
+    val spans = d.select(col("doc_id"), toks.as("w"))
+      .filter(size(w) >= spanLen)
+      .select(col("doc_id"), w,
+        explode(sequence(lit(1), size(w) - (spanLen - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(w, col("pos"), lit(spanLen))))
+          .as("span_hash"))
+    // (doc_id, pos) encoded into one BIGINT for an argmin both engines
+    // compute identically; pos < 1e6 by construction (docs are far
+    // shorter than a million tokens)
+    val occKey = col("doc_id") * lit(1000000L) + col("pos")
+    val dups = spans.groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occurrences"), min(occKey).as("canon"))
+      .filter(col("n_occurrences") > 1)
+    spans.join(dups, "span_hash")
+      .select(col("doc_id"), col("pos").as("span_start"), col("span_hash"),
+        col("n_occurrences"),
+        when(occKey === col("canon"), lit(1L)).otherwise(lit(0L))
+          .as("is_canonical"))
+  }
+
+  def q58SpanDedup(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpansOf(docs(s, dir), SpanLen)
+      .orderBy("doc_id", "span_start", "span_hash")
+
+  val oracleQ58: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(list_slice(w, pos, pos + ${SpanLen - 1}), ' '))
+       |      AS span_hash
+       |  FROM (
+       |    SELECT doc_id, w,
+       |      unnest(range(1, len(w) - ${SpanLen - 2})) AS pos
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |    WHERE len(w) >= $SpanLen)),
+       |agg AS (
+       |  SELECT span_hash, count(*) AS n_occurrences,
+       |    min(doc_id * 1000000 + pos) AS canon
+       |  FROM sp GROUP BY span_hash HAVING count(*) > 1)
+       |SELECT s.doc_id, CAST(s.pos AS BIGINT) AS span_start, s.span_hash,
+       |  CAST(a.n_occurrences AS BIGINT) AS n_occurrences,
+       |  CAST(CASE WHEN s.doc_id * 1000000 + s.pos = a.canon
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM sp s JOIN agg a USING (span_hash)
+       |ORDER BY s.doc_id, s.pos, s.span_hash""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
     "q55_seq_packing" -> q55SeqPacking _,
     "q56_bigram_lm" -> q56BigramLm _,
     "q57_pii_redact" -> q57PiiRedact _,
+    "q58_span_dedup" -> q58SpanDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -382,5 +455,6 @@ object TextPipeline {
     "q55_seq_packing" -> oracleQ55,
     "q56_bigram_lm" -> oracleQ56,
     "q57_pii_redact" -> oracleQ57,
+    "q58_span_dedup" -> oracleQ58,
   )
 }

@@ -181,6 +181,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan(df).contains("Join"), "redaction grew a join")
   }
 
+  test("q58 span dedup joins occurrences to the aggregated >1 groups, never all-pairs") {
+    val df = TextPipeline.q58SpanDedup(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "span groups not partial-aggregated before the shuffle")
+    // the dup filter must sit on the aggregate side of the join (only
+    // the duplicated tail builds the join), not after it
+    assert(p.contains("(n_occurrences"), s"HAVING-style filter missing:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span matching degenerated to an all-pairs product")
+  }
+
   test("q56 bigram model aggregates partially map-side; no corpus self-join") {
     val df = TextPipeline.q56BigramLm(spark, sfDir)
     df.collect() // finalize the adaptive plan

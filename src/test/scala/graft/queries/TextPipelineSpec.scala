@@ -159,6 +159,30 @@ class TextPipelineSpec extends SparkSpec {
       twice.select("doc_id", "redacted_hash")).isEmpty)
   }
 
+  test("q58 span dedup finds exactly one canonical copy per duplicated span") {
+    val sp = TextPipeline.q58SpanDedup(spark, sfDir).cache()
+    assert(sp.count() > 0, "corpus has exact dups; span output must be non-empty")
+    // every span group: n_occurrences rows, exactly one canonical
+    val groups = sp.groupBy("span_hash").agg(
+      count(lit(1)).as("n_rows"),
+      sum("is_canonical").as("n_canon"),
+      max("n_occurrences").as("n_occ"),
+      min("n_occurrences").as("n_occ_min"))
+    assert(groups.filter(col("n_rows") =!= col("n_occ") ||
+      col("n_occ") =!= col("n_occ_min") || col("n_canon") =!= 1).count() === 0)
+    assert(sp.filter(col("n_occurrences") < 2).count() === 0)
+    // the canonical copy is the (doc_id, pos)-least occurrence
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("span_hash")
+      .orderBy("doc_id", "span_start")
+    assert(sp.withColumn("rn", row_number().over(w))
+      .filter((col("rn") === 1) =!= (col("is_canonical") === 1L))
+      .count() === 0)
+    // occurrences are distinct (doc, position) sites — no double counting
+    assert(sp.select("doc_id", "span_start", "span_hash").distinct().count()
+      === sp.count())
+    sp.unpersist()
+  }
+
   test("chunking and quality filtering run unchanged on a streaming source") {
     // the unordered forms are stateless projections, so the SAME library
     // call serves batch and Structured Streaming (orderBy would throw on
