@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pretraining-corpus preparation: the individual operators
+  * ([[TextDedup]], [[TextPipeline]], [[TextOps]]) composed into the
+  * standard pipeline a training-data team actually runs —
+  *
+  *   quality filter → PII scrub → exact dedup → near-dup dedup →
+  *   (optional) benchmark decontamination → sequence packing
+  *
+  * — as ONE lazy DataFrame DAG: nothing executes until the caller acts
+  * on [[Prepared.packed]] (or [[Prepared.stats]]), Catalyst sees the
+  * whole pipeline at once (filters merge, column pruning reaches the
+  * scan), and the shared dedup caches ([[TextDedup]]) are reused across
+  * stages. Every stage keeps only `doc_id`-keyed survivors via
+  * LEFT SEMI joins — survivor sets travel as narrow id frames, never as
+  * re-materialized text.
+  *
+  * Scale: the stages are exactly the oracle-checked operator shapes
+  * (zero-shuffle projections, band equi-joins, one stratum-key window),
+  * so the 10× evidence in BENCH_NOTES applies to the composition; the
+  * only driver-side iteration is the near-dup label fixpoint, bounded by
+  * the dup-graph diameter (see `TextDedup.propagateLabels`).
+  */
+object CorpusPrep {
+
+  /** Pipeline knobs; defaults mirror the oracle-checked bindings. */
+  case class Config(
+      nearDupThreshold: Double = 0.5,
+      scrubPii: Boolean = true,
+      packBudget: Long = TextPipeline.PackBudget)
+
+  /** `packed` — the training mix (one row per surviving doc with its bin
+    * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
+    * feeding it; `stats` — one row per stage with the surviving doc
+    * count (a lazy frame: counting it runs the pipeline). */
+  case class Prepared(packed: DataFrame, survivors: DataFrame,
+      stats: DataFrame)
+
+  /** Run the pipeline over any (id, text, strata) frame; `bench`, when
+    * given, drops every document sharing a 3-gram with the eval set
+    * (q49 semantics — eval-side shingles broadcast). */
+  def prepare(df: DataFrame, id: String, text: String, strata: String,
+      bench: Option[DataFrame] = None,
+      cfg: Config = Config()): Prepared = {
+    val d0 = df.select(col(id).cast("long").as("doc_id"),
+      col(text).cast("string").as("text"), col(strata))
+
+    // 1. quality filter (zero-shuffle projection on flags)
+    val keepIds = TextDedup.qualityFilterOf(d0.select(col("doc_id"), col("text")))
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    val d1 = d0.join(keepIds, Seq("doc_id"), "left_semi")
+
+    // 2. PII scrub — rewrites text in place (downstream hashes see the
+    // scrubbed form, so a dup differing only in its PII still collapses)
+    val d2 =
+      if (cfg.scrubPii)
+        d1.select(col("doc_id"),
+          TextPipeline.redactedTextCol(col("text")).as("text"), col(strata))
+      else d1
+
+    // 3. exact dedup: lowest id per content hash survives
+    val exactKeep = d2
+      .select(md5(col("text")).as("ch"), col("doc_id"))
+      .groupBy("ch").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d3 = d2.join(exactKeep, Seq("doc_id"), "left_semi")
+
+    // 4. near-dup dedup: keep each connected component's min-id member
+    // (cluster_id IS the min reachable id); unclustered docs pass through
+    val labels = TextDedup.propagateLabels(
+      TextDedup.jaccardPairsOf(d3.select(col("doc_id"), col("text")),
+          cfg.nearDupThreshold)
+        .select(col("id_a"), col("id_b")))
+    val d4 = d3.join(labels, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("text"), col(strata))
+
+    // 5. decontamination (optional): any eval-set 3-gram overlap drops
+    val d5 = bench match {
+      case Some(b) =>
+        val contaminated = TextOps
+          .decontaminate(d4.select(col("doc_id"), col("text")), b,
+            "doc_id", "text")
+          .filter(col("contaminated") === 1L).select(col("doc_id"))
+        d4.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => d4
+    }
+
+    // 6. pack survivors into token-budget bins per stratum
+    val packed = TextPipeline.packOf(d5, strata, cfg.packBudget)
+
+    def stage(ord: Int, name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"))
+    val stats = Seq(
+      stage(0, "input", d0), stage(1, "quality", d1),
+      stage(2, "pii_scrub", d2), stage(3, "exact_dedup", d3),
+      stage(4, "near_dedup", d4), stage(5, "decontaminated", d5))
+      .reduce(_.unionAll(_))
+
+    Prepared(packed, d5, stats)
+  }
+}

@@ -320,15 +320,20 @@ object TextPipeline {
     * deterministic string; the hash keeps the oracle row narrow).
     * Scale: pure per-row regex projection — zero shuffle, the same
     * map-over-the-scan shape as q50. */
+  /** The scrubbed text itself (patterns applied in [[PiiPatterns]]
+    * order) — what a prep pipeline carries forward; q57 reports only its
+    * hash to keep the oracle row narrow. */
+  def redactedTextCol(text: Column): Column =
+    PiiPatterns.foldLeft(text) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+
   private[queries] def piiRedactOf(d: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       regexp_count(col("text"), lit(pat)).cast("long").as(s"n_${name}s")
     }
-    val redacted = PiiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
-    }
     d.select(col("doc_id") +: counts :+
-      md5(redacted).as("redacted_hash"): _*)
+      md5(redactedTextCol(col("text"))).as("redacted_hash"): _*)
   }
 
   /** Oracle-checked binding: the corpus has no natural PII (word-salad

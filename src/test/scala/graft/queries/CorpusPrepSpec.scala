@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline: each stage's survivors satisfy that stage's
+  * contract when re-checked independently, and the whole thing is one
+  * lazy DAG (nothing runs until acted on). */
+class CorpusPrepSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val bench = docs.filter(col("doc_id") % 97 === 0)
+    .select(col("doc_id"), col("text"))
+
+  private lazy val prep = CorpusPrep.prepare(
+    docs, "doc_id", "text", "source", Some(bench))
+
+  test("stage stats are monotone non-increasing from the input count") {
+    val stats = prep.stats.orderBy("stage_ord").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs"))
+    assert(stats.head == ("input" -> docs.count()))
+    stats.sliding(2).foreach { case Array((s1, n1), (s2, n2)) =>
+      assert(n2 <= n1, s"$s2 ($n2) grew over $s1 ($n1)")
+    }
+    // the pipeline actually dropped something at each meaningful stage
+    val byName = stats.toMap
+    assert(byName("quality") < byName("input"))
+    assert(byName("near_dedup") < byName("exact_dedup"))
+    assert(byName("decontaminated") < byName("near_dedup"))
+  }
+
+  test("survivors are clean under every stage's own re-check") {
+    val surv = prep.survivors.cache()
+    try {
+      // no exact duplicates remain
+      assert(TextOps.exactDedup(surv, "doc_id", "text")
+        .filter(col("n_copies") > 1).count() === 0)
+      // no near-dup pair at the pipeline threshold remains (cluster
+      // representatives come one per component, so no edge can survive)
+      assert(TextDedup.jaccardPairsOf(
+        surv.select(col("doc_id"), col("text")), 0.5).count() === 0)
+      // no surviving document shares a 3-gram with the eval set
+      assert(TextOps.decontaminate(surv, bench, "doc_id", "text")
+        .filter(col("contaminated") === 1L).count() === 0)
+      // no un-scrubbed PII pattern survives
+      val pii = TextPipeline.PiiPatterns.map(_._2)
+        .map(p => regexp_count(col("text"), lit(p)).cast("long"))
+        .reduce(_ + _)
+      assert(surv.filter(pii > 0).count() === 0)
+    } finally surv.unpersist()
+  }
+
+  test("packed output covers every survivor with valid bin assignments") {
+    val p = prep.packed.cache()
+    try {
+      assert(p.count() === prep.survivors.count())
+      assert(p.filter(col("bin_offset") < 0 ||
+        col("bin_offset") >= TextPipeline.PackBudget).count() === 0)
+      // bins are dense per stratum
+      val bins = p.groupBy("source").agg(
+        countDistinct(col("bin_id")).as("n_bins"), max("bin_id").as("mx"))
+      assert(bins.filter(col("mx") =!= col("n_bins") - 1).count() === 0)
+    } finally p.unpersist()
+  }
+}
