@@ -50,7 +50,7 @@ object ScaleStress {
     * time the aggregate + (broadcast|shuffled) model join at 10× on both
     * axes. q53/q55 ride along as the linear-map baselines. */
   val PipelineQueries: Seq[String] = Seq("q53_doc_chunks", "q54_tfidf_topk",
-    "q55_seq_packing", "q56_bigram_lm")
+    "q55_seq_packing", "q56_bigram_lm", "q57_pii_redact", "q58_span_dedup")
 
   /** The replicated corpus lives under a reps-encoded directory
     * (`<outDir>/x<reps>`), so a rerun with a different `SPARK_GRAFT_REPS`
