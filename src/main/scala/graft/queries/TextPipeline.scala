@@ -445,6 +445,100 @@ object TextPipeline {
        |ORDER BY s.doc_id, s.pos, s.span_hash""".stripMargin
 
   // =====================================================================
+  // q59: URL extraction + domain-blocklist filtering (C4-style)
+  // =====================================================================
+
+  /** URL / domain-capture patterns, RE2 ∩ Java subset like
+    * [[PiiPatterns]]. Paths run to the next space (documents are
+    * space-tokenized). */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+  val DomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Extract every URL from each document, resolve its domain, and
+    * count hits against a `blocklist` frame (one `domain` column) —
+    * the C4-style source filter, with the verdict (`keep` = zero
+    * blocked URLs) and the offending domain surfaced for audit.
+    *
+    * Scale: URL extraction is a pure projection; domains explode one
+    * row per URL (tiny vs token explodes) and probe the BROADCAST
+    * blocklist — blocklists are bounded by construction (they are
+    * curated), so the corpus side never shuffles for the check; the
+    * per-doc verdict is a doc_id-keyed two-phase aggregate. */
+  private[queries] def urlFilterOf(d: DataFrame,
+      blocklist: DataFrame): DataFrame = {
+    val urls = d.select(col("doc_id"),
+      regexp_extract_all(col("text"), lit(UrlPattern), lit(0)).as("urls"))
+    val doms = urls.select(col("doc_id"),
+        size(col("urls")).cast("long").as("n_urls"),
+        explode_outer(col("urls")).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), DomainPattern, 1))
+    doms.join(broadcast(blocklist
+        .select(col("domain"), lit(1L).as("blocked"))), Seq("domain"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_urls")).as("n_urls"),
+        sum(coalesce(col("blocked"), lit(0L))).as("n_blocked"),
+        max(when(col("blocked") === 1L, col("domain"))).as("blocked_domain"))
+      .select(col("doc_id"), col("n_urls"), col("n_blocked"),
+        col("blocked_domain"),
+        when(col("n_blocked") === 0L, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** The oracle binding's fixed blocklist. */
+  val BlockedDomains = Seq("ads1.example.com", "ads2.example.com",
+    "tracker.example.net")
+
+  /** Oracle-checked binding: like q57, the corpus has no URLs, so the
+    * query injects doc_id-derived ones — every document gets a clean
+    * `docs<id%7>.example.org` link, and all but the id%5==0 docs also
+    * get a blocklisted domain (rotating over [[BlockedDomains]]), so
+    * both verdicts and the audit column vary across rows. */
+  def q59UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocked = when(col("doc_id") % 3 === 0, BlockedDomains(0))
+      .when(col("doc_id") % 3 === 1, BlockedDomains(1))
+      .otherwise(BlockedDomains(2))
+    val seeded = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://docs"), col("doc_id") % 7,
+        lit(".example.org/p"), col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(concat(lit(" http://"), blocked, lit("/x"), col("doc_id")))
+      ).as("text"))
+    urlFilterOf(seeded, BlockedDomains.toDF("domain")).orderBy("doc_id")
+  }
+
+  val oracleQ59: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id, text || ' see https://docs' || (doc_id % 7) ||
+       |    '.example.org/p' || doc_id ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' http://' ||
+       |      CASE WHEN doc_id % 3 = 0 THEN '${BlockedDomains(0)}'
+       |           WHEN doc_id % 3 = 1 THEN '${BlockedDomains(1)}'
+       |           ELSE '${BlockedDomains(2)}' END || '/x' || doc_id END
+       |    AS text
+       |  FROM documents),
+       |bl(domain) AS (VALUES ('${BlockedDomains(0)}'),
+       |  ('${BlockedDomains(1)}'), ('${BlockedDomains(2)}')),
+       |e AS (
+       |  SELECT doc_id, len(urls) AS n_urls, unnest(urls) AS url
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$UrlPattern') AS urls
+       |        FROM seeded)),
+       |v AS (
+       |  SELECT d.doc_id, max(d.n_urls) AS n_urls,
+       |    sum(CASE WHEN b.domain IS NULL THEN 0 ELSE 1 END) AS n_blocked,
+       |    max(CASE WHEN b.domain IS NOT NULL THEN d.domain END)
+       |      AS blocked_domain
+       |  FROM (SELECT doc_id, n_urls,
+       |          regexp_extract(url, '$DomainPattern', 1) AS domain
+       |        FROM e) d
+       |  LEFT JOIN bl b ON b.domain = d.domain
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+       |  CAST(n_blocked AS BIGINT) AS n_blocked, blocked_domain,
+       |  CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -452,6 +546,7 @@ object TextPipeline {
     "q56_bigram_lm" -> q56BigramLm _,
     "q57_pii_redact" -> q57PiiRedact _,
     "q58_span_dedup" -> q58SpanDedup _,
+    "q59_url_filter" -> q59UrlFilter _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -461,5 +556,6 @@ object TextPipeline {
     "q56_bigram_lm" -> oracleQ56,
     "q57_pii_redact" -> oracleQ57,
     "q58_span_dedup" -> oracleQ58,
+    "q59_url_filter" -> oracleQ59,
   )
 }

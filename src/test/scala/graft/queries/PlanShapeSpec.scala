@@ -194,6 +194,14 @@ class PlanShapeSpec extends SparkSpec {
       "span matching degenerated to an all-pairs product")
   }
 
+  test("q59 url filter probes a broadcast blocklist; corpus never shuffles for it") {
+    val df = TextPipeline.q59UrlFilter(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "blocklist not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the blocklist probe:\n${p.take(1500)}")
+  }
+
   test("q56 bigram model aggregates partially map-side; no corpus self-join") {
     val df = TextPipeline.q56BigramLm(spark, sfDir)
     df.collect() // finalize the adaptive plan

@@ -183,6 +183,18 @@ class TextPipelineSpec extends SparkSpec {
     sp.unpersist()
   }
 
+  test("q59 verdicts: keep iff zero blocked urls, audit domain only when blocked") {
+    val v = TextPipeline.q59UrlFilter(spark, sfDir).cache()
+    assert(v.count() === docs.count())
+    assert(v.filter((col("keep") === 1L) =!= (col("n_blocked") === 0L)).count() === 0)
+    assert(v.filter(col("blocked_domain").isNotNull =!= (col("n_blocked") > 0L))
+      .count() === 0)
+    // the seeded corpus: id%5==0 docs carry only the clean link
+    assert(v.filter(col("doc_id") % 5 === 0 && col("keep") =!= 1L).count() === 0)
+    assert(v.filter(col("doc_id") % 5 =!= 0 && col("keep") =!= 0L).count() === 0)
+    v.unpersist()
+  }
+
   test("chunking and quality filtering run unchanged on a streaming source") {
     // the unordered forms are stateless projections, so the SAME library
     // call serves batch and Structured Streaming (orderBy would throw on
