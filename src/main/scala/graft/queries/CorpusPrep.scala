@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
-  /** Pipeline knobs; defaults mirror the oracle-checked bindings. */
+  /** Pipeline knobs; defaults mirror the oracle-checked bindings.
+    * `domainBlocklist`, when set, drops every document containing a URL
+    * on a listed domain (q59 semantics) before the quality rules run. */
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
-      packBudget: Long = TextPipeline.PackBudget)
+      packBudget: Long = TextPipeline.PackBudget,
+      domainBlocklist: Option[DataFrame] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -45,8 +48,19 @@ object CorpusPrep {
   def prepare(df: DataFrame, id: String, text: String, strata: String,
       bench: Option[DataFrame] = None,
       cfg: Config = Config()): Prepared = {
-    val d0 = df.select(col(id).cast("long").as("doc_id"),
+    val dIn = df.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"), col(strata))
+
+    // 0. domain blocklist (optional): source-level drop before anything
+    // touches the text
+    val d0 = cfg.domainBlocklist match {
+      case Some(bl) =>
+        val badIds = TextPipeline
+          .urlFilterOf(dIn.select(col("doc_id"), col("text")), bl)
+          .filter(col("keep") === 0L).select(col("doc_id"))
+        dIn.join(badIds, Seq("doc_id"), "left_anti")
+      case None => dIn
+    }
 
     // 1. quality filter (zero-shuffle projection on flags)
     val keepIds = TextDedup.qualityFilterOf(d0.select(col("doc_id"), col("text")))
@@ -97,7 +111,8 @@ object CorpusPrep {
         .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
           col("n_docs"))
     val stats = Seq(
-      stage(0, "input", d0), stage(1, "quality", d1),
+      stage(-1, "input", dIn), stage(0, "url_filter", d0),
+      stage(1, "quality", d1),
       stage(2, "pii_scrub", d2), stage(3, "exact_dedup", d3),
       stage(4, "near_dedup", d4), stage(5, "decontaminated", d5))
       .reduce(_.unionAll(_))

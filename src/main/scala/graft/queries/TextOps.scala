@@ -251,6 +251,16 @@ object TextOps {
     if (ordered) r.orderBy("doc_id", "span_start", "span_hash") else r
   }
 
+  /** URL extraction + domain-blocklist filtering over any (id, text)
+    * frame (q59 semantics): per-doc URL/blocked counts, the offending
+    * domain, and the keep verdict. `blocklist` is any frame with a
+    * `domain` column; it broadcasts (blocklists are curated, bounded). */
+  def urlFilter(df: DataFrame, id: String, text: String,
+      blocklist: DataFrame, ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.urlFilterOf(norm(df, id, text), blocklist)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived
