@@ -44,6 +44,23 @@ class AnnRecallSpec extends SparkSpec {
   // (16p/8b); IVF 0.415/0.530/0.765 at nprobe 1/2/4. Floors sit just
   // below so a candidate-generation regression trips, box-independent.
 
+  test("the vector index parquet round-trips and serves bit-identically") {
+    // the scaladoc claim: at scale, index() is the table you persist and
+    // scan per query batch — so a reloaded index must serve exactly
+    val idx = VectorOps.index(emb, "vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    idx.write.mode("overwrite").parquet(tmp)
+    val reloaded = spark.read.parquet(tmp)
+    val qIdx = VectorOps.index(queries, "vec_id", "embedding")
+    val live = VectorOps.knnBatchIndexed(idx, qIdx, K).collect().map(_.toString)
+    val served = VectorOps.knnBatchIndexed(reloaded, qIdx, K).collect().map(_.toString)
+    assert(served.sameElements(live))
+    // and the k-means cell assignment is stable across the round-trip
+    val liveCells = VectorOps.kmeansCells(idx, 8).collect().map(_.toString).sorted
+    val servedCells = VectorOps.kmeansCells(reloaded, 8).collect().map(_.toString).sorted
+    assert(servedCells.sameElements(liveCells))
+  }
+
   test("hyperplane-LSH recall@10 over the query batch") {
     val r = recallOf(topSets(
       VectorOps.knnLsh(emb, queries, "vec_id", "embedding", K)))
