@@ -220,6 +220,56 @@ object EventStream {
     q
   }
 
+  /** Streaming INGEST PREP: each micro-batch of raw documents runs the
+    * front of the corpus pipeline — quality filter, PII scrub — then
+    * probes the existing corpus index for exact/near duplicates
+    * ([[runIncrementalDedup]] semantics); only documents that pass the
+    * rules AND are verdict `new` reach the sink. This is
+    * [[graft.queries.CorpusPrep]]'s ingest twin: the batch pipeline
+    * cleans a corpus at rest, this admits a stream into it.
+    *
+    * Stage order matters and mirrors the batch pipeline: the scrub runs
+    * BEFORE dedup so an incoming near-copy differing only in its PII
+    * still collapses against the corpus. Stateless stages are the
+    * `ordered = false` library forms (legal on the batch frame and
+    * shuffle-free); the dedup probe is batch-proportional with the
+    * corpus index cached across epochs, per-epoch batch caches released.
+    *
+    * `sink` receives (admitted docs: doc_id, text, verdict columns
+    * dropped) per epoch. */
+  def runIngestPrep(docStream: DataFrame, corpus: DataFrame,
+      id: String, text: String, checkpoint: String, threshold: Double = 0.5)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val keepIds = graft.queries.TextOps
+          .qualityFilter(batch, id, text, ordered = false)
+          .filter(col("keep") === 1L)
+          .select(col("doc_id").as("__keep_id"))
+        val scrubbed = batch
+          .join(keepIds, col(id).cast("long") === col("__keep_id"), "left_semi")
+          .select(col(id),
+            graft.queries.TextPipeline.redactedTextCol(col(text)).as(text))
+        try {
+          val verdicts = graft.queries.TextOps
+            .incrementalDedup(scrubbed, corpus, id, text, threshold)
+          val admitted = scrubbed.join(
+            verdicts.filter(col("verdict") === "new")
+              .select(col("doc_id").as("__new_id")),
+            col(id).cast("long") === col("__new_id"), "left_semi")
+          sink(admitted, epochId)
+        } finally
+          graft.queries.TextOps.unpersistDedupCaches(scrubbed, id, text)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Production-shaped sink: partitioned parquet via foreachBatch (gives
     * exactly-once per epoch plus the ability to run arbitrary batch logic
     * — the standard pattern for parquet/warehouse sinks). */

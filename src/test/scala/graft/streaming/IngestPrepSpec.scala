@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming ingest prep: a micro-batch of raw documents is quality-
+  * filtered, PII-scrubbed, and deduped against the corpus index; only
+  * clean NOVEL documents reach the sink, already scrubbed. */
+class IngestPrepSpec extends SparkSpec {
+
+  private val corpusA = "the quick brown fox jumps over a lazy dog while " +
+    "the calm river flows under an old stone bridge near town square today"
+  private val corpusB = "a gentle breeze moves through the tall green " +
+    "trees as birds sing soft songs above the quiet meadow during early " +
+    "morning light"
+  private val newGood = "every bright star in the night sky tells a long " +
+    "story about distant worlds that spin slowly through dark space " +
+    "beyond our reach"
+  private val newPii = "many small boats drift down the wide blue river " +
+    "while a few people watch from warm sand banks under bright summer " +
+    "sun email bob.smith@mail.example.org"
+
+  test("ingest admits only clean novel docs, scrubbed, rejecting dups and junk") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Seq((1L, corpusA), (2L, corpusB)).toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input.addData(
+      (9001L, corpusA),                                       // exact dup
+      (9002L, corpusA + " contact jane@corp.example.com now"), // near dup once scrubbed
+      (9003L, newGood),                                        // admit as-is
+      (9004L, "zz zz"),                                        // quality reject
+      (9005L, newPii))                                         // admit, scrubbed
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ckpt = Files.createTempDirectory("ckpt-ingest").toString
+    EventStream.runIngestPrep(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text", ckpt) {
+      (admitted, _) =>
+        got ++= admitted.collect().map(r =>
+          r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    }
+
+    val byId = got.toMap
+    assert(byId.keySet == Set(9003L, 9005L),
+      s"admitted ${byId.keySet}; expected only the clean novel docs")
+    assert(byId(9003L) == newGood, "clean doc must pass through unmodified")
+    assert(byId(9005L).contains("<EMAIL>") && !byId(9005L).contains("@"),
+      s"PII survived ingest: ${byId(9005L)}")
+  }
+}
