@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   *   quality filter → PII scrub → exact dedup → near-dup dedup →
   *   (optional) benchmark decontamination → sequence packing
   *
-  * — as ONE lazy DataFrame DAG: nothing executes until the caller acts
-  * on [[Prepared.packed]] (or [[Prepared.stats]]), Catalyst sees the
-  * whole pipeline at once (filters merge, column pruning reaches the
-  * scan), and the shared dedup caches ([[TextDedup]]) are reused across
-  * stages. Every stage keeps only `doc_id`-keyed survivors via
-  * LEFT SEMI joins — survivor sets travel as narrow id frames, never as
-  * re-materialized text.
+  * — as one composed DataFrame DAG: the stateless stages stay lazy and
+  * Catalyst sees them together (filters merge, column pruning reaches
+  * the scan), and the shared dedup caches ([[TextDedup]]) are reused
+  * across stages. ONE exception to laziness: the near-dup label
+  * fixpoint is driver-side iteration, so `prepare` RUNS the pipeline up
+  * to the near-dup stage at call time — construct it when you are ready
+  * to pay for the run, not speculatively. Every stage keeps only
+  * `doc_id`-keyed survivors via LEFT SEMI joins — survivor sets travel
+  * as narrow id frames, never as re-materialized text.
   *
   * Scale: the stages are exactly the oracle-checked operator shapes
   * (zero-shuffle projections, band equi-joins, one stratum-key window),
@@ -38,9 +40,13 @@ object CorpusPrep {
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
     * feeding it; `stats` — one row per stage with the surviving doc
-    * count (a lazy frame: counting it runs the pipeline). */
+    * count; `release()` — drops the dedup derivation caches this run
+    * persisted (shingle sets, hashed rows, the pair frame), which are
+    * keyed to internal plans a caller could not otherwise reach: call it
+    * when done with the result in a long-lived session, or caches
+    * accumulate across prepare() calls. */
   case class Prepared(packed: DataFrame, survivors: DataFrame,
-      stats: DataFrame)
+      stats: DataFrame, release: () => Unit)
 
   /** Run the pipeline over any (id, text, strata) frame; `bench`, when
     * given, drops every document sharing a 3-gram with the eval set
@@ -84,10 +90,10 @@ object CorpusPrep {
 
     // 4. near-dup dedup: keep each connected component's min-id member
     // (cluster_id IS the min reachable id); unclustered docs pass through
+    val d3Text = d3.select(col("doc_id"), col("text"))
+    val pairs = TextDedup.jaccardPairsOf(d3Text, cfg.nearDupThreshold)
     val labels = TextDedup.propagateLabels(
-      TextDedup.jaccardPairsOf(d3.select(col("doc_id"), col("text")),
-          cfg.nearDupThreshold)
-        .select(col("id_a"), col("id_b")))
+      pairs.select(col("id_a"), col("id_b")))
     val d4 = d3.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("text"), col(strata))
@@ -117,6 +123,10 @@ object CorpusPrep {
       stage(4, "near_dedup", d4), stage(5, "decontaminated", d5))
       .reduce(_.unionAll(_))
 
-    Prepared(packed, d5, stats)
+    val release = () => {
+      pairs.unpersist(false)
+      TextDedup.unpersistDerivationsOf(d3Text)
+    }
+    Prepared(packed, d5, stats, release)
   }
 }

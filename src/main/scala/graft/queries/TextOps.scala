@@ -269,6 +269,14 @@ object TextOps {
     * [[graft.streaming.EventStream.runIncrementalDedup]] calls this at the
     * end of every epoch — the corpus-side index (a different plan) stays
     * cached across epochs. */
-  def unpersistDedupCaches(df: DataFrame, id: String, text: String): Unit =
-    TextDedup.unpersistDerivationsOf(norm(df, id, text))
+  def unpersistDedupCaches(df: DataFrame, id: String, text: String,
+      pairThresholds: Seq[Double] = Nil): Unit = {
+    val n = norm(df, id, text)
+    // jaccard pair frames are cached per (input plan, threshold) —
+    // callers that ran nearDupPairs/dedupClusters pass the thresholds
+    // they used so those entries release too
+    pairThresholds.foreach(t =>
+      TextDedup.jaccardPairsOf(n, t).unpersist(false))
+    TextDedup.unpersistDerivationsOf(n)
+  }
 }

@@ -94,12 +94,14 @@ object TextPipeline {
     * arithmetic (league rule: `ln` is not exactly specified across
     * engines; +,−,×,÷ are — see Relational's fpsum scaladoc).
     *
-    * Scale: tf is a two-phase hash aggregate on (doc_id, token); df and
-    * the corpus size N are BOUNDED-size aggregates of it (|vocab| and 1
-    * row) and broadcast — the corpus-sized tf side never reshuffles for
-    * the joins. The per-doc top-k is `row_number ≤ k`, which Spark ≥3.5
-    * plans with WindowGroupLimit: each map task keeps only its local
-    * top-k per doc before the window shuffle (plan-asserted). */
+    * Scale: tf is a two-phase hash aggregate on (doc_id, token); df is
+    * an aggregate OF tf (|vocab| rows) joined back WITHOUT a broadcast
+    * hint — AQE broadcasts it while it fits (as here) and degrades to a
+    * shuffled hash join when a web-scale vocabulary outgrows the
+    * broadcast limit, instead of failing a forced build; N (1 row) is
+    * always broadcast. The per-doc top-k is `row_number ≤ k`, which
+    * Spark ≥3.5 plans with WindowGroupLimit: each map task keeps only
+    * its local top-k per doc before the window shuffle (plan-asserted). */
   private[queries] def tfidfTopKOf(d: DataFrame, k: Int): DataFrame = {
     val tf = d.select(col("doc_id"), explode(toks).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -110,7 +112,7 @@ object TextPipeline {
         (col("df").cast("double") + lit(0.5)))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token").asc)
-    tf.join(broadcast(dfTbl), "token")
+    tf.join(dfTbl, "token")
       .crossJoin(broadcast(nTbl))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -390,11 +392,12 @@ object TextPipeline {
     * rest.
     *
     * Scale: spans explode one row per token position (narrow rows — id,
-    * pos, 128-bit hash), then a span-hash-keyed two-phase aggregate and
-    * an equi-join of occurrences back to the >1 groups: the q28/q52
-    * shapes composed, never an all-pairs comparison. The `HAVING > 1`
-    * filter drops the overwhelmingly-unique span mass BEFORE the join
-    * back, so the join's build side is only the duplicated tail. */
+    * pos, 128-bit hash), then ONE shuffle on span_hash feeding a single
+    * Window pass (per-group count + row_number by (doc_id, pos)); the
+    * `count > 1` filter drops the overwhelmingly-unique span mass right
+    * after. Never an all-pairs comparison, and no second shuffle — the
+    * canonical flag is `row_number == 1`, safe for documents of ANY
+    * length (no arithmetic id/pos encoding). */
   private[queries] def duplicatedSpansOf(d: DataFrame,
       spanLen: Int): DataFrame = {
     val w = col("w")
@@ -405,18 +408,15 @@ object TextPipeline {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", slice(w, col("pos"), lit(spanLen))))
           .as("span_hash"))
-    // (doc_id, pos) encoded into one BIGINT for an argmin both engines
-    // compute identically; pos < 1e6 by construction (docs are far
-    // shorter than a million tokens)
-    val occKey = col("doc_id") * lit(1000000L) + col("pos")
-    val dups = spans.groupBy("span_hash")
-      .agg(count(lit(1)).as("n_occurrences"), min(occKey).as("canon"))
+    val grp = Window.partitionBy("span_hash")
+    val ord = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    spans
+      .withColumn("n_occurrences", count(lit(1)).over(grp))
+      .withColumn("rn", row_number().over(ord))
       .filter(col("n_occurrences") > 1)
-    spans.join(dups, "span_hash")
       .select(col("doc_id"), col("pos").as("span_start"), col("span_hash"),
         col("n_occurrences"),
-        when(occKey === col("canon"), lit(1L)).otherwise(lit(0L))
-          .as("is_canonical"))
+        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("is_canonical"))
   }
 
   def q58SpanDedup(s: SparkSession, dir: String): DataFrame =
@@ -433,16 +433,17 @@ object TextPipeline {
        |      unnest(range(1, len(w) - ${SpanLen - 2})) AS pos
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
        |    WHERE len(w) >= $SpanLen)),
-       |agg AS (
-       |  SELECT span_hash, count(*) AS n_occurrences,
-       |    min(doc_id * 1000000 + pos) AS canon
-       |  FROM sp GROUP BY span_hash HAVING count(*) > 1)
-       |SELECT s.doc_id, CAST(s.pos AS BIGINT) AS span_start, s.span_hash,
-       |  CAST(a.n_occurrences AS BIGINT) AS n_occurrences,
-       |  CAST(CASE WHEN s.doc_id * 1000000 + s.pos = a.canon
-       |    THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-       |FROM sp s JOIN agg a USING (span_hash)
-       |ORDER BY s.doc_id, s.pos, s.span_hash""".stripMargin
+       |win AS (
+       |  SELECT doc_id, pos, span_hash,
+       |    count(*) OVER (PARTITION BY span_hash) AS n_occurrences,
+       |    row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, pos)
+       |      AS rn
+       |  FROM sp)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS span_start, span_hash,
+       |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM win WHERE n_occurrences > 1
+       |ORDER BY doc_id, pos, span_hash""".stripMargin
 
   // =====================================================================
   // q59: URL extraction + domain-blocklist filtering (C4-style)

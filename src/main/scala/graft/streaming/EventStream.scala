@@ -230,10 +230,20 @@ object EventStream {
     *
     * Stage order matters and mirrors the batch pipeline: the scrub runs
     * BEFORE dedup so an incoming near-copy differing only in its PII
-    * still collapses against the corpus. Stateless stages are the
-    * `ordered = false` library forms (legal on the batch frame and
-    * shuffle-free); the dedup probe is batch-proportional with the
-    * corpus index cached across epochs, per-epoch batch caches released.
+    * still collapses against the corpus. Novelty is enforced on BOTH
+    * axes a single epoch can see: within the batch (exact and near dups
+    * collapse to their min-id representative via the cluster pass —
+    * two identical incoming docs admit once, not twice) and against the
+    * corpus (the cached index probe). Across epochs the `corpus` frame
+    * is whatever the caller passed — a long-running ingest should point
+    * it at the canonical store the sink appends to and restart the
+    * query to refresh the cached index; within one AvailableNow run,
+    * epochs do not see each other's admissions.
+    *
+    * Stateless stages are the `ordered = false` library forms (legal on
+    * the batch frame and shuffle-free); the dedup probe is
+    * batch-proportional with the corpus index cached across epochs,
+    * per-epoch batch caches (including the pair frame) released.
     *
     * `sink` receives (admitted docs: doc_id, text, verdict columns
     * dropped) per epoch. */
@@ -254,16 +264,30 @@ object EventStream {
           .join(keepIds, col(id).cast("long") === col("__keep_id"), "left_semi")
           .select(col(id),
             graft.queries.TextPipeline.redactedTextCol(col(text)).as(text))
+        // within-batch novelty: exact dups share a cluster (J = 1), so
+        // keeping each cluster's min-id representative collapses both
+        // exact and near duplicates arriving in the same epoch
+        val withinKeep = graft.queries.TextOps
+          .dedupClusters(scrubbed, id, text, threshold)
+          .filter(col("cluster_id") === col("doc_id"))
+          .select(col("doc_id").as("__uniq_id"))
+        val unique = scrubbed.join(withinKeep,
+          col(id).cast("long") === col("__uniq_id"), "left_semi")
         try {
           val verdicts = graft.queries.TextOps
-            .incrementalDedup(scrubbed, corpus, id, text, threshold)
-          val admitted = scrubbed.join(
+            .incrementalDedup(unique, corpus, id, text, threshold)
+          val admitted = unique.join(
             verdicts.filter(col("verdict") === "new")
               .select(col("doc_id").as("__new_id")),
             col(id).cast("long") === col("__new_id"), "left_semi")
           sink(admitted, epochId)
-        } finally
-          graft.queries.TextOps.unpersistDedupCaches(scrubbed, id, text)
+        } finally {
+          graft.queries.TextOps.unpersistDedupCaches(scrubbed, id, text,
+            Seq(threshold))
+          // the corpus probe derived its own cached signatures from the
+          // within-batch-unique frame — a different plan, released too
+          graft.queries.TextOps.unpersistDedupCaches(unique, id, text)
+        }
       }
       .start()
     q.awaitTermination()

@@ -50,6 +50,13 @@ class CorpusPrepSpec extends SparkSpec {
     } finally surv.unpersist()
   }
 
+  test("release drops the run's dedup caches without disturbing results") {
+    val before = prep.survivors.count()
+    prep.release()
+    // results recompute identically after the caches are gone
+    assert(prep.survivors.count() === before)
+  }
+
   test("packed output covers every survivor with valid bin assignments") {
     val p = prep.packed.cache()
     try {

@@ -150,8 +150,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan(df).contains("Join"), "chunking grew a join")
   }
 
-  test("q54 tf-idf joins broadcast and the per-doc top-k is group-limited") {
+  test("q54 tf-idf joins broadcast (AQE-sized) and the per-doc top-k is group-limited") {
     val df = TextPipeline.q54TfidfTopK(spark, sfDir)
+    df.collect() // finalize the adaptive plan: df has no broadcast HINT,
+                 // AQE must pick broadcast from the measured size
     val p = plan(df)
     assert(!p.contains("SortMergeJoin"),
       s"df/N joins shuffled the corpus-sized tf side:\n${p.take(2000)}")
@@ -181,17 +183,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan(df).contains("Join"), "redaction grew a join")
   }
 
-  test("q58 span dedup joins occurrences to the aggregated >1 groups, never all-pairs") {
+  test("q58 span dedup is one span_hash shuffle + window — no join at all") {
     val df = TextPipeline.q58SpanDedup(spark, sfDir)
-    df.collect() // finalize the adaptive plan
     val p = plan(df)
-    assert(p.contains("partial_count") || p.contains("partial_min"),
-      "span groups not partial-aggregated before the shuffle")
-    // the dup filter must sit on the aggregate side of the join (only
-    // the duplicated tail builds the join), not after it
-    assert(p.contains("(n_occurrences"), s"HAVING-style filter missing:\n${p.take(2000)}")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "span matching degenerated to an all-pairs product")
+    assert(!p.contains("Join"), "span matching grew a join")
+    assert(p.contains("Window"), "count/canonical not computed in a window pass")
+    val sh = hashShufflesOf(df)
+    assert(sh.size == 1,
+      s"expected exactly 1 span_hash shuffle, got ${sh.size}")
+    assert(sh.head.outputPartitioning.toString.contains("span_hash#"),
+      s"shuffle not on span_hash: ${sh.head.outputPartitioning}")
   }
 
   test("q59 url filter probes a broadcast blocklist; corpus never shuffles for it") {

@@ -148,11 +148,9 @@ class TextPipelineSpec extends SparkSpec {
     // redacted text carries no residual matches: re-redacting is a no-op
     val once = TextPipeline.piiRedactOf(
       synthetic.select(col("doc_id"), col("text")))
-    val redactedText = TextPipeline.PiiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
-    }
     val twice = TextPipeline.piiRedactOf(
-      synthetic.select(col("doc_id"), redactedText.as("text")))
+      synthetic.select(col("doc_id"),
+        TextPipeline.redactedTextCol(col("text")).as("text")))
     assert(twice.agg(sum(col("n_emails") + col("n_cards") + col("n_ssns") +
       col("n_ipv4s"))).head().getLong(0) == 0)
     assert(once.select("doc_id", "redacted_hash").exceptAll(

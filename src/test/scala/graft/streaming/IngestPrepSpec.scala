@@ -34,7 +34,8 @@ class IngestPrepSpec extends SparkSpec {
       (9002L, corpusA + " contact jane@corp.example.com now"), // near dup once scrubbed
       (9003L, newGood),                                        // admit as-is
       (9004L, "zz zz"),                                        // quality reject
-      (9005L, newPii))                                         // admit, scrubbed
+      (9005L, newPii),                                         // admit, scrubbed
+      (9006L, newGood))                        // within-batch dup of 9003
 
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val ckpt = Files.createTempDirectory("ckpt-ingest").toString
@@ -46,6 +47,7 @@ class IngestPrepSpec extends SparkSpec {
     }
 
     val byId = got.toMap
+    // 9006 (identical to 9003, same batch) collapses to the min-id copy
     assert(byId.keySet == Set(9003L, 9005L),
       s"admitted ${byId.keySet}; expected only the clean novel docs")
     assert(byId(9003L) == newGood, "clean doc must pass through unmodified")
