@@ -225,12 +225,84 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // =====================================================================
+  // q60: semantic dedup (LSH candidates → cosine edges → components)
+  // =====================================================================
+
+  /** Cosine threshold of the oracle-checked binding. The corpus has no
+    * planted embedding dups (max pairwise cos ≈ 0.51), so 0.35 is set
+    * BELOW the usual 0.9-ish production threshold to exercise a non-trivial
+    * dup graph (~130 edges over 500 vectors at sf0.01); the semantics are
+    * threshold-independent. */
+  private val SEMDEDUP_MINCOS = 0.35
+
+  /** Embedding-level dedup ([[VectorOps.semanticDedup]] semantics — the
+    * SemDeDup recipe): candidate pairs from an LSH band self-join, exact
+    * integer-cosine >= threshold as the dup edges, connected components,
+    * min-id representative kept. One row per vector: (vec_id, cluster_id,
+    * n_members, is_kept). Scale: bucketed candidates (never all-pairs) +
+    * the same edge-only label propagation q40 runs on text shingles. */
+  def q60SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.semanticDedupIndexed(emb(s, dir), SEMDEDUP_MINCOS,
+      planes = PLANES, bands = NIBBLES, dims = DIMS)
+      .orderBy("vec_id")
+
+  val oracleQ60: String = {
+    val sigBits = (0 until PLANES)
+      .map(p => s"max(CASE WHEN p = $p AND s > 0 THEN 1 ELSE 0 END) AS bit$p").mkString(", ")
+    val nibs = (0 until NIBBLES).map { k =>
+      (0 until 4).map(j => s"bit${4 * k + j}*${1 << j}").mkString(" + ") + s" AS nib$k"
+    }.mkString(", ")
+    val bandUnion = (0 until NIBBLES)
+      .map(k => s"SELECT vec_id, $k AS k, nib$k AS v FROM sign").mkString(" UNION ALL ")
+    val dot = oDot("a.efp", "b.efp")
+    s"""WITH RECURSIVE $oEfpCte,
+       |weights AS (
+       |  SELECT p, i,
+       |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR)||'_'||CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END AS w
+       |  FROM range(0, $PLANES) t(p), range(0, $DIMS) u(i)),
+       |exploded AS (
+       |  SELECT vec_id, generate_subscripts(efp, 1) - 1 AS i, unnest(efp) AS xfp
+       |  FROM efp),
+       |proj AS (
+       |  SELECT vec_id, p, sum(w * xfp) AS s
+       |  FROM exploded JOIN weights ON exploded.i = weights.i
+       |  GROUP BY vec_id, p),
+       |sig AS (SELECT vec_id, $sigBits FROM proj GROUP BY vec_id),
+       |sign AS (SELECT vec_id, $nibs FROM sig),
+       |bands AS ($bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM bands ba JOIN bands bb
+       |    ON ba.k = bb.k AND ba.v = bb.v AND ba.vec_id < bb.vec_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN efp a ON a.vec_id = c.id_a
+       |  JOIN efp b ON b.vec_id = c.id_b
+       |  WHERE ${oCos(dot, oDot("a.efp", "a.efp"), oDot("b.efp", "b.efp"))}
+       |    >= $SEMDEDUP_MINCOS),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT vec_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |  CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_kept
+       |FROM lab ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
     "q34_knn_lsh" -> q34KnnLsh _,
     "q37_knn_ivf" -> q37KnnIvf _,
     "q45_knn_batch" -> q45KnnBatch _,
+    "q60_semantic_dedup" -> q60SemanticDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,5 +311,6 @@ object Similarity {
     "q34_knn_lsh" -> oracleQ34,
     "q37_knn_ivf" -> oracleQ37,
     "q45_knn_batch" -> oracleQ45,
+    "q60_semantic_dedup" -> oracleQ60,
   )
 }

@@ -1170,6 +1170,96 @@ object TextDedup {
        |WHERE s.doc_id % 97 <> 0 ORDER BY s.doc_id""".stripMargin
 
   // =====================================================================
+  // q61: graded contamination scoring (overlap fraction + severity)
+  // =====================================================================
+
+  /** Severity thresholds of the oracle-checked binding: the PaLM-style
+    * graded policy (review high, sample-audit medium, keep low) instead of
+    * q49's binary any-overlap flag. */
+  val ContamHigh = 0.05
+  val ContamMedium = 0.01
+
+  /** Shared assembly for q49's graded sibling: given the corpus's hashed
+    * shingle rows + distinct-set sizes and the (bounded, broadcast)
+    * eval-set shingles, emit per-document overlap counts, the overlap
+    * FRACTION (share of the document's distinct 3-grams that appear in
+    * the eval set, rounded once), and the severity bucket computed FROM
+    * the rounded fraction — so both engines bucket identical doubles. */
+  private def contaminationAssembly(corpusRows: DataFrame, benchSh: DataFrame,
+      corpusSets: DataFrame, high: Double, medium: Double): DataFrame = {
+    val overlaps = corpusRows
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpusSets
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") === 0L, lit(0.0))
+          .otherwise(round(col("n_overlap").cast("double") /
+            col("n_shingles").cast("double"), 6)))
+      .withColumn("severity",
+        when(col("overlap_frac") >= high, lit("high"))
+          .when(col("overlap_frac") >= medium, lit("medium"))
+          .when(col("overlap_frac") > 0.0, lit("low"))
+          .otherwise(lit("clean")))
+  }
+
+  /** Graded contamination core over arbitrary corpus/bench frames —
+    * [[TextOps.contaminationScore]]'s implementation. Same broadcast
+    * shape as q49 (eval shingles bounded by construction; corpus side
+    * never shuffles its shingles). */
+  private[queries] def contaminationScoreOf(corpus: DataFrame,
+      bench: DataFrame, high: Double = ContamHigh,
+      medium: Double = ContamMedium): DataFrame =
+    contaminationAssembly(
+      hashedShingleRowsOf(corpus),
+      hashedShingleRowsOf(bench).select(col("sh")).distinct(),
+      shingleSetsOf(corpus), high, medium)
+
+  /** q61: q49's eval-set overlap scan upgraded to a GRADED score — the
+    * decontamination policy real pipelines run is fraction-based (a doc
+    * sharing one boilerplate 3-gram with an eval set is noise; a doc
+    * whose shingles are 10% eval content is a leak). Rides the same
+    * cached shingle derivation as q49 — the eval scan amortizes to zero
+    * extra corpus passes in a session that already deduped. */
+  def q61ContaminationScore(s: SparkSession, dir: String): DataFrame = {
+    val rows = hashedShingleRows(s, dir)
+    contaminationAssembly(
+      rows.filter(col("doc_id") % 97 =!= 0),
+      rows.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct(),
+      shingleSets(s, dir).filter(col("doc_id") % 97 =!= 0),
+      ContamHigh, ContamMedium)
+      .orderBy("doc_id")
+  }
+
+  val oracleQ61: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(ts) AS sh FROM sets),
+       |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0),
+       |ov AS (
+       |  SELECT e.doc_id, count(*) AS n_overlap
+       |  FROM ex e JOIN bench b ON b.sh = e.sh
+       |  WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id),
+       |f AS (
+       |  SELECT s.doc_id, CAST(len(s.ts) AS BIGINT) AS n_shingles,
+       |    CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |    CASE WHEN len(s.ts) = 0 THEN 0.0
+       |         ELSE round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) /
+       |           CAST(len(s.ts) AS DOUBLE), 6) END AS overlap_frac
+       |  FROM sets s LEFT JOIN ov o ON o.doc_id = s.doc_id
+       |  WHERE s.doc_id % 97 <> 0)
+       |SELECT doc_id, n_shingles, n_overlap, overlap_frac,
+       |  CASE WHEN overlap_frac >= $ContamHigh THEN 'high'
+       |       WHEN overlap_frac >= $ContamMedium THEN 'medium'
+       |       WHEN overlap_frac > 0 THEN 'low'
+       |       ELSE 'clean' END AS severity
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   // q50: composite quality filter (the Gopher/C4 rule family as a verdict)
   // =====================================================================
 
@@ -1354,6 +1444,7 @@ object TextDedup {
     "q50_quality_filter" -> q50QualityFilter _,
     "q51_corpus_mix" -> q51CorpusMix _,
     "q52_vocab_topk" -> q52VocabTopK _,
+    "q61_contamination_score" -> q61ContaminationScore _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1375,5 +1466,6 @@ object TextDedup {
     "q50_quality_filter" -> oracleQ50,
     "q51_corpus_mix" -> oracleQ51,
     "q52_vocab_topk" -> oracleQ52,
+    "q61_contamination_score" -> oracleQ61,
   )
 }

@@ -140,6 +140,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** GRADED contamination scoring (q61 semantics): per corpus document,
+    * the FRACTION of its distinct 3-grams appearing anywhere in `bench`,
+    * plus a severity bucket (high/medium/low/clean at the supplied
+    * thresholds) — the fraction-based removal policy real pipelines run,
+    * where [[decontaminate]]'s binary flag is the blunt version. Same
+    * broadcast shape: the eval side is bounded by construction. */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, high: Double = TextDedup.ContamHigh,
+      medium: Double = TextDedup.ContamMedium,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextDedup.contaminationScoreOf(
+      norm(corpus, id, text), norm(bench, id, text), high, medium)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
+  /** Vocabulary-capped <UNK> normalization (q62 semantics): keep the
+    * `keepK` most frequent tokens (ties to the smaller token), rewrite
+    * every other token to `<UNK>`, and report per-document token/replaced
+    * counts plus the md5 of the position-exact rebuilt text. The
+    * keep-list is top-k bounded and broadcasts; the rebuild is one
+    * doc_id shuffle. */
+  def pruneVocabulary(df: DataFrame, id: String, text: String,
+      keepK: Int = TextPipeline.VocabKeepK,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.vocabPruneOf(norm(df, id, text), keepK)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Gopher/C4-style composite quality FILTER over any (id, text) frame:
     * per-rule pass flags (token-count bounds, mean-word-length bounds,
     * min distinct stopwords, max-token-share cap, duplicate-3-gram cap)

@@ -540,6 +540,72 @@ object TextPipeline {
        |FROM v ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q62: vocabulary-capped <UNK> normalization (tokenizer-prep rewrite)
+  // =====================================================================
+
+  /** Keep-list size of the oracle-checked binding: the corpus vocabulary
+    * is 31 tokens, so a 20-token cap replaces a third of the token mass —
+    * real signal on both the counts and the rebuilt text. */
+  val VocabKeepK = 20
+
+  /** Rewrite every document over a CAPPED vocabulary: the `keepK` most
+    * frequent tokens (ties to the lexicographically smaller token) stay,
+    * every other token becomes `<UNK>` — the normalization a tokenizer-
+    * prep pipeline runs before fitting merges, and the standard OOV
+    * handling for count-based models (q56's bigram LM wants exactly this
+    * upstream). Output per document: token count, replaced-token count,
+    * and the md5 of the rebuilt text (order-exact: tokens are reassembled
+    * by position).
+    *
+    * Scale: the vocabulary aggregate is a token-keyed two-phase hash
+    * aggregate (tiny output), the keep-list is top-k bounded by
+    * construction (TakeOrdered, then broadcast — like q59's blocklist,
+    * it never shuffles the corpus), and the rebuild is ONE shuffle on
+    * doc_id: positions explode map-side, probe the broadcast keep-list,
+    * and collapse back with an in-partition sort-by-position. At 100 TB
+    * the explode/reassemble is the honest cost of a rewrite; a
+    * projection-only variant would fold the (bounded) keep-list into a
+    * literal `transform` and run shuffle-free — both end in the same
+    * rebuilt text. */
+  private[queries] def vocabPruneOf(d: DataFrame, keepK: Int): DataFrame = {
+    val tok = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val keep = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(keepK)
+      .select(col("token"), lit(1L).as("kept"))
+    tok.join(broadcast(keep), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("kept").isNotNull, col("token")).otherwise(lit("<UNK>"))
+          .as("out_token"),
+        when(col("kept").isNull, lit(1L)).otherwise(lit(0L)).as("unk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("unk")).as("n_unk"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("out_token")))),
+          x => x.getField("out_token")), " ")).as("pruned_hash"))
+  }
+
+  def q62VocabPrune(s: SparkSession, dir: String): DataFrame =
+    vocabPruneOf(docs(s, dir), VocabKeepK).orderBy("doc_id")
+
+  val oracleQ62: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS token
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |keep AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+       |    ORDER BY cnt DESC, token ASC LIMIT $VocabKeepK))
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN k.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unk,
+       |  md5(string_agg(
+       |    CASE WHEN k.token IS NOT NULL THEN t.token ELSE '<UNK>' END,
+       |    ' ' ORDER BY t.pos)) AS pruned_hash
+       |FROM tok t LEFT JOIN keep k ON k.token = t.token
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -548,6 +614,7 @@ object TextPipeline {
     "q57_pii_redact" -> q57PiiRedact _,
     "q58_span_dedup" -> q58SpanDedup _,
     "q59_url_filter" -> q59UrlFilter _,
+    "q62_vocab_prune" -> q62VocabPrune _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -558,5 +625,6 @@ object TextPipeline {
     "q57_pii_redact" -> oracleQ57,
     "q58_span_dedup" -> oracleQ58,
     "q59_url_filter" -> oracleQ59,
+    "q62_vocab_prune" -> oracleQ62,
   )
 }

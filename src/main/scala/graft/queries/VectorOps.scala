@@ -144,28 +144,36 @@ object VectorOps {
     * Scale: signatures are a pure map over the scan — no shuffle; the
     * candidate set is an equi-join on (band, value); the window runs over
     * candidates only (small by construction). */
-  def knnLshIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64,
-      carry: Seq[String] = Nil): DataFrame = {
+  /** LSH band rows (vec_id, k: band index, v: band value) for an indexed
+    * frame: `planes` sign bits from the pseudo-random ±1 hyperplanes,
+    * grouped into `bands` values of planes/bands bits each. A pure
+    * codegen'd projection over the scan (weights ride as literals) —
+    * no shuffle. Shared by [[knnLshIndexed]] (query-vs-corpus probe) and
+    * [[lshCandidatePairs]] (corpus self-join). */
+  private[queries] def lshBandRows(idx: DataFrame, planes: Int, bands: Int,
+      dims: Int): DataFrame = {
     require(planes % bands == 0, s"bands=$bands must divide planes=$planes")
     val bitsPer = planes / bands
     val pw = planeWeights(planes, dims)
-
-    def bandsOf(idx: DataFrame): DataFrame = {
-      val bits = (0 until planes).map { p =>
-        val w = typedLit(pw(p).toSeq)
-        when(GraftFunctions.intDot(col("efp"), w) > 0, 1).otherwise(0).as(s"bit$p")
-      }
-      val sig = idx.select(col("vec_id") +: bits: _*)
-      val nib = (0 until bands).map { b =>
-        (0 until bitsPer).map(j => col(s"bit${bitsPer * b + j}") * lit(1 << j))
-          .reduce(_ + _).as(s"nib$b")
-      }
-      sig.select(col("vec_id") +: nib: _*)
-        .select(col("vec_id"), explode(array((0 until bands).map(b =>
-          struct(lit(b).as("k"), col(s"nib$b").as("v"))): _*)).as("e"))
-        .select(col("vec_id"), col("e.k").as("k"), col("e.v").as("v"))
+    val bits = (0 until planes).map { p =>
+      val w = typedLit(pw(p).toSeq)
+      when(GraftFunctions.intDot(col("efp"), w) > 0, 1).otherwise(0).as(s"bit$p")
     }
+    val sig = idx.select(col("vec_id") +: bits: _*)
+    val nib = (0 until bands).map { b =>
+      (0 until bitsPer).map(j => col(s"bit${bitsPer * b + j}") * lit(1 << j))
+        .reduce(_ + _).as(s"nib$b")
+    }
+    sig.select(col("vec_id") +: nib: _*)
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("k"), col(s"nib$b").as("v"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.k").as("k"), col("e.v").as("v"))
+  }
+
+  def knnLshIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      carry: Seq[String] = Nil): DataFrame = {
+    def bandsOf(idx: DataFrame): DataFrame = lshBandRows(idx, planes, bands, dims)
 
     val qBands = bandsOf(queries)
       .select(col("vec_id").as("query_id"), col("k"), col("v"))
@@ -271,6 +279,70 @@ object VectorOps {
   def blockedPairs(df: DataFrame, id: String, vec: String, block: String,
       topN: Int): DataFrame =
     blockedPairsIndexed(index(df, id, vec, Seq(block)), block, topN)
+
+  // =====================================================================
+  // Semantic dedup — LSH candidates → exact cosine → components → keeper
+  // =====================================================================
+
+  /** Candidate near-dup pairs from an LSH band SELF-join: (id_a < id_b)
+    * pairs sharing at least one band value. This is the corpus-scale
+    * candidate generator (the SemDeDup shape): signatures are a pure map,
+    * the self-join shuffles narrow (vec_id, band) rows on the band key,
+    * and no pair outside a shared bucket is ever formed — never all-pairs.
+    * Bucket population is geometric in bits-per-band: at web scale raise
+    * `planes`/`bands` (e.g. 64/8) so buckets stay small; the 16/4 default
+    * matches the oracle-checked q60 binding. */
+  def lshCandidatePairs(idx: DataFrame, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val b = lshBandRows(idx, planes, bands, dims)
+    b.select(col("vec_id").as("id_a"), col("k"), col("v"))
+      .join(b.select(col("vec_id").as("id_b"), col("k"), col("v")), Seq("k", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Embedding-level (semantic) dedup over an indexed corpus: LSH band
+    * candidates filtered by EXACT integer-dot cosine >= `minCos` become
+    * the dup-graph edges; connected components label every vector with
+    * its cluster (min reachable vec_id); the cluster's minimum id is the
+    * kept representative. Output: (vec_id, cluster_id, n_members,
+    * is_kept) — one row per corpus vector.
+    *
+    * Scale: candidates are bucketed (see [[lshCandidatePairs]]), the
+    * cosine filter drops non-dups BEFORE the component loop, and the
+    * label propagation iterates only over vectors that have an edge
+    * ([[TextDedup.propagateLabels]] — O(component diameter) rounds,
+    * reliable `checkpoint()` when `spark.graft.dedup.checkpointDir` is
+    * set). The final window runs over corpus-sized but narrow
+    * (vec_id, cluster_id) rows. */
+  def semanticDedupIndexed(idx: DataFrame, minCos: Double,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
+    val cand = lshCandidatePairs(idx, planes, bands, dims)
+    val a = idx.select(col("vec_id").as("id_a"), col("efp").as("ea"),
+      col("nrm").as("na"))
+    val b = idx.select(col("vec_id").as("id_b"), col("efp").as("eb"),
+      col("nrm").as("nb"))
+    val pairs = cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .filter(cosOf(GraftFunctions.intDot(col("ea"), col("eb")),
+        col("na"), col("nb")) >= minCos)
+      .select(col("id_a"), col("id_b"))
+    val labels = TextDedup.propagateLabels(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val all = idx.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+    all.withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("is_kept",
+        when(col("vec_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
+  def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
+    semanticDedupIndexed(index(df, id, vec), minCos, planes, bands, dims)
 
   // =====================================================================
   // Deterministic k-means coarse quantizer (the IVF build step)

@@ -57,6 +57,49 @@ class TextOpsSpec extends SparkSpec {
       rows(TextDedup.q49Decontamination(spark, sfDir)))
   }
 
+  test("contaminationScore == q61 on the modulo split") {
+    val corpus = renamed.filter(col("id") % 97 =!= 0)
+    val bench = renamed.filter(col("id") % 97 === 0)
+    assert(rows(TextOps.contaminationScore(corpus, bench, "id", "body")) ==
+      rows(TextDedup.q61ContaminationScore(spark, sfDir)))
+  }
+
+  test("contaminationScore severity buckets follow the rounded fraction") {
+    val corpus = renamed.filter(col("id") % 97 =!= 0)
+    val bench = renamed.filter(col("id") % 97 === 0)
+    val got = TextOps.contaminationScore(corpus, bench, "id", "body").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val f = r.getAs[Double]("overlap_frac")
+      val want =
+        if (f >= TextDedup.ContamHigh) "high"
+        else if (f >= TextDedup.ContamMedium) "medium"
+        else if (f > 0.0) "low"
+        else "clean"
+      assert(r.getAs[String]("severity") == want, s"row $r")
+    }
+  }
+
+  test("pruneVocabulary == q62 on the documents table") {
+    assert(rows(TextOps.pruneVocabulary(renamed, "id", "body")) ==
+      rows(TextPipeline.q62VocabPrune(spark, sfDir)))
+  }
+
+  test("pruneVocabulary keeping the whole vocabulary rebuilds the text verbatim") {
+    // with keepK >= |vocab| nothing is replaced, so the rebuilt-text hash
+    // must equal md5(text) — proving the position-exact reassembly
+    val got = TextOps.pruneVocabulary(renamed, "id", "body", keepK = 100000)
+    val want = renamed.select(col("id").cast("long").as("doc_id"),
+      md5(col("body")).as("want_hash"))
+    val joined = got.join(want, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_unk") == 0L, s"row $r")
+      assert(r.getAs[String]("pruned_hash") == r.getAs[String]("want_hash"),
+        s"row $r")
+    }
+  }
+
   test("qualityFilter == q50 on the documents table") {
     assert(rows(TextOps.qualityFilter(renamed, "id", "body")) ==
       rows(TextDedup.q50QualityFilter(spark, sfDir)))

@@ -91,6 +91,29 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup == q60 on renamed columns") {
+    val got = VectorOps.semanticDedup(renamed, "vid", "v", 0.35)
+      .orderBy("vec_id")
+    assert(rows(got) == rows(Similarity.q60SemanticDedup(spark, sfDir)))
+  }
+
+  test("semanticDedup labels are total, min-id, and keep one representative per cluster") {
+    val got = VectorOps.semanticDedup(renamed, "vid", "v", 0.35).collect()
+    assert(got.length == renamed.count(), "one row per corpus vector")
+    val byCluster = got.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == cid,
+        s"cluster $cid label is not the min member id")
+      assert(members.count(_.getAs[Long]("is_kept") == 1L) == 1,
+        s"cluster $cid keeps != 1 representative")
+      members.foreach(m => assert(m.getAs[Long]("n_members") == members.length))
+    }
+    // threshold monotonicity: a stricter threshold never merges more
+    val strict = VectorOps.semanticDedup(renamed, "vid", "v", 0.9).collect()
+    assert(strict.map(_.getAs[Long]("cluster_id")).distinct.length >=
+      byCluster.size)
+  }
+
   test("kmeansCells is deterministic, total, and assigns each vector to its best centroid") {
     val idx = VectorOps.index(renamed, "vid", "v")
     val a = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
