@@ -48,9 +48,26 @@ object ScaleStress {
     * are distinct), which is the realistic regime for q54's df table and
     * q56's bigram model: the MODEL side grows with the corpus, so these
     * time the aggregate + (broadcast|shuffled) model join at 10× on both
-    * axes. q53/q55 ride along as the linear-map baselines. */
+    * axes. q53/q55 ride along as the linear-map baselines. q61 stresses
+    * the broadcast eval-probe (eval side grows ~R× too under the %97
+    * split); q62's keep-list stays top-20 of an R×-grown vocabulary. */
   val PipelineQueries: Seq[String] = Seq("q53_doc_chunks", "q54_tfidf_topk",
-    "q55_seq_packing", "q56_bigram_lm", "q57_pii_redact", "q58_span_dedup")
+    "q55_seq_packing", "q56_bigram_lm", "q57_pii_redact", "q58_span_dedup",
+    "q61_contamination_score", "q62_vocab_prune")
+
+  /** Semantic dedup at the SCALE parameterization, not q60's oracle
+    * binding: 16-plane/4-bit bands have only 16 values per band, so at
+    * 10× the replicated corpus every band bucket holds ~3k vectors and
+    * the candidate join output grows quadratically-in-bucket — exactly
+    * the regime [[graft.queries.VectorOps.lshCandidatePairs]]'s scaladoc
+    * says to leave by raising planes. The stress therefore times the
+    * 32-plane/8-bit-band configuration (256 values per band) on BOTH
+    * sizes — the like-for-like pair whose growth should be near-linear. */
+  val CustomVector: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q60_semantic_dedup_p32" -> ((s, dir) =>
+      graft.queries.VectorOps.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        minCos = 0.35, planes = 32, bands = 4)))
 
   /** The replicated corpus lives under a reps-encoded directory
     * (`<outDir>/x<reps>`), so a rerun with a different `SPARK_GRAFT_REPS`
@@ -118,17 +135,22 @@ object ScaleStress {
 
     // codegen warm-up at the smallest SF (plan shapes identical across
     // dirs), so timed runs measure data processing, not janino
+    val named = (Queries ++ VectorQueries ++ PipelineQueries)
+      .map(q => q -> SparkEntry.queries(q)) ++ CustomVector
+
     val warmDir = "/root/testdata/sf0.001"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      (Queries ++ VectorQueries ++ PipelineQueries).foreach(q =>
-        try SparkEntry.queries(q)(spark, warmDir).count()
-        catch { case _: Throwable => () })
+      named.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     spark.catalog.clearCache()
 
-    def timeSuite(dir: String, qs: Seq[String]): Seq[(String, Double, Long)] = {
-      val r = qs.map { q =>
+    def timeSuite(dir: String,
+        qs: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, Double, Long)] = {
+      val r = qs.map { case (q, fn) =>
         val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(q)(spark, dir).count()
+        val n = try fn(spark, dir).count()
           catch { case e: Throwable => System.err.println(s"$q: $e"); -1L }
         (q, (System.nanoTime() - t0) / 1e9, n)
       }
@@ -137,8 +159,8 @@ object ScaleStress {
     }
 
     val repDir = replicatedDir(outDir, reps)
-    val base = timeSuite(baseDir, Queries ++ VectorQueries ++ PipelineQueries)
-    val big = timeSuite(repDir, Queries ++ VectorQueries ++ PipelineQueries)
+    val base = timeSuite(baseDir, named)
+    val big = timeSuite(repDir, named)
     def js(rs: Seq[(String, Double, Long)]) = rs
       .map { case (q, t, n) => s"""\"$q\":{\"sec\":$t,\"rows\":$n}""" }
       .mkString("{", ",", "}")

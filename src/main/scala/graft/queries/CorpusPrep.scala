@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * standard pipeline a training-data team actually runs —
   *
   *   quality filter → PII scrub → exact dedup → near-dup dedup →
-  *   (optional) benchmark decontamination → sequence packing
+  *   (optional) graded benchmark decontamination →
+  *   (optional) vocabulary normalization → sequence packing
   *
   * — as one composed DataFrame DAG: the stateless stages stay lazy and
   * Catalyst sees them together (filters merge, column pruning reaches
@@ -30,12 +31,21 @@ object CorpusPrep {
 
   /** Pipeline knobs; defaults mirror the oracle-checked bindings.
     * `domainBlocklist`, when set, drops every document containing a URL
-    * on a listed domain (q59 semantics) before the quality rules run. */
+    * on a listed domain (q59 semantics) before the quality rules run.
+    * `contaminationMaxFrac` grades the decontamination stage (q61
+    * semantics): a doc is dropped when the share of its distinct 3-grams
+    * found in the eval set EXCEEDS the threshold — 0.0 is the strict
+    * any-overlap policy (identical survivors to the q49 binary flag);
+    * raising it tolerates boilerplate-level overlap. `vocabKeepK`, when
+    * set, rewrites the surviving text over the top-k corpus vocabulary
+    * (q62 semantics, fitted on the post-dedup survivors) before packing. */
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
       packBudget: Long = TextPipeline.PackBudget,
-      domainBlocklist: Option[DataFrame] = None)
+      domainBlocklist: Option[DataFrame] = None,
+      contaminationMaxFrac: Double = 0.0,
+      vocabKeepK: Option[Int] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -98,19 +108,36 @@ object CorpusPrep {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("text"), col(strata))
 
-    // 5. decontamination (optional): any eval-set 3-gram overlap drops
+    // 5. decontamination (optional, graded): docs whose eval-overlap
+    // FRACTION exceeds the configured tolerance drop (q61 semantics;
+    // maxFrac=0.0 reproduces the strict any-overlap policy exactly)
     val d5 = bench match {
       case Some(b) =>
         val contaminated = TextOps
-          .decontaminate(d4.select(col("doc_id"), col("text")), b,
-            "doc_id", "text")
-          .filter(col("contaminated") === 1L).select(col("doc_id"))
+          .contaminationScore(d4.select(col("doc_id"), col("text")), b,
+            "doc_id", "text", ordered = false)
+          .filter(col("overlap_frac") > cfg.contaminationMaxFrac)
+          .select(col("doc_id"))
         d4.join(contaminated, Seq("doc_id"), "left_anti")
       case None => d4
     }
 
+    // 5b. vocabulary normalization (optional): rewrite survivors over the
+    // top-k vocabulary FITTED ON THE SURVIVORS themselves — OOV tokens
+    // become <UNK>, so packing and every downstream consumer see the
+    // normalized text (q62 semantics)
+    val d6 = cfg.vocabKeepK match {
+      case Some(k) =>
+        val keep = TextPipeline.vocabKeepOf(
+          d5.select(col("doc_id"), col("text")), k)
+        TextPipeline.vocabRewriteOf(d5.select(col("doc_id"), col("text")), keep)
+          .select(col("doc_id"), col("text"))
+          .join(d5.select(col("doc_id"), col(strata)), Seq("doc_id"))
+      case None => d5
+    }
+
     // 6. pack survivors into token-budget bins per stratum
-    val packed = TextPipeline.packOf(d5, strata, cfg.packBudget)
+    val packed = TextPipeline.packOf(d6, strata, cfg.packBudget)
 
     def stage(ord: Int, name: String, frame: DataFrame): DataFrame =
       frame.agg(count(lit(1)).as("n_docs"))
@@ -120,13 +147,14 @@ object CorpusPrep {
       stage(-1, "input", dIn), stage(0, "url_filter", d0),
       stage(1, "quality", d1),
       stage(2, "pii_scrub", d2), stage(3, "exact_dedup", d3),
-      stage(4, "near_dedup", d4), stage(5, "decontaminated", d5))
+      stage(4, "near_dedup", d4), stage(5, "decontaminated", d5),
+      stage(6, "vocab_normalized", d6))
       .reduce(_.unionAll(_))
 
     val release = () => {
       pairs.unpersist(false)
       TextDedup.unpersistDerivationsOf(d3Text)
     }
-    Prepared(packed, d5, stats, release)
+    Prepared(packed, d6, stats, release)
   }
 }

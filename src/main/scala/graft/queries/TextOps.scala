@@ -168,6 +168,24 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Fit the capped vocabulary once (persistable — parquet round-trips
+    * apply bit-identically; the fit-once/apply-daily split, like
+    * [[fitLanguageModel]]). One `token` column, `keepK` rows. */
+  def fitVocabulary(df: DataFrame, id: String, text: String,
+      keepK: Int = TextPipeline.VocabKeepK): DataFrame =
+    TextPipeline.vocabKeepOf(norm(df, id, text), keepK)
+
+  /** Apply a keep-list from [[fitVocabulary]] to any (id, text) frame:
+    * out-of-vocabulary tokens become `<UNK>` and the text is rebuilt
+    * position-exactly — (doc_id, n_tokens, n_unk, text). This is the
+    * batch/streaming serving half: the keep-list is bounded and
+    * broadcasts, so a foreachBatch loop pays only the batch's rebuild. */
+  def applyVocabulary(df: DataFrame, id: String, text: String,
+      keep: DataFrame, ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.vocabRewriteOf(norm(df, id, text), keep)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Gopher/C4-style composite quality FILTER over any (id, text) frame:
     * per-rule pass flags (token-count bounds, mean-word-length bounds,
     * min distinct stopwords, max-token-share cap, duplicate-3-gram cap)

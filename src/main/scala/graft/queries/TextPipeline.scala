@@ -567,22 +567,40 @@ object TextPipeline {
     * projection-only variant would fold the (bounded) keep-list into a
     * literal `transform` and run shuffle-free — both end in the same
     * rebuilt text. */
-  private[queries] def vocabPruneOf(d: DataFrame, keepK: Int): DataFrame = {
-    val tok = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
-    val keep = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+  /** FIT the capped vocabulary on a corpus: the `keepK` most frequent
+    * tokens (ties to the smaller token), one `token` column — the
+    * artifact a production pipeline persists and applies to every later
+    * batch (parquet round-trips apply bit-identically; the fit-once/
+    * apply-daily split, same contract as [[fitBigramModel]]). */
+  private[queries] def vocabKeepOf(d: DataFrame, keepK: Int): DataFrame =
+    d.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(keepK)
-      .select(col("token"), lit(1L).as("kept"))
-    tok.join(broadcast(keep), Seq("token"), "left")
+      .select(col("token"))
+
+  /** APPLY a fitted keep-list to any (doc_id, text) frame: rewrite
+    * out-of-vocabulary tokens to `<UNK>`, rebuilding the text
+    * position-exactly. Output: (doc_id, n_tokens, n_unk, text). The
+    * keep-list broadcasts; the rebuild is one doc_id shuffle. */
+  private[queries] def vocabRewriteOf(d: DataFrame, keep: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    tok.join(broadcast(keep.select(col("token"), lit(1L).as("kept"))),
+        Seq("token"), "left")
       .select(col("doc_id"), col("pos"),
         when(col("kept").isNotNull, col("token")).otherwise(lit("<UNK>"))
           .as("out_token"),
         when(col("kept").isNull, lit(1L)).otherwise(lit(0L)).as("unk"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("unk")).as("n_unk"),
-        md5(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("out_token")))),
-          x => x.getField("out_token")), " ")).as("pruned_hash"))
+          x => x.getField("out_token")), " ").as("text"))
   }
+
+  private[queries] def vocabPruneOf(d: DataFrame, keepK: Int): DataFrame =
+    vocabRewriteOf(d, vocabKeepOf(d, keepK))
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        md5(col("text")).as("pruned_hash"))
 
   def q62VocabPrune(s: SparkSession, dir: String): DataFrame =
     vocabPruneOf(docs(s, dir), VocabKeepK).orderBy("doc_id")

@@ -57,6 +57,37 @@ class CorpusPrepSpec extends SparkSpec {
     assert(prep.survivors.count() === before)
   }
 
+  test("graded contamination tolerance is monotone and re-checks clean") {
+    val tolerant = CorpusPrep.prepare(docs, "doc_id", "text", "source",
+      Some(bench), CorpusPrep.Config(contaminationMaxFrac = 0.05))
+    val nStrict = prep.survivors.count()
+    val nTolerant = tolerant.survivors.count()
+    assert(nTolerant >= nStrict,
+      s"tolerant policy ($nTolerant) kept fewer docs than strict ($nStrict)")
+    // every tolerated survivor is within the configured fraction
+    val over = TextOps.contaminationScore(tolerant.survivors, bench,
+      "doc_id", "text").filter(col("overlap_frac") > 0.05).count()
+    assert(over === 0, s"$over survivors exceed the contamination tolerance")
+    tolerant.release()
+  }
+
+  test("vocab normalization stage equals fit+rewrite of the unnormalized survivors") {
+    val plain = CorpusPrep.prepare(docs, "doc_id", "text", "source",
+      Some(bench))
+    val normed = CorpusPrep.prepare(docs, "doc_id", "text", "source",
+      Some(bench), CorpusPrep.Config(vocabKeepK = Some(10)))
+    val d5 = plain.survivors.select(col("doc_id"), col("text"))
+    val want = TextPipeline.vocabRewriteOf(d5,
+        TextPipeline.vocabKeepOf(d5, 10))
+      .select(col("doc_id"), col("text"))
+      .join(plain.survivors.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val got = normed.survivors
+    assert(got.count() === plain.survivors.count(), "vocab stage changed the doc set")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "normalized survivors differ from fit+rewrite of the plain survivors")
+    plain.release(); normed.release()
+  }
+
   test("packed output covers every survivor with valid bin assignments") {
     val p = prep.packed.cache()
     try {

@@ -203,6 +203,39 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus shuffled for the blocklist probe:\n${p.take(1500)}")
   }
 
+  test("q60 semantic dedup candidates come from the band join — never an all-pairs corpus product") {
+    // the pair/edge derivation (pre-component-loop) must contain no
+    // cartesian product and no join of raw embeddings to raw embeddings
+    // without the band-key equi-join in between
+    val idx = VectorOps.index(Tables.load(spark, sfDir, "embeddings"),
+      "vec_id", "embedding")
+    val pairs = VectorOps.lshCandidatePairs(idx)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct"), "candidate join went cartesian")
+    assert(p.contains("graft_int_dot") || p.contains("array_int_dot"),
+      "signatures not computed via the codegen'd int-dot")
+  }
+
+  test("q61 contamination score joins via broadcast like q49; corpus shingles never shuffle") {
+    val df = TextDedup.q61ContaminationScore(spark, sfDir)
+    assert(plan(df).contains("BroadcastHashJoin"), "eval-set probe not a broadcast join")
+    assert(shShufflesOf(df).size <= 1,
+      "corpus shingles shuffled for the contamination join")
+  }
+
+  test("q62 vocab prune probes a broadcast keep-list and reassembles in one doc shuffle") {
+    val df = TextPipeline.q62VocabPrune(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "keep-list not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the keep-list probe")
+    // the keep-list derivation is top-k bounded: TakeOrdered, no global sort
+    assert(p.contains("TakeOrderedAndProject"), "keep-list not TakeOrdered")
+    // shuffles: keep-list aggregate (tiny) + the doc_id reassembly — the
+    // corpus-sized movement is exactly one exchange
+    assert(hashShufflesOf(df).size <= 2,
+      s"vocab prune shuffles more than (keep-list agg + reassembly)")
+  }
+
   test("q56 bigram model aggregates partially map-side; no corpus self-join") {
     val df = TextPipeline.q56BigramLm(spark, sfDir)
     df.collect() // finalize the adaptive plan

@@ -106,6 +106,37 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.q56BigramLm(spark, sfDir))
   }
 
+  test("vocab keep-list round-trips through parquet and applies bit-identically") {
+    val norm = docs.select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    TextPipeline.vocabKeepOf(norm, TextPipeline.VocabKeepK)
+      .write.mode("overwrite").parquet(tmp)
+    val reloaded = spark.read.parquet(tmp)
+    sameRows(
+      TextPipeline.vocabRewriteOf(norm, reloaded)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          md5(col("text")).as("pruned_hash")),
+      TextPipeline.q62VocabPrune(spark, sfDir))
+  }
+
+  test("applyVocabulary on a held-out batch emits only keep-tokens and <UNK>") {
+    val train = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    val heldOut = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val keep = TextPipeline.vocabKeepOf(train, 10)
+    val keepSet = keep.collect().map(_.getString(0)).toSet
+    assert(keepSet.size == 10)
+    val out = TextPipeline.vocabRewriteOf(heldOut, keep).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val toks = r.getAs[String]("text").split(" ")
+      assert(toks.forall(t => t == "<UNK>" || keepSet(t)), s"row $r")
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_unk") == toks.count(_ == "<UNK>"))
+    }
+  }
+
   test("held-out scoring floors unseen transitions at 0 and keeps them counted") {
     val train = docs.filter(col("source") =!= "src0")
     val heldOut = docs.filter(col("source") === "src0")
