@@ -296,6 +296,67 @@ object Similarity {
        |FROM lab ORDER BY vec_id""".stripMargin
   }
 
+  // =====================================================================
+  // q63: incremental semantic dedup (batch probes the corpus index)
+  // =====================================================================
+
+  /** The `vec_id % 7 = 3` slice stands in for an arriving batch; the rest
+    * is the indexed corpus ([[VectorOps.semanticIncremental]] semantics).
+    * Same τ as q60 so the two share the dup-graph regime. */
+  def q63SemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.semanticIncrementalIndexed(
+      e.filter(col("vec_id") % 7 =!= 3), e.filter(col("vec_id") % 7 === 3),
+      SEMDEDUP_MINCOS, planes = PLANES, bands = NIBBLES, dims = DIMS)
+      .orderBy("vec_id")
+  }
+
+  val oracleQ63: String = {
+    val sigBits = (0 until PLANES)
+      .map(p => s"max(CASE WHEN p = $p AND s > 0 THEN 1 ELSE 0 END) AS bit$p").mkString(", ")
+    val nibs = (0 until NIBBLES).map { k =>
+      (0 until 4).map(j => s"bit${4 * k + j}*${1 << j}").mkString(" + ") + s" AS nib$k"
+    }.mkString(", ")
+    val bandUnion = (0 until NIBBLES)
+      .map(k => s"SELECT vec_id, $k AS k, nib$k AS v FROM sign").mkString(" UNION ALL ")
+    val dot = oDot("b.efp", "c.efp")
+    s"""WITH $oEfpCte,
+       |weights AS (
+       |  SELECT p, i,
+       |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR)||'_'||CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END AS w
+       |  FROM range(0, $PLANES) t(p), range(0, $DIMS) u(i)),
+       |exploded AS (
+       |  SELECT vec_id, generate_subscripts(efp, 1) - 1 AS i, unnest(efp) AS xfp
+       |  FROM efp),
+       |proj AS (
+       |  SELECT vec_id, p, sum(w * xfp) AS s
+       |  FROM exploded JOIN weights ON exploded.i = weights.i
+       |  GROUP BY vec_id, p),
+       |sig AS (SELECT vec_id, $sigBits FROM proj GROUP BY vec_id),
+       |sign AS (SELECT vec_id, $nibs FROM sig),
+       |bands AS ($bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT bb.vec_id, cb.vec_id AS partner_id
+       |  FROM bands bb JOIN bands cb ON bb.k = cb.k AND bb.v = cb.v
+       |  WHERE bb.vec_id % 7 = 3 AND cb.vec_id % 7 <> 3),
+       |scored AS (
+       |  SELECT cand.vec_id, cand.partner_id,
+       |    round(${oCos(dot, oDot("b.efp", "b.efp"), oDot("c.efp", "c.efp"))}, 6) AS cos
+       |  FROM cand JOIN efp b ON b.vec_id = cand.vec_id
+       |  JOIN efp c ON c.vec_id = cand.partner_id),
+       |best AS (
+       |  SELECT vec_id, partner_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, partner_id ASC) AS rn
+       |    FROM scored WHERE cos >= $SEMDEDUP_MINCOS) WHERE rn = 1)
+       |SELECT e.vec_id,
+       |  CASE WHEN best.partner_id IS NOT NULL THEN 'near_dup' ELSE 'new' END
+       |    AS verdict,
+       |  best.partner_id, best.cos
+       |FROM efp e LEFT JOIN best ON best.vec_id = e.vec_id
+       |WHERE e.vec_id % 7 = 3 ORDER BY e.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
@@ -303,6 +364,7 @@ object Similarity {
     "q37_knn_ivf" -> q37KnnIvf _,
     "q45_knn_batch" -> q45KnnBatch _,
     "q60_semantic_dedup" -> q60SemanticDedup _,
+    "q63_semantic_incremental" -> q63SemanticIncremental _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -312,5 +374,6 @@ object Similarity {
     "q37_knn_ivf" -> oracleQ37,
     "q45_knn_batch" -> oracleQ45,
     "q60_semantic_dedup" -> oracleQ60,
+    "q63_semantic_incremental" -> oracleQ63,
   )
 }

@@ -663,8 +663,70 @@ object TextDedup {
 
   /** Min-label propagation over undirected (id_a, id_b) pairs → converged
     * (doc_id, cluster_id) for every node that HAS an edge. Reused by
-    * [[TextOps.dedupClusters]] for arbitrary input frames. */
+    * [[TextOps.dedupClusters]] and [[VectorOps.semanticDedupIndexed]] for
+    * arbitrary input frames.
+    *
+    * Two regimes, switched on the EDGE COUNT (the dup graph, not the
+    * corpus): post-threshold dup graphs are sparse by construction —
+    * orders of magnitude smaller than the corpus — so when the edges fit
+    * under `spark.graft.dedup.localCcMaxEdges` (default 2e6) the
+    * components are solved with a DRIVER-SIDE union-find: one collect of
+    * narrow (long, long) rows, exact min-member labels, and the result
+    * becomes a LocalRelation that BROADCASTS into the label join (no
+    * label-side shuffle at all). The distributed min-label fixpoint
+    * (O(diameter) rounds, each a join + checkpoint) remains the fallback
+    * for dup graphs beyond the knob — both paths converge to the
+    * identical fixed point (per-component min id), which the q40/q60
+    * recursive-CTE oracles pin cross-engine. */
   private[queries] def propagateLabels(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val p = pairs.select(col("id_a"), col("id_b")).dedupCached
+    val nEdges = p.count()
+    val maxLocal =
+      s.conf.get("spark.graft.dedup.localCcMaxEdges", "2000000").toLong
+    if (nEdges <= maxLocal) {
+      val out = localUnionFind(p)
+      p.unpersist(false)
+      out
+    } else propagateLabelsDistributed(p)
+  }
+
+  /** Exact union-find over a collected edge list: union-by-min-root keeps
+    * every tree's root at its component's minimum id, so `find(x)` IS the
+    * min-reachable label. Deterministic regardless of edge order. */
+  private def localUnionFind(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent.update(c, r); c = n }
+      r
+    }
+    pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent.update(a, a)
+        if (!parent.contains(b)) parent.update(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = parent.keys.toArray.sorted
+      .map(k => org.apache.spark.sql.Row(k, find(k))).toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** The distributed fixpoint (see [[propagateLabels]]). `pairs` arrives
+    * cached; it is consumed into the symmetric `edges` cache below. */
+  private def propagateLabelsDistributed(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")

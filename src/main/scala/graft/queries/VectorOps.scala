@@ -344,6 +344,55 @@ object VectorOps {
       planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
     semanticDedupIndexed(index(df, id, vec), minCos, planes, bands, dims)
 
+  /** INCREMENTAL semantic dedup — the vector twin of the text family's
+    * q48: each BATCH vector probes the CORPUS index for its best
+    * embedding near-duplicate. Candidates come from the band equi-join
+    * (batch bands × corpus bands — batch-proportional, the corpus never
+    * self-joins); a candidate is a dup partner when its ROUNDED cosine
+    * clears `minCos`; the best partner per batch vector is
+    * (cos desc, partner_id asc). Output one row per batch vector:
+    * (vec_id, verdict: near_dup|new, partner_id, cos).
+    *
+    * Scale: the corpus-side index and band rows are the cached artifacts
+    * a serving deployment persists; each ingest epoch pays only its
+    * batch's signatures + the candidate join + re-rank — the same
+    * batch-proportional contract as [[graft.queries.TextOps.incrementalDedup]]. */
+  def semanticIncrementalIndexed(corpus: DataFrame, batch: DataFrame,
+      minCos: Double, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val cb = lshBandRows(corpus, planes, bands, dims)
+      .select(col("vec_id").as("partner_id"), col("k"), col("v"))
+    val bb = lshBandRows(batch, planes, bands, dims)
+    val cand = bb.join(cb, Seq("k", "v"))
+      .select(col("vec_id"), col("partner_id")).distinct()
+    val bq = batch.select(col("vec_id"), col("efp").as("be"),
+      col("nrm").as("bn"))
+    val cq = corpus.select(col("vec_id").as("partner_id"),
+      col("efp").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("partner_id").asc)
+    val best = cand.join(bq, Seq("vec_id")).join(cq, Seq("partner_id"))
+      .withColumn("cos", round(cosOf(GraftFunctions.intDot(col("be"),
+        col("ce")), col("bn"), col("cn")), 6))
+      .filter(col("cos") >= minCos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("partner_id"), col("cos"))
+    batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("partner_id").isNotNull, lit("near_dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("partner_id"), col("cos"))
+  }
+
+  /** [[semanticIncrementalIndexed]] over raw (id, vec) frames. */
+  def semanticIncremental(batch: DataFrame, corpus: DataFrame, id: String,
+      vec: String, minCos: Double, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame =
+    semanticIncrementalIndexed(index(corpus, id, vec), index(batch, id, vec),
+      minCos, planes, bands, dims)
+
   // =====================================================================
   // Deterministic k-means coarse quantizer (the IVF build step)
   // =====================================================================

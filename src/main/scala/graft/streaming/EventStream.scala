@@ -246,9 +246,19 @@ object EventStream {
     * per-epoch batch caches (including the pair frame) released.
     *
     * `sink` receives (admitted docs: doc_id, text, verdict columns
-    * dropped) per epoch. */
+    * dropped) per epoch.
+    *
+    * `vocab`, when set, is a PRE-FITTED keep-list from
+    * [[graft.queries.TextOps.fitVocabulary]] (fit once on the corpus —
+    * fitting per micro-batch would drift the vocabulary with arrival
+    * order): admitted documents are rewritten over it
+    * (out-of-vocabulary tokens become `<UNK>`) before reaching the
+    * sink, which then receives (`id`, `text`) with the text normalized.
+    * The keep-list is bounded and broadcasts; the rebuild cost is
+    * batch-proportional. */
   def runIngestPrep(docStream: DataFrame, corpus: DataFrame,
-      id: String, text: String, checkpoint: String, threshold: Double = 0.5)
+      id: String, text: String, checkpoint: String, threshold: Double = 0.5,
+      vocab: Option[DataFrame] = None)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val q = docStream.writeStream
@@ -280,7 +290,13 @@ object EventStream {
             verdicts.filter(col("verdict") === "new")
               .select(col("doc_id").as("__new_id")),
             col(id).cast("long") === col("__new_id"), "left_semi")
-          sink(admitted, epochId)
+          val out = vocab match {
+            case Some(keep) => graft.queries.TextOps
+              .applyVocabulary(admitted, id, text, keep, ordered = false)
+              .select(col("doc_id").as(id), col("text").as(text))
+            case None => admitted
+          }
+          sink(out, epochId)
         } finally {
           graft.queries.TextOps.unpersistDedupCaches(scrubbed, id, text,
             Seq(threshold))
@@ -288,6 +304,43 @@ object EventStream {
           // within-batch-unique frame — a different plan, released too
           graft.queries.TextOps.unpersistDedupCaches(unique, id, text)
         }
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Streaming VECTOR ingest — the embedding twin of [[runIngestPrep]]:
+    * each micro-batch of (id, vec) rows probes the corpus's cached
+    * vector index for embedding near-duplicates
+    * ([[graft.queries.VectorOps.semanticIncremental]] semantics) and only
+    * `new` vectors reach the sink. The corpus index (quantized + normed,
+    * [[graft.queries.VectorOps.index]]) is cached once across epochs —
+    * the serving artifact; each epoch's batch-side index is released at
+    * epoch end so a long-lived stream doesn't accumulate cache entries.
+    *
+    * `sink` receives the admitted (id, vec) rows per epoch. */
+  def runVectorIngest(vecStream: DataFrame, corpus: DataFrame, id: String,
+      vec: String, checkpoint: String, minCos: Double,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val corpusIdx = graft.queries.VectorOps.index(corpus, id, vec)
+    val q = vecStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val batchIdx = graft.queries.VectorOps.index(batch, id, vec)
+        try {
+          val verdicts = graft.queries.VectorOps.semanticIncrementalIndexed(
+            corpusIdx, batchIdx, minCos, planes, bands, dims)
+          val admitted = batch.join(
+            verdicts.filter(col("verdict") === "new")
+              .select(col("vec_id").as("__new_id")),
+            col(id).cast("long") === col("__new_id"), "left_semi")
+          sink(admitted, epochId)
+        } finally batchIdx.unpersist(false)
       }
       .start()
     q.awaitTermination()

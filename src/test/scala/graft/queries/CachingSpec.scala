@@ -58,6 +58,9 @@ class CachingSpec extends SparkSpec {
   test("checkpointDir switches propagateLabels to reliable checkpoint, same labels") {
     val sp = spark
     import sp.implicits._
+    // force the DISTRIBUTED fixpoint (tiny graphs take the driver-side
+    // union-find, which never checkpoints)
+    spark.conf.set("spark.graft.dedup.localCcMaxEdges", "0")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
     val base = TextDedup.propagateLabels(pairs).collect()
@@ -77,6 +80,7 @@ class CachingSpec extends SparkSpec {
       assert(wrote > 0, s"no checkpoint files under $dir")
     } finally {
       spark.conf.unset("spark.graft.dedup.checkpointDir")
+      spark.conf.unset("spark.graft.dedup.localCcMaxEdges")
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
     }
   }
@@ -89,6 +93,7 @@ class CachingSpec extends SparkSpec {
     val want = java.nio.file.Files.createTempDirectory("graft_conf_ckpt_").toString
     spark.sparkContext.setCheckpointDir(stale)
     spark.conf.set("spark.graft.dedup.checkpointDir", want)
+    spark.conf.set("spark.graft.dedup.localCcMaxEdges", "0")
     try {
       TextDedup.propagateLabels(pairs).collect()
       // the reliable checkpoint landed under the CONF dir, not the stale one
@@ -97,8 +102,32 @@ class CachingSpec extends SparkSpec {
       assert(wrote > 0, s"checkpoint ignored spark.graft.dedup.checkpointDir=$want")
     } finally {
       spark.conf.unset("spark.graft.dedup.checkpointDir")
+      spark.conf.unset("spark.graft.dedup.localCcMaxEdges")
       Seq(stale, want).foreach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
     }
+  }
+
+  test("local union-find and distributed fixpoint produce identical labels") {
+    val sp = spark
+    import sp.implicits._
+    // a chain (diameter > 1), a triangle, a singleton edge, and a
+    // cross-linked pair of chains — the shapes that distinguish wrong
+    // component algorithms
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 32L), (31L, 33L), (32L, 33L)).toDF("id_a", "id_b")
+    val local = TextDedup.propagateLabels(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    spark.conf.set("spark.graft.dedup.localCcMaxEdges", "0")
+    try {
+      val dist = TextDedup.propagateLabels(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(local == dist, s"local $local != distributed $dist")
+      assert(local == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+        30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
+    } finally spark.conf.unset("spark.graft.dedup.localCcMaxEdges")
   }
 }

@@ -114,6 +114,36 @@ class VectorOpsSpec extends SparkSpec {
       byCluster.size)
   }
 
+  test("semanticIncremental == q63 on renamed columns") {
+    val got = VectorOps.semanticIncremental(
+      renamed.filter(col("vid") % 7 === 3),
+      renamed.filter(col("vid") % 7 =!= 3), "vid", "v", 0.35)
+      .orderBy("vec_id")
+    assert(rows(got) == rows(Similarity.q63SemanticIncremental(spark, sfDir)))
+  }
+
+  test("semanticIncremental verdicts are total and partners clear the threshold") {
+    val batch = renamed.filter(col("vid") % 7 === 3)
+    val got = VectorOps.semanticIncremental(batch,
+      renamed.filter(col("vid") % 7 =!= 3), "vid", "v", 0.35).collect()
+    assert(got.length == batch.count(), "one verdict per batch vector")
+    got.foreach { r =>
+      r.getAs[String]("verdict") match {
+        case "near_dup" =>
+          assert(!r.isNullAt(r.fieldIndex("partner_id")), s"row $r")
+          assert(r.getAs[Double]("cos") >= 0.35, s"row $r")
+          assert(r.getAs[Long]("partner_id") % 7 != 3,
+            s"partner not from the corpus: $r")
+        case "new" =>
+          assert(r.isNullAt(r.fieldIndex("partner_id")), s"row $r")
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+    // both verdicts occur at this τ — the split actually exercises the path
+    val vs = got.map(_.getAs[String]("verdict")).toSet
+    assert(vs == Set("near_dup", "new"), s"degenerate verdict set $vs")
+  }
+
   test("kmeansCells is deterministic, total, and assigns each vector to its best centroid") {
     val idx = VectorOps.index(renamed, "vid", "v")
     val a = VectorOps.kmeansCells(idx, 8, iters = 3).collect()

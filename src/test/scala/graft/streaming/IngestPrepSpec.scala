@@ -54,4 +54,76 @@ class IngestPrepSpec extends SparkSpec {
     assert(byId(9005L).contains("<EMAIL>") && !byId(9005L).contains("@"),
       s"PII survived ingest: ${byId(9005L)}")
   }
+
+  test("ingest with a pre-fitted vocab rewrites admitted docs over the keep-list") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Seq((1L, corpusA), (2L, corpusB)).toDF("doc_id", "text")
+    // fit ONCE on the corpus — the serving contract
+    val keep = graft.queries.TextOps.fitVocabulary(corpus, "doc_id", "text", 12)
+    val keepSet = keep.collect().map(_.getString(0)).toSet
+    assert(keepSet.size == 12)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input.addData((9003L, newGood), (9001L, corpusA))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ckpt = Files.createTempDirectory("ckpt-ingest-vocab").toString
+    EventStream.runIngestPrep(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text", ckpt,
+      vocab = Some(keep)) { (admitted, _) =>
+      got ++= admitted.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    }
+
+    val byId = got.toMap
+    assert(byId.keySet == Set(9003L), s"admitted ${byId.keySet}")
+    val toks = byId(9003L).split(" ")
+    // position-exact: same token count, OOV replaced, in-vocab kept
+    assert(toks.length == newGood.split(" ").length)
+    assert(toks.forall(t => t == "<UNK>" || keepSet(t)),
+      s"non-keep token survived: ${byId(9003L)}")
+    assert(toks.zip(newGood.split(" ")).forall {
+      case (out, orig) => out == orig || out == "<UNK>"
+    }, "rewrite moved tokens out of position")
+    assert(toks.contains("<UNK>"), "held-out doc should contain OOV tokens")
+  }
+
+  test("vector ingest admits exactly the batch-mode 'new' vectors") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val batchDf = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val batchRows = batchDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    input.addData(batchRows.toIndexedSeq: _*)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-vec").toString
+    EventStream.runVectorIngest(
+      input.toDF().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", ckpt, minCos = 0.35) { (admitted, _) =>
+      got ++= admitted.collect().map(_.getAs[Long]("vec_id"))
+    }
+
+    val want = graft.queries.VectorOps.semanticIncremental(
+      batchDf, corpus, "vec_id", "embedding", 0.35)
+      .filter(col("verdict") === "new")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.toSet == want, s"streaming admitted ${got.toSet}; batch says $want")
+    // the τ is set so BOTH outcomes occur — the probe actually rejected dups
+    assert(want.nonEmpty && want.size < batchRows.length,
+      s"degenerate split: ${want.size} of ${batchRows.length} admitted")
+  }
 }
