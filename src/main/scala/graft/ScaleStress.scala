@@ -67,7 +67,18 @@ object ScaleStress {
     "q60_semantic_dedup_p32" -> ((s, dir) =>
       graft.queries.VectorOps.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        minCos = 0.35, planes = 32, bands = 4)))
+        minCos = 0.35, planes = 32, bands = 4)),
+    // incremental probe at the same scale parameterization; the batch is
+    // the replica-0 %7 slice (fixed at ~1/70th of the 10× corpus), so
+    // replication grows ONLY the corpus index — the serving contract
+    "q63_semantic_incremental_p32" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.queries.VectorOps.semanticIncremental(
+        e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3),
+        e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", minCos = 0.35, planes = 32, bands = 4)
+    }))
 
   /** The replicated corpus lives under a reps-encoded directory
     * (`<outDir>/x<reps>`), so a rerun with a different `SPARK_GRAFT_REPS`

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling for training-data
@@ -124,6 +124,118 @@ object Multimodal {
         when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"),
         (col("n_chars") * 100).cast("long").as("duration_ms"))
       .as[MediaRow]
+  }
+
+  // =====================================================================
+  // Perceptual image dedup — aHash over decoded pixels + hamming bands
+  // =====================================================================
+
+  /** 64-bit average-hash of a decoded image: luminance means over an 8×8
+    * cell grid, each cell thresholded at the grid's global mean. Pure
+    * integer accumulation + one fixed comparison per cell — deterministic
+    * across JVMs (no Graphics2D resampling, whose interpolation is
+    * implementation-defined). Bit (8·cy + cx) is set when cell (cx, cy)
+    * is brighter than average. Robust to re-encoding and mild edits —
+    * the perceptual signal byte-identical hashing (q27-style) misses. */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff) // ×1000, exact
+        val c = 8 * cy + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // cell means compared to the mean of cell means, all in exact
+    // rational arithmetic: mean_c > grandMean  ⇔  64·sums_c·N > counts_c·S
+    // with S = Σ(sums_i·N/counts_i) — avoided by comparing against the
+    // PIXEL-global mean instead (the standard aHash variant):
+    // sums_c · totalCount > totalSum · counts_c
+    var totalSum = 0L
+    var totalCount = 0L
+    var c = 0
+    while (c < 64) { totalSum += sums(c); totalCount += counts(c); c += 1 }
+    var bits = 0L
+    c = 0
+    while (c < 64) {
+      if (counts(c) > 0 &&
+        java.math.BigInteger.valueOf(sums(c))
+          .multiply(java.math.BigInteger.valueOf(totalCount))
+          .compareTo(java.math.BigInteger.valueOf(totalSum)
+            .multiply(java.math.BigInteger.valueOf(counts(c)))) > 0)
+        bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash per decodable image row: (media_id, hash_lo,
+    * hash_hi) — the 64-bit aHash carried as two non-negative 32-bit
+    * halves (the q31 convention: later shifts/masks stay on non-negative
+    * longs). Undecodable payloads drop. Pure mapPartitions — no shuffle;
+    * this is the table a media-curation deployment persists next to the
+    * binary store. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        catch { case _: Throwable => null }
+        if (img == null) Iterator.empty
+        else {
+          val hsh = aHash(img)
+          Iterator((r.media_id, hsh & 0xFFFFFFFFL, (hsh >>> 32) & 0xFFFFFFFFL))
+        }
+      }
+    }.toDF("media_id", "hash_lo", "hash_hi")
+  }
+
+  /** Near-duplicate image pairs with aHash hamming distance <=
+    * `maxHamming`: candidates from C(8,2)=28 byte-chunk-pair keys —
+    * pigeonhole-complete for hamming <= 6 (<= 6 differing bits touch at
+    * most 6 of the 8 bytes, so some PAIR of bytes is untouched and the
+    * pair shares that candidate key) — then the exact popcount filter
+    * INSIDE the join, before the pair-dedup shuffle (the q31 plan shape
+    * applied to pixels). Never all-pairs. */
+  def nearDuplicateImages(media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6,
+      s"chunk-pair keys are pigeonhole-complete only to hamming 6 (got $maxHamming)")
+    val hashes = imageHashes(media)
+    def byteOf(c: Int): Column =
+      shiftright(col(if (c < 4) "hash_lo" else "hash_hi"), 8 * (c % 4))
+        .bitwiseAND(lit(255L))
+    val chunkPairs = for { c1 <- 0 until 8; c2 <- c1 + 1 until 8 } yield (c1, c2)
+    val keyed = hashes.select(col("media_id"), col("hash_lo"), col("hash_hi"),
+      explode(array(chunkPairs.map { case (c1, c2) =>
+        struct(lit(c1 * 8 + c2).as("k"), byteOf(c1).as("v1"), byteOf(c2).as("v2"))
+      }: _*)).as("e"))
+      .select(col("media_id"), col("hash_lo"), col("hash_hi"),
+        col("e.k").as("k"), col("e.v1").as("v1"), col("e.v2").as("v2"))
+    val a = keyed.select(col("media_id").as("id_a"), col("hash_lo").as("lo_a"),
+      col("hash_hi").as("hi_a"), col("k"), col("v1"), col("v2"))
+    val b = keyed.select(col("media_id").as("id_b"), col("hash_lo").as("lo_b"),
+      col("hash_hi").as("hi_b"), col("k"), col("v1"), col("v2"))
+    val ham = expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+    a.join(b, Seq("k", "v1", "v2"))
+      .filter(col("id_a") < col("id_b") && ham <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
   }
 
   /** Modality-level feature aggregate — the query a curation pipeline runs

@@ -393,6 +393,27 @@ object VectorOps {
     semanticIncrementalIndexed(index(corpus, id, vec), index(batch, id, vec),
       minCos, planes, bands, dims)
 
+  /** One keeper per semantic cluster, chosen by QUALITY instead of
+    * [[semanticDedup]]'s min-id default — the embedding twin of
+    * [[TextOps.keepBestPerCluster]] (q43): cluster like
+    * [[semanticDedup]], then keep the member maximizing `quality`
+    * (any Column over `df`'s row — a text-quality score joined onto the
+    * vectors, a recency timestamp, ...), ties to the lowest id.
+    * Output: (cluster_id, keeper_id, n_members, best_quality). */
+  def semanticKeepBest(df: DataFrame, id: String, vec: String,
+      quality: Column, minCos: Double, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val q = df.select(col(id).cast("long").as("vec_id"), quality.as("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("vec_id").asc)
+    semanticDedup(df, id, vec, minCos, planes, bands, dims)
+      .join(q, Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").as("keeper_id"),
+        col("n_members"), col("quality").as("best_quality"))
+  }
+
   // =====================================================================
   // Deterministic k-means coarse quantizer (the IVF build step)
   // =====================================================================

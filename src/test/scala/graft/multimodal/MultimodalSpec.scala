@@ -268,4 +268,67 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(1).mean_intensity - 0.25 * 255.0) < 1.0) // |amp|=0.25
     assert(feats(2).mean_intensity == 7.0) // stub byte stats
   }
+
+  // a structured 64x64 test pattern with per-cell contrast: diagonal
+  // gradient + a bright quadrant, parameterized so variants perturb it
+  private def patterned(bright: Int, noiseAt: Option[(Int, Int)] = None)
+      : (Int, Int) => Int = { (x, y) =>
+    val base = if (x < 32 && y < 32) bright else (x + y) * 2
+    val v0 = math.min(base, 255)
+    val v = noiseAt match {
+      case Some((nx, ny)) if nx == x && ny == y => 255 - v0
+      case _ => v0
+    }
+    (v << 16) | (v << 8) | v
+  }
+
+  test("aHash: deterministic, re-encoding-invariant, edit-tolerant, content-sensitive") {
+    def imgOf(pixel: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, pixel(x, y))
+      img
+    }
+    val base = Multimodal.aHash(imgOf(patterned(220)))
+    assert(base == Multimodal.aHash(imgOf(patterned(220))), "not deterministic")
+    // single-pixel edit: hamming small (perceptually identical)
+    val edited = Multimodal.aHash(imgOf(patterned(220, Some((5, 5)))))
+    assert(java.lang.Long.bitCount(base ^ edited) <= 2, "pixel edit moved the hash")
+    // inverted quadrant: many cells flip relative to the mean
+    val different = Multimodal.aHash(imgOf(patterned(0)))
+    assert(java.lang.Long.bitCount(base ^ different) > 6, "distinct content too close")
+  }
+
+  test("nearDuplicateImages finds perceptual dups via banded candidates, never all-pairs") {
+    val s = spark
+    // 1+2: the same pattern, one as PNG one re-encoded lossily-but-mildly
+    // as a second PNG with a single-pixel edit; 3: inverted quadrant;
+    // 4: a flat image (undecodable noise dropped: 5)
+    val rows = Seq(
+      mediaRow(1, "image", pngBytes(64, 64)(patterned(220))),
+      mediaRow(2, "image", pngBytes(64, 64)(patterned(220, Some((5, 5))))),
+      mediaRow(3, "image", pngBytes(64, 64)(patterned(0))),
+      mediaRow(4, "image", pngBytes(64, 64)((_, _) => 0x505050)),
+      mediaRow(5, "image", Array.fill[Byte](32)(1)))
+    val media = s.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val hashes = Multimodal.imageHashes(media).collect()
+    assert(hashes.length == 4, "undecodable payload should drop")
+    val got = Multimodal.nearDuplicateImages(media, maxHamming = 6).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    // brute-force oracle over the hashes: banded candidates must find
+    // EXACTLY the pairs within the bound (pigeonhole completeness)
+    val hs = hashes.map(r => r.getLong(0) ->
+      (r.getLong(1) | (r.getLong(2) << 32))).toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(got.toSet == want, s"got ${got.toSet}; want $want")
+    assert(want.contains((1L, 2L, want.find(p => p._1 == 1L && p._2 == 2L).get._3)),
+      "the single-pixel-edit pair must be found")
+    assert(!want.exists(p => p._1 == 3L || p._2 == 3L),
+      "inverted-quadrant image must not pair")
+  }
 }

@@ -144,6 +144,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(vs == Set("near_dup", "new"), s"degenerate verdict set $vs")
   }
 
+  test("semanticKeepBest picks the max-quality member per cluster, min-id on ties") {
+    val clusters = VectorOps.semanticDedup(renamed, "vid", "v", 0.35).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    // quality = vec_id % 17 — varies within clusters, with possible ties
+    val got = VectorOps.semanticKeepBest(renamed, "vid", "v",
+      col("vid") % 17, 0.35).collect()
+    assert(got.length == clusters.size, "one keeper per cluster")
+    got.foreach { r =>
+      val members = clusters(r.getAs[Long]("cluster_id"))
+        .map(_.getAs[Long]("vec_id"))
+      val bestQ = members.map(_ % 17).max
+      val want = members.filter(_ % 17 == bestQ).min
+      assert(r.getAs[Long]("keeper_id") == want, s"row $r; members $members")
+      assert(r.getAs[Long]("best_quality") == bestQ, s"row $r")
+      assert(r.getAs[Long]("n_members") == members.length, s"row $r")
+    }
+  }
+
   test("kmeansCells is deterministic, total, and assigns each vector to its best centroid") {
     val idx = VectorOps.index(renamed, "vid", "v")
     val a = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
