@@ -203,18 +203,18 @@ object Multimodal {
     }.toDF("media_id", "hash_lo", "hash_hi")
   }
 
-  /** Near-duplicate image pairs with aHash hamming distance <=
-    * `maxHamming`: candidates from C(8,2)=28 byte-chunk-pair keys —
-    * pigeonhole-complete for hamming <= 6 (<= 6 differing bits touch at
-    * most 6 of the 8 bytes, so some PAIR of bytes is untouched and the
-    * pair shares that candidate key) — then the exact popcount filter
-    * INSIDE the join, before the pair-dedup shuffle (the q31 plan shape
-    * applied to pixels). Never all-pairs. */
-  def nearDuplicateImages(media: Dataset[MediaRow],
-      maxHamming: Int = 6): DataFrame = {
+  /** Near-dup pairs for ANY 64-bit-signature frame (media_id, hash_lo,
+    * hash_hi — non-negative 32-bit halves): candidates from C(8,2)=28
+    * byte-chunk-pair keys — pigeonhole-complete for hamming <= 6 (<= 6
+    * differing bits touch at most 6 of the 8 bytes, so some PAIR of
+    * bytes is untouched and the pair shares that candidate key) — then
+    * the exact popcount filter INSIDE the join, before the pair-dedup
+    * shuffle (the q31 plan shape generalized to any perceptual
+    * signature: image aHash, audio envelope hash, a video frame hash).
+    * Never all-pairs. */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 6,
       s"chunk-pair keys are pigeonhole-complete only to hamming 6 (got $maxHamming)")
-    val hashes = imageHashes(media)
     def byteOf(c: Int): Column =
       shiftright(col(if (c < 4) "hash_lo" else "hash_hi"), 8 * (c % 4))
         .bitwiseAND(lit(255L))
@@ -237,6 +237,33 @@ object Multimodal {
       .distinct()
       .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
   }
+
+  /** Perceptual near-duplicate image pairs: [[imageHashes]] +
+    * [[hammingPairs]]. */
+  def nearDuplicateImages(media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame =
+    hammingPairs(imageHashes(media), maxHamming)
+
+  /** Energy-envelope hash per decodable PCM-WAV row — the audio twin of
+    * [[imageHashes]] ([[RealCodecs.audioHash64]] per payload, carried as
+    * the same two non-negative halves). Pure mapPartitions, no shuffle. */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val h = try RealCodecs.audioHash64(r.content)
+        catch { case _: Throwable => None }
+        h.iterator.map(v =>
+          (r.media_id, v & 0xFFFFFFFFL, (v >>> 32) & 0xFFFFFFFFL))
+      }
+    }.toDF("media_id", "hash_lo", "hash_hi")
+  }
+
+  /** Perceptual near-duplicate audio pairs: [[audioHashes]] +
+    * [[hammingPairs]]. */
+  def nearDuplicateAudio(media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame =
+    hammingPairs(audioHashes(media), maxHamming)
 
   /** Modality-level feature aggregate — the query a curation pipeline runs
     * after extraction. */

@@ -205,8 +205,10 @@ object RealCodecs {
 
   /** RIFF/PCM WAV parse: walks the chunk list to `fmt ` (channels, bits)
     * and `data` (samples); supports 8/16-bit PCM. */
-  def decodeWav(row: MediaRow): Option[MediaFeatures] = {
-    val b = row.content
+  /** RIFF walk shared by [[decodeWav]] and [[audioHash64]]: locate the
+    * PCM payload — (bits, dataOff, nSamples) — or None for non-PCM /
+    * corrupt containers. */
+  private def pcmData(b: Array[Byte]): Option[(Int, Int, Int)] = {
     def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
     if (b.length < 44) return None
@@ -230,6 +232,53 @@ object RealCodecs {
     if (dataOff < 0 || (bits != 8 && bits != 16)) return None
     val nSamples = if (bits == 16) dataLen / 2 else dataLen
     if (nSamples <= 0) return None
+    Some((bits, dataOff, nSamples))
+  }
+
+  /** 64-bit energy-envelope hash of a PCM WAV: |amplitude| sums over 64
+    * equal time windows, each thresholded at the global mean (exact
+    * integer accumulation, BigInteger cross-multiply — no division, no
+    * floats). The audio twin of [[Multimodal.aHash]]: robust to gain-
+    * preserving re-containering and small edits, sensitive to envelope
+    * structure. Returns None for undecodable payloads. */
+  def audioHash64(b: Array[Byte]): Option[Long] = pcmData(b).map {
+    case (bits, dataOff, nSamples) =>
+      def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def amp(i: Int): Long =
+        if (bits == 16) math.abs(le16(dataOff + 2 * i).toShort.toLong)
+        else math.abs((b(dataOff + i) & 0xff) - 128).toLong
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var i = 0
+      while (i < nSamples) {
+        val k = math.min(63, (i.toLong * 64 / nSamples).toInt)
+        sums(k) += amp(i)
+        counts(k) += 1
+        i += 1
+      }
+      var totalSum = 0L
+      var k = 0
+      while (k < 64) { totalSum += sums(k); k += 1 }
+      var out = 0L
+      k = 0
+      while (k < 64) {
+        if (counts(k) > 0 &&
+          java.math.BigInteger.valueOf(sums(k))
+            .multiply(java.math.BigInteger.valueOf(nSamples.toLong))
+            .compareTo(java.math.BigInteger.valueOf(totalSum)
+              .multiply(java.math.BigInteger.valueOf(counts(k)))) > 0)
+          out |= 1L << k
+        k += 1
+      }
+      out
+  }
+
+  def decodeWav(row: MediaRow): Option[MediaFeatures] = {
+    val b = row.content
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val parsed = pcmData(b)
+    if (parsed.isEmpty) return None
+    val (bits, dataOff, nSamples) = parsed.get
     def sample(i: Int): Double =
       if (bits == 16) le16(dataOff + 2 * i).toShort / 32768.0
       else ((b(dataOff + i) & 0xff) - 128) / 128.0

@@ -331,4 +331,47 @@ class MultimodalSpec extends SparkSpec {
     assert(!want.exists(p => p._1 == 3L || p._2 == 3L),
       "inverted-quadrant image must not pair")
   }
+
+  test("audio envelope hash: deterministic, edit-tolerant, structure-sensitive") {
+    // a loud-soft-loud-soft envelope over 6400 samples (100/window)
+    def env(flip: Boolean, glitchAt: Int = -1): Array[Short] =
+      Array.tabulate[Short](6400) { i =>
+        val loud = ((i / 1600) % 2 == 0) != flip
+        val base = if (loud) 12000 else 500
+        val v = if (i == glitchAt) 30000 else base
+        (if (i % 2 == 0) v else -v).toShort
+      }
+    val base = RealCodecs.audioHash64(wavBytes(env(false))).get
+    assert(base == RealCodecs.audioHash64(wavBytes(env(false))).get)
+    assert(base != 0L && base != -1L, "degenerate hash")
+    val glitched = RealCodecs.audioHash64(wavBytes(env(false, glitchAt = 7))).get
+    assert(java.lang.Long.bitCount(base ^ glitched) <= 2,
+      "one-sample glitch moved the envelope hash")
+    val flipped = RealCodecs.audioHash64(wavBytes(env(true))).get
+    assert(java.lang.Long.bitCount(base ^ flipped) > 6,
+      "inverted envelope too close")
+    assert(RealCodecs.audioHash64(Array.fill[Byte](32)(3)).isEmpty)
+  }
+
+  test("nearDuplicateAudio pairs glitched copies, not inverted envelopes") {
+    val s = spark
+    def env(flip: Boolean, glitchAt: Int = -1): Array[Short] =
+      Array.tabulate[Short](6400) { i =>
+        val loud = ((i / 1600) % 2 == 0) != flip
+        val base = if (loud) 12000 else 500
+        val v = if (i == glitchAt) 30000 else base
+        (if (i % 2 == 0) v else -v).toShort
+      }
+    val rows = Seq(
+      mediaRow(1, "audio", wavBytes(env(false))),
+      mediaRow(2, "audio", wavBytes(env(false, glitchAt = 7))),
+      mediaRow(3, "audio", wavBytes(env(true))),
+      mediaRow(4, "audio", Array.fill[Byte](16)(9))) // undecodable drops
+    val media = s.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    assert(Multimodal.audioHashes(media).count() == 3)
+    val got = Multimodal.nearDuplicateAudio(media).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
 }
