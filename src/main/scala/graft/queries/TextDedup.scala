@@ -92,7 +92,7 @@ object TextDedup {
     shingleRowsOf(docs(s, dir))
 
   /** (doc_id, n, sh = xxhash64(shingle)) — cached; both sides of q28's
-    * self-join and q41's df-window derivation consume it. The join key is
+    * self-join and q41's df derivation consume it. The join key is
     * the 8-byte hash, not the shingle string: the wide text never travels
     * through a shuffle (collision caveat on q28). */
   private[queries] def hashedShingleRowsOf(d: DataFrame): DataFrame =
@@ -832,16 +832,20 @@ object TextDedup {
   private[queries] def cappedJaccardPairsOf(d: DataFrame, threshold: Double,
       dfCap: Long): DataFrame = {
     // shared hashed-shingle base + corpus-wide document frequency; the
-    // windowed result is cached in its own right: consumed by the capped
-    // self-join (both sides) and the hot-array builder.
-    // document frequency via a COUNT window over sh: one shuffle on sh
-    // (vs groupBy + join = two), and the result comes out hash-partitioned
-    // on sh — exactly the partitioning the candidate self-join needs, so
-    // Catalyst reuses the exchange instead of shuffling again
-    val exDf = hashedShingleRowsOf(d)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .dedupCached
+    // df-annotated result is cached in its own right: consumed by the
+    // capped self-join (both sides) and the hot-array builder.
+    // document frequency via TWO-PHASE groupBy + join-back, deliberately
+    // NOT a `count over (partition by sh)` window: a window has no partial
+    // aggregation, so the hottest shingle (df ~10^6-10^8 on web corpora)
+    // would put ALL its rows in one window partition on one task — the
+    // precise skew regime this cap exists to guard against. The groupBy
+    // combines map-side (each task emits one (sh, cnt) pair per local
+    // shingle), and the join-back is an equi-join AQE can handle: it
+    // broadcasts the df table when it measures small and skew-splits the
+    // sort-merge fallback — both regimes a window cannot reach.
+    val base = hashedShingleRowsOf(d)
+    val dfTab = base.groupBy("sh").agg(count(lit(1)).as("df"))
+    val exDf = base.join(dfTab, Seq("sh")).dedupCached
     val cold = exDf.filter(col("df") <= dfCap).select("doc_id", "n", "sh")
     // per-doc hot-shingle arrays: rows exist ONLY for docs touching a hot
     // shingle. Each ARRAY is tiny (the few shingles with df > cap), but the

@@ -392,12 +392,18 @@ object TextPipeline {
     * rest.
     *
     * Scale: spans explode one row per token position (narrow rows — id,
-    * pos, 128-bit hash), then ONE shuffle on span_hash feeding a single
-    * Window pass (per-group count + row_number by (doc_id, pos)); the
-    * `count > 1` filter drops the overwhelmingly-unique span mass right
-    * after. Never an all-pairs comparison, and no second shuffle — the
-    * canonical flag is `row_number == 1`, safe for documents of ANY
-    * length (no arithmetic id/pos encoding). */
+    * pos, 128-bit hash). The per-span count AND the canonical first
+    * occurrence come out of ONE partial-aggregable `groupBy(span_hash)`
+    * (`count` + `min(struct(doc_id, pos))` — struct comparison is
+    * lexicographic, so the min IS "first by (doc_id, pos)"), deliberately
+    * NOT a window: a window has no partial aggregation, so a license-block
+    * span occurring 10^7 times corpus-wide would land every occurrence in
+    * one sorted window partition on one task. The map-side combine keeps
+    * any hot span to one row per task; the `count > 1` filter then drops
+    * the overwhelmingly-unique span mass BEFORE the join-back, which AQE
+    * broadcasts when the duplicated-span table measures small and
+    * skew-splits otherwise. Never an all-pairs comparison, and safe for
+    * documents of ANY length (no arithmetic id/pos encoding). */
   private[queries] def duplicatedSpansOf(d: DataFrame,
       spanLen: Int): DataFrame = {
     val w = col("w")
@@ -408,15 +414,16 @@ object TextPipeline {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", slice(w, col("pos"), lit(spanLen))))
           .as("span_hash"))
-    val grp = Window.partitionBy("span_hash")
-    val ord = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
-    spans
-      .withColumn("n_occurrences", count(lit(1)).over(grp))
-      .withColumn("rn", row_number().over(ord))
+    val dup = spans.groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       .filter(col("n_occurrences") > 1)
+    spans.join(dup, Seq("span_hash"))
       .select(col("doc_id"), col("pos").as("span_start"), col("span_hash"),
         col("n_occurrences"),
-        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("is_canonical"))
+        when(col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos"), lit(1L)).otherwise(lit(0L))
+          .as("is_canonical"))
   }
 
   def q58SpanDedup(s: SparkSession, dir: String): DataFrame =

@@ -59,20 +59,21 @@ class PlanShapeSpec extends SparkSpec {
       s"hamming predicate not in the join condition:\n${p.take(2000)}")
   }
 
-  test("q41 document frequency reuses the shingle partitioning (window, not groupBy+join)") {
+  test("q41 document frequency is two-phase partial-aggregated, never a window") {
     val df = TextDedup.q41JaccardCapped(spark, sfDir)
+    df.collect() // materialize the cached df derivation + finalize AQE
+    // The df stage must be a groupBy with MAP-SIDE partial aggregation
+    // (skew-robust: a df~10^8 boilerplate shingle contributes one row per
+    // task to the shuffle) — NEVER a `count over (partition by sh)`
+    // window, which has no partial agg and lands every row of the hottest
+    // shingle in one window partition on one task. The window would live
+    // inside the cached exDf derivation, which toString prints.
     val p = plan(df)
-    assert(p.contains("Window"), "df not computed via a window")
-    // The capped self-join must consume the df-window's hash partitioning
-    // on sh (through the cached relation) rather than re-shuffling the
-    // shingle rows: no sh-partitioned exchange may appear in the executed
-    // tree outside the cached derivation. Assert by TREE TRAVERSAL, not
-    // the plan string: toString prints InMemoryTableScan's stored cached
-    // plan (where the window's one legitimate sh-exchange lives, possibly
-    // twice), while collect() treats the scan as a leaf — so this holds
-    // regardless of whether earlier suites materialized the caches.
-    assert(shShufflesOf(df).isEmpty,
-      "shingle rows re-shuffled outside the cached window derivation")
+    assert(!p.contains("Window partitionedBy") && !"Window \\[count".r.findFirstIn(p).isDefined &&
+      !p.contains("windowspecdefinition(sh"),
+      s"df computed via a window over sh:\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      s"df aggregate not map-side partial:\n${p.take(2000)}")
   }
 
   /** sh-partitioned shuffles in the EXECUTED tree only — tree traversal
@@ -183,16 +184,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan(df).contains("Join"), "redaction grew a join")
   }
 
-  test("q58 span dedup is one span_hash shuffle + window — no join at all") {
+  test("q58 span dedup partial-aggregates counts+canonical; no window, no cartesian") {
     val df = TextPipeline.q58SpanDedup(spark, sfDir)
+    df.collect() // finalize the adaptive plan
     val p = plan(df)
-    assert(!p.contains("Join"), "span matching grew a join")
-    assert(p.contains("Window"), "count/canonical not computed in a window pass")
-    val sh = hashShufflesOf(df)
-    assert(sh.size == 1,
-      s"expected exactly 1 span_hash shuffle, got ${sh.size}")
-    assert(sh.head.outputPartitioning.toString.contains("span_hash#"),
-      s"shuffle not on span_hash: ${sh.head.outputPartitioning}")
+    // count + min(struct) come from ONE two-phase aggregate (map-side
+    // combine keeps a 10^7-occurrence license-block span to one row per
+    // task) — never a window over span_hash, which has no partial agg
+    assert(!p.contains("windowspecdefinition(span_hash"),
+      s"span count/canonical computed via a window:\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      s"span aggregate not map-side partial:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "join-back went cartesian")
+    // movement bound: spans→agg shuffle + (at most) the join-back shuffle
+    assert(hashShufflesOf(df).size <= 2,
+      s"more shuffles than agg + join-back: ${hashShufflesOf(df).size}")
   }
 
   test("q59 url filter probes a broadcast blocklist; corpus never shuffles for it") {
