@@ -75,8 +75,8 @@ object ScaleStress {
       import org.apache.spark.sql.functions.col
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.queries.VectorOps.semanticIncremental(
-        e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3),
         e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3),
+        e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3),
         "vec_id", "embedding", minCos = 0.35, planes = 32, bands = 4)
     }))
 

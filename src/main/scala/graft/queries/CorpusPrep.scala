@@ -110,13 +110,18 @@ object CorpusPrep {
 
     // 5. decontamination (optional, graded): docs whose eval-overlap
     // FRACTION exceeds the configured tolerance drop (q61 semantics;
-    // maxFrac=0.0 reproduces the strict any-overlap policy exactly)
+    // maxFrac=0.0 reproduces the strict any-overlap policy exactly — by
+    // comparing the exact overlap COUNT, not the 6-decimal-rounded
+    // fraction, which would round a <5e-7 fraction to 0.0 and let a
+    // doc with nonzero overlap survive where q49's binary flag drops it)
     val d5 = bench match {
       case Some(b) =>
-        val contaminated = TextOps
+        val scored = TextOps
           .contaminationScore(d4.select(col("doc_id"), col("text")), b,
             "doc_id", "text", ordered = false)
-          .filter(col("overlap_frac") > cfg.contaminationMaxFrac)
+        val contaminated = (
+          if (cfg.contaminationMaxFrac == 0.0) scored.filter(col("n_overlap") > 0L)
+          else scored.filter(col("overlap_frac") > cfg.contaminationMaxFrac))
           .select(col("doc_id"))
         d4.join(contaminated, Seq("doc_id"), "left_anti")
       case None => d4

@@ -739,6 +739,11 @@ object TextDedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .transform(Caching.cutLineage(_, eager = true))
+    // the eager cutLineage above fully scanned `edges`, materializing its
+    // cache — the pair projection is consumed and can be released (the
+    // local branch releases it in propagateLabels; without this the
+    // distributed branch leaked one cache entry per call)
+    pairs.unpersist(false)
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
@@ -764,6 +769,10 @@ object TextDedup {
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
+    // every label snapshot was checkpointed (lineage cut) and materialized
+    // by its convergence count, so the symmetric edge cache is no longer
+    // reachable from the result — release it
+    edges.unpersist(false)
     // Min-label propagation converges in O(component diameter) rounds;
     // silently returning unconverged labels would diverge from the
     // oracle's recursive-CTE fixpoint, so an over-deep graph is an error.

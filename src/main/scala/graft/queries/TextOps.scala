@@ -46,7 +46,12 @@ object TextOps {
       .orderBy("id_a", "id_b")
 
   /** Near-dup connected components: every document labeled with its
-    * cluster (min reachable id) + member count (q40 semantics). */
+    * cluster (min reachable id) + member count (q40 semantics).
+    *
+    * NOTE: eagerly executes the candidate-pair computation at CALL time
+    * (the component solver counts the dup-graph edges to pick its local
+    * vs distributed regime — [[TextDedup.propagateLabels]]), so merely
+    * building the returned frame runs Spark jobs; it is not a lazy plan. */
   def dedupClusters(df: DataFrame, id: String, text: String,
       threshold: Double = 0.5): DataFrame = {
     val d = norm(df, id, text)

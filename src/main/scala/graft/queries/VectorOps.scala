@@ -315,7 +315,13 @@ object VectorOps {
     * ([[TextDedup.propagateLabels]] — O(component diameter) rounds,
     * reliable `checkpoint()` when `spark.graft.dedup.checkpointDir` is
     * set). The final window runs over corpus-sized but narrow
-    * (vec_id, cluster_id) rows. */
+    * (vec_id, cluster_id) rows.
+    *
+    * NOTE: eagerly executes the band-join + cosine edge derivation at
+    * CALL time (the component solver counts the dup-graph edges to pick
+    * its local vs distributed regime), so merely building the returned
+    * frame runs Spark jobs; it is not a lazy plan. [[semanticDedup]]
+    * inherits this. */
   def semanticDedupIndexed(idx: DataFrame, minCos: Double,
       planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
     val cand = lshCandidatePairs(idx, planes, bands, dims)
@@ -386,8 +392,11 @@ object VectorOps {
         col("partner_id"), col("cos"))
   }
 
-  /** [[semanticIncrementalIndexed]] over raw (id, vec) frames. */
-  def semanticIncremental(batch: DataFrame, corpus: DataFrame, id: String,
+  /** [[semanticIncrementalIndexed]] over raw (id, vec) frames. Parameter
+    * order matches the Indexed variant (corpus first, then batch) — the
+    * two frames are same-typed, so a divergent order would let a swapped
+    * call run and return plausible-looking output. */
+  def semanticIncremental(corpus: DataFrame, batch: DataFrame, id: String,
       vec: String, minCos: Double, planes: Int = 16, bands: Int = 4,
       dims: Int = 64): DataFrame =
     semanticIncrementalIndexed(index(corpus, id, vec), index(batch, id, vec),

@@ -116,16 +116,16 @@ class VectorOpsSpec extends SparkSpec {
 
   test("semanticIncremental == q63 on renamed columns") {
     val got = VectorOps.semanticIncremental(
-      renamed.filter(col("vid") % 7 === 3),
-      renamed.filter(col("vid") % 7 =!= 3), "vid", "v", 0.35)
+      renamed.filter(col("vid") % 7 =!= 3),
+      renamed.filter(col("vid") % 7 === 3), "vid", "v", 0.35)
       .orderBy("vec_id")
     assert(rows(got) == rows(Similarity.q63SemanticIncremental(spark, sfDir)))
   }
 
   test("semanticIncremental verdicts are total and partners clear the threshold") {
     val batch = renamed.filter(col("vid") % 7 === 3)
-    val got = VectorOps.semanticIncremental(batch,
-      renamed.filter(col("vid") % 7 =!= 3), "vid", "v", 0.35).collect()
+    val got = VectorOps.semanticIncremental(
+      renamed.filter(col("vid") % 7 =!= 3), batch, "vid", "v", 0.35).collect()
     assert(got.length == batch.count(), "one verdict per batch vector")
     got.foreach { r =>
       r.getAs[String]("verdict") match {

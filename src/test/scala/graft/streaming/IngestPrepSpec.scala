@@ -118,7 +118,7 @@ class IngestPrepSpec extends SparkSpec {
     }
 
     val want = graft.queries.VectorOps.semanticIncremental(
-      batchDf, corpus, "vec_id", "embedding", 0.35)
+      corpus, batchDf, "vec_id", "embedding", 0.35)
       .filter(col("verdict") === "new")
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(got.toSet == want, s"streaming admitted ${got.toSet}; batch says $want")
