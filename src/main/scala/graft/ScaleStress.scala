@@ -78,6 +78,29 @@ object ScaleStress {
         e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3),
         e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3),
         "vec_id", "embedding", minCos = 0.35, planes = 32, bands = 4)
+    }),
+    // serving-scale IVF build: k=1024 exceeds kmeansLiteralMaxK, so this
+    // exercises the BROADCAST-table assignment path (k×dims plan literals
+    // would blow janino method limits at this k) — cost should scale with
+    // corpus rows, not explode with k
+    "kmeans_build_k1024" -> ((s, dir) => {
+      val idx = graft.queries.VectorOps.index(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      graft.queries.VectorOps.kmeansCells(idx, k = 1024, iters = 1)
+    }),
+    // the COMPOSED end-to-end pipeline (left-semi survivor chains +
+    // shared dedup caches + driver-side near-dup fixpoint): the stages
+    // are individually stressed above; this times their composition.
+    // The eval set is the %97 slice (grows with the corpus, like q61)
+    "corpus_prep_e2e" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val prep = graft.queries.CorpusPrep.prepare(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", "source",
+        bench = Some(d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))),
+        cfg = graft.queries.CorpusPrep.Config(
+          vocabKeepK = Some(graft.queries.TextPipeline.VocabKeepK)))
+      prep.packed
     }))
 
   /** The replicated corpus lives under a reps-encoded directory

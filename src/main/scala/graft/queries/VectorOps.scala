@@ -447,16 +447,34 @@ object VectorOps {
     *   - `iters` is fixed — no data-dependent convergence test, so cost
     *     and output are exactly reproducible.
     *
-    * Scale shape per iteration: assignment is a PURE MAP (centroids ride
-    * along as k×dims literals — no join, no shuffle), the update is one
-    * (cell, dim)-keyed partial-aggregated groupBy collecting k×dims rows
-    * to the driver (bounded by construction, independent of corpus
-    * size). Empty cells keep their previous centroid. Returns
-    * (vec_id, cell: int). */
+    * Scale shape per iteration, TWO assignment regimes (identical
+    * arithmetic, bit-identical output — spec'd):
+    *   - k <= `spark.graft.vector.kmeansLiteralMaxK` (default 64): a PURE
+    *     MAP — centroids ride along as k×dims plan literals, no join, no
+    *     shuffle;
+    *   - larger k: the literal form would blow janino method limits /
+    *     plan-compile budgets at serving-scale cell counts (k =
+    *     4096–65536) long before data size matters, so centroids become a
+    *     BROADCAST table instead — a broadcast nested-loop join fans each
+    *     vector out to k scored rows and a partial-aggregated
+    *     max-of-struct per vec_id picks the argmax cell. Every vector's k
+    *     rows sit in one task, so the map-side partial agg collapses them
+    *     before the one corpus-sized shuffle.
+    * The update is one (cell, dim)-keyed partial-aggregated groupBy
+    * collecting k×dims rows to the driver (bounded by construction,
+    * independent of corpus size). Empty cells keep their previous
+    * centroid. Returns (vec_id, cell: int). */
   def kmeansCells(idx: DataFrame, k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1 (got $k, $iters)")
+    val s = idx.sparkSession
     val dims = idx.select(size(col("efp"))).head().getInt(0)
+    val literalMaxK =
+      s.conf.get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
 
+    // scoring is IDENTICAL in both regimes: cos reduces to dot/|centroid|
+    // (|v| is a common positive factor), |centroid| computed ON THE DRIVER
+    // with the same double arithmetic, ties to the lowest cell id via the
+    // negated-cell struct field — so path choice never changes the output
     def assignCol(cents: IndexedSeq[Array[Long]]): Column = {
       val scored = (0 until cents.length).map { c =>
         val cn = math.sqrt(cents(c).map(x => x.toDouble * x.toDouble).sum)
@@ -469,6 +487,41 @@ object VectorOps {
       (array_max(array(scored: _*)).getField("nc") * -1).as("cell")
     }
 
+    def centTable(cents: IndexedSeq[Array[Long]]): DataFrame = {
+      val rows = cents.zipWithIndex.map { case (cent, c) =>
+        org.apache.spark.sql.Row(c,
+          math.sqrt(cent.map(x => x.toDouble * x.toDouble).sum), cent.toSeq)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("cefp",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
+
+    /** (vec_id, cell, efp) under the current centroids, either regime. */
+    def assigned(cents: IndexedSeq[Array[Long]]): DataFrame =
+      if (k <= literalMaxK)
+        idx.select(col("vec_id"), assignCol(cents), col("efp"))
+      else {
+        val score = when(col("cn") === 0.0, lit(Double.MinValue))
+          .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
+            .cast("double") / col("cn"))
+        idx.select(col("vec_id"), col("efp"))
+          .crossJoin(broadcast(centTable(cents)))
+          .select(col("vec_id"), struct(score.as("s"),
+            (col("cell") * -1).as("nc"), col("efp").as("efp")).as("sc"))
+          .groupBy("vec_id").agg(max(col("sc")).as("m"))
+          .select(col("vec_id"), (col("m.nc") * -1).as("cell"),
+            col("m.efp").as("efp"))
+      }
+
     val seeds = idx
       .select(col("vec_id"), col("efp"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)
@@ -478,7 +531,8 @@ object VectorOps {
 
     var cents = seeds
     for (_ <- 0 until iters) {
-      val sums = idx.select(assignCol(cents), posexplode(col("efp")).as(Seq("i", "x")))
+      val sums = assigned(cents)
+        .select(col("cell"), posexplode(col("efp")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .collect()
@@ -493,7 +547,7 @@ object VectorOps {
       }
       cents = next.toIndexedSeq
     }
-    idx.select(col("vec_id"), assignCol(cents))
+    assigned(cents).select(col("vec_id"), col("cell"))
   }
 
   /** [[kmeansCells]] + [[knnIvfIndexed]] in one call: build the coarse

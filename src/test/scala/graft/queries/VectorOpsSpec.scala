@@ -175,6 +175,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("kmeansCells broadcast-join path is bit-identical to the literal path") {
+    val idx = VectorOps.index(renamed, "vid", "v")
+    val lit = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val key = "spark.graft.vector.kmeansLiteralMaxK"
+    spark.conf.set(key, "1") // force every k onto the broadcast path
+    try {
+      val bc = VectorOps.kmeansCells(idx, 8, iters = 3)
+      // shape check: the assignment must come from a broadcast join, not
+      // k×dims literals baked into a projection
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "forced broadcast path did not plan a broadcast join")
+      val got = bc.collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+      assert(got == lit, "broadcast-path assignments diverged from literal path")
+    } finally spark.conf.unset(key)
+  }
+
   test("knnIvfAuto serves IVF over a frame with no cell column, with real recall") {
     val corpus = renamed.filter(col("vid") =!= 0)
     val query = renamed.filter(col("vid") === 0)
