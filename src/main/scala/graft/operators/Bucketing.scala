@@ -43,6 +43,41 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Persist `df` as a bucketed+sorted EXTERNAL table at `location` —
+    * the serving-artifact form: the data outlives the session, and
+    * [[attachBucketed]] re-registers it in any later session (even a new
+    * JVM, whose in-memory catalog forgot the table) without touching the
+    * data. Multi-column keys bucket on the tuple, so an equi-join on
+    * exactly those keys needs no exchange on this side. */
+  def writeBucketedExternal(df: DataFrame, table: String, keys: Seq[String],
+      location: String, buckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", location)
+      .option("compression", "snappy")
+      .saveAsTable(table)
+  }
+
+  /** Register an existing [[writeBucketedExternal]] artifact in `spark`'s
+    * catalog — metadata only (schema read from the parquet footers, no
+    * data job): the bucket spec in the DDL is what lets the planner prove
+    * the layout and skip the exchange, exactly as at write time. */
+  def attachBucketed(spark: SparkSession, table: String, keys: Seq[String],
+      location: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $table ($schema) USING PARQUET
+         |CLUSTERED BY (${keys.mkString(", ")})
+         |SORTED BY (${keys.mkString(", ")})
+         |INTO $buckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+  }
+
   /** Join two same-bucketed tables on their bucket key — shuffle-free by
     * construction (verified in BucketingSpec's plan assertion). */
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,

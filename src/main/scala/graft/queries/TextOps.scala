@@ -109,14 +109,27 @@ object TextOps {
     * cost is batch-proportional. */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame, id: String,
       text: String, threshold: Double = 0.5): DataFrame = {
-    val nb = norm(batch, id, text)
     val nc = norm(corpus, id, text)
+    incrementalVerdicts(norm(batch, id, text),
+      nc.select(col("doc_id"), md5(col("text")).as("ch"))
+        .groupBy("ch").agg(min("doc_id").as("exact_partner")),
+      TextDedup.bandRowsOf(nc), TextDedup.shingleSetsOf(nc), threshold)
+  }
+
+  /** The verdict core shared by [[incrementalDedup]] (corpus derivations
+    * computed in-session) and [[DedupIndex.incrementalDedup]] (corpus
+    * derivations read back from persisted bucketed tables): batch
+    * (doc_id, text) against the three corpus-side artifacts —
+    * `exactMap` (ch, exact_partner), `corpusBands` (doc_id, b, h),
+    * `corpusSets` (doc_id, ts). Output and semantics are q48's. */
+  private[queries] def incrementalVerdicts(nb: DataFrame, exactMap: DataFrame,
+      corpusBands: DataFrame, corpusSets: DataFrame,
+      threshold: Double): DataFrame = {
     val exact = nb.select(col("doc_id"), md5(col("text")).as("ch"))
-      .join(nc.select(col("doc_id"), md5(col("text")).as("ch"))
-        .groupBy("ch").agg(min("doc_id").as("exact_partner")), Seq("ch"), "left")
+      .join(exactMap, Seq("ch"), "left")
       .select(col("doc_id"), col("exact_partner"))
     val cand = TextDedup.bandRowsOf(nb).as("x")
-      .join(TextDedup.bandRowsOf(nc).as("y"),
+      .join(corpusBands.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
       .distinct()
@@ -127,7 +140,7 @@ object TextOps {
       .partitionBy("doc_id").orderBy(col("j").desc, col("partner_id").asc)
     val best = cand
       .join(TextDedup.shingleSetsOf(nb).select(col("doc_id"), col("ts").as("ts_a")), "doc_id")
-      .join(TextDedup.shingleSetsOf(nc).select(col("doc_id").as("partner_id"),
+      .join(corpusSets.select(col("doc_id").as("partner_id"),
         col("ts").as("ts_b")), "partner_id")
       .withColumn("j", j).filter(col("j") >= threshold)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

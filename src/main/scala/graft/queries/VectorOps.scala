@@ -505,10 +505,13 @@ object VectorOps {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     }
 
-    /** (vec_id, cell, efp) under the current centroids, either regime. */
+    /** (vec_id, cell) under the current centroids, either regime. The
+      * broadcast-path aggregate stays NARROW (score, negated cell) — the
+      * k-way fan-out must never carry the dims-long vector through the
+      * partial-agg buffers (measured 30×+ heavier when it did). */
     def assigned(cents: IndexedSeq[Array[Long]]): DataFrame =
       if (k <= literalMaxK)
-        idx.select(col("vec_id"), assignCol(cents), col("efp"))
+        idx.select(col("vec_id"), assignCol(cents))
       else {
         val score = when(col("cn") === 0.0, lit(Double.MinValue))
           .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
@@ -516,11 +519,21 @@ object VectorOps {
         idx.select(col("vec_id"), col("efp"))
           .crossJoin(broadcast(centTable(cents)))
           .select(col("vec_id"), struct(score.as("s"),
-            (col("cell") * -1).as("nc"), col("efp").as("efp")).as("sc"))
+            (col("cell") * -1).as("nc")).as("sc"))
           .groupBy("vec_id").agg(max(col("sc")).as("m"))
-          .select(col("vec_id"), (col("m.nc") * -1).as("cell"),
-            col("m.efp").as("efp"))
+          .select(col("vec_id"), (col("m.nc") * -1).as("cell"))
       }
+
+    /** (cell, efp) for the update pass: the literal regime reads both in
+      * one projection; the broadcast regime joins the narrow assignment
+      * back to the index — corpus-row-proportional on both sides (the
+      * fan-out rows are gone by here). */
+    def assignedWithVec(cents: IndexedSeq[Array[Long]]): DataFrame =
+      if (k <= literalMaxK)
+        idx.select(assignCol(cents), col("efp"))
+      else assigned(cents)
+        .join(idx.select(col("vec_id"), col("efp")), Seq("vec_id"))
+        .select(col("cell"), col("efp"))
 
     val seeds = idx
       .select(col("vec_id"), col("efp"), md5(col("vec_id").cast("string")).as("h"))
@@ -531,7 +544,7 @@ object VectorOps {
 
     var cents = seeds
     for (_ <- 0 until iters) {
-      val sums = assigned(cents)
+      val sums = assignedWithVec(cents)
         .select(col("cell"), posexplode(col("efp")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -547,7 +560,7 @@ object VectorOps {
       }
       cents = next.toIndexedSeq
     }
-    assigned(cents).select(col("vec_id"), col("cell"))
+    assigned(cents)
   }
 
   /** [[kmeansCells]] + [[knnIvfIndexed]] in one call: build the coarse

@@ -220,6 +220,30 @@ object EventStream {
     q
   }
 
+  /** [[runIncrementalDedup]] served off a PERSISTED index
+    * ([[graft.queries.DedupIndex]], already built or attached in this
+    * session): a new cluster can run the ingest-dedup stream with zero
+    * corpus recomputation — the corpus side is three bucketed table scans,
+    * exchange-free on their probe keys; per-epoch cost stays
+    * batch-proportional and the batch-side derivation caches are released
+    * every epoch exactly as in the in-session form. */
+  def runIncrementalDedupIndexed(docStream: DataFrame, prefix: String,
+      id: String, text: String, checkpoint: String, threshold: Double = 0.5)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        try sink(graft.queries.DedupIndex.incrementalDedup(
+          batch, id, text, prefix, threshold), epochId)
+        finally graft.queries.TextOps.unpersistDedupCaches(batch, id, text)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming INGEST PREP: each micro-batch of raw documents runs the
     * front of the corpus pipeline — quality filter, PII scrub — then
     * probes the existing corpus index for exact/near duplicates

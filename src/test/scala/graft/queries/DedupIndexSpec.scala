@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted ingest-dedup serving story: build the index once, then a
+  * session whose catalog has FORGOTTEN the tables (the new-JVM scenario —
+  * an in-memory catalog loses all metadata across restarts while the
+  * external-table files survive) re-attaches the artifact and serves
+  * q48-semantics verdicts bit-identically — with no corpus recomputation
+  * and no exchange over the corpus side of any probe join. */
+class DedupIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+    .select("doc_id", "text")
+  private def isBatch = col("doc_id") % 10 === 3
+
+  /** The incoming batch: the %10==3 slice plus a few RE-IDDED copies of
+    * corpus documents — sf0.001 has no natural exact-duplicate texts, and
+    * the fixture must exercise all three verdicts. */
+  private def batchOf(d: org.apache.spark.sql.DataFrame) =
+    d.filter(isBatch).unionAll(
+      d.filter(col("doc_id") % 100 === 4)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+  private lazy val indexDir = {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    DedupIndex.build(docs.filter(!isBatch), "doc_id", "text", d)
+    d
+  }
+
+  /** Simulate a new cluster: drop the catalog entries (external tables —
+    * the data files survive, exactly like an in-memory catalog dying with
+    * its JVM) and hand back a fresh session with clean session state. */
+  private def freshServingSession() = {
+    indexDir // ensure built
+    Seq("dedup_idx_hashes", "dedup_idx_bands", "dedup_idx_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("dedup_idx_bands"),
+      "catalog entry survived the drop; the test would not prove re-attach")
+    fresh
+  }
+
+  test("a fresh catalog serves verdicts bit-identically off the persisted index") {
+    val want = TextOps
+      .incrementalDedup(batchOf(docs), docs.filter(!isBatch),
+        "doc_id", "text")
+      .collect().map(_.toString).toSeq
+
+    val fresh = freshServingSession()
+    DedupIndex.attach(fresh, indexDir)
+    val batch = batchOf(Tables.load(fresh, sfDir, "documents")
+      .select("doc_id", "text"))
+    val got = DedupIndex.incrementalDedup(batch, "doc_id", "text")
+      .collect().map(_.toString).toSeq
+    assert(got == want, "persisted-index verdicts diverged from in-session form")
+    assert(want.exists(_.contains("near_dup")) &&
+      want.exists(_.contains("exact_dup")) && want.exists(_.contains("new")),
+      s"degenerate fixture: all three verdicts should occur")
+  }
+
+  test("the probe plan never scans the corpus source and never shuffles the index side") {
+    val fresh = freshServingSession()
+    DedupIndex.attach(fresh, indexDir)
+    // batch as a LOCAL relation: any file scan in the plan would have to
+    // be the index tables — a documents.parquet scan = corpus recompute
+    val rows = batchOf(docs).collect().toSeq
+    val batch = fresh.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      docs.schema)
+    // plain (non-adaptive) plan so the tree is traversable without query
+    // stages; broadcast off so the candidate join exercises the bucketed
+    // SMJ path the 100 TB regime uses
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = DedupIndex.incrementalDedup(batch, "doc_id", "text")
+      val exec = served.queryExecution.executedPlan
+      val scans = exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scans at all — index tables unused?")
+      assert(scans.forall(_.toString.contains("dedup_idx")),
+        s"plan scans a non-index source (corpus recomputation):\n${scans.mkString("\n")}")
+      assert(scans.forall(_.bucketedScan),
+        "an index table scan lost its bucket layout")
+      // no exchange may sit between an index scan and its probe join: the
+      // corpus side of every join must arrive exchange-free (shuffles of
+      // batch-proportional POST-join results are legitimate and expected)
+      def scanBeforeJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(scanBeforeJoin)
+        }
+      val shuffledIndex = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if scanBeforeJoin(e.child) => e
+      }
+      assert(shuffledIndex.isEmpty,
+        s"index side re-shuffled before its probe join:\n${shuffledIndex.mkString("\n")}")
+      assert(served.count() == rows.length, "one verdict per batch doc")
+    } finally {
+      fresh.conf.unset("spark.sql.adaptive.enabled")
+      fresh.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("the streaming ingest loop serves off the persisted index") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    indexDir // ensure built
+    DedupIndex.attach(spark, indexDir, prefix = "dedup_idx_stream")
+    val rows = batchOf(docs).collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input.addData(rows.map(r => (r.getLong(0), r.getString(1))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-didx").toString
+    graft.streaming.EventStream.runIncrementalDedupIndexed(
+      input.toDF().toDF("doc_id", "text"), "dedup_idx_stream",
+      "doc_id", "text", ckpt) { (verdicts, _) =>
+      got ++= verdicts.collect().map(_.toString)
+    }
+    val want = TextOps
+      .incrementalDedup(batchOf(docs), docs.filter(!isBatch),
+        "doc_id", "text")
+      .collect().map(_.toString).toSeq
+    assert(got.toSeq == want,
+      "streaming persisted-index verdicts diverged from the batch form")
+  }
+}
