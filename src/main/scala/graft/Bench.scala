@@ -42,15 +42,31 @@ object Bench {
       try { fn(spark, warm).count() } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // warm-up caches must not alias timed ones
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1): time the whole suite N times
+    // and report each query's MINIMUM across passes. Load contamination on
+    // a shared box only ever ADDS time, so the per-query min is the
+    // honest steady-state signal (single-shot runs have produced 3×
+    // contaminated totals); the suite runs as whole passes, not N
+    // back-to-back runs per query, so a transient load spike cannot
+    // inflate one query in every pass. Caches clear between passes —
+    // each pass pays its own derivations, like the single-shot form.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    val passes = (1 to runs).map { _ =>
+      val r = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      r
     }
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> passes.map(_(name)).min
+    }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -325,6 +325,19 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Rolling per-stratum monitoring stats of an integer metric over any
+    * frame (q64 semantics): trailing mean/min/count + centered max, the
+    * `ROWS BETWEEN` frame family as a library form. `metric` is any
+    * integer Column over `df`'s row (a length, a token count, a quality
+    * flag sum); one stratum-key shuffle feeds all four frames. */
+  def rollingStats(df: DataFrame, id: String, strata: String, metric: Column,
+      trail: Int = TextPipeline.RollTrail, half: Int = 2,
+      ordered: Boolean = true): DataFrame = {
+    val d = df.withColumn("doc_id", col(id).cast("long"))
+    val r = TextPipeline.rollingStatsOf(d, strata, metric, trail, half)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Release the shared cached derivations (shingle sets, band signatures,
     * band rows) for `df`. Each [[incrementalDedup]] call caches the BATCH
     * side's derivations under that batch's plan identity; a long-lived

@@ -631,6 +631,64 @@ object TextPipeline {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   // =====================================================================
+  // q64: rolling corpus-quality monitoring (ROWS-frame window suite)
+  // =====================================================================
+
+  /** Trailing-window size of the oracle-checked binding. */
+  val RollTrail = 10
+
+  /** Rolling per-stratum statistics of an integer metric — the corpus
+    * monitoring view a training-data team watches during ingest: for each
+    * document (ordered by id within its stratum), the trailing-`trail`
+    * mean/min of the metric and a centered ±`half` max — the explicit
+    * `ROWS BETWEEN k PRECEDING/FOLLOWING` frame family (q39 covers the
+    * SQL-form frames; this is the library form).
+    *
+    * Determinism: the metric is INTEGER; the mean is the exact BIGINT
+    * frame sum divided by the exact frame count, rounded once — no
+    * float accumulation order to diverge cross-engine.
+    *
+    * Scale: one shuffle on the stratum key feeding every frame (all four
+    * windows share the (strata, id-order) spec, so Catalyst plans ONE
+    * Window operator over one sort — plan-asserted); frames are O(trail)
+    * per row regardless of corpus size. Stratum skew bounds the window
+    * partition, not the corpus: strata are languages/sources, so a
+    * dominant stratum should be sub-bucketed by date (the deployment
+    * knob), exactly like q51/q55. */
+  private[queries] def rollingStatsOf(d: DataFrame, strata: String,
+      metric: Column, trail: Int, half: Int): DataFrame = {
+    val t = Window.partitionBy(strata).orderBy("doc_id")
+      .rowsBetween(-(trail - 1), Window.currentRow)
+    val c = Window.partitionBy(strata).orderBy("doc_id")
+      .rowsBetween(-half, half)
+    val m = metric.cast("long")
+    d.select(col("doc_id"), col(strata), m.as("metric"),
+      count(lit(1)).over(t).as("w_n"),
+      round(sum(m).over(t).cast("double") /
+        count(lit(1)).over(t).cast("double"), 6).as("w_mean"),
+      min(m).over(t).as("w_min"),
+      max(m).over(c).as("c_max"))
+  }
+
+  def q64RollingStats(s: SparkSession, dir: String): DataFrame =
+    rollingStatsOf(docs(s, dir), "lang", col("n_chars"), RollTrail, 2)
+      .orderBy("doc_id")
+
+  val oracleQ64: String =
+    s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS metric,
+       |  CAST(count(*) OVER t AS BIGINT) AS w_n,
+       |  round(CAST(sum(n_chars) OVER t AS DOUBLE)
+       |    / CAST(count(*) OVER t AS DOUBLE), 6) AS w_mean,
+       |  CAST(min(n_chars) OVER t AS BIGINT) AS w_min,
+       |  CAST(max(n_chars) OVER c AS BIGINT) AS c_max
+       |FROM documents
+       |WINDOW t AS (PARTITION BY lang ORDER BY doc_id
+       |             ROWS BETWEEN ${RollTrail - 1} PRECEDING AND CURRENT ROW),
+       |       c AS (PARTITION BY lang ORDER BY doc_id
+       |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+       |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -640,6 +698,7 @@ object TextPipeline {
     "q58_span_dedup" -> q58SpanDedup _,
     "q59_url_filter" -> q59UrlFilter _,
     "q62_vocab_prune" -> q62VocabPrune _,
+    "q64_rolling_stats" -> q64RollingStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -651,5 +710,6 @@ object TextPipeline {
     "q58_span_dedup" -> oracleQ58,
     "q59_url_filter" -> oracleQ59,
     "q62_vocab_prune" -> oracleQ62,
+    "q64_rolling_stats" -> oracleQ64,
   )
 }

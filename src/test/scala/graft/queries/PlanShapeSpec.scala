@@ -242,6 +242,20 @@ class PlanShapeSpec extends SparkSpec {
       s"vocab prune shuffles more than (keep-list agg + reassembly)")
   }
 
+  test("q64 rolling frames plan ONE window pass over one stratum shuffle") {
+    val df = TextPipeline.q64RollingStats(spark, sfDir)
+    val p = plan(df)
+    // all four frames share the (lang, doc_id-order) spec, so Catalyst
+    // must fuse them into a single Window operator over a single sort
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"rolling frames split into multiple window passes:\n${p.take(2000)}")
+    val sh = hashShufflesOf(df)
+    assert(sh.size == 1,
+      s"expected 1 stratum-key shuffle for the rolling frames, got ${sh.size}")
+    assert(sh.head.outputPartitioning.toString.contains("lang#"),
+      s"shuffle not on the stratum key: ${sh.head.outputPartitioning}")
+  }
+
   test("q56 bigram model aggregates partially map-side; no corpus self-join") {
     val df = TextPipeline.q56BigramLm(spark, sfDir)
     df.collect() // finalize the adaptive plan

@@ -50,6 +50,13 @@ class TextOpsSpec extends SparkSpec {
       rows(TextDedup.q48IncrementalDedup(spark, sfDir)))
   }
 
+  test("rollingStats == q64 on renamed columns") {
+    val r = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("n_chars").as("len"))
+    assert(rows(TextOps.rollingStats(r, "id", "lang", col("len"))) ==
+      rows(TextPipeline.q64RollingStats(spark, sfDir)))
+  }
+
   test("decontaminate == q49 on the modulo split") {
     val corpus = renamed.filter(col("id") % 97 =!= 0)
     val bench = renamed.filter(col("id") % 97 === 0)
