@@ -169,8 +169,20 @@ object ScaleStress {
 
     // codegen warm-up at the smallest SF (plan shapes identical across
     // dirs), so timed runs measure data processing, not janino
-    val named = (Queries ++ VectorQueries ++ PipelineQueries)
+    val all = (Queries ++ VectorQueries ++ PipelineQueries)
       .map(q => q -> SparkEntry.queries(q)) ++ CustomVector
+    // SPARK_GRAFT_STRESS_QUERIES=q28_jaccard_pairs,corpus_prep_e2e runs a
+    // subset (re-measuring one family without paying the full suite);
+    // unset runs everything
+    val named = sys.env.get("SPARK_GRAFT_STRESS_QUERIES") match {
+      case Some(sel) =>
+        val want = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- all.map(_._1).toSet
+        if (unknown.nonEmpty)
+          System.err.println(s"unknown stress queries ignored: ${unknown.mkString(",")}")
+        all.filter { case (q, _) => want(q) }
+      case None => all
+    }
 
     val warmDir = "/root/testdata/sf0.001"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))

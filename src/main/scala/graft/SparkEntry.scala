@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextDedup.queries ++
       graft.queries.TextPipeline.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Similarity.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.TextDedup.oracle ++
       graft.queries.TextPipeline.oracle ++
+      graft.queries.Curation.oracle ++
       graft.queries.Similarity.oracle
 }

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the selection/versioning layer that sits
+  * between scoring ([[TextDedup]]) and packing ([[TextPipeline]]) in a
+  * training-data pipeline — winnowed fingerprinting for plagiarism-grade
+  * matching, snapshot diffing for incremental corpus refreshes,
+  * token-budget curriculum selection, and percentile-threshold quality
+  * gating. Same determinism contract as the rest of the suite: md5-only
+  * hashing, exact integer arithmetic (`DIV`, never float division on a
+  * reported column), one `round` max — every query has a bit-exact
+  * DuckDB oracle twin.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // =====================================================================
+  // q65: winnowed fingerprints (local-min k-gram selection, MOSS-style)
+  // =====================================================================
+
+  /** k-gram size / winnowing window of the oracle-checked binding:
+    * word 3-grams, windows of 4 consecutive gram hashes — guarantee:
+    * any shared run of w+k-1 = 6 tokens yields a shared fingerprint. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Winnowed fingerprint summary per document: hash every word k-gram
+    * (md5), slide a window of `w` consecutive hashes, keep each window's
+    * MINIMUM, and dedupe — the classic winnowing selection (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003), the density-guaranteed alternative
+    * to [[TextDedup]]'s MinHash (winnowing is position-aware: shared
+    * fingerprints certify shared CONTIGUOUS runs, not just bag overlap —
+    * reference behavior: de_polars has no fingerprint matcher; this
+    * extends `data_quality`-style per-document scoring). Documents
+    * shorter than one full window contribute their single truncated
+    * window; documents with no k-gram at all get an empty set
+    * (`n_fp = 0`, digest = md5 of the empty string).
+    *
+    * Output: doc_id, n_grams, n_fp (distinct selected hashes), fp_digest
+    * (md5 over the ','-joined SORTED selection — the set identity a
+    * downstream matcher joins on).
+    *
+    * Scale: ZERO shuffle — the whole selection runs as array
+    * higher-order functions inside one projection (per-doc cost
+    * O(n_grams·w) with w fixed), so it rides the scan exactly like
+    * q24/q26; no explode, no per-gram rows on the wire. The per-doc
+    * fingerprint SET (for a pair-matching join) is `sel` before the
+    * digest — explode it downstream only when matching, in which case
+    * the join is the q28 shared-key equi-join shape. */
+  private[queries] def winnowedOf(d: DataFrame, k: Int, w: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = greatest(size(col("toks")) - (k - 1), lit(0))
+    val hashes = transform(sequence(lit(1), col("n_grams")),
+      i => md5(concat_ws(" ", slice(col("toks"), i, lit(k)))))
+    val mins = array_distinct(transform(
+      sequence(lit(1), greatest(col("n_grams") - (w - 1), lit(1))),
+      i => array_min(slice(col("hashes"), i, lit(w)))))
+    val empty = array().cast("array<string>")
+    d.select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_grams", grams)
+      .withColumn("hashes",
+        when(col("n_grams") === 0, empty).otherwise(hashes))
+      .withColumn("sel",
+        when(col("n_grams") === 0, empty).otherwise(mins))
+      .select(col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_fp"),
+        md5(concat_ws(",", array_sort(col("sel")))).as("fp_digest"))
+  }
+
+  def q65Winnow(s: SparkSession, dir: String): DataFrame =
+    winnowedOf(docs(s, dir), WinnowK, WinnowW).orderBy("doc_id")
+
+  val oracleQ65: String = {
+    val km1 = WinnowK - 1; val wm1 = WinnowW - 1
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             greatest(len(string_split(text, ' ')) - $km1, 0) AS n_grams
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, n_grams,
+       |         unnest(generate_series(1, n_grams)) AS pos FROM t),
+       |g AS (SELECT doc_id, pos, n_grams,
+       |        md5(array_to_string(toks[pos:pos+$km1], ' ')) AS h FROM g0),
+       |w AS (
+       |  SELECT doc_id, pos, n_grams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND $wm1 FOLLOWING) AS wmin
+       |  FROM g),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM w
+       |        WHERE pos <= greatest(n_grams - $wm1, 1)),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       |        md5(string_agg(wmin, ',' ORDER BY wmin)) AS fp_digest
+       |      FROM sel GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       |  coalesce(a.n_fp, 0) AS n_fp,
+       |  coalesce(a.fp_digest, md5('')) AS fp_digest
+       |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // =====================================================================
+  // q66: corpus snapshot diff (CDC between two corpus versions)
+  // =====================================================================
+
+  /** Classify every document across two corpus snapshots as
+    * added / deleted / changed / unchanged — the incremental-refresh
+    * primitive (a nightly crawl drop vs yesterday's corpus: only
+    * `added`+`changed` need re-scoring/re-dedup, `deleted` tombstones
+    * downstream indexes). Content identity is the md5 of `content`.
+    *
+    * Scale: each side reduces to (id, 32-char hash) BEFORE the join —
+    * the wide text never travels; the full-outer join is one hash
+    * exchange per side on the id, and ZERO exchanges when both
+    * snapshots are stored id-bucketed ([[graft.operators.Bucketing]]
+    * proves the exchange-free co-located join — the deployment shape
+    * for a corpus that diffs nightly). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+      content: Column): DataFrame = {
+    val o = oldDf.select(col(id).cast("long").as("doc_id"),
+      md5(content).as("old_hash"))
+    val n = newDf.select(col(id).cast("long").as("doc_id"),
+      md5(content).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("deleted"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
+  /** Oracle binding: the "old" snapshot drops doc_id ≡ 3 (mod 11) (those
+    * become `added`) and carries a stale revision ('v0 ' prefix) for
+    * doc_id ≡ 2 (mod 13) (`changed`); the "new" snapshot drops
+    * doc_id ≡ 5 (mod 17) (`deleted`). Deterministic — no RNG. */
+  def q66SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val old = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 2, concat(lit("v0 "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val nu = d.filter(col("doc_id") % 17 =!= 5).select(col("doc_id"), col("text"))
+    snapshotDiff(old, nu, "doc_id", col("text")).orderBy("doc_id")
+  }
+
+  val oracleQ66: String =
+    """WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 2 THEN 'v0 ' || text ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 != 3),
+      |new AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 != 5),
+      |oh AS (SELECT doc_id, md5(text) AS old_hash FROM old),
+      |nh AS (SELECT doc_id, md5(text) AS new_hash FROM new)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'deleted'
+      |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  o.old_hash AS old_hash, n.new_hash AS new_hash
+      |FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // q67: token-budget curriculum selection (per-stratum cumulative cap)
+  // =====================================================================
+
+  /** Per-source token budget of the oracle-checked binding. */
+  val BudgetTokens = 1000L
+
+  /** Select documents per stratum, best-quality first, until the
+    * stratum's token budget is exhausted — the "fill each domain's
+    * quota with its best data" curriculum step (the budgeted variant of
+    * q51's fractional corpus mix). Quality here is the exact integer
+    * unique-token ratio `n_distinct·10⁶ DIV n_tokens` (no floats);
+    * selection keeps every doc whose CUMULATIVE token count (quality
+    * desc, doc_id asc) stays ≤ `budget`.
+    *
+    * Scale: one shuffle on the stratum key feeding a single running-sum
+    * window (partial token counting is map-side projection work).
+    * Stratum skew bounds the window partition, not the corpus — strata
+    * are sources/domains, and a dominant one should be sub-bucketed
+    * (date buckets with per-bucket sub-budgets), the q51/q55/q64 knob.
+    * At extreme scale the same contract is served threshold-first:
+    * approximate the quality cutoff per stratum (percentile sketch),
+    * filter, then run this exact form on the ~budget-sized survivor set
+    * — the output is identical because selection is a pure function of
+    * the (quality, doc_id) order. */
+  private[queries] def tokenBudgetOf(d: DataFrame, strata: String,
+      budget: Long): DataFrame = {
+    val toks = split(col("text"), " ")
+    val m = d.select(col("doc_id"), col(strata),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("quality_1e6",
+        expr("(n_distinct * 1000000) DIV n_tokens"))
+    val w = Window.partitionBy(strata)
+      .orderBy(col("quality_1e6").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col(strata), col("n_tokens"),
+        col("quality_1e6"), col("cum_tokens"))
+  }
+
+  def q67TokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOf(docs(s, dir), "source", BudgetTokens).orderBy("doc_id")
+
+  val oracleQ67: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct
+       |  FROM documents),
+       |q AS (SELECT doc_id, source, n_tokens,
+       |        (n_distinct * 1000000) // n_tokens AS quality_1e6 FROM m),
+       |c AS (SELECT doc_id, source, n_tokens, quality_1e6,
+       |        sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY quality_1e6 DESC, doc_id ASC
+       |          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |      FROM q)
+       |SELECT doc_id, source, n_tokens, quality_1e6, cum_tokens
+       |FROM c WHERE cum_tokens <= $BudgetTokens ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // q68: percentile-threshold quality gate (exact discrete quantile)
+  // =====================================================================
+
+  /** Percentile of the oracle-checked binding: keep docs at or above
+    * the per-language 90th-percentile n_chars. */
+  val GatePctNum = 9
+  val GatePctDen = 10
+
+  /** Keep every document whose metric is ≥ its stratum's exact discrete
+    * p-th percentile — the "top decile by quality-classifier score"
+    * gate. The threshold is the metric value at ascending rank
+    * ⌈p·n⌉ computed in pure integer math (`(num·n + den−1) DIV den` —
+    * no float `ceil(0.9·n)`, whose binary representation flips the
+    * boundary rank cross-engine when p·n is a whole number).
+    *
+    * Scale: the ranked pass is one sort per stratum (the costed stage —
+    * sub-bucket a dominant stratum as in q67); the threshold table is
+    * one row per stratum, so the gate itself is a BROADCAST join-back +
+    * filter that rides the original scan (plan-asserted). At extreme
+    * scale the exact rank is served by a two-phase refinement (sketch
+    * percentile → exact rank within the boundary bucket) with the same
+    * output contract. */
+  private[queries] def percentileGateOf(d: DataFrame, strata: String,
+      metric: String, pctNum: Int, pctDen: Int): DataFrame = {
+    val ws = Window.partitionBy(strata)
+      .orderBy(col(metric).asc, col("doc_id").asc)
+    val th = d.select(col("doc_id"), col(strata), col(metric))
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(strata)))
+      .filter(col("rn") ===
+        expr(s"($pctNum * n + ${pctDen - 1}) DIV $pctDen"))
+      .select(col(strata), col(metric).as("thr"))
+    d.select(col("doc_id"), col(strata), col(metric))
+      .join(broadcast(th), Seq(strata))
+      .filter(col(metric) >= col("thr"))
+      .select(col("doc_id"), col(strata),
+        col(metric).cast("long").as(metric), col("thr").cast("long").as("thr"))
+  }
+
+  def q68PercentileGate(s: SparkSession, dir: String): DataFrame =
+    percentileGateOf(docs(s, dir), "lang", "n_chars", GatePctNum, GatePctDen)
+      .orderBy("doc_id")
+
+  val oracleQ68: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars ASC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents),
+       |th AS (SELECT lang, n_chars AS thr FROM r
+       |       WHERE rn = ($GatePctNum * n + ${GatePctDen - 1}) // $GatePctDen)
+       |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |  CAST(t.thr AS BIGINT) AS thr
+       |FROM documents d JOIN th t ON t.lang = d.lang
+       |WHERE d.n_chars >= t.thr
+       |ORDER BY d.doc_id""".stripMargin
+
+  // =====================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_winnow_fp" -> q65Winnow _,
+    "q66_snapshot_diff" -> q66SnapshotDiff _,
+    "q67_token_budget" -> q67TokenBudget _,
+    "q68_percentile_gate" -> q68PercentileGate _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q65_winnow_fp" -> oracleQ65,
+    "q66_snapshot_diff" -> oracleQ66,
+    "q67_token_budget" -> oracleQ67,
+    "q68_percentile_gate" -> oracleQ68,
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edge-case correctness for the curation batch (q65–q68). The oracle
+  * gate proves the corpus-level bindings; these pin the boundary
+  * behaviors the corpus doesn't exercise — empty/short documents, exact
+  * budget hits, percentile rank boundaries — and the winnowing density
+  * guarantee. */
+class CurationSpec extends SparkSpec {
+
+  private val sp = spark
+  import sp.implicits._
+
+  private val Md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
+  private def winnow(rows: Seq[(Long, String)], k: Int = 3, w: Int = 4) =
+    Curation.winnowedOf(
+      rows.toDF("doc_id", "text"), k, w).orderBy("doc_id").collect()
+
+  test("winnow: doc shorter than k tokens has zero grams and the empty digest") {
+    val r = winnow(Seq((1L, "a b"), (2L, "")))
+    assert(r.forall(_.getAs[Long]("n_grams") == 0L))
+    assert(r.forall(_.getAs[Long]("n_fp") == 0L))
+    assert(r.forall(_.getAs[String]("fp_digest") == Md5Empty))
+  }
+
+  test("winnow: doc with fewer grams than one window keeps exactly one fingerprint") {
+    // 4 tokens, k=3 -> 2 grams < w=4 -> one truncated window -> 1 fp
+    val r = winnow(Seq((1L, "a b c d")))
+    assert(r.head.getAs[Long]("n_grams") == 2L)
+    assert(r.head.getAs[Long]("n_fp") == 1L)
+  }
+
+  test("winnow: guarantee — docs sharing a w+k-1 token run share a fingerprint") {
+    // any shared run of w+k-1 = 6 tokens must yield a shared selected hash
+    val shared = "q w e r t y"
+    val df = Seq(
+      (1L, s"a b c d $shared u i o p"),
+      (2L, s"z x v n m $shared l j h g")).toDF("doc_id", "text")
+    val fp = Curation.winnowedOf(df, 3, 4)
+    // recompute the selected SETS (not just the digest) via the same path
+    val sets = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_grams", greatest(size(col("toks")) - 2, lit(0)))
+      .withColumn("hashes", transform(sequence(lit(1), col("n_grams")),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(3))))))
+      .withColumn("sel", array_distinct(transform(
+        sequence(lit(1), greatest(col("n_grams") - 3, lit(1))),
+        i => array_min(slice(col("hashes"), i, lit(4))))))
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+    val byDoc = sets.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "no shared fingerprint despite a 6-token shared run")
+    assert(fp.count() == 2)
+  }
+
+  test("winnow: density is ~2/(w+1) of grams, never more than full-window count") {
+    val r = Curation.winnowedOf(
+      Tables.load(spark, sfDir, "documents"), 3, 4).collect()
+    r.filter(_.getAs[Long]("n_grams") >= 8).foreach { row =>
+      val g = row.getAs[Long]("n_grams"); val f = row.getAs[Long]("n_fp")
+      assert(f >= 1 && f <= g - 3, s"fp count $f outside (0, ${g - 3}]")
+    }
+  }
+
+  test("snapshotDiff classifies all four statuses on a generic frame") {
+    val old = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("id", "body")
+    val nu = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("id", "body")
+    val got = Curation.snapshotDiff(old, nu, "id", col("body"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "deleted", 4L -> "added"))
+  }
+
+  test("tokenBudget: cumulative cap keeps the exact-hit doc and drops the next") {
+    // quality order within src: a (3 distinct/3), b (2/2)... construct:
+    // doc 1: 4 tokens all distinct (q=1e6), doc 2: 4 tokens all distinct
+    // (q=1e6, later id), doc 3: 4 tokens 2 distinct (q=5e5).
+    // budget=8 -> docs 1,2 (cum 4,8) kept; doc 3 (cum 12) dropped.
+    val df = Seq(
+      (1L, "a b c d", "s"), (2L, "e f g h", "s"), (3L, "i i j j", "s"))
+      .toDF("doc_id", "text", "src")
+    val got = Curation.tokenBudgetOf(df, "src", budget = 8L)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got.last.getAs[Long]("cum_tokens") == 8L)
+  }
+
+  test("tokenBudget: selection is quality-first, not id-first") {
+    // doc 2 has higher unique-token ratio than doc 1 -> wins the budget
+    val df = Seq(
+      (1L, "x x x x", "s"), (2L, "a b c d", "s")).toDF("doc_id", "text", "src")
+    val got = Curation.tokenBudgetOf(df, "src", budget = 4L).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
+  test("percentileGate: integer rank math hits the exact boundary (n=10, n=11)") {
+    // n=10, p=9/10 -> rank (90+9) DIV 10 = 9 -> thr = 9th smallest = 90
+    val ten = (1L to 10L).map(i => (i, "en", i * 10L))
+      .toDF("doc_id", "lang", "score")
+    val g10 = Curation.percentileGateOf(ten, "lang", "score", 9, 10)
+      .orderBy("doc_id").collect()
+    assert(g10.map(_.getAs[Long]("doc_id")).toSeq == Seq(9L, 10L))
+    assert(g10.head.getAs[Long]("thr") == 90L)
+    // n=11 -> rank (99+9) DIV 10 = 10 -> thr = 10th smallest = 100
+    val eleven = (1L to 11L).map(i => (i, "en", i * 10L))
+      .toDF("doc_id", "lang", "score")
+    val g11 = Curation.percentileGateOf(eleven, "lang", "score", 9, 10)
+      .orderBy("doc_id").collect()
+    assert(g11.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
+  }
+
+  test("percentileGate: threshold is per-stratum, ties at the boundary kept") {
+    val df = Seq(
+      (1L, "en", 5L), (2L, "en", 9L), (3L, "en", 9L), (4L, "en", 9L),
+      (5L, "de", 1L), (6L, "de", 2L)).toDF("doc_id", "lang", "score")
+    // en: n=4 -> rank (36+9) DIV 10 = 4 -> thr=9 (asc 5,9,9,9) -> keeps 2,3,4
+    // de: n=2 -> rank (18+9) DIV 10 = 2 -> thr=2 -> keeps 6
+    val got = Curation.percentileGateOf(df, "lang", "score", 9, 10)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == Seq(2L, 3L, 4L, 6L))
+  }
+}

@@ -277,4 +277,43 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(selfJoins.isEmpty, "scoring joined raw corpus to raw corpus")
   }
+
+  test("q65 winnowing is a pure projection: no joins, no hash shuffle") {
+    val df = Curation.q65Winnow(spark, sfDir)
+    assert(hashShufflesOf(df).isEmpty,
+      "winnowing hash-shuffled; the HOF selection must ride the scan")
+    assert(!plan(df).contains("Join"), "winnowing grew a join")
+  }
+
+  test("q66 snapshot diff hashes before the join: only (id, md5) crosses the wire") {
+    val df = Curation.q66SnapshotDiff(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    assert(hashShufflesOf(df).size <= 2,
+      "snapshot diff moved more than one exchange per side")
+    // the wide text column must be reduced to its hash below every exchange
+    hashShufflesOf(df).foreach { e =>
+      assert(!e.child.output.map(_.name).contains("text"),
+        s"raw text shuffled: ${e.child.output.map(_.name)}")
+    }
+  }
+
+  test("q67 token budget runs ONE running-sum window over one stratum shuffle") {
+    val df = Curation.q67TokenBudget(spark, sfDir)
+    val p = plan(df)
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"budget selection split into multiple window passes:\n${p.take(2000)}")
+    val sh = hashShufflesOf(df)
+    assert(sh.size == 1,
+      s"expected 1 stratum-key shuffle for the budget window, got ${sh.size}")
+    assert(sh.head.outputPartitioning.toString.contains("source#"),
+      s"shuffle not on the stratum key: ${sh.head.outputPartitioning}")
+  }
+
+  test("q68 percentile gate joins the threshold back via broadcast") {
+    val df = Curation.q68PercentileGate(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "threshold join-back not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet the one-row-per-stratum threshold table")
+  }
 }
