@@ -38,14 +38,20 @@ object CorpusPrep {
     * any-overlap policy (identical survivors to the q49 binary flag);
     * raising it tolerates boilerplate-level overlap. `vocabKeepK`, when
     * set, rewrites the surviving text over the top-k corpus vocabulary
-    * (q62 semantics, fitted on the post-dedup survivors) before packing. */
+    * (q62 semantics, fitted on the post-dedup survivors) before packing.
+    * `nearDupDfCap`, when set, excludes shingles appearing in more than
+    * that many documents from near-dup candidate GENERATION (q41
+    * semantics) — the guard that keeps the candidate join linear when
+    * boilerplate n-grams go corpus-hot; the deployment setting at scale
+    * (None preserves the exact uncapped q28/q40 pairing). */
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
       packBudget: Long = TextPipeline.PackBudget,
       domainBlocklist: Option[DataFrame] = None,
       contaminationMaxFrac: Double = 0.0,
-      vocabKeepK: Option[Int] = None)
+      vocabKeepK: Option[Int] = None,
+      nearDupDfCap: Option[Long] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -101,7 +107,11 @@ object CorpusPrep {
     // 4. near-dup dedup: keep each connected component's min-id member
     // (cluster_id IS the min reachable id); unclustered docs pass through
     val d3Text = d3.select(col("doc_id"), col("text"))
-    val pairs = TextDedup.jaccardPairsOf(d3Text, cfg.nearDupThreshold)
+    val pairs = cfg.nearDupDfCap match {
+      case Some(cap) =>
+        TextDedup.cappedJaccardPairsOf(d3Text, cfg.nearDupThreshold, cap)
+      case None => TextDedup.jaccardPairsOf(d3Text, cfg.nearDupThreshold)
+    }
     val labels = TextDedup.propagateLabels(
       pairs.select(col("id_a"), col("id_b")))
     val d4 = d3.join(labels, Seq("doc_id"), "left")
