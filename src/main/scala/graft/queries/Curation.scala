@@ -285,11 +285,109 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
 
   // =====================================================================
+  // q71: balanced per-stratum downsample (data-dependent quota)
+  // =====================================================================
+
+  /** Class-balancing selection: every stratum is downsampled to the size
+    * of the SMALLEST stratum, picking each stratum's members in
+    * hash-of-id order — the deterministic form of "balance the source
+    * mix" (the companion of q51's FIXED per-stratum quotas: here the
+    * quota comes from the data, so rebalancing tracks the corpus as it
+    * grows). Pick order is (md5(id), id) — uniform, seedless, and
+    * reproducible cross-engine; output carries the rank and quota so
+    * downstream can audit the cut line.
+    *
+    * Scale: one two-phase count aggregate reduced to a ONE-ROW quota
+    * table (broadcast — never a shuffle of the corpus against it), plus
+    * one rank window per stratum, the q51 exchange. The window sorts
+    * within strata only; a dominant stratum is the q51/q55 sub-bucket
+    * knob. The rank-filter form keeps EXACT quota semantics (hash-mod
+    * sampling can only approximate a target COUNT). */
+  private[queries] def balancedSampleOf(d: DataFrame, strata: String,
+      id: String): DataFrame = {
+    val quota = d.groupBy(col(strata)).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("quota"))
+    val ranked = d.select(col(id), col(strata),
+      row_number().over(Window.partitionBy(strata)
+        .orderBy(md5(col(id).cast("string")), col(id)))
+        .cast("long").as("pick_rank"))
+    ranked.crossJoin(broadcast(quota))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col(id), col(strata), col("pick_rank"), col("quota"))
+  }
+
+  def q71BalancedSample(s: SparkSession, dir: String): DataFrame =
+    balancedSampleOf(docs(s, dir), "source", "doc_id").orderBy("doc_id")
+
+  val oracleQ71: String =
+    """SELECT doc_id, source, pick_rank, quota FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick_rank
+      |  FROM documents),
+      |  (SELECT CAST(min(c) AS BIGINT) AS quota
+      |   FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+      |WHERE pick_rank <= quota ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // q72: rare-token novelty score (corpus-df join-back)
+  // =====================================================================
+
+  /** How many docs a token may appear in and still count as "rare". */
+  val RareDf = 2L
+
+  /** Per-document lexical novelty: the fraction of a document's DISTINCT
+    * tokens whose corpus-wide document frequency is ≤ [[RareDf]] — high
+    * for documents contributing vocabulary the corpus hasn't seen
+    * (the signal curation uses to up-weight long-tail content), low for
+    * boilerplate assembled from corpus-common words. The complement of
+    * q52's head-of-vocabulary view, at doc granularity.
+    *
+    * Scale: the df table is a TWO-PHASE groupBy on the token (map-side
+    * partials collapse hot tokens before the shuffle — the skew-safe
+    * shape, never a count-over-window), and the join-back is a token
+    * equi-join AQE sizes (broadcast when the vocab is small, shuffled
+    * with skew-split when not). Per-doc re-aggregate is again two-phase
+    * on doc_id. Rows on the wire are (doc_id, token-hash-sized) pairs —
+    * text never shuffles. */
+  private[queries] def rareTokenScoreOf(d: DataFrame, id: String,
+      text: String, rareDf: Long): DataFrame = {
+    val toks = d.select(col(id),
+      explode(array_distinct(split(col(text), " "))).as("tok"))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfTab, Seq("tok"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("df") <= lit(rareDf), 1L).otherwise(0L)).as("n_rare"))
+      .select(col(id), col("n_distinct_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") /
+          col("n_distinct_tokens").cast("double"), 6).as("rare_ratio"))
+  }
+
+  def q72RareTokens(s: SparkSession, dir: String): DataFrame =
+    rareTokenScoreOf(docs(s, dir), "doc_id", "text", RareDf).orderBy("doc_id")
+
+  val oracleQ72: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+       |SELECT doc_id, n_distinct_tokens, n_rare,
+       |  round(CAST(n_rare AS DOUBLE)/CAST(n_distinct_tokens AS DOUBLE), 6) AS rare_ratio
+       |FROM (
+       |  SELECT t.doc_id, count(*) AS n_distinct_tokens,
+       |    CAST(sum(CASE WHEN d.df <= $RareDf THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM toks t JOIN dfs d ON t.tok = d.tok GROUP BY t.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_winnow_fp" -> q65Winnow _,
     "q66_snapshot_diff" -> q66SnapshotDiff _,
     "q67_token_budget" -> q67TokenBudget _,
     "q68_percentile_gate" -> q68PercentileGate _,
+    "q71_balanced_sample" -> q71BalancedSample _,
+    "q72_rare_tokens" -> q72RareTokens _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,5 +395,7 @@ object Curation {
     "q66_snapshot_diff" -> oracleQ66,
     "q67_token_budget" -> oracleQ67,
     "q68_percentile_gate" -> oracleQ68,
+    "q71_balanced_sample" -> oracleQ71,
+    "q72_rare_tokens" -> oracleQ72,
   )
 }

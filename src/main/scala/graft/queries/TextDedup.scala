@@ -1500,6 +1500,102 @@ object TextDedup {
       |GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin
 
   // =====================================================================
+  // q69: containment near-dup pairs (asymmetric subset-duplicate)
+  // =====================================================================
+
+  /** Near-dup pairs under the CONTAINMENT measure: |A∩B| / min(|A|,|B|)
+    * over word-3-gram shingle sets. Jaccard (q28) under-scores the
+    * subset-duplicate case — a short doc fully embedded in a long one
+    * (a quote, a syndicated article inside a portal page, a README
+    * pasted into a monorepo dump) has |A∩B|/|A∪B| ≈ |A|/|B| → 0 as the
+    * host grows, but containment stays ≈ 1. This is the measure
+    * suffix-style dedup literature uses for "document A is inside B"
+    * (reference behavior: de_polars has no pair matcher at all; this
+    * extends the dedup family beyond it). Containment ≥ Jaccard always,
+    * so these pairs are a superset of q28's at the same threshold.
+    *
+    * Scale: IDENTICAL physical shape to q28 — the candidate join and
+    * the (id_a, id_b) aggregate are shared work with the Jaccard form
+    * (both read the cached hashed-shingle base; only the final ratio
+    * differs), so a session computing both pays the join once. The same
+    * df-cap guard (q41) applies verbatim when boilerplate shingles go
+    * corpus-hot. */
+  private[queries] def containmentPairsOf(d: DataFrame,
+      threshold: Double): DataFrame = {
+    val ex = hashedShingleRowsOf(d)
+    val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"), min("na").as("na"), min("nb").as("nb"))
+    val c = col("n_common").cast("double") /
+      least(col("na"), col("nb")).cast("double")
+    inter.filter(c >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
+        round(c, 6).as("containment"))
+  }
+
+  def q69ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(docs(s, dir), 0.7).orderBy("id_a", "id_b")
+
+  val oracleQ69: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, n_common, na, nb,
+       |  round(CAST(n_common AS DOUBLE)/CAST(least(na, nb) AS DOUBLE), 6) AS containment
+       |FROM inter
+       |WHERE CAST(n_common AS DOUBLE)/CAST(least(na, nb) AS DOUBLE) >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =====================================================================
+  // q70: normalized exact dedup (casefold + punctuation-collapse)
+  // =====================================================================
+
+  /** Exact dedup over NORMALIZED text: lowercase, collapse every
+    * non-alphanumeric run to a single space, trim — the "fuzzy-exact"
+    * stage real pipelines run between byte-exact dedup (q27) and
+    * shingle near-dup (q28): it catches trivially-reformatted copies
+    * (case changes, punctuation/whitespace variants, smart quotes)
+    * that q27 misses but that don't merit a candidate join. The
+    * normalization regex is in the RE2∩Java common subset (same
+    * contract as q57), so both engines rewrite identically.
+    *
+    * Output is one row per normalized-distinct group, q27's shape:
+    * keeper (min doc_id), group size, and the normalized hash the
+    * group keys on.
+    *
+    * Scale: projection + ONE two-phase hash aggregate on the 16-byte
+    * md5 of the normalized text — map-side partials collapse dup
+    * groups before the shuffle, and only (hash, id, count) crosses the
+    * wire, never text. Zero joins; the same shape q27 ships. */
+  private[queries] def normalizedDedupOf(d: DataFrame): DataFrame =
+    d.select(
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .as("norm_hash"),
+      col("doc_id"))
+      .groupBy("norm_hash")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_variants"))
+      .select(col("keeper_id"), col("n_variants"), col("norm_hash"))
+
+  def q70NormalizedDedup(s: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(docs(s, dir)).orderBy("keeper_id")
+
+  val oracleQ70: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_variants,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+      |FROM documents
+      |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |ORDER BY keeper_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1520,6 +1616,8 @@ object TextDedup {
     "q51_corpus_mix" -> q51CorpusMix _,
     "q52_vocab_topk" -> q52VocabTopK _,
     "q61_contamination_score" -> q61ContaminationScore _,
+    "q69_containment_pairs" -> q69ContainmentPairs _,
+    "q70_normalized_dedup" -> q70NormalizedDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1542,5 +1640,7 @@ object TextDedup {
     "q51_corpus_mix" -> oracleQ51,
     "q52_vocab_topk" -> oracleQ52,
     "q61_contamination_score" -> oracleQ61,
+    "q69_containment_pairs" -> oracleQ69,
+    "q70_normalized_dedup" -> oracleQ70,
   )
 }

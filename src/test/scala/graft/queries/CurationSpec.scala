@@ -124,4 +124,38 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(got == Seq(2L, 3L, 4L, 6L))
   }
+
+  test("balancedSample: every stratum is cut to the smallest stratum's size") {
+    val df = Seq(
+      (1L, "s1"), (2L, "s1"), (3L, "s1"),
+      (4L, "s2"), (5L, "s2"),
+      (6L, "s3"), (7L, "s3"), (8L, "s3"), (9L, "s3")).toDF("doc_id", "source")
+    val got = Curation.balancedSampleOf(df, "source", "doc_id").collect()
+    assert(got.length == 6)
+    assert(got.forall(_.getAs[Long]("quota") == 2L))
+    val bySrc = got.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(bySrc.toMap == Map("s1" -> 2, "s2" -> 2, "s3" -> 2))
+    got.foreach(r => assert(r.getAs[Long]("pick_rank") <= 2L))
+  }
+
+  test("balancedSample: equal strata keep everything") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "source")
+    assert(Curation.balancedSampleOf(df, "source", "doc_id").count() == 4L)
+  }
+
+  test("rareTokenScore: df counts DOCUMENTS, repeats inside one doc don't help") {
+    val df = Seq(
+      (1L, "aaa bbb bbb bbb"), // bbb repeats in doc 1 only: df=1, rare
+      (2L, "aaa ccc"),
+      (3L, "aaa ddd")).toDF("doc_id", "text")
+    val rows = Curation.rareTokenScoreOf(df, "doc_id", "text", rareDf = 1L)
+      .orderBy("doc_id").collect()
+    // aaa: df=3 (common); bbb/ccc/ddd: df=1 (rare)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_tokens") == 2L)
+      assert(r.getAs[Long]("n_rare") == 1L)
+      assert(r.getAs[Double]("rare_ratio") == 0.5)
+    }
+  }
 }

@@ -316,4 +316,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "corpus shuffled to meet the one-row-per-stratum threshold table")
   }
+
+  test("q69 containment reuses the q28 candidate shape: equi-join, no cartesian") {
+    val p = plan(TextDedup.q69ContainmentPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "containment went all-pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "containment not reading the shared cached shingle base")
+  }
+
+  test("q70 normalized dedup is one two-phase aggregate; text never shuffles") {
+    val df = TextDedup.q70NormalizedDedup(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"no map-side partial aggregation:\n${p.take(2000)}")
+    assert(!p.contains("Window "), "normalized dedup grew a window")
+    assert(!p.contains("Join"), "normalized dedup grew a join")
+    hashShufflesOf(df).foreach { e =>
+      assert(!e.child.output.map(_.name).contains("text"),
+        s"raw text shuffled: ${e.child.output.map(_.name)}")
+    }
+  }
+
+  test("q71 balanced sample: one rank window, quota rides a broadcast") {
+    val df = Curation.q71BalancedSample(spark, sfDir)
+    val p = plan(df)
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected exactly one rank window:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "one-row quota table not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet the one-row quota table")
+  }
+
+  test("q72 rare-token df stage is a partial aggregate, never a count-over-window") {
+    val df = Curation.q72RareTokens(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("partial_count"),
+      s"token df not map-side combined:\n${p.take(2000)}")
+    assert(!p.contains("Window "), "df computed via window (no partial agg)")
+  }
 }

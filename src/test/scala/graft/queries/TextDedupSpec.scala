@@ -142,6 +142,50 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q69 containment catches a subset-dup that Jaccard misses") {
+    val sp2 = spark
+    import sp2.implicits._
+    // doc 1 is fully contained in doc 2 (2 shared shingles of 2), but the
+    // host is long enough that Jaccard = 2/12 < any sane threshold
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d " + (1 to 12).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairsOf(df, 0.7).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    assert(TextDedup.jaccardPairsOf(df, 0.7).count() == 0,
+      "fixture broken: Jaccard should miss the subset pair")
+  }
+
+  test("q69 containment is a superset of Jaccard pairs at the same threshold") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val jac = TextDedup.jaccardPairsOf(d, 0.5).collect().map(key).toSet
+    val con = TextDedup.containmentPairsOf(d, 0.5).collect().map(key).toSet
+    assert(jac.subsetOf(con),
+      s"missing from containment: ${(jac -- con).take(5)}")
+  }
+
+  test("q70 normalized dedup collapses case/punctuation variants") {
+    val sp2 = spark
+    import sp2.implicits._
+    val df = Seq(
+      (3L, "Hello, World!"),
+      (7L, "hello world"),
+      (9L, "hello  WORLD..."),
+      (11L, "goodbye world")).toDF("doc_id", "text")
+    val rows = TextDedup.normalizedDedupOf(df).orderBy("keeper_id").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[Long]("keeper_id") == 3L)
+    assert(rows.head.getAs[Long]("n_variants") == 3L)
+    assert(rows.last.getAs[Long]("keeper_id") == 11L)
+    assert(rows.last.getAs[Long]("n_variants") == 1L)
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
