@@ -52,7 +52,10 @@ object Curation {
     * fingerprint SET (for a pair-matching join) is `sel` before the
     * digest — explode it downstream only when matching, in which case
     * the join is the q28 shared-key equi-join shape. */
-  private[queries] def winnowedOf(d: DataFrame, k: Int, w: Int): DataFrame = {
+  /** (doc_id, n_grams, sel) with the selected fingerprint SET retained as
+    * an array — the joinable form [[winnowMatchPairsOf]] explodes; the
+    * digest form below is what the oracle checks. */
+  private[queries] def winnowedSelOf(d: DataFrame, k: Int, w: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val grams = greatest(size(col("toks")) - (k - 1), lit(0))
     val hashes = transform(sequence(lit(1), col("n_grams")),
@@ -67,11 +70,15 @@ object Curation {
         when(col("n_grams") === 0, empty).otherwise(hashes))
       .withColumn("sel",
         when(col("n_grams") === 0, empty).otherwise(mins))
-      .select(col("doc_id"),
-        col("n_grams").cast("long").as("n_grams"),
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        col("sel"))
+  }
+
+  private[queries] def winnowedOf(d: DataFrame, k: Int, w: Int): DataFrame =
+    winnowedSelOf(d, k, w)
+      .select(col("doc_id"), col("n_grams"),
         size(col("sel")).cast("long").as("n_fp"),
         md5(concat_ws(",", array_sort(col("sel")))).as("fp_digest"))
-  }
 
   def q65Winnow(s: SparkSession, dir: String): DataFrame =
     winnowedOf(docs(s, dir), WinnowK, WinnowW).orderBy("doc_id")
@@ -248,22 +255,39 @@ object Curation {
     * scale the exact rank is served by a two-phase refinement (sketch
     * percentile → exact rank within the boundary bucket) with the same
     * output contract. */
-  private[queries] def percentileGateOf(d: DataFrame, strata: String,
+  /** FIT half of the percentile gate: the one-row-per-stratum threshold
+    * table (strata, thr). Persistable — write it as parquet and a fresh
+    * session (or a streaming ingest, [[graft.streaming.EventStream
+    * .qualityGateStream]]) applies the same gate with zero corpus
+    * recomputation, the q62/q48 fit/apply convention. */
+  def fitPercentileThresholds(d: DataFrame, strata: String,
       metric: String, pctNum: Int, pctDen: Int): DataFrame = {
     val ws = Window.partitionBy(strata)
       .orderBy(col(metric).asc, col("doc_id").asc)
-    val th = d.select(col("doc_id"), col(strata), col(metric))
+    d.select(col("doc_id"), col(strata), col(metric))
       .withColumn("rn", row_number().over(ws))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(strata)))
       .filter(col("rn") ===
         expr(s"($pctNum * n + ${pctDen - 1}) DIV $pctDen"))
       .select(col(strata), col(metric).as("thr"))
+  }
+
+  /** APPLY half: stateless projection + broadcast threshold join +
+    * filter — shuffle-free over the gated frame and legal on a
+    * STREAMING frame as-is (no window, no aggregate). */
+  def applyPercentileGate(d: DataFrame, th: DataFrame,
+      strata: String, metric: String): DataFrame =
     d.select(col("doc_id"), col(strata), col(metric))
       .join(broadcast(th), Seq(strata))
       .filter(col(metric) >= col("thr"))
       .select(col("doc_id"), col(strata),
         col(metric).cast("long").as(metric), col("thr").cast("long").as("thr"))
-  }
+
+  private[queries] def percentileGateOf(d: DataFrame, strata: String,
+      metric: String, pctNum: Int, pctDen: Int): DataFrame =
+    applyPercentileGate(d,
+      fitPercentileThresholds(d, strata, metric, pctNum, pctDen),
+      strata, metric)
 
   def q68PercentileGate(s: SparkSession, dir: String): DataFrame =
     percentileGateOf(docs(s, dir), "lang", "n_chars", GatePctNum, GatePctDen)
@@ -381,6 +405,76 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q73: winnow-match pairs (shared contiguous-run detection)
+  // =====================================================================
+
+  /** Minimum shared fingerprints for the oracle binding. */
+  val WinnowMinShared = 2L
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints — the
+    * MATCHER q65's selection exists for (MOSS-style): a shared
+    * fingerprint certifies a shared CONTIGUOUS run of ≥ w+k-1 tokens,
+    * so unlike MinHash/Jaccard (bag overlap) these pairs witness
+    * verbatim passage reuse — plagiarism-grade duplication, license
+    * blocks, syndicated paragraphs. Output carries each side's
+    * fingerprint count so downstream can turn n_shared into a
+    * coverage ratio.
+    *
+    * Scale: the q28 shape over a ~1/w-DENSITY-reduced key space —
+    * winnowing selects ~2/(w+1) of gram hashes per doc, so the
+    * candidate join moves a fraction of what the full-shingle join
+    * pays, and the same df-cap guard applies if a fingerprint goes
+    * corpus-hot (a universal license block). Selection itself is the
+    * q65 zero-shuffle projection. */
+  private[queries] def winnowMatchPairsOf(d: DataFrame, k: Int, w: Int,
+      minShared: Long): DataFrame = {
+    val s = winnowedSelOf(d, k, w)
+      .select(col("doc_id"), size(col("sel")).cast("long").as("nfp"),
+        explode(col("sel")).as("fp"))
+    val a = s.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a"), col("fp"))
+    val b = s.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"),
+        min("nfp_a").as("nfp_a"), min("nfp_b").as("nfp_b"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def q73WinnowMatch(s: SparkSession, dir: String): DataFrame =
+    winnowMatchPairsOf(docs(s, dir), WinnowK, WinnowW, WinnowMinShared)
+      .orderBy("id_a", "id_b")
+
+  val oracleQ73: String = {
+    val km1 = WinnowK - 1; val wm1 = WinnowW - 1
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             greatest(len(string_split(text, ' ')) - $km1, 0) AS n_grams
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, n_grams,
+       |         unnest(generate_series(1, n_grams)) AS pos FROM t),
+       |g AS (SELECT doc_id, pos, n_grams,
+       |        md5(array_to_string(toks[pos:pos+$km1], ' ')) AS h FROM g0),
+       |w AS (
+       |  SELECT doc_id, pos, n_grams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND $wm1 FOLLOWING) AS wmin
+       |  FROM g),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM w
+       |        WHERE pos <= greatest(n_grams - $wm1, 1)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+       |       FROM sel GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.id_a, p.id_b, p.n_shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b
+       |FROM p JOIN sz sa ON sa.doc_id = p.id_a
+       |       JOIN sz sb ON sb.doc_id = p.id_b
+       |WHERE p.n_shared >= $WinnowMinShared
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_winnow_fp" -> q65Winnow _,
     "q66_snapshot_diff" -> q66SnapshotDiff _,
@@ -388,6 +482,7 @@ object Curation {
     "q68_percentile_gate" -> q68PercentileGate _,
     "q71_balanced_sample" -> q71BalancedSample _,
     "q72_rare_tokens" -> q72RareTokens _,
+    "q73_winnow_match" -> q73WinnowMatch _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -397,5 +492,6 @@ object Curation {
     "q68_percentile_gate" -> oracleQ68,
     "q71_balanced_sample" -> oracleQ71,
     "q72_rare_tokens" -> oracleQ72,
+    "q73_winnow_match" -> oracleQ73,
   )
 }

@@ -1596,6 +1596,70 @@ object TextDedup {
       |ORDER BY keeper_id""".stripMargin
 
   // =====================================================================
+  // q74: source-overlap matrix (which sources duplicate each other)
+  // =====================================================================
+
+  /** Corpus analytics: for every SOURCE pair, the shingle-set overlap —
+    * |shingles(A) ∩ shingles(B)|, each side's distinct-shingle count,
+    * and the Jaccard of the two source-level sets. The triage report a
+    * curation team reads before dedup: a high-overlap source pair means
+    * one is syndicating/mirroring the other and a source-level drop is
+    * cheaper than document-level dedup.
+    *
+    * Scale: the (source, shingle-hash) DISTINCT frame is a two-phase
+    * aggregate (map-side partials collapse each source's repeated
+    * shingles before the shuffle); the pair join is keyed on the
+    * shingle hash, and its OUTPUT is bounded by distinct-shingles ×
+    * C(|sources|, 2) — sources are a curated enumeration (tens, not
+    * millions), so even a corpus-hot boilerplate shingle contributes at
+    * most |sources|² rows, never a blow-up. Join key is xxhash64 of
+    * the shingle (the q28 caveat: string-keyed oracle parity is
+    * probabilistic with birthday bound ~s²/2^64). */
+  private[queries] def sourceOverlapOf(d: DataFrame): DataFrame = {
+    val s = d.select(col("source"),
+      explode(shingles3(toks)).as("shs"))
+      .select(col("source"), xxhash64(col("shs")).as("sh"))
+      .distinct()
+      .dedupCached
+    val sizes = s.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val a = s.select(col("source").as("src_a"), col("sh"))
+    val b = s.select(col("source").as("src_b"), col("sh"))
+    val p = a.join(b, Seq("sh")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    p.join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_sh_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_sh_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_sh_a"), col("n_sh_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_sh_a") + col("n_sh_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  def q74SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(docs(s, dir)).orderBy("src_a", "src_b")
+
+  val oracleQ74: String =
+    s"""WITH s AS (
+       |  SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest(ts) AS sh FROM (
+       |      SELECT source, $oShingles3 AS ts
+       |      FROM (SELECT source, string_split(text, ' ') AS w FROM documents)))),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+       |       FROM s GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT p.src_a, p.src_b, p.n_shared,
+       |  sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+       |  round(CAST(p.n_shared AS DOUBLE) /
+       |        CAST(sa.n_sh + sb.n_sh - p.n_shared AS DOUBLE), 6) AS jaccard
+       |FROM p JOIN sz sa ON sa.source = p.src_a
+       |       JOIN sz sb ON sb.source = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1618,6 +1682,7 @@ object TextDedup {
     "q61_contamination_score" -> q61ContaminationScore _,
     "q69_containment_pairs" -> q69ContainmentPairs _,
     "q70_normalized_dedup" -> q70NormalizedDedup _,
+    "q74_source_overlap" -> q74SourceOverlap _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1642,5 +1707,6 @@ object TextDedup {
     "q61_contamination_score" -> oracleQ61,
     "q69_containment_pairs" -> oracleQ69,
     "q70_normalized_dedup" -> oracleQ70,
+    "q74_source_overlap" -> oracleQ74,
   )
 }

@@ -117,6 +117,21 @@ object EventStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col(tsCol))
 
+  /** Streaming percentile-threshold quality gate: applies a PRE-FITTED
+    * per-stratum threshold table ([[graft.queries.Curation
+    * .fitPercentileThresholds]], fitted on the corpus at rest and
+    * persistable as parquet) to a document stream. The apply half is
+    * stateless — projection + broadcast threshold join + filter, no
+    * window, no aggregate — so it is streaming-legal AS-IS with no
+    * foreachBatch and no state store, and every micro-batch row pays
+    * one broadcast probe. Batch/stream parity is by construction: the
+    * same [[graft.queries.Curation.applyPercentileGate]] plan serves
+    * both frames (spec-checked). */
+  def qualityGateStream(docStream: DataFrame, thresholds: DataFrame,
+      strata: String, metric: String): DataFrame =
+    graft.queries.Curation.applyPercentileGate(
+      docStream, thresholds, strata, metric)
+
   /** Per-user SESSION windows (native `session_window`): events gapped
     * less than `gap` apart merge into one session; a session closes — and
     * emits — once the watermark passes its end. The canonical

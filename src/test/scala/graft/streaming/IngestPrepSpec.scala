@@ -126,4 +126,45 @@ class IngestPrepSpec extends SparkSpec {
     assert(want.nonEmpty && want.size < batchRows.length,
       s"degenerate split: ${want.size} of ${batchRows.length} admitted")
   }
+
+  test("qualityGateStream applies a parquet-round-tripped gate with batch parity") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // fit ONCE on the corpus at rest (p90 of n_chars per lang), round-trip
+    // through parquet — the serving contract a fresh cluster starts from
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thDir = java.nio.file.Files.createTempDirectory("gate-th").toString
+    graft.queries.Curation
+      .fitPercentileThresholds(corpus, "lang", "n_chars", 9, 10)
+      .write.mode("overwrite").parquet(s"$thDir/th.parquet")
+    val th = spark.read.parquet(s"$thDir/th.parquet")
+
+    val batchRows = corpus.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    input.addData(batchRows.toIndexedSeq: _*)
+
+    // the apply half is stateless, so the STREAMING frame goes straight
+    // through the library form — no foreachBatch, no state store
+    val gated = EventStream.qualityGateStream(
+      input.toDF().toDF("doc_id", "lang", "n_chars"), th, "lang", "n_chars")
+    assert(gated.isStreaming, "gate must stay a streaming transform")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-gate").toString
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("gate_out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val want = graft.queries.Curation
+      .applyPercentileGate(corpus, th, "lang", "n_chars")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == want, s"stream kept ${got.size}, batch kept ${want.size}")
+    assert(want.nonEmpty && want.size < batchRows.length,
+      s"degenerate gate: ${want.size} of ${batchRows.length} kept")
+  }
 }
