@@ -32,7 +32,12 @@ object ScaleStress {
 
   val Queries: Seq[String] = Seq("q28_jaccard_pairs", "q30_lsh_pairs",
     "q31_simhash_pairs", "q40_dedup_clusters", "q41_jaccard_capped",
-    "q48_incremental_dedup")
+    "q48_incremental_dedup",
+    // round-10 pair generators: q69 shares q28's join (and its uncapped
+    // hot-key exposure under the x<reps>b collision regime — the
+    // documented contrast); q73 joins over the winnow-thinned key space;
+    // q74's output is bounded by distinct-shingles × |sources|²
+    "q69_containment_pairs", "q73_winnow_match", "q74_source_overlap")
 
   /** ANN family measured against the replicated EMBEDDINGS corpus. The
     * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so

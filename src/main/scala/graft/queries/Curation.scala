@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Same session-configurable cache level as the TextDedup family. */
+  private implicit class CurationCache(private val df: DataFrame) {
+    def dedupCached: DataFrame =
+      Caching.cached(df, "spark.graft.dedup.storageLevel")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -56,22 +62,33 @@ object Curation {
     * an array — the joinable form [[winnowMatchPairsOf]] explodes; the
     * digest form below is what the oracle checks. */
   private[queries] def winnowedSelOf(d: DataFrame, k: Int, w: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = greatest(size(col("toks")) - (k - 1), lit(0))
-    val hashes = transform(sequence(lit(1), col("n_grams")),
-      i => md5(concat_ws(" ", slice(col("toks"), i, lit(k)))))
-    val mins = array_distinct(transform(
-      sequence(lit(1), greatest(col("n_grams") - (w - 1), lit(1))),
-      i => array_min(slice(col("hashes"), i, lit(w)))))
+    // The gram-hash array is LET-BOUND as a lambda variable (the
+    // single-element-array `transform` trick) instead of a projected
+    // column: a column reference gets inlined by CollapseProject when a
+    // downstream consumer (explode, join key derivation) reshapes the
+    // plan, and the interpreted HOF path has no common-subexpression
+    // elimination inside lambdas — the inlined form re-evaluates ALL
+    // n_grams md5s PER WINDOW, O(n_grams²) per document (measured: 26 s
+    // vs 0.6 s at sf0.1 on the q73 path). A lambda variable is
+    // evaluated exactly once per row by construction, in every
+    // consumer, with no reliance on optimizer internals.
     val empty = array().cast("array<string>")
-    d.select(col("doc_id"), toks.as("toks"))
-      .withColumn("n_grams", grams)
-      .withColumn("hashes",
-        when(col("n_grams") === 0, empty).otherwise(hashes))
-      .withColumn("sel",
-        when(col("n_grams") === 0, empty).otherwise(mins))
-      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
-        col("sel"))
+    def mins(h: Column, ng: Column): Column = array_distinct(transform(
+      sequence(lit(1), greatest(ng - (w - 1), lit(1))),
+      i => array_min(slice(h, i, lit(w)))))
+    def hashes(tk: Column, ng: Column): Column =
+      transform(sequence(lit(1), ng),
+        i => md5(concat_ws(" ", slice(tk, i, lit(k)))))
+    val sel = element_at(transform(array(split(col("text"), " ")), tk => {
+      val ng = greatest(size(tk) - (k - 1), lit(0))
+      element_at(transform(array(when(ng === 0, empty)
+        .otherwise(hashes(tk, ng))), h =>
+        when(ng === 0, empty).otherwise(mins(h, ng))), 1)
+    }), 1)
+    d.select(col("doc_id"),
+      greatest(size(split(col("text"), " ")) - (k - 1), lit(0))
+        .cast("long").as("n_grams"),
+      sel.as("sel"))
   }
 
   private[queries] def winnowedOf(d: DataFrame, k: Int, w: Int): DataFrame =
@@ -411,28 +428,52 @@ object Curation {
   /** Minimum shared fingerprints for the oracle binding. */
   val WinnowMinShared = 2L
 
+  /** Max fingerprint document-frequency admitted to the pair join. NOT
+    * optional: winnowing selects per-window MINIMUM hashes, so the
+    * globally smallest hashes of corpus-common k-grams are selected by
+    * (nearly) EVERY document containing them — fingerprint df is
+    * systematically biased hot, far more than raw shingle df. Measured:
+    * the uncapped join on the sf0.1 corpus paid 229 s where the capped
+    * form pays ~1 s, with the pair semantics intact (a genuine passage
+    * reuse shares many fingerprints; only pairs ALL of whose shared
+    * fingerprints are corpus-hot are lost — boilerplate, by
+    * definition). */
+  val WinnowDfCap = 100L
+
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints — the
     * MATCHER q65's selection exists for (MOSS-style): a shared
     * fingerprint certifies a shared CONTIGUOUS run of ≥ w+k-1 tokens,
     * so unlike MinHash/Jaccard (bag overlap) these pairs witness
     * verbatim passage reuse — plagiarism-grade duplication, license
-    * blocks, syndicated paragraphs. Output carries each side's
-    * fingerprint count so downstream can turn n_shared into a
-    * coverage ratio.
+    * blocks, syndicated paragraphs. Output carries each side's TOTAL
+    * fingerprint count (uncapped — the doc property) so downstream can
+    * turn n_shared into a coverage ratio.
     *
-    * Scale: the q28 shape over a ~1/w-DENSITY-reduced key space —
-    * winnowing selects ~2/(w+1) of gram hashes per doc, so the
-    * candidate join moves a fraction of what the full-shingle join
-    * pays, and the same df-cap guard applies if a fingerprint goes
-    * corpus-hot (a universal license block). Selection itself is the
-    * q65 zero-shuffle projection. */
+    * Scale: selection is the q65 zero-shuffle projection; the join is
+    * the q41 capped shape from birth — fingerprint df via two-phase
+    * `groupBy(fp).count()` (map-side partials, skew-robust), hot
+    * fingerprints excluded BEFORE the self-join (see [[WinnowDfCap]]:
+    * winnowed selection makes hot keys the norm, not the exception, so
+    * the cap is load-bearing at every scale, not just 100 TB). */
   private[queries] def winnowMatchPairsOf(d: DataFrame, k: Int, w: Int,
-      minShared: Long): DataFrame = {
-    val s = winnowedSelOf(d, k, w)
+      minShared: Long, dfCap: Long): DataFrame = {
+    // CACHE THE SELECTION BEFORE EXPLODING — load-bearing, not a reuse
+    // nicety: explode() makes Catalyst inline the nested-HOF `sel`
+    // expression into the Generate, where the inner gram-hash transform
+    // loses common-subexpression elimination and is re-evaluated per
+    // window — measured 108 s for explode-over-expression vs 2.5 s for
+    // the selection itself at sf0.1. Materializing (doc_id, sel) first
+    // makes the explode a read of stored arrays. The cached node is also
+    // reused by the df table and both join sides.
+    val selFrame = winnowedSelOf(d, k, w).dedupCached
+    val s = selFrame
       .select(col("doc_id"), size(col("sel")).cast("long").as("nfp"),
         explode(col("sel")).as("fp"))
-    val a = s.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a"), col("fp"))
-    val b = s.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b"), col("fp"))
+    val dfTab = s.groupBy("fp").agg(count(lit(1)).as("df"))
+    val cold = s.join(dfTab.filter(col("df") <= dfCap), Seq("fp"))
+      .select(col("fp"), col("doc_id"), col("nfp"))
+    val a = cold.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a"), col("fp"))
+    val b = cold.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b"), col("fp"))
     a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"),
@@ -441,8 +482,8 @@ object Curation {
   }
 
   def q73WinnowMatch(s: SparkSession, dir: String): DataFrame =
-    winnowMatchPairsOf(docs(s, dir), WinnowK, WinnowW, WinnowMinShared)
-      .orderBy("id_a", "id_b")
+    winnowMatchPairsOf(docs(s, dir), WinnowK, WinnowW, WinnowMinShared,
+      WinnowDfCap).orderBy("id_a", "id_b")
 
   val oracleQ73: String = {
     val km1 = WinnowK - 1; val wm1 = WinnowW - 1
@@ -462,10 +503,13 @@ object Curation {
        |        WHERE pos <= greatest(n_grams - $wm1, 1)),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
        |       FROM sel GROUP BY doc_id),
+       |fpdf AS (SELECT wmin, count(*) AS c FROM sel GROUP BY wmin),
+       |cold AS (SELECT s.doc_id, s.wmin FROM sel s
+       |         JOIN fpdf f ON f.wmin = s.wmin WHERE f.c <= $WinnowDfCap),
        |p AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |         CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       |  FROM cold a JOIN cold b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT p.id_a, p.id_b, p.n_shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b
        |FROM p JOIN sz sa ON sa.doc_id = p.id_a
