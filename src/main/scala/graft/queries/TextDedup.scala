@@ -1660,6 +1660,84 @@ object TextDedup {
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
   // =====================================================================
+  // q75: split leakage report (near-dups straddling train/val/test)
+  // =====================================================================
+
+  /** Deterministic split assignment (hash-mod, the q42 mechanism):
+    * bucket 0 → test, 1 → val, 2-9 → train (80/10/10). */
+  private def splitAssign(idCol: Column): Column = {
+    val bucket =
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 10
+    when(bucket === 0, lit("test"))
+      .when(bucket === 1, lit("val"))
+      .otherwise(lit("train"))
+  }
+
+  /** Eval-integrity report: near-duplicate pairs (q28 semantics) whose
+    * members landed in DIFFERENT splits of a deterministic 80/10/10
+    * train/val/test assignment — each such pair is evaluation-set
+    * leakage (the model sees a near-copy of a test document during
+    * training). Random splits leak near-dups by construction, which is
+    * why pipelines dedup BEFORE splitting (or split by cluster); this
+    * report quantifies the damage for a given corpus + assignment.
+    *
+    * Scale: the assignment is a zero-shuffle projection; the pairs are
+    * the SHARED cached q28 frame (a session that already ran q28/q40
+    * pays nothing new); the two assignment lookups join on doc_id —
+    * equi-joins AQE sizes. Output is bounded by the near-dup pair
+    * count, already bounded by the candidate-join guards. */
+  private[queries] def splitLeakageOf(d: DataFrame,
+      threshold: Double): DataFrame = {
+    val asg = d.select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
+    val pairs = jaccardPairsOf(d, threshold)
+    pairs
+      .join(asg.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(asg.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
+  def q75SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(docs(s, dir).select(col("doc_id"), col("text")), 0.5)
+      .orderBy("id_a", "id_b")
+
+  val oracleQ75: String = {
+    val bucket = (0 until 8).map { k =>
+      val pow = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+    s"""WITH asg AS (
+       |  SELECT doc_id, CASE WHEN b = 0 THEN 'test' WHEN b = 1 THEN 'val'
+       |                      ELSE 'train' END AS split
+       |  FROM (SELECT doc_id, $bucket % 10 AS b
+       |        FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+       |              FROM documents))),
+       |sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5)
+       |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+       |FROM pairs p JOIN asg sa ON sa.doc_id = p.id_a
+       |             JOIN asg sb ON sb.doc_id = p.id_b
+       |WHERE sa.split <> sb.split
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1683,6 +1761,7 @@ object TextDedup {
     "q69_containment_pairs" -> q69ContainmentPairs _,
     "q70_normalized_dedup" -> q70NormalizedDedup _,
     "q74_source_overlap" -> q74SourceOverlap _,
+    "q75_split_leakage" -> q75SplitLeakage _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1708,5 +1787,6 @@ object TextDedup {
     "q69_containment_pairs" -> oracleQ69,
     "q70_normalized_dedup" -> oracleQ70,
     "q74_source_overlap" -> oracleQ74,
+    "q75_split_leakage" -> oracleQ75,
   )
 }

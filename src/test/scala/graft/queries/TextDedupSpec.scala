@@ -186,6 +186,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("n_variants") == 1L)
   }
 
+  test("q75 leakage pairs are exactly the q28 pairs that straddle splits") {
+    val leak = TextDedup.q75SplitLeakage(spark, sfDir).collect()
+    val pairKeys = TextDedup.q28JaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val splits = Set("train", "val", "test")
+    leak.foreach { r =>
+      assert(pairKeys((r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))),
+        "leakage pair not a q28 near-dup pair")
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(splits(a) && splits(b) && a != b)
+    }
+    // non-degenerate: some pairs straddle, some don't (else the report
+    // proves nothing about the assignment)
+    assert(leak.nonEmpty && leak.length < pairKeys.size)
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
