@@ -43,7 +43,12 @@ object CorpusPrep {
     * that many documents from near-dup candidate GENERATION (q41
     * semantics) — the guard that keeps the candidate join linear when
     * boilerplate n-grams go corpus-hot; the deployment setting at scale
-    * (None preserves the exact uncapped q28/q40 pairing). */
+    * (None preserves the exact uncapped q28/q40 pairing).
+    * `lengthGatePct`, when set to (num, den), additionally drops every
+    * document whose text length falls below its STRATUM's num/den-th
+    * percentile (q68 semantics, fitted per run on the post-rule
+    * survivors) — e.g. (1, 10) trims the shortest ~10% of each stratum,
+    * the data-relative companion of the absolute q50 rules. */
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
@@ -51,7 +56,8 @@ object CorpusPrep {
       domainBlocklist: Option[DataFrame] = None,
       contaminationMaxFrac: Double = 0.0,
       vocabKeepK: Option[Int] = None,
-      nearDupDfCap: Option[Long] = None)
+      nearDupDfCap: Option[Long] = None,
+      lengthGatePct: Option[(Int, Int)] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -87,7 +93,21 @@ object CorpusPrep {
     // 1. quality filter (zero-shuffle projection on flags)
     val keepIds = TextDedup.qualityFilterOf(d0.select(col("doc_id"), col("text")))
       .filter(col("keep") === 1L).select(col("doc_id"))
-    val d1 = d0.join(keepIds, Seq("doc_id"), "left_semi")
+    val d1r = d0.join(keepIds, Seq("doc_id"), "left_semi")
+
+    // 1b. percentile length gate (optional): drop each stratum's
+    // shortest tail relative to the post-rule distribution (q68
+    // fit/apply — the threshold table is one row per stratum, broadcast)
+    val d1 = cfg.lengthGatePct match {
+      case Some((num, den)) =>
+        val m = d1r.select(col("doc_id"), col(strata),
+          length(col("text")).cast("long").as("gate_len"))
+        val th = Curation.fitPercentileThresholds(m, strata, "gate_len", num, den)
+        val keep = Curation.applyPercentileGate(m, th, strata, "gate_len")
+          .select(col("doc_id"))
+        d1r.join(keep, Seq("doc_id"), "left_semi")
+      case None => d1r
+    }
 
     // 2. PII scrub — rewrites text in place (downstream hashes see the
     // scrubbed form, so a dup differing only in its PII still collapses)
@@ -158,12 +178,13 @@ object CorpusPrep {
       frame.agg(count(lit(1)).as("n_docs"))
         .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
           col("n_docs"))
-    val stats = Seq(
+    val stats = (Seq(
       stage(-1, "input", dIn), stage(0, "url_filter", d0),
-      stage(1, "quality", d1),
-      stage(2, "pii_scrub", d2), stage(3, "exact_dedup", d3),
-      stage(4, "near_dedup", d4), stage(5, "decontaminated", d5),
-      stage(6, "vocab_normalized", d6))
+      stage(1, "quality", d1r)) ++
+      cfg.lengthGatePct.map(_ => stage(2, "length_gate", d1)).toSeq ++
+      Seq(stage(3, "pii_scrub", d2), stage(4, "exact_dedup", d3),
+        stage(5, "near_dedup", d4), stage(6, "decontaminated", d5),
+        stage(7, "vocab_normalized", d6)))
       .reduce(_.unionAll(_))
 
     val release = () => {

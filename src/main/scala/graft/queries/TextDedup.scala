@@ -1673,6 +1673,31 @@ object TextDedup {
       .otherwise(lit("train"))
   }
 
+  /** LEAKAGE-FREE split assignment: documents are assigned to
+    * train/val/test by their DEDUP CLUSTER's representative id, not
+    * their own — every near-dup cluster lands wholly in one split, so
+    * the q75 report is empty by construction (spec-proven). This is the
+    * remediation the q75 report points at: dedup-aware splitting.
+    * Unclustered documents are their own representative, so the
+    * 80/10/10 proportions are preserved over cluster representatives.
+    *
+    * Scale: one left join of the corpus against the (bounded) cluster
+    * labels, then the same zero-shuffle hash projection on the
+    * representative id. Label derivation cost is q40's (hybrid
+    * union-find); a session that already clustered pays two equi-joins
+    * total. */
+  private[queries] def splitByClusterOf(d: DataFrame,
+      threshold: Double): DataFrame = {
+    val labels = propagateLabels(
+      jaccardPairsOf(d, threshold).select(col("id_a"), col("id_b")))
+    d.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .select(col("doc_id"), col("rep_id"),
+        splitAssign(col("rep_id")).as("split"))
+  }
+
   /** Eval-integrity report: near-duplicate pairs (q28 semantics) whose
     * members landed in DIFFERENT splits of a deterministic 80/10/10
     * train/val/test assignment — each such pair is evaluation-set

@@ -88,6 +88,30 @@ class CorpusPrepSpec extends SparkSpec {
     plain.release(); normed.release()
   }
 
+  test("length gate trims each stratum's short tail, subset of the ungated run") {
+    val gated = CorpusPrep.prepare(docs, "doc_id", "text", "source",
+      Some(bench), CorpusPrep.Config(lengthGatePct = Some((1, 10))))
+    val plain = prep // shared ungated fixture
+    val stats = gated.stats.orderBy("stage_ord").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(stats.contains("length_gate"), "gate stage missing from stats")
+    assert(stats("length_gate") < stats("quality"),
+      "gate dropped nothing — fixture degenerate")
+    // gated survivors ⊆ plain survivors (the gate only removes)
+    val extra = gated.survivors.select(col("doc_id"))
+      .exceptAll(plain.survivors.select(col("doc_id"))).count()
+    assert(extra == 0L, s"gated run admitted $extra docs the plain run dropped")
+    // per stratum, the gate raised (or kept) the minimum surviving length
+    val minLen = (p: org.apache.spark.sql.DataFrame) => p
+      .select(col("source"), length(col("text")).as("l"))
+      .groupBy("source").agg(min("l").as("m"))
+    val cmp = minLen(gated.survivors).withColumnRenamed("m", "mg")
+      .join(minLen(plain.survivors), Seq("source"))
+    assert(cmp.filter(col("mg") < col("m")).count() == 0L,
+      "a stratum's minimum length DROPPED under the gate")
+    gated.release()
+  }
+
   test("packed output covers every survivor with valid bin assignments") {
     val p = prep.packed.cache()
     try {

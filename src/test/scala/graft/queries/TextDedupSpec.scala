@@ -202,6 +202,26 @@ class TextDedupSpec extends SparkSpec {
     assert(leak.nonEmpty && leak.length < pairKeys.size)
   }
 
+  test("splitByCluster assignment has zero leakage and sane proportions") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val asg = TextDedup.splitByClusterOf(d, 0.5)
+    val leak = TextDedup.jaccardPairsOf(d, 0.5)
+      .join(asg.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(asg.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leak == 0L, s"cluster-aware split leaked $leak near-dup pairs")
+    assert(asg.count() == d.count(), "assignment must be total")
+    val bySplit = asg.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"),
+      s"80/10/10 proportions off: $bySplit")
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
