@@ -1763,6 +1763,122 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q76: vocabulary coverage curve (how much corpus do top-k tokens cover)
+  // =====================================================================
+
+  /** Curve checkpoints of the oracle binding — sized to the synthetic
+    * corpus vocabulary (~31 tokens at sf0.01) so all three points
+    * materialize; a real corpus binds {1e3, 1e4, 1e5}-style prefixes
+    * through the `ks` parameter. */
+  private val CoverageKs = Seq(5L, 10L, 25L)
+
+  /** Vocabulary coverage curve: for each checkpoint k, the fraction of
+    * ALL token occurrences covered by the k most frequent tokens — the
+    * number that decides vocab/tokenizer sizing (q62's keep-k) and
+    * flags boilerplate-heavy corpora (high coverage at tiny k).
+    *
+    * Scale: token counts are the q52 two-phase aggregate; the curve
+    * needs only the TOP max(k) prefix, taken with
+    * TakeOrderedAndProject (never a global sort of the vocab), so the
+    * single-partition rank window that follows runs over ≤1000 rows by
+    * construction — bounded, not a skew hazard. The corpus-wide total
+    * is a scalar aggregate broadcast via cross join (the q09 shape). */
+  private[queries] def vocabCoverageOf(d: DataFrame,
+      ks: Seq[Long] = CoverageKs): DataFrame = {
+    val counts = d.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val maxK = ks.max.toInt
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(maxK)
+    val tot = counts.agg(sum(col("n")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top
+      .withColumn("k", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n")).over(w))
+      .filter(col("k").isin(ks: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("cum_tokens"), col("total_tokens"),
+        round(col("cum_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage"))
+  }
+
+  def q76VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(docs(s, dir)).orderBy("k")
+
+  val oracleQ76: String =
+    """WITH counts AS (
+      |  SELECT token, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM counts),
+      |ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM (SELECT * FROM counts ORDER BY n DESC, token ASC LIMIT 25))
+      |SELECT k, cum_tokens, total_tokens,
+      |  round(CAST(cum_tokens AS DOUBLE)/CAST(total_tokens AS DOUBLE), 6) AS coverage
+      |FROM ranked, tot
+      |WHERE k IN (5, 10, 25) ORDER BY k""".stripMargin
+
+  // =====================================================================
+  // q77: per-source duplication stats (exact + cross-source)
+  // =====================================================================
+
+  /** Per-source duplication report: document count, distinct content
+    * hashes (exact-dup rate within the source), and how many of the
+    * source's distinct hashes ALSO appear in another source — the
+    * exact-copy companion of q74's shingle overlap (a mirror shows up
+    * as n_cross ≈ n_unique). The per-source health row a curation
+    * dashboard starts from.
+    *
+    * Scale: everything derives from the (source, content-hash) DISTINCT
+    * frame — a two-phase aggregate; the cross-source probe is a
+    * hash-keyed self semi-join whose per-key multiplicity is bounded by
+    * |sources|. Text never moves: hashes are computed in the scan
+    * projection. */
+  private[queries] def sourceDupStatsOf(d: DataFrame): DataFrame = {
+    val h = d.select(col("source"), md5(col("text")).as("ch"))
+    val perSrc = h.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("ch")).as("n_unique"))
+    val sc = h.select(col("source"), col("ch")).distinct()
+    val cross = sc.as("x").join(sc.as("y"),
+        col("x.ch") === col("y.ch") && col("x.source") =!= col("y.source"),
+        "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_cross"))
+    perSrc.join(cross, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+        round((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double"), 6).as("exact_dup_ratio"))
+  }
+
+  def q77SourceDupStats(s: SparkSession, dir: String): DataFrame =
+    sourceDupStatsOf(docs(s, dir)).orderBy("source")
+
+  val oracleQ77: String =
+    """WITH h AS (SELECT source, md5(text) AS ch FROM documents),
+      |per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(count(DISTINCT ch) AS BIGINT) AS n_unique
+      |  FROM h GROUP BY source),
+      |sc AS (SELECT DISTINCT source, ch FROM h),
+      |cross_src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_cross FROM sc x
+      |  WHERE EXISTS (SELECT 1 FROM sc y
+      |                WHERE y.ch = x.ch AND y.source <> x.source)
+      |  GROUP BY source)
+      |SELECT p.source, p.n_docs, p.n_unique,
+      |  coalesce(c.n_cross, 0) AS n_cross,
+      |  round(CAST(p.n_docs - p.n_unique AS DOUBLE)/CAST(p.n_docs AS DOUBLE), 6)
+      |    AS exact_dup_ratio
+      |FROM per_src p LEFT JOIN cross_src c ON c.source = p.source
+      |ORDER BY p.source""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1787,6 +1903,8 @@ object TextDedup {
     "q70_normalized_dedup" -> q70NormalizedDedup _,
     "q74_source_overlap" -> q74SourceOverlap _,
     "q75_split_leakage" -> q75SplitLeakage _,
+    "q76_vocab_coverage" -> q76VocabCoverage _,
+    "q77_source_dup_stats" -> q77SourceDupStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1813,5 +1931,7 @@ object TextDedup {
     "q70_normalized_dedup" -> oracleQ70,
     "q74_source_overlap" -> oracleQ74,
     "q75_split_leakage" -> oracleQ75,
+    "q76_vocab_coverage" -> oracleQ76,
+    "q77_source_dup_stats" -> oracleQ77,
   )
 }

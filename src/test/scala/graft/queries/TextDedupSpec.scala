@@ -222,6 +222,29 @@ class TextDedupSpec extends SparkSpec {
       s"80/10/10 proportions off: $bySplit")
   }
 
+  test("q76 coverage is monotone in k and bounded by 1") {
+    val rows = TextDedup.q76VocabCoverage(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.sameElements(cov.sorted), "coverage must grow with k")
+    cov.foreach(c => assert(c > 0.0 && c <= 1.0))
+    rows.foreach(r => assert(
+      r.getAs[Long]("cum_tokens") <= r.getAs[Long]("total_tokens")))
+  }
+
+  test("q77 per-source dup stats satisfy their own inequalities") {
+    val rows = TextDedup.q77SourceDupStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, uniq, cross) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_cross"))
+      assert(uniq <= docs, "more unique hashes than docs")
+      assert(cross <= uniq, "more cross-source hashes than the source has")
+      val ratio = r.getAs[Double]("exact_dup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
   test("SparkEntry query and oracle key sets are identical") {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
   }
