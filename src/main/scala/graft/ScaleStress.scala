@@ -37,7 +37,11 @@ object ScaleStress {
     // hot-key exposure under the x<reps>b collision regime — the
     // documented contrast); q73 joins over the winnow-thinned key space;
     // q74's output is bounded by distinct-shingles × |sources|²
-    "q69_containment_pairs", "q73_winnow_match", "q74_source_overlap")
+    "q69_containment_pairs", "q73_winnow_match", "q74_source_overlap",
+    // q75 rides the cached q28 pair frame + two id joins; q76/q77 are
+    // aggregate reports whose output is fixed (3 curve points /
+    // |sources| rows) while input grows
+    "q75_split_leakage", "q76_vocab_coverage", "q77_source_dup_stats")
 
   /** ANN family measured against the replicated EMBEDDINGS corpus. The
     * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so
