@@ -1879,6 +1879,64 @@ object TextDedup {
       |ORDER BY p.source""".stripMargin
 
   // =====================================================================
+  // q78: contamination attribution (WHICH eval doc leaked into training)
+  // =====================================================================
+
+  /** Attribution layer over q49/q61: for every training document that
+    * overlaps the eval set at all, the single eval document it shares
+    * the MOST 3-gram shingles with (ties to the lowest eval id) and the
+    * overlap count. q49 answers "is it contaminated", q61 "how much";
+    * this answers "by WHAT" — the row a leak investigation starts from
+    * (which benchmark got copied, which eval split to rotate).
+    *
+    * Scale: both sides derive from the shared cached shingle bases; the
+    * train×eval join is shingle-keyed with the EVAL side bounded by
+    * construction (benchmarks are curated), and the per-(train, eval)
+    * aggregate is two-phase. The top-1 per train doc is a rank-1
+    * window — WindowGroupLimit keeps only each task's best candidate
+    * ahead of the shuffle, and a partition's row count is bounded by
+    * the eval-set size, not the corpus. */
+  private[queries] def contaminationAttributionOf(train: DataFrame,
+      eval: DataFrame): DataFrame = {
+    val t = hashedShingleRowsOf(train).select(col("doc_id"), col("sh"))
+    val e = hashedShingleRowsOf(eval)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val ov = t.join(e, Seq("sh"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("n_overlap").desc, col("eval_id").asc)
+    ov.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("eval_id"), col("n_overlap"))
+  }
+
+  def q78ContaminationAttribution(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    contaminationAttributionOf(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0)).orderBy("doc_id")
+  }
+
+  val oracleQ78: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, unnest(ts) AS sh FROM sets),
+       |t AS (SELECT doc_id, sh FROM ex WHERE doc_id % 97 <> 0),
+       |e AS (SELECT doc_id AS eval_id, sh FROM ex WHERE doc_id % 97 = 0),
+       |ov AS (
+       |  SELECT t.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM t JOIN e ON e.sh = t.sh GROUP BY t.doc_id, e.eval_id),
+       |rk AS (
+       |  SELECT doc_id, eval_id, n_overlap,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n_overlap DESC, eval_id ASC) AS r
+       |  FROM ov)
+       |SELECT doc_id, eval_id, n_overlap FROM rk WHERE r = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1905,6 +1963,7 @@ object TextDedup {
     "q75_split_leakage" -> q75SplitLeakage _,
     "q76_vocab_coverage" -> q76VocabCoverage _,
     "q77_source_dup_stats" -> q77SourceDupStats _,
+    "q78_contamination_attribution" -> q78ContaminationAttribution _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1933,5 +1992,6 @@ object TextDedup {
     "q75_split_leakage" -> oracleQ75,
     "q76_vocab_coverage" -> oracleQ76,
     "q77_source_dup_stats" -> oracleQ77,
+    "q78_contamination_attribution" -> oracleQ78,
   )
 }
