@@ -41,7 +41,12 @@ object ScaleStress {
     // q75 rides the cached q28 pair frame + two id joins; q76/q77 are
     // aggregate reports whose output is fixed (3 curve points /
     // |sources| rows) while input grows
-    "q75_split_leakage", "q76_vocab_coverage", "q77_source_dup_stats")
+    "q75_split_leakage", "q76_vocab_coverage", "q77_source_dup_stats",
+    // q78's train×eval shingle join is bounded by the (fixed-size) eval
+    // side; q79 rides the q30 band-join candidates + the cached
+    // signature frame, and its output is ≤11 decile rows regardless of
+    // corpus size
+    "q78_contamination_attribution", "q79_minhash_calibration")
 
   /** ANN family measured against the replicated EMBEDDINGS corpus. The
     * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so

@@ -318,26 +318,34 @@ object TextDedup {
   private def hexInt(from: Int): String =
     s"CAST(conv(substring(h, $from, 8), 16, 10) AS BIGINT)"
 
-  /** doc_id + band0..band5 columns. Cached: q29 returns it directly and
-    * q30 derives its band rows from it, so the minhash aggregation runs
-    * once per session; the shingle derivation below it comes from the
-    * shared [[shingleSetsOf]] cache. */
-  private[queries] def bandDfOf(d: DataFrame): DataFrame = {
+  /** doc_id + mh0..mh17 — the raw K-minhash signature, cached: the band
+    * derivation below and q79's position-match calibration both consume
+    * it, so the signature aggregation (the expensive groupBy) runs once
+    * per session regardless of which consumer fires first. */
+  private[queries] def mhDfOf(d: DataFrame): DataFrame = {
     val ex = shingleRowsOf(d)
       .withColumn("h", md5(col("sh")))
       .select(col("doc_id"),
         expr(hexInt(1)).as("ha"), expr(hexInt(9)).as("hb"))
-    val mh = ex.groupBy("doc_id")
+    ex.groupBy("doc_id")
       .agg((0 until K).map(i =>
         min((col("ha") + lit(i.toLong) * col("hb")) % MPRIME).as(s"mh$i")).head,
         (0 until K).map(i =>
           min((col("ha") + lit(i.toLong) * col("hb")) % MPRIME).as(s"mh$i")).tail: _*)
+      .dedupCached
+  }
+
+  /** doc_id + band0..band5 columns. Cached: q29 returns it directly and
+    * q30 derives its band rows from it; the signature below it comes
+    * from the shared [[mhDfOf]] cache, the shingle derivation below
+    * that from [[shingleSetsOf]]. */
+  private[queries] def bandDfOf(d: DataFrame): DataFrame = {
     val bands = (0 until BANDS).map { b =>
       substring(md5(concat_ws("|",
         col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}"))), 1, 16)
         .as(s"band$b")
     }
-    mh.select(col("doc_id") +: bands: _*).dedupCached
+    mhDfOf(d).select(col("doc_id") +: bands: _*).dedupCached
   }
 
   private def bandDf(s: SparkSession, dir: String): DataFrame =
@@ -410,8 +418,8 @@ object TextDedup {
     * a long-lived stream's per-batch derivations don't accumulate — only
     * the corpus-side index (a different plan) stays cached across epochs. */
   private[graft] def unpersistDerivationsOf(d: DataFrame): Unit =
-    Seq(bandRowsOf(d), bandDfOf(d), hashedShingleRowsOf(d), shingleSetsOf(d))
-      .foreach(_.unpersist(false))
+    Seq(bandRowsOf(d), bandDfOf(d), mhDfOf(d), hashedShingleRowsOf(d),
+      shingleSetsOf(d)).foreach(_.unpersist(false))
 
   def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandRows(s, dir)
@@ -1937,6 +1945,95 @@ object TextDedup {
        |ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q79: MinHash estimator calibration (sketch error by true-J decile)
+  // =====================================================================
+
+  /** Accuracy report for the K=18 MinHash sketch itself: over the LSH
+    * candidate pairs (≥1 agreeing band — the q30 candidate set), the
+    * signature-level similarity estimate (matching minhash positions /
+    * K) is compared against the exact 3-gram Jaccard, and the error is
+    * aggregated per true-similarity decile. This is the measurement that
+    * justifies (or indicts) the K/BANDS choice: a drifting
+    * `sum_abs_err_milli / n_pairs` in the high deciles means the sketch
+    * is too coarse for the dedup threshold and K must grow.
+    *
+    * Determinism: estimates and Jaccards are fixed-point MILLI integers
+    * (floor(1000·x), exact in double at these magnitudes), summed as
+    * longs — no float aggregation crosses the engine boundary.
+    *
+    * Scale: candidates come from the band equi-join (bounded bucket
+    * sizes, no cross product); the signature join probes the cached
+    * [[mhDfOf]] frame (K longs per doc); the exact-Jaccard re-check
+    * joins shingle sets for CANDIDATE pairs only, so the expensive
+    * verification stays proportional to the near-dup count. The final
+    * aggregate collapses to ≤11 decile rows map-side. */
+  private[queries] def minhashCalibrationOf(d: DataFrame): DataFrame = {
+    val bands = bandRowsOf(d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val mh = mhDfOf(d)
+    val ma = mh.select(col("doc_id").as("id_a") +:
+      (0 until K).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val mb = mh.select(col("doc_id").as("id_b") +:
+      (0 until K).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val sets = shingleSetsOf(d)
+    val ta = sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
+    val tb = sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))
+    val nMatch = (0 until K).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    val unionC = (size(col("ts_a")) + size(col("ts_b"))).cast("long") - interC
+    val pair = cand
+      .join(ma, "id_a").join(mb, "id_b").join(ta, "id_a").join(tb, "id_b")
+      .select(
+        floor(lit(1000.0) * nMatch / lit(K.toDouble)).as("est_milli"),
+        floor(lit(1000.0) * interC / unionC).as("jac_milli"))
+    pair
+      .groupBy(floor(col("jac_milli") / lit(100.0)).as("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_milli")).as("sum_est_milli"),
+        sum(abs(col("est_milli") - col("jac_milli"))).as("sum_abs_err_milli"))
+      .orderBy("j_decile")
+  }
+
+  def q79MinhashCalibration(s: SparkSession, dir: String): DataFrame =
+    minhashCalibrationOf(docs(s, dir))
+
+  val oracleQ79: String = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, $b AS b, band$b AS h FROM sig").mkString(" UNION ALL ")
+    val matchNum = (0 until K)
+      .map(i => s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${oMinhashCtes},
+       |bandrows AS ($bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id),
+       |sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |pair AS (
+       |  SELECT
+       |    CAST(floor(1000.0 * ($matchNum) / ${K}.0) AS BIGINT) AS est_milli,
+       |    CAST(floor(1000.0 * len(list_intersect(ta.ts, tb.ts))
+       |      / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))) AS BIGINT) AS jac_milli
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.id_a
+       |  JOIN mh mb ON mb.doc_id = c.id_b
+       |  JOIN sets ta ON ta.doc_id = c.id_a
+       |  JOIN sets tb ON tb.doc_id = c.id_b)
+       |SELECT CAST(floor(jac_milli / 100.0) AS BIGINT) AS j_decile,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(est_milli) AS BIGINT) AS sum_est_milli,
+       |  CAST(sum(abs(est_milli - jac_milli)) AS BIGINT) AS sum_abs_err_milli
+       |FROM pair GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -1964,6 +2061,7 @@ object TextDedup {
     "q76_vocab_coverage" -> q76VocabCoverage _,
     "q77_source_dup_stats" -> q77SourceDupStats _,
     "q78_contamination_attribution" -> q78ContaminationAttribution _,
+    "q79_minhash_calibration" -> q79MinhashCalibration _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1993,5 +2091,6 @@ object TextDedup {
     "q76_vocab_coverage" -> oracleQ76,
     "q77_source_dup_stats" -> oracleQ77,
     "q78_contamination_attribution" -> oracleQ78,
+    "q79_minhash_calibration" -> oracleQ79,
   )
 }

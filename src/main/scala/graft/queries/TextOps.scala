@@ -173,6 +173,26 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Contamination attribution (q78 semantics): for every corpus document
+    * sharing ≥1 3-gram shingle with `bench`, the single bench document it
+    * overlaps most (ties to the lowest bench id) plus the shared-shingle
+    * count — the "by WHAT" row on top of [[decontaminate]] (is it
+    * contaminated) and [[contaminationScore]] (how much). */
+  def contaminationAttribution(corpus: DataFrame, bench: DataFrame,
+      id: String, text: String, ordered: Boolean = true): DataFrame = {
+    val r = TextDedup.contaminationAttributionOf(
+      norm(corpus, id, text), norm(bench, id, text))
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
+  /** MinHash sketch calibration (q79 semantics): per true-Jaccard decile
+    * over the LSH candidate pairs, the pair count plus fixed-point milli
+    * sums of the signature estimate and its absolute error — the
+    * measurement that validates the sketch size against the dedup
+    * threshold in use. */
+  def minhashCalibration(df: DataFrame, id: String, text: String): DataFrame =
+    TextDedup.minhashCalibrationOf(norm(df, id, text))
+
   /** Vocabulary-capped <UNK> normalization (q62 semantics): keep the
     * `keepK` most frequent tokens (ties to the smaller token), rewrite
     * every other token to `<UNK>`, and report per-document token/replaced

@@ -87,6 +87,18 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationAttribution == q78 on the modulo split") {
+    val corpus = renamed.filter(col("id") % 97 =!= 0)
+    val bench = renamed.filter(col("id") % 97 === 0)
+    assert(rows(TextOps.contaminationAttribution(corpus, bench, "id", "body")) ==
+      rows(TextDedup.q78ContaminationAttribution(spark, sfDir)))
+  }
+
+  test("minhashCalibration == q79 on the documents table") {
+    assert(rows(TextOps.minhashCalibration(renamed, "id", "body")) ==
+      rows(TextDedup.q79MinhashCalibration(spark, sfDir)))
+  }
+
   test("pruneVocabulary == q62 on the documents table") {
     assert(rows(TextOps.pruneVocabulary(renamed, "id", "body")) ==
       rows(TextPipeline.q62VocabPrune(spark, sfDir)))
