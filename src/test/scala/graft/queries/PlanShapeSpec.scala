@@ -349,6 +349,23 @@ class PlanShapeSpec extends SparkSpec {
       "corpus shuffled to meet the one-row quota table")
   }
 
+  test("q78 attribution top-1 is group-limited ahead of the window shuffle") {
+    val df = TextDedup.q78ContaminationAttribution(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 best-eval pick not planned as WindowGroupLimit:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "train×eval overlap went all-pairs")
+  }
+
+  test("q79 calibration: equi-join candidates, partial-aggregated deciles") {
+    val df = TextDedup.q79MinhashCalibration(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "candidate join went all-pairs")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"decile aggregate not map-side combined:\n${p.take(2000)}")
+  }
+
   test("q72 rare-token df stage is a partial aggregate, never a count-over-window") {
     val df = Curation.q72RareTokens(spark, sfDir)
     df.collect() // finalize the adaptive plan
