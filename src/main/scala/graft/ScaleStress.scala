@@ -46,7 +46,9 @@ object ScaleStress {
     // side; q79 rides the q30 band-join candidates + the cached
     // signature frame, and its output is ≤11 decile rows regardless of
     // corpus size
-    "q78_contamination_attribution", "q79_minhash_calibration")
+    "q78_contamination_attribution", "q79_minhash_calibration",
+    // q80 rides q31's chunk-pair join; output bounded at HAMMAX+1 rows
+    "q80_simhash_calibration")
 
   /** ANN family measured against the replicated EMBEDDINGS corpus. The
     * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so

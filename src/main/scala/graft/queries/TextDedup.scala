@@ -565,10 +565,12 @@ object TextDedup {
       .orderBy("id_a", "id_b")
   }
 
-  val oracleQ31: String = {
-    // bit j lives in hex digit j/4 (most significant first): parse the two
-    // 32-bit halves once per shingle (('0x'||hex)::BIGINT — DuckDB's fast
-    // path) and read each bit with one shift, exactly like the Spark side
+  /** Shared CTE block of the q31/q80 oracles — signature derivation,
+    * chunk-pair keying, and the DISTINCT candidate set, ending at `cand`.
+    * Bit j lives in hex digit j/4 (most significant first): parse the two
+    * 32-bit halves once per shingle (('0x'||hex)::BIGINT — DuckDB's fast
+    * path) and read each bit with one shift, exactly like the Spark side. */
+  private def oSimhashCtes: String = {
     val sums = (0 until SIMBITS).map { j =>
       val p = j / 4
       val src = if (p < 8) "vh" else "vl"
@@ -586,7 +588,7 @@ object TextDedup {
       s"SELECT doc_id, sim_lo, sim_hi, ${c1 * CHUNKS + c2} AS k, " +
         s"${byteOf(c1)} AS v1, ${byteOf(c2)} AS v2 FROM sh"
     }.mkString(" UNION ALL ")
-    s"""WITH ex AS (
+    s"""ex AS (
        |  SELECT doc_id, ('0x' || substr(h, 1, 8))::BIGINT AS vh,
        |         ('0x' || substr(h, 9, 8))::BIGINT AS vl FROM (
        |    SELECT doc_id, md5(sh) AS h FROM (
@@ -601,13 +603,16 @@ object TextDedup {
        |         a.sim_lo AS lo_a, a.sim_hi AS hi_a,
        |         b.sim_lo AS lo_b, b.sim_hi AS hi_b
        |  FROM keyed a JOIN keyed b
-       |    ON a.k = b.k AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+       |    ON a.k = b.k AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val oracleQ31: String =
+    s"""WITH ${oSimhashCtes}
        |SELECT id_a, id_b,
        |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
        |FROM cand
        |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $HAMMAX
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // =====================================================================
   // q40: dedup clusters (connected components over near-dup pairs)
@@ -2034,6 +2039,65 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q80: SimHash calibration (true Jaccard per hamming radius)
+  // =====================================================================
+
+  /** q79's companion for the OTHER sketch: per hamming distance over the
+    * q31 SimHash candidate pairs (hamming ≤ 6 by pigeonhole-complete
+    * chunk-pair keys), the pair count plus fixed-point sum and MINIMUM
+    * of the exact 3-gram Jaccard. The minimum is the decision column:
+    * the worst pair admitted at each radius is what validates (or
+    * indicts) HAMMAX against the pipeline's Jaccard floor — if
+    * min_jac_milli at hamming 6 is still above the dedup threshold, the
+    * radius can grow; if it dips below at hamming 4, the radius is
+    * already too loose.
+    *
+    * Scale: pairs come from q31's chunk-pair equi-join (no cross
+    * product, candidate volume ~n²·2e-4); the Jaccard re-check joins
+    * the cached shingle sets for candidates only; the final aggregate
+    * collapses to ≤7 hamming rows map-side, integer throughout. */
+  private[queries] def simhashCalibrationOf(pairs: DataFrame,
+      sets: DataFrame): DataFrame = {
+    val ta = sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
+    val tb = sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))
+    val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    val unionC = (size(col("ts_a")) + size(col("ts_b"))).cast("long") - interC
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .select(col("hamming"),
+        floor(lit(1000.0) * interC / unionC).as("jac_milli"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jac_milli")).as("sum_jac_milli"),
+        min(col("jac_milli")).as("min_jac_milli"))
+      .orderBy("hamming")
+  }
+
+  def q80SimhashCalibration(s: SparkSession, dir: String): DataFrame =
+    simhashCalibrationOf(q31SimhashPairs(s, dir), shingleSets(s, dir))
+
+  val oracleQ80: String =
+    s"""WITH ${oSimhashCtes},
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $HAMMAX),
+       |sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |pj AS (
+       |  SELECT p.hamming,
+       |    CAST(floor(1000.0 * len(list_intersect(ta.ts, tb.ts))
+       |      / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))) AS BIGINT) AS jac_milli
+       |  FROM pairs p
+       |  JOIN sets ta ON ta.doc_id = p.id_a
+       |  JOIN sets tb ON tb.doc_id = p.id_b)
+       |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jac_milli) AS BIGINT) AS sum_jac_milli,
+       |  CAST(min(jac_milli) AS BIGINT) AS min_jac_milli
+       |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -2062,6 +2126,7 @@ object TextDedup {
     "q77_source_dup_stats" -> q77SourceDupStats _,
     "q78_contamination_attribution" -> q78ContaminationAttribution _,
     "q79_minhash_calibration" -> q79MinhashCalibration _,
+    "q80_simhash_calibration" -> q80SimhashCalibration _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2092,5 +2157,6 @@ object TextDedup {
     "q77_source_dup_stats" -> oracleQ77,
     "q78_contamination_attribution" -> oracleQ78,
     "q79_minhash_calibration" -> oracleQ79,
+    "q80_simhash_calibration" -> oracleQ80,
   )
 }

@@ -366,6 +366,15 @@ class PlanShapeSpec extends SparkSpec {
       s"decile aggregate not map-side combined:\n${p.take(2000)}")
   }
 
+  test("q80 calibration: chunk-pair equi-join candidates, partial-aggregated radii") {
+    val df = TextDedup.q80SimhashCalibration(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "simhash candidate join went all-pairs")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"radius aggregate not map-side combined:\n${p.take(2000)}")
+  }
+
   test("q72 rare-token df stage is a partial aggregate, never a count-over-window") {
     val df = Curation.q72RareTokens(spark, sfDir)
     df.collect() // finalize the adaptive plan

@@ -149,10 +149,12 @@ class EventStreamSpec extends SparkSpec {
     }
     assert(epochs.get() >= 2, "expected multiple micro-batches")
     // per-epoch batch-side derivations are unpersisted at epoch end: only
-    // the corpus-side index (<=3 cached nodes) may remain after the run —
-    // without the cleanup this grows by ~3 entries PER epoch
+    // the corpus-side index (<=4 cached nodes: shingle sets, raw minhash
+    // signatures, band signatures, band rows) may remain after the run —
+    // without the cleanup this grows by ~4 entries PER epoch, so with
+    // epochs >= 2 a leak would push the delta past this bound
     val cachedAfter = spark.sparkContext.getPersistentRDDs.size
-    assert(cachedAfter - cachedBefore <= 3,
+    assert(cachedAfter - cachedBefore <= 4,
       s"batch-side cache entries leaked across epochs: $cachedBefore -> $cachedAfter")
     val want = graft.queries.TextDedup.q48IncrementalDedup(spark, sfDir)
       .collect().map(key).toSeq
