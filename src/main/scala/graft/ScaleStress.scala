@@ -57,7 +57,10 @@ object ScaleStress {
     * blocked exact all-pairs baseline) is deliberately excluded: it is
     * quadratic within blocks by design. */
   val VectorQueries: Seq[String] = Seq("q34_knn_lsh", "q37_knn_ivf",
-    "q45_knn_batch")
+    "q45_knn_batch",
+    // q81 runs brute+LSH+IVF for the pinned query batch and reports
+    // recall@5 — output fixed at 10 rows while the corpus grows
+    "q81_ann_recall")
 
   /** Round-9 corpus-preparation operators over the replicated documents.
     * Salted replication grows the vocabulary ~R× (each replica's tokens

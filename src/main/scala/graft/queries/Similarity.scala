@@ -357,6 +357,142 @@ object Similarity {
        |WHERE e.vec_id % 7 = 3 ORDER BY e.vec_id""".stripMargin
   }
 
+  // =====================================================================
+  // q81: ANN recall report (LSH and IVF top-k overlap vs brute, batch)
+  // =====================================================================
+
+  /** The serving-quality measurement, oracle-checked: for the q45 query
+    * batch (vec_id < 5 against the vec_id >= 5 corpus), recall@5 of the
+    * LSH (q34 parameters) and IVF (q37 parameters) paths against the
+    * brute-force top-5 — per query and method, the overlap count and a
+    * fixed-point milli recall. [[graft.queries.AnnRecallSpec]] measures
+    * recall curves spec-side; this pins the SAME measurement cross-engine
+    * so an index regression (banding bug, probe tie-break drift) fails
+    * the hash gate, not just a spec threshold.
+    *
+    * Scale: one corpus scan for brute (amortized across the batch —
+    * exactly the q45 shape, and at recall-audit time a SAMPLE of queries
+    * is the methodology), band/probe candidate joins for the approximate
+    * paths, and the overlap join runs on two k-row-per-query frames —
+    * post-top-k, negligible at any corpus size. */
+  def q81AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val queries = e.filter(col("vec_id") < 5)
+    val brute = VectorOps.knnBatchIndexed(corpus, queries, k = 5)
+      .select(col("query_id"), col("vec_id"))
+    val qids = queries.select(col("vec_id").as("query_id"))
+    def recallOf(approx: DataFrame, m: String): DataFrame = {
+      val hits = brute
+        .join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(m).as("method"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          floor(lit(1000.0) * coalesce(col("h"), lit(0L)) / lit(5.0))
+            .as("recall_milli"))
+    }
+    recallOf(VectorOps.knnLshIndexed(corpus, queries, k = 5,
+        planes = PLANES, bands = NIBBLES, dims = DIMS), "lsh")
+      .unionByName(recallOf(VectorOps.knnIvfIndexed(corpus, queries,
+        cell = "label", k = 5, nprobe = NPROBE), "ivf"))
+      .orderBy("method", "query_id")
+  }
+
+  val oracleQ81: String = {
+    val sigBits = (0 until PLANES)
+      .map(p => s"max(CASE WHEN p = $p AND s > 0 THEN 1 ELSE 0 END) AS bit$p").mkString(", ")
+    val nibs = (0 until NIBBLES).map { k =>
+      (0 until 4).map(j => s"bit${4 * k + j}*${1 << j}").mkString(" + ") + s" AS nib$k"
+    }.mkString(", ")
+    val bandUnion = (0 until NIBBLES)
+      .map(k => s"SELECT vec_id, $k AS k, nib$k AS v FROM sign").mkString(" UNION ALL ")
+    val cosEq = oCos(oDot("e.efp", "q.qefp"),
+      oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))
+    s"""WITH $oEfpCte,
+       |qs AS (SELECT vec_id AS query_id, efp AS qefp FROM efp WHERE vec_id < 5),
+       |brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round($cosEq, 6) DESC, e.vec_id ASC) AS rank
+       |    FROM efp e CROSS JOIN qs q WHERE e.vec_id >= 5)
+       |  WHERE rank <= 5),
+       |weights AS (
+       |  SELECT p, i,
+       |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR)||'_'||CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END AS w
+       |  FROM range(0, $PLANES) t(p), range(0, $DIMS) u(i)),
+       |exploded AS (
+       |  SELECT vec_id, generate_subscripts(efp, 1) - 1 AS i, unnest(efp) AS xfp
+       |  FROM efp),
+       |proj AS (
+       |  SELECT vec_id, p, sum(w * xfp) AS s
+       |  FROM exploded JOIN weights ON exploded.i = weights.i
+       |  GROUP BY vec_id, p),
+       |sig AS (SELECT vec_id, $sigBits FROM proj GROUP BY vec_id),
+       |sign AS (SELECT vec_id, $nibs FROM sig),
+       |bands AS ($bandUnion),
+       |lshcand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+       |  FROM bands b JOIN bands qb ON b.k = qb.k AND b.v = qb.v
+       |  WHERE qb.vec_id < 5 AND b.vec_id >= 5),
+       |lsh AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY round($cosEq, 6) DESC, c.vec_id ASC) AS rank
+       |    FROM lshcand c
+       |    JOIN efp e ON e.vec_id = c.vec_id
+       |    JOIN qs q ON q.query_id = c.query_id)
+       |  WHERE rank <= 5),
+       |ex AS (
+       |  SELECT vec_id, label, generate_subscripts(efp, 1) AS i, unnest(efp) AS x
+       |  FROM efp),
+       |qex AS (SELECT vec_id AS query_id, i, x AS qx FROM ex WHERE vec_id < 5),
+       |cells AS (
+       |  SELECT label, i, sum(x) AS sx FROM ex WHERE vec_id >= 5 GROUP BY label, i),
+       |probe AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cscore DESC, label ASC) AS rn
+       |    FROM (
+       |      SELECT qex.query_id, cells.label,
+       |        CAST(sum(qx*sx) AS DOUBLE)/sqrt(CAST(sum(CAST(sx AS HUGEINT)*sx) AS DOUBLE)) AS cscore
+       |      FROM cells JOIN qex USING (i)
+       |      GROUP BY qex.query_id, cells.label))
+       |  WHERE rn <= $NPROBE),
+       |ivf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY round($cosEq, 6) DESC, e.vec_id ASC) AS rank
+       |    FROM efp e
+       |    JOIN probe p ON e.label = p.label
+       |    JOIN qs q ON q.query_id = p.query_id
+       |    WHERE e.vec_id >= 5)
+       |  WHERE rank <= 5),
+       |lsh_hits AS (
+       |  SELECT b.query_id, count(*) AS n FROM brute b
+       |  JOIN lsh l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+       |  GROUP BY b.query_id),
+       |ivf_hits AS (
+       |  SELECT b.query_id, count(*) AS n FROM brute b
+       |  JOIN ivf v ON v.query_id = b.query_id AND v.vec_id = b.vec_id
+       |  GROUP BY b.query_id)
+       |SELECT 'lsh' AS method, q.query_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       |  CAST(floor(1000.0*coalesce(n, 0)/5.0) AS BIGINT) AS recall_milli
+       |FROM qs q LEFT JOIN lsh_hits h ON h.query_id = q.query_id
+       |UNION ALL
+       |SELECT 'ivf' AS method, q.query_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       |  CAST(floor(1000.0*coalesce(n, 0)/5.0) AS BIGINT) AS recall_milli
+       |FROM qs q LEFT JOIN ivf_hits h ON h.query_id = q.query_id
+       |ORDER BY method, query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
@@ -365,6 +501,7 @@ object Similarity {
     "q45_knn_batch" -> q45KnnBatch _,
     "q60_semantic_dedup" -> q60SemanticDedup _,
     "q63_semantic_incremental" -> q63SemanticIncremental _,
+    "q81_ann_recall" -> q81AnnRecall _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -375,5 +512,6 @@ object Similarity {
     "q45_knn_batch" -> oracleQ45,
     "q60_semantic_dedup" -> oracleQ60,
     "q63_semantic_incremental" -> oracleQ63,
+    "q81_ann_recall" -> oracleQ81,
   )
 }
