@@ -377,27 +377,9 @@ object Similarity {
     * post-top-k, negligible at any corpus size. */
   def q81AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val corpus = e.filter(col("vec_id") >= 5)
-    val queries = e.filter(col("vec_id") < 5)
-    val brute = VectorOps.knnBatchIndexed(corpus, queries, k = 5)
-      .select(col("query_id"), col("vec_id"))
-    val qids = queries.select(col("vec_id").as("query_id"))
-    def recallOf(approx: DataFrame, m: String): DataFrame = {
-      val hits = brute
-        .join(approx.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      qids.join(hits, Seq("query_id"), "left")
-        .select(lit(m).as("method"), col("query_id"),
-          coalesce(col("h"), lit(0L)).as("n_hits"),
-          floor(lit(1000.0) * coalesce(col("h"), lit(0L)) / lit(5.0))
-            .as("recall_milli"))
-    }
-    recallOf(VectorOps.knnLshIndexed(corpus, queries, k = 5,
-        planes = PLANES, bands = NIBBLES, dims = DIMS), "lsh")
-      .unionByName(recallOf(VectorOps.knnIvfIndexed(corpus, queries,
-        cell = "label", k = 5, nprobe = NPROBE), "ivf"))
-      .orderBy("method", "query_id")
+    VectorOps.annRecallIndexed(e.filter(col("vec_id") >= 5),
+      e.filter(col("vec_id") < 5), cell = "label", k = 5, nprobe = NPROBE,
+      planes = PLANES, bands = NIBBLES, dims = DIMS)
   }
 
   val oracleQ81: String = {

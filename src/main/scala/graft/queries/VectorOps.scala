@@ -255,6 +255,47 @@ object VectorOps {
       index(queries, id, vec), cell, k, nprobe, carry)
 
   // =====================================================================
+  // ANN recall report — approximate paths audited vs brute (q81 semantics)
+  // =====================================================================
+
+  /** Recall@k of the LSH and IVF paths against brute-force, per query and
+    * method: ('lsh'|'ivf', query_id, n_hits, recall_milli) with
+    * recall_milli = floor(1000·hits/k) — fixed-point, cross-engine exact.
+    * Brute amortizes ONE corpus scan across the query batch (the
+    * [[knnBatchIndexed]] shape; recall audits at corpus scale run on a
+    * query SAMPLE, so the exact scan is a bounded, occasional cost); the
+    * approximate paths reuse their candidate joins; the overlap join
+    * compares two post-top-k frames of k·|batch| rows each. */
+  def annRecallIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
+      k: Int, nprobe: Int = 2, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val brute = knnBatchIndexed(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val qids = queries.select(col("vec_id").as("query_id"))
+    def recallOf(approx: DataFrame, m: String): DataFrame = {
+      val hits = brute
+        .join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(m).as("method"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          floor(lit(1000.0) * coalesce(col("h"), lit(0L)) / lit(k.toDouble))
+            .as("recall_milli"))
+    }
+    recallOf(knnLshIndexed(corpus, queries, k, planes, bands, dims), "lsh")
+      .unionByName(recallOf(knnIvfIndexed(corpus, queries, cell, k, nprobe),
+        "ivf"))
+      .orderBy("method", "query_id")
+  }
+
+  def annRecall(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, cell: String, k: Int, nprobe: Int = 2, planes: Int = 16,
+      bands: Int = 4, dims: Int = 64): DataFrame =
+    annRecallIndexed(index(corpus, id, vec, Seq(cell)),
+      index(queries, id, vec), cell, k, nprobe, planes, bands, dims)
+
+  // =====================================================================
   // Blocked all-pairs near-dup ranking (q33 semantics)
   // =====================================================================
 

@@ -48,6 +48,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows(got) == rows(Similarity.q37KnnIvf(spark, sfDir)))
   }
 
+  test("annRecall == q81 on renamed columns") {
+    val got = VectorOps.annRecall(renamed.filter(col("vid") >= 5),
+      renamed.filter(col("vid") < 5), "vid", "v", cell = "tag", k = 5,
+      nprobe = 2)
+    assert(rows(got) == rows(Similarity.q81AnnRecall(spark, sfDir)))
+  }
+
   test("blockedPairs == q33 on renamed columns") {
     val got = VectorOps.blockedPairs(renamed, "vid", "v", "tag", 20)
       .withColumnRenamed("tag", "label")
