@@ -519,6 +519,90 @@ object Curation {
   }
 
   // =====================================================================
+  // q85: source token-distribution divergence (chi-square balance report)
+  // =====================================================================
+
+  /** Per-source divergence of the token distribution from the corpus-wide
+    * distribution — the data-mixture drift monitor a curation team runs
+    * per source/domain/crawl-snapshot: Pearson's chi-square statistic of
+    * each source's unigram counts against expected counts under the
+    * global distribution. A source of ordinary prose scores near its
+    * degrees of freedom; a source of boilerplate/spam/another register
+    * scores orders of magnitude higher — the trigger for re-weighting
+    * (q51) or quality-gating (q68) that source.
+    *
+    * EXACT over all vocab cells while touching only OBSERVED cells: an
+    * unobserved (source, token) cell contributes (0−e)²/e = e, and
+    * Σ_vocab e = t_s exactly, so chi² = Σ_obs[(o−e)²/e − e] + t_s — the
+    * observed-cell sum plus a closed-form remainder. No dense
+    * source×vocab frame is ever built.
+    *
+    * Determinism: e = t_s·g_t/g is one fixed IEEE sequence from exact
+    * integers; each observed-cell term is rounded to micro units ONCE
+    * and summed as BIGINT (the fpsum contract); the +t_s remainder is
+    * exact integer micro units. Output chi2_micro is the statistic in
+    * millionths — integer, cross-engine bit-exact.
+    *
+    * Scale: (source, token) counts are a TWO-PHASE groupBy (map-side
+    * partials absorb hot tokens); the global-token table is an aggregate
+    * OF that result joined back on the token key (AQE broadcasts while
+    * it fits); per-source totals (|sources| rows) and the grand total
+    * (1 row) broadcast explicitly. Rows on the wire are count triples —
+    * text never shuffles. Term magnitude is bounded by o·|sources| so
+    * micro-unit sums stay far inside BIGINT at any corpus size. */
+  private[queries] def sourceDivergenceOf(d: DataFrame, strata: String,
+      text: String): DataFrame = {
+    val tok = d.select(col(strata).as("source"),
+      explode(split(col(text), " ")).as("token"))
+    val st = tok.groupBy("source", "token").agg(count(lit(1)).as("o"))
+      .dedupCached
+    val srcTot = st.groupBy("source").agg(sum(col("o")).as("t_s"),
+      count(lit(1)).as("n_distinct_tokens"))
+    val globTot = st.groupBy("token").agg(sum(col("o")).as("g_t"))
+    val tot = st.agg(sum(col("o")).as("g"))
+    val e = col("t_s").cast("double") * col("g_t").cast("double") /
+      col("g").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) /
+      e - e
+    st.join(globTot, Seq("token"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        min(col("t_s")).as("n_tokens"),
+        min(col("n_distinct_tokens")).as("n_distinct_tokens"),
+        (sum(round(term * lit(1000000.0)).cast("long")) +
+          min(col("t_s")) * lit(1000000L)).as("chi2_micro"))
+      .orderBy("source")
+  }
+
+  def q85SourceDivergence(s: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOf(docs(s, dir), "source", "text")
+
+  val oracleQ85: String = {
+    val e = "CAST(t_s AS DOUBLE)*CAST(g_t AS DOUBLE)/CAST(g AS DOUBLE)"
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |st AS (SELECT source, token, count(*) AS o FROM tok GROUP BY 1, 2),
+       |src AS (SELECT source, CAST(sum(o) AS BIGINT) AS t_s,
+       |          CAST(count(*) AS BIGINT) AS n_distinct_tokens
+       |        FROM st GROUP BY 1),
+       |gtok AS (SELECT token, CAST(sum(o) AS BIGINT) AS g_t FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS g FROM st),
+       |terms AS (
+       |  SELECT st.source, t_s, n_distinct_tokens,
+       |    CAST(round(((CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e)
+       |      / ($e) - $e) * 1000000.0) AS BIGINT) AS term_fp
+       |  FROM st JOIN gtok USING (token) JOIN src USING (source)
+       |  CROSS JOIN tot)
+       |SELECT source, min(t_s) AS n_tokens,
+       |  min(n_distinct_tokens) AS n_distinct_tokens,
+       |  CAST(sum(term_fp) + min(t_s)*1000000 AS BIGINT) AS chi2_micro
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_winnow_fp" -> q65Winnow _,
     "q66_snapshot_diff" -> q66SnapshotDiff _,
@@ -527,6 +611,7 @@ object Curation {
     "q71_balanced_sample" -> q71BalancedSample _,
     "q72_rare_tokens" -> q72RareTokens _,
     "q73_winnow_match" -> q73WinnowMatch _,
+    "q85_source_divergence" -> q85SourceDivergence _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -537,5 +622,6 @@ object Curation {
     "q71_balanced_sample" -> oracleQ71,
     "q72_rare_tokens" -> oracleQ72,
     "q73_winnow_match" -> oracleQ73,
+    "q85_source_divergence" -> oracleQ85,
   )
 }

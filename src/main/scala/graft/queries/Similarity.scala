@@ -475,6 +475,50 @@ object Similarity {
        |ORDER BY method, query_id""".stripMargin
   }
 
+  // =====================================================================
+  // q82: prototypicality pruning (distance-to-centroid ranking per cell)
+  // =====================================================================
+
+  /** Per-vector prototypicality within its label cell
+    * ([[VectorOps.prototypicality]] semantics): cosine to the cell's
+    * exact integer-sum centroid, ranked ascending, bottom 10% of each
+    * cell flagged `prune` — the self-supervised data-pruning signal
+    * (Sorscher et al. 2022) over the same deterministic cells q37's IVF
+    * probes. */
+  def q82Prototypicality(s: SparkSession, dir: String): DataFrame =
+    VectorOps.prototypicalityIndexed(emb(s, dir), cell = "label",
+      pruneTenths = 1)
+      .orderBy("label", "vec_id")
+
+  val oracleQ82: String = {
+    val nrm = oDot("e.efp", "e.efp")
+    s"""WITH $oEfpCte,
+       |ex AS (
+       |  SELECT vec_id, label, generate_subscripts(efp, 1) AS i, unnest(efp) AS x
+       |  FROM efp),
+       |cells AS (SELECT label, i, sum(x) AS sx FROM ex GROUP BY label, i),
+       |cn AS (SELECT label, sum(CAST(sx AS HUGEINT)*sx) AS cnorm
+       |       FROM cells GROUP BY label),
+       |dots AS (
+       |  SELECT ex.vec_id, ex.label, sum(ex.x * cells.sx) AS dotc
+       |  FROM ex JOIN cells ON ex.label = cells.label AND ex.i = cells.i
+       |  GROUP BY ex.vec_id, ex.label),
+       |base AS (
+       |  SELECT d.label, d.vec_id,
+       |    round(${oCos("dotc", nrm, "cnorm")}, 6) AS cos_c
+       |  FROM dots d JOIN efp e ON e.vec_id = d.vec_id
+       |  JOIN cn ON cn.label = d.label),
+       |r AS (
+       |  SELECT label, vec_id, cos_c,
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_cell
+       |  FROM base)
+       |SELECT label, vec_id, cos_c, rnk, n_cell,
+       |  CAST(CASE WHEN rnk*10 <= n_cell*1 THEN 1 ELSE 0 END AS BIGINT) AS prune
+       |FROM r ORDER BY label, vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
@@ -484,6 +528,7 @@ object Similarity {
     "q60_semantic_dedup" -> q60SemanticDedup _,
     "q63_semantic_incremental" -> q63SemanticIncremental _,
     "q81_ann_recall" -> q81AnnRecall _,
+    "q82_prototypicality" -> q82Prototypicality _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -495,5 +540,6 @@ object Similarity {
     "q60_semantic_dedup" -> oracleQ60,
     "q63_semantic_incremental" -> oracleQ63,
     "q81_ann_recall" -> oracleQ81,
+    "q82_prototypicality" -> oracleQ82,
   )
 }

@@ -2098,6 +2098,65 @@ object TextDedup {
        |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin
 
   // =====================================================================
+  // q83: soft-dedup reweighting (1/cluster-size example weights)
+  // =====================================================================
+
+  /** SOFT deduplication: instead of dropping duplicates (q43), keep every
+    * document and down-weight it by its dedup-cluster size — weight =
+    * 1/n_members, so each near-dup CLUSTER contributes one unit of total
+    * training mass however many copies it has (the repetition-aware
+    * reweighting alternative to hard dedup: "d'eja vu all over again" /
+    * SlimPajama-style duplication-count weighting — preserves rare intra-
+    * cluster variation that hard dedup discards, while neutralizing the
+    * effective-epoch skew of boilerplate). Singletons get weight 1.
+    *
+    * Output: (doc_id, cluster_id, n_members, weight round-6).
+    *
+    * Scale: rides the memoized q40 cluster labels (the candidate join +
+    * component solve amortize across q40/q43/q83 in a session); on top of
+    * them this is ONE window count per cluster partition (clusters are
+    * small by construction — the dup graph is post-threshold sparse) and
+    * a pure projection. Nothing new shuffles. */
+  def q83SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val all = dedupClusterLabels(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    all
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ83: String = {
+    // q40's cluster derivation + the 1/n_members weight
+    s"""WITH RECURSIVE sets AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
+       |    SELECT doc_id, $oShingles3 AS ts
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
+       |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id)
+       |  WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |  round(1.0/CAST(count(*) OVER (PARTITION BY cluster_id) AS DOUBLE), 6)
+       |    AS weight
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -2127,6 +2186,7 @@ object TextDedup {
     "q78_contamination_attribution" -> q78ContaminationAttribution _,
     "q79_minhash_calibration" -> q79MinhashCalibration _,
     "q80_simhash_calibration" -> q80SimhashCalibration _,
+    "q83_soft_dedup_weights" -> q83SoftDedupWeights _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2158,5 +2218,6 @@ object TextDedup {
     "q78_contamination_attribution" -> oracleQ78,
     "q79_minhash_calibration" -> oracleQ79,
     "q80_simhash_calibration" -> oracleQ80,
+    "q83_soft_dedup_weights" -> oracleQ83,
   )
 }

@@ -63,6 +63,17 @@ object TextOps {
     all.withColumn("n_members", count(lit(1)).over(w)).orderBy("doc_id")
   }
 
+  /** Soft-dedup example weights (q83 semantics): every document kept,
+    * down-weighted by its dedup-cluster size (weight = 1/n_members), so
+    * each near-dup cluster contributes one unit of training mass. Same
+    * eager-execution caveat as [[dedupClusters]], which this wraps. */
+  def softDedupWeights(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.5): DataFrame =
+    dedupClusters(df, id, text, threshold)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+
   /** One keeper per dedup cluster: the member maximizing `quality`
     * (a Column over `df`'s row; ties to the lowest id — q43 semantics). */
   def keepBestPerCluster(df: DataFrame, id: String, text: String,

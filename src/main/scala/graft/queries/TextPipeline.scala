@@ -689,6 +689,92 @@ object TextPipeline {
        |ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q84: intra-document chunk dedup (repeated-block removal + rebuild)
+  // =====================================================================
+
+  /** Chunk length of the oracle-checked binding. The synthetic corpus has
+    * a ~30-token vocabulary, so 2-token blocks repeat within documents
+    * (181/500 docs at sf0.01) and the removal path is genuinely
+    * exercised; real deployments use paragraph- or sentence-sized
+    * blocks — the parameter, not the shape, changes. */
+  val IntraChunkLen = 2
+
+  /** WITHIN-document repeated-block removal (the Gopher/C4 intra-doc
+    * repetition scrub as a TRANSFORM rather than q44's report): split
+    * each document into consecutive `chunkLen`-token blocks, drop every
+    * block whose content (md5) already occurred EARLIER in the same
+    * document, and rebuild the cleaned text from the surviving blocks in
+    * order. Cross-document duplication is untouched (that is q27/q40's
+    * job) — this removes the looped boilerplate, repeated nav blocks,
+    * and stutter that inflate a single page.
+    *
+    * Output: (doc_id, n_chunks, n_dup_chunks, n_clean_tokens,
+    * clean_hash = md5 of the rebuilt text) — the hash stands in for the
+    * rebuilt text so the oracle row stays narrow; the rebuild itself is
+    * the `concat_ws` argument and a caller keeps it by dropping the md5.
+    *
+    * Scale: blocks explode as an arithmetic sequence (pure map, ~n/len
+    * rows per doc); first-occurrence detection is a window over (doc_id,
+    * chunk_hash) — partitions are WITHIN-document (bounded by doc
+    * length), so no corpus-wide hot key can concentrate rows the way a
+    * global span hash could (contrast q58's documented watch-item); the
+    * rebuild is a per-doc sort of surviving blocks inside a two-phase
+    * groupBy(doc_id). Text rides the wire once, as blocks. */
+  private[queries] def intraDocDedupOf(d: DataFrame,
+      chunkLen: Int): DataFrame = {
+    val w = col("w")
+    val ch = d.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), w,
+        explode(sequence(lit(1), greatest(size(w), lit(1)), lit(chunkLen)))
+          .as("start"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(w, col("start"), lit(chunkLen))).as("ctxt"),
+        size(slice(w, col("start"), lit(chunkLen))).cast("long").as("ctoks"))
+    val first = Window.partitionBy(col("doc_id"), md5(col("ctxt")))
+      .orderBy("start")
+    ch.withColumn("rn", row_number().over(first))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("rn") === 1, col("ctoks")).otherwise(0L))
+          .as("n_clean_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("start"), col("ctxt"))))),
+          e => e.getField("ctxt")))).as("clean_hash"))
+  }
+
+  def q84IntraDocDedup(s: SparkSession, dir: String): DataFrame =
+    intraDocDedupOf(docs(s, dir), IntraChunkLen).orderBy("doc_id")
+
+  val oracleQ84: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, start,
+       |    array_to_string(list_slice(w, start, start + ${IntraChunkLen - 1}), ' ')
+       |      AS ctxt,
+       |    CAST(len(list_slice(w, start, start + ${IntraChunkLen - 1})) AS BIGINT)
+       |      AS ctoks
+       |  FROM (
+       |    SELECT doc_id, w,
+       |      unnest(range(1, greatest(len(w), 1) + 1, $IntraChunkLen)) AS start
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |rn AS (
+       |  SELECT doc_id, start, ctxt, ctoks,
+       |    row_number() OVER (PARTITION BY doc_id, md5(ctxt) ORDER BY start)
+       |      AS rn
+       |  FROM ch)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT)
+       |    AS n_clean_tokens,
+       |  md5(string_agg(ctxt, ' ' ORDER BY start) FILTER (WHERE rn = 1))
+       |    AS clean_hash
+       |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -699,6 +785,7 @@ object TextPipeline {
     "q59_url_filter" -> q59UrlFilter _,
     "q62_vocab_prune" -> q62VocabPrune _,
     "q64_rolling_stats" -> q64RollingStats _,
+    "q84_intradoc_dedup" -> q84IntraDocDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -711,5 +798,6 @@ object TextPipeline {
     "q59_url_filter" -> oracleQ59,
     "q62_vocab_prune" -> oracleQ62,
     "q64_rolling_stats" -> oracleQ64,
+    "q84_intradoc_dedup" -> oracleQ84,
   )
 }

@@ -296,6 +296,64 @@ object VectorOps {
       index(queries, id, vec), cell, k, nprobe, planes, bands, dims)
 
   // =====================================================================
+  // Prototypicality pruning — distance-to-centroid ranking (q82 semantics)
+  // =====================================================================
+
+  /** Per-vector prototypicality within its `cell`: cosine of each vector
+    * to its cell's centroid, ranked ascending (least prototypical first),
+    * with the bottom `pruneTenths`/10 of every cell flagged — the
+    * self-supervised data-pruning signal (rank examples by distance to
+    * their cluster prototype and drop the least/most prototypical band;
+    * Sorscher et al., "Beyond neural scaling laws", NeurIPS 2022; the
+    * SemDeDup companion for redundancy-vs-outlier curation).
+    *
+    * Centroid cosine needs no division by the member count: cos(v,
+    * mean(cell)) = v·S / (√(S·S)·√(v·v)) with S the exact integer SUM —
+    * the 1/n factors cancel, so the score stays in exact integer dots and
+    * one fixed IEEE sequence (the [[knnIvfIndexed]] probe identity).
+    * The prune flag is pure integer arithmetic: rnk·10 ≤ n_cell·tenths.
+    *
+    * Output: (cell, vec_id, cos_c round-6, rnk, n_cell, prune 0/1).
+    *
+    * Scale: the centroid pass is ONE two-phase groupBy over (cell, dim)
+    * — |cells|·dims rows out, skew-free partial aggregation; centroids
+    * re-assemble to arrays (|cells| rows) and BROADCAST into a map-side
+    * join, so the corpus pays one codegen'd [[graft.functions.ArrayIntDot]]
+    * per row with no corpus shuffle; the rank window partitions by cell
+    * (cells are bounded by the clustering fan-out, each a small sorted
+    * partition). Integer range: |sx| ≤ n_cell·5e5, S·S ≤ dims·(n_cell·
+    * 5e5)² — exact in Long through n_cell ≈ 4·10⁵ at 64 dims; beyond
+    * that, split cells (raise k) before widening types. */
+  def prototypicalityIndexed(idx: DataFrame, cell: String,
+      pruneTenths: Int = 1): DataFrame = {
+    val cents = idx
+      .select(col(cell).as("cell"), posexplode(col("efp")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(sum(col("x")).as("sx"))
+      .groupBy("cell")
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("sx")))),
+          e => e.getField("sx")).as("cent"),
+        sum(col("sx") * col("sx")).as("cnorm"))
+    val w = Window.partitionBy(col(cell))
+      .orderBy(col("cos_c").asc, col("vec_id").asc)
+    val wc = Window.partitionBy(col(cell))
+    idx.select(col(cell).as("cell"), col("vec_id"), col("efp"), col("nrm"))
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("cell").as(cell), col("vec_id"),
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("cent")),
+          col("nrm"), col("cnorm")), 6).as("cos_c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      .withColumn("prune",
+        when(col("rnk") * 10 <= col("n_cell") * pruneTenths, 1L)
+          .otherwise(0L))
+  }
+
+  def prototypicality(df: DataFrame, id: String, vec: String, cell: String,
+      pruneTenths: Int = 1): DataFrame =
+    prototypicalityIndexed(index(df, id, vec, Seq(cell)), cell, pruneTenths)
+
+  // =====================================================================
   // Blocked all-pairs near-dup ranking (q33 semantics)
   // =====================================================================
 

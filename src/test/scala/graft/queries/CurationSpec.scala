@@ -20,6 +20,30 @@ class CurationSpec extends SparkSpec {
     Curation.winnowedOf(
       rows.toDF("doc_id", "text"), k, w).orderBy("doc_id").collect()
 
+  test("q85 divergence: identical distributions score zero, disjoint score t_s") {
+    // both sources emit the same token multiset -> every observed cell
+    // has o = e, the remainder telescopes, chi2 is exactly 0
+    val same = Seq((1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    Curation.sourceDivergenceOf(same, "source", "text").collect()
+      .foreach(r => assert(r.getAs[Long]("chi2_micro") == 0L))
+    // fully disjoint vocabularies of equal mass: chi2 = t_s exactly
+    // (each source: own cell contributes n/2, the other's zero cell n/2)
+    val disjoint = Seq((1L, "a a a", "s1"), (2L, "b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    Curation.sourceDivergenceOf(disjoint, "source", "text").collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("n_tokens") == 3L)
+        assert(r.getAs[Long]("chi2_micro") == 3000000L)
+      }
+    // corpus binding is the same pipeline on (source, text)
+    val renamedDocs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").as("body"), col("source").as("src"))
+    val got = Curation.sourceDivergenceOf(renamedDocs, "src", "body")
+    assert(got.collect().toSeq.map(_.toString) ==
+      Curation.q85SourceDivergence(spark, sfDir).collect().toSeq.map(_.toString))
+  }
+
   test("winnow: doc shorter than k tokens has zero grams and the empty digest") {
     val r = winnow(Seq((1L, "a b"), (2L, "")))
     assert(r.forall(_.getAs[Long]("n_grams") == 0L))

@@ -33,6 +33,18 @@ class TextOpsSpec extends SparkSpec {
       rows(TextDedup.q40DedupClusters(spark, sfDir)))
   }
 
+  test("softDedupWeights == q83 on the documents table") {
+    val got = TextOps.softDedupWeights(renamed, "id", "body")
+    assert(rows(got) == rows(TextDedup.q83SoftDedupWeights(spark, sfDir)))
+    // every member of a cluster carries the same weight = round(1/n, 6)
+    got.collect().foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(r.getAs[Double]("weight") ==
+        BigDecimal(1.0 / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+  }
+
   test("exactDedup == q27 keepers and copy counts") {
     val got = TextOps.exactDedup(renamed, "id", "body").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

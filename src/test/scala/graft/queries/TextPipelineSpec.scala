@@ -250,6 +250,44 @@ class TextPipelineSpec extends SparkSpec {
       TextOps.chunkDocuments(batchDf, "doc_id", "text"))
   }
 
+  test("q84 intra-doc dedup drops exactly the repeated blocks and rebuilds verbatim") {
+    val sp0 = spark
+    import sp0.implicits._
+    // "a b c d a b" in 2-token blocks -> [a b][c d][a b]: one dup dropped,
+    // rebuilt text is "a b c d"
+    val t = Seq((1L, "a b c d a b"), (2L, "x y z w q r")).toDF("doc_id", "text")
+    val out = TextPipeline.intraDocDedupOf(t, 2).orderBy("doc_id").collect()
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[Long]("n_chunks") == 3 &&
+      out(0).getAs[Long]("n_dup_chunks") == 1 &&
+      out(0).getAs[Long]("n_clean_tokens") == 4 &&
+      out(0).getAs[String]("clean_hash") == md5Hex("a b c d"))
+    // no-dup doc passes through verbatim
+    assert(out(1).getAs[Long]("n_dup_chunks") == 0 &&
+      out(1).getAs[String]("clean_hash") == md5Hex("x y z w q r"))
+
+    // corpus binding: no-dup docs rebuild to md5(text); dup docs shrink
+    val j = TextPipeline.q84IntraDocDedup(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("orig_hash"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id")
+      .collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      if (r.getAs[Long]("n_dup_chunks") == 0L) {
+        assert(r.getAs[String]("clean_hash") == r.getAs[String]("orig_hash"))
+        assert(r.getAs[Long]("n_clean_tokens") == r.getAs[Long]("n_tokens"))
+      } else {
+        assert(r.getAs[Long]("n_clean_tokens") < r.getAs[Long]("n_tokens"))
+      }
+    }
+    // the synthetic vocabulary genuinely exercises the removal path
+    assert(j.exists(_.getAs[Long]("n_dup_chunks") > 0L))
+  }
+
   test("TextOps wrappers are bit-exact twins of the oracle-checked queries") {
     sameRows(TextOps.chunkDocuments(renamed, "my_id", "body"),
       TextPipeline.q53DocChunks(spark, sfDir))

@@ -55,6 +55,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows(got) == rows(Similarity.q81AnnRecall(spark, sfDir)))
   }
 
+  test("prototypicality == q82 on renamed columns; prune flags the bottom tenth") {
+    val got = VectorOps.prototypicality(renamed, "vid", "v", cell = "tag")
+      .withColumnRenamed("tag", "label").orderBy("label", "vec_id")
+    val want = Similarity.q82Prototypicality(spark, sfDir)
+    assert(rows(got) == rows(want))
+    // exactly floor(n_cell/10) members pruned per cell, and they are the
+    // lowest-cosine ranks
+    want.groupBy("label")
+      .agg(sum(col("prune")).as("np"), count(lit(1)).as("n"),
+        max(when(col("prune") === 1, col("rnk"))).as("max_pruned_rnk"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("np") == r.getAs[Long]("n") / 10)
+        if (r.getAs[Long]("np") > 0)
+          assert(r.getAs[Long]("max_pruned_rnk") == r.getAs[Long]("np"))
+      }
+  }
+
   test("blockedPairs == q33 on renamed columns") {
     val got = VectorOps.blockedPairs(renamed, "vid", "v", "tag", 20)
       .withColumnRenamed("tag", "label")
