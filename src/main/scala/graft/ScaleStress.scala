@@ -48,7 +48,10 @@ object ScaleStress {
     // corpus size
     "q78_contamination_attribution", "q79_minhash_calibration",
     // q80 rides q31's chunk-pair join; output bounded at HAMMAX+1 rows
-    "q80_simhash_calibration")
+    "q80_simhash_calibration",
+    // q83 rides q40's memoized cluster labels (the fixpoint is the q40
+    // cost; the reweight itself is one per-cluster window + projection)
+    "q83_soft_dedup_weights")
 
   /** ANN family measured against the replicated EMBEDDINGS corpus. The
     * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so
@@ -60,7 +63,11 @@ object ScaleStress {
     "q45_knn_batch",
     // q81 runs brute+LSH+IVF for the pinned query batch and reports
     // recall@5 — output fixed at 10 rows while the corpus grows
-    "q81_ann_recall")
+    "q81_ann_recall",
+    // q82 scans the whole corpus once against broadcast per-cell
+    // centroids (cells grow 10x in membership, not count) — the cost
+    // should track corpus rows; the rank window partitions by cell
+    "q82_prototypicality")
 
   /** Round-9 corpus-preparation operators over the replicated documents.
     * Salted replication grows the vocabulary ~R× (each replica's tokens
@@ -72,7 +79,12 @@ object ScaleStress {
     * split); q62's keep-list stays top-20 of an R×-grown vocabulary. */
   val PipelineQueries: Seq[String] = Seq("q53_doc_chunks", "q54_tfidf_topk",
     "q55_seq_packing", "q56_bigram_lm", "q57_pii_redact", "q58_span_dedup",
-    "q61_contamination_score", "q62_vocab_prune")
+    "q61_contamination_score", "q62_vocab_prune",
+    // q84's window partitions WITHIN documents (replica-invariant
+    // partition sizes); q85's (source, token) table grows ~R x with the
+    // salted vocabulary — the two-phase aggregate + token join at 10x
+    // on both axes, like q54
+    "q84_intradoc_dedup", "q85_source_divergence")
 
   /** Semantic dedup at the SCALE parameterization, not q60's oracle
     * binding: 16-plane/4-bit bands have only 16 values per band, so at
@@ -107,6 +119,14 @@ object ScaleStress {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
       graft.queries.VectorOps.kmeansCells(idx, k = 1024, iters = 1)
     }),
+    // the df-capped cluster derivation — the production counterpart of
+    // q40's uncapped oracle binding: under the stopword-collision corpus
+    // the uncapped join pays O(hot²) buckets; this times the q41-guarded
+    // path end-to-end (pairs -> components -> member counts)
+    "dedup_clusters_capped" -> ((s, dir) =>
+      graft.queries.TextOps.dedupClusters(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        dfCap = Some(100L))),
     // the COMPOSED end-to-end pipeline (left-semi survivor chains +
     // shared dedup caches + driver-side near-dup fixpoint): the stages
     // are individually stressed above; this times their composition.

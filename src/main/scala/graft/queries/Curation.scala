@@ -603,6 +603,76 @@ object Curation {
   }
 
   // =====================================================================
+  // q86: temperature-sampling weights (sqrt-smoothed source mixture)
+  // =====================================================================
+
+  /** Per-source sampling weights under TEMPERATURE smoothing with
+    * α = 1/2 — the standard multilingual/source re-balancing (sample
+    * source s with probability ∝ p_s^α; α<1 up-weights small sources,
+    * the mBERT/XLM-R exponentiated-smoothing scheme). α is FIXED at 1/2
+    * because p^0.5 = sqrt(p) is an exactly-specified IEEE operation —
+    * the one temperature that needs no transcendental pow/exp/ln, so the
+    * weights are cross-engine bit-exact (league determinism rule; other
+    * temperatures compose the same pipeline with pow at the caller's
+    * accuracy risk).
+    *
+    * Determinism of the normalizer: each sqrt is quantized to nano units
+    * FIRST (round(sqrt(p_s)·1e9) as BIGINT) and the normalizer is the
+    * INTEGER sum of those — never a floating sum over sources, whose
+    * result would depend on accumulation order. The final weight and the
+    * document quota are then pure integer ratios: w_micro = s_fp·1e6 DIV
+    * total_fp, doc_quota = s_fp·n_docs DIV total_fp.
+    *
+    * Output: (source, n_tokens, n_docs, w_micro, doc_quota).
+    *
+    * Scale: one two-phase aggregate to (source, t_s, n_docs) —
+    * |sources| rows — then all arithmetic happens on that tiny frame
+    * against a broadcast 1-row total; nothing corpus-sized moves after
+    * the count. */
+  private[queries] def temperatureWeightsOf(d: DataFrame, strata: String,
+      text: String): DataFrame = {
+    val src = d.select(col(strata).as("source"),
+      size(split(col(text), " ")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_docs"))
+    val sFp = round(sqrt(col("n_tokens").cast("double") /
+      col("g").cast("double")) * lit(1000000000.0)).cast("long")
+    val tot = src.agg(sum(col("n_tokens")).as("g"),
+      sum(col("n_docs")).as("all_docs"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("s_fp", sFp)
+      .withColumn("total_fp",
+        sum(col("s_fp")).over(Window.partitionBy(lit(1))))
+      .select(col("source"), col("n_tokens"), col("n_docs"),
+        // integer DIV, never float `/`: s_fp·1e6 exceeds 2^53, a double
+        // quotient would round before the floor
+        expr("(s_fp * 1000000) div total_fp").cast("long").as("w_micro"),
+        expr("(s_fp * all_docs) div total_fp").cast("long").as("doc_quota"))
+      .orderBy("source")
+  }
+
+  def q86TemperatureWeights(s: SparkSession, dir: String): DataFrame =
+    temperatureWeightsOf(docs(s, dir), "source", "text")
+
+  val oracleQ86: String =
+    """WITH src AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS g,
+      |               CAST(sum(n_docs) AS BIGINT) AS all_docs FROM src),
+      |fp AS (
+      |  SELECT source, n_tokens, n_docs, all_docs,
+      |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)/CAST(g AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS s_fp
+      |  FROM src CROSS JOIN tot),
+      |nrm AS (SELECT CAST(sum(s_fp) AS BIGINT) AS total_fp FROM fp)
+      |SELECT source, n_tokens, n_docs,
+      |  (s_fp * 1000000) // total_fp AS w_micro,
+      |  (s_fp * all_docs) // total_fp AS doc_quota
+      |FROM fp CROSS JOIN nrm ORDER BY source""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_winnow_fp" -> q65Winnow _,
     "q66_snapshot_diff" -> q66SnapshotDiff _,
@@ -612,6 +682,7 @@ object Curation {
     "q72_rare_tokens" -> q72RareTokens _,
     "q73_winnow_match" -> q73WinnowMatch _,
     "q85_source_divergence" -> q85SourceDivergence _,
+    "q86_temperature_weights" -> q86TemperatureWeights _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -623,5 +694,6 @@ object Curation {
     "q72_rare_tokens" -> oracleQ72,
     "q73_winnow_match" -> oracleQ73,
     "q85_source_divergence" -> oracleQ85,
+    "q86_temperature_weights" -> oracleQ86,
   )
 }

@@ -519,6 +519,30 @@ object Similarity {
        |FROM r ORDER BY label, vec_id""".stripMargin
   }
 
+  // =====================================================================
+  // q87: embedding dimension health report
+  // =====================================================================
+
+  /** Per-dimension mean/variance/range of the embeddings corpus
+    * ([[VectorOps.dimensionStats]] semantics) — dead-dimension, scale-
+    * outlier, and anisotropy audit from exact integer sums. */
+  def q87DimensionStats(s: SparkSession, dir: String): DataFrame =
+    VectorOps.dimensionStatsIndexed(emb(s, dir))
+
+  val oracleQ87: String =
+    s"""WITH $oEfpCte,
+       |ex AS (
+       |  SELECT generate_subscripts(efp, 1) - 1 AS i, unnest(efp) AS x
+       |  FROM efp)
+       |SELECT CAST(i AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(round(CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT)
+       |    AS mean_micro,
+       |  CAST(round((CAST(sum(x*x) AS DOUBLE)
+       |    - CAST(sum(x) AS DOUBLE)*CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+       |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS var_micro2,
+       |  min(x) AS min_x, max(x) AS max_x
+       |FROM ex GROUP BY i ORDER BY i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
@@ -529,6 +553,7 @@ object Similarity {
     "q63_semantic_incremental" -> q63SemanticIncremental _,
     "q81_ann_recall" -> q81AnnRecall _,
     "q82_prototypicality" -> q82Prototypicality _,
+    "q87_dimension_stats" -> q87DimensionStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -541,5 +566,6 @@ object Similarity {
     "q63_semantic_incremental" -> oracleQ63,
     "q81_ann_recall" -> oracleQ81,
     "q82_prototypicality" -> oracleQ82,
+    "q87_dimension_stats" -> oracleQ87,
   )
 }

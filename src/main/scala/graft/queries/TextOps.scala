@@ -53,10 +53,21 @@ object TextOps {
     * vs distributed regime — [[TextDedup.propagateLabels]]), so merely
     * building the returned frame runs Spark jobs; it is not a lazy plan. */
   def dedupClusters(df: DataFrame, id: String, text: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, dfCap: Option[Long] = None): DataFrame = {
     val d = norm(df, id, text)
+    // dfCap routes the candidate generation through the q41 hot-shingle
+    // guard (two-phase df + capped self-join, exact Jaccard preserved) —
+    // the production setting for corpora with boilerplate n-grams, where
+    // the uncapped q40-oracle join pays O(hot²) buckets (measured 3.8x
+    // degradation at 10x under the stopword-collision stress corpus; a
+    // pair is lost only if EVERY shared shingle is hot — see
+    // [[TextDedup.cappedJaccardPairsOf]])
+    val pairs = dfCap match {
+      case Some(cap) => TextDedup.cappedJaccardPairsOf(d, threshold, cap)
+      case None => TextDedup.jaccardPairsOf(d, threshold)
+    }
     val labels = TextDedup.propagateLabels(
-      TextDedup.jaccardPairsOf(d, threshold).select(col("id_a"), col("id_b")))
+      pairs.select(col("id_a"), col("id_b")))
     val all = d.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
@@ -68,8 +79,8 @@ object TextOps {
     * each near-dup cluster contributes one unit of training mass. Same
     * eager-execution caveat as [[dedupClusters]], which this wraps. */
   def softDedupWeights(df: DataFrame, id: String, text: String,
-      threshold: Double = 0.5): DataFrame =
-    dedupClusters(df, id, text, threshold)
+      threshold: Double = 0.5, dfCap: Option[Long] = None): DataFrame =
+    dedupClusters(df, id, text, threshold, dfCap)
       .select(col("doc_id"), col("cluster_id"), col("n_members"),
         round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
       .orderBy("doc_id")
@@ -77,12 +88,13 @@ object TextOps {
   /** One keeper per dedup cluster: the member maximizing `quality`
     * (a Column over `df`'s row; ties to the lowest id — q43 semantics). */
   def keepBestPerCluster(df: DataFrame, id: String, text: String,
-      quality: Column, threshold: Double = 0.5): DataFrame = {
+      quality: Column, threshold: Double = 0.5,
+      dfCap: Option[Long] = None): DataFrame = {
     val q = df.select(col(id).cast("long").as("doc_id"), quality.as("quality"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("doc_id").asc)
-    dedupClusters(df, id, text, threshold).join(q, "doc_id")
+    dedupClusters(df, id, text, threshold, dfCap).join(q, "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("keeper_id"),

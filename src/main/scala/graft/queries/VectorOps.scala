@@ -354,6 +354,46 @@ object VectorOps {
     prototypicalityIndexed(index(df, id, vec, Seq(cell)), cell, pruneTenths)
 
   // =====================================================================
+  // Embedding dimension health report (q87 semantics)
+  // =====================================================================
+
+  /** Per-dimension statistics of an embedding corpus — the embedding
+    * HEALTH check run before trusting ANN/semantic-dedup over a new
+    * encoder dump: dead dimensions (var 0), scale outliers (a dimension
+    * whose variance dwarfs the rest distorts every cosine), and
+    * mean offsets (anisotropy — a large common-mean component makes all
+    * cosines ~1 and kills contrast).
+    *
+    * Output per 0-based dimension: (i, n, mean_micro, var_micro2, min_x,
+    * max_x) in the quantized micro units of [[index]] — means/variances
+    * from EXACT integer sums, divided and rounded exactly once.
+    *
+    * Scale: one posexplode (pure map, dims rows per vector) into one
+    * two-phase (i)-keyed aggregate — dims groups total, each collapsed
+    * map-side; output is dims rows regardless of corpus size. Integer
+    * exactness: Σx² ≤ n·2.5e11 — inside Long through n ≈ 3·10⁷ rows
+    * per dimension; larger corpora run the same plan on a hash-mod
+    * vector sample (the audit is statistical, not per-row). */
+  def dimensionStatsIndexed(idx: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val meanMicro = round(sum(col("x")).cast("double") / n.cast("double"))
+      .cast("long")
+    val varMicro2 = round(
+      (sum(col("x") * col("x")).cast("double") -
+        sum(col("x")).cast("double") * sum(col("x")).cast("double") /
+          n.cast("double")) / n.cast("double")).cast("long")
+    idx.select(posexplode(col("efp")).as(Seq("i", "x")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(n.as("n"), meanMicro.as("mean_micro"),
+        varMicro2.as("var_micro2"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .orderBy("i")
+  }
+
+  def dimensionStats(df: DataFrame, id: String, vec: String): DataFrame =
+    dimensionStatsIndexed(index(df, id, vec))
+
+  // =====================================================================
   // Blocked all-pairs near-dup ranking (q33 semantics)
   // =====================================================================
 

@@ -44,6 +44,34 @@ class CurationSpec extends SparkSpec {
       Curation.q85SourceDivergence(spark, sfDir).collect().toSeq.map(_.toString))
   }
 
+  test("q86 temperature weights: sqrt smoothing up-weights small sources, integer-exact") {
+    // sources with 1 and 4 tokens: p = 1/5, 4/5; sqrt(4·x) = 2·sqrt(x)
+    // exactly in IEEE, so the weights are exactly 1/3 and 2/3 (floored
+    // to micro units) — replicate the fixed-point formula in the JVM
+    val d = Seq((1L, "a", "s1"), (2L, "b b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.temperatureWeightsOf(d, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val fpA = Math.round(Math.sqrt(1.0 / 5.0) * 1e9)
+    val fpB = Math.round(Math.sqrt(4.0 / 5.0) * 1e9)
+    val tot = fpA + fpB
+    assert(out("s1").getAs[Long]("w_micro") == fpA * 1000000L / tot)
+    assert(out("s2").getAs[Long]("w_micro") == fpB * 1000000L / tot)
+    assert(out("s1").getAs[Long]("w_micro") == 333333L)
+    assert(out("s2").getAs[Long]("w_micro") == 666666L)
+    // plain-proportional would give quotas (0.4, 1.6) -> sqrt narrows
+    // the gap: quotas (2·1/3, 2·2/3) floored
+    assert(out("s1").getAs[Long]("doc_quota") == 0L)
+    assert(out("s2").getAs[Long]("doc_quota") == 1L)
+    // corpus binding == library form on renamed columns
+    val renamedDocs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").as("body"), col("source").as("src"))
+    assert(Curation.temperatureWeightsOf(renamedDocs, "src", "body")
+      .collect().toSeq.map(_.toString) ==
+      Curation.q86TemperatureWeights(spark, sfDir)
+        .collect().toSeq.map(_.toString))
+  }
+
   test("winnow: doc shorter than k tokens has zero grams and the empty digest") {
     val r = winnow(Seq((1L, "a b"), (2L, "")))
     assert(r.forall(_.getAs[Long]("n_grams") == 0L))

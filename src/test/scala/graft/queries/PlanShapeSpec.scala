@@ -375,6 +375,40 @@ class PlanShapeSpec extends SparkSpec {
       s"radius aggregate not map-side combined:\n${p.take(2000)}")
   }
 
+  test("q82 centroids broadcast into the scan; no corpus-side merge join") {
+    val df = Similarity.q82Prototypicality(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"), "centroid sums not map-side combined")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled into a merge join for the centroid lookup")
+  }
+
+  test("q84 first-occurrence window partitions within documents, not on a global key") {
+    val df = TextPipeline.q84IntraDocDedup(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val winLine = p.linesIterator
+      .find(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .getOrElse("")
+    assert(winLine.contains("doc_id"),
+      s"dedup window not doc-scoped:\n$winLine")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("q85 token tables aggregate partially map-side; totals ride broadcasts") {
+    val df = Curation.q85SourceDivergence(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"(source, token) counts not map-side combined:\n${p.take(2000)}")
+    assert(p.contains("Broadcast"),
+      "per-source totals / grand total not broadcast")
+    assert(!p.contains("Window "), "divergence computed via window (no partial agg)")
+  }
+
   test("q72 rare-token df stage is a partial aggregate, never a count-over-window") {
     val df = Curation.q72RareTokens(spark, sfDir)
     df.collect() // finalize the adaptive plan

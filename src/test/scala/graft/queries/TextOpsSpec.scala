@@ -33,6 +33,14 @@ class TextOpsSpec extends SparkSpec {
       rows(TextDedup.q40DedupClusters(spark, sfDir)))
   }
 
+  test("dedupClusters with dfCap above the corpus max df is identical to uncapped") {
+    // sf corpus max shingle df is 25, so cap=100 changes nothing — the
+    // capped candidate path must converge to the exact same clusters
+    assert(rows(TextOps.dedupClusters(renamed, "id", "body",
+      dfCap = Some(100L))) ==
+      rows(TextDedup.q40DedupClusters(spark, sfDir)))
+  }
+
   test("softDedupWeights == q83 on the documents table") {
     val got = TextOps.softDedupWeights(renamed, "id", "body")
     assert(rows(got) == rows(TextDedup.q83SoftDedupWeights(spark, sfDir)))

@@ -72,6 +72,25 @@ class VectorOpsSpec extends SparkSpec {
       }
   }
 
+  test("dimensionStats == q87 on renamed columns; exact moments on a fixture") {
+    val got = VectorOps.dimensionStats(renamed, "vid", "v")
+    assert(rows(got) == rows(Similarity.q87DimensionStats(spark, sfDir)))
+    // hand fixture: vectors (1,-1) and (3,-1) in micro units
+    val sp0 = spark
+    import sp0.implicits._
+    val t = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(3.0f, -1.0f)))
+      .toDF("id", "vec")
+    val out = VectorOps.dimensionStats(t, "id", "vec")
+      .collect().map(r => r.getAs[Long]("i") -> r).toMap
+    assert(out(0L).getAs[Long]("mean_micro") == 2000000L)
+    assert(out(0L).getAs[Long]("var_micro2") == 1000000000000L)
+    assert(out(0L).getAs[Long]("min_x") == 1000000L &&
+      out(0L).getAs[Long]("max_x") == 3000000L)
+    // dead dimension: zero variance, mean = the constant
+    assert(out(1L).getAs[Long]("var_micro2") == 0L)
+    assert(out(1L).getAs[Long]("mean_micro") == -1000000L)
+  }
+
   test("blockedPairs == q33 on renamed columns") {
     val got = VectorOps.blockedPairs(renamed, "vid", "v", "tag", 20)
       .withColumnRenamed("tag", "label")
