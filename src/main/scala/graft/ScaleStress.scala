@@ -67,7 +67,10 @@ object ScaleStress {
     // q82 scans the whole corpus once against broadcast per-cell
     // centroids (cells grow 10x in membership, not count) — the cost
     // should track corpus rows; the rank window partitions by cell
-    "q82_prototypicality")
+    "q82_prototypicality",
+    // q87 is one exploded two-phase aggregate to dims rows — output
+    // constant while the corpus grows
+    "q87_dimension_stats")
 
   /** Round-9 corpus-preparation operators over the replicated documents.
     * Salted replication grows the vocabulary ~R× (each replica's tokens
@@ -83,8 +86,10 @@ object ScaleStress {
     // q84's window partitions WITHIN documents (replica-invariant
     // partition sizes); q85's (source, token) table grows ~R x with the
     // salted vocabulary — the two-phase aggregate + token join at 10x
-    // on both axes, like q54
-    "q84_intradoc_dedup", "q85_source_divergence")
+    // on both axes, like q54; q86 collapses to |sources| rows in one
+    // aggregate — the cost IS the corpus scan
+    "q84_intradoc_dedup", "q85_source_divergence",
+    "q86_temperature_weights")
 
   /** Semantic dedup at the SCALE parameterization, not q60's oracle
     * binding: 16-plane/4-bit bands have only 16 values per band, so at

@@ -270,6 +270,20 @@ object TextOps {
     TextDedup.weightedMixOf(
       df.select(col(id).cast("long").as("doc_id"), col(strata)), strata, quota)
 
+  /** Intra-document repeated-block removal over any (id, text) frame
+    * (q84 semantics): consecutive `chunkLen`-token blocks, later
+    * duplicates of an earlier block dropped, text rebuilt verbatim from
+    * the survivors. A pure zero-shuffle projection — stateless, so the
+    * SAME call serves batch and Structured Streaming frames
+    * (`ordered = false` skips the presentation sort, required on
+    * streams). */
+  def intraDocDedup(df: DataFrame, id: String, text: String,
+      chunkLen: Int = TextPipeline.IntraChunkLen,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.intraDocDedupOf(norm(df, id, text), chunkLen)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Corpus vocabulary top-k over any (id, text) frame: the k most
     * frequent tokens with term and document frequency, ties broken by
     * token (q52 semantics). Two-phase aggregate + TakeOrdered top-k. */

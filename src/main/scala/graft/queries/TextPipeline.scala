@@ -713,36 +713,37 @@ object TextPipeline {
     * rebuilt text so the oracle row stays narrow; the rebuild itself is
     * the `concat_ws` argument and a caller keeps it by dropping the md5.
     *
-    * Scale: blocks explode as an arithmetic sequence (pure map, ~n/len
-    * rows per doc); first-occurrence detection is a window over (doc_id,
-    * chunk_hash) — partitions are WITHIN-document (bounded by doc
-    * length), so no corpus-wide hot key can concentrate rows the way a
-    * global span hash could (contrast q58's documented watch-item); the
-    * rebuild is a per-doc sort of surviving blocks inside a two-phase
-    * groupBy(doc_id). Text rides the wire once, as blocks. */
+    * Scale: the ENTIRE operator is a pure projection — `array_distinct`
+    * preserves first-occurrence order, which IS the keep rule, so
+    * chunking, dedup, and rebuild all run as array higher-order
+    * functions inside one select: ZERO shuffles, no explode, no window,
+    * no aggregate — chunk text never touches the wire (the q65 shape;
+    * contrast q58's global span_hash window, whose corpus-wide hot-key
+    * exposure cannot arise here because nothing leaves the row). Being
+    * stateless, the same call serves batch and Structured Streaming
+    * frames unchanged. Every intermediate array is LET-BOUND as a
+    * lambda variable (the q73 guard: a collapsed-projection column
+    * reference would re-evaluate the chunk build per reference inside
+    * interpreted HOFs). */
   private[queries] def intraDocDedupOf(d: DataFrame,
       chunkLen: Int): DataFrame = {
-    val w = col("w")
-    val ch = d.select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), w,
-        explode(sequence(lit(1), greatest(size(w), lit(1)), lit(chunkLen)))
-          .as("start"))
-      .select(col("doc_id"), col("start"),
-        concat_ws(" ", slice(w, col("start"), lit(chunkLen))).as("ctxt"),
-        size(slice(w, col("start"), lit(chunkLen))).cast("long").as("ctoks"))
-    val first = Window.partitionBy(col("doc_id"), md5(col("ctxt")))
-      .orderBy("start")
-    ch.withColumn("rn", row_number().over(first))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
-        sum(when(col("rn") === 1, col("ctoks")).otherwise(0L))
-          .as("n_clean_tokens"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(
-            when(col("rn") === 1, struct(col("start"), col("ctxt"))))),
-          e => e.getField("ctxt")))).as("clean_hash"))
+    val chunks = transform(array(toks), wv =>
+      transform(
+        sequence(lit(1), greatest(size(wv), lit(1)), lit(chunkLen)),
+        st => concat_ws(" ", slice(wv, st, lit(chunkLen))))).getItem(0)
+    val stats = transform(array(chunks), ch =>
+      transform(array(array_distinct(ch)), kept =>
+        struct(
+          size(ch).cast("long").as("n_chunks"),
+          (size(ch) - size(kept)).cast("long").as("n_dup_chunks"),
+          aggregate(kept, lit(0L),
+            (a, c) => a + size(split(c, " ")).cast("long"))
+            .as("n_clean_tokens"),
+          md5(concat_ws(" ", kept)).as("clean_hash")))
+        .getItem(0)).getItem(0)
+    d.select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id"), col("s.n_chunks"), col("s.n_dup_chunks"),
+        col("s.n_clean_tokens"), col("s.clean_hash"))
   }
 
   def q84IntraDocDedup(s: SparkSession, dir: String): DataFrame =

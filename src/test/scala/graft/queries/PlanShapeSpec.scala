@@ -386,16 +386,14 @@ class PlanShapeSpec extends SparkSpec {
       "corpus shuffled into a merge join for the centroid lookup")
   }
 
-  test("q84 first-occurrence window partitions within documents, not on a global key") {
+  test("q84 intra-doc dedup is a pure projection: no shuffle, no window, no join") {
     val df = TextPipeline.q84IntraDocDedup(spark, sfDir)
-    df.collect()
+    assert(hashShufflesOf(df).isEmpty,
+      "intra-doc dedup hash-shuffled; the HOF form must ride the scan")
     val p = plan(df)
-    val winLine = p.linesIterator
-      .find(l => l.contains("row_number") && l.contains("windowspecdefinition"))
-      .getOrElse("")
-    assert(winLine.contains("doc_id"),
-      s"dedup window not doc-scoped:\n$winLine")
-    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+    assert(!p.contains("Window "), "intra-doc dedup grew a window")
+    assert(!p.contains("Join"), "intra-doc dedup grew a join")
+    assert(!p.contains("Generate"), "intra-doc dedup exploded chunk rows")
   }
 
   test("q85 token tables aggregate partially map-side; totals ride broadcasts") {

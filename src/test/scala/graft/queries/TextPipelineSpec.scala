@@ -239,7 +239,12 @@ class TextPipelineSpec extends SparkSpec {
     val stream = input.toDF().toDF("doc_id", "text")
     val chunked = TextOps.chunkDocuments(stream, "doc_id", "text", ordered = false)
     val filtered = TextOps.qualityFilter(stream, "doc_id", "text", ordered = false)
-    assert(chunked.isStreaming && filtered.isStreaming)
+    val scrubbed = TextOps.intraDocDedup(stream, "doc_id", "text", ordered = false)
+    assert(chunked.isStreaming && filtered.isStreaming && scrubbed.isStreaming)
+    val ckpt0 = java.nio.file.Files.createTempDirectory("ckpt-scrub").toString
+    val q0 = scrubbed.writeStream.outputMode("append").format("memory")
+      .queryName("scrub_out").option("checkpointLocation", ckpt0).start()
+    q0.processAllAvailable(); q0.stop()
     val ckpt1 = java.nio.file.Files.createTempDirectory("ckpt-chunk").toString
     val q1 = chunked.writeStream.outputMode("append").format("memory")
       .queryName("chunk_out").option("checkpointLocation", ckpt1).start()
@@ -248,6 +253,9 @@ class TextPipelineSpec extends SparkSpec {
     sameRows(
       spark.table("chunk_out").orderBy("doc_id", "chunk_idx"),
       TextOps.chunkDocuments(batchDf, "doc_id", "text"))
+    sameRows(
+      spark.table("scrub_out").orderBy("doc_id"),
+      TextOps.intraDocDedup(batchDf, "doc_id", "text"))
   }
 
   test("q84 intra-doc dedup drops exactly the repeated blocks and rebuilds verbatim") {
