@@ -603,6 +603,68 @@ object Curation {
   }
 
   // =====================================================================
+  // Token-distribution drift monitor — the FIT/APPLY split of q85
+  // =====================================================================
+
+  /** FIT half of the drift monitor: the reference unigram distribution
+    * as a (token, g_t) count table — fitted on the corpus at rest,
+    * persistable as parquet (round-trip bit-identity spec'd), the
+    * artifact an ingest pipeline ships to serving. One two-phase
+    * aggregate; |vocab| rows. */
+  def fitTokenDistribution(d: DataFrame, text: String): DataFrame =
+    d.select(explode(split(col(text), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("g_t"))
+
+  /** APPLY half: per-stratum chi-square drift of a BATCH against the
+    * fitted reference distribution — the ingest-time alarm that a
+    * source started shipping a different register (spam burst, encoding
+    * break, language flip) than the corpus the pipeline was tuned on.
+    * Same exact-over-all-vocab-cells identity as q85 (Σ_vocab e = t_s,
+    * so observed cells + a closed-form remainder suffice), with the
+    * reference frozen instead of derived from the batch. Batch tokens
+    * OUTSIDE the fitted vocabulary have expected count 0 (infinite
+    * chi-square strictly), so they are excluded from the statistic and
+    * reported separately as (n_unseen_tokens, unseen_mass) — at scale
+    * the unseen report usually fires before the chi-square does.
+    *
+    * Output: (source, n_tokens, n_unseen_tokens, unseen_mass,
+    * chi2_micro). Self-drift identity (spec'd): applying a corpus to
+    * its own fit reproduces q85's chi2_micro exactly with zero unseen.
+    *
+    * Scale: batch-proportional — (source, token) counts are a
+    * two-phase aggregate over the BATCH; the fitted table joins on the
+    * token key (AQE broadcasts while it fits) and the corpus never
+    * re-enters; per-source totals and the reference total ride
+    * broadcasts. The per-epoch serving shape: fit once, apply per
+    * ingest batch (the q68/vocab/LM fit-apply house pattern). */
+  def tokenDriftOf(batch: DataFrame, fitted: DataFrame, strata: String,
+      text: String): DataFrame = {
+    val st = batch.select(col(strata).as("source"),
+      explode(split(col(text), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("o"))
+    val srcTot = st.groupBy("source").agg(sum(col("o")).as("t_s"))
+    val tot = fitted.agg(sum(col("g_t")).as("g"))
+    val e = col("t_s").cast("double") * col("g_t").cast("double") /
+      col("g").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) /
+      e - e
+    st.join(fitted, Seq("token"), "left")
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        min(col("t_s")).as("n_tokens"),
+        sum(when(col("g_t").isNull, 1L).otherwise(0L))
+          .as("n_unseen_tokens"),
+        sum(when(col("g_t").isNull, col("o")).otherwise(0L))
+          .as("unseen_mass"),
+        (sum(when(col("g_t").isNotNull,
+          round(term * lit(1000000.0)).cast("long")).otherwise(0L)) +
+          min(col("t_s")) * lit(1000000L)).as("chi2_micro"))
+      .orderBy("source")
+  }
+
+  // =====================================================================
   // q86: temperature-sampling weights (sqrt-smoothed source mixture)
   // =====================================================================
 

@@ -44,6 +44,39 @@ class CurationSpec extends SparkSpec {
       Curation.q85SourceDivergence(spark, sfDir).collect().toSeq.map(_.toString))
   }
 
+  test("token drift: self-drift == q85, fit round-trips, unseen reported exactly") {
+    val docsDf = Tables.load(spark, sfDir, "documents")
+    val fitted = Curation.fitTokenDistribution(docsDf, "text")
+    val self = Curation.tokenDriftOf(docsDf, fitted, "source", "text")
+    // applying a corpus against its own fit IS q85's statistic
+    assert(self.select("source", "n_tokens", "chi2_micro").collect()
+      .map(_.toString).toSeq ==
+      Curation.q85SourceDivergence(spark, sfDir)
+        .select("source", "n_tokens", "chi2_micro").collect()
+        .map(_.toString).toSeq)
+    val z = self.agg(sum("n_unseen_tokens"), sum("unseen_mass")).head()
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L)
+    // the fitted table is a serving artifact: parquet round-trip is
+    // bit-identical through the apply half
+    val dir = java.nio.file.Files.createTempDirectory("fit-dist").toString
+    fitted.write.mode("overwrite").parquet(dir)
+    assert(Curation.tokenDriftOf(docsDf, spark.read.parquet(dir),
+      "source", "text").collect().map(_.toString).toSeq ==
+      self.collect().map(_.toString).toSeq)
+    // unseen tokens: excluded from the statistic, reported as mass
+    // fit "a a b": g=3; batch "a zzz zzz": t_s=3, e_a=2,
+    // term_a=(1-2)^2/2-2=-1.5 -> chi2 = -1.5e6 + 3e6
+    val ref = Curation.fitTokenDistribution(
+      Seq((1L, "a a b")).toDF("doc_id", "text"), "text")
+    val out = Curation.tokenDriftOf(
+      Seq((1L, "a zzz zzz", "s1")).toDF("doc_id", "text", "source"),
+      ref, "source", "text").head()
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Long]("n_unseen_tokens") == 1L)
+    assert(out.getAs[Long]("unseen_mass") == 2L)
+    assert(out.getAs[Long]("chi2_micro") == 1500000L)
+  }
+
   test("q86 temperature weights: sqrt smoothing up-weights small sources, integer-exact") {
     // sources with 1 and 4 tokens: p = 1/5, 4/5; sqrt(4·x) = 2·sqrt(x)
     // exactly in IEEE, so the weights are exactly 1/3 and 2/3 (floored
