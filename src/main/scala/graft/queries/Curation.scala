@@ -664,6 +664,69 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Cap a fitted vocabulary ([[fitTokenDistribution]]) to its top-`k`
+    * tokens by reference count, ties broken by token — the form a
+    * serving artifact actually ships in: an unbounded vocabulary cannot
+    * ride a broadcast, and tail tokens carry no usable expected counts
+    * anyway. Probes of capped-out tokens surface in [[tokenDriftOf]]'s
+    * unseen-mass report instead of silently destabilizing the
+    * statistic. TakeOrdered top-k — never a global sort. */
+  def capVocabulary(fitted: DataFrame, k: Int): DataFrame =
+    fitted.orderBy(col("g_t").desc, col("token").asc).limit(k)
+
+  /** Fitted-vocabulary cap of the oracle-checked q89 binding — below
+    * the corpus's 31-token synthetic vocabulary, so the probe half
+    * genuinely carries out-of-vocabulary mass. */
+  val DriftVocabCap = 25
+
+  /** Oracle-checked binding of the fit/apply drift monitor: fit the
+    * reference distribution on the even-doc_id half of the corpus, cap
+    * it to the top [[DriftVocabCap]] tokens, probe the odd half per
+    * source. The cap pushes real out-of-vocabulary mass through the
+    * probe, so both drift paths — the in-vocabulary chi-square and the
+    * unseen-token report — are exercised and hash-pinned cross-engine
+    * (the self-drift spec pins the q85 identity; this pins the
+    * frozen-reference general case). */
+  def q89TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    tokenDriftOf(d.filter(col("doc_id") % 2 === 1),
+      capVocabulary(
+        fitTokenDistribution(d.filter(col("doc_id") % 2 === 0), "text"),
+        DriftVocabCap),
+      "source", "text")
+  }
+
+  val oracleQ89: String = {
+    val e = "CAST(t_s AS DOUBLE)*CAST(g_t AS DOUBLE)/CAST(g AS DOUBLE)"
+    s"""WITH fit AS (
+       |  SELECT token, g_t FROM (
+       |    SELECT token, CAST(count(*) AS BIGINT) AS g_t FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS token
+       |      FROM documents WHERE doc_id % 2 = 0) GROUP BY token
+       |    ORDER BY g_t DESC, token ASC LIMIT $DriftVocabCap)),
+       |st AS (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS o FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS token
+       |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+       |src AS (SELECT source, CAST(sum(o) AS BIGINT) AS t_s
+       |        FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(sum(g_t) AS BIGINT) AS g FROM fit),
+       |terms AS (
+       |  SELECT st.source, o, g_t, t_s,
+       |    CASE WHEN g_t IS NOT NULL THEN
+       |      CAST(round(((CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e)
+       |        / ($e) - $e) * 1000000.0) AS BIGINT) ELSE 0 END AS term_fp
+       |  FROM st LEFT JOIN fit USING (token)
+       |       JOIN src USING (source) CROSS JOIN tot)
+       |SELECT source, min(t_s) AS n_tokens,
+       |  CAST(sum(CASE WHEN g_t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unseen_tokens,
+       |  CAST(sum(CASE WHEN g_t IS NULL THEN o ELSE 0 END) AS BIGINT)
+       |    AS unseen_mass,
+       |  CAST(sum(term_fp) + min(t_s)*1000000 AS BIGINT) AS chi2_micro
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // =====================================================================
   // q86: temperature-sampling weights (sqrt-smoothed source mixture)
   // =====================================================================
@@ -745,6 +808,7 @@ object Curation {
     "q73_winnow_match" -> q73WinnowMatch _,
     "q85_source_divergence" -> q85SourceDivergence _,
     "q86_temperature_weights" -> q86TemperatureWeights _,
+    "q89_token_drift" -> q89TokenDrift _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -757,5 +821,6 @@ object Curation {
     "q73_winnow_match" -> oracleQ73,
     "q85_source_divergence" -> oracleQ85,
     "q86_temperature_weights" -> oracleQ86,
+    "q89_token_drift" -> oracleQ89,
   )
 }

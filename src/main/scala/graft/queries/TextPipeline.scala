@@ -776,6 +776,101 @@ object TextPipeline {
        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q88: global token-stream layout (concatenate-and-chunk planner)
+  // =====================================================================
+
+  /** Training-block length (tokens) of the oracle-checked binding. */
+  val StreamCtxLen = 128L
+
+  /** doc_ids per prefix-sum bucket in the oracle binding — deliberately
+    * small so the sf0.01 corpus (500 docs) spans ~8 buckets and the
+    * two-level shape is genuinely exercised; production uses ~10⁶ (see
+    * the scale note — the choice changes the PLAN's balance only, never
+    * the output, which the bucket-invariance spec pins). */
+  val StreamBucketSpan = 64L
+
+  /** GLOBAL concatenate-and-chunk layout — the GPT-style pretraining
+    * batch plan: all documents are laid out in doc_id order as one token
+    * stream (each doc followed by one separator token), the stream is
+    * cut into fixed `ctxLen`-token training blocks, and each document
+    * learns WHERE it landed: its global token offset, its first block,
+    * how many blocks it spans, and whether it crosses a block boundary
+    * (the attention-masking / doc-boundary-loss bookkeeping a packing
+    * job must emit). Complements q55, which packs into per-stratum bins
+    * with no global coordinates.
+    *
+    * Output: (doc_id, n_tokens, start_off, first_block, n_blocks,
+    * crosses_boundary) — `start_off` counts body+separator tokens of all
+    * earlier docs; block spans cover the doc BODY (the separator rides
+    * the stream but never flags a crossing by itself). All columns are
+    * exact BIGINTs (block ids via integer `div`, never a float `floor` —
+    * offsets exceed 2^53 at a 10¹³-token corpus, where a double quotient
+    * would round before the floor).
+    *
+    * Scale — the distributed two-level prefix sum: a global running sum
+    * over 10¹⁰ docs CANNOT be one `Window.orderBy(doc_id)` (a single
+    * task would stream the whole corpus). Instead (1) docs bucket by
+    * `doc_id div bucketSpan` into a two-phase per-bucket token-count
+    * aggregate; (2) the ONLY unbounded-partition window runs over that
+    * |corpus|/bucketSpan-row bucket frame (10⁴ rows at 10¹⁰ docs with
+    * span 10⁶ — sub-second on one task) producing each bucket's base
+    * offset; (3) base offsets broadcast-join back and a window
+    * PARTITIONED BY bucket (≤ bucketSpan rows per partition, by
+    * construction — no data-dependent skew) finishes the within-bucket
+    * running sum. One corpus shuffle of (doc_id, n_tokens) integer
+    * pairs; text never moves. */
+  private[queries] def streamLayoutOf(d: DataFrame, ctxLen: Long,
+      bucketSpan: Long): DataFrame = {
+    val m = d.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"))
+      .withColumn("bkt", expr(s"doc_id div $bucketSpan"))
+    val perBucket = m.groupBy("bkt")
+      .agg(sum(col("n_tokens") + lit(1L)).as("bn"))
+    val wBucket = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = perBucket
+      .withColumn("base", sum(col("bn")).over(wBucket) - col("bn"))
+      .select(col("bkt"), col("base"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.join(broadcast(base), Seq("bkt"))
+      .withColumn("start_off",
+        col("base") + sum(col("n_tokens") + lit(1L)).over(wIn)
+          - (col("n_tokens") + lit(1L)))
+      .withColumn("first_block", expr(s"start_off div $ctxLen"))
+      .withColumn("last_block",
+        expr(s"(start_off + n_tokens - 1) div $ctxLen"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("first_block"),
+        (col("last_block") - col("first_block") + lit(1L)).as("n_blocks"),
+        when(col("last_block") > col("first_block"), 1L).otherwise(0L)
+          .as("crosses_boundary"))
+  }
+
+  def q88StreamLayout(s: SparkSession, dir: String): DataFrame =
+    streamLayoutOf(docs(s, dir), StreamCtxLen, StreamBucketSpan)
+      .orderBy("doc_id")
+
+  val oracleQ88: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens + 1) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - (n_tokens + 1) AS start_off
+       |  FROM m)
+       |SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       |  CAST(start_off // $StreamCtxLen AS BIGINT) AS first_block,
+       |  CAST((start_off + n_tokens - 1) // $StreamCtxLen
+       |    - start_off // $StreamCtxLen + 1 AS BIGINT) AS n_blocks,
+       |  CAST(CASE WHEN (start_off + n_tokens - 1) // $StreamCtxLen
+       |    > start_off // $StreamCtxLen THEN 1 ELSE 0 END AS BIGINT)
+       |    AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -787,6 +882,7 @@ object TextPipeline {
     "q62_vocab_prune" -> q62VocabPrune _,
     "q64_rolling_stats" -> q64RollingStats _,
     "q84_intradoc_dedup" -> q84IntraDocDedup _,
+    "q88_stream_layout" -> q88StreamLayout _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -800,5 +896,6 @@ object TextPipeline {
     "q62_vocab_prune" -> oracleQ62,
     "q64_rolling_stats" -> oracleQ64,
     "q84_intradoc_dedup" -> oracleQ84,
+    "q88_stream_layout" -> oracleQ88,
   )
 }

@@ -77,6 +77,25 @@ class CurationSpec extends SparkSpec {
     assert(out.getAs[Long]("chi2_micro") == 1500000L)
   }
 
+  test("q89 capped-vocab probe: unseen mass is real and matches an independent recount") {
+    val r = Curation.q89TokenDrift(spark, sfDir)
+    val t = r.agg(sum("n_unseen_tokens").as("u"), sum("unseen_mass").as("m")).head()
+    assert(t.getLong(0) > 0L, "the capped binding produced no unseen tokens")
+    assert(t.getLong(1) >= t.getLong(0))
+    // independent recount of the unseen mass via an anti-join
+    val d = Tables.load(spark, sfDir, "documents")
+    val vocab = Curation.capVocabulary(
+      Curation.fitTokenDistribution(d.filter(col("doc_id") % 2 === 0), "text"),
+      Curation.DriftVocabCap).select("token")
+    val recount = d.filter(col("doc_id") % 2 === 1)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .join(vocab, Seq("token"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("m2"))
+    assert(r.join(recount, Seq("source"), "left")
+      .filter(col("unseen_mass") =!= coalesce(col("m2"), lit(0L)))
+      .count() == 0L)
+  }
+
   test("q86 temperature weights: sqrt smoothing up-weights small sources, integer-exact") {
     // sources with 1 and 4 tokens: p = 1/5, 4/5; sqrt(4·x) = 2·sqrt(x)
     // exactly in IEEE, so the weights are exactly 1/3 and 2/3 (floored

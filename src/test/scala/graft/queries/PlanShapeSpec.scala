@@ -59,6 +59,24 @@ class PlanShapeSpec extends SparkSpec {
       s"hamming predicate not in the join condition:\n${p.take(2000)}")
   }
 
+  test("q88 prefix sum is two-level: corpus window bucket-partitioned, base broadcast") {
+    val df = TextPipeline.q88StreamLayout(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // the per-bucket base offsets (|corpus|/span rows) ride a broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket base offsets not broadcast:\n${p.take(2000)}")
+    // corpus rows only ever see a window PARTITIONED BY bkt (≤ span rows
+    // per partition); the sole unbounded-partition window runs over the
+    // bucket aggregate, never over doc-level rows
+    assert("windowspecdefinition\\(bkt#\\d+L, doc_id#\\d+L ASC".r
+      .findFirstIn(p).isDefined,
+      s"within-bucket window not partitioned by bkt:\n${p.take(2000)}")
+    // the bucket aggregate collapses map-side before the tiny window
+    assert(p.contains("partial_sum"),
+      s"per-bucket token counts not map-side partial:\n${p.take(2000)}")
+  }
+
   test("q41 document frequency is two-phase partial-aggregated, never a window") {
     val df = TextDedup.q41JaccardCapped(spark, sfDir)
     df.collect() // materialize the cached df derivation + finalize AQE

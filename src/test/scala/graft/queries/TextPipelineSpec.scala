@@ -296,6 +296,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(j.exists(_.getAs[Long]("n_dup_chunks") > 0L))
   }
 
+  test("q88 layout: offsets contiguous from 0, block math exact, bucket-span invariant") {
+    val rows = TextPipeline.q88StreamLayout(spark, sfDir).collect()
+    assert(rows.head.getAs[Long]("start_off") == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("start_off") ==
+          a.getAs[Long]("start_off") + a.getAs[Long]("n_tokens") + 1L,
+          s"stream gap after doc ${a.getAs[Long]("doc_id")}")
+      case _ => ()
+    }
+    val L = TextPipeline.StreamCtxLen
+    rows.foreach { r =>
+      val s0 = r.getAs[Long]("start_off"); val n = r.getAs[Long]("n_tokens")
+      val fb = s0 / L; val lb = (s0 + n - 1) / L
+      assert(r.getAs[Long]("first_block") == fb)
+      assert(r.getAs[Long]("n_blocks") == lb - fb + 1)
+      assert(r.getAs[Long]("crosses_boundary") == (if (lb > fb) 1L else 0L))
+    }
+    // the corpus genuinely exercises boundary crossings
+    assert(rows.exists(_.getAs[Long]("crosses_boundary") == 1L))
+    // the bucket span shapes the PLAN, never the answer
+    val base = rows.map(_.toString).toSeq
+    for (span <- Seq(7L, 1000000L))
+      assert(TextPipeline.streamLayoutOf(docs, L, span)
+        .orderBy("doc_id").collect().map(_.toString).toSeq == base,
+        s"layout changed under bucketSpan=$span")
+  }
+
   test("TextOps wrappers are bit-exact twins of the oracle-checked queries") {
     sameRows(TextOps.chunkDocuments(renamed, "my_id", "body"),
       TextPipeline.q53DocChunks(spark, sfDir))
