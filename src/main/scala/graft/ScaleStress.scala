@@ -89,7 +89,14 @@ object ScaleStress {
     // on both axes, like q54; q86 collapses to |sources| rows in one
     // aggregate — the cost IS the corpus scan
     "q84_intradoc_dedup", "q85_source_divergence",
-    "q86_temperature_weights")
+    "q86_temperature_weights",
+    // q88's two-level prefix sum: replication grows the BUCKET frame 10×
+    // (replica ids spread over k·1e6 offsets) while within-bucket window
+    // partitions stay ≤ span rows — cost should track corpus rows; q89's
+    // probe side and fitted vocabulary both grow ~R× (salted tokens), so
+    // the capped top-25 reference pushes ~all salted mass through the
+    // unseen path — the aggregate + anti-ish left-join at 10× volume
+    "q88_stream_layout", "q89_token_drift")
 
   /** Semantic dedup at the SCALE parameterization, not q60's oracle
     * binding: 16-plane/4-bit bands have only 16 values per band, so at
