@@ -387,6 +387,17 @@ object TextOps {
     * `ROWS BETWEEN` frame family as a library form. `metric` is any
     * integer Column over `df`'s row (a length, a token count, a quality
     * flag sum); one stratum-key shuffle feeds all four frames. */
+  /** Global concatenate-and-chunk layout (q88 semantics): per-document
+    * global token offset, first training block, block span, and
+    * boundary-crossing flag over the id-ordered token stream. The
+    * default `bucketSpan` is the production setting (10⁶ ids per
+    * prefix-sum bucket); the span shapes the plan only — output is
+    * span-invariant (spec'd). */
+  def streamLayout(df: DataFrame, id: String, text: String,
+      ctxLen: Long = TextPipeline.StreamCtxLen,
+      bucketSpan: Long = 1000000L): DataFrame =
+    TextPipeline.streamLayoutOf(norm(df, id, text), ctxLen, bucketSpan)
+
   def rollingStats(df: DataFrame, id: String, strata: String, metric: Column,
       trail: Int = TextPipeline.RollTrail, half: Int = 2,
       ordered: Boolean = true): DataFrame = {

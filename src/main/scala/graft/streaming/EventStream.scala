@@ -349,6 +349,42 @@ object EventStream {
     q
   }
 
+  /** Streaming DRIFT MONITOR: each micro-batch's per-stratum token
+    * distribution is chi-squared against a FROZEN fitted reference
+    * ([[graft.queries.Curation.fitTokenDistribution]], normally capped
+    * via [[graft.queries.Curation.capVocabulary]] and parquet-persisted
+    * — the serving artifact) — the ingest-time alarm that a source
+    * started shipping a different register (spam burst, encoding break,
+    * language flip) than the corpus the pipeline was tuned on. The
+    * q89/[[graft.queries.Curation.tokenDriftOf]] math verbatim, so a
+    * single-epoch run over the q89 probe slice reproduces the oracle
+    * rows bit-for-bit (pinned by `IngestPrepSpec`).
+    *
+    * Per-epoch cost is batch-proportional (the tokenDriftOf contract:
+    * the reference joins on the token key and broadcasts while capped;
+    * the fitted corpus never re-enters). The fitted frame is cached
+    * ONCE across epochs — the only standing state; each epoch's batch
+    * derivations are plain uncached plans, so a long-lived stream
+    * accumulates nothing. `sink` receives the (source, n_tokens,
+    * n_unseen_tokens, unseen_mass, chi2_micro) report per epoch. */
+  def runTokenDrift(docStream: DataFrame, fitted: DataFrame,
+      strata: String, text: String, checkpoint: String)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val ref = fitted.cache()
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(graft.queries.Curation.tokenDriftOf(batch, ref, strata, text),
+          epochId)
+      }
+      .start()
+    q.awaitTermination()
+    ref.unpersist()
+    q
+  }
+
   /** Streaming VECTOR ingest — the embedding twin of [[runIngestPrep]]:
     * each micro-batch of (id, vec) rows probes the corpus's cached
     * vector index for embedding near-duplicates

@@ -333,5 +333,7 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.q55SeqPacking(spark, sfDir))
     sameRows(TextOps.lmFluency(renamed, "my_id", "body"),
       TextPipeline.q56BigramLm(spark, sfDir))
+    sameRows(TextOps.streamLayout(renamed, "my_id", "body"),
+      TextPipeline.q88StreamLayout(spark, sfDir))
   }
 }

@@ -167,4 +167,53 @@ class IngestPrepSpec extends SparkSpec {
     assert(want.nonEmpty && want.size < batchRows.length,
       s"degenerate gate: ${want.size} of ${batchRows.length} kept")
   }
+
+  test("streaming drift monitor: single-epoch == q89 bit-exact; counts conserve across epochs") {
+    val d = graft.queries.Tables.load(spark, sfDir, "documents")
+    val fitted = graft.queries.Curation.capVocabulary(
+      graft.queries.Curation.fitTokenDistribution(
+        d.filter(col("doc_id") % 2 === 0), "text"),
+      graft.queries.Curation.DriftVocabCap)
+    val inDir = Files.createTempDirectory("drift_docs").toString
+    d.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+      .repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    val want = graft.queries.Curation.q89TokenDrift(spark, sfDir)
+      .collect().toSeq
+
+    // single epoch: the streaming report IS the oracle-checked q89
+    val one = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    EventStream.runTokenDrift(
+      spark.readStream.schema(schema).parquet(inDir), fitted,
+      "source", "text", Files.createTempDirectory("ckpt-drift1").toString) {
+      (report, _) => one ++= report.collect()
+    }
+    assert(one.map(_.toString).toSeq == want.map(_.toString),
+      "single-epoch streaming drift diverged from q89")
+
+    // multi-epoch: chi2 is per-batch by design, but the COUNT columns
+    // are additive — per-source token and unseen mass must conserve
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Seq[org.apache.spark.sql.Row]]
+    EventStream.runTokenDrift(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir), fitted,
+      "source", "text", Files.createTempDirectory("ckpt-drift2").toString) {
+      (report, _) => epochs += report.collect().toSeq
+    }
+    assert(epochs.size >= 2, "expected multiple micro-batches")
+    val summed = epochs.flatten.groupBy(_.getString(0)).view.mapValues(rs =>
+      (rs.map(_.getAs[Long]("n_tokens")).sum,
+        rs.map(_.getAs[Long]("unseen_mass")).sum)).toMap
+    want.foreach { r =>
+      val (nt, um) = summed(r.getString(0))
+      assert(nt == r.getAs[Long]("n_tokens"), s"token mass lost for ${r.getString(0)}")
+      assert(um == r.getAs[Long]("unseen_mass"), s"unseen mass lost for ${r.getString(0)}")
+    }
+  }
 }
