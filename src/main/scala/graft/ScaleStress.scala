@@ -96,7 +96,11 @@ object ScaleStress {
     // probe side and fitted vocabulary both grow ~R× (salted tokens), so
     // the capped top-25 reference pushes ~all salted mass through the
     // unseen path — the aggregate + anti-ish left-join at 10× volume
-    "q88_stream_layout", "q89_token_drift")
+    "q88_stream_layout", "q89_token_drift",
+    // q90 rides q88's layout + one (block_id)-keyed two-phase aggregate;
+    // fan-out is |docs| + tokens/L rows — output grows ~10× with the
+    // corpus but each row is 6 integers
+    "q90_block_manifest")
 
   /** Semantic dedup at the SCALE parameterization, not q60's oracle
     * binding: 16-plane/4-bit bands have only 16 values per band, so at

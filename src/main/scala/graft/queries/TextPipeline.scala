@@ -871,6 +871,79 @@ object TextPipeline {
        |FROM c ORDER BY doc_id""".stripMargin
 
   // =====================================================================
+  // q90: per-block manifest (the loader's inverse view of q88)
+  // =====================================================================
+
+  /** INVERSE view of the q88 layout: one row per TRAINING BLOCK, listing
+    * what feeds it — the manifest a packed-dataset loader and
+    * attention-mask builder consume (which documents contribute to
+    * block b, whether the block is pure single-document, and how many
+    * of its `ctxLen` slots carry document body vs separators).
+    *
+    * Output: (block_id, n_docs, min_doc, max_doc, util_tokens, pure) —
+    * `util_tokens` is the exact count of body-token slots in the block
+    * (the interval overlap of each contributing doc's [start, end] with
+    * the block's [b·L, (b+1)·L−1], summed); the remainder is separator
+    * slots (and, in the final block, padding). `pure` flags
+    * single-document blocks (no cross-doc attention masking needed).
+    *
+    * Scale: the layout ([[streamLayoutOf]]) dominates; on top of it the
+    * manifest is an explode bounded by Σ n_blocks = |docs| + tokens/L
+    * (each boundary crossing adds exactly one extra row) into ONE
+    * two-phase (block_id)-keyed aggregate — no window, no join, integer
+    * interval arithmetic only. */
+  private[queries] def blockManifestOf(d: DataFrame, ctxLen: Long,
+      bucketSpan: Long): DataFrame =
+    streamLayoutOf(d, ctxLen, bucketSpan)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        explode(sequence(col("first_block"),
+          col("first_block") + col("n_blocks") - 1)).as("block_id"))
+      .groupBy("block_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(
+          least(col("start_off") + col("n_tokens") - 1,
+            (col("block_id") + 1) * lit(ctxLen) - 1)
+            - greatest(col("start_off"), col("block_id") * lit(ctxLen))
+            + 1).as("util_tokens"))
+      .select(col("block_id"), col("n_docs"), col("min_doc"),
+        col("max_doc"), col("util_tokens"),
+        when(col("n_docs") === 1, 1L).otherwise(0L).as("pure"))
+
+  def q90BlockManifest(s: SparkSession, dir: String): DataFrame =
+    blockManifestOf(docs(s, dir), StreamCtxLen, StreamBucketSpan)
+      .orderBy("block_id")
+
+  val oracleQ90: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens + 1) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - (n_tokens + 1) AS start_off
+       |  FROM m),
+       |d AS (
+       |  SELECT doc_id, n_tokens, start_off,
+       |    CAST(start_off // $StreamCtxLen AS BIGINT) AS fb,
+       |    CAST((start_off + n_tokens - 1) // $StreamCtxLen AS BIGINT) AS lb
+       |  FROM c),
+       |e AS (
+       |  SELECT doc_id, n_tokens, start_off,
+       |    unnest(range(fb, lb + 1)) AS block_id
+       |  FROM d)
+       |SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |  CAST(sum(least(start_off + n_tokens - 1,
+       |      (block_id + 1) * $StreamCtxLen - 1)
+       |    - greatest(start_off, block_id * $StreamCtxLen) + 1) AS BIGINT)
+       |    AS util_tokens,
+       |  CAST(CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS BIGINT) AS pure
+       |FROM e GROUP BY block_id ORDER BY block_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -883,6 +956,7 @@ object TextPipeline {
     "q64_rolling_stats" -> q64RollingStats _,
     "q84_intradoc_dedup" -> q84IntraDocDedup _,
     "q88_stream_layout" -> q88StreamLayout _,
+    "q90_block_manifest" -> q90BlockManifest _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -897,5 +971,6 @@ object TextPipeline {
     "q64_rolling_stats" -> oracleQ64,
     "q84_intradoc_dedup" -> oracleQ84,
     "q88_stream_layout" -> oracleQ88,
+    "q90_block_manifest" -> oracleQ90,
   )
 }

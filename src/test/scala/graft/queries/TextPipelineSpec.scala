@@ -324,6 +324,33 @@ class TextPipelineSpec extends SparkSpec {
         s"layout changed under bucketSpan=$span")
   }
 
+  test("q90 manifest: blocks dense, utilization bounded, totals reconcile with q88") {
+    val man = TextPipeline.q90BlockManifest(spark, sfDir).collect()
+    val L = TextPipeline.StreamCtxLen
+    // the stream is contiguous, so block ids are dense 0..max (a
+    // separator-only block would need L consecutive empty docs)
+    assert(man.head.getAs[Long]("block_id") == 0L)
+    man.map(_.getAs[Long]("block_id")).sliding(2).foreach {
+      case Array(a, b) => assert(b == a + 1, s"block gap between $a and $b")
+      case _ => ()
+    }
+    man.foreach { r =>
+      val u = r.getAs[Long]("util_tokens")
+      assert(u >= 1L && u <= L, s"utilization $u out of [1,$L]")
+      assert((r.getAs[Long]("pure") == 1L) == (r.getAs[Long]("n_docs") == 1L))
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
+    }
+    // body-token slots conserve, and the block count is exactly the
+    // layout's last covered block + 1
+    val lay = TextPipeline.q88StreamLayout(spark, sfDir).collect()
+    assert(man.map(_.getAs[Long]("util_tokens")).sum ==
+      lay.map(_.getAs[Long]("n_tokens")).sum)
+    assert(man.length.toLong ==
+      lay.map(r => r.getAs[Long]("first_block") + r.getAs[Long]("n_blocks")).max)
+    // the corpus genuinely exercises cross-doc blocks
+    assert(man.exists(_.getAs[Long]("n_docs") > 1L))
+  }
+
   test("TextOps wrappers are bit-exact twins of the oracle-checked queries") {
     sameRows(TextOps.chunkDocuments(renamed, "my_id", "body"),
       TextPipeline.q53DocChunks(spark, sfDir))
