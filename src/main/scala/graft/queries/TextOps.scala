@@ -398,6 +398,14 @@ object TextOps {
       bucketSpan: Long = 1000000L): DataFrame =
     TextPipeline.streamLayoutOf(norm(df, id, text), ctxLen, bucketSpan)
 
+  /** Per-block packing manifest (q90 semantics): the inverse view of
+    * [[streamLayout]] — which documents feed each training block, the
+    * single-doc purity flag, and exact body-slot utilization. */
+  def blockManifest(df: DataFrame, id: String, text: String,
+      ctxLen: Long = TextPipeline.StreamCtxLen,
+      bucketSpan: Long = 1000000L): DataFrame =
+    TextPipeline.blockManifestOf(norm(df, id, text), ctxLen, bucketSpan)
+
   def rollingStats(df: DataFrame, id: String, strata: String, metric: Column,
       trail: Int = TextPipeline.RollTrail, half: Int = 2,
       ordered: Boolean = true): DataFrame = {

@@ -362,5 +362,7 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.q56BigramLm(spark, sfDir))
     sameRows(TextOps.streamLayout(renamed, "my_id", "body"),
       TextPipeline.q88StreamLayout(spark, sfDir))
+    sameRows(TextOps.blockManifest(renamed, "my_id", "body"),
+      TextPipeline.q90BlockManifest(spark, sfDir))
   }
 }
