@@ -395,8 +395,9 @@ object TextOps {
     * span-invariant (spec'd). */
   def streamLayout(df: DataFrame, id: String, text: String,
       ctxLen: Long = TextPipeline.StreamCtxLen,
-      bucketSpan: Long = 1000000L): DataFrame =
-    TextPipeline.streamLayoutOf(norm(df, id, text), ctxLen, bucketSpan)
+      bucketSpan: Long = 1000000L, baseOffset: Long = 0L): DataFrame =
+    TextPipeline.streamLayoutOf(norm(df, id, text), ctxLen, bucketSpan,
+      baseOffset)
 
   /** Per-block packing manifest (q90 semantics): the inverse view of
     * [[streamLayout]] — which documents feed each training block, the

@@ -820,7 +820,7 @@ object TextPipeline {
     * running sum. One corpus shuffle of (doc_id, n_tokens) integer
     * pairs; text never moves. */
   private[queries] def streamLayoutOf(d: DataFrame, ctxLen: Long,
-      bucketSpan: Long): DataFrame = {
+      bucketSpan: Long, baseOffset: Long = 0L): DataFrame = {
     val m = d.select(col("doc_id"),
       size(toks).cast("long").as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $bucketSpan"))
@@ -829,7 +829,8 @@ object TextPipeline {
     val wBucket = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = perBucket
-      .withColumn("base", sum(col("bn")).over(wBucket) - col("bn"))
+      .withColumn("base", sum(col("bn")).over(wBucket) - col("bn") +
+        lit(baseOffset))
       .select(col("bkt"), col("base"))
     val wIn = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -850,6 +851,21 @@ object TextPipeline {
   def q88StreamLayout(s: SparkSession, dir: String): DataFrame =
     streamLayoutOf(docs(s, dir), StreamCtxLen, StreamBucketSpan)
       .orderBy("doc_id")
+
+  /** Total stream length (body + separator slots) of a laid-out corpus —
+    * the TAIL a serving pipeline persists alongside the layout so the
+    * next ingest batch can continue the stream WITHOUT rescanning the
+    * corpus ([[streamLayoutOf]]'s `baseOffset`). One aggregate over the
+    * layout (or the corpus metadata table); at serving time the caller
+    * stores it with the layout sink transactionally — the
+    * exactly-once-per-batch contract every append-only packing job
+    * needs. Appending is exact: laying out a batch at the persisted
+    * tail is bit-identical to recomputing the full corpus layout and
+    * keeping the batch's rows (spec'd — offsets are a pure prefix sum,
+    * so the split point is invisible in the output). */
+  def layoutTail(layout: DataFrame): Long =
+    layout.agg(coalesce(max(col("start_off") + col("n_tokens") + 1L),
+      lit(0L)).as("t")).head().getLong(0)
 
   val oracleQ88: String =
     s"""WITH m AS (

@@ -324,6 +324,22 @@ class TextPipelineSpec extends SparkSpec {
         s"layout changed under bucketSpan=$span")
   }
 
+  test("q88 append: laying out a batch at the persisted tail equals the full recompute") {
+    val L = TextPipeline.StreamCtxLen
+    val span = TextPipeline.StreamBucketSpan
+    val full = TextPipeline.streamLayoutOf(docs, L, span)
+      .filter(col("doc_id") >= 250).orderBy("doc_id").collect()
+    val tail = TextPipeline.layoutTail(
+      TextPipeline.streamLayoutOf(docs.filter(col("doc_id") < 250), L, span))
+    val appended = TextPipeline.streamLayoutOf(
+      docs.filter(col("doc_id") >= 250), L, span, tail)
+      .orderBy("doc_id").collect()
+    assert(appended.map(_.toString).toSeq == full.map(_.toString).toSeq,
+      "append layout diverged from the full recompute")
+    assert(TextPipeline.layoutTail(TextPipeline.streamLayoutOf(
+      docs.filter(lit(false)), L, span)) == 0L)
+  }
+
   test("q90 manifest: blocks dense, utilization bounded, totals reconcile with q88") {
     val man = TextPipeline.q90BlockManifest(spark, sfDir).collect()
     val L = TextPipeline.StreamCtxLen
