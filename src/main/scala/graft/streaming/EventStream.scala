@@ -385,6 +385,54 @@ object EventStream {
     q
   }
 
+  /** Streaming PACKING LAYOUT: each micro-batch of admitted documents is
+    * laid out on the global training-token stream CONTINUING from the
+    * running tail — the append-only serving form of the q88
+    * concatenate-and-chunk planner
+    * ([[graft.queries.TextPipeline.streamLayoutOf]] with `baseOffset`),
+    * so the corpus is never rescanned at ingest time. Within an epoch
+    * documents pack in id order; epochs pack in arrival order — which
+    * IS the stream semantics of an append-only corpus (the append
+    * identity spec pins that the split points are invisible: any
+    * epoch's layout equals the full recompute over the same arrival
+    * order).
+    *
+    * `startTail` seeds the stream position (0 for a fresh corpus, the
+    * persisted [[graft.queries.TextPipeline.layoutTail]] of the
+    * existing layout otherwise). `sink` receives each epoch's layout
+    * rows and the epoch id; the post-epoch tail rides the driver-side
+    * accumulator and is returned — a production job persists it WITH
+    * the sink's output transactionally (the same exactly-once contract
+    * as any foreachBatch aggregate), and re-seeds `startTail` on
+    * restart. Per-epoch cost is batch-proportional: one batch-sized
+    * two-level prefix sum; the only cross-epoch state is one Long. */
+  def runStreamLayout(docStream: DataFrame, id: String, text: String,
+      checkpoint: String, startTail: Long = 0L,
+      ctxLen: Long = graft.queries.TextPipeline.StreamCtxLen,
+      bucketSpan: Long = 1000000L)
+      (sink: (DataFrame, Long) => Unit): Long = {
+    val tail = new java.util.concurrent.atomic.AtomicLong(startTail)
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val layout = graft.queries.TextOps.streamLayout(
+          batch, id, text, ctxLen, bucketSpan, tail.get())
+          .cache() // one epoch, two consumers (sink + tail aggregate)
+        try {
+          sink(layout, epochId)
+          // monotonic: an EMPTY epoch's layoutTail is 0 (its coalesce
+          // floor) and must not rewind the stream position
+          val newTail = graft.queries.TextPipeline.layoutTail(layout)
+          if (newTail > tail.get()) tail.set(newTail)
+        } finally layout.unpersist(false)
+      }
+      .start()
+    q.awaitTermination()
+    tail.get()
+  }
+
   /** Streaming VECTOR ingest — the embedding twin of [[runIngestPrep]]:
     * each micro-batch of (id, vec) rows probes the corpus's cached
     * vector index for embedding near-duplicates

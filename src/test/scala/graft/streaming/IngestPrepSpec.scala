@@ -168,6 +168,57 @@ class IngestPrepSpec extends SparkSpec {
       s"degenerate gate: ${want.size} of ${batchRows.length} kept")
   }
 
+  test("streaming layout: epochs continue at the tail; single-epoch == q88 bit-exact") {
+    val d = graft.queries.Tables.load(spark, sfDir, "documents")
+    val inDir = Files.createTempDirectory("layout_docs").toString
+    d.select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val want = graft.queries.TextPipeline.q88StreamLayout(spark, sfDir)
+      .collect().toSeq
+    val totalLen = want.map(_.getAs[Long]("n_tokens") + 1L).sum
+
+    // single epoch: arrival order is one id-ordered batch == q88
+    val one = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val tail1 = EventStream.runStreamLayout(
+      spark.readStream.schema(schema).parquet(inDir), "doc_id", "text",
+      Files.createTempDirectory("ckpt-lay1").toString,
+      bucketSpan = graft.queries.TextPipeline.StreamBucketSpan) {
+      (layout, _) => one ++= layout.orderBy("doc_id").collect()
+    }
+    assert(one.map(_.toString).toSeq == want.map(_.toString),
+      "single-epoch streaming layout diverged from q88")
+    assert(tail1 == totalLen, s"returned tail $tail1 != stream length $totalLen")
+
+    // multi-epoch: each epoch starts exactly at the previous tail, the
+    // stream stays contiguous across epoch boundaries, every doc lands
+    // exactly once, and the final tail is the full stream length
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Seq[org.apache.spark.sql.Row]]
+    val tailN = EventStream.runStreamLayout(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir), "doc_id", "text",
+      Files.createTempDirectory("ckpt-layN").toString,
+      bucketSpan = graft.queries.TextPipeline.StreamBucketSpan) {
+      (layout, _) => epochs += layout.orderBy("doc_id").collect().toSeq
+    }
+    assert(epochs.size >= 2, "expected multiple micro-batches")
+    assert(tailN == totalLen, s"multi-epoch tail $tailN != $totalLen")
+    var pos = 0L
+    epochs.foreach { rows =>
+      rows.foreach { r =>
+        assert(r.getAs[Long]("start_off") == pos,
+          s"stream gap at epoch boundary: doc ${r.getAs[Long]("doc_id")}")
+        pos += r.getAs[Long]("n_tokens") + 1L
+      }
+    }
+    assert(epochs.flatten.map(_.getAs[Long]("doc_id")).sorted ==
+      want.map(_.getAs[Long]("doc_id")).sorted)
+  }
+
   test("streaming drift monitor: single-epoch == q89 bit-exact; counts conserve across epochs") {
     val d = graft.queries.Tables.load(spark, sfDir, "documents")
     val fitted = graft.queries.Curation.capVocabulary(
