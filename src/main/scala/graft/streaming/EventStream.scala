@@ -380,8 +380,9 @@ object EventStream {
           epochId)
       }
       .start()
-    q.awaitTermination()
-    ref.unpersist()
+    // unpersist on the failure path too: a throwing epoch propagates out
+    // of awaitTermination, and the cached reference must not outlive it
+    try q.awaitTermination() finally ref.unpersist()
     q
   }
 
