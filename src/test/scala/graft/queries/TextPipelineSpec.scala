@@ -340,6 +340,46 @@ class TextPipelineSpec extends SparkSpec {
       docs.filter(lit(false)), L, span)) == 0L)
   }
 
+  test("layout/manifest invariants hold on adversarial corpora (sparse ids, empty docs)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      var id = rnd.nextInt(5).toLong
+      val rows = (1 to n).map { _ =>
+        id += 1 + rnd.nextInt(200) // sparse ids, jumping bucket boundaries
+        val toks = rnd.nextInt(40) // 0 ⇒ empty text (one empty token)
+        (id, Seq.fill(toks)("w" + rnd.nextInt(9)).mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val L = 16L
+      val base = TextPipeline.streamLayoutOf(df, L, 64L)
+        .orderBy("doc_id").collect()
+      for (span <- Seq(3L, 64L, 100000L)) {
+        val lay = TextPipeline.streamLayoutOf(df, L, span)
+          .orderBy("doc_id").collect()
+        assert(lay.map(_.toString).toSeq == base.map(_.toString).toSeq,
+          s"span $span changed the layout")
+        var pos = 0L
+        lay.foreach { r =>
+          assert(r.getAs[Long]("start_off") == pos,
+            s"gap at doc ${r.getAs[Long]("doc_id")} under span $span")
+          pos += r.getAs[Long]("n_tokens") + 1L
+        }
+        val man = TextPipeline.blockManifestOf(df, L, span)
+          .orderBy("block_id").collect()
+        assert(man.map(_.getAs[Long]("util_tokens")).sum ==
+          lay.map(_.getAs[Long]("n_tokens")).sum, "body slots not conserved")
+        assert(man.head.getAs[Long]("block_id") == 0L)
+        man.map(_.getAs[Long]("block_id")).sliding(2).foreach {
+          case Array(a, b) => assert(b == a + 1, s"block gap $a→$b")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("q90 manifest: blocks dense, utilization bounded, totals reconcile with q88") {
     val man = TextPipeline.q90BlockManifest(spark, sfDir).collect()
     val L = TextPipeline.StreamCtxLen
