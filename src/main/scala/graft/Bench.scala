@@ -54,17 +54,27 @@ object Bench {
     // this box (r5/r6/r9 driver runs); min-of-3 is the steady-state
     // signal. Set SPARK_GRAFT_BENCH_RUNS=1 for a quick shot.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val passes = (1 to runs).map { _ =>
+    val passes = (1 to runs).map { pass =>
       val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            // surface it AND keep it out of the min below: a fast
+            // exception's time-to-failure is not a measurement, and with
+            // min-of-N it would otherwise mask every successful pass
+            System.err.println(s"bench pass $pass $name FAILED: $e")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9
+                 else Double.PositiveInfinity)
       }
       spark.catalog.clearCache()
       r
     }
     val results = SparkEntry.queries.keys.map { name =>
-      name -> passes.map(_(name)).min
+      val m = passes.map(_(name)).min
+      // every pass failed -> report the -1 failure convention, never inf
+      name -> (if (m.isPosInfinity) -1.0 else m)
     }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

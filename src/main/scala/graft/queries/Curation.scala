@@ -637,11 +637,26 @@ object Curation {
     * re-enters; per-source totals and the reference total ride
     * broadcasts. The per-epoch serving shape: fit once, apply per
     * ingest batch (the q68/vocab/LM fit-apply house pattern). */
-  def tokenDriftOf(batch: DataFrame, fitted: DataFrame, strata: String,
-      text: String): DataFrame = {
-    val st = batch.select(col(strata).as("source"),
+  /** The per-batch (source, token) count aggregate [[tokenDriftOf]]
+    * caches (it feeds both the per-source totals and the main join —
+    * the q85 `st.dedupCached` pattern). Exposed so streaming callers
+    * can release it per epoch via [[unpersistDriftCaches]]. */
+  private def driftBatchCounts(batch: DataFrame, strata: String,
+      text: String): DataFrame =
+    batch.select(col(strata).as("source"),
       explode(split(col(text), " ")).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("o"))
+
+  /** Release [[tokenDriftOf]]'s cached per-batch aggregate for `batch`
+    * (plan-identity match, like `TextOps.unpersistDedupCaches`) — call
+    * per epoch from long-lived streaming loops. */
+  def unpersistDriftCaches(batch: DataFrame, strata: String,
+      text: String): Unit =
+    driftBatchCounts(batch, strata, text).unpersist(false)
+
+  def tokenDriftOf(batch: DataFrame, fitted: DataFrame, strata: String,
+      text: String): DataFrame = {
+    val st = driftBatchCounts(batch, strata, text).dedupCached
     val srcTot = st.groupBy("source").agg(sum(col("o")).as("t_s"))
     val tot = fitted.agg(sum(col("g_t")).as("g"))
     val e = col("t_s").cast("double") * col("g_t").cast("double") /
@@ -689,10 +704,13 @@ object Curation {
     * frozen-reference general case). */
   def q89TokenDrift(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // cache the capped reference (|vocab-cap| rows): it feeds both the
+    // grand-total aggregate and the token join, and without the cache
+    // the full fit (explode + groupBy + top-k) executes once per consumer
     tokenDriftOf(d.filter(col("doc_id") % 2 === 1),
       capVocabulary(
         fitTokenDistribution(d.filter(col("doc_id") % 2 === 0), "text"),
-        DriftVocabCap),
+        DriftVocabCap).dedupCached,
       "source", "text")
   }
 

@@ -2117,15 +2117,12 @@ object TextDedup {
     * them this is ONE window count per cluster partition (clusters are
     * small by construction — the dup graph is post-threshold sparse) and
     * a pure projection. Nothing new shuffles. */
-  def q83SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
-    val all = dedupClusterLabels(s, dir)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    all
-      .withColumn("n_members", count(lit(1)).over(w))
-      .select(col("doc_id"), col("cluster_id"), col("n_members"),
-        round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
-      .orderBy("doc_id")
-  }
+  def q83SoftDedupWeights(s: SparkSession, dir: String): DataFrame =
+    // q40's labels + member counts verbatim (single source of truth for
+    // the window semantics), plus the 1/n weight projection
+    q40DedupClusters(s, dir)
+      .withColumn("weight",
+        round(lit(1.0) / col("n_members").cast("double"), 6))
 
   val oracleQ83: String = {
     // q40's cluster derivation + the 1/n_members weight

@@ -382,11 +382,6 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
-  /** Rolling per-stratum monitoring stats of an integer metric over any
-    * frame (q64 semantics): trailing mean/min/count + centered max, the
-    * `ROWS BETWEEN` frame family as a library form. `metric` is any
-    * integer Column over `df`'s row (a length, a token count, a quality
-    * flag sum); one stratum-key shuffle feeds all four frames. */
   /** Global concatenate-and-chunk layout (q88 semantics): per-document
     * global token offset, first training block, block span, and
     * boundary-crossing flag over the id-ordered token stream. The
@@ -407,6 +402,11 @@ object TextOps {
       bucketSpan: Long = 1000000L): DataFrame =
     TextPipeline.blockManifestOf(norm(df, id, text), ctxLen, bucketSpan)
 
+  /** Rolling per-stratum monitoring stats of an integer metric over any
+    * frame (q64 semantics): trailing mean/min/count + centered max, the
+    * `ROWS BETWEEN` frame family as a library form. `metric` is any
+    * integer Column over `df`'s row (a length, a token count, a quality
+    * flag sum); one stratum-key shuffle feeds all four frames. */
   def rollingStats(df: DataFrame, id: String, strata: String, metric: Column,
       trail: Int = TextPipeline.RollTrail, half: Int = 2,
       ordered: Boolean = true): DataFrame = {

@@ -376,8 +376,12 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        sink(graft.queries.Curation.tokenDriftOf(batch, ref, strata, text),
+        try sink(graft.queries.Curation.tokenDriftOf(batch, ref, strata, text),
           epochId)
+        finally // the per-batch (source, token) aggregate is cached by
+          // tokenDriftOf; release it so a long-lived stream doesn't
+          // accumulate one entry per epoch
+          graft.queries.Curation.unpersistDriftCaches(batch, strata, text)
       }
       .start()
     // unpersist on the failure path too: a throwing epoch propagates out
