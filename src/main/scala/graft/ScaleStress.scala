@@ -70,7 +70,11 @@ object ScaleStress {
     "q82_prototypicality",
     // q87 is one exploded two-phase aggregate to dims rows — output
     // constant while the corpus grows
-    "q87_dimension_stats")
+    "q87_dimension_stats",
+    // q91 joins BOTH replicated tables on the id key after collapsing
+    // the vector side to one row per id — cost tracks rows, payloads
+    // never shuffle (the size() projection rides the scan)
+    "q91_referential_audit")
 
   /** Round-9 corpus-preparation operators over the replicated documents.
     * Salted replication grows the vocabulary ~R× (each replica's tokens

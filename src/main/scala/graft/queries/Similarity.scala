@@ -543,6 +543,57 @@ object Similarity {
        |  min(x) AS min_x, max(x) AS max_x
        |FROM ex GROUP BY i ORDER BY i""".stripMargin
 
+  // =====================================================================
+  // q91: docs ↔ embeddings referential audit (data-contract gate)
+  // =====================================================================
+
+  /** Oracle binding of [[VectorOps.referentialAudit]] over deliberately
+    * MISALIGNED slices — docs `doc_id % 5 != 0` vs a partial embedding
+    * dump `vec_id % 7 != 3` — so both standing failure modes (docs
+    * missing vectors, orphan vectors with no doc) carry real nonzero
+    * counts cross-engine; the aligned corpus would report all-green. */
+  def q91ReferentialAudit(s: SparkSession, dir: String): DataFrame =
+    VectorOps.referentialAudit(
+      Tables.load(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") % 7 =!= 3),
+      "doc_id", "source", "vec_id", "embedding", DIMS)
+
+  val oracleQ91: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0),
+       |v AS (
+       |  SELECT vec_id AS doc_id, len(embedding) AS vdim
+       |  FROM embeddings WHERE vec_id % 7 <> 3),
+       |v1 AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+       |    max(CASE WHEN vdim IS NOT NULL THEN 1 ELSE 0 END) AS has,
+       |    max(CASE WHEN vdim IS NOT NULL AND vdim <> $DIMS
+       |        THEN 1 ELSE 0 END) AS bad
+       |  FROM v GROUP BY doc_id),
+       |j AS (SELECT d.source, v1.has, v1.bad, v1.n_copies
+       |      FROM d LEFT JOIN v1 USING (doc_id)),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN has = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_with_vec,
+       |    CAST(sum(CASE WHEN has IS NULL OR has = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_missing_vec,
+       |    CAST(sum(CASE WHEN bad = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bad_dim,
+       |    CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_vec,
+       |    CAST(0 AS BIGINT) AS n_orphan_vecs
+       |  FROM j GROUP BY source),
+       |orph AS (
+       |  SELECT '__unmatched__' AS source, CAST(0 AS BIGINT) AS n_docs,
+       |    CAST(0 AS BIGINT) AS n_with_vec,
+       |    CAST(0 AS BIGINT) AS n_missing_vec,
+       |    CAST(0 AS BIGINT) AS n_bad_dim, CAST(0 AS BIGINT) AS n_dup_vec,
+       |    CAST(count(*) AS BIGINT) AS n_orphan_vecs
+       |  FROM v WHERE doc_id NOT IN (SELECT doc_id FROM d))
+       |SELECT * FROM per UNION ALL SELECT * FROM orph
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_knn_brute" -> q32KnnBrute _,
     "q33_neardup_pairs" -> q33NearDupPairs _,
@@ -554,6 +605,7 @@ object Similarity {
     "q81_ann_recall" -> q81AnnRecall _,
     "q82_prototypicality" -> q82Prototypicality _,
     "q87_dimension_stats" -> q87DimensionStats _,
+    "q91_referential_audit" -> q91ReferentialAudit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -567,5 +619,6 @@ object Similarity {
     "q81_ann_recall" -> oracleQ81,
     "q82_prototypicality" -> oracleQ82,
     "q87_dimension_stats" -> oracleQ87,
+    "q91_referential_audit" -> oracleQ91,
   )
 }

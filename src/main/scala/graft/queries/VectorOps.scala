@@ -394,6 +394,61 @@ object VectorOps {
     dimensionStatsIndexed(index(df, id, vec))
 
   // =====================================================================
+  // Docs ↔ embeddings referential audit (q91 semantics)
+  // =====================================================================
+
+  /** Cross-table DATA-CONTRACT audit of a multimodal corpus: every
+    * document must have exactly one well-formed embedding, every
+    * embedding must have a document. This is the gate run before any
+    * doc↔vector join is trusted (semantic dedup, keep-best, IVF
+    * serving) — partial encoder dumps, doubled ingest, truncated
+    * vectors, and id drift between the text and vector pipelines are
+    * the four standing failure modes, and each gets its own column.
+    *
+    * Output per `strata` value of the doc side: (source, n_docs,
+    * n_with_vec, n_missing_vec, n_bad_dim, n_dup_vec, n_orphan_vecs=0),
+    * plus one `__unmatched__` row carrying the count of embedding ROWS
+    * whose id matches no document (orphans have no stratum to land in).
+    * `n_with_vec + n_missing_vec = n_docs` always (a NULL embedding
+    * counts as missing); `n_bad_dim` counts docs with ANY copy of the
+    * wrong length; `n_dup_vec` counts docs with >1 embedding row.
+    *
+    * Scale: the vector side collapses to one row per id FIRST (two-phase
+    * aggregate — dup detection rides the same pass), so the doc join is
+    * 1:1 by construction, never a row-multiplying skew hazard; orphans
+    * are a left-anti probe of the same collapsed frame. Everything on
+    * the wire is (id, small ints); embeddings never shuffle their
+    * payload (the `size()` projection happens at the scan). */
+  def referentialAudit(docs: DataFrame, vecs: DataFrame, docId: String,
+      strata: String, vecId: String, vec: String, dims: Int): DataFrame = {
+    val d = docs.select(col(docId).cast("long").as("doc_id"),
+      col(strata).as("source"))
+    val v = vecs.select(col(vecId).cast("long").as("doc_id"),
+      size(col(vec)).as("vdim")) // size(NULL) = NULL (non-legacy conf)
+    val v1 = v.groupBy("doc_id").agg(
+      count(lit(1)).as("n_copies"),
+      max(when(col("vdim").isNotNull, 1L).otherwise(0L)).as("has"),
+      max(when(col("vdim").isNotNull && col("vdim") =!= dims, 1L)
+        .otherwise(0L)).as("bad"))
+    val per = d.join(v1, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("has") === 1L, 1L).otherwise(0L)).as("n_with_vec"),
+        sum(when(col("has").isNull || col("has") === 0L, 1L).otherwise(0L))
+          .as("n_missing_vec"),
+        sum(when(col("bad") === 1L, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("n_copies") > 1L, 1L).otherwise(0L)).as("n_dup_vec"))
+      .withColumn("n_orphan_vecs", lit(0L))
+    val orph = v.join(d.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+      .select(lit("__unmatched__").as("source"), lit(0L).as("n_docs"),
+        lit(0L).as("n_with_vec"), lit(0L).as("n_missing_vec"),
+        lit(0L).as("n_bad_dim"), lit(0L).as("n_dup_vec"),
+        col("n_orphan_vecs"))
+    per.unionByName(orph).orderBy("source")
+  }
+
+  // =====================================================================
   // Blocked all-pairs near-dup ranking (q33 semantics)
   // =====================================================================
 

@@ -252,4 +252,26 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(ids.count(exact) >= 5, s"recall too low: ${ids.count(exact)}/10")
   }
+
+  test("referential audit flags bad dims, dup vectors, null embeddings, orphans") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("doc_id", "source")
+    val vecs = Seq(
+      (1L, Some(Seq(1f, 2f))), // well-formed
+      (2L, Some(Seq(1f))),     // truncated copy
+      (2L, Some(Seq(1f, 2f))), // doubled ingest (one copy also good)
+      (3L, None),              // NULL payload == missing
+      (9L, Some(Seq(1f, 2f)))  // orphan (no doc)
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.referentialAudit(docs, vecs,
+      "doc_id", "source", "vec_id", "embedding", dims = 2)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got("s1") == Seq(2L, 2L, 0L, 1L, 1L, 0L),
+      s"s1 audit wrong: ${got("s1")}")
+    assert(got("s2") == Seq(1L, 0L, 1L, 0L, 0L, 0L),
+      s"s2 audit wrong: ${got("s2")}")
+    assert(got("__unmatched__") == Seq(0L, 0L, 0L, 0L, 0L, 1L),
+      s"orphan row wrong: ${got("__unmatched__")}")
+  }
 }
