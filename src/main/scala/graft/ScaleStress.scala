@@ -104,7 +104,12 @@ object ScaleStress {
     // q90 rides q88's layout + one (block_id)-keyed two-phase aggregate;
     // fan-out is |docs| + tokens/L rows — output grows ~10× with the
     // corpus but each row is 6 integers
-    "q90_block_manifest")
+    "q90_block_manifest",
+    // q92 rides q58's span aggregate for the cut set, then pays two
+    // token-mass shuffles (unique-key anti-join + per-doc rebuild) —
+    // salted replicas keep the dup rate constant, so cut volume and
+    // token volume both grow ~R× and the wall should track corpus rows
+    "q92_span_scrub")
 
   /** Semantic dedup at the SCALE parameterization, not q60's oracle
     * binding: 16-plane/4-bit bands have only 16 values per band, so at

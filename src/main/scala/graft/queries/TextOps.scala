@@ -372,6 +372,19 @@ object TextOps {
     if (ordered) r.orderBy("doc_id", "span_start", "span_hash") else r
   }
 
+  /** Corpus-wide exact-substring dedup as a TRANSFORM (q92 semantics —
+    * Lee et al. '21): excise every non-canonical occurrence of a
+    * duplicated `spanLen`-token run and rebuild each document's text
+    * from the surviving tokens in order. Per doc: token counts before /
+    * kept / cut and the md5 of the rebuilt text ([[duplicatedSpans]] is
+    * the report this transform acts on). */
+  def spanScrub(df: DataFrame, id: String, text: String,
+      spanLen: Int = TextPipeline.SpanLen,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.spanScrubOf(norm(df, id, text), spanLen)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** URL extraction + domain-blocklist filtering over any (id, text)
     * frame (q59 semantics): per-doc URL/blocked counts, the offending
     * domain, and the keep verdict. `blocklist` is any frame with a

@@ -453,6 +453,108 @@ object TextPipeline {
        |ORDER BY doc_id, pos, span_hash""".stripMargin
 
   // =====================================================================
+  // q92: corpus-wide span scrub (exact-substring dedup as a transform)
+  // =====================================================================
+
+  /** Remove every NON-CANONICAL occurrence of a duplicated
+    * `spanLen`-token run — q58's report turned into the published
+    * exact-substring-dedup TRANSFORM (Lee et al. '21, "Deduplicating
+    * Training Data Makes Language Models Better"): the first occurrence
+    * by (doc_id, pos) of each duplicated span survives, every other
+    * occurrence's token positions are excised, and the text is rebuilt
+    * from the surviving tokens in order. Overlapping cut spans union
+    * naturally — POSITIONS are cut, not ranges, so no interval merge is
+    * ever needed. Output: (doc_id, n_tokens, n_kept_tokens,
+    * n_cut_tokens, clean_hash = md5 of the rebuilt text) — the hash
+    * stands in for the text like q84's; a caller keeps the rebuild by
+    * dropping the md5.
+    *
+    * Scale: the cut set rides q58's skew-safe span aggregate (see
+    * [[duplicatedSpansOf]] — partial-aggregable, a 10⁷-occurrence
+    * license block collapses map-side, never one task's window). Cuts
+    * explode to (doc_id, pos) pairs and the corpus to one narrow
+    * (doc_id, pos, token) row per token; the excision is a left-anti
+    * join on the UNIQUE key (doc_id, pos) — uniform by construction, a
+    * hot key cannot exist; the rebuild is one per-doc aggregate whose
+    * state is bounded by the document's own length (the bound the text
+    * column itself already imposes — `array_sort(collect_list(struct))`
+    * restores token order without a window). Token text crosses the
+    * wire twice (anti-join, rebuild) — the price of linearity: the
+    * zero-shuffle HOF alternative (q84's row-local shape with the
+    * per-doc cut array joined back) tests every token against every cut
+    * interval and goes quadratic on a pathological fully-duplicated
+    * document, so the exploded form is the one that survives
+    * adversarial corpora. */
+  private[queries] def spanScrubOf(d: DataFrame, spanLen: Int): DataFrame = {
+    val cuts = duplicatedSpansOf(d, spanLen)
+      .filter(col("is_canonical") === 0L)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"),
+          col("span_start") + (spanLen - 1))).as("pos"))
+      .distinct()
+    val tokens = d.select(col("doc_id"), posexplode(toks).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("w"))
+    val rebuilt = tokens.join(cuts, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")))).as("clean_hash"))
+    d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept_tokens"), lit(0L)))
+          .as("n_cut_tokens"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
+  def q92SpanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubOf(docs(s, dir), SpanLen).orderBy("doc_id")
+
+  val oracleQ92: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(list_slice(w, pos, pos + ${SpanLen - 1}), ' '))
+       |      AS span_hash
+       |  FROM (
+       |    SELECT doc_id, w,
+       |      unnest(range(1, len(w) - ${SpanLen - 2})) AS pos
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |    WHERE len(w) >= $SpanLen)),
+       |win AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY span_hash) AS n_occ,
+       |    row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, pos)
+       |      AS rn
+       |  FROM sp),
+       |cuts AS (
+       |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, unnest(range(pos, pos + $SpanLen)) AS p
+       |        FROM win WHERE n_occ > 1 AND rn > 1)),
+       |tok AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, w[pos] AS tk
+       |  FROM (
+       |    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |reb AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_tokens,
+       |    md5(coalesce(string_agg(tk, ' ' ORDER BY pos), '')) AS clean_hash
+       |  FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+       |                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(r.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       |  CAST(len(d.w) - coalesce(r.n_kept_tokens, 0) AS BIGINT)
+       |    AS n_cut_tokens,
+       |  coalesce(r.clean_hash, md5('')) AS clean_hash
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+       |LEFT JOIN reb r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // =====================================================================
   // q59: URL extraction + domain-blocklist filtering (C4-style)
   // =====================================================================
 
@@ -973,6 +1075,7 @@ object TextPipeline {
     "q84_intradoc_dedup" -> q84IntraDocDedup _,
     "q88_stream_layout" -> q88StreamLayout _,
     "q90_block_manifest" -> q90BlockManifest _,
+    "q92_span_scrub" -> q92SpanScrub _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -988,5 +1091,6 @@ object TextPipeline {
     "q84_intradoc_dedup" -> oracleQ84,
     "q88_stream_layout" -> oracleQ88,
     "q90_block_manifest" -> oracleQ90,
+    "q92_span_scrub" -> oracleQ92,
   )
 }

@@ -404,6 +404,22 @@ class PlanShapeSpec extends SparkSpec {
       "corpus shuffled into a merge join for the centroid lookup")
   }
 
+  test("q92 span scrub is window-free: partial span agg, hash anti-join, agg rebuild") {
+    val df = TextPipeline.q92SpanScrub(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // canonical selection, excision, and order-restoring rebuild must all
+    // avoid windows — every stage keeps map-side partial aggregation
+    assert(!p.contains("windowspecdefinition"),
+      s"scrub grew a window:\n${p.take(2000)}")
+    assert(p.contains("partial_count"), "span aggregate not map-side partial")
+    // the (doc_id, pos) excision key is unique → a hash anti-join, never
+    // a nested loop over the cut set
+    assert(p.contains("LeftAnti"), s"no anti-join in the plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "excision join degenerated")
+  }
+
   test("q84 intra-doc dedup is a pure projection: no shuffle, no window, no join") {
     val df = TextPipeline.q84IntraDocDedup(spark, sfDir)
     assert(hashShufflesOf(df).isEmpty,

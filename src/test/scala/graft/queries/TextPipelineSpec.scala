@@ -88,6 +88,60 @@ class TextPipelineSpec extends SparkSpec {
     f.unpersist()
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q92 span scrub: canonical survives, copies excise, all-cut doc empties") {
+    val sp0 = spark
+    import sp0.implicits._
+    val s = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d1 = s"a1 a2 a3 $s b1 b2"   // canonical copy (lowest doc_id, 25 toks)
+    val d2 = s"c1 c2 $s d1 d2 d3"   // one non-canonical copy (25 toks)
+    val d3 = s"$s $s"               // two copies, nothing else → fully cut
+    val d4 = "plain text with no duplicated span at all" // < spanLen tokens
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val r = TextOps.spanScrub(df, "doc_id", "text").cache()
+    assert(r.filter(col("n_kept_tokens") + col("n_cut_tokens") =!=
+      col("n_tokens")).count() === 0, "kept + cut != total")
+    val byId = r.collect().map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getLong(3) === 0L && byId(1L).getString(4) === md5hex(d1),
+      "canonical doc was touched")
+    assert(byId(2L).getLong(3) === 20L &&
+      byId(2L).getString(4) === md5hex("c1 c2 d1 d2 d3"),
+      "copy doc did not lose exactly the span")
+    assert(byId(3L).getLong(3) === 40L && byId(3L).getString(4) === md5hex(""),
+      "fully-duplicated doc should scrub to empty")
+    assert(byId(4L).getLong(3) === 0L && byId(4L).getString(4) === md5hex(d4),
+      "short doc was touched")
+    r.unpersist()
+  }
+
+  test("q92 cut mass equals the union of q58 non-canonical positions; untouched docs keep their hash") {
+    val scrub = TextPipeline.q92SpanScrub(spark, sfDir).cache()
+    val expect = TextPipeline.q58SpanDedup(spark, sfDir)
+      .filter(col("is_canonical") === 0L)
+      .select(col("doc_id"), explode(sequence(col("span_start"),
+        col("span_start") + (TextPipeline.SpanLen - 1))).as("pos"))
+      .distinct().groupBy("doc_id").agg(count(lit(1)).as("expect_cut"))
+    assert(scrub.join(expect, Seq("doc_id"), "left")
+      .filter(coalesce(col("expect_cut"), lit(0L)) =!= col("n_cut_tokens"))
+      .count() === 0, "cut mass disagrees with the q58 report")
+    // genuinely exercised at this SF, and scrubbed text really changed
+    assert(scrub.filter(col("n_cut_tokens") > 0).count() > 0)
+    val orig = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    assert(scrub.join(orig, "doc_id")
+      .filter((col("n_cut_tokens") === 0 && col("clean_hash") =!= col("h")) ||
+        (col("n_cut_tokens") > 0 && col("clean_hash") === col("h")))
+      .count() === 0, "rebuild hash inconsistent with cut count")
+    scrub.unpersist()
+  }
+
+  test("q92 generic wrapper matches the oracle binding on renamed columns") {
+    sameRows(TextOps.spanScrub(renamed, "my_id", "body"),
+      TextPipeline.q92SpanScrub(spark, sfDir))
+  }
+
   private def renamed: DataFrame = docs
     .withColumnRenamed("doc_id", "my_id")
     .withColumnRenamed("text", "body")
