@@ -242,9 +242,9 @@ object Curation {
        |q AS (SELECT doc_id, source, n_tokens,
        |        (n_distinct * 1000000) // n_tokens AS quality_1e6 FROM m),
        |c AS (SELECT doc_id, source, n_tokens, quality_1e6,
-       |        sum(n_tokens) OVER (PARTITION BY source
+       |        CAST(sum(n_tokens) OVER (PARTITION BY source
        |          ORDER BY quality_1e6 DESC, doc_id ASC
-       |          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
        |      FROM q)
        |SELECT doc_id, source, n_tokens, quality_1e6, cum_tokens
        |FROM c WHERE cum_tokens <= $BudgetTokens ORDER BY doc_id""".stripMargin

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loaders over the driver-provided parquet dirs (TESTDATA.md).
   * Every loader both returns the DataFrame and registers a same-named temp
@@ -10,19 +12,34 @@ object Tables {
   val names = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize a timestamp column to Spark's session-tz TIMESTAMP whatever
+    * the parquet writer produced. Three source shapes exist in the wild:
+    *   - INT64 TIMESTAMP(NANOS) read as Long under the nanosAsLong legacy
+    *     conf → exact integer `div 1000` to micros (epoch-nanos ~1.7e18
+    *     exceed double's 53-bit exact range, so `/ 1000.0` could be ~1us
+    *     off), then timestamp_micros;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) inferred as
+    *     TIMESTAMP_NTZ → cast to TIMESTAMP (value-identical under the UTC
+    *     session timezone all entrypoints set);
+    *   - already TIMESTAMP → pass through.
+    * Branching on the READ schema (not assuming the writer) is what keeps
+    * this stable across data regenerations and parquet-jar upgrades. */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table carries TIMESTAMP(NANOS) — illegal for Spark's
-    // parquet reader. Read nanos as Long (conf set once in GraftSession /
-    // the entrypoint mains) and convert to micros (Spark's native timestamp
-    // precision) with exact integer division: epoch-nanos (~1.7e18) exceed
-    // double's 53-bit exact range, so `/ 1000.0` could be off by ~1us.
     val df = if (name == "events") {
+      // Legacy conf lets NANOS parquet read as Long instead of failing;
+      // harmless when the file is already MICROS.
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"), "ts")
     } else spark.read.parquet(s"$dir/$name.parquet")
     df.createOrReplaceTempView(name)
     df

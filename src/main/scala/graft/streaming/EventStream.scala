@@ -22,9 +22,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema (TESTDATA.md; ts arrives as TIMESTAMP already
-    * converted by the batch loader — for file streams we read the raw
-    * nanos Long and convert the same way). */
+  /** The events schema as written by older generators (ts = epoch nanos
+    * read as Long under the nanosAsLong legacy conf). Kept for synthetic
+    * test inputs; [[readEvents]] no longer assumes it. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
@@ -34,13 +34,21 @@ object EventStream {
 
   /** File-based stream of the events table under `dir` (one parquet file
     * today; in production a growing directory of partition files — the
-    * file source tails it). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * file source tails it). File streams require an explicit schema, so we
+    * take it from a static read of the same glob — the stream then sees
+    * whatever ts physical type the writer produced (nanos-as-Long, NTZ
+    * micros, or TIMESTAMP) and [[graft.queries.Tables.normalizeTs]]
+    * converts it exactly as the batch loader does. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val staticSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.queries.Tables.normalizeTs(
+      spark.readStream
+        .schema(staticSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      "ts")
+  }
 
   /** Watermarked tumbling-window aggregate: per (1h window, event_type)
     * count + sum, tolerating 2h late data. */

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Schema-drift tripwire (the round-10 lesson): every registered query must
+  * ANALYZE against the real driver-generated parquet schemas. Round 10
+  * shipped a regression where the events `ts` column changed physical type
+  * (INT64-nanos → TIMESTAMP(MICROS)/NTZ) and five queries failed at plan
+  * time — nothing cheap exercised analysis against the on-disk schemas.
+  *
+  * This spec builds each query's DataFrame (plan construction forces
+  * analysis — resolution, type-checking, implicit casts) WITHOUT executing
+  * it, so the whole 90+-query sweep costs seconds. Any future reader-schema
+  * drift (data regeneration, parquet-jar upgrade, reader-conf change) fails
+  * here first, per-query, with the AnalysisException message.
+  */
+class SchemaDriftSpec extends SparkSpec {
+
+  test("every registered query analyzes against the sf0.001 parquet schemas") {
+    Tables.loadAll(spark, sfDir)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          // .schema forces analysis of the logical plan; no job runs.
+          fn(spark, sfDir).schema
+          None
+        } catch {
+          case e: Exception => Some(s"$name: ${e.getMessage.linesIterator.take(3).mkString(" | ")}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
+  }
+
+  test("every loaded table has the column types the loaders promise") {
+    val t = Tables.loadAll(spark, sfDir)
+    import org.apache.spark.sql.types._
+    // The one normalization contract: events.ts is session-tz TIMESTAMP
+    // whatever the parquet writer produced (nanos-long, NTZ micros, ...).
+    assert(t("events").schema("ts").dataType == TimestampType,
+      s"events.ts normalized to ${t("events").schema("ts").dataType}, expected TIMESTAMP")
+    // Embeddings vector column stays an array (ANN family depends on it).
+    assert(t("embeddings").schema("embedding").dataType.isInstanceOf[ArrayType])
+    // Documents text column is a string (whole text family depends on it).
+    assert(t("documents").schema("text").dataType == StringType)
+  }
+}
