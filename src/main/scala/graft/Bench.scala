@@ -37,8 +37,17 @@ object Bench {
     // warms the OS page cache for the timed run, so numbers from the two
     // regimes are not comparable (see BENCH_NOTES.md).
     System.err.println(s"bench warmup dir: $warm (target: $sfDir)")
+    // SPARK_GRAFT_BENCH_ONLY=q74,q69: restrict the suite to the named
+    // query prefixes — the targeted-profiling mode (a full pass is ~30s
+    // of other queries between two timings of the one under study).
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ks) =>
+        val pre = ks.split(",").map(_.trim).filter(_.nonEmpty)
+        SparkEntry.queries.filter { case (n, _) => pre.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, warm).count() } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // warm-up caches must not alias timed ones
@@ -55,7 +64,7 @@ object Bench {
     // signal. Set SPARK_GRAFT_BENCH_RUNS=1 for a quick shot.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val passes = (1 to runs).map { pass =>
-      val r = SparkEntry.queries.map { case (name, fn) =>
+      val r = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -71,7 +80,7 @@ object Bench {
       spark.catalog.clearCache()
       r
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       val m = passes.map(_(name)).min
       // every pass failed -> report the -1 failure convention, never inf
       name -> (if (m.isPosInfinity) -1.0 else m)
@@ -79,6 +88,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Compact line FIRST: the driver keeps a bounded tail of stdout, and
+    // the per-query map below can outgrow it — the headline total must
+    // survive truncation on its own line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

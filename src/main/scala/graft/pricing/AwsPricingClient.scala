@@ -138,6 +138,19 @@ final class AwsPricingClient(
       .map(_ * (if (planType == "ComputeSavingsPlans") 0.66 else 0.60))
   }
 
+  /** RDS on-demand price: the same GetProducts call with
+    * ServiceCode=AmazonRDS (reference README.md:590 `aws_rds_pricing`). */
+  override def rdsPrice(instanceClass: String, region: String,
+      engine: String): Option[Double] = {
+    val items = getProducts("AmazonRDS", Seq(
+      "termType" -> "OnDemand",
+      "location" -> regionDisplayName(region),
+      "instanceType" -> instanceClass,
+      "databaseEngine" -> engine,
+      "deploymentOption" -> "Single-AZ"))
+    items.iterator.flatMap(firstUsdPrice(_, "OnDemand")).nextOption()
+  }
+
   /** S18: instance hardware attributes from product.attributes
     * (aws_pricing_manager.py:67-124). */
   override def instanceAttributes(instanceType: String): Option[InstanceAttrs] = {

@@ -32,6 +32,11 @@ trait PricingSource {
   def savingsPlanRate(instanceType: String, region: String,
       planType: String): Option[Double]
 
+  /** RDS on-demand instance price (reference README.md:590
+    * `aws_rds_pricing` — same Price List API, ServiceCode=AmazonRDS). */
+  def rdsPrice(instanceClass: String, region: String,
+      engine: String): Option[Double]
+
   /** Instance hardware attributes (aws_pricing_manager.py:67-124, S18). */
   def instanceAttributes(instanceType: String): Option[InstanceAttrs]
 }
@@ -100,6 +105,9 @@ final class MockPricingSource extends PricingSource {
     Some(onDemandPrice(it, region, "Linux", "Shared").get * disc)
   }
 
+  override def rdsPrice(ic: String, region: String, engine: String): Option[Double] =
+    Some(0.02 + 0.6 * h(s"rds|$ic|$region|$engine"))
+
   override def instanceAttributes(it: String): Option[InstanceAttrs] = {
     val size = it.split('.').lastOption.getOrElse("large")
     val mult = size match {
@@ -115,6 +123,26 @@ final class MockPricingSource extends PricingSource {
 }
 
 object PricingTables {
+
+  /** Register ALL the reference's named API tables in one call — the
+    * "API data sources enabled" surface (reference README.md:585-592:
+    * aws_pricing, aws_rds_pricing, aws_savings_plans,
+    * aws_savings_plans_rates; spot_price_history is this build's bonus).
+    * Every table is driver-built and broadcast-size; CUR joins see the
+    * same names the reference documents. */
+  def registerApiTables(spark: SparkSession, src: PricingSource,
+      instanceTypes: Seq[String], regions: Seq[String],
+      rdsClasses: Seq[String] = Seq.empty,
+      savingsPlanArns: Seq[String] = Seq.empty,
+      spotDaysBack: Int = 7,
+      asOf: java.time.LocalDate = java.time.LocalDate.now()): Unit = {
+    registerPricingTable(spark, src, instanceTypes, regions)
+    registerSpotHistoryTable(spark, src, instanceTypes, regions, spotDaysBack, asOf)
+    registerRdsPricingTable(spark, src,
+      if (rdsClasses.nonEmpty) rdsClasses else instanceTypes.map("db." + _), regions)
+    registerSavingsPlansTable(spark, savingsPlanArns)
+    registerSavingsPlansRatesTable(spark, src, instanceTypes, regions, savingsPlanArns)
+  }
   /** Bulk pricing matrix → `aws_pricing` temp view (README.md:585-589,
     * S17): one row per (instance_type, region, os, tenancy). Built on the
     * driver (the matrix is tiny) and broadcast into CUR joins. */
@@ -158,6 +186,44 @@ object PricingTables {
       .toDF("savings_plan_arn", "commitment_amount_hourly", "savings_plan_type",
         "payment_option", "term_duration_years")
     df.createOrReplaceTempView("aws_savings_plans")
+    df
+  }
+
+  /** RDS pricing matrix → `aws_rds_pricing` temp view (reference
+    * README.md:590: join columns instance_class, region_code,
+    * database_engine). Same driver-built broadcast-size shape as
+    * [[registerPricingTable]]. */
+  def registerRdsPricingTable(spark: SparkSession, src: PricingSource,
+      instanceClasses: Seq[String], regions: Seq[String],
+      engines: Seq[String] = Seq("MySQL", "PostgreSQL")): DataFrame = {
+    val rows = for {
+      ic <- instanceClasses; r <- regions; e <- engines
+      p <- src.rdsPrice(ic, r, e)
+    } yield (ic, r, e, p)
+    val df = spark.createDataFrame(rows)
+      .toDF("instance_class", "region_code", "database_engine",
+        "price_per_hour_usd")
+    df.createOrReplaceTempView("aws_rds_pricing")
+    df
+  }
+
+  /** Per-(instance_type, region, plan) SP rate detail →
+    * `aws_savings_plans_rates` temp view (reference README.md:592: join
+    * columns instance_type, region, savings_plan_id) — the rate-level
+    * companion of the plan-level `aws_savings_plans`. */
+  def registerSavingsPlansRatesTable(spark: SparkSession, src: PricingSource,
+      instanceTypes: Seq[String], regions: Seq[String],
+      planIds: Seq[String]): DataFrame = {
+    val rows = for {
+      (pid, i) <- planIds.zipWithIndex
+      planType = if (i % 2 == 0) "ComputeSavingsPlans" else "EC2InstanceSavingsPlans"
+      it <- instanceTypes; r <- regions
+      rate <- src.savingsPlanRate(it, r, planType)
+    } yield (it, r, pid, planType, rate)
+    val df = spark.createDataFrame(rows)
+      .toDF("instance_type", "region", "savings_plan_id", "savings_plan_type",
+        "rate_per_hour_usd")
+    df.createOrReplaceTempView("aws_savings_plans_rates")
     df
   }
 }

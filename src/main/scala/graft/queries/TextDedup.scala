@@ -851,8 +851,13 @@ object TextDedup {
   def q41JaccardCapped(s: SparkSession, dir: String): DataFrame =
     cappedJaccardPairsOf(docs(s, dir), 0.5, DFCAP).orderBy("id_a", "id_b")
 
-  private[queries] def cappedJaccardPairsOf(d: DataFrame, threshold: Double,
-      dfCap: Long): DataFrame = {
+  /** Shared capped PAIR-STAT frame: (id_a, id_b, n_common, na, nb) for
+    * every doc pair sharing at least one cold (df <= cap) shingle, with
+    * n_common EXACT (cold count + hot-array intersection). Cached by plan
+    * identity — the Jaccard (q41) and containment (q69) scorings are just
+    * different ratios over this same frame, so a session computing both
+    * pays the candidate join once. */
+  private[queries] def cappedPairStatsOf(d: DataFrame, dfCap: Long): DataFrame = {
     // shared hashed-shingle base + corpus-wide document frequency; the
     // df-annotated result is cached in its own right: consumed by the
     // capped self-join (both sides) and the hot-array builder.
@@ -885,15 +890,36 @@ object TextDedup {
     val emptyArr = array().cast("array<bigint>")
     val nHot = size(array_intersect(
       coalesce(col("hot_a"), emptyArr), coalesce(col("hot_b"), emptyArr))).cast("long")
-    val withHot = inter
+    inter
       .join(hot.select(col("doc_id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
       .join(hot.select(col("doc_id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
-      .withColumn("n_common", col("n_cold") + nHot)
+      .select(col("id_a"), col("id_b"),
+        (col("n_cold") + nHot).as("n_common"), col("na"), col("nb"))
+      .dedupCached
+  }
+
+  private[queries] def cappedJaccardPairsOf(d: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame = {
+    val stats = cappedPairStatsOf(d, dfCap)
     val j = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common")).cast("double")
-    withHot.filter(j >= threshold)
+    stats.filter(j >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
         round(j, 6).as("jaccard"))
+  }
+
+  /** Containment pairs through the same df-cap guard ([[cappedPairStatsOf]])
+    * — the production default for [[containmentPairsOf]]: a pair is lost
+    * only when EVERY shared shingle is hot, same documented recall trade
+    * as q41. */
+  private[queries] def cappedContainmentPairsOf(d: DataFrame,
+      threshold: Double, dfCap: Long): DataFrame = {
+    val stats = cappedPairStatsOf(d, dfCap)
+    val c = col("n_common").cast("double") /
+      least(col("na"), col("nb")).cast("double")
+    stats.filter(c >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
+        round(c, 6).as("containment"))
   }
 
   val oracleQ41: String =
@@ -1530,41 +1556,61 @@ object TextDedup {
     * Scale: IDENTICAL physical shape to q28 — the candidate join and
     * the (id_a, id_b) aggregate are shared work with the Jaccard form
     * (both read the cached hashed-shingle base; only the final ratio
-    * differs), so a session computing both pays the join once. The same
-    * df-cap guard (q41) applies verbatim when boilerplate shingles go
-    * corpus-hot. */
-  private[queries] def containmentPairsOf(d: DataFrame,
-      threshold: Double): DataFrame = {
-    val ex = hashedShingleRowsOf(d)
-    val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
-    val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"), min("na").as("na"), min("nb").as("nb"))
-    val c = col("n_common").cast("double") /
-      least(col("na"), col("nb")).cast("double")
-    inter.filter(c >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
-        round(c, 6).as("containment"))
+    * differs), so a session computing both pays the join once. The
+    * df-cap guard (q41) is the DEFAULT here (`dfCap = Some(100)` routes
+    * through [[cappedPairStatsOf]], shared with the capped Jaccard);
+    * pass `dfCap = None` for the deliberately-uncapped exact baseline
+    * (bounded corpora only — on a web corpus a boilerplate shingle makes
+    * the uncapped join quadratic). */
+  private[queries] def containmentPairsOf(d: DataFrame, threshold: Double,
+      dfCap: Option[Long] = Some(DFCAP)): DataFrame = dfCap match {
+    case Some(cap) => cappedContainmentPairsOf(d, threshold, cap)
+    case None =>
+      val ex = hashedShingleRowsOf(d)
+      val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_common"), min("na").as("na"), min("nb").as("nb"))
+      val c = col("n_common").cast("double") /
+        least(col("na"), col("nb")).cast("double")
+      inter.filter(c >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("na"), col("nb"),
+          round(c, 6).as("containment"))
   }
 
   def q69ContainmentPairs(s: SparkSession, dir: String): DataFrame =
     containmentPairsOf(docs(s, dir), 0.7).orderBy("id_a", "id_b")
 
+  /** Oracle mirrors the default df-cap (same CTE structure as oracleQ41,
+    * containment ratio instead of Jaccard), so parity holds by
+    * construction whatever the shingle-frequency distribution. */
   val oracleQ69: String =
     s"""WITH sets AS (
        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, ts FROM (
        |    SELECT doc_id, $oShingles3 AS ts
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
        |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |freq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+       |exdf AS (SELECT e.doc_id, e.n, e.sh, f.df FROM ex e JOIN freq f ON f.sh = e.sh),
+       |cold AS (SELECT doc_id, n, sh FROM exdf WHERE df <= $DFCAP),
+       |hot AS (SELECT doc_id, list(sh) AS hot FROM exdf WHERE df > $DFCAP GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
-       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |         count(*) AS n_cold, min(a.n) AS na, min(b.n) AS nb
+       |  FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |scored AS (
+       |  SELECT i.id_a, i.id_b,
+       |         i.n_cold + CAST(len(list_intersect(
+       |           coalesce(ha.hot, []), coalesce(hb.hot, []))) AS BIGINT) AS n_common,
+       |         i.na, i.nb
+       |  FROM inter i
+       |  LEFT JOIN hot ha ON ha.doc_id = i.id_a
+       |  LEFT JOIN hot hb ON hb.doc_id = i.id_b)
        |SELECT id_a, id_b, n_common, na, nb,
        |  round(CAST(n_common AS DOUBLE)/CAST(least(na, nb) AS DOUBLE), 6) AS containment
-       |FROM inter
+       |FROM scored
        |WHERE CAST(n_common AS DOUBLE)/CAST(least(na, nb) AS DOUBLE) >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -1621,23 +1667,40 @@ object TextDedup {
     *
     * Scale: the (source, shingle-hash) DISTINCT frame is a two-phase
     * aggregate (map-side partials collapse each source's repeated
-    * shingles before the shuffle); the pair join is keyed on the
-    * shingle hash, and its OUTPUT is bounded by distinct-shingles ×
-    * C(|sources|, 2) — sources are a curated enumeration (tens, not
-    * millions), so even a corpus-hot boilerplate shingle contributes at
-    * most |sources|² rows, never a blow-up. Join key is xxhash64 of
-    * the shingle (the q28 caveat: string-keyed oracle parity is
-    * probabilistic with birthday bound ~s²/2^64). */
+    * shingles before the shuffle). Pair counting does NOT self-join:
+    * each shingle's source SET is collected in one sh-keyed aggregate
+    * (bounded by |sources| — a curated enumeration of tens, never a
+    * skew risk), its C(k, 2) ordered pairs explode map-side, and the
+    * final pair aggregate is map-combinable into at most C(|sources|, 2)
+    * groups. That is one narrow shuffle of the distinct frame instead of
+    * re-shuffling BOTH copies of it through a join plus aggregating the
+    * Σ C(k,2) join output (BENCH_NOTES.md has the r11 numbers; same
+    * rows). Shingle key is xxhash64 (the q28 caveat: string-keyed
+    * oracle parity is probabilistic with birthday bound ~s²/2^64). */
   private[queries] def sourceOverlapOf(d: DataFrame): DataFrame = {
-    val s = d.select(col("source"),
-      explode(shingles3(toks)).as("shs"))
-      .select(col("source"), xxhash64(col("shs")).as("sh"))
-      .distinct()
+    // Shingle arrays come from the SHARED cached derivation
+    // ([[shingleSetsOf]]) rather than a private re-tokenization: the
+    // doc_id-keyed join against the (doc_id, source) projection happens
+    // BEFORE the explode (corpus-count rows, not shingle-count), so a
+    // session that ran any q28-family query pays only the explode here,
+    // not a second full text scan. ONE wide shuffle total: no DISTINCT
+    // pre-pass — collect_set dedups (and its map-side partials collapse
+    // per-partition repeats before the wire, the same volume the
+    // distinct would have shipped), and the per-source distinct-shingle
+    // SIZES come back out of the cached set frame as a map-combinable
+    // explode-count instead of their own wide aggregate.
+    val srcSets = shingleSetsOf(d)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("ts")).as("shs"))
+      .groupBy(xxhash64(col("shs")).as("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .dedupCached
-    val sizes = s.groupBy("source").agg(count(lit(1)).as("n_sh"))
-    val a = s.select(col("source").as("src_a"), col("sh"))
-    val b = s.select(col("source").as("src_b"), col("sh"))
-    val p = a.join(b, Seq("sh")).filter(col("src_a") < col("src_b"))
+    val sizes = srcSets.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val p = srcSets.filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"),
+        explode(filter(col("srcs"), x => x > col("src_a"))).as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
     p.join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_sh_a"))), Seq("src_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_sh_b"))), Seq("src_b"))

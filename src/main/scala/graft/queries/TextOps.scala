@@ -45,6 +45,17 @@ object TextOps {
     TextDedup.cappedJaccardPairsOf(norm(df, id, text), threshold, dfCap)
       .orderBy("id_a", "id_b")
 
+  /** Containment (subset-duplicate) pairs: |A∩B| / min(|A|,|B|) over
+    * word-3-gram shingle sets — catches a short document fully embedded
+    * in a long one, which Jaccard under-scores (q69 semantics). Capped by
+    * DEFAULT (the q41 hot-shingle guard; shares its candidate join with
+    * [[cappedNearDupPairs]] in-session); `dfCap = None` opts into the
+    * exact uncapped baseline for bounded corpora. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.7, dfCap: Option[Long] = Some(100L)): DataFrame =
+    TextDedup.containmentPairsOf(norm(df, id, text), threshold, dfCap)
+      .orderBy("id_a", "id_b")
+
   /** Near-dup connected components: every document labeled with its
     * cluster (min reachable id) + member count (q40 semantics).
     *

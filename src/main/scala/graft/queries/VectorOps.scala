@@ -452,12 +452,37 @@ object VectorOps {
   // Blocked all-pairs near-dup ranking (q33 semantics)
   // =====================================================================
 
+  /** Refuse-by-default ceiling for [[blockedPairsIndexed]]'s largest
+    * block: 100k rows is ~5e9 pair-dots in one block — already "you
+    * meant to do this" territory; beyond it the quadratic baseline is
+    * almost certainly a mistake (point a 100 TB corpus here and the job
+    * is effectively unbounded — use the LSH/IVF paths instead). */
+  val MaxBlockRowsDefault: Long = 100000L
+
   /** Top-n most-similar pairs WITHIN each `block` value, ranked globally
     * by cosine. Pairs are only formed inside a block — the bucketed-join
     * pattern; at 100 TB this exact shape runs within LSH/IVF buckets.
     * Norms are precomputed per vector BEFORE the join, so each pair pays
-    * one integer dot. Output: (block, id_a, id_b, cos). */
-  def blockedPairsIndexed(idx: DataFrame, block: String, topN: Int): DataFrame = {
+    * one integer dot. Output: (block, id_a, id_b, cos).
+    *
+    * `maxBlockRows` (default [[MaxBlockRowsDefault]]) is the DELIBERATE-
+    * QUADRATIC guard: this is the exact all-pairs baseline, so before the
+    * join we pay one cheap count aggregate and REFUSE if any block
+    * exceeds the cap, instead of silently launching an O(n²) job a user
+    * pointed at a full corpus. `None` opts out (benchmarking the
+    * baseline at known size). Note the guard job runs EAGERLY at call
+    * time. */
+  def blockedPairsIndexed(idx: DataFrame, block: String, topN: Int,
+      maxBlockRows: Option[Long] = Some(MaxBlockRowsDefault)): DataFrame = {
+    maxBlockRows.foreach { cap =>
+      val r = idx.groupBy(col(block)).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      val worst = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(worst <= cap,
+        s"blockedPairs: largest '$block' block has $worst rows (> cap $cap); " +
+          "the all-pairs baseline is quadratic per block — use the LSH (q34) " +
+          "or IVF (q37) path, or pass maxBlockRows=None if the size is intended")
+    }
     val a = idx.select(col(block).as("blk"), col("vec_id").as("id_a"),
       col("efp").as("ea"), col("nrm").as("na"))
     val b = idx.select(col(block).as("blk"), col("vec_id").as("id_b"),
@@ -471,8 +496,8 @@ object VectorOps {
   }
 
   def blockedPairs(df: DataFrame, id: String, vec: String, block: String,
-      topN: Int): DataFrame =
-    blockedPairsIndexed(index(df, id, vec, Seq(block)), block, topN)
+      topN: Int, maxBlockRows: Option[Long] = Some(MaxBlockRowsDefault)): DataFrame =
+    blockedPairsIndexed(index(df, id, vec, Seq(block)), block, topN, maxBlockRows)
 
   // =====================================================================
   // Semantic dedup — LSH candidates → exact cosine → components → keeper

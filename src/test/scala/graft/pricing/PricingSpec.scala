@@ -139,4 +139,36 @@ class PricingSpec extends SparkSpec {
       "SELECT count(*) FROM aws_savings_plans WHERE term_duration_years IN (1, 3)")
       .head().getLong(0) == 2)
   }
+
+  test("aws_rds_pricing registers with the reference's join columns") {
+    val df = PricingTables.registerRdsPricingTable(spark, src,
+      Seq("db.m5.large", "db.r5.xlarge"), Seq("us-east-1"))
+    assert(df.count() == 4) // classes x regions x {MySQL, PostgreSQL}
+    // deterministic mock: same key -> same price across calls
+    val again = PricingTables.registerRdsPricingTable(spark, src,
+      Seq("db.m5.large", "db.r5.xlarge"), Seq("us-east-1"))
+    assert(df.collect().toSet == again.collect().toSet)
+    // joins on the README's key columns (instance_class, region_code,
+    // database_engine) from SQL
+    val joined = spark.sql(
+      """SELECT p.instance_class, p.price_per_hour_usd
+        |FROM aws_rds_pricing p
+        |WHERE p.region_code = 'us-east-1' AND p.database_engine = 'MySQL'""".stripMargin)
+    assert(joined.count() == 2)
+    joined.collect().foreach(r => assert(r.getAs[Double]("price_per_hour_usd") > 0))
+  }
+
+  test("aws_savings_plans_rates registers and joins plan-level to rate-level") {
+    PricingTables.registerSavingsPlansTable(spark, Seq("arn:sp/1", "arn:sp/2"))
+    val rates = PricingTables.registerSavingsPlansRatesTable(spark, src,
+      Seq("m5.large", "c5.xlarge"), Seq("us-east-1"), Seq("arn:sp/1", "arn:sp/2"))
+    assert(rates.count() == 4) // plans x types x regions
+    // rate-level rows resolve their plan row (README join: savings_plan_id)
+    val j = spark.sql(
+      """SELECT r.instance_type, r.rate_per_hour_usd, p.savings_plan_type
+        |FROM aws_savings_plans_rates r
+        |JOIN aws_savings_plans p ON p.savings_plan_arn = r.savings_plan_id""".stripMargin)
+    assert(j.count() == 4)
+    j.collect().foreach(r => assert(r.getAs[Double]("rate_per_hour_usd") > 0))
+  }
 }
