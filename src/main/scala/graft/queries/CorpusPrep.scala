@@ -42,8 +42,9 @@ object CorpusPrep {
     * `nearDupDfCap`, when set, excludes shingles appearing in more than
     * that many documents from near-dup candidate GENERATION (q41
     * semantics) — the guard that keeps the candidate join linear when
-    * boilerplate n-grams go corpus-hot; the deployment setting at scale
-    * (None preserves the exact uncapped q28/q40 pairing).
+    * boilerplate n-grams go corpus-hot. CAPPED BY DEFAULT since r11
+    * (the deployment setting; `None` opts into the exact uncapped
+    * q28/q40 pairing for bounded corpora).
     * `lengthGatePct`, when set to (num, den), additionally drops every
     * document whose text length falls below its STRATUM's num/den-th
     * percentile (q68 semantics, fitted per run on the post-rule
@@ -56,7 +57,7 @@ object CorpusPrep {
       domainBlocklist: Option[DataFrame] = None,
       contaminationMaxFrac: Double = 0.0,
       vocabKeepK: Option[Int] = None,
-      nearDupDfCap: Option[Long] = None,
+      nearDupDfCap: Option[Long] = Some(100L),
       lengthGatePct: Option[(Int, Int)] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
@@ -188,7 +189,13 @@ object CorpusPrep {
       .reduce(_.unionAll(_))
 
     val release = () => {
-      pairs.unpersist(false)
+      // the capped path caches the pair-STAT frame + df-annotated base
+      // (its scored output is uncached); the uncapped path caches the
+      // scored pair frame itself
+      cfg.nearDupDfCap match {
+        case Some(cap) => TextDedup.unpersistCappedPairCachesOf(d3Text, cap)
+        case None => pairs.unpersist(false)
+      }
       TextDedup.unpersistDerivationsOf(d3Text)
     }
     Prepared(packed, d6, stats, release)

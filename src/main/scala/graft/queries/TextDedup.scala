@@ -421,6 +421,15 @@ object TextDedup {
     Seq(bandRowsOf(d), bandDfOf(d), mhDfOf(d), hashedShingleRowsOf(d),
       shingleSetsOf(d)).foreach(_.unpersist(false))
 
+  /** Release the capped pair-family caches for `d` at `dfCap` (the
+    * df-annotated frame and the shared pair-stat frame) — the capped
+    * counterpart of [[unpersistDerivationsOf]], reached by rebuilding
+    * the identical plans and unpersisting (Spark cache-manager lookup is
+    * by plan identity). */
+  private[graft] def unpersistCappedPairCachesOf(d: DataFrame, dfCap: Long): Unit =
+    Seq(cappedPairStatsOf(d, dfCap), dfAnnotatedOf(d))
+      .foreach(_.unpersist(false))
+
   def q30LshPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandRows(s, dir)
     // one row per matching band per pair => count = agreeing bands
@@ -857,22 +866,25 @@ object TextDedup {
     * identity — the Jaccard (q41) and containment (q69) scorings are just
     * different ratios over this same frame, so a session computing both
     * pays the candidate join once. */
-  private[queries] def cappedPairStatsOf(d: DataFrame, dfCap: Long): DataFrame = {
-    // shared hashed-shingle base + corpus-wide document frequency; the
-    // df-annotated result is cached in its own right: consumed by the
-    // capped self-join (both sides) and the hot-array builder.
-    // document frequency via TWO-PHASE groupBy + join-back, deliberately
-    // NOT a `count over (partition by sh)` window: a window has no partial
-    // aggregation, so the hottest shingle (df ~10^6-10^8 on web corpora)
-    // would put ALL its rows in one window partition on one task — the
-    // precise skew regime this cap exists to guard against. The groupBy
-    // combines map-side (each task emits one (sh, cnt) pair per local
-    // shingle), and the join-back is an equi-join AQE can handle: it
-    // broadcasts the df table when it measures small and skew-splits the
-    // sort-merge fallback — both regimes a window cannot reach.
+  /** The df-annotated hashed-shingle frame (doc_id, n, sh, df), cached:
+    * consumed by the capped self-join (both sides) and the hot-array
+    * builder. Document frequency via TWO-PHASE groupBy + join-back,
+    * deliberately NOT a `count over (partition by sh)` window: a window
+    * has no partial aggregation, so the hottest shingle (df ~10^6-10^8 on
+    * web corpora) would put ALL its rows in one window partition on one
+    * task — the precise skew regime this cap exists to guard against. The
+    * groupBy combines map-side (each task emits one (sh, cnt) pair per
+    * local shingle), and the join-back is an equi-join AQE can handle: it
+    * broadcasts the df table when it measures small and skew-splits the
+    * sort-merge fallback — both regimes a window cannot reach. */
+  private def dfAnnotatedOf(d: DataFrame): DataFrame = {
     val base = hashedShingleRowsOf(d)
     val dfTab = base.groupBy("sh").agg(count(lit(1)).as("df"))
-    val exDf = base.join(dfTab, Seq("sh")).dedupCached
+    base.join(dfTab, Seq("sh")).dedupCached
+  }
+
+  private[queries] def cappedPairStatsOf(d: DataFrame, dfCap: Long): DataFrame = {
+    val exDf = dfAnnotatedOf(d)
     val cold = exDf.filter(col("df") <= dfCap).select("doc_id", "n", "sh")
     // per-doc hot-shingle arrays: rows exist ONLY for docs touching a hot
     // shingle. Each ARRAY is tiny (the few shingles with df > cap), but the

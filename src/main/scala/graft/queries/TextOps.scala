@@ -31,11 +31,20 @@ object TextOps {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy("keeper_id")
 
-  /** Word-3-gram Jaccard near-dup pairs at `threshold` (q28 semantics). */
+  /** Word-3-gram Jaccard near-dup pairs at `threshold`. CAPPED by
+    * default (`dfCap = Some(100)` — the q41 hot-shingle guard that keeps
+    * the candidate join linear on corpora with boilerplate n-grams;
+    * Jaccard stays exact, a pair is lost only when EVERY shared shingle
+    * is hot). `dfCap = None` is the uncapped q28-oracle-exact baseline
+    * for bounded corpora. */
   def nearDupPairs(df: DataFrame, id: String, text: String,
-      threshold: Double = 0.5): DataFrame =
-    TextDedup.jaccardPairsOf(norm(df, id, text), threshold)
-      .orderBy("id_a", "id_b")
+      threshold: Double = 0.5, dfCap: Option[Long] = Some(100L)): DataFrame = {
+    val d = norm(df, id, text)
+    (dfCap match {
+      case Some(cap) => TextDedup.cappedJaccardPairsOf(d, threshold, cap)
+      case None => TextDedup.jaccardPairsOf(d, threshold)
+    }).orderBy("id_a", "id_b")
+  }
 
   /** [[nearDupPairs]] with the hot-shingle document-frequency cap — the
     * guard that keeps the candidate join feasible on corpora with
@@ -64,7 +73,7 @@ object TextOps {
     * vs distributed regime — [[TextDedup.propagateLabels]]), so merely
     * building the returned frame runs Spark jobs; it is not a lazy plan. */
   def dedupClusters(df: DataFrame, id: String, text: String,
-      threshold: Double = 0.5, dfCap: Option[Long] = None): DataFrame = {
+      threshold: Double = 0.5, dfCap: Option[Long] = Some(100L)): DataFrame = {
     val d = norm(df, id, text)
     // dfCap routes the candidate generation through the q41 hot-shingle
     // guard (two-phase df + capped self-join, exact Jaccard preserved) —
@@ -90,7 +99,7 @@ object TextOps {
     * each near-dup cluster contributes one unit of training mass. Same
     * eager-execution caveat as [[dedupClusters]], which this wraps. */
   def softDedupWeights(df: DataFrame, id: String, text: String,
-      threshold: Double = 0.5, dfCap: Option[Long] = None): DataFrame =
+      threshold: Double = 0.5, dfCap: Option[Long] = Some(100L)): DataFrame =
     dedupClusters(df, id, text, threshold, dfCap)
       .select(col("doc_id"), col("cluster_id"), col("n_members"),
         round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
@@ -100,7 +109,7 @@ object TextOps {
     * (a Column over `df`'s row; ties to the lowest id — q43 semantics). */
   def keepBestPerCluster(df: DataFrame, id: String, text: String,
       quality: Column, threshold: Double = 0.5,
-      dfCap: Option[Long] = None): DataFrame = {
+      dfCap: Option[Long] = Some(100L)): DataFrame = {
     val q = df.select(col(id).cast("long").as("doc_id"), quality.as("quality"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
@@ -448,13 +457,17 @@ object TextOps {
     * end of every epoch — the corpus-side index (a different plan) stays
     * cached across epochs. */
   def unpersistDedupCaches(df: DataFrame, id: String, text: String,
-      pairThresholds: Seq[Double] = Nil): Unit = {
+      pairThresholds: Seq[Double] = Nil,
+      dfCaps: Seq[Long] = Seq(100L)): Unit = {
     val n = norm(df, id, text)
     // jaccard pair frames are cached per (input plan, threshold) —
-    // callers that ran nearDupPairs/dedupClusters pass the thresholds
-    // they used so those entries release too
+    // callers that ran nearDupPairs/dedupClusters with dfCap=None pass
+    // the thresholds they used so those entries release too
     pairThresholds.foreach(t =>
       TextDedup.jaccardPairsOf(n, t).unpersist(false))
+    // capped pair-stat frames are cached per (input plan, dfCap) and are
+    // threshold-independent; the default matches the library default cap
+    dfCaps.foreach(c => TextDedup.unpersistCappedPairCachesOf(n, c))
     TextDedup.unpersistDerivationsOf(n)
   }
 }
