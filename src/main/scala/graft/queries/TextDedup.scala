@@ -1794,15 +1794,20 @@ object TextDedup {
     * why pipelines dedup BEFORE splitting (or split by cluster); this
     * report quantifies the damage for a given corpus + assignment.
     *
-    * Scale: the assignment is a zero-shuffle projection; the pairs are
-    * the SHARED cached q28 frame (a session that already ran q28/q40
-    * pays nothing new); the two assignment lookups join on doc_id —
-    * equi-joins AQE sizes. Output is bounded by the near-dup pair
-    * count, already bounded by the candidate-join guards. */
-  private[queries] def splitLeakageOf(d: DataFrame,
-      threshold: Double): DataFrame = {
+    * Scale: the assignment is a zero-shuffle projection; the pairs ride
+    * the SHARED capped pair-stat cache ([[cappedPairStatsOf]] — a
+    * session that already ran q41/q69 pays nothing new; `dfCap = None`
+    * opts back into the uncapped q28 frame); the two assignment lookups
+    * join on doc_id — equi-joins AQE sizes. Output is bounded by the
+    * near-dup pair count, already bounded by the candidate-join
+    * guards. */
+  private[queries] def splitLeakageOf(d: DataFrame, threshold: Double,
+      dfCap: Option[Long] = Some(DFCAP)): DataFrame = {
     val asg = d.select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
-    val pairs = jaccardPairsOf(d, threshold)
+    val pairs = dfCap match {
+      case Some(cap) => cappedJaccardPairsOf(d, threshold, cap)
+      case None => jaccardPairsOf(d, threshold)
+    }
     pairs
       .join(asg.select(col("doc_id").as("id_a"), col("split").as("split_a")),
         Seq("id_a"))
@@ -1817,6 +1822,9 @@ object TextDedup {
     splitLeakageOf(docs(s, dir).select(col("doc_id"), col("text")), 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Oracle mirrors the default df-cap (oracleQ41's CTE structure), so
+    * parity holds by construction whatever the shingle-frequency
+    * distribution. */
   val oracleQ75: String = {
     val bucket = (0 until 8).map { k =>
       val pow = 1L << (4 * (7 - k))
@@ -1833,15 +1841,27 @@ object TextDedup {
        |    SELECT doc_id, $oShingles3 AS ts
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
        |ex AS (SELECT doc_id, n, unnest(ts) AS sh FROM sets),
+       |freq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+       |exdf AS (SELECT e.doc_id, e.n, e.sh, f.df FROM ex e JOIN freq f ON f.sh = e.sh),
+       |cold AS (SELECT doc_id, n, sh FROM exdf WHERE df <= $DFCAP),
+       |hot AS (SELECT doc_id, list(sh) AS hot FROM exdf WHERE df > $DFCAP GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         count(*) AS n_common, min(a.n) AS na, min(b.n) AS nb
-       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |         count(*) AS n_cold, min(a.n) AS na, min(b.n) AS nb
+       |  FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
+       |scored AS (
+       |  SELECT i.id_a, i.id_b,
+       |         i.n_cold + CAST(len(list_intersect(
+       |           coalesce(ha.hot, []), coalesce(hb.hot, []))) AS BIGINT) AS n_common,
+       |         i.na, i.nb
+       |  FROM inter i
+       |  LEFT JOIN hot ha ON ha.doc_id = i.id_a
+       |  LEFT JOIN hot hb ON hb.doc_id = i.id_b),
        |pairs AS (
        |  SELECT id_a, id_b,
        |    round(CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE), 6) AS jaccard
-       |  FROM inter
+       |  FROM scored
        |  WHERE CAST(n_common AS DOUBLE)/CAST(na + nb - n_common AS DOUBLE) >= 0.5)
        |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
        |FROM pairs p JOIN asg sa ON sa.doc_id = p.id_a
