@@ -2249,6 +2249,63 @@ object TextDedup {
   }
 
   // =====================================================================
+  // q93: eval-set novelty audit (the inverse direction of q49)
+  // =====================================================================
+
+  /** For every EVAL document (the q49 bench slice, doc_id % 97 = 0): how
+    * many of its distinct 3-grams already appear anywhere in the TRAINING
+    * corpus, and the novelty fraction (1 − seen/total). q49 answers "which
+    * training docs leak eval content"; this answers the question an eval
+    * owner asks before trusting a benchmark score — "was this eval novel
+    * w.r.t. the corpus at all, or is it memorization-measurable?"
+    * (the eval-side view of the GPT-3/PaLM overlap methodology).
+    *
+    * Scale shape: the EVAL side is bounded by construction and
+    * BROADCASTS; the corpus side streams its (cached) hashed shingle rows
+    * through a map-side broadcast-hash join — the corpus never shuffles
+    * its shingles, and deliberately NO corpus-wide DISTINCT either: the
+    * per-eval-doc `count_distinct(sh)` collapses repeated corpus
+    * occurrences in partial aggregation (distinct keys bounded by the
+    * eval side), which replaces the corpus-sized distinct shuffle a
+    * naive seen-set build would pay. One narrow (doc_id, sh-partial)
+    * shuffle, eval-bounded. */
+  def q93EvalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val rows = hashedShingleRows(s, dir)
+    val benchRows = rows.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("sh"))
+    val seen = rows.filter(col("doc_id") % 97 =!= 0).select(col("sh"))
+      .join(broadcast(benchRows), Seq("sh"))
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_seen"))
+    shingleSets(s, dir).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(col("n_shingles") === 0L, lit(1.0))
+          .otherwise(round(lit(1.0) -
+            coalesce(col("n_seen"), lit(0L)).cast("double") /
+              col("n_shingles").cast("double"), 6)).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQ93: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, $oShingles3 AS ts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(ts) AS sh FROM sets),
+       |seen AS (
+       |  SELECT b.doc_id, count(DISTINCT b.sh) AS n_seen
+       |  FROM ex b JOIN ex c ON c.sh = b.sh AND c.doc_id % 97 <> 0
+       |  WHERE b.doc_id % 97 = 0 GROUP BY b.doc_id)
+       |SELECT s.doc_id, CAST(len(s.ts) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(o.n_seen, 0) AS BIGINT) AS n_seen,
+       |  CASE WHEN len(s.ts) = 0 THEN 1.0
+       |       ELSE round(1.0 - CAST(coalesce(o.n_seen, 0) AS DOUBLE)
+       |                      / CAST(len(s.ts) AS DOUBLE), 6) END AS novelty_frac
+       |FROM sets s LEFT JOIN seen o ON o.doc_id = s.doc_id
+       |WHERE s.doc_id % 97 = 0 ORDER BY s.doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_doc_stats" -> q24DocStats _,
     "q25_lang_id" -> q25LangId _,
@@ -2279,6 +2336,7 @@ object TextDedup {
     "q79_minhash_calibration" -> q79MinhashCalibration _,
     "q80_simhash_calibration" -> q80SimhashCalibration _,
     "q83_soft_dedup_weights" -> q83SoftDedupWeights _,
+    "q93_eval_novelty" -> q93EvalNovelty _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2311,5 +2369,6 @@ object TextDedup {
     "q79_minhash_calibration" -> oracleQ79,
     "q80_simhash_calibration" -> oracleQ80,
     "q83_soft_dedup_weights" -> oracleQ83,
+    "q93_eval_novelty" -> oracleQ93,
   )
 }

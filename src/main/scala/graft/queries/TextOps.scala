@@ -216,6 +216,36 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Eval-set novelty audit (q93 semantics — the inverse direction of
+    * [[decontaminate]]): per BENCH document, how many of its distinct
+    * 3-grams appear anywhere in `corpus`, plus the novelty fraction
+    * (1 − seen/total) — the number an eval owner checks before trusting
+    * a benchmark score against a model trained on `corpus`. The bench
+    * side broadcasts (bounded by construction); the corpus streams its
+    * cached shingle rows map-side with NO corpus-wide distinct — the
+    * per-bench-doc count_distinct collapses repeats in partial
+    * aggregation. */
+  def evalNovelty(bench: DataFrame, corpus: DataFrame, id: String,
+      text: String, ordered: Boolean = true): DataFrame = {
+    val nb = norm(bench, id, text)
+    val benchRows = TextDedup.hashedShingleRowsOf(nb)
+      .select(col("doc_id"), col("sh"))
+    val seen = TextDedup.hashedShingleRowsOf(norm(corpus, id, text))
+      .select(col("sh"))
+      .join(broadcast(benchRows), Seq("sh"))
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_seen"))
+    val r = TextDedup.shingleSetsOf(nb)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(col("n_shingles") === 0L, lit(1.0))
+          .otherwise(round(lit(1.0) -
+            coalesce(col("n_seen"), lit(0L)).cast("double") /
+              col("n_shingles").cast("double"), 6)).as("novelty_frac"))
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** Contamination attribution (q78 semantics): for every corpus document
     * sharing ≥1 3-gram shingle with `bench`, the single bench document it
     * overlaps most (ties to the lowest bench id) plus the shared-shingle

@@ -84,6 +84,28 @@ class TextOpsSpec extends SparkSpec {
       rows(TextDedup.q49Decontamination(spark, sfDir)))
   }
 
+  test("evalNovelty == q93 on the modulo split") {
+    val corpus = renamed.filter(col("id") % 97 =!= 0)
+    val bench = renamed.filter(col("id") % 97 === 0)
+    assert(rows(TextOps.evalNovelty(bench, corpus, "id", "body")) ==
+      rows(TextDedup.q93EvalNovelty(spark, sfDir)))
+  }
+
+  test("evalNovelty counts corpus-seen shingles per bench doc") {
+    val s = spark
+    import s.implicits._
+    // bench doc 0: "a b c d" -> shingles {a_b_c, b_c_d}; corpus doc 1
+    // contains a_b_c (twice, to prove distinct-collapse) but not b_c_d
+    val bench = Seq((0L, "a b c d")).toDF("id", "body")
+    val corpus = Seq((1L, "x a b c y a b c z")).toDF("id", "body")
+    val r = TextOps.evalNovelty(bench, corpus, "id", "body").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_shingles") == 2L)
+    assert(row.getAs[Long]("n_seen") == 1L)
+    assert(row.getAs[Double]("novelty_frac") == 0.5)
+  }
+
   test("contaminationScore == q61 on the modulo split") {
     val corpus = renamed.filter(col("id") % 97 =!= 0)
     val bench = renamed.filter(col("id") % 97 === 0)
