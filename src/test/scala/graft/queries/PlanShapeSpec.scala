@@ -441,6 +441,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window "), "divergence computed via window (no partial agg)")
   }
 
+  test("q74 source overlap: sh-keyed set aggregate, no shingle self-join") {
+    val df = TextDedup.q74SourceOverlap(spark, sfDir)
+    df.collect() // materialize the cached set frame + finalize AQE
+    val p = plan(df)
+    // pair counting must come from collect_set + per-set pair explosion —
+    // never a self-join of the (source, sh) frame (the r11 rewrite: one
+    // wide shuffle instead of re-shuffling both join sides)
+    assert(p.contains("collect_set"),
+      s"source sets not collect_set-aggregated:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair counting joined the shingle frame to itself:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "pair counting went all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "sizes join-back not broadcast")
+  }
+
+  test("q93 eval novelty probes via broadcast; no corpus-wide distinct shuffle") {
+    val df = TextDedup.q93EvalNovelty(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "eval-side probe not a broadcast join")
+    // the only legitimate sh-bearing exchange is count_distinct's
+    // (doc_id, sh) expansion — partial-aggregated BEFORE the wire and
+    // bounded by the broadcast-join output (eval-sized). An exchange
+    // partitioned on sh ALONE would be the corpus-wide distinct this
+    // query exists to avoid.
+    shShufflesOf(df).foreach { e =>
+      assert(e.outputPartitioning.toString.contains("doc_id#"),
+        s"corpus-wide sh-only shuffle: ${e.outputPartitioning}")
+    }
+    assert(!p.contains("CartesianProduct"), "novelty probe went all-pairs")
+  }
+
   test("q72 rare-token df stage is a partial aggregate, never a count-over-window") {
     val df = Curation.q72RareTokens(spark, sfDir)
     df.collect() // finalize the adaptive plan
