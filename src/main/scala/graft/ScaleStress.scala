@@ -51,7 +51,12 @@ object ScaleStress {
     "q80_simhash_calibration",
     // q83 rides q40's memoized cluster labels (the fixpoint is the q40
     // cost; the reweight itself is one per-cluster window + projection)
-    "q83_soft_dedup_weights")
+    "q83_soft_dedup_weights",
+    // q93's eval side is the %97 id slice (~1/97 of the corpus at any
+    // scale, so the broadcast side grows ~R× but stays a bounded
+    // fraction); the corpus streams map-side through the broadcast
+    // probe — cost should track corpus rows, no sh-only shuffle
+    "q93_eval_novelty")
 
   /** ANN family measured against the replicated EMBEDDINGS corpus. The
     * query side of each is pinned to replica-0 ids (vec_id 0 / < 5), so
