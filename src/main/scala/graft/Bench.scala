@@ -88,9 +88,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Compact line FIRST: the driver keeps a bounded tail of stdout, and
-    // the per-query map below can outgrow it — the headline total must
-    // survive truncation on its own line.
+    // Compact line FIRST (VERDICT r10 item 8): the driver stores a
+    // bounded PREFIX of stdout (~2000 chars) and truncates the rest, so
+    // the ~92-entry per-query line below gets clipped — the headline
+    // total must come first, on its own short line, to survive.
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

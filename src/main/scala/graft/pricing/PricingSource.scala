@@ -129,13 +129,16 @@ object PricingTables {
     * aws_pricing, aws_rds_pricing, aws_savings_plans,
     * aws_savings_plans_rates; spot_price_history is this build's bonus).
     * Every table is driver-built and broadcast-size; CUR joins see the
-    * same names the reference documents. */
+    * same names the reference documents. `asOf` is REQUIRED (no now()
+    * default at this seam — the CLAUDE.md determinism contract: two
+    * sessions registering on different days must be able to build
+    * identical spot history by injecting the same date). */
   def registerApiTables(spark: SparkSession, src: PricingSource,
       instanceTypes: Seq[String], regions: Seq[String],
+      asOf: java.time.LocalDate,
       rdsClasses: Seq[String] = Seq.empty,
       savingsPlanArns: Seq[String] = Seq.empty,
-      spotDaysBack: Int = 7,
-      asOf: java.time.LocalDate = java.time.LocalDate.now()): Unit = {
+      spotDaysBack: Int = 7): Unit = {
     registerPricingTable(spark, src, instanceTypes, regions)
     registerSpotHistoryTable(spark, src, instanceTypes, regions, spotDaysBack, asOf)
     registerRdsPricingTable(spark, src,
@@ -210,15 +213,19 @@ object PricingTables {
   /** Per-(instance_type, region, plan) SP rate detail →
     * `aws_savings_plans_rates` temp view (reference README.md:592: join
     * columns instance_type, region, savings_plan_id) — the rate-level
-    * companion of the plan-level `aws_savings_plans`. */
+    * companion of the plan-level `aws_savings_plans`. The exposed
+    * `savings_plan_type` column uses the SAME encoding as the plan-level
+    * table ('Compute'/'EC2Instance', same i%2 parity per plan id), so
+    * cross-table predicates on the type match; the longer API strings
+    * ('ComputeSavingsPlans'/...) stay internal to the rate lookup. */
   def registerSavingsPlansRatesTable(spark: SparkSession, src: PricingSource,
       instanceTypes: Seq[String], regions: Seq[String],
       planIds: Seq[String]): DataFrame = {
     val rows = for {
       (pid, i) <- planIds.zipWithIndex
-      planType = if (i % 2 == 0) "ComputeSavingsPlans" else "EC2InstanceSavingsPlans"
+      planType = if (i % 2 == 0) "Compute" else "EC2Instance"
       it <- instanceTypes; r <- regions
-      rate <- src.savingsPlanRate(it, r, planType)
+      rate <- src.savingsPlanRate(it, r, planType + "SavingsPlans")
     } yield (it, r, pid, planType, rate)
     val df = spark.createDataFrame(rows)
       .toDF("instance_type", "region", "savings_plan_id", "savings_plan_type",

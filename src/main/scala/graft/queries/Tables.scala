@@ -13,7 +13,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Normalize a timestamp column to Spark's session-tz TIMESTAMP whatever
-    * the parquet writer produced. Three source shapes exist in the wild:
+    * the parquet writer produced. Source shapes seen in the wild:
     *   - INT64 TIMESTAMP(NANOS) read as Long under the nanosAsLong legacy
     *     conf → exact integer `div 1000` to micros (epoch-nanos ~1.7e18
     *     exceed double's 53-bit exact range, so `/ 1000.0` could be ~1us
@@ -23,11 +23,24 @@ object Tables {
     *     session timezone all entrypoints set);
     *   - already TIMESTAMP → pass through.
     * Branching on the READ schema (not assuming the writer) is what keeps
-    * this stable across data regenerations and parquet-jar upgrades. */
+    * this stable across data regenerations and parquet-jar upgrades.
+    *
+    * The Long branch disambiguates UNITS per row by magnitude instead of
+    * assuming nanos (the round-10 lesson was precisely a writer changing
+    * units under a loader that assumed): for epochs in 1973–2096,
+    * nanos ≥ 1e17 > max-micros ~4e15, micros ≥ 1e14 > max-millis ~4e12,
+    * millis ≥ 1e11 > max-seconds ~4e9 — the ranges cannot overlap, so a
+    * plain-INT64 micros/millis/seconds writer produces correct
+    * timestamps rather than silently 1000×-off ones. Pure integer CASE,
+    * codegen-friendly, no eager sampling job. */
   def normalizeTs(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case LongType =>
-        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+        df.withColumn(colName, timestamp_micros(expr(
+          s"""CASE WHEN abs(`$colName`) >= 100000000000000000 THEN `$colName` div 1000
+             |     WHEN abs(`$colName`) >= 100000000000000 THEN `$colName`
+             |     WHEN abs(`$colName`) >= 100000000000 THEN `$colName` * 1000
+             |     ELSE `$colName` * 1000000 END""".stripMargin)))
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df

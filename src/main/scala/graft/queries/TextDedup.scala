@@ -2269,14 +2269,16 @@ object TextDedup {
     * eval side), which replaces the corpus-sized distinct shuffle a
     * naive seen-set build would pay. One narrow (doc_id, sh-partial)
     * shuffle, eval-bounded. */
-  def q93EvalNovelty(s: SparkSession, dir: String): DataFrame = {
-    val rows = hashedShingleRows(s, dir)
-    val benchRows = rows.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), col("sh"))
-    val seen = rows.filter(col("doc_id") % 97 =!= 0).select(col("sh"))
-      .join(broadcast(benchRows), Seq("sh"))
+  /** Shared assembly (the [[contaminationAssembly]] pattern): callers
+    * supply the pre-derived frames, so the q93 binding can pass filtered
+    * slices of the dir-level caches while [[TextOps.evalNovelty]] derives
+    * per arbitrary frame — one copy of the probe + novelty math. */
+  private[queries] def evalNoveltyAssembly(benchRows: DataFrame,
+      benchSets: DataFrame, corpusRows: DataFrame): DataFrame = {
+    val seen = corpusRows.select(col("sh"))
+      .join(broadcast(benchRows.select(col("doc_id"), col("sh"))), Seq("sh"))
       .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_seen"))
-    shingleSets(s, dir).filter(col("doc_id") % 97 === 0)
+    benchSets
       .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
       .join(seen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -2285,6 +2287,14 @@ object TextDedup {
           .otherwise(round(lit(1.0) -
             coalesce(col("n_seen"), lit(0L)).cast("double") /
               col("n_shingles").cast("double"), 6)).as("novelty_frac"))
+  }
+
+  def q93EvalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val rows = hashedShingleRows(s, dir)
+    evalNoveltyAssembly(
+      rows.filter(col("doc_id") % 97 === 0),
+      shingleSets(s, dir).filter(col("doc_id") % 97 === 0),
+      rows.filter(col("doc_id") % 97 =!= 0))
       .orderBy("doc_id")
   }
 

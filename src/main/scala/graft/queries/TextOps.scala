@@ -46,13 +46,12 @@ object TextOps {
     }).orderBy("id_a", "id_b")
   }
 
-  /** [[nearDupPairs]] with the hot-shingle document-frequency cap — the
-    * guard that keeps the candidate join feasible on corpora with
-    * boilerplate n-grams (q41 semantics). */
+  /** [[nearDupPairs]] with an explicit (non-optional) df-cap — kept as a
+    * named entry point for callers that want the cap spelled out; pure
+    * delegation, same capped path as the [[nearDupPairs]] default. */
   def cappedNearDupPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.5, dfCap: Long = 100L): DataFrame =
-    TextDedup.cappedJaccardPairsOf(norm(df, id, text), threshold, dfCap)
-      .orderBy("id_a", "id_b")
+    nearDupPairs(df, id, text, threshold, Some(dfCap))
 
   /** Containment (subset-duplicate) pairs: |A∩B| / min(|A|,|B|) over
     * word-3-gram shingle sets — catches a short document fully embedded
@@ -228,21 +227,10 @@ object TextOps {
   def evalNovelty(bench: DataFrame, corpus: DataFrame, id: String,
       text: String, ordered: Boolean = true): DataFrame = {
     val nb = norm(bench, id, text)
-    val benchRows = TextDedup.hashedShingleRowsOf(nb)
-      .select(col("doc_id"), col("sh"))
-    val seen = TextDedup.hashedShingleRowsOf(norm(corpus, id, text))
-      .select(col("sh"))
-      .join(broadcast(benchRows), Seq("sh"))
-      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_seen"))
-    val r = TextDedup.shingleSetsOf(nb)
-      .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
-      .join(seen, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
-        when(col("n_shingles") === 0L, lit(1.0))
-          .otherwise(round(lit(1.0) -
-            coalesce(col("n_seen"), lit(0L)).cast("double") /
-              col("n_shingles").cast("double"), 6)).as("novelty_frac"))
+    val r = TextDedup.evalNoveltyAssembly(
+      TextDedup.hashedShingleRowsOf(nb),
+      TextDedup.shingleSetsOf(nb),
+      TextDedup.hashedShingleRowsOf(norm(corpus, id, text)))
     if (ordered) r.orderBy("doc_id") else r
   }
 

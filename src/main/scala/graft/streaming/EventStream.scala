@@ -38,10 +38,16 @@ object EventStream {
     * take it from a static read of the same glob — the stream then sees
     * whatever ts physical type the writer produced (nanos-as-Long, NTZ
     * micros, or TIMESTAMP) and [[graft.queries.Tables.normalizeTs]]
-    * converts it exactly as the batch loader does. */
+    * converts it exactly as the batch loader does. When the directory has
+    * no matching file YET (starting the tail before the first batch
+    * lands — the production bootstrap order), schema inference has
+    * nothing to read, so we fall back to [[rawSchema]] (the legacy
+    * nanos-Long shape) rather than failing stream setup; normalizeTs's
+    * magnitude branch converts whatever unit later files carry. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val staticSchema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val staticSchema =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     graft.queries.Tables.normalizeTs(
       spark.readStream
         .schema(staticSchema)

@@ -165,10 +165,17 @@ class PricingSpec extends SparkSpec {
     assert(rates.count() == 4) // plans x types x regions
     // rate-level rows resolve their plan row (README join: savings_plan_id)
     val j = spark.sql(
-      """SELECT r.instance_type, r.rate_per_hour_usd, p.savings_plan_type
+      """SELECT r.instance_type, r.rate_per_hour_usd,
+        |       r.savings_plan_type AS rt, p.savings_plan_type AS pt
         |FROM aws_savings_plans_rates r
         |JOIN aws_savings_plans p ON p.savings_plan_arn = r.savings_plan_id""".stripMargin)
     assert(j.count() == 4)
-    j.collect().foreach(r => assert(r.getAs[Double]("rate_per_hour_usd") > 0))
+    j.collect().foreach { r =>
+      assert(r.getAs[Double]("rate_per_hour_usd") > 0)
+      // the two tables must agree on the type ENCODING for the same plan
+      // (cross-table predicates like r.type = p.type must match)
+      assert(r.getAs[String]("rt") == r.getAs[String]("pt"),
+        s"type encoding diverged: ${r.getAs[String]("rt")} vs ${r.getAs[String]("pt")}")
+    }
   }
 }

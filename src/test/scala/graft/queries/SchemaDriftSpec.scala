@@ -32,6 +32,24 @@ class SchemaDriftSpec extends SparkSpec {
       s"\n${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
   }
 
+  test("normalizeTs disambiguates INT64 units by magnitude") {
+    val s = spark
+    import s.implicits._
+    // the same instant (2023-11-14T22:13:20Z = epoch 1.7e9 s) written as
+    // nanos / micros / millis / seconds — all four must normalize to the
+    // identical TIMESTAMP (the round-10 failure mode was a loader
+    // assuming units a writer had changed)
+    val t = 1700000000L
+    val units = Seq(t * 1000000000L, t * 1000000L, t * 1000L, t)
+    val out = units.map { v =>
+      Tables.normalizeTs(Seq((1L, v)).toDF("id", "ts"), "ts")
+        .select(org.apache.spark.sql.functions.col("ts").cast("string"))
+        .head().getString(0)
+    }
+    assert(out.distinct.size == 1, s"units normalized differently: $out")
+    assert(out.head == "2023-11-14 22:13:20")
+  }
+
   test("every loaded table has the column types the loaders promise") {
     val t = Tables.loadAll(spark, sfDir)
     import org.apache.spark.sql.types._
