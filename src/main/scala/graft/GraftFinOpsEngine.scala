@@ -26,7 +26,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftFinOpsEngine(
     val config: DataConfig,
-    val spark: SparkSession) {
+    val spark: SparkSession,
+    val pricingSource: graft.pricing.PricingSource = new graft.pricing.MockPricingSource) {
 
   private val engine = new GraftEngine(spark, config.referenceDate)
   // root the current registration was made over; None = not yet registered.
@@ -43,7 +44,37 @@ final class GraftFinOpsEngine(
         "no data source configured: set localDataPath or s3Bucket"))
     if (!registeredRoot.contains(root)) {
       PartitionCatalog.register(spark, root, config)
+      registerApiTables()
       registeredRoot = Some(root)
+    }
+  }
+
+  /** "When API data sources are enabled, these tables are automatically
+    * available" (reference README.md:583-592): register the named
+    * pricing views alongside the data tables, built from
+    * [[pricingSource]]. Spot history pins to `referenceDate` (today's
+    * date only when none is injected — matching the analytics modules'
+    * convention). */
+  private def registerApiTables(): Unit = {
+    import graft.pricing.PricingTables
+    val types = config.pricingApiInstanceTypes
+    val regions = config.pricingApiRegions
+    if (config.enablePricingApi) {
+      PricingTables.registerPricingTable(spark, pricingSource, types, regions)
+      PricingTables.registerRdsPricingTable(spark, pricingSource,
+        types.map("db." + _), regions)
+      PricingTables.registerSpotHistoryTable(spark, pricingSource, types,
+        regions, asOf = config.referenceDate.getOrElse(java.time.LocalDate.now()))
+    }
+    if (config.enableSavingsPlansApi) {
+      // zero-egress: the mock's deterministic stand-in plan inventory;
+      // a live deployment lists real ARNs via the SavingsPlans API
+      val arns = Seq("arn:aws:savingsplans::plan/graft-1",
+        "arn:aws:savingsplans::plan/graft-2")
+      PricingTables.registerSavingsPlansTable(spark, arns)
+      if (config.savingsPlansIncludeRates)
+        PricingTables.registerSavingsPlansRatesTable(spark, pricingSource,
+          types, regions, arns)
     }
   }
 

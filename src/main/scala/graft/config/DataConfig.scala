@@ -58,7 +58,22 @@ final case class DataConfig(
     dateStart: Option[String] = None, // inclusive, format per exportType
     dateEnd: Option[String] = None, // inclusive
     preferLocalData: Boolean = true,
-    referenceDate: Option[java.time.LocalDate] = None) {
+    referenceDate: Option[java.time.LocalDate] = None,
+    // API Data Source Control (reference data_config.py:53-57 +
+    // README.md:596-611): when enabled, the engine auto-registers the
+    // reference-named pricing tables (aws_pricing, aws_rds_pricing,
+    // spot_price_history / aws_savings_plans, aws_savings_plans_rates)
+    // at data-registration time, built from the engine's PricingSource
+    // (the deterministic mock by default; a live client in deployment).
+    // Spot history's asOf comes from referenceDate (determinism
+    // contract) — apiCacheMaxAgeDays is the live-client refresh knob
+    // and does not affect the mock.
+    enablePricingApi: Boolean = false,
+    enableSavingsPlansApi: Boolean = false,
+    apiCacheMaxAgeDays: Int = 1,
+    pricingApiRegions: Seq[String] = Seq("us-east-1"),
+    pricingApiInstanceTypes: Seq[String] = Seq("m5.large", "c5.xlarge"),
+    savingsPlansIncludeRates: Boolean = true) {
 
   require(dateStart.forall(exportType.validDate),
     s"dateStart must be ${exportType.dateFormat} for ${exportType.name}")

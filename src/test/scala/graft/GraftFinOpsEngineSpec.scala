@@ -57,6 +57,35 @@ class GraftFinOpsEngineSpec extends SparkSpec {
     intercept[IllegalStateException](bare.query("SELECT 1"))
   }
 
+  test("enabled API data sources auto-register the reference-named tables") {
+    val e = new GraftFinOpsEngine(
+      DataConfig(localDataPath = Some(root),
+        dateStart = Some("2025-04"), dateEnd = Some("2025-07"),
+        referenceDate = Some(LocalDate.of(2025, 7, 15)),
+        enablePricingApi = true, enableSavingsPlansApi = true),
+      spark)
+    // the README's cost-efficiency join (README.md:620-633 shape) runs
+    // without any manual registration call
+    val eff = e.query(
+      """SELECT c.product_instance_type,
+        |       SUM(c.line_item_unblended_cost) AS actual_cost,
+        |       MAX(p.price_per_hour_usd) AS od_rate
+        |FROM CUR c
+        |LEFT JOIN aws_pricing p ON p.instance_type = c.product_instance_type
+        |WHERE c.line_item_product_code = 'AmazonEC2'
+        |GROUP BY 1""".stripMargin).collect()
+    assert(eff.nonEmpty)
+    // all four reference-named tables (README.md:585-592) + spot history
+    for (t <- Seq("aws_pricing", "aws_rds_pricing", "aws_savings_plans",
+        "aws_savings_plans_rates", "spot_price_history"))
+      assert(e.query(s"SELECT count(*) AS n FROM $t").head().getLong(0) > 0,
+        s"$t not registered")
+    // determinism: referenceDate (not wall clock) pins the spot history
+    val latest = e.query(
+      "SELECT max(timestamp) AS t FROM spot_price_history").head().getString(0)
+    assert(latest == "2025-07-15T00:00:00Z")
+  }
+
   test("forceS3 is honored per query, not only at first registration") {
     val e = engine // local-only config
     assert(e.query("SELECT count(*) AS n FROM CUR").collect().head.getLong(0) > 0)
