@@ -453,6 +453,35 @@ object TextOps {
       bucketSpan: Long = 1000000L): DataFrame =
     TextPipeline.blockManifestOf(norm(df, id, text), ctxLen, bucketSpan)
 
+  /** Token-balanced output shard plan (q94 semantics): every document
+    * assigned to shard `start_off div tokensPerShard` over the global
+    * [[streamLayout]] — deterministic, doc_id-contiguous shards that are
+    * equal-sized in TOKENS however skewed per-document lengths are. */
+  def shardPlan(df: DataFrame, id: String, text: String,
+      tokensPerShard: Long, bucketSpan: Long = 1000000L,
+      ordered: Boolean = true): DataFrame = {
+    val r = TextPipeline.shardPlanOf(norm(df, id, text), tokensPerShard,
+      bucketSpan)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
+  /** Materialize ANY frame as token-balanced parquet shards (one
+    * `shard_id=K/` directory per shard, one task/file per shard, rows in
+    * within-shard order; the caller's non-id columns ride along). The
+    * sizing answer a 100 TB write job needs — equal files in token
+    * space, not document count. Returns the shard count. */
+  def writeShards(df: DataFrame, id: String, text: String, outDir: String,
+      tokensPerShard: Long, bucketSpan: Long = 1000000L): Long = {
+    val plan = TextPipeline.shardPlanOf(norm(df, id, text), tokensPerShard,
+      bucketSpan).select(col("doc_id").as("__gid"), col("shard_id"),
+        col("shard_pos"))
+    df.join(plan, col(id).cast("long") === col("__gid")).drop("__gid")
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "shard_pos")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    plan.agg(max(col("shard_id"))).head().getLong(0) + 1L
+  }
+
   /** Rolling per-stratum monitoring stats of an integer metric over any
     * frame (q64 semantics): trailing mean/min/count + centered max, the
     * `ROWS BETWEEN` frame family as a library form. `metric` is any

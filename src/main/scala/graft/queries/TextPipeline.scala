@@ -1062,6 +1062,58 @@ object TextPipeline {
        |FROM e GROUP BY block_id ORDER BY block_id""".stripMargin
 
   // =====================================================================
+  // q94: token-balanced output shards (the writer's plan view of q88)
+  // =====================================================================
+
+  /** Tokens per output shard of the oracle-checked binding — sized so the
+    * synthetic corpus produces a handful of shards; production uses
+    * ~10⁸-10⁹ (a few GB of tokens per file). */
+  val ShardTokens = 20000L
+
+  /** Token-BALANCED output shard assignment: every document lands in
+    * shard `start_off div tokensPerShard` over the q88 global layout —
+    * deterministic (a pure function of the corpus), order-preserving
+    * (shards are contiguous doc_id ranges), and balanced in TOKEN space
+    * by construction: each shard carries ≤ tokensPerShard + the one doc
+    * that straddles its boundary, however skewed per-document lengths
+    * are. This is the sizing question every 100 TB write job answers —
+    * "make output files equal-sized in tokens, not in document count" —
+    * solved as a plan, not a greedy stateful packer. `shard_pos` ranks
+    * docs within their shard (the loader's within-file order).
+    *
+    * Scale: rides [[streamLayoutOf]]'s two-level prefix sum (its one
+    * corpus shuffle of integer pairs); the shard id is one integer div
+    * on top, and the within-shard rank window partitions by shard_id —
+    * bounded by tokensPerShard/avg_doc_tokens rows per partition. */
+  private[queries] def shardPlanOf(d: DataFrame, tokensPerShard: Long,
+      bucketSpan: Long): DataFrame = {
+    val w = Window.partitionBy("shard_id").orderBy("doc_id")
+    streamLayoutOf(d, ctxLen = tokensPerShard, bucketSpan = bucketSpan)
+      .withColumn("shard_id", expr(s"start_off div $tokensPerShard"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("shard_id"),
+        (row_number().over(w) - 1).cast("long").as("shard_pos"))
+  }
+
+  def q94ShardPlan(s: SparkSession, dir: String): DataFrame =
+    shardPlanOf(docs(s, dir), ShardTokens, StreamBucketSpan).orderBy("doc_id")
+
+  val oracleQ94: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens + 1) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - (n_tokens + 1) AS start_off
+       |  FROM m)
+       |SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       |  CAST(start_off // $ShardTokens AS BIGINT) AS shard_id,
+       |  CAST(row_number() OVER (PARTITION BY start_off // $ShardTokens
+       |    ORDER BY doc_id) - 1 AS BIGINT) AS shard_pos
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_doc_chunks" -> q53DocChunks _,
     "q54_tfidf_topk" -> q54TfidfTopK _,
@@ -1076,6 +1128,7 @@ object TextPipeline {
     "q88_stream_layout" -> q88StreamLayout _,
     "q90_block_manifest" -> q90BlockManifest _,
     "q92_span_scrub" -> q92SpanScrub _,
+    "q94_shard_plan" -> q94ShardPlan _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1092,5 +1145,6 @@ object TextPipeline {
     "q88_stream_layout" -> oracleQ88,
     "q90_block_manifest" -> oracleQ90,
     "q92_span_scrub" -> oracleQ92,
+    "q94_shard_plan" -> oracleQ94,
   )
 }

@@ -378,6 +378,54 @@ class TextPipelineSpec extends SparkSpec {
         s"layout changed under bucketSpan=$span")
   }
 
+  test("q94 shard plan: token-balanced, doc_id-contiguous, every doc exactly once") {
+    val S = TextPipeline.ShardTokens
+    val rows = TextPipeline.q94ShardPlan(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.forall(r => r.getAs[Long]("shard_id") ==
+      r.getAs[Long]("start_off") / S))
+    val byShard = rows.groupBy(_.getAs[Long]("shard_id"))
+    assert(byShard.size > 1, "corpus should span multiple shards at this S")
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    byShard.foreach { case (sid, rs) =>
+      // balance: a shard holds < S of start-offsets, so its token mass is
+      // bounded by S + the one doc straddling its upper boundary
+      val mass = rs.map(r => r.getAs[Long]("n_tokens") + 1L).sum
+      assert(mass <= S + maxDoc + 1L, s"shard $sid carries $mass tokens")
+      // contiguity in doc_id: shards are ranges, never interleaved
+      val ids = rs.map(_.getAs[Long]("doc_id")).sorted
+      val others = rows.filter(_.getAs[Long]("shard_id") != sid)
+        .map(_.getAs[Long]("doc_id"))
+      assert(!others.exists(o => o > ids.head && o < ids.last),
+        s"shard $sid interleaves with another shard")
+      // shard_pos is the dense within-shard rank
+      assert(rs.sortBy(_.getAs[Long]("doc_id"))
+        .map(_.getAs[Long]("shard_pos")).toSeq == rs.indices.map(_.toLong))
+    }
+  }
+
+  test("writeShards materializes one directory per shard with rows intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val n = TextOps.writeShards(
+      docs.select(col("doc_id").as("id"), col("text").as("body"), col("source")),
+      "id", "body", tmp, tokensPerShard = TextPipeline.ShardTokens)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == docs.count(), "docs lost or duplicated in shards")
+    assert(back.select("shard_id").distinct().count() == n)
+    // caller columns ride along; partition dirs carry the shard id
+    assert(back.columns.toSet.contains("source"))
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    assert(dirs.length == n.toInt)
+    // plan equivalence: the written assignment matches q94's
+    val planned = TextPipeline.q94ShardPlan(spark, sfDir)
+      .select(col("doc_id"), col("shard_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition-column inference reads shard_id back as Integer
+    back.select(col("id"), col("shard_id").cast("long")).collect()
+      .foreach(r => assert(planned(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("q88 append: laying out a batch at the persisted tail equals the full recompute") {
     val L = TextPipeline.StreamCtxLen
     val span = TextPipeline.StreamBucketSpan
