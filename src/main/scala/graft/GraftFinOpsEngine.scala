@@ -50,31 +50,32 @@ final class GraftFinOpsEngine(
   }
 
   /** "When API data sources are enabled, these tables are automatically
-    * available" (reference README.md:583-592): register the named
-    * pricing views alongside the data tables, built from
-    * [[pricingSource]]. Spot history pins to `referenceDate` (today's
-    * date only when none is injected — matching the analytics modules'
-    * convention). */
+    * available" (reference README.md:583-592): one delegation to the
+    * [[graft.pricing.PricingTables.registerApiTables]] seam, flags from
+    * [[DataConfig]]. The source is wrapped in a
+    * [[graft.pricing.CachingPricingSource]] honoring
+    * `apiCacheMaxAgeDays` (the reference's refresh knob) so a live
+    * client pays each lookup once per window. Spot history pins to
+    * `referenceDate` — the DETERMINISTIC mode; today's date is used
+    * only when none is injected, matching the analytics modules'
+    * convention (inject referenceDate for reproducible spot joins). */
   private def registerApiTables(): Unit = {
-    import graft.pricing.PricingTables
-    val types = config.pricingApiInstanceTypes
-    val regions = config.pricingApiRegions
-    if (config.enablePricingApi) {
-      PricingTables.registerPricingTable(spark, pricingSource, types, regions)
-      PricingTables.registerRdsPricingTable(spark, pricingSource,
-        types.map("db." + _), regions)
-      PricingTables.registerSpotHistoryTable(spark, pricingSource, types,
-        regions, asOf = config.referenceDate.getOrElse(java.time.LocalDate.now()))
-    }
-    if (config.enableSavingsPlansApi) {
-      // zero-egress: the mock's deterministic stand-in plan inventory;
-      // a live deployment lists real ARNs via the SavingsPlans API
-      val arns = Seq("arn:aws:savingsplans::plan/graft-1",
-        "arn:aws:savingsplans::plan/graft-2")
-      PricingTables.registerSavingsPlansTable(spark, arns)
-      if (config.savingsPlansIncludeRates)
-        PricingTables.registerSavingsPlansRatesTable(spark, pricingSource,
-          types, regions, arns)
+    if (config.enablePricingApi || config.enableSavingsPlansApi) {
+      val src =
+        if (config.apiCacheMaxAgeDays > 0)
+          new graft.pricing.CachingPricingSource(pricingSource,
+            config.apiCacheMaxAgeDays)
+        else pricingSource
+      graft.pricing.PricingTables.registerApiTables(spark, src,
+        config.pricingApiInstanceTypes, config.pricingApiRegions,
+        asOf = config.referenceDate.getOrElse(java.time.LocalDate.now()),
+        // zero-egress: the mock's deterministic stand-in plan inventory;
+        // a live deployment lists real ARNs via the SavingsPlans API
+        savingsPlanArns = Seq("arn:aws:savingsplans::plan/graft-1",
+          "arn:aws:savingsplans::plan/graft-2"),
+        enablePricing = config.enablePricingApi,
+        enableSavingsPlans = config.enableSavingsPlansApi,
+        includeRates = config.savingsPlansIncludeRates)
     }
   }
 

@@ -122,9 +122,48 @@ final class MockPricingSource extends PricingSource {
   }
 }
 
+/** TTL-caching decorator over any [[PricingSource]]: each lookup result is
+  * memoized for `maxAgeDays` (the reference's `api_cache_max_age_days`,
+  * data_config.py:55 — price lists change daily at most, so a long-lived
+  * session should not re-pay API round-trips per query). Backed by the
+  * shared [[graft.utils.Performance.TtlCache]]; keys are method+arguments,
+  * so distinct lookups never alias. Wrap the LIVE client with this in
+  * deployment; the deterministic mock is already free to call. */
+final class CachingPricingSource(underlying: PricingSource, maxAgeDays: Int,
+    clock: () => Long = System.currentTimeMillis) extends PricingSource {
+  private val cache = new graft.utils.Performance.TtlCache[Any](
+    ttlSeconds = maxAgeDays.toLong * 86400L, clock = clock)
+  private def memo[V](key: String)(compute: => V): V =
+    cache.getOrElseUpdate(key)(compute).asInstanceOf[V]
+
+  override def onDemandPrice(it: String, region: String, os: String,
+      tenancy: String): Option[Double] =
+    memo(s"od|$it|$region|$os|$tenancy")(
+      underlying.onDemandPrice(it, region, os, tenancy))
+  override def reservedPrice(it: String, region: String, termYears: Int,
+      paymentOption: String): Option[(Double, Double)] =
+    memo(s"ri|$it|$region|$termYears|$paymentOption")(
+      underlying.reservedPrice(it, region, termYears, paymentOption))
+  override def spotPrice(it: String, region: String): Option[Double] =
+    memo(s"spot|$it|$region")(underlying.spotPrice(it, region))
+  override def spotPriceHistory(it: String, region: String, daysBack: Int,
+      asOf: java.time.LocalDate): Seq[SpotPricePoint] =
+    memo(s"hist|$it|$region|$daysBack|$asOf")(
+      underlying.spotPriceHistory(it, region, daysBack, asOf))
+  override def savingsPlanRate(it: String, region: String,
+      planType: String): Option[Double] =
+    memo(s"sp|$it|$region|$planType")(
+      underlying.savingsPlanRate(it, region, planType))
+  override def rdsPrice(ic: String, region: String,
+      engine: String): Option[Double] =
+    memo(s"rds|$ic|$region|$engine")(underlying.rdsPrice(ic, region, engine))
+  override def instanceAttributes(it: String): Option[InstanceAttrs] =
+    memo(s"attrs|$it")(underlying.instanceAttributes(it))
+}
+
 object PricingTables {
 
-  /** Register ALL the reference's named API tables in one call — the
+  /** Register the reference's named API tables in one call — the
     * "API data sources enabled" surface (reference README.md:585-592:
     * aws_pricing, aws_rds_pricing, aws_savings_plans,
     * aws_savings_plans_rates; spot_price_history is this build's bonus).
@@ -132,19 +171,32 @@ object PricingTables {
     * same names the reference documents. `asOf` is REQUIRED (no now()
     * default at this seam — the CLAUDE.md determinism contract: two
     * sessions registering on different days must be able to build
-    * identical spot history by injecting the same date). */
+    * identical spot history by injecting the same date). The enable
+    * flags mirror the reference's config split (pricing vs
+    * savings-plans vs rate detail) so config-driven callers
+    * ([[graft.GraftFinOpsEngine]]) register through THIS seam rather
+    * than re-implementing the fan-out. */
   def registerApiTables(spark: SparkSession, src: PricingSource,
       instanceTypes: Seq[String], regions: Seq[String],
       asOf: java.time.LocalDate,
       rdsClasses: Seq[String] = Seq.empty,
       savingsPlanArns: Seq[String] = Seq.empty,
-      spotDaysBack: Int = 7): Unit = {
-    registerPricingTable(spark, src, instanceTypes, regions)
-    registerSpotHistoryTable(spark, src, instanceTypes, regions, spotDaysBack, asOf)
-    registerRdsPricingTable(spark, src,
-      if (rdsClasses.nonEmpty) rdsClasses else instanceTypes.map("db." + _), regions)
-    registerSavingsPlansTable(spark, savingsPlanArns)
-    registerSavingsPlansRatesTable(spark, src, instanceTypes, regions, savingsPlanArns)
+      spotDaysBack: Int = 7,
+      enablePricing: Boolean = true,
+      enableSavingsPlans: Boolean = true,
+      includeRates: Boolean = true): Unit = {
+    if (enablePricing) {
+      registerPricingTable(spark, src, instanceTypes, regions)
+      registerSpotHistoryTable(spark, src, instanceTypes, regions, spotDaysBack, asOf)
+      registerRdsPricingTable(spark, src,
+        if (rdsClasses.nonEmpty) rdsClasses else instanceTypes.map("db." + _), regions)
+    }
+    if (enableSavingsPlans) {
+      registerSavingsPlansTable(spark, savingsPlanArns)
+      if (includeRates)
+        registerSavingsPlansRatesTable(spark, src, instanceTypes, regions,
+          savingsPlanArns)
+    }
   }
   /** Bulk pricing matrix → `aws_pricing` temp view (README.md:585-589,
     * S17): one row per (instance_type, region, os, tenancy). Built on the

@@ -2252,13 +2252,10 @@ object TextDedup {
   // q93: eval-set novelty audit (the inverse direction of q49)
   // =====================================================================
 
-  /** For every EVAL document (the q49 bench slice, doc_id % 97 = 0): how
-    * many of its distinct 3-grams already appear anywhere in the TRAINING
-    * corpus, and the novelty fraction (1 − seen/total). q49 answers "which
-    * training docs leak eval content"; this answers the question an eval
-    * owner asks before trusting a benchmark score — "was this eval novel
-    * w.r.t. the corpus at all, or is it memorization-measurable?"
-    * (the eval-side view of the GPT-3/PaLM overlap methodology).
+  /** Shared assembly (the [[contaminationAssembly]] pattern): callers
+    * supply the pre-derived frames, so the q93 binding can pass filtered
+    * slices of the dir-level caches while [[TextOps.evalNovelty]] derives
+    * per arbitrary frame — one copy of the probe + novelty math.
     *
     * Scale shape: the EVAL side is bounded by construction and
     * BROADCASTS; the corpus side streams its (cached) hashed shingle rows
@@ -2269,10 +2266,6 @@ object TextDedup {
     * eval side), which replaces the corpus-sized distinct shuffle a
     * naive seen-set build would pay. One narrow (doc_id, sh-partial)
     * shuffle, eval-bounded. */
-  /** Shared assembly (the [[contaminationAssembly]] pattern): callers
-    * supply the pre-derived frames, so the q93 binding can pass filtered
-    * slices of the dir-level caches while [[TextOps.evalNovelty]] derives
-    * per arbitrary frame — one copy of the probe + novelty math. */
   private[queries] def evalNoveltyAssembly(benchRows: DataFrame,
       benchSets: DataFrame, corpusRows: DataFrame): DataFrame = {
     val seen = corpusRows.select(col("sh"))
@@ -2289,6 +2282,13 @@ object TextDedup {
               col("n_shingles").cast("double"), 6)).as("novelty_frac"))
   }
 
+  /** For every EVAL document (the q49 bench slice, doc_id % 97 = 0): how
+    * many of its distinct 3-grams already appear anywhere in the TRAINING
+    * corpus, and the novelty fraction (1 − seen/total). q49 answers "which
+    * training docs leak eval content"; this answers the question an eval
+    * owner asks before trusting a benchmark score — "was this eval novel
+    * w.r.t. the corpus at all, or is it memorization-measurable?"
+    * (the eval-side view of the GPT-3/PaLM overlap methodology). */
   def q93EvalNovelty(s: SparkSession, dir: String): DataFrame = {
     val rows = hashedShingleRows(s, dir)
     evalNoveltyAssembly(

@@ -467,19 +467,29 @@ object TextOps {
 
   /** Materialize ANY frame as token-balanced parquet shards (one
     * `shard_id=K/` directory per shard, one task/file per shard, rows in
-    * within-shard order; the caller's non-id columns ride along). The
-    * sizing answer a 100 TB write job needs — equal files in token
-    * space, not document count. Returns the shard count. */
+    * within-shard order; the caller's non-id columns ride along —
+    * pre-existing `shard_id`/`shard_pos` columns are replaced, so
+    * re-sharding previously written shard output at a new size works).
+    * The sizing answer a 100 TB write job needs — equal files in token
+    * space, not document count. Returns the shard count (0 for an empty
+    * frame). */
   def writeShards(df: DataFrame, id: String, text: String, outDir: String,
       tokensPerShard: Long, bucketSpan: Long = 1000000L): Long = {
     val plan = TextPipeline.shardPlanOf(norm(df, id, text), tokensPerShard,
       bucketSpan).select(col("doc_id").as("__gid"), col("shard_id"),
         col("shard_pos"))
-    df.join(plan, col(id).cast("long") === col("__gid")).drop("__gid")
-      .repartition(col("shard_id"))
-      .sortWithinPartitions("shard_id", "shard_pos")
-      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-    plan.agg(max(col("shard_id"))).head().getLong(0) + 1L
+      // two actions consume the plan (the write join + the shard count);
+      // without this the corpus-wide prefix sum runs twice
+      .persist()
+    try {
+      df.drop("shard_id", "shard_pos")
+        .join(plan, col(id).cast("long") === col("__gid")).drop("__gid")
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+      val m = plan.agg(max(col("shard_id"))).head()
+      if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+    } finally { plan.unpersist(false); () }
   }
 
   /** Rolling per-stratum monitoring stats of an integer metric over any

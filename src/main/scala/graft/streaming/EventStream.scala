@@ -32,6 +32,17 @@ object EventStream {
     StructField("ts", LongType), // epoch nanos (legacy nanosAsLong)
     StructField("value", DoubleType)))
 
+  /** Empty-directory bootstrap schema: the CURRENT writer shape (ts =
+    * TIMESTAMP(MICROS) without UTC adjustment → TIMESTAMP_NTZ). Used by
+    * [[readEvents]] only when schema inference has no file to read. */
+  val bootstrapSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-based stream of the events table under `dir` (one parquet file
     * today; in production a growing directory of partition files — the
     * file source tails it). File streams require an explicit schema, so we
@@ -41,13 +52,17 @@ object EventStream {
     * converts it exactly as the batch loader does. When the directory has
     * no matching file YET (starting the tail before the first batch
     * lands — the production bootstrap order), schema inference has
-    * nothing to read, so we fall back to [[rawSchema]] (the legacy
-    * nanos-Long shape) rather than failing stream setup; normalizeTs's
-    * magnitude branch converts whatever unit later files carry. */
+    * nothing to read, so we fall back to [[bootstrapSchema]] (the
+    * CURRENT writer's NTZ-micros shape) rather than failing stream
+    * setup. A first file from a DIFFERENT writer generation (e.g. the
+    * legacy nanos-Long shape) then fails its batch loudly — restart the
+    * query and the static read infers the real schema; a file-source
+    * schema cannot adapt mid-stream, so failing beats silently
+    * misreading. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val staticSchema =
       try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
+      catch { case _: org.apache.spark.sql.AnalysisException => bootstrapSchema }
     graft.queries.Tables.normalizeTs(
       spark.readStream
         .schema(staticSchema)

@@ -140,6 +140,39 @@ class PricingSpec extends SparkSpec {
       .head().getLong(0) == 2)
   }
 
+  test("CachingPricingSource memoizes per key within the max-age window") {
+    class Counting extends PricingSource {
+      val m = new MockPricingSource
+      var n = 0
+      def onDemandPrice(it: String, r: String, os: String, t: String) = {
+        n += 1; m.onDemandPrice(it, r, os, t)
+      }
+      def reservedPrice(it: String, r: String, y: Int, p: String) =
+        m.reservedPrice(it, r, y, p)
+      def spotPrice(it: String, r: String) = m.spotPrice(it, r)
+      def spotPriceHistory(it: String, r: String, d: Int,
+          a: java.time.LocalDate) = m.spotPriceHistory(it, r, d, a)
+      def savingsPlanRate(it: String, r: String, p: String) =
+        m.savingsPlanRate(it, r, p)
+      def rdsPrice(ic: String, r: String, e: String) = m.rdsPrice(ic, r, e)
+      def instanceAttributes(it: String) = m.instanceAttributes(it)
+    }
+    val underlying = new Counting
+    var now = 0L
+    val cached = new CachingPricingSource(underlying, maxAgeDays = 1,
+      clock = () => now)
+    val p1 = cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared")
+    val p2 = cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared")
+    assert(p1 == p2 && underlying.n == 1, "second lookup not served from cache")
+    // distinct keys never alias
+    cached.onDemandPrice("c5.xlarge", "us-east-1", "Linux", "Shared")
+    assert(underlying.n == 2)
+    // past the max age the entry refreshes
+    now = 86400L * 1000L + 1L
+    cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared")
+    assert(underlying.n == 3, "expired entry not refreshed")
+  }
+
   test("aws_rds_pricing registers with the reference's join columns") {
     val df = PricingTables.registerRdsPricingTable(spark, src,
       Seq("db.m5.large", "db.r5.xlarge"), Seq("us-east-1"))

@@ -424,6 +424,19 @@ class TextPipelineSpec extends SparkSpec {
     // partition-column inference reads shard_id back as Integer
     back.select(col("id"), col("shard_id").cast("long")).collect()
       .foreach(r => assert(planned(r.getLong(0)) == r.getLong(1)))
+    // RE-sharding previously written output (frame already carries
+    // shard_id/shard_pos) replaces the columns instead of throwing
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-reshard").toString
+    val n2 = TextOps.writeShards(back, "id", "body", tmp2,
+      tokensPerShard = TextPipeline.ShardTokens * 2)
+    assert(n2 > 0 && n2 < n)
+    assert(spark.read.parquet(tmp2).count() == docs.count())
+    // empty input: zero shards, no crash
+    assert(TextOps.writeShards(docs.filter(lit(false))
+      .select(col("doc_id").as("id"), col("text").as("body")),
+      "id", "body",
+      java.nio.file.Files.createTempDirectory("graft-empty").toString,
+      tokensPerShard = 1000L) == 0L)
   }
 
   test("q88 append: laying out a batch at the persisted tail equals the full recompute") {
