@@ -466,6 +466,35 @@ object Relational {
       .orderBy("o_orderpriority", "rn")
   }
 
+  // ---- JSON property extraction over events (§2.8 json functions) ------
+
+  /** Per-event-type stats of the JSON `props` payload's `k` field — the
+    * semi-structured-column path (§2.8: the reference's CUR exports carry
+    * JSON-bearing string columns the same way). `get_json_object` is the
+    * codegen'd JsonPath evaluator, applied in the scan projection, so the
+    * parse is a zero-shuffle map stage feeding ONE two-phase aggregate —
+    * at 100 TB the JSON never moves, only (event_type, k) integer pairs.
+    * All-integer outputs; DISTINCT count is exact (k's domain is small by
+    * construction — at an unbounded domain swap in approx_count_distinct
+    * as the documented scale variant). */
+  def q95JsonProps(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+  }
+
+  val oracleQ95: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
@@ -497,6 +526,7 @@ object Relational {
     "q36_cube" -> q36Cube _,
     "q38_asof_join" -> q38AsofJoin _,
     "q39_window_suite" -> q39WindowSuite _,
+    "q95_json_props" -> q95JsonProps _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -730,5 +760,6 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q95_json_props" -> oracleQ95,
   )
 }
