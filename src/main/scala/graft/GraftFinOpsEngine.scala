@@ -59,20 +59,21 @@ final class GraftFinOpsEngine(
     * `referenceDate` — the DETERMINISTIC mode; today's date is used
     * only when none is injected, matching the analytics modules'
     * convention (inject referenceDate for reproducible spot joins). */
+  // built ONCE so the TTL cache survives re-registrations (forceS3 root
+  // flips re-run registerApiTables; a fresh wrapper each time would
+  // re-pay every live-API lookup per toggle)
+  private lazy val cachedPricingSource: graft.pricing.PricingSource =
+    if (config.apiCacheMaxAgeDays > 0)
+      new graft.pricing.CachingPricingSource(pricingSource,
+        config.apiCacheMaxAgeDays)
+    else pricingSource
+
   private def registerApiTables(): Unit = {
     if (config.enablePricingApi || config.enableSavingsPlansApi) {
-      val src =
-        if (config.apiCacheMaxAgeDays > 0)
-          new graft.pricing.CachingPricingSource(pricingSource,
-            config.apiCacheMaxAgeDays)
-        else pricingSource
-      graft.pricing.PricingTables.registerApiTables(spark, src,
+      graft.pricing.PricingTables.registerApiTables(spark, cachedPricingSource,
         config.pricingApiInstanceTypes, config.pricingApiRegions,
         asOf = config.referenceDate.getOrElse(java.time.LocalDate.now()),
-        // zero-egress: the mock's deterministic stand-in plan inventory;
-        // a live deployment lists real ARNs via the SavingsPlans API
-        savingsPlanArns = Seq("arn:aws:savingsplans::plan/graft-1",
-          "arn:aws:savingsplans::plan/graft-2"),
+        savingsPlanArns = config.savingsPlanArns,
         enablePricing = config.enablePricingApi,
         enableSavingsPlans = config.enableSavingsPlansApi,
         includeRates = config.savingsPlansIncludeRates)

@@ -73,7 +73,14 @@ final case class DataConfig(
     apiCacheMaxAgeDays: Int = 1,
     pricingApiRegions: Seq[String] = Seq("us-east-1"),
     pricingApiInstanceTypes: Seq[String] = Seq("m5.large", "c5.xlarge"),
-    savingsPlansIncludeRates: Boolean = true) {
+    savingsPlansIncludeRates: Boolean = true,
+    // Plan inventory for the aws_savings_plans(+_rates) tables. The
+    // default is the deterministic mock stand-in (zero-egress); a live
+    // deployment sets the REAL ARNs here (the reference discovers them
+    // via the SavingsPlans API at registration time).
+    savingsPlanArns: Seq[String] = Seq(
+      "arn:aws:savingsplans::plan/graft-1",
+      "arn:aws:savingsplans::plan/graft-2")) {
 
   require(dateStart.forall(exportType.validDate),
     s"dateStart must be ${exportType.dateFormat} for ${exportType.name}")

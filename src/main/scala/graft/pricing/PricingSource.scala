@@ -132,7 +132,8 @@ final class MockPricingSource extends PricingSource {
 final class CachingPricingSource(underlying: PricingSource, maxAgeDays: Int,
     clock: () => Long = System.currentTimeMillis) extends PricingSource {
   private val cache = new graft.utils.Performance.TtlCache[Any](
-    ttlSeconds = maxAgeDays.toLong * 86400L, clock = clock)
+    ttlSeconds = maxAgeDays.toLong * 86400L, clock = clock,
+    normalizeKeys = false) // keys are case-sensitive identifiers, not SQL
   private def memo[V](key: String)(compute: => V): V =
     cache.getOrElseUpdate(key)(compute).asInstanceOf[V]
 
@@ -187,7 +188,17 @@ object PricingTables {
       includeRates: Boolean = true): Unit = {
     if (enablePricing) {
       registerPricingTable(spark, src, instanceTypes, regions)
-      registerSpotHistoryTable(spark, src, instanceTypes, regions, spotDaysBack, asOf)
+      // spot history needs an EC2-scoped source; the Price List client
+      // deliberately throws UnsupportedOperationException for it
+      // (AwsPricingClient.spotPriceHistory) — skip that one view rather
+      // than failing the whole registration for sources without spot
+      try registerSpotHistoryTable(spark, src, instanceTypes, regions,
+        spotDaysBack, asOf)
+      catch {
+        case e: UnsupportedOperationException =>
+          Console.err.println(
+            s"[graft] spot_price_history not registered: ${e.getMessage}")
+      }
       registerRdsPricingTable(spark, src,
         if (rdsClasses.nonEmpty) rdsClasses else instanceTypes.map("db." + _), regions)
     }

@@ -471,8 +471,10 @@ object TextOps {
     * pre-existing `shard_id`/`shard_pos` columns are replaced, so
     * re-sharding previously written shard output at a new size works).
     * The sizing answer a 100 TB write job needs — equal files in token
-    * space, not document count. Returns the shard count (0 for an empty
-    * frame). */
+    * space, not document count. Returns the number of shard DIRECTORIES
+    * written (0 for an empty frame) — note shard IDS may have gaps when
+    * a single document spans multiple tokensPerShard windows, so iterate
+    * the written `shard_id=K/` directories, not `0 until n`. */
   def writeShards(df: DataFrame, id: String, text: String, outDir: String,
       tokensPerShard: Long, bucketSpan: Long = 1000000L): Long = {
     val plan = TextPipeline.shardPlanOf(norm(df, id, text), tokensPerShard,
@@ -487,8 +489,7 @@ object TextOps {
         .repartition(col("shard_id"))
         .sortWithinPartitions("shard_id", "shard_pos")
         .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-      val m = plan.agg(max(col("shard_id"))).head()
-      if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+      plan.select(col("shard_id")).distinct().count()
     } finally { plan.unpersist(false); () }
   }
 

@@ -1088,8 +1088,10 @@ object TextPipeline {
   private[queries] def shardPlanOf(d: DataFrame, tokensPerShard: Long,
       bucketSpan: Long): DataFrame = {
     val w = Window.partitionBy("shard_id").orderBy("doc_id")
+    // first_block IS start_off div ctxLen, and ctxLen = tokensPerShard
+    // here — rename rather than re-derive the division
     streamLayoutOf(d, ctxLen = tokensPerShard, bucketSpan = bucketSpan)
-      .withColumn("shard_id", expr(s"start_off div $tokensPerShard"))
+      .withColumn("shard_id", col("first_block"))
       .select(col("doc_id"), col("n_tokens"), col("start_off"),
         col("shard_id"),
         (row_number().over(w) - 1).cast("long").as("shard_pos"))

@@ -49,20 +49,27 @@ object EventStream {
     * take it from a static read of the same glob — the stream then sees
     * whatever ts physical type the writer produced (nanos-as-Long, NTZ
     * micros, or TIMESTAMP) and [[graft.queries.Tables.normalizeTs]]
-    * converts it exactly as the batch loader does. When the directory has
-    * no matching file YET (starting the tail before the first batch
-    * lands — the production bootstrap order), schema inference has
-    * nothing to read, so we fall back to [[bootstrapSchema]] (the
-    * CURRENT writer's NTZ-micros shape) rather than failing stream
-    * setup. A first file from a DIFFERENT writer generation (e.g. the
-    * legacy nanos-Long shape) then fails its batch loudly — restart the
-    * query and the static read infers the real schema; a file-source
-    * schema cannot adapt mid-stream, so failing beats silently
-    * misreading. */
+    * converts it exactly as the batch loader does. When the directory
+    * EXISTS but has no matching file YET (starting the tail before the
+    * first batch lands — the production bootstrap order), schema
+    * inference has nothing to read, so we fall back to
+    * [[bootstrapSchema]] (the CURRENT writer's NTZ-micros shape) rather
+    * than failing stream setup. The existence check is explicit — a
+    * misspelled/missing directory still fails fast at the call site
+    * instead of silently streaming a guessed schema. A first file from a
+    * DIFFERENT writer generation (e.g. the legacy nanos-Long shape) then
+    * fails its batch loudly — restart the query and the static read
+    * infers the real schema; a file-source schema cannot adapt
+    * mid-stream, so failing beats silently misreading. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"events stream directory does not exist: $dir")
+    val matches = fs.globStatus(new org.apache.hadoop.fs.Path(p, "events.parquet"))
     val staticSchema =
-      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => bootstrapSchema }
+      if (matches != null && matches.nonEmpty)
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      else bootstrapSchema
     graft.queries.Tables.normalizeTs(
       spark.readStream
         .schema(staticSchema)

@@ -76,11 +76,19 @@ object Performance {
 
   /** TTL cache keyed by normalized SQL (performance.py:140-281; default TTL
     * 300 s per performance.py:143). Values should be SMALL collected
-    * results, never DataFrames backed by live plans. */
-  final class TtlCache[V](ttlSeconds: Long = 300, clock: () => Long = System.currentTimeMillis) {
+    * results, never DataFrames backed by live plans.
+    *
+    * `normalizeKeys = false` keys on the RAW string — for non-SQL callers
+    * ([[graft.pricing.CachingPricingSource]]) whose keys are
+    * case-sensitive identifiers; the SQL-shaped lowercase/whitespace
+    * normalization would alias distinct lookups there. */
+  final class TtlCache[V](ttlSeconds: Long = 300,
+      clock: () => Long = System.currentTimeMillis,
+      normalizeKeys: Boolean = true) {
     private val store = TrieMap.empty[String, (Long, V)]
 
-    def key(sql: String): String = sql.trim.toLowerCase.replaceAll("\\s+", " ")
+    def key(sql: String): String =
+      if (normalizeKeys) sql.trim.toLowerCase.replaceAll("\\s+", " ") else sql
 
     def getOrElseUpdate(sql: String)(compute: => V): V = {
       val k = key(sql)

@@ -439,6 +439,22 @@ class TextPipelineSpec extends SparkSpec {
       tokensPerShard = 1000L) == 0L)
   }
 
+  test("writeShards: shard ids gap when a doc spans windows; count is written dirs") {
+    val s = spark
+    import s.implicits._
+    // doc0 carries 50 tokens (> S=20, spans windows 0..2); doc1 starts at
+    // offset 51 -> shard 2. Shard 1 is never written; the returned count
+    // must be the number of DIRECTORIES (2), not max_id+1 (3).
+    val df = Seq((0L, Seq.fill(50)("w").mkString(" ")), (1L, "a b c"))
+      .toDF("id", "body")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    val n = TextOps.writeShards(df, "id", "body", tmp, tokensPerShard = 20L)
+    assert(n == 2L)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    assert(dirs.toSeq == Seq("shard_id=0", "shard_id=2"))
+  }
+
   test("q88 append: laying out a batch at the persisted tail equals the full recompute") {
     val L = TextPipeline.StreamCtxLen
     val span = TextPipeline.StreamBucketSpan
