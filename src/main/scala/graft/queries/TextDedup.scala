@@ -43,14 +43,21 @@ object TextDedup {
     * `element_at(w, _)` reference inside a lambda re-evaluates `w` (the
     * regex split) per ELEMENT, which measured ~1.8 ms/row at 60 shingles;
     * the slice form references `w` O(1) times per row (~50× faster). */
-  private def shingles3(w: Column): Column = {
-    val n = size(w)
-    val sh = zip_with(
-      zip_with(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
-        (a, b) => concat(a, lit(" "), b)),
-      slice(w, lit(3), n - 2),
-      (ab, c) => concat(ab, lit(" "), c))
-    array_distinct(when(n >= 3, sh).otherwise(array().cast("array<string>")))
+  private def shingles3(w: Column): Column = shinglesN(w, 3)
+
+  /** Distinct word n-gram shingles — [[shingles3]] generalized (the same
+    * slice-zip construction: `w` is referenced O(n) times per ROW, never
+    * per element — see the note above). Production decontamination runs
+    * n of 8–13 (the GPT-3/PaLM appendices); the dedup family's shared
+    * caches stay on the n=3 canonical form. */
+  private[queries] def shinglesN(w: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val len = size(w)
+    val cnt = len - (n - 1)
+    val sh = (2 to n).foldLeft(slice(w, lit(1), cnt)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), cnt), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(when(len >= n, sh).otherwise(array().cast("array<string>")))
   }
 
   /** Oracle twin of shingles3 (DuckDB list comprehension). */
@@ -101,6 +108,22 @@ object TextDedup {
 
   private def hashedShingleRows(s: SparkSession, dir: String): DataFrame =
     hashedShingleRowsOf(docs(s, dir))
+
+  /** n-gram-parameterized twins of the cached derivations: n = 3 routes
+    * to the SHARED cached nodes above (the dedup family's canonical
+    * form); any other n builds its own cached chain — the
+    * decontamination family's production setting (8–13-gram windows)
+    * without forking the 3-gram caches everything else shares. */
+  private[queries] def shingleSetsNOf(d: DataFrame, n: Int): DataFrame =
+    if (n == 3) shingleSetsOf(d)
+    else d.select(col("doc_id"), shinglesN(toks, n).as("ts")).dedupCached
+
+  private[queries] def hashedShingleRowsNOf(d: DataFrame, n: Int): DataFrame =
+    if (n == 3) hashedShingleRowsOf(d)
+    else shingleSetsNOf(d, n)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+        explode(col("ts")).as("sh"))
+      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).dedupCached
 
   // =====================================================================
   // q24: token counting + quality scoring (text analysis)
@@ -1335,14 +1358,16 @@ object TextDedup {
   /** Graded contamination core over arbitrary corpus/bench frames —
     * [[TextOps.contaminationScore]]'s implementation. Same broadcast
     * shape as q49 (eval shingles bounded by construction; corpus side
-    * never shuffles its shingles). */
+    * never shuffles its shingles). `nGrams` sets the overlap window
+    * (default 3 = the oracle-checked binding and the shared caches;
+    * production decontamination runs 8–13). */
   private[queries] def contaminationScoreOf(corpus: DataFrame,
       bench: DataFrame, high: Double = ContamHigh,
-      medium: Double = ContamMedium): DataFrame =
+      medium: Double = ContamMedium, nGrams: Int = 3): DataFrame =
     contaminationAssembly(
-      hashedShingleRowsOf(corpus),
-      hashedShingleRowsOf(bench).select(col("sh")).distinct(),
-      shingleSetsOf(corpus), high, medium)
+      hashedShingleRowsNOf(corpus, nGrams),
+      hashedShingleRowsNOf(bench, nGrams).select(col("sh")).distinct(),
+      shingleSetsNOf(corpus, nGrams), high, medium)
 
   /** q61: q49's eval-set overlap scan upgraded to a GRADED score — the
     * decontamination policy real pipelines run is fraction-based (a doc

@@ -122,18 +122,21 @@ object TextOps {
   }
 
   /** Benchmark decontamination (q49 semantics): per corpus document, how
-    * many of its 3-grams appear anywhere in `bench` (the eval set). The
-    * eval side's distinct shingles broadcast — bounded by the eval set's
-    * size, independent of corpus scale. */
+    * many of its `nGrams`-gram shingles appear anywhere in `bench` (the
+    * eval set). The eval side's distinct shingles broadcast — bounded by
+    * the eval set's size, independent of corpus scale. `nGrams = 3` is
+    * the oracle-checked binding (and rides the shared dedup caches);
+    * production decontamination runs 8–13-gram windows — pass that here
+    * without touching the dedup family's 3-gram derivations. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,
-      text: String): DataFrame = {
+      text: String, nGrams: Int = 3): DataFrame = {
     val nc = norm(corpus, id, text)
-    val benchSh = TextDedup.hashedShingleRowsOf(norm(bench, id, text))
+    val benchSh = TextDedup.hashedShingleRowsNOf(norm(bench, id, text), nGrams)
       .select(col("sh")).distinct()
-    val overlaps = TextDedup.hashedShingleRowsOf(nc)
+    val overlaps = TextDedup.hashedShingleRowsNOf(nc, nGrams)
       .join(broadcast(benchSh), Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    TextDedup.shingleSetsOf(nc)
+    TextDedup.shingleSetsNOf(nc, nGrams)
       .select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
       .join(overlaps, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -209,9 +212,9 @@ object TextOps {
   def contaminationScore(corpus: DataFrame, bench: DataFrame, id: String,
       text: String, high: Double = TextDedup.ContamHigh,
       medium: Double = TextDedup.ContamMedium,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true, nGrams: Int = 3): DataFrame = {
     val r = TextDedup.contaminationScoreOf(
-      norm(corpus, id, text), norm(bench, id, text), high, medium)
+      norm(corpus, id, text), norm(bench, id, text), high, medium, nGrams)
     if (ordered) r.orderBy("doc_id") else r
   }
 
@@ -225,12 +228,12 @@ object TextOps {
     * per-bench-doc count_distinct collapses repeats in partial
     * aggregation. */
   def evalNovelty(bench: DataFrame, corpus: DataFrame, id: String,
-      text: String, ordered: Boolean = true): DataFrame = {
+      text: String, ordered: Boolean = true, nGrams: Int = 3): DataFrame = {
     val nb = norm(bench, id, text)
     val r = TextDedup.evalNoveltyAssembly(
-      TextDedup.hashedShingleRowsOf(nb),
-      TextDedup.shingleSetsOf(nb),
-      TextDedup.hashedShingleRowsOf(norm(corpus, id, text)))
+      TextDedup.hashedShingleRowsNOf(nb, nGrams),
+      TextDedup.shingleSetsNOf(nb, nGrams),
+      TextDedup.hashedShingleRowsNOf(norm(corpus, id, text), nGrams))
     if (ordered) r.orderBy("doc_id") else r
   }
 

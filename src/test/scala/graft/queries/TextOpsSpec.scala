@@ -106,6 +106,31 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("novelty_frac") == 0.5)
   }
 
+  test("nGrams parameterizes the decontamination window (2-gram and 8-gram)") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((0L, "a b c")).toDF("id", "body") // 2-grams: {a b, b c}
+    val corpus = Seq((1L, "x a b y")).toDF("id", "body") // contains "a b"
+    // 2-gram window: one of corpus doc1's three 2-grams overlaps bench
+    val d2 = TextOps.decontaminate(corpus, bench, "id", "body", nGrams = 2)
+      .collect().head
+    assert(d2.getAs[Long]("n_shingles") == 3L)
+    assert(d2.getAs[Long]("n_overlap") == 1L)
+    assert(d2.getAs[Long]("contaminated") == 1L)
+    // 3-gram window (default): "x a b" / "a b y" share nothing with "a b c"
+    val d3 = TextOps.decontaminate(corpus, bench, "id", "body").collect().head
+    assert(d3.getAs[Long]("n_overlap") == 0L && d3.getAs[Long]("contaminated") == 0L)
+    // window longer than every doc: zero shingles everywhere, all clean
+    val d8 = TextOps.decontaminate(corpus, bench, "id", "body", nGrams = 8)
+      .collect().head
+    assert(d8.getAs[Long]("n_shingles") == 0L && d8.getAs[Long]("contaminated") == 0L)
+    // the eval-side view agrees at the same window
+    val nv = TextOps.evalNovelty(bench, corpus, "id", "body", nGrams = 2)
+      .collect().head
+    assert(nv.getAs[Long]("n_shingles") == 2L && nv.getAs[Long]("n_seen") == 1L)
+    assert(nv.getAs[Double]("novelty_frac") == 0.5)
+  }
+
   test("contaminationScore == q61 on the modulo split") {
     val corpus = renamed.filter(col("id") % 97 =!= 0)
     val bench = renamed.filter(col("id") % 97 === 0)
