@@ -85,15 +85,30 @@ object Bench {
       // every pass failed -> report the -1 failure convention, never inf
       name -> (if (m.isPosInfinity) -1.0 else m)
     }.toSeq
+    renderLines(results, runs, sfDir).foreach(println)
+    spark.stop()
+  }
+
+  /** The three stdout lines, in order: compact total / full per-query /
+    * compact total AGAIN. The driver's artifact keeps only a bounded
+    * stdout window (r10 stored a ~2000-char prefix; r11 showed it is a
+    * TAIL — both BENCH_r10 and BENCH_r11 came back `parsed: null`
+    * because the one compact line sat on the clipped side). Emitting
+    * the compact line on BOTH sides of the ~95-entry per-query line
+    * makes the total survive either truncation direction. A parser
+    * matching `metric=="total"` must take ONE such line (they are
+    * byte-identical), never sum them — the documented contract in
+    * CLAUDE.md. Pinned by BenchOutputSpec against a 2000-char tail cut.
+    */
+  def renderLines(results: Seq[(String, Double)], runs: Int, sfDir: String): Seq[String] = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Compact line FIRST (VERDICT r10 item 8): the driver stores a
-    // bounded PREFIX of stdout (~2000 chars) and truncates the rest, so
-    // the ~92-entry per-query line below gets clipped — the headline
-    // total must come first, on its own short line, to survive.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"sf":"$sfDir"}"""
+    Seq(
+      compact,
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""",
+      compact)
   }
 }
