@@ -1714,18 +1714,152 @@ object TextDedup {
     * Σ C(k,2) join output (BENCH_NOTES.md has the r11 numbers; same
     * rows). Shingle key is xxhash64 (the q28 caveat: string-keyed
     * oracle parity is probabilistic with birthday bound ~s²/2^64). */
+  /** Sorted distinct source names per (session, canonical input plan) —
+    * the [[clusterMemo]] pattern, same staleness semantics as a cache:
+    * valid for the session, restart if the files mutate. */
+  private val srcNamesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Array[String]]
+
+  /** Collect cap for the (mask → count) rollup in [[sourceOverlapOf]]:
+    * distinct observed source-combination masks beyond this (16 MiB of
+    * driver rows at the default) route to the distributed expansion
+    * instead. Session-tunable so the distributed branch is testable. */
+  private def sourceOverlapMaskCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.sourceOverlap.maskCap", (1 << 20).toString).toInt
+
   private[queries] def sourceOverlapOf(d: DataFrame): DataFrame = {
-    // Shingle arrays come from the SHARED cached derivation
-    // ([[shingleSetsOf]]) rather than a private re-tokenization: the
-    // doc_id-keyed join against the (doc_id, source) projection happens
-    // BEFORE the explode (corpus-count rows, not shingle-count), so a
-    // session that ran any q28-family query pays only the explode here,
-    // not a second full text scan. ONE wide shuffle total: no DISTINCT
-    // pre-pass — collect_set dedups (and its map-side partials collapse
-    // per-partition repeats before the wire, the same volume the
-    // distinct would have shipped), and the per-source distinct-shingle
-    // SIZES come back out of the cached set frame as a map-combinable
-    // explode-count instead of their own wide aggregate.
+    // Sources are a curated enumeration of tens, so the per-shingle
+    // source SET fits a 64-bit BITMASK: `bit_or(1L << src_id)` is a
+    // DeclarativeAggregate that stays inside whole-stage-codegen
+    // HashAggregate and ships 16-byte (sh, mask) rows through the one
+    // wide shuffle. The r11 `collect_set`-of-source-names form (kept as
+    // [[sourceOverlapWideOf]], the >64-source fallback) ran the same
+    // plan shape on ObjectHashAggregate, whose sort-based fallback
+    // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold=128
+    // keys) made the ~600k-key aggregate pay a per-partition sort plus
+    // set-buffer serialization — the residual 4×-vs-oracle floor VERDICT
+    // r11 flagged.
+    //
+    // Two further floors measured and removed here (ProbeQ74, sf0.1):
+    //  - shingle STRING materialization: token triples hash in place via
+    //    xxhash64(w[i], w[i+1], w[i+2]) inside the transform — no
+    //    concatenated shingle strings, no array_distinct (duplicates
+    //    collapse in the idempotent bit_or partial agg), and no
+    //    dedupCached write+read (the cache build alone was ~1.1 s of the
+    //    1.55 s total; tokens never contain spaces, so triples map 1:1
+    //    to the oracle's space-joined shingle strings — same birthday
+    //    collision caveat as q28);
+    //  - the post-aggregate tail: sizes/pairs/joins were 4 extra tiny
+    //    shuffles each paying AQE stage-scheduling overhead on
+    //    droplet-sized frames. The (mask → cnt) rollup is bounded by the
+    //    observed source COMBINATIONS, so up to [[SourceOverlapMaskCap]]
+    //    rows it collects and the C(k,2) pair/size expansion runs as a
+    //    driver loop (the same bounded-collect contract as the k-means
+    //    seeds); past the cap the expansion runs distributed.
+    //
+    // Net: a bounded dim-collect job + ONE main stage chain (scan →
+    // sh-agg → mask rollup) + local-relation assembly. Measured floors
+    // that shaped this (ProbeQ74, sf0.1, min-of-5): computing the dim
+    // IN-plan (distinct + row_number window feeding the broadcast) costs
+    // ~0.7 s of serialized broadcast-stage materialization vs 0.15 s for
+    // the bounded collect + LOCAL-relation broadcast used here. NOTE the
+    // call is EAGER (it runs the aggregate at plan time, like the
+    // blocked-pairs guard); at 100 TB the source dim should come from
+    // catalog metadata rather than the full-scan distinct, which is the
+    // one scan a partition-column `source` would eliminate entirely.
+    val spark = d.sparkSession
+    // The source enumeration is a stable property of the dataset, so it
+    // memoizes per (session, canonical plan) — the clusterMemo pattern.
+    // Bounded by |sources|; the scan behind it is the one a
+    // partition-column `source` would make metadata-only.
+    val srcNames = srcNamesMemo.getOrElseUpdate(
+      (spark, d.queryExecution.analyzed.semanticHash()),
+      d.select(col("source")).distinct().collect().map(_.getString(0)).sorted)
+    if (srcNames.length > 64) return sourceOverlapWideOf(d)
+    val k = srcNames.length
+    // ids are assigned over SORTED names, so id order == lexicographic
+    // source order and `ia < ib` below reproduces the oracle's
+    // `a.source < b.source` pair orientation.
+    val dim = broadcast(spark.createDataFrame(
+      srcNames.toIndexedSeq.zipWithIndex).toDF("source", "src_id"))
+    // Size-based parallelism for the heavy hash projection: it runs in
+    // the SCAN stage, and at bench scale the documents table is one
+    // sub-MB parquet file — ONE scan partition, the whole tokenize+hash
+    // on a single core. Re-spread to ~256 KiB of input per task
+    // (ProbeQ74: 8 parts 0.38 s vs 1 part 0.60 s vs 32 parts 0.59 s —
+    // at 156 rows/task the scheduling overhead eats the parallelism).
+    // At 100 TB the scan has ≫ cores partitions and this is a no-op:
+    // the repartition only fires for tables small enough (< cores ×
+    // 1 MiB) that the file scan cannot have spread them itself — decided
+    // from plan stats alone, no RDD materialization.
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dd =
+      if (bytes < BigInt(cores.toLong << 20))
+        d.repartition(bytes./(256L << 10).min(cores.toLong).max(1L).toInt)
+      else d
+    def maskCounts: DataFrame = dd.join(dim, Seq("source"))
+      .select(col("src_id"), split(col("text"), " ").as("w"))
+      .select(col("src_id"), explode(when(size(col("w")) >= 3,
+        expr("transform(sequence(0, size(w)-3), i -> xxhash64(w[i], w[i+1], w[i+2]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("sh"))
+      .groupBy("sh")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), src_id))").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val cap = sourceOverlapMaskCap(spark)
+    val mc = maskCounts.take(cap + 1)
+    if (mc.length <= cap) {
+      val nSh = new Array[Long](k)
+      val shared = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+      mc.foreach { r =>
+        val mask = r.getLong(0); val cnt = r.getLong(1)
+        val bits = (0 until k).filter(i => ((mask >> i) & 1L) == 1L)
+        bits.foreach(i => nSh(i) += cnt)
+        for (ai <- bits.indices; bi <- ai + 1 until bits.size) {
+          val key = (bits(ai), bits(bi))
+          shared(key) = shared.getOrElse(key, 0L) + cnt
+        }
+      }
+      val rows = shared.toSeq.map { case ((ia, ib), ns) =>
+        // same rounding as Spark's round(col, 6) on DoubleType
+        // (HALF_UP over BigDecimal) so the two paths hash-match
+        (srcNames(ia), srcNames(ib), ns, nSh(ia), nSh(ib),
+          BigDecimal(ns.toDouble / (nSh(ia) + nSh(ib) - ns).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(t => (t._1, t._2))
+      spark.createDataFrame(rows)
+        .toDF("src_a", "src_b", "n_shared", "n_sh_a", "n_sh_b", "jaccard")
+    } else {
+      val withBits = maskCounts.withColumn("bits",
+        expr(s"filter(sequence(0, ${k - 1}), i -> (shiftright(mask, i) & 1) = 1)"))
+      val sizes = withBits
+        .select(explode(col("bits")).as("src_id"), col("cnt"))
+        .groupBy("src_id").agg(sum(col("cnt")).as("n_sh"))
+      val p = withBits.filter(size(col("bits")) >= 2)
+        .select(explode(col("bits")).as("ia"), col("bits"), col("cnt"))
+        .select(col("ia"),
+          explode(expr("filter(bits, b -> b > ia)")).as("ib"), col("cnt"))
+        .groupBy("ia", "ib").agg(sum(col("cnt")).as("n_shared"))
+      p.join(broadcast(sizes.select(col("src_id").as("ia"), col("n_sh").as("n_sh_a"))), Seq("ia"))
+        .join(broadcast(sizes.select(col("src_id").as("ib"), col("n_sh").as("n_sh_b"))), Seq("ib"))
+        .join(dim.select(col("src_id").as("ia"), col("source").as("src_a")), Seq("ia"))
+        .join(dim.select(col("src_id").as("ib"), col("source").as("src_b")), Seq("ib"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_sh_a"), col("n_sh_b"),
+          round(col("n_shared").cast("double") /
+            (col("n_sh_a") + col("n_sh_b") - col("n_shared")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }
+  }
+
+  /** Past-64-sources fallback for [[sourceOverlapOf]]: the r11
+    * `collect_set`-of-source-names form. Same one-wide-shuffle plan
+    * shape, but the aggregate runs on ObjectHashAggregate (set buffers),
+    * which is the slower regime the bitmask path avoids — acceptable
+    * here because >64 sources is outside the curated-enumeration
+    * contract and correctness still holds. */
+  private[queries] def sourceOverlapWideOf(d: DataFrame): DataFrame = {
     val srcSets = shingleSetsOf(d)
       .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), explode(col("ts")).as("shs"))
@@ -1746,10 +1880,14 @@ object TextDedup {
         round(col("n_shared").cast("double") /
           (col("n_sh_a") + col("n_sh_b") - col("n_shared")).cast("double"), 6)
           .as("jaccard"))
+      .orderBy("src_a", "src_b")
   }
 
+  // no outer orderBy: sourceOverlapOf's driver path returns a
+  // pre-sorted local relation and its distributed branches sort
+  // internally — an external sort would add an exchange for nothing
   def q74SourceOverlap(s: SparkSession, dir: String): DataFrame =
-    sourceOverlapOf(docs(s, dir)).orderBy("src_a", "src_b")
+    sourceOverlapOf(docs(s, dir))
 
   val oracleQ74: String =
     s"""WITH s AS (

@@ -441,13 +441,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window "), "divergence computed via window (no partial agg)")
   }
 
-  test("q74 source overlap: sh-keyed set aggregate, no shingle self-join") {
+  test("q74 source overlap: driver-tail result is a pure local relation") {
+    // r12 shape: one codegen'd bit_or-mask aggregate, then the bounded
+    // (mask, cnt) rollup expands to C(k,2) pairs ON THE DRIVER — the
+    // returned frame must be a local relation with no distributed tail
+    // (the r11 collect_set + 4-tiny-shuffle tail paid ~1 s of AQE stage
+    // scheduling on droplet frames)
     val df = TextDedup.q74SourceOverlap(spark, sfDir)
-    df.collect() // materialize the cached set frame + finalize AQE
+    df.collect()
     val p = plan(df)
-    // pair counting must come from collect_set + per-set pair explosion —
-    // never a self-join of the (source, sh) frame (the r11 rewrite: one
-    // wide shuffle instead of re-shuffling both join sides)
+    assert(p.contains("LocalTableScan"),
+      s"q74 driver-tail path not taken (distributed tail in plan):\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair counting went through a join:\n${p.take(2000)}")
+  }
+
+  test("q74 wide fallback keeps the one-wide-shuffle set-aggregate shape") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val df = TextDedup.sourceOverlapWideOf(d)
+    df.collect()
+    val p = plan(df)
+    // >64-source path: collect_set + per-set pair explosion — never a
+    // self-join of the (source, sh) frame
     assert(p.contains("collect_set"),
       s"source sets not collect_set-aggregated:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin"),

@@ -22,6 +22,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q74 bitmask driver path == distributed fallback == wide collect_set path") {
+    val d = Tables.load(spark, sfDir, "documents")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("src_a", "src_b").collect().toSeq.map(_.toSeq)
+    val driverPath = rowsOf(TextDedup.sourceOverlapOf(d))
+    val widePath = rowsOf(TextDedup.sourceOverlapWideOf(d))
+    assert(driverPath.nonEmpty)
+    assert(driverPath == widePath,
+      "bitmask driver-tail result diverged from the collect_set fallback")
+    // force the >cap distributed-expansion branch and compare again
+    spark.conf.set("spark.graft.sourceOverlap.maskCap", "1")
+    try {
+      val distributed = rowsOf(TextDedup.sourceOverlapOf(d))
+      assert(distributed == widePath,
+        "distributed mask-expansion result diverged from the collect_set fallback")
+    } finally spark.conf.unset("spark.graft.sourceOverlap.maskCap")
+  }
+
   test("q27 exact dedup keeps one keeper per content hash") {
     val rows = TextDedup.q27ExactDedup(spark, sfDir).collect()
     val keepers = rows.map(_.getAs[Long]("keeper_id"))
