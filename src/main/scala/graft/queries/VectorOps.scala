@@ -42,6 +42,59 @@ object VectorOps {
 
   private val SCALE = 1e6
 
+  /** Sentinel default for `planes`: size the LSH from the corpus row
+    * count at call time ([[autoPlanes]]). Resolving it runs ONE `count()`
+    * job per distinct corpus plan (memoized), so default-knob calls are
+    * eager like [[semanticDedupIndexed]] already is; pass an explicit
+    * `planes` (e.g. 16) to keep plan construction fully lazy. */
+  val AutoPlanes = 0
+
+  /** Corpus-size-aware LSH sizing: bitsPer = ceil(log2(rows /
+    * targetBucketRows)) clamped to [4, 16]; planes = bands * bitsPer.
+    * Each band then has ~rows/2^bitsPer ≈ targetBucketRows expected
+    * occupants REGARDLESS of corpus size, so the candidate join stays
+    * linear in rows. A fixed plane count does not have this property:
+    * the r11 10× stress sweep measured the old fixed 16-plane default
+    * entering a 6.1× bucket-occupancy-growth regime (each bucket's
+    * population — and the self-join's pair count — grows with the
+    * corpus), while 32 planes ran the same 10× at 1.3× (BENCH_NOTES).
+    * Small corpora (≤ targetBucketRows·2^4) resolve to the historical
+    * 16/4 shape, so oracle-scale behavior is unchanged. */
+  def autoPlanes(rows: Long, bands: Int = 4, targetBucketRows: Int = 64): Int = {
+    val need = math.max(1.0, rows.toDouble / math.max(1, targetBucketRows))
+    val bitsPer = math.min(16, math.max(4,
+      math.ceil(math.log(need) / math.log(2.0)).toInt))
+    bands * bitsPer
+  }
+
+  /** Bounded memo of row counts keyed by canonicalized logical plan:
+    * [[AutoPlanes]] resolution needs one `count()` per distinct corpus
+    * frame, not one per operator call — a session typically probes the
+    * same cached index many times. */
+  private val rowCountMemo =
+    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            java.lang.Long]): Boolean = size > 64
+    }
+
+  private def memoizedCount(df: DataFrame): Long = {
+    val key = df.queryExecution.logical.canonicalized
+    val hit = rowCountMemo.synchronized(Option(rowCountMemo.get(key)))
+    hit.map(_.longValue).getOrElse {
+      val n = df.count()
+      rowCountMemo.synchronized(rowCountMemo.put(key, n))
+      n
+    }
+  }
+
+  /** Resolve the effective plane count: explicit values pass through;
+    * [[AutoPlanes]] derives from the (memoized) corpus row count. */
+  private def resolvePlanes(planes: Int, bands: Int, corpus: DataFrame): Int =
+    if (planes != AutoPlanes) planes
+    else autoPlanes(memoizedCount(corpus), bands)
+
   /** Quantized copy of the embedding: array<long> of round(x*1e6). */
   private def efpCol(c: Column): Column =
     transform(c, x => round(x.cast("double") * SCALE).cast("long"))
@@ -171,9 +224,10 @@ object VectorOps {
   }
 
   def knnLshIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64,
       carry: Seq[String] = Nil): DataFrame = {
-    def bandsOf(idx: DataFrame): DataFrame = lshBandRows(idx, planes, bands, dims)
+    val p = resolvePlanes(planes, bands, corpus)
+    def bandsOf(idx: DataFrame): DataFrame = lshBandRows(idx, p, bands, dims)
 
     val qBands = bandsOf(queries)
       .select(col("vec_id").as("query_id"), col("k"), col("v"))
@@ -194,7 +248,7 @@ object VectorOps {
   }
 
   def knnLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      k: Int, planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64,
       carry: Seq[String] = Nil): DataFrame =
     knnLshIndexed(index(corpus, id, vec, carry), index(queries, id, vec),
       k, planes, bands, dims, carry)
@@ -267,7 +321,7 @@ object VectorOps {
     * approximate paths reuse their candidate joins; the overlap join
     * compares two post-top-k frames of k·|batch| rows each. */
   def annRecallIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
-      k: Int, nprobe: Int = 2, planes: Int = 16, bands: Int = 4,
+      k: Int, nprobe: Int = 2, planes: Int = AutoPlanes, bands: Int = 4,
       dims: Int = 64): DataFrame = {
     val brute = knnBatchIndexed(corpus, queries, k)
       .select(col("query_id"), col("vec_id"))
@@ -290,8 +344,8 @@ object VectorOps {
   }
 
   def annRecall(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, cell: String, k: Int, nprobe: Int = 2, planes: Int = 16,
-      bands: Int = 4, dims: Int = 64): DataFrame =
+      vec: String, cell: String, k: Int, nprobe: Int = 2,
+      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64): DataFrame =
     annRecallIndexed(index(corpus, id, vec, Seq(cell)),
       index(queries, id, vec), cell, k, nprobe, planes, bands, dims)
 
@@ -508,12 +562,13 @@ object VectorOps {
     * candidate generator (the SemDeDup shape): signatures are a pure map,
     * the self-join shuffles narrow (vec_id, band) rows on the band key,
     * and no pair outside a shared bucket is ever formed — never all-pairs.
-    * Bucket population is geometric in bits-per-band: at web scale raise
-    * `planes`/`bands` (e.g. 64/8) so buckets stay small; the 16/4 default
-    * matches the oracle-checked q60 binding. */
-  def lshCandidatePairs(idx: DataFrame, planes: Int = 16, bands: Int = 4,
-      dims: Int = 64): DataFrame = {
-    val b = lshBandRows(idx, planes, bands, dims)
+    * Bucket population is geometric in bits-per-band: the [[AutoPlanes]]
+    * default sizes bitsPer from the corpus row count so buckets stay
+    * ~[[autoPlanes]]'s targetBucketRows at any scale; pass planes=16,
+    * bands=4 to reproduce the oracle-checked q60 binding exactly. */
+  def lshCandidatePairs(idx: DataFrame, planes: Int = AutoPlanes,
+      bands: Int = 4, dims: Int = 64): DataFrame = {
+    val b = lshBandRows(idx, resolvePlanes(planes, bands, idx), bands, dims)
     b.select(col("vec_id").as("id_a"), col("k"), col("v"))
       .join(b.select(col("vec_id").as("id_b"), col("k"), col("v")), Seq("k", "v"))
       .filter(col("id_a") < col("id_b"))
@@ -542,7 +597,7 @@ object VectorOps {
     * frame runs Spark jobs; it is not a lazy plan. [[semanticDedup]]
     * inherits this. */
   def semanticDedupIndexed(idx: DataFrame, minCos: Double,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64): DataFrame = {
     val cand = lshCandidatePairs(idx, planes, bands, dims)
     val a = idx.select(col("vec_id").as("id_a"), col("efp").as("ea"),
       col("nrm").as("na"))
@@ -566,7 +621,7 @@ object VectorOps {
 
   /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
   def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
+      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64): DataFrame =
     semanticDedupIndexed(index(df, id, vec), minCos, planes, bands, dims)
 
   /** INCREMENTAL semantic dedup — the vector twin of the text family's
@@ -583,11 +638,12 @@ object VectorOps {
     * batch's signatures + the candidate join + re-rank — the same
     * batch-proportional contract as [[graft.queries.TextOps.incrementalDedup]]. */
   def semanticIncrementalIndexed(corpus: DataFrame, batch: DataFrame,
-      minCos: Double, planes: Int = 16, bands: Int = 4,
+      minCos: Double, planes: Int = AutoPlanes, bands: Int = 4,
       dims: Int = 64): DataFrame = {
-    val cb = lshBandRows(corpus, planes, bands, dims)
+    val p = resolvePlanes(planes, bands, corpus) // size from the big side
+    val cb = lshBandRows(corpus, p, bands, dims)
       .select(col("vec_id").as("partner_id"), col("k"), col("v"))
-    val bb = lshBandRows(batch, planes, bands, dims)
+    val bb = lshBandRows(batch, p, bands, dims)
     val cand = bb.join(cb, Seq("k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
     val bq = batch.select(col("vec_id"), col("efp").as("be"),
@@ -616,7 +672,7 @@ object VectorOps {
     * two frames are same-typed, so a divergent order would let a swapped
     * call run and return plausible-looking output. */
   def semanticIncremental(corpus: DataFrame, batch: DataFrame, id: String,
-      vec: String, minCos: Double, planes: Int = 16, bands: Int = 4,
+      vec: String, minCos: Double, planes: Int = AutoPlanes, bands: Int = 4,
       dims: Int = 64): DataFrame =
     semanticIncrementalIndexed(index(corpus, id, vec), index(batch, id, vec),
       minCos, planes, bands, dims)
@@ -629,8 +685,8 @@ object VectorOps {
     * vectors, a recency timestamp, ...), ties to the lowest id.
     * Output: (cluster_id, keeper_id, n_members, best_quality). */
   def semanticKeepBest(df: DataFrame, id: String, vec: String,
-      quality: Column, minCos: Double, planes: Int = 16, bands: Int = 4,
-      dims: Int = 64): DataFrame = {
+      quality: Column, minCos: Double, planes: Int = AutoPlanes,
+      bands: Int = 4, dims: Int = 64): DataFrame = {
     val q = df.select(col(id).cast("long").as("vec_id"), quality.as("quality"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("vec_id").asc)
