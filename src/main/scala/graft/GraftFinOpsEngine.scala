@@ -30,6 +30,18 @@ final class GraftFinOpsEngine(
     val pricingSource: graft.pricing.PricingSource = new graft.pricing.MockPricingSource) {
 
   private val engine = new GraftEngine(spark, config.referenceDate)
+
+  /** THE one deliberate wall-clock seam in the library: the config-driven
+    * engine mirrors the reference's "today when no date injected"
+    * behavior, resolved ONCE at first use so every module and API table
+    * this engine builds shares a single consistent date (a session
+    * straddling midnight must not hand different days to finops vs mcp
+    * vs the spot-history table). Every other entry point — the analytics
+    * constructors, [[graft.pricing.PricingTables.registerApiTables]],
+    * spotPriceHistory — REQUIRES an explicit asOf; inject
+    * `config.referenceDate` for reproducible runs. */
+  private lazy val resolvedAsOf: java.time.LocalDate =
+    config.referenceDate.getOrElse(java.time.LocalDate.now())
   // root the current registration was made over; None = not yet registered.
   // The reference honors force_s3 per query (duckdb_engine.py:246-266), so
   // source selection re-resolves on every call and re-registers only when
@@ -72,7 +84,7 @@ final class GraftFinOpsEngine(
     if (config.enablePricingApi || config.enableSavingsPlansApi) {
       graft.pricing.PricingTables.registerApiTables(spark, cachedPricingSource,
         config.pricingApiInstanceTypes, config.pricingApiRegions,
-        asOf = config.referenceDate.getOrElse(java.time.LocalDate.now()),
+        asOf = resolvedAsOf,
         savingsPlanArns = config.savingsPlanArns,
         enablePricing = config.enablePricingApi,
         enableSavingsPlans = config.enableSavingsPlansApi,
@@ -115,14 +127,14 @@ final class GraftFinOpsEngine(
   lazy val finops: FinOps = {
     ensureRegistered()
     new FinOps(spark, config.tableName,
-      config.referenceDate.getOrElse(java.time.LocalDate.now()))
+      resolvedAsOf)
   }
 
   /** MCP-style NL/tooling surface. */
   lazy val mcp: McpIntegration = {
     ensureRegistered()
     new McpIntegration(spark, config.tableName,
-      config.referenceDate.getOrElse(java.time.LocalDate.now()))
+      resolvedAsOf)
   }
 
   /** Start the REST layer over this engine — the analogue of the

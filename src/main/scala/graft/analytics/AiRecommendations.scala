@@ -10,7 +10,7 @@ import java.time.LocalDate
   * templates (C4), and keyword intent parsing (C10).
   */
 final class AiRecommendations(spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+    asOf: LocalDate) {
 
   private def cur = spark.table(table)
 

@@ -14,7 +14,7 @@ import java.time.LocalDate
   * structured variant would use from_json.
   */
 final class Allocation(spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+    asOf: LocalDate) {
 
   private def cur = spark.table(table)
   private def curMonth = date_trunc("month", col("line_item_usage_start_date")) ===

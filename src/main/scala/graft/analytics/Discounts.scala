@@ -10,7 +10,7 @@ import java.time.LocalDate
   * expiration fixtures replacing the reference's random mocks (C12).
   */
 final class Discounts(spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+    asOf: LocalDate) {
 
   private def cur = spark.table(table)
   private def curMonth = date_trunc("month", col("line_item_usage_start_date")) ===

@@ -9,7 +9,7 @@ import java.time.LocalDate
   * (finops_engine.py:203-233).
   */
 final class FinOps(val spark: SparkSession, val table: String = "CUR",
-    val asOf: LocalDate = LocalDate.now()) {
+    val asOf: LocalDate) {
 
   val spend = new SpendAnalytics(spark, table, asOf)
   val optimization = new Optimization(spark, table, asOf)

@@ -10,7 +10,7 @@ import java.time.LocalDate
   * DAG, aggregates kpi_tracker over the window, and shapes the nested
   * summary including the savings rollup (SURVEY.md §2.9 C5).
   */
-final class KpiSummary(spark: SparkSession, asOf: LocalDate = LocalDate.now()) {
+final class KpiSummary(spark: SparkSession, asOf: LocalDate) {
 
   final case class SavingsSummary(
       totalPotentialSavings: Double,

@@ -11,7 +11,7 @@ import java.time.LocalDate
   * is represented here only as static capability metadata.
   */
 final class McpIntegration(spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+    asOf: LocalDate) {
 
   private val finops = new FinOps(spark, table, asOf)
   private val engine = new GraftEngine(spark, Some(asOf))

@@ -8,7 +8,7 @@ import java.time.LocalDate
   * resource detection, rightsizing recommendations, and the pure risk /
   * confidence scoring (SURVEY.md §2.9 C7/C8). */
 final class Optimization(spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+    asOf: LocalDate) {
 
   private def cur = spark.table(table)
   private def curMonth = date_trunc("month", col("line_item_usage_start_date")) ===

@@ -14,7 +14,7 @@ import java.time.LocalDate
   * happens only in the typed summary methods.
   */
 final class SpendAnalytics(spark: SparkSession, table: String = "CUR",
-    asOf: LocalDate = LocalDate.now()) {
+    asOf: LocalDate) {
 
   private def cur = spark.table(table)
   private def monthOf(d: LocalDate) = lit(d.withDayOfMonth(1).toString).cast("timestamp")

@@ -23,10 +23,13 @@ trait PricingSource {
   def spotPrice(instanceType: String, region: String): Option[Double]
 
   /** N-day spot price history, most recent first
-    * (aws_pricing_manager.py:447-488 `get_spot_price_history`). */
+    * (aws_pricing_manager.py:447-488 `get_spot_price_history`). `asOf`
+    * is REQUIRED — the repo's determinism contract injects the
+    * reference date instead of reading the wall clock, so two sessions
+    * can build identical histories. */
   def spotPriceHistory(instanceType: String, region: String,
       daysBack: Int = 7,
-      asOf: java.time.LocalDate = java.time.LocalDate.now()): Seq[SpotPricePoint]
+      asOf: java.time.LocalDate): Seq[SpotPricePoint]
 
   /** Savings-plans rate (aws_pricing_manager.py:494-549, S16). */
   def savingsPlanRate(instanceType: String, region: String,
@@ -131,11 +134,27 @@ final class MockPricingSource extends PricingSource {
   * deployment; the deterministic mock is already free to call. */
 final class CachingPricingSource(underlying: PricingSource, maxAgeDays: Int,
     clock: () => Long = System.currentTimeMillis) extends PricingSource {
+  private val positiveTtl = maxAgeDays.toLong * 86400L
+  /** Negative results (None / empty history) get a short TTL instead of
+    * the full maxAgeDays: a transient live-API failure that surfaces as
+    * None would otherwise pin a missing price — silently dropping rows
+    * from the registered pricing tables — until restart. 5 minutes keeps
+    * a hot retry loop from hammering the API while letting the next
+    * query round-trip recover. */
+  private val negativeTtl = 300L
+  private def isNegative(v: Any): Boolean = v match {
+    case None => true
+    case s: Seq[_] => s.isEmpty
+    case _ => false
+  }
   private val cache = new graft.utils.Performance.TtlCache[Any](
-    ttlSeconds = maxAgeDays.toLong * 86400L, clock = clock,
+    ttlSeconds = positiveTtl, clock = clock,
     normalizeKeys = false) // keys are case-sensitive identifiers, not SQL
   private def memo[V](key: String)(compute: => V): V =
-    cache.getOrElseUpdate(key)(compute).asInstanceOf[V]
+    cache.getOrElseUpdateWithTtl(key) {
+      val v = compute
+      (v, if (isNegative(v)) negativeTtl else positiveTtl)
+    }.asInstanceOf[V]
 
   override def onDemandPrice(it: String, region: String, os: String,
       tenancy: String): Option[Double] =
@@ -229,7 +248,7 @@ object PricingTables {
     * joins/windows run in SQL (aws_pricing_manager.py:447-488, S15). */
   def registerSpotHistoryTable(spark: SparkSession, src: PricingSource,
       instanceTypes: Seq[String], regions: Seq[String], daysBack: Int = 7,
-      asOf: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
+      asOf: java.time.LocalDate): DataFrame = {
     val rows = for {
       it <- instanceTypes; r <- regions
       p <- src.spotPriceHistory(it, r, daysBack, asOf)

@@ -32,15 +32,33 @@ object Tables {
     * millis ≥ 1e11 > max-seconds ~4e9 — the ranges cannot overlap, so a
     * plain-INT64 micros/millis/seconds writer produces correct
     * timestamps rather than silently 1000×-off ones. Pure integer CASE,
-    * codegen-friendly, no eager sampling job. */
+    * codegen-friendly, no eager sampling job.
+    *
+    * Values whose interpreted timestamp falls OUTSIDE 1973–2096 fail
+    * loudly (`raise_error` at scan time) instead of returning a
+    * silently-1000×-off timestamp: below the window the heuristic is
+    * genuinely ambiguous (millis before 1973-03 look like seconds,
+    * nanos before ~1973-01 look like micros), so an out-of-range writer
+    * must surface as an error — the same fail-loud contract the NTZ
+    * branch gets from Spark's own cast. */
   def normalizeTs(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case LongType =>
-        df.withColumn(colName, timestamp_micros(expr(
+        val micros =
           s"""CASE WHEN abs(`$colName`) >= 100000000000000000 THEN `$colName` div 1000
              |     WHEN abs(`$colName`) >= 100000000000000 THEN `$colName`
              |     WHEN abs(`$colName`) >= 100000000000 THEN `$colName` * 1000
-             |     ELSE `$colName` * 1000000 END""".stripMargin)))
+             |     ELSE `$colName` * 1000000 END""".stripMargin
+        // 1973-01-01 .. 2096-01-01 in epoch micros — the window where the
+        // unit ranges above cannot overlap
+        df.withColumn(colName, timestamp_micros(expr(
+          s"""CASE WHEN ($micros) BETWEEN 94694400000000 AND 3975868800000000
+             |     THEN ($micros)
+             |     ELSE raise_error(concat('normalizeTs: `$colName` value ',
+             |       CAST(`$colName` AS STRING),
+             |       ' interprets outside the 1973-2096 validity window of the',
+             |       ' unit-magnitude heuristic - units are ambiguous; fix the',
+             |       ' writer or normalize explicitly')) END""".stripMargin)))
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df

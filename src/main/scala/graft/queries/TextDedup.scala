@@ -444,6 +444,19 @@ object TextDedup {
     Seq(bandRowsOf(d), bandDfOf(d), mhDfOf(d), hashedShingleRowsOf(d),
       shingleSetsOf(d)).foreach(_.unpersist(false))
 
+  /** N-gram-parameterized counterpart of [[unpersistDerivationsOf]]:
+    * releases the cached [[shingleSetsNOf]]/[[hashedShingleRowsNOf]]
+    * chain for window size `n`. Each non-default n caches its OWN chain
+    * (the decontamination family's production 8–13-gram settings), so a
+    * long-lived session calling decontaminate/evalNovelty per epoch must
+    * release per-n or the entries accumulate; n = 3 routes to the shared
+    * 3-gram derivations — releasing it drops the caches every other
+    * dedup operator shares, so only do that when the whole family is
+    * done with `d`. */
+  private[graft] def unpersistDerivationsNOf(d: DataFrame, n: Int): Unit =
+    Seq(hashedShingleRowsNOf(d, n), shingleSetsNOf(d, n))
+      .foreach(_.unpersist(false))
+
   /** Release the capped pair-family caches for `d` at `dfCap` (the
     * df-annotated frame and the shared pair-stat frame) — the capped
     * counterpart of [[unpersistDerivationsOf]], reached by rebuilding

@@ -519,7 +519,8 @@ object TextOps {
     * cached across epochs. */
   def unpersistDedupCaches(df: DataFrame, id: String, text: String,
       pairThresholds: Seq[Double] = Nil,
-      dfCaps: Seq[Long] = Seq(100L)): Unit = {
+      dfCaps: Seq[Long] = Seq(100L),
+      nGrams: Seq[Int] = Nil): Unit = {
     val n = norm(df, id, text)
     // jaccard pair frames are cached per (input plan, threshold) —
     // callers that ran nearDupPairs/dedupClusters with dfCap=None pass
@@ -529,6 +530,12 @@ object TextOps {
     // capped pair-stat frames are cached per (input plan, dfCap) and are
     // threshold-independent; the default matches the library default cap
     dfCaps.foreach(c => TextDedup.unpersistCappedPairCachesOf(n, c))
+    // non-default shingle windows each cache their own chain (the
+    // decontamination family's 8-13-gram production settings) — callers
+    // pass the nGrams values they used so those entries release too;
+    // 3 is covered by unpersistDerivationsOf below
+    nGrams.filterNot(_ == 3)
+      .foreach(g => TextDedup.unpersistDerivationsNOf(n, g))
     TextDedup.unpersistDerivationsOf(n)
   }
 }

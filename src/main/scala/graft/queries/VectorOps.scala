@@ -95,6 +95,18 @@ object VectorOps {
     if (planes != AutoPlanes) planes
     else autoPlanes(memoizedCount(corpus), bands)
 
+  /** Worst-block-size memo for [[blockedPairsIndexed]]'s quadratic guard,
+    * keyed by (canonicalized plan, block column) — same rationale as
+    * [[rowCountMemo]]: the guard is an eager aggregate; repeated or
+    * speculative calls over the same frame should pay it once. */
+  private val blockMaxMemo =
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+        java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+            java.lang.Long]): Boolean = size > 64
+    }
+
   /** Quantized copy of the embedding: array<long> of round(x*1e6). */
   private def efpCol(c: Column): Column =
     transform(c, x => round(x.cast("double") * SCALE).cast("long"))
@@ -525,13 +537,22 @@ object VectorOps {
     * exceeds the cap, instead of silently launching an O(n²) job a user
     * pointed at a full corpus. `None` opts out (benchmarking the
     * baseline at known size). Note the guard job runs EAGERLY at call
-    * time. */
+    * time — once per distinct (input plan, block): the worst-block count
+    * is memoized by canonicalized plan, so callers that build the same
+    * blocked-pairs frame speculatively or repeatedly pay one scan, not
+    * one per call. */
   def blockedPairsIndexed(idx: DataFrame, block: String, topN: Int,
       maxBlockRows: Option[Long] = Some(MaxBlockRowsDefault)): DataFrame = {
     maxBlockRows.foreach { cap =>
-      val r = idx.groupBy(col(block)).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head()
-      val worst = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val key = idx.queryExecution.logical.canonicalized -> block
+      val hit = blockMaxMemo.synchronized(Option(blockMaxMemo.get(key)))
+      val worst = hit.map(_.longValue).getOrElse {
+        val r = idx.groupBy(col(block)).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head()
+        val w = if (r.isNullAt(0)) 0L else r.getLong(0)
+        blockMaxMemo.synchronized(blockMaxMemo.put(key, w))
+        w
+      }
       require(worst <= cap,
         s"blockedPairs: largest '$block' block has $worst rows (> cap $cap); " +
           "the all-pairs baseline is quadratic per block — use the LSH (q34) " +

@@ -85,19 +85,31 @@ object Performance {
   final class TtlCache[V](ttlSeconds: Long = 300,
       clock: () => Long = System.currentTimeMillis,
       normalizeKeys: Boolean = true) {
+    // value is (expiresAtMillis, V) — per-entry expiry so callers can
+    // cache some results (e.g. negative lookups) for less than the
+    // cache-wide TTL
     private val store = TrieMap.empty[String, (Long, V)]
 
     def key(sql: String): String =
       if (normalizeKeys) sql.trim.toLowerCase.replaceAll("\\s+", " ") else sql
 
-    def getOrElseUpdate(sql: String)(compute: => V): V = {
+    def getOrElseUpdate(sql: String)(compute: => V): V =
+      getOrElseUpdateWithTtl(sql)((compute, ttlSeconds))
+
+    /** Like [[getOrElseUpdate]], but `compute` also chooses the entry's
+      * own TTL (seconds) — so a caller can inspect the computed value and
+      * give transient/negative results a much shorter life than the
+      * cache-wide default ([[graft.pricing.CachingPricingSource]]: a
+      * live-API failure surfacing as None must not pin a missing price
+      * for the full maxAgeDays). */
+    def getOrElseUpdateWithTtl(sql: String)(compute: => (V, Long)): V = {
       val k = key(sql)
       val now = clock()
       store.get(k) match {
-        case Some((t, v)) if now - t < ttlSeconds * 1000 => v
+        case Some((exp, v)) if now < exp => v
         case _ =>
-          val v = compute
-          store.put(k, (now, v))
+          val (v, ttl) = compute
+          store.put(k, (now + ttl * 1000, v))
           v
       }
     }
@@ -106,7 +118,7 @@ object Performance {
     def size: Int = { prune(); store.size }
     private def prune(): Unit = {
       val now = clock()
-      store.filterInPlace { case (_, (t, _)) => now - t < ttlSeconds * 1000 }
+      store.filterInPlace { case (_, (exp, _)) => now < exp }
     }
   }
 }

@@ -173,6 +173,53 @@ class PricingSpec extends SparkSpec {
     assert(underlying.n == 3, "expired entry not refreshed")
   }
 
+  test("CachingPricingSource gives negative results a short TTL, not maxAgeDays") {
+    // a flaky underlying: None (transient failure shape) until healed
+    class Flaky extends PricingSource {
+      val m = new MockPricingSource
+      var healed = false
+      var n = 0
+      def onDemandPrice(it: String, r: String, os: String, t: String) = {
+        n += 1; if (healed) m.onDemandPrice(it, r, os, t) else None
+      }
+      def spotPriceHistory(it: String, r: String, d: Int,
+          a: java.time.LocalDate) =
+        if (healed) m.spotPriceHistory(it, r, d, a) else Seq.empty
+      def reservedPrice(it: String, r: String, y: Int, p: String) =
+        m.reservedPrice(it, r, y, p)
+      def spotPrice(it: String, r: String) = m.spotPrice(it, r)
+      def savingsPlanRate(it: String, r: String, p: String) =
+        m.savingsPlanRate(it, r, p)
+      def rdsPrice(ic: String, r: String, e: String) = m.rdsPrice(ic, r, e)
+      def instanceAttributes(it: String) = m.instanceAttributes(it)
+    }
+    val underlying = new Flaky
+    var now = 0L
+    val cached = new CachingPricingSource(underlying, maxAgeDays = 1,
+      clock = () => now)
+    assert(cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared").isEmpty)
+    assert(cached.spotPriceHistory("m5.large", "us-east-1", 7,
+      java.time.LocalDate.of(2026, 1, 1)).isEmpty)
+    underlying.healed = true
+    // inside the negative TTL the miss is still served from cache
+    now = 200L * 1000L
+    assert(cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared").isEmpty,
+      "negative entry must still memoize inside its short TTL")
+    // past the negative TTL (300 s) — but far inside maxAgeDays — the
+    // lookup retries the healed source and the price comes back
+    now = 301L * 1000L
+    assert(cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared").nonEmpty,
+      "healed price still pinned by a day-long negative entry")
+    assert(cached.spotPriceHistory("m5.large", "us-east-1", 7,
+      java.time.LocalDate.of(2026, 1, 1)).nonEmpty,
+      "healed history still pinned by a day-long negative entry")
+    // and the recovered POSITIVE value now lives the full maxAgeDays
+    val n0 = underlying.n
+    now = 86000L * 1000L
+    assert(cached.onDemandPrice("m5.large", "us-east-1", "Linux", "Shared").nonEmpty)
+    assert(underlying.n == n0, "positive entry should not refresh before maxAgeDays")
+  }
+
   test("aws_rds_pricing registers with the reference's join columns") {
     val df = PricingTables.registerRdsPricingTable(spark, src,
       Seq("db.m5.large", "db.r5.xlarge"), Seq("us-east-1"))

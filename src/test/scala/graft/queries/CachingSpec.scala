@@ -55,6 +55,29 @@ class CachingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.vector.storageLevel")
   }
 
+  test("unpersistDedupCaches releases non-default n-gram chains (nGrams param)") {
+    // decontaminate at a production window size caches a PER-N chain
+    // (shingleSetsNOf / hashedShingleRowsNOf at n=8) that the 3-gram
+    // release paths never touched — the per-epoch leak the nGrams
+    // parameter exists to close
+    val corpus = freshDocs(6)
+    val bench = freshDocs(0).limit(20)
+    TextOps.decontaminate(corpus, bench, "doc_id", "text", nGrams = 8).count()
+    // rebuild the internal plans (cache lookup is by canonicalized plan)
+    def nrm(df: DataFrame) = df.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"))
+    val chain = Seq(TextDedup.shingleSetsNOf(nrm(corpus), 8),
+      TextDedup.hashedShingleRowsNOf(nrm(corpus), 8),
+      TextDedup.shingleSetsNOf(nrm(bench), 8),
+      TextDedup.hashedShingleRowsNOf(nrm(bench), 8))
+    assert(chain.forall(_.storageLevel != StorageLevel.NONE),
+      "decontaminate(nGrams=8) should have cached the n=8 chains")
+    TextOps.unpersistDedupCaches(corpus, "doc_id", "text", nGrams = Seq(8))
+    TextOps.unpersistDedupCaches(bench, "doc_id", "text", nGrams = Seq(8))
+    chain.foreach(c =>
+      assert(c.storageLevel == StorageLevel.NONE, "n=8 chain not released"))
+  }
+
   test("checkpointDir switches propagateLabels to reliable checkpoint, same labels") {
     val sp = spark
     import sp.implicits._

@@ -50,6 +50,38 @@ class SchemaDriftSpec extends SparkSpec {
     assert(out.head == "2023-11-14 22:13:20")
   }
 
+  test("normalizeTs fails loudly outside the 1973-2096 validity window") {
+    val s = spark
+    import s.implicits._
+    // values the magnitude heuristic CANNOT disambiguate: a 1970-01-02
+    // epoch-millis (reads as seconds → 1972? no: 86400000 ms -> 'seconds'
+    // branch is wrong either way) and a far-future seconds value — both
+    // interpret outside 1973-2096 and must raise, not return 1000x-off
+    // timestamps
+    for (bad <- Seq(86400000L /* 1970-01-02 in millis */ ,
+        5000000000L /* 2128 in seconds */ , 0L, -1L)) {
+      val e = intercept[Exception] {
+        Tables.normalizeTs(Seq((1L, bad)).toDF("id", "ts"), "ts")
+          .select(org.apache.spark.sql.functions.col("ts").cast("string"))
+          .head()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("normalizeTs")),
+        s"value $bad should raise the normalizeTs guard, got: $e")
+    }
+    // values inside the window (and above each unit's classification
+    // threshold) still pass; note 1973-01..03 micros/nanos sit BELOW
+    // their thresholds — genuinely ambiguous, so they raise by design
+    val ok = Seq(100000000000000000L /* 1e17 nanos = 1973-03-03 */ ,
+      1700000000000000L /* 2023 micros */ ,
+      3975868800L /* 2096-01-01 seconds */)
+    ok.foreach { v =>
+      Tables.normalizeTs(Seq((1L, v)).toDF("id", "ts"), "ts")
+        .select(org.apache.spark.sql.functions.col("ts")).head()
+    }
+  }
+
   test("every loaded table has the column types the loaders promise") {
     val t = Tables.loadAll(spark, sfDir)
     import org.apache.spark.sql.types._
