@@ -32,17 +32,42 @@ final class AwsPricingClient(
 
   import AwsPricingClient._
 
-  private val host = endpointOverride.getOrElse(s"api.pricing.$pricingRegion.amazonaws.com")
+  /** Endpoint resolution: a bare hostname override keeps https (the
+    * production shape); a full `scheme://host:port` override is taken
+    * verbatim — which is what lets the recorded-response replay spec
+    * drive this REAL client (signing, send, pagination, parse, error
+    * mapping) against a loopback `HttpServer` with zero egress. */
+  private val endpointUri: URI = endpointOverride match {
+    case Some(e) if e.contains("://") =>
+      URI.create(if (e.endsWith("/")) e else e + "/")
+    case Some(hostOnly) => URI.create(s"https://$hostOnly/")
+    case None => URI.create(s"https://api.pricing.$pricingRegion.amazonaws.com/")
+  }
+  private val host = endpointUri.getAuthority
 
-  /** One GetProducts call; returns the parsed PriceList entries. */
+  /** GetProducts with the real API's NextToken pagination; returns the
+    * parsed PriceList entries across all pages. Page count is bounded by
+    * [[AwsPricingClient.MaxPages]] — a TERM_MATCH-filtered query returns
+    * a handful of SKUs, so hitting the bound means the filters are wrong,
+    * not that more data is wanted. */
   private[pricing] def getProducts(serviceCode: String,
       filters: Seq[(String, String)]): Seq[JsonNode] = {
-    val body = getProductsBody(serviceCode, filters)
-    val req = buildRequest("AWSPriceListService.GetProducts", body)
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new RuntimeException(s"pricing API ${resp.statusCode()}: ${resp.body().take(200)}")
-    parsePriceList(resp.body())
+    val out = Seq.newBuilder[JsonNode]
+    var token: Option[String] = None
+    var pages = 0
+    var more = true
+    while (more) {
+      val body = getProductsBody(serviceCode, filters, token)
+      val req = buildRequest("AWSPriceListService.GetProducts", body)
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new RuntimeException(s"pricing API ${resp.statusCode()}: ${resp.body().take(200)}")
+      out ++= parsePriceList(resp.body())
+      token = nextToken(resp.body())
+      pages += 1
+      more = token.isDefined && pages < MaxPages
+    }
+    out.result()
   }
 
   /** Signed request assembly — pure given a fixed clock (spec-testable). */
@@ -58,7 +83,7 @@ final class AwsPricingClient(
       creds.sessionToken.map("x-amz-security-token" -> _)
     val auth = AwsSigV4.authorizationHeader(creds, amzDate, pricingRegion,
       "pricing", "POST", "/", Seq.empty, headers, payload)
-    val b = HttpRequest.newBuilder(URI.create(s"https://$host/"))
+    val b = HttpRequest.newBuilder(endpointUri)
       .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
     // host is set by HttpClient itself; sign it but don't set it manually
     headers.filterNot(_._1 == "host").foreach { case (k, v) => b.header(k, v) }
@@ -175,13 +200,26 @@ object AwsPricingClient {
 
   private val mapper = new ObjectMapper()
 
+  /** Pagination bound for [[AwsPricingClient.getProducts]]. */
+  val MaxPages = 20
+
   /** GetProducts request body with TERM_MATCH filters — byte-for-byte the
-    * shape boto3 sends (aws_pricing_manager.py:297-307). */
-  def getProductsBody(serviceCode: String, filters: Seq[(String, String)]): String = {
+    * shape boto3 sends (aws_pricing_manager.py:297-307); `nextToken`
+    * carries the pagination cursor on follow-up pages. */
+  def getProductsBody(serviceCode: String, filters: Seq[(String, String)],
+      nextToken: Option[String] = None): String = {
     val fs = filters.map { case (field, value) =>
       s"""{"Type":"TERM_MATCH","Field":"$field","Value":"${value.replace("\"", "\\\"")}"}"""
     }.mkString(",")
-    s"""{"ServiceCode":"$serviceCode","Filters":[$fs],"MaxResults":100}"""
+    val tok = nextToken
+      .map(t => s""","NextToken":"${t.replace("\"", "\\\"")}"""").getOrElse("")
+    s"""{"ServiceCode":"$serviceCode","Filters":[$fs],"MaxResults":100$tok}"""
+  }
+
+  /** The response's pagination cursor, if any. */
+  def nextToken(responseBody: String): Option[String] = {
+    val t = mapper.readTree(responseBody).path("NextToken").asText("")
+    if (t.isEmpty) None else Some(t)
   }
 
   /** PriceList entries arrive as STRINGS of JSON inside the JSON response
