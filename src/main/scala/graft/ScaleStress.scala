@@ -363,13 +363,24 @@ object ScaleStress {
       }
     spark.catalog.clearCache()
 
+    // SPARK_GRAFT_STRESS_RUNS=N takes the per-query MIN of N runs per
+    // dir (the Bench discipline): single-shot ratios conflate one-time
+    // janino compilation with data cost — e.g. AutoPlanes resolves a NEW
+    // plane count at 10×, so its signature codegen is cold exactly when
+    // the fixed-knob entries next to it are warm. Default 1 (the
+    // historical single-shot sweep).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "1").toInt
     def timeSuite(dir: String,
         qs: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, Double, Long)] = {
       val r = qs.map { case (q, fn) =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, dir).count()
-          catch { case e: Throwable => System.err.println(s"$q: $e"); -1L }
-        (q, (System.nanoTime() - t0) / 1e9, n)
+        val timed = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, dir).count()
+            catch { case e: Throwable => System.err.println(s"$q: $e"); -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val best = timed.minBy(_._1)
+        (q, best._1, best._2)
       }
       spark.catalog.clearCache() // dirs must not share cache memory
       r
