@@ -109,6 +109,27 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("autoPlanes sizing: historical shape at test scale, occupancy-tracking above") {
+    // corpora up to 64·2^4 = 1024 rows resolve to the historical 16/4 —
+    // which is what keeps the default-knob equivalence specs above
+    // bit-identical to the planes=16 oracle bindings
+    for (n <- Seq(1L, 100L, 500L, 1024L))
+      assert(VectorOps.autoPlanes(n) == 16, s"rows=$n")
+    // above the knee, bitsPer = ceil(log2(rows/64)): the expected
+    // band-bucket occupancy stays ~64 as the corpus grows
+    assert(VectorOps.autoPlanes(1025L) == 20)
+    assert(VectorOps.autoPlanes(2000L) == 20)   // sf0.1 embeddings
+    assert(VectorOps.autoPlanes(20000L) == 36)  // the 10x stress corpus
+    assert(VectorOps.autoPlanes(1000000L) == 56)
+    // clamped at 16 bits/band; divisible by bands; monotone
+    assert(VectorOps.autoPlanes(Long.MaxValue) == 64)
+    for (b <- Seq(2, 4, 8); n <- Seq(1L, 5000L, 900000L))
+      assert(VectorOps.autoPlanes(n, bands = b) % b == 0)
+    val sizes = Seq(1L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
+    val plan = sizes.map(VectorOps.autoPlanes(_))
+    assert(plan == plan.sorted, s"autoPlanes must be monotone: $plan")
+  }
+
   test("knnLsh multi-query returns an independent top-k per query") {
     val corpus = renamed.filter(col("vid") >= 5)
     val multi = VectorOps.knnLsh(corpus, renamed.filter(col("vid") < 2),
