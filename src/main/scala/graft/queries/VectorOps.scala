@@ -42,29 +42,80 @@ object VectorOps {
 
   private val SCALE = 1e6
 
-  /** Sentinel default for `planes`: size the LSH from the corpus row
-    * count at call time ([[autoPlanes]]). Resolving it runs ONE `count()`
-    * job per distinct corpus plan (memoized), so default-knob calls are
-    * eager like [[semanticDedupIndexed]] already is; pass an explicit
-    * `planes` (e.g. 16) to keep plan construction fully lazy. */
+  /** Sentinel default for `planes` in the THRESHOLD family
+    * (semanticDedup / semanticIncremental / semanticKeepBest): size the
+    * LSH from the corpus row count at call time ([[autoPlanes]] /
+    * [[autoShape]]). Resolving it runs ONE `count()` job per distinct
+    * corpus plan (memoized), so default-knob calls are eager like
+    * [[semanticDedupIndexed]] already is; pass an explicit `planes`
+    * (e.g. 16) to keep plan construction fully lazy.
+    *
+    * The QUERY-PROBE family ([[knnLsh]]) deliberately keeps a FIXED
+    * 16/4 default instead: with no similarity threshold in hand there
+    * is no principled recall target to size against, and measurement
+    * (BENCH_NOTES r12) shows occupancy-only growth guts probe recall
+    * (0.48 → 0.06 at the 10× corpus). Probe cost at a fixed shape grows
+    * with corpus size — that is inherent to fixed-knob LSH; the
+    * sub-linear probe path at scale is [[knnIvf]], and [[annRecall]]
+    * (q81) is the audit that sizes explicit knobs on real data. */
   val AutoPlanes = 0
 
-  /** Corpus-size-aware LSH sizing: bitsPer = ceil(log2(rows /
-    * targetBucketRows)) clamped to [4, 16]; planes = bands * bitsPer.
-    * Each band then has ~rows/2^bitsPer ≈ targetBucketRows expected
-    * occupants REGARDLESS of corpus size, so the candidate join stays
-    * linear in rows. A fixed plane count does not have this property:
-    * the r11 10× stress sweep measured the old fixed 16-plane default
-    * entering a 6.1× bucket-occupancy-growth regime (each bucket's
-    * population — and the self-join's pair count — grows with the
-    * corpus), while 32 planes ran the same 10× at 1.3× (BENCH_NOTES).
-    * Small corpora (≤ targetBucketRows·2^4) resolve to the historical
-    * 16/4 shape, so oracle-scale behavior is unchanged. */
-  def autoPlanes(rows: Long, bands: Int = 4, targetBucketRows: Int = 64): Int = {
+  /** Sentinel default for `bands` in the threshold family: derive the
+    * band count from (bitsPer, minCos) via [[autoShape]]'s S-curve so
+    * RECALL at the calling threshold is preserved as bitsPer grows. */
+  val AutoBands = 0
+
+  /** Per-bit collision probability of a vector pair at cosine `c` under
+    * random-hyperplane LSH: P(sign agrees) = 1 − θ/π, θ = arccos(c). */
+  def pBit(c: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+
+  /** Occupancy-targeting bits-per-band: ceil(log2(rows /
+    * targetBucketRows)) clamped to [4, 16] — each band bucket holds
+    * ~targetBucketRows expected rows at ANY corpus size, which is what
+    * keeps the candidate self-join linear in rows (the r11 sweep
+    * measured the fixed 16-plane shape entering a 6.1×
+    * bucket-occupancy-growth regime instead). */
+  def autoBitsPer(rows: Long, targetBucketRows: Int = 64): Int = {
     val need = math.max(1.0, rows.toDouble / math.max(1, targetBucketRows))
-    val bitsPer = math.min(16, math.max(4,
-      math.ceil(math.log(need) / math.log(2.0)).toInt))
-    bands * bitsPer
+    math.min(16, math.max(4, math.ceil(math.log(need) / math.log(2.0)).toInt))
+  }
+
+  /** Occupancy-only plane count (bands fixed by the caller): planes =
+    * bands · [[autoBitsPer]]. This controls COST, not recall — raising
+    * bitsPer lowers every pair's band-collision probability, true
+    * neighbors included (recall follows 1−(1−p^bits)^bands exactly;
+    * measured in BENCH_NOTES r12). Use [[autoShape]] when a similarity
+    * threshold is available to size bands against. */
+  def autoPlanes(rows: Long, bands: Int = 4, targetBucketRows: Int = 64): Int =
+    bands * autoBitsPer(rows, targetBucketRows)
+
+  /** RECALL-PRESERVING corpus-size-aware LSH shape for the threshold
+    * family: returns (planes, bands) such that (a) expected band-bucket
+    * occupancy stays ~targetBucketRows (candidate join linear in rows)
+    * and (b) recall AT THE CALLING THRESHOLD stays ≈ the historical
+    * 16/4 baseline's, by growing bands as bitsPer grows:
+    * bands = ceil(4 / p^(bitsPer−4)) with p = [[pBit]](minCos) — the
+    * S-curve identity 1−(1−p^bits)^bands ≈ 1−e^(−bands·p^bits) holds
+    * bands·p^bits constant. When the needed band count would exceed
+    * `maxBands`, bitsPer backs off instead (occupancy — cost — grows,
+    * recall does not silently drop): at high thresholds (real near-dup
+    * regimes, minCos ≥ ~0.85) the shape stays selective AND
+    * recall-preserving; at low thresholds it honestly converges toward
+    * wide buckets, because that is what the S-curve demands there — a
+    * low-threshold pair family is where the text-side MinHash machinery
+    * (calibrated K/bands, q79) is the better tool.
+    * Corpora ≤ targetBucketRows·2^4 resolve to exactly (16, 4) at any
+    * threshold — the oracle-checked baseline. */
+  def autoShape(rows: Long, minCos: Double, targetBucketRows: Int = 64,
+      maxBands: Int = 12): (Int, Int) = {
+    val p = pBit(minCos)
+    def bandsFor(bits: Int): Int =
+      math.max(4, math.ceil(4.0 / math.pow(p, (bits - 4).toDouble)).toInt)
+    var bits = autoBitsPer(rows, targetBucketRows)
+    while (bits > 4 && bandsFor(bits) > maxBands) bits -= 1
+    val b = math.min(maxBands, bandsFor(bits))
+    (bits * b, b)
   }
 
   /** Bounded memo of row counts keyed by canonicalized logical plan:
@@ -94,6 +145,19 @@ object VectorOps {
   private def resolvePlanes(planes: Int, bands: Int, corpus: DataFrame): Int =
     if (planes != AutoPlanes) planes
     else autoPlanes(memoizedCount(corpus), bands)
+
+  /** Resolve the threshold family's (planes, bands): both sentinels →
+    * the recall-preserving [[autoShape]]; explicit planes with sentinel
+    * bands → the historical 4 bands; sentinel planes with explicit
+    * bands → occupancy-only [[autoPlanes]] at that band count. */
+  private def resolveShape(planes: Int, bands: Int, minCos: Double,
+      corpus: DataFrame): (Int, Int) =
+    (planes, bands) match {
+      case (AutoPlanes, AutoBands) => autoShape(memoizedCount(corpus), minCos)
+      case (AutoPlanes, b) => (autoPlanes(memoizedCount(corpus), b), b)
+      case (p, AutoBands) => (p, 4)
+      case (p, b) => (p, b)
+    }
 
   /** Worst-block-size memo for [[blockedPairsIndexed]]'s quadratic guard,
     * keyed by (canonicalized plan, block column) — same rationale as
@@ -236,10 +300,9 @@ object VectorOps {
   }
 
   def knnLshIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64,
       carry: Seq[String] = Nil): DataFrame = {
-    val p = resolvePlanes(planes, bands, corpus)
-    def bandsOf(idx: DataFrame): DataFrame = lshBandRows(idx, p, bands, dims)
+    def bandsOf(idx: DataFrame): DataFrame = lshBandRows(idx, planes, bands, dims)
 
     val qBands = bandsOf(queries)
       .select(col("vec_id").as("query_id"), col("k"), col("v"))
@@ -260,7 +323,7 @@ object VectorOps {
   }
 
   def knnLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64,
+      k: Int, planes: Int = 16, bands: Int = 4, dims: Int = 64,
       carry: Seq[String] = Nil): DataFrame =
     knnLshIndexed(index(corpus, id, vec, carry), index(queries, id, vec),
       k, planes, bands, dims, carry)
@@ -333,7 +396,7 @@ object VectorOps {
     * approximate paths reuse their candidate joins; the overlap join
     * compares two post-top-k frames of k·|batch| rows each. */
   def annRecallIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
-      k: Int, nprobe: Int = 2, planes: Int = AutoPlanes, bands: Int = 4,
+      k: Int, nprobe: Int = 2, planes: Int = 16, bands: Int = 4,
       dims: Int = 64): DataFrame = {
     val brute = knnBatchIndexed(corpus, queries, k)
       .select(col("query_id"), col("vec_id"))
@@ -357,7 +420,7 @@ object VectorOps {
 
   def annRecall(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, cell: String, k: Int, nprobe: Int = 2,
-      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64): DataFrame =
+      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
     annRecallIndexed(index(corpus, id, vec, Seq(cell)),
       index(queries, id, vec), cell, k, nprobe, planes, bands, dims)
 
@@ -585,8 +648,12 @@ object VectorOps {
     * and no pair outside a shared bucket is ever formed — never all-pairs.
     * Bucket population is geometric in bits-per-band: the [[AutoPlanes]]
     * default sizes bitsPer from the corpus row count so buckets stay
-    * ~[[autoPlanes]]'s targetBucketRows at any scale; pass planes=16,
-    * bands=4 to reproduce the oracle-checked q60 binding exactly. */
+    * ~targetBucketRows at any scale. This primitive has no similarity
+    * threshold in hand, so it sizes for COST only (bands stay at the
+    * caller's value) — the recall policy belongs to the threshold-aware
+    * callers ([[semanticDedupIndexed]] resolves the full [[autoShape]]
+    * BEFORE calling here). Pass planes=16, bands=4 to reproduce the
+    * oracle-checked q60 binding exactly. */
   def lshCandidatePairs(idx: DataFrame, planes: Int = AutoPlanes,
       bands: Int = 4, dims: Int = 64): DataFrame = {
     val b = lshBandRows(idx, resolvePlanes(planes, bands, idx), bands, dims)
@@ -618,8 +685,10 @@ object VectorOps {
     * frame runs Spark jobs; it is not a lazy plan. [[semanticDedup]]
     * inherits this. */
   def semanticDedupIndexed(idx: DataFrame, minCos: Double,
-      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64): DataFrame = {
-    val cand = lshCandidatePairs(idx, planes, bands, dims)
+      planes: Int = AutoPlanes, bands: Int = AutoBands,
+      dims: Int = 64): DataFrame = {
+    val (rp, rb) = resolveShape(planes, bands, minCos, idx)
+    val cand = lshCandidatePairs(idx, rp, rb, dims)
     val a = idx.select(col("vec_id").as("id_a"), col("efp").as("ea"),
       col("nrm").as("na"))
     val b = idx.select(col("vec_id").as("id_b"), col("efp").as("eb"),
@@ -642,7 +711,8 @@ object VectorOps {
 
   /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
   def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
-      planes: Int = AutoPlanes, bands: Int = 4, dims: Int = 64): DataFrame =
+      planes: Int = AutoPlanes, bands: Int = AutoBands,
+      dims: Int = 64): DataFrame =
     semanticDedupIndexed(index(df, id, vec), minCos, planes, bands, dims)
 
   /** INCREMENTAL semantic dedup — the vector twin of the text family's
@@ -659,12 +729,12 @@ object VectorOps {
     * batch's signatures + the candidate join + re-rank — the same
     * batch-proportional contract as [[graft.queries.TextOps.incrementalDedup]]. */
   def semanticIncrementalIndexed(corpus: DataFrame, batch: DataFrame,
-      minCos: Double, planes: Int = AutoPlanes, bands: Int = 4,
+      minCos: Double, planes: Int = AutoPlanes, bands: Int = AutoBands,
       dims: Int = 64): DataFrame = {
-    val p = resolvePlanes(planes, bands, corpus) // size from the big side
-    val cb = lshBandRows(corpus, p, bands, dims)
+    val (p, b) = resolveShape(planes, bands, minCos, corpus) // the big side
+    val cb = lshBandRows(corpus, p, b, dims)
       .select(col("vec_id").as("partner_id"), col("k"), col("v"))
-    val bb = lshBandRows(batch, p, bands, dims)
+    val bb = lshBandRows(batch, p, b, dims)
     val cand = bb.join(cb, Seq("k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
     val bq = batch.select(col("vec_id"), col("efp").as("be"),
@@ -693,8 +763,8 @@ object VectorOps {
     * two frames are same-typed, so a divergent order would let a swapped
     * call run and return plausible-looking output. */
   def semanticIncremental(corpus: DataFrame, batch: DataFrame, id: String,
-      vec: String, minCos: Double, planes: Int = AutoPlanes, bands: Int = 4,
-      dims: Int = 64): DataFrame =
+      vec: String, minCos: Double, planes: Int = AutoPlanes,
+      bands: Int = AutoBands, dims: Int = 64): DataFrame =
     semanticIncrementalIndexed(index(corpus, id, vec), index(batch, id, vec),
       minCos, planes, bands, dims)
 
@@ -707,7 +777,7 @@ object VectorOps {
     * Output: (cluster_id, keeper_id, n_members, best_quality). */
   def semanticKeepBest(df: DataFrame, id: String, vec: String,
       quality: Column, minCos: Double, planes: Int = AutoPlanes,
-      bands: Int = 4, dims: Int = 64): DataFrame = {
+      bands: Int = AutoBands, dims: Int = 64): DataFrame = {
     val q = df.select(col(id).cast("long").as("vec_id"), quality.as("quality"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("vec_id").asc)

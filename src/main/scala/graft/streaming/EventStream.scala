@@ -486,17 +486,26 @@ object EventStream {
     * `sink` receives the admitted (id, vec) rows per epoch. */
   def runVectorIngest(vecStream: DataFrame, corpus: DataFrame, id: String,
       vec: String, checkpoint: String, minCos: Double,
-      planes: Int = graft.queries.VectorOps.AutoPlanes, bands: Int = 4,
+      planes: Int = graft.queries.VectorOps.AutoPlanes,
+      bands: Int = graft.queries.VectorOps.AutoBands,
       dims: Int = 64)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val corpusIdx = graft.queries.VectorOps.index(corpus, id, vec)
     // Resolve auto-sizing ONCE from the static corpus before the stream
     // starts — per-epoch resolution would re-run the count and could
-    // drift the signature scheme between epochs.
-    val resolvedPlanes =
-      if (planes != graft.queries.VectorOps.AutoPlanes) planes
-      else graft.queries.VectorOps.autoPlanes(corpusIdx.count(), bands)
+    // drift the signature scheme between epochs. The recall-preserving
+    // autoShape sizes against minCos, like the batch operator.
+    val (resolvedPlanes, resolvedBands) =
+      (planes, bands) match {
+        case (graft.queries.VectorOps.AutoPlanes,
+          graft.queries.VectorOps.AutoBands) =>
+          graft.queries.VectorOps.autoShape(corpusIdx.count(), minCos)
+        case (graft.queries.VectorOps.AutoPlanes, b) =>
+          (graft.queries.VectorOps.autoPlanes(corpusIdx.count(), b), b)
+        case (p, graft.queries.VectorOps.AutoBands) => (p, 4)
+        case (p, b) => (p, b)
+      }
     val q = vecStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -505,7 +514,7 @@ object EventStream {
         val batchIdx = graft.queries.VectorOps.index(batch, id, vec)
         try {
           val verdicts = graft.queries.VectorOps.semanticIncrementalIndexed(
-            corpusIdx, batchIdx, minCos, resolvedPlanes, bands, dims)
+            corpusIdx, batchIdx, minCos, resolvedPlanes, resolvedBands, dims)
           val admitted = batch.join(
             verdicts.filter(col("verdict") === "new")
               .select(col("vec_id").as("__new_id")),

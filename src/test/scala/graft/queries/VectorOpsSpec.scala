@@ -130,6 +130,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan == plan.sorted, s"autoPlanes must be monotone: $plan")
   }
 
+  test("autoShape preserves baseline recall via the S-curve (planes, bands)") {
+    // any threshold at test scale resolves to the oracle baseline (16, 4)
+    for (c <- Seq(0.35, 0.6, 0.9, 0.99); n <- Seq(1L, 500L, 1024L))
+      assert(VectorOps.autoShape(n, c) == (16, 4), s"n=$n c=$c")
+    // per-bit collision probability: 1 - acos(c)/pi
+    assert(math.abs(VectorOps.pBit(0.9) - 0.8564) < 1e-3)
+    assert(math.abs(VectorOps.pBit(0.35) - 0.6139) < 1e-3)
+    assert(math.abs(VectorOps.pBit(1.0) - 1.0) < 1e-12)
+    // near-dup threshold at the 10x stress corpus: occupancy bits (9)
+    // fit under the band cap -> selective AND recall-preserving
+    assert(VectorOps.autoShape(20000L, 0.9) == (81, 9))
+    // low threshold: the S-curve demands more bands than the cap at
+    // 9..7 bits, so bitsPer backs off until it fits — recall is held,
+    // occupancy (cost) grows instead of recall silently dropping
+    assert(VectorOps.autoShape(20000L, 0.35) == (66, 11))
+    // bands never below the baseline 4, planes always bitsPer * bands
+    for (c <- Seq(0.35, 0.9); n <- Seq(5000L, 200000L, 5000000L)) {
+      val (p, b) = VectorOps.autoShape(n, c)
+      assert(b >= 4 && p % b == 0, s"n=$n c=$c -> ($p, $b)")
+    }
+  }
+
   test("knnLsh multi-query returns an independent top-k per query") {
     val corpus = renamed.filter(col("vid") >= 5)
     val multi = VectorOps.knnLsh(corpus, renamed.filter(col("vid") < 2),
