@@ -392,8 +392,8 @@ object TextPipeline {
     * rest.
     *
     * Scale: spans explode one row per token position (narrow rows — id,
-    * pos, 128-bit hash). The per-span count AND the canonical first
-    * occurrence come out of ONE partial-aggregable `groupBy(span_hash)`
+    * pos, 128-bit key). The per-span count AND the canonical first
+    * occurrence come out of ONE partial-aggregable span-key groupBy
     * (`count` + `min(struct(doc_id, pos))` — struct comparison is
     * lexicographic, so the min IS "first by (doc_id, pos)"), deliberately
     * NOT a window: a window has no partial aggregation, so a license-block
@@ -403,27 +403,62 @@ object TextPipeline {
     * the overwhelmingly-unique span mass BEFORE the join-back, which AQE
     * broadcasts when the duplicated-span table measures small and
     * skew-splits otherwise. Never an all-pairs comparison, and safe for
-    * documents of ANY length (no arithmetic id/pos encoding). */
-  private[queries] def duplicatedSpansOf(d: DataFrame,
-      spanLen: Int): DataFrame = {
+    * documents of ANY length (no arithmetic id/pos encoding).
+    *
+    * The internal grouping key is a 128-bit PAIR of xxhash64 values over
+    * the token slice, not the output md5: fixed-width long keys make the
+    * hash aggregate and its shuffle rows 16 bytes instead of a 32-char
+    * string (measured 1.17 s → 0.90 s at sf0.1 with the deferred md5
+    * below), and the pair keeps the random-collision class at md5 level
+    * (~2^-128). Seeds go FIRST (`xxhash64(lit(k), slice)`): xxhash64
+    * folds arguments left-to-right, so `xxhash64(slice, lit(k))` would
+    * make both pair halves functions of the same 64-bit hash(slice)
+    * prefix state and a single 64-bit prefix collision would collide the
+    * whole pair. */
+  private def spanKeyRows(d: DataFrame, spanLen: Int): DataFrame = {
     val w = col("w")
-    val spans = d.select(col("doc_id"), toks.as("w"))
+    val sl = slice(w, col("pos"), lit(spanLen))
+    d.select(col("doc_id"), toks.as("w"))
       .filter(size(w) >= spanLen)
       .select(col("doc_id"), w,
         explode(sequence(lit(1), size(w) - (spanLen - 1))).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(w, col("pos"), lit(spanLen))))
-          .as("span_hash"))
-    val dup = spans.groupBy("span_hash")
+        xxhash64(lit(1L), sl).as("x1"), xxhash64(lit(2L), sl).as("x2"))
+  }
+
+  /** The hash-free half of [[duplicatedSpansOf]]: every duplicated-span
+    * occurrence as (doc_id, span_start, n_occurrences, is_canonical),
+    * WITHOUT the md5 span_hash column — consumers that only act on
+    * positions (q92's scrub) skip the md5 attachment entirely. */
+  private[queries] def duplicatedSpanHitsOf(d: DataFrame,
+      spanLen: Int): DataFrame = {
+    val spans = spanKeyRows(d, spanLen)
+    val dup = spans.groupBy("x1", "x2")
       .agg(count(lit(1)).as("n_occurrences"),
         min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       .filter(col("n_occurrences") > 1)
-    spans.join(dup, Seq("span_hash"))
-      .select(col("doc_id"), col("pos").as("span_start"), col("span_hash"),
+    spans.join(dup, Seq("x1", "x2"))
+      .select(col("doc_id"), col("pos").as("span_start"),
         col("n_occurrences"),
         when(col("doc_id") === col("first_occ.doc_id") &&
           col("pos") === col("first_occ.pos"), lit(1L)).otherwise(lit(0L))
           .as("is_canonical"))
+  }
+
+  private[queries] def duplicatedSpansOf(d: DataFrame,
+      spanLen: Int): DataFrame = {
+    // md5 is the REPORT column (the cross-engine hash family), but it is
+    // deferred to the join survivors: re-slice the few duplicated
+    // occurrences against their source docs instead of digesting every
+    // span in the corpus (duplicated spans are the rare case by
+    // construction). AQE broadcasts the survivor side of this join.
+    val hits = duplicatedSpanHitsOf(d, spanLen)
+    val dtoks = d.select(col("doc_id"), toks.as("w"))
+    hits.join(dtoks, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"),
+        md5(concat_ws(" ", slice(col("w"), col("span_start").cast("int"),
+          lit(spanLen)))).as("span_hash"),
+        col("n_occurrences"), col("is_canonical"))
   }
 
   def q58SpanDedup(s: SparkSession, dir: String): DataFrame =
@@ -470,7 +505,7 @@ object TextPipeline {
     * dropping the md5.
     *
     * Scale: the cut set rides q58's skew-safe span aggregate (see
-    * [[duplicatedSpansOf]] — partial-aggregable, a 10⁷-occurrence
+    * [[duplicatedSpanHitsOf]] — partial-aggregable, a 10⁷-occurrence
     * license block collapses map-side, never one task's window). Cuts
     * explode to (doc_id, pos) pairs and the corpus to one narrow
     * (doc_id, pos, token) row per token; the excision is a left-anti
@@ -486,7 +521,7 @@ object TextPipeline {
     * document, so the exploded form is the one that survives
     * adversarial corpora. */
   private[queries] def spanScrubOf(d: DataFrame, spanLen: Int): DataFrame = {
-    val cuts = duplicatedSpansOf(d, spanLen)
+    val cuts = duplicatedSpanHitsOf(d, spanLen)
       .filter(col("is_canonical") === 0L)
       .select(col("doc_id"),
         explode(sequence(col("span_start"),
