@@ -454,7 +454,16 @@ object Curation {
     * `groupBy(fp).count()` (map-side partials, skew-robust), hot
     * fingerprints excluded BEFORE the self-join (see [[WinnowDfCap]]:
     * winnowed selection makes hot keys the norm, not the exception, so
-    * the cap is load-bearing at every scale, not just 100 TB). */
+    * the cap is load-bearing at every scale, not just 100 TB). The df
+    * aggregate and both join sides key on `xxhash64` of the md5
+    * fingerprint — the output carries no fp values, so the key is
+    * internal, and 8 fixed-width bytes through three shuffles beat the
+    * 32-char string (measured 1.10 → 0.73 s at sf0.1 with the selection
+    * cache warm — the long-lived-session serving regime; the cold path
+    * is flat because the cache build dominates it; bit-identical
+    * pairs). Same 64-bit random-collision class as the q28 hashed-
+    * shingle family (a collision merges two fingerprints' df and could
+    * admit one false shared count — ~2^-64 per pair). */
   private[queries] def winnowMatchPairsOf(d: DataFrame, k: Int, w: Int,
       minShared: Long, dfCap: Long): DataFrame = {
     // CACHE THE SELECTION BEFORE EXPLODING — load-bearing, not a reuse
@@ -468,7 +477,8 @@ object Curation {
     val selFrame = winnowedSelOf(d, k, w).dedupCached
     val s = selFrame
       .select(col("doc_id"), size(col("sel")).cast("long").as("nfp"),
-        explode(col("sel")).as("fp"))
+        explode(col("sel")).as("fp0"))
+      .select(col("doc_id"), col("nfp"), xxhash64(col("fp0")).as("fp"))
     val dfTab = s.groupBy("fp").agg(count(lit(1)).as("df"))
     val cold = s.join(dfTab.filter(col("df") <= dfCap), Seq("fp"))
       .select(col("fp"), col("doc_id"), col("nfp"))
