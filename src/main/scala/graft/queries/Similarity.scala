@@ -476,6 +476,89 @@ object Similarity {
   }
 
   // =====================================================================
+  // q96: product-quantization ANN (ADC candidates + exact re-rank)
+  // =====================================================================
+
+  /** PQ shape of the oracle binding: 64 dims split 8×8, 16 codewords per
+    * subspace (codes fit one byte), a 50-candidate ADC pool re-ranked
+    * exactly, top-5 per query — the [[VectorOps.knnPq]] compression leg
+    * of IVF-PQ with SAMPLED codebooks (k-means iters = 0), the
+    * cross-engine-replayable form (iterated refinement is spec-audited
+    * in PqAnnSpec instead: k-means state is driver-side iteration a SQL
+    * oracle cannot express tractably). */
+  private val PQM = 8
+  private val PQKSUB = 16
+  private val PQSUB = DIMS / PQM
+  private val PQRERANK = 50
+
+  def q96KnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.knnPqIndexed(e.filter(col("vec_id") >= 5),
+      e.filter(col("vec_id") < 5), k = 5, m = PQM, ksub = PQKSUB,
+      rerank = PQRERANK)
+  }
+
+  val oracleQ96: String = {
+    // dot of a list slice against a codeword list, 1-based positions
+    def sliceDot(vec: String, j: String, ce: String): String =
+      s"list_sum([list_slice($vec, $j*$PQSUB+1, $j*$PQSUB+$PQSUB)[i]*$ce[i] " +
+        s"for i in range(1, ${PQSUB + 1})])"
+    val cosEq = oCos(oDot("e.efp", "q.qefp"),
+      oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))
+    s"""WITH $oEfpCte,
+       |corpus AS (SELECT vec_id, efp FROM efp WHERE vec_id >= 5),
+       |qs AS (SELECT vec_id AS query_id, efp AS qefp FROM efp WHERE vec_id < 5),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, efp
+       |  FROM (SELECT vec_id, efp FROM corpus
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQKSUB)),
+       |centn AS (
+       |  SELECT j, c, ce,
+       |    CAST(list_sum([ce[i]*ce[i] for i in range(1, ${PQSUB + 1})]) AS BIGINT) AS cc
+       |  FROM (
+       |    SELECT t.j, s.c,
+       |      list_slice(s.efp, t.j*$PQSUB+1, t.j*$PQSUB+$PQSUB) AS ce
+       |    FROM seeds s, (SELECT unnest(range($PQM)) AS j) t)),
+       |codes AS (
+       |  SELECT vec_id, j, c AS code, cc FROM (
+       |    SELECT v.vec_id, t.j, t.c, t.cc,
+       |      row_number() OVER (PARTITION BY v.vec_id, t.j ORDER BY
+       |        t.cc - 2*CAST(${sliceDot("v.efp", "t.j", "t.ce")} AS BIGINT),
+       |        t.c) AS rn
+       |    FROM corpus v, centn t)
+       |  WHERE rn = 1),
+       |rn2 AS (SELECT vec_id, CAST(sum(cc) AS BIGINT) AS rnorm2
+       |        FROM codes GROUP BY vec_id),
+       |lut AS (
+       |  SELECT q.query_id, t.j, t.c,
+       |    CAST(${sliceDot("q.qefp", "t.j", "t.ce")} AS BIGINT) AS v
+       |  FROM qs q, centn t),
+       |adc AS (
+       |  SELECT l.query_id, cd.vec_id, CAST(sum(l.v) AS BIGINT) AS adc
+       |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+       |  GROUP BY l.query_id, cd.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY a.query_id ORDER BY
+       |        (CASE WHEN r.rnorm2 = 0 THEN -1.7976931348623157e308
+       |         ELSE CAST(a.adc AS DOUBLE)/sqrt(CAST(r.rnorm2 AS DOUBLE)) END)
+       |          DESC, a.vec_id) AS rn
+       |    FROM adc a JOIN rn2 r USING (vec_id))
+       |  WHERE rn <= $PQRERANK)
+       |SELECT query_id, vec_id, cos, rank FROM (
+       |  SELECT c.query_id, e.vec_id, round($cosEq, 6) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY round($cosEq, 6) DESC, e.vec_id ASC) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN efp e ON e.vec_id = c.vec_id
+       |  JOIN qs q ON q.query_id = c.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // =====================================================================
   // q82: prototypicality pruning (distance-to-centroid ranking per cell)
   // =====================================================================
 
@@ -606,6 +689,7 @@ object Similarity {
     "q82_prototypicality" -> q82Prototypicality _,
     "q87_dimension_stats" -> q87DimensionStats _,
     "q91_referential_audit" -> q91ReferentialAudit _,
+    "q96_knn_pq" -> q96KnnPq _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -620,5 +704,6 @@ object Similarity {
     "q82_prototypicality" -> oracleQ82,
     "q87_dimension_stats" -> oracleQ87,
     "q91_referential_audit" -> oracleQ91,
+    "q96_knn_pq" -> oracleQ96,
   )
 }

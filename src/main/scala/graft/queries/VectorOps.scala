@@ -425,6 +425,188 @@ object VectorOps {
       index(queries, id, vec), cell, k, nprobe, planes, bands, dims)
 
   // =====================================================================
+  // Product-quantization ANN — ADC over sub-vector codebooks (q96)
+  // =====================================================================
+
+  /** Per-subspace codebooks SAMPLED from the corpus: dims split into `m`
+    * contiguous subspaces, codewords = the `ksub` corpus vectors with the
+    * smallest (md5(vec_id), vec_id) — the [[kmeansCells]] seed rule —
+    * sliced per subspace. Sampled codebooks (k-means iters = 0) are the
+    * oracle-expressible baseline a cross-engine check can replay;
+    * [[pqRefineBooks]] adds deterministic k-means refinement on top.
+    * Driver-held m × ksub × (dims/m) longs — bounded by construction,
+    * independent of corpus size (and at real scale trained on a sample:
+    * codebook quality saturates long before the corpus is exhausted). */
+  def pqBooksSampled(idx: DataFrame, m: Int,
+      ksub: Int): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val seeds = idx
+      .select(col("vec_id"), col("efp"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(ksub)
+      .select(col("efp")).collect()
+      .map(_.getSeq[Long](0).toArray).toIndexedSeq
+    require(seeds.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+    val dims = seeds.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** The code column for subspace `j` under `books`: argmin over the
+    * ksub codewords of ‖v_j − c‖² = c·c − 2·v_j·c (the common v_j·v_j
+    * dropped — it cannot change the argmin), ties to the LOWEST code via
+    * struct array-min. All integer: |c·c| and |2·dot| ≤ 2·subdim·SCALE²
+    * ≈ 1.6e13 at 8 dims — exact in Long. The subvector is LET-BOUND as
+    * a lambda variable (the single-element-array `transform` trick, see
+    * [[Curation.winnowedSelOf]]) so the slice is evaluated once per row,
+    * not once per codeword. */
+  private def pqCodeCol(efp: Column,
+      books: IndexedSeq[IndexedSeq[Array[Long]]], j: Int): Column = {
+    val sub = books(j).head.length
+    element_at(transform(array(slice(efp, j * sub + 1, sub)), vj => {
+      val scored = books(j).indices.map { c =>
+        val cc = books(j)(c).map(x => x * x).sum
+        struct((lit(cc) - lit(2L) *
+          GraftFunctions.intDot(vj, typedLit(books(j)(c).toSeq))).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }), 1)
+  }
+
+  private def pqCodesCol(efp: Column,
+      books: IndexedSeq[IndexedSeq[Array[Long]]]): Column =
+    array(books.indices.map(j => pqCodeCol(efp, books, j)): _*)
+
+  /** Deterministic per-subspace k-means refinement of sampled codebooks:
+    * each iteration is ONE distributed pass — every vector emits its m
+    * (subspace, code, subvector) assignments, a (j, code, dim)-keyed
+    * two-phase aggregate reduces them to exact integer sums (bounded at
+    * m·ksub·subdim = dims·ksub rows, independent of corpus size), and
+    * the driver re-quantizes means to the 1e6 grid exactly like
+    * [[kmeansCells]]. Empty codes keep their previous codeword; `iters`
+    * is fixed, so output is exactly reproducible. */
+  def pqRefineBooks(idx: DataFrame,
+      books: IndexedSeq[IndexedSeq[Array[Long]]],
+      iters: Int): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val m = books.length
+    val sub = books.head.head.length
+    var bs = books
+    for (_ <- 0 until iters) {
+      val rows = idx.select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"), pqCodeCol(col("efp"), bs, j).as("code"),
+            slice(col("efp"), j * sub + 1, sub).as("v"))
+        }: _*)).as("r"))
+        .select(col("r.j").as("j"), col("r.code").as("code"),
+          posexplode(col("r.v")).as(Seq("i", "x")))
+        .groupBy("j", "code", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m)(j => bs(j).map(_.clone()).toArray)
+      rows.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("code")))
+        .foreach { case ((j, c), rs) =>
+          val cent = new Array[Long](sub)
+          rs.foreach { r =>
+            cent(r.getAs[Int]("i")) =
+              math.round(r.getAs[Long]("sx").toDouble / r.getAs[Long]("n"))
+          }
+          next(j)(c) = cent
+        }
+      bs = next.map(_.toIndexedSeq).toIndexedSeq
+    }
+    bs
+  }
+
+  /** PQ-encode an indexed frame: (vec_id, carry..., codes: array<int>) —
+    * a PURE PROJECTION (codewords ride as plan literals; no shuffle, no
+    * join), the compressed representation that replaces the raw vectors
+    * at serving time: m bytes/vector instead of dims·4. */
+  def pqEncodeIndexed(idx: DataFrame,
+      books: IndexedSeq[IndexedSeq[Array[Long]]],
+      carry: Seq[String] = Nil): DataFrame =
+    idx.select(col("vec_id") +: carry.map(col) :+
+      pqCodesCol(col("efp"), books).as("codes"): _*)
+
+  /** ANN via product quantization with asymmetric-distance (ADC)
+    * candidate scoring + exact re-rank — the compression leg of the
+    * standard IVF-PQ serving stack (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011; what FAISS
+    * ships as IVFPQ): [[knnIvf]] bounds how much of the corpus a query
+    * TOUCHES, PQ bounds what each touched vector COSTS (m table lookups
+    * against a per-query LUT instead of a dims-wide dot product, and m
+    * bytes of storage instead of dims floats — at 10¹⁰ vectors the
+    * difference between an index that fits executor memory and one that
+    * does not).
+    *
+    * Candidates rank by the norm-corrected ADC score
+    * adc/√(Σ_j ‖c_code‖²) — an approximate cosine against the
+    * RECONSTRUCTED vector (both factors exact integers, one IEEE
+    * division both engines reproduce bit-exactly); the top-`rerank`
+    * pool then pays the exact integer cosine, so with rerank ≥ corpus
+    * size the output EQUALS [[knnBatch]] brute force by construction
+    * (spec-pinned). Output: (query_id, vec_id, carry..., cos, rank),
+    * top-k per query.
+    *
+    * Scale: encoding is a pure projection; the ADC pass is the
+    * [[knnBatchIndexed]] broadcast shape over the CODES frame (narrow:
+    * id + m bytes) with per-query WindowGroupLimit top-rerank; only the
+    * rerank·|batch| candidate pool reads full vectors. `iters` > 0
+    * refines the sampled codebooks with deterministic per-subspace
+    * k-means ([[pqRefineBooks]]); the oracle binding pins iters = 0,
+    * the cross-engine-replayable form. */
+  def knnPqIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
+    val books0 = pqBooksSampled(corpus, m, ksub)
+    val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
+    val sub = books.head.head.length
+    val nrm2Lut = books.map(_.map(c => c.map(x => x * x).sum))
+    val enc = pqEncodeIndexed(corpus, books)
+      .withColumn("rnorm2", (0 until m).map(j =>
+        element_at(typedLit(nrm2Lut(j).toSeq),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+    val lutCol = array((0 until m).map { j =>
+      element_at(transform(array(slice(col("efp"), j * sub + 1, sub)), qj =>
+        array(books(j).map(c =>
+          GraftFunctions.intDot(qj, typedLit(c.toSeq))): _*)), 1)
+    }: _*)
+    val q = queries.select(col("vec_id").as("query_id"), lutCol.as("lut"),
+      col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    val cands = enc.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
+        aggregate(zip_with(col("codes"), col("lut"),
+          (cd, l) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x)
+          .as("adc"),
+        col("rnorm2"))
+      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
+        when(col("rnorm2") === 0L, lit(Double.MinValue))
+          .otherwise(col("adc").cast("double") /
+            sqrt(col("rnorm2").cast("double"))).as("adc_cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "vec_id", "qefp", "qnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .join(corpus.select(col("vec_id") +: carry.map(col) :+
+        col("efp") :+ col("nrm"): _*), Seq("vec_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ carry.map(col) :+
+        round(cosOf(GraftFunctions.intDot(col("efp"), col("qefp")),
+          col("nrm"), col("qnrm")), 6).as("cos"): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def knnPq(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame =
+    knnPqIndexed(index(corpus, id, vec, carry), index(queries, id, vec),
+      k, m, ksub, rerank, iters, carry)
+
+  // =====================================================================
   // Prototypicality pruning — distance-to-centroid ranking (q82 semantics)
   // =====================================================================
 

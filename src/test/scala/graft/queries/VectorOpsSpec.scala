@@ -48,6 +48,12 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows(got) == rows(Similarity.q37KnnIvf(spark, sfDir)))
   }
 
+  test("knnPq == q96 on renamed columns") {
+    val got = VectorOps.knnPq(renamed.filter(col("vid") >= 5),
+      renamed.filter(col("vid") < 5), "vid", "v", 5)
+    assert(rows(got) == rows(Similarity.q96KnnPq(spark, sfDir)))
+  }
+
   test("annRecall == q81 on renamed columns") {
     val got = VectorOps.annRecall(renamed.filter(col("vid") >= 5),
       renamed.filter(col("vid") < 5), "vid", "v", cell = "tag", k = 5,
