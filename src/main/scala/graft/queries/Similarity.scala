@@ -154,6 +154,69 @@ object Similarity {
 
   private val NPROBE = 2
 
+  /** PQ shape shared by q96 and q81's 'pq' audit row: 64 dims split
+    * 8×8, 16 codewords per subspace (codes fit one byte), a
+    * 50-candidate ADC pool re-ranked exactly. Declared before the
+    * oracle vals that interpolate them (object vals initialize in
+    * declaration order — a forward reference would read 0). */
+  private val PQM = 8
+  private val PQKSUB = 16
+  private val PQSUB = DIMS / PQM
+  private val PQRERANK = 50
+
+  /** Shared PQ candidate-selection CTE chain for the q96/q81 oracles.
+    * Assumes `efp` (vec_id, efp) and `qs` (query_id, qefp) CTEs are in
+    * scope; yields `pqcand` = the top-PQRERANK (query_id, vec_id) ADC
+    * pool, mirroring [[VectorOps.knnPqIndexed]] with sampled codebooks
+    * (iters = 0): seed rule (md5(vec_id), vec_id), argmin ‖v_j−c‖² =
+    * cc − 2·dot codes (ties to the lowest code), norm-corrected ADC
+    * ordering with the Double.MinValue guard. */
+  private val pqCandCtes: String = {
+    def sliceDot(vec: String, j: String, ce: String): String =
+      s"list_sum([list_slice($vec, $j*$PQSUB+1, $j*$PQSUB+$PQSUB)[i]*$ce[i] " +
+        s"for i in range(1, ${PQSUB + 1})])"
+    s"""pqcorpus AS (SELECT vec_id, efp FROM efp WHERE vec_id >= 5),
+       |pqseeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, efp
+       |  FROM (SELECT vec_id, efp FROM pqcorpus
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQKSUB)),
+       |pqcentn AS (
+       |  SELECT j, c, ce,
+       |    CAST(list_sum([ce[i]*ce[i] for i in range(1, ${PQSUB + 1})]) AS BIGINT) AS cc
+       |  FROM (
+       |    SELECT t.j, s.c,
+       |      list_slice(s.efp, t.j*$PQSUB+1, t.j*$PQSUB+$PQSUB) AS ce
+       |    FROM pqseeds s, (SELECT unnest(range($PQM)) AS j) t)),
+       |pqcodes AS (
+       |  SELECT vec_id, j, c AS code, cc FROM (
+       |    SELECT v.vec_id, t.j, t.c, t.cc,
+       |      row_number() OVER (PARTITION BY v.vec_id, t.j ORDER BY
+       |        t.cc - 2*CAST(${sliceDot("v.efp", "t.j", "t.ce")} AS BIGINT),
+       |        t.c) AS rn
+       |    FROM pqcorpus v, pqcentn t)
+       |  WHERE rn = 1),
+       |pqrn2 AS (SELECT vec_id, CAST(sum(cc) AS BIGINT) AS rnorm2
+       |          FROM pqcodes GROUP BY vec_id),
+       |pqlut AS (
+       |  SELECT q.query_id, t.j, t.c,
+       |    CAST(${sliceDot("q.qefp", "t.j", "t.ce")} AS BIGINT) AS v
+       |  FROM qs q, pqcentn t),
+       |pqadc AS (
+       |  SELECT l.query_id, cd.vec_id, CAST(sum(l.v) AS BIGINT) AS adc
+       |  FROM pqcodes cd JOIN pqlut l ON l.j = cd.j AND l.c = cd.code
+       |  GROUP BY l.query_id, cd.vec_id),
+       |pqcand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY a.query_id ORDER BY
+       |        (CASE WHEN r.rnorm2 = 0 THEN -1.7976931348623157e308
+       |         ELSE CAST(a.adc AS DOUBLE)/sqrt(CAST(r.rnorm2 AS DOUBLE)) END)
+       |          DESC, a.vec_id) AS rn
+       |    FROM pqadc a JOIN pqrn2 r USING (vec_id))
+       |  WHERE rn <= $PQRERANK)""".stripMargin
+  }
+
   /** ANN via IVF ([[VectorOps.knnIvf]] semantics): labels act as the
     * inverted-file cell assignment (the k-means step of a real IVF build —
     * deterministic here so the oracle can replay it), centroids are exact
@@ -358,14 +421,14 @@ object Similarity {
   }
 
   // =====================================================================
-  // q81: ANN recall report (LSH and IVF top-k overlap vs brute, batch)
+  // q81: ANN recall report (LSH/IVF/PQ top-k overlap vs brute, batch)
   // =====================================================================
 
   /** The serving-quality measurement, oracle-checked: for the q45 query
     * batch (vec_id < 5 against the vec_id >= 5 corpus), recall@5 of the
-    * LSH (q34 parameters) and IVF (q37 parameters) paths against the
-    * brute-force top-5 — per query and method, the overlap count and a
-    * fixed-point milli recall. [[graft.queries.AnnRecallSpec]] measures
+    * LSH (q34 parameters), IVF (q37 parameters), and PQ (q96
+    * parameters) paths against the brute-force top-5 — per query and
+    * method, the overlap count and a fixed-point milli recall. [[graft.queries.AnnRecallSpec]] measures
     * recall curves spec-side; this pins the SAME measurement cross-engine
     * so an index regression (banding bug, probe tie-break drift) fails
     * the hash gate, not just a spec threshold.
@@ -394,6 +457,7 @@ object Similarity {
       oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))
     s"""WITH $oEfpCte,
        |qs AS (SELECT vec_id AS query_id, efp AS qefp FROM efp WHERE vec_id < 5),
+       |$pqCandCtes,
        |brute AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.query_id, e.vec_id,
@@ -462,6 +526,19 @@ object Similarity {
        |ivf_hits AS (
        |  SELECT b.query_id, count(*) AS n FROM brute b
        |  JOIN ivf v ON v.query_id = b.query_id AND v.vec_id = b.vec_id
+       |  GROUP BY b.query_id),
+       |pq AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY round($cosEq, 6) DESC, e.vec_id ASC) AS rank
+       |    FROM pqcand c
+       |    JOIN efp e ON e.vec_id = c.vec_id
+       |    JOIN qs q ON q.query_id = c.query_id)
+       |  WHERE rank <= 5),
+       |pq_hits AS (
+       |  SELECT b.query_id, count(*) AS n FROM brute b
+       |  JOIN pq p ON p.query_id = b.query_id AND p.vec_id = b.vec_id
        |  GROUP BY b.query_id)
        |SELECT 'lsh' AS method, q.query_id,
        |  CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
@@ -472,6 +549,11 @@ object Similarity {
        |  CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
        |  CAST(floor(1000.0*coalesce(n, 0)/5.0) AS BIGINT) AS recall_milli
        |FROM qs q LEFT JOIN ivf_hits h ON h.query_id = q.query_id
+       |UNION ALL
+       |SELECT 'pq' AS method, q.query_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       |  CAST(floor(1000.0*coalesce(n, 0)/5.0) AS BIGINT) AS recall_milli
+       |FROM qs q LEFT JOIN pq_hits h ON h.query_id = q.query_id
        |ORDER BY method, query_id""".stripMargin
   }
 
@@ -479,18 +561,12 @@ object Similarity {
   // q96: product-quantization ANN (ADC candidates + exact re-rank)
   // =====================================================================
 
-  /** PQ shape of the oracle binding: 64 dims split 8×8, 16 codewords per
-    * subspace (codes fit one byte), a 50-candidate ADC pool re-ranked
-    * exactly, top-5 per query — the [[VectorOps.knnPq]] compression leg
-    * of IVF-PQ with SAMPLED codebooks (k-means iters = 0), the
-    * cross-engine-replayable form (iterated refinement is spec-audited
-    * in PqAnnSpec instead: k-means state is driver-side iteration a SQL
-    * oracle cannot express tractably). */
-  private val PQM = 8
-  private val PQKSUB = 16
-  private val PQSUB = DIMS / PQM
-  private val PQRERANK = 50
-
+  /** Top-5 per query via [[VectorOps.knnPq]] with SAMPLED codebooks
+    * (k-means iters = 0), the cross-engine-replayable form (iterated
+    * refinement is spec-audited in PqAnnSpec instead: k-means state is
+    * driver-side iteration a SQL oracle cannot express tractably).
+    * Shape constants ([[PQM]] etc.) are declared next to NPROBE — the
+    * q81 audit shares them. */
   def q96KnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     VectorOps.knnPqIndexed(e.filter(col("vec_id") >= 5),
@@ -499,59 +575,16 @@ object Similarity {
   }
 
   val oracleQ96: String = {
-    // dot of a list slice against a codeword list, 1-based positions
-    def sliceDot(vec: String, j: String, ce: String): String =
-      s"list_sum([list_slice($vec, $j*$PQSUB+1, $j*$PQSUB+$PQSUB)[i]*$ce[i] " +
-        s"for i in range(1, ${PQSUB + 1})])"
     val cosEq = oCos(oDot("e.efp", "q.qefp"),
       oDot("e.efp", "e.efp"), oDot("q.qefp", "q.qefp"))
     s"""WITH $oEfpCte,
-       |corpus AS (SELECT vec_id, efp FROM efp WHERE vec_id >= 5),
        |qs AS (SELECT vec_id AS query_id, efp AS qefp FROM efp WHERE vec_id < 5),
-       |seeds AS (
-       |  SELECT row_number() OVER (
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, efp
-       |  FROM (SELECT vec_id, efp FROM corpus
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQKSUB)),
-       |centn AS (
-       |  SELECT j, c, ce,
-       |    CAST(list_sum([ce[i]*ce[i] for i in range(1, ${PQSUB + 1})]) AS BIGINT) AS cc
-       |  FROM (
-       |    SELECT t.j, s.c,
-       |      list_slice(s.efp, t.j*$PQSUB+1, t.j*$PQSUB+$PQSUB) AS ce
-       |    FROM seeds s, (SELECT unnest(range($PQM)) AS j) t)),
-       |codes AS (
-       |  SELECT vec_id, j, c AS code, cc FROM (
-       |    SELECT v.vec_id, t.j, t.c, t.cc,
-       |      row_number() OVER (PARTITION BY v.vec_id, t.j ORDER BY
-       |        t.cc - 2*CAST(${sliceDot("v.efp", "t.j", "t.ce")} AS BIGINT),
-       |        t.c) AS rn
-       |    FROM corpus v, centn t)
-       |  WHERE rn = 1),
-       |rn2 AS (SELECT vec_id, CAST(sum(cc) AS BIGINT) AS rnorm2
-       |        FROM codes GROUP BY vec_id),
-       |lut AS (
-       |  SELECT q.query_id, t.j, t.c,
-       |    CAST(${sliceDot("q.qefp", "t.j", "t.ce")} AS BIGINT) AS v
-       |  FROM qs q, centn t),
-       |adc AS (
-       |  SELECT l.query_id, cd.vec_id, CAST(sum(l.v) AS BIGINT) AS adc
-       |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
-       |  GROUP BY l.query_id, cd.vec_id),
-       |cand AS (
-       |  SELECT query_id, vec_id FROM (
-       |    SELECT a.query_id, a.vec_id,
-       |      row_number() OVER (PARTITION BY a.query_id ORDER BY
-       |        (CASE WHEN r.rnorm2 = 0 THEN -1.7976931348623157e308
-       |         ELSE CAST(a.adc AS DOUBLE)/sqrt(CAST(r.rnorm2 AS DOUBLE)) END)
-       |          DESC, a.vec_id) AS rn
-       |    FROM adc a JOIN rn2 r USING (vec_id))
-       |  WHERE rn <= $PQRERANK)
+       |$pqCandCtes
        |SELECT query_id, vec_id, cos, rank FROM (
        |  SELECT c.query_id, e.vec_id, round($cosEq, 6) AS cos,
        |    CAST(row_number() OVER (PARTITION BY c.query_id
        |      ORDER BY round($cosEq, 6) DESC, e.vec_id ASC) AS BIGINT) AS rank
-       |  FROM cand c
+       |  FROM pqcand c
        |  JOIN efp e ON e.vec_id = c.vec_id
        |  JOIN qs q ON q.query_id = c.query_id)
        |WHERE rank <= 5

@@ -387,17 +387,19 @@ object VectorOps {
   // ANN recall report — approximate paths audited vs brute (q81 semantics)
   // =====================================================================
 
-  /** Recall@k of the LSH and IVF paths against brute-force, per query and
-    * method: ('lsh'|'ivf', query_id, n_hits, recall_milli) with
-    * recall_milli = floor(1000·hits/k) — fixed-point, cross-engine exact.
-    * Brute amortizes ONE corpus scan across the query batch (the
-    * [[knnBatchIndexed]] shape; recall audits at corpus scale run on a
-    * query SAMPLE, so the exact scan is a bounded, occasional cost); the
-    * approximate paths reuse their candidate joins; the overlap join
-    * compares two post-top-k frames of k·|batch| rows each. */
+  /** Recall@k of the LSH, IVF, and PQ paths against brute-force, per
+    * query and method: ('ivf'|'lsh'|'pq', query_id, n_hits,
+    * recall_milli) with recall_milli = floor(1000·hits/k) — fixed-point,
+    * cross-engine exact. Brute amortizes ONE corpus scan across the
+    * query batch (the [[knnBatchIndexed]] shape; recall audits at corpus
+    * scale run on a query SAMPLE, so the exact scan is a bounded,
+    * occasional cost); the approximate paths reuse their candidate
+    * joins; the overlap join compares two post-top-k frames of
+    * k·|batch| rows each. */
   def annRecallIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
       k: Int, nprobe: Int = 2, planes: Int = 16, bands: Int = 4,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, pqM: Int = 8, pqKsub: Int = 16,
+      pqRerank: Int = 50): DataFrame = {
     val brute = knnBatchIndexed(corpus, queries, k)
       .select(col("query_id"), col("vec_id"))
     val qids = queries.select(col("vec_id").as("query_id"))
@@ -415,14 +417,18 @@ object VectorOps {
     recallOf(knnLshIndexed(corpus, queries, k, planes, bands, dims), "lsh")
       .unionByName(recallOf(knnIvfIndexed(corpus, queries, cell, k, nprobe),
         "ivf"))
+      .unionByName(recallOf(
+        knnPqIndexed(corpus, queries, k, pqM, pqKsub, pqRerank), "pq"))
       .orderBy("method", "query_id")
   }
 
   def annRecall(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, cell: String, k: Int, nprobe: Int = 2,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
+      planes: Int = 16, bands: Int = 4, dims: Int = 64, pqM: Int = 8,
+      pqKsub: Int = 16, pqRerank: Int = 50): DataFrame =
     annRecallIndexed(index(corpus, id, vec, Seq(cell)),
-      index(queries, id, vec), cell, k, nprobe, planes, bands, dims)
+      index(queries, id, vec), cell, k, nprobe, planes, bands, dims,
+      pqM, pqKsub, pqRerank)
 
   // =====================================================================
   // Product-quantization ANN — ADC over sub-vector codebooks (q96)
