@@ -345,8 +345,13 @@ object VectorOps {
     * Scale: centroid pass is one groupBy over (cell, dim); the probe is a
     * per-query top-nprobe window over |cells| rows; the re-rank scans only
     * probed cells — the IVF contract that replaces the full scan. */
-  def knnIvfIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
-      k: Int, nprobe: Int = 2, carry: Seq[String] = Nil): DataFrame = {
+  /** The IVF coarse probe: each query's `nprobe` nearest cells by
+    * cosine against the exact integer per-cell SUM centroid (the 1/count
+    * factors cancel — see [[knnIvfIndexed]]). Returns (query_id, cell
+    * AS `cell`), the cell restriction both [[knnIvfIndexed]] and
+    * [[knnIvfPqIndexed]] join the corpus against. */
+  private def ivfProbe(corpus: DataFrame, queries: DataFrame, cell: String,
+      nprobe: Int): DataFrame = {
     val cex = corpus.select(col(cell).as("cell"),
       posexplode(col("efp")).as(Seq("i", "x")))
     val cells = cex.groupBy(col("cell"), col("i")).agg(sum(col("x")).as("sx"))
@@ -354,7 +359,7 @@ object VectorOps {
       posexplode(col("efp")).as(Seq("i", "qx")))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("cscore").desc, col("cell").asc)
-    val probe = cells.join(broadcast(qex), Seq("i"))
+    cells.join(broadcast(qex), Seq("i"))
       .groupBy(col("query_id"), col("cell"))
       .agg(sum(col("qx") * col("sx")).as("dotq"),
         sum(col("sx") * col("sx")).as("cnorm"))
@@ -363,6 +368,11 @@ object VectorOps {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cell").as(cell))
+  }
+
+  def knnIvfIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
+      k: Int, nprobe: Int = 2, carry: Seq[String] = Nil): DataFrame = {
+    val probe = ivfProbe(corpus, queries, cell, nprobe)
     val q = queries.select(col("vec_id").as("query_id"),
       col("efp").as("qefp"), col("nrm").as("qnrm"))
     val w = Window.partitionBy("query_id")
@@ -560,39 +570,41 @@ object VectorOps {
     * refines the sampled codebooks with deterministic per-subspace
     * k-means ([[pqRefineBooks]]); the oracle binding pins iters = 0,
     * the cross-engine-replayable form. */
-  def knnPqIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
-      carry: Seq[String] = Nil): DataFrame = {
-    val books0 = pqBooksSampled(corpus, m, ksub)
-    val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
+  /** Per-subspace ADC lookup table for one vector column: m arrays of
+    * ksub integer dots (vector subspace × every codeword). Used on the
+    * query side of [[knnPqIndexed]] and, in the residual form, on the
+    * per-cell centroid table of [[knnIvfPqIndexed]]. The subvector is
+    * let-bound per subspace (the [[pqCodeCol]] trick). */
+  private def pqLutCol(vec: Column,
+      books: IndexedSeq[IndexedSeq[Array[Long]]]): Column = {
     val sub = books.head.head.length
-    val nrm2Lut = books.map(_.map(c => c.map(x => x * x).sum))
-    val enc = pqEncodeIndexed(corpus, books)
-      .withColumn("rnorm2", (0 until m).map(j =>
-        element_at(typedLit(nrm2Lut(j).toSeq),
-          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
-    val lutCol = array((0 until m).map { j =>
-      element_at(transform(array(slice(col("efp"), j * sub + 1, sub)), qj =>
+    array(books.indices.map { j =>
+      element_at(transform(array(slice(vec, j * sub + 1, sub)), vj =>
         array(books(j).map(c =>
-          GraftFunctions.intDot(qj, typedLit(c.toSeq))): _*)), 1)
+          GraftFunctions.intDot(vj, typedLit(c.toSeq))): _*)), 1)
     }: _*)
-    val q = queries.select(col("vec_id").as("query_id"), lutCol.as("lut"),
-      col("efp").as("qefp"), col("nrm").as("qnrm"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("adc_cos").desc, col("vec_id").asc)
-    val cands = enc.crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
-        aggregate(zip_with(col("codes"), col("lut"),
-          (cd, l) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x)
-          .as("adc"),
-        col("rnorm2"))
-      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
-        when(col("rnorm2") === 0L, lit(Double.MinValue))
-          .otherwise(col("adc").cast("double") /
-            sqrt(col("rnorm2").cast("double"))).as("adc_cos"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= rerank)
-      .select("query_id", "vec_id", "qefp", "qnrm")
+  }
+
+  /** Σ_j lut[j][codes_j] — the ADC table-lookup sum. */
+  private def pqAdcSum(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (cd, l) => element_at(l, cd + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Σ_j ‖book_j[codes_j]‖² — the reconstructed norm, from a literal
+    * per-subspace codeword-norm table. */
+  private def pqRnorm2Col(codes: Column,
+      books: IndexedSeq[IndexedSeq[Array[Long]]]): Column = {
+    val nrm2Lut = books.map(_.map(c => c.map(x => x * x).sum))
+    books.indices.map(j =>
+      element_at(typedLit(nrm2Lut(j).toSeq),
+        element_at(codes, j + 1) + 1)).reduce(_ + _)
+  }
+
+  /** Exact integer-cosine re-rank of a (query_id, vec_id, qefp, qnrm)
+    * candidate frame against the corpus: the shared tail of the PQ
+    * paths — only candidates read full vectors. */
+  private def exactReRank(cands: DataFrame, corpus: DataFrame, k: Int,
+      carry: Seq[String]): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     cands
@@ -606,11 +618,135 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  def knnPqIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
+    val books0 = pqBooksSampled(corpus, m, ksub)
+    val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
+    val enc = pqEncodeIndexed(corpus, books)
+      .withColumn("rnorm2", pqRnorm2Col(col("codes"), books))
+    val q = queries.select(col("vec_id").as("query_id"),
+      pqLutCol(col("efp"), books).as("lut"),
+      col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    val cands = enc.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
+        pqAdcSum(col("codes"), col("lut")).as("adc"),
+        col("rnorm2"))
+      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
+        when(col("rnorm2") === 0L, lit(Double.MinValue))
+          .otherwise(col("adc").cast("double") /
+            sqrt(col("rnorm2").cast("double"))).as("adc_cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "vec_id", "qefp", "qnrm")
+    exactReRank(cands, corpus, k, carry)
+  }
+
   def knnPq(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
       carry: Seq[String] = Nil): DataFrame =
     knnPqIndexed(index(corpus, id, vec, carry), index(queries, id, vec),
       k, m, ksub, rerank, iters, carry)
+
+  /** The FULL IVF-PQ composition (FAISS's IndexIVFPQ): the IVF coarse
+    * probe bounds how much of the corpus a query TOUCHES (only `nprobe`
+    * cells' vectors are scored), PQ over RESIDUALS (v − cell centroid)
+    * bounds what each touched vector COSTS and STORES — residual
+    * encoding is what makes the composition work: within a cell the
+    * residual magnitudes are a fraction of the raw coordinates, so the
+    * same ksub codewords quantize far more finely than global-space PQ.
+    *
+    * ADC over residuals: dot(q, v̂) = dot(q, cent) + Σ_j lut_q[j][code_j]
+    * (one integer dot per PROBED (query, cell) pair + m lookups per
+    * row), and ‖v̂‖² = ‖cent‖² + 2·(cent·r̂) + ‖r̂‖² where cent·r̂ rides a
+    * per-cell m×ksub lookup table computed ONCE on the |cells|-row
+    * centroid frame, never per corpus row. All exact integers; the only
+    * doubles are the final ordering scores, same as [[knnPqIndexed]].
+    *
+    * Exactness contract (spec-pinned): rerank ≥ probed-set size makes
+    * the output EQUAL [[knnIvfIndexed]] at the same nprobe (ADC only
+    * selects the pool within probed cells; the re-rank is exact with
+    * identical tie-breaks), and additionally nprobe ≥ |cells| makes it
+    * equal the brute batch scan.
+    *
+    * Scale: centroids are one (cell, dim)-keyed two-phase aggregate
+    * reassembled to |cells| array rows that BROADCAST everywhere they
+    * are used (the q82 shape); encoding is corpus-row-proportional
+    * projection work after that broadcast join; the ADC pass joins the
+    * narrow codes frame to the nprobe·|batch|-row probe — per-query
+    * cost is (touched vectors)·m lookups, the IVF-PQ contract. `cell`
+    * comes from the caller ([[kmeansCells]] for a real build), so the
+    * coarse quantizer stays deterministic. */
+  def knnIvfPqIndexed(corpus: DataFrame, queries: DataFrame, cell: String,
+      k: Int, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 50, iters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
+    // integer cell centroids: re-quantized means (the kmeansCells update
+    // rule), reassembled to one array row per cell
+    val cents = corpus
+      .select(col(cell).as("cell"), posexplode(col("efp")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cell"), col("i"),
+        round(col("sx").cast("double") / col("n"), 0).cast("long").as("cm"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cm")))),
+        e => e.getField("cm")).as("cefp"))
+      .withColumnRenamed("cell", cell)
+    val resCol = zip_with(col("efp"), col("cefp"), (a, b) => a - b)
+    val withCent = corpus.join(broadcast(cents), Seq(cell))
+    // books train on residuals (collect-bounded seeds; optional k-means)
+    val resIdx = withCent.select(col("vec_id"), resCol.as("efp"))
+    val books0 = pqBooksSampled(resIdx, m, ksub)
+    val books = if (iters > 0) pqRefineBooks(resIdx, books0, iters) else books0
+    // per-cell lookup tables computed ONCE on the centroid frame
+    val centsK = cents
+      .withColumn("cnorm2", GraftFunctions.intDot(col("cefp"), col("cefp")))
+      .withColumn("cdot_lut", pqLutCol(col("cefp"), books))
+    val enc = corpus.select(col(cell), col("vec_id"), col("efp"))
+      .join(broadcast(centsK), Seq(cell))
+      .select(col(cell), col("vec_id"),
+        pqCodesCol(resCol, books).as("codes"),
+        col("cnorm2"), col("cdot_lut"))
+      .select(col(cell), col("vec_id"), col("codes"),
+        (col("cnorm2") + lit(2L) * pqAdcSum(col("codes"), col("cdot_lut")) +
+          pqRnorm2Col(col("codes"), books)).as("vnorm2"))
+    val probe = ivfProbe(corpus, queries, cell, nprobe)
+    val probeC = probe
+      .join(broadcast(centsK.select(col(cell), col("cefp"))), Seq(cell))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("efp").as("qefp0"))), Seq("query_id"))
+      .select(col("query_id"), col(cell),
+        GraftFunctions.intDot(col("qefp0"), col("cefp")).as("qcdot"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      pqLutCol(col("efp"), books).as("lut"),
+      col("efp").as("qefp"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    val cands = enc.join(broadcast(probeC), Seq(cell))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
+        (col("qcdot") + pqAdcSum(col("codes"), col("lut"))).as("adcdot"),
+        col("vnorm2"))
+      .select(col("query_id"), col("vec_id"), col("qefp"), col("qnrm"),
+        when(col("vnorm2") <= 0L, lit(Double.MinValue))
+          .otherwise(col("adcdot").cast("double") /
+            sqrt(col("vnorm2").cast("double"))).as("adc_cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "vec_id", "qefp", "qnrm")
+    exactReRank(cands, corpus, k, carry)
+  }
+
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, cell: String, k: Int, nprobe: Int = 2, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame =
+    knnIvfPqIndexed(index(corpus, id, vec, (carry :+ cell).distinct),
+      index(queries, id, vec), cell, k, nprobe, m, ksub, rerank, iters,
+      carry)
 
   // =====================================================================
   // Prototypicality pruning — distance-to-centroid ranking (q82 semantics)

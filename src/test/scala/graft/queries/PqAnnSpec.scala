@@ -82,6 +82,43 @@ class PqAnnSpec extends SparkSpec {
     assert(r2 >= r0, s"refined books regressed recall: $r0 -> $r2")
   }
 
+  // ---- residual IVF-PQ (the full FAISS-style composition) ----
+
+  private lazy val labeledIdx =
+    VectorOps.index(corpus, "vec_id", "embedding", Seq("label"))
+
+  test("IVF-PQ with a full pool equals plain IVF at the same nprobe (residual ADC only picks the pool)") {
+    for (nprobe <- Seq(1, 2)) {
+      val ivf = VectorOps.knnIvfIndexed(labeledIdx, queryIdx, "label", K,
+        nprobe).drop("label").collect().map(_.toString)
+      val ivfpq = VectorOps.knnIvfPqIndexed(labeledIdx, queryIdx, "label",
+        K, nprobe, rerank = corpusN).collect().map(_.toString)
+      assert(ivfpq.sameElements(ivf), s"diverged at nprobe=$nprobe")
+    }
+  }
+
+  test("IVF-PQ with every cell probed and a full pool equals the brute batch scan") {
+    val full = VectorOps.knnIvfPqIndexed(labeledIdx, queryIdx, "label", K,
+      nprobe = 1000, rerank = corpusN).collect().map(_.toString)
+    assert(full.sameElements(exactRows))
+  }
+
+  test("measured IVF-PQ recall: residual books, default shape") {
+    def r(nprobe: Int, rerank: Int, iters: Int = 0): Double =
+      recallOf(topSets(VectorOps.knnIvfPqIndexed(labeledIdx, queryIdx,
+        "label", K, nprobe, rerank = rerank, iters = iters)))
+    val r2 = r(2, 50)
+    val r4 = r(4, 50)
+    info(f"IVF-PQ recall@$K rerank=50: nprobe2=$r2%.3f nprobe4=$r4%.3f")
+    assert(r4 >= r2, s"recall not monotone in nprobe: $r2 / $r4")
+    // measured (deterministic): 0.265 / 0.375 — bounded above by plain
+    // IVF's own probe recall at the same nprobe (0.53 / 0.765, see
+    // AnnRecallSpec): the composition inherits the coarse quantizer's
+    // misses and adds ADC pool selectivity on top. The near-uniform
+    // fixtures are the adversarial case; floors sit just below.
+    assert(r2 >= 0.25, s"IVF-PQ default-shape recall regressed: $r2")
+  }
+
   test("codebook training is deterministic and encoding is a pure projection") {
     val b1 = VectorOps.pqBooksSampled(corpusIdx, 8, 16)
     val b2 = VectorOps.pqBooksSampled(corpusIdx, 8, 16)
