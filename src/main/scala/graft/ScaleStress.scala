@@ -184,6 +184,17 @@ object ScaleStress {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
       graft.queries.VectorOps.kmeansCells(idx, k = 1024, iters = 1)
     }),
+    // full residual IVF-PQ serving probe (label cells): per-query cost
+    // is (touched vectors)·m LUT lookups + the rerank-bounded exact
+    // pool — wall should track the probed cells' row count, never pay
+    // dims-wide dots over the whole corpus
+    "knn_ivfpq_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.queries.VectorOps.knnIvfPq(
+        e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", cell = "label", k = 10, nprobe = 2)
+    }),
     // the df-capped cluster derivation — the production counterpart of
     // q40's uncapped oracle binding: under the stopword-collision corpus
     // the uncapped join pays O(hot²) buckets; this times the q41-guarded

@@ -1263,4 +1263,19 @@ object VectorOps {
     val withCells = idx.join(kmeansCells(idx, nCells, iters), "vec_id")
     knnIvfIndexed(withCells, index(queries, id, vec), "cell", k, nprobe, carry)
   }
+
+  /** [[kmeansCells]] + [[knnIvfPqIndexed]] in one call: train the coarse
+    * quantizer from the corpus, then serve the query batch through the
+    * full residual IVF-PQ stack — the one-call FAISS-IndexIVFPQ build
+    * over any (id, vec) frame. `iters` trains the coarse cells,
+    * `pqIters` optionally refines the residual codebooks. */
+  def knnIvfPqAuto(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nCells: Int, nprobe: Int = 2, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 50, iters: Int = 5, pqIters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
+    val idx = index(corpus, id, vec, carry)
+    val withCells = idx.join(kmeansCells(idx, nCells, iters), "vec_id")
+    knnIvfPqIndexed(withCells, index(queries, id, vec), "cell", k, nprobe,
+      m, ksub, rerank, pqIters, carry)
+  }
 }

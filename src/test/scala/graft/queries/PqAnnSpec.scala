@@ -119,6 +119,15 @@ class PqAnnSpec extends SparkSpec {
     assert(r2 >= 0.25, s"IVF-PQ default-shape recall regressed: $r2")
   }
 
+  test("knnIvfPqAuto one-call build: all cells probed + full pool equals brute") {
+    // exactness holds for ANY trained coarse quantizer — k-means only
+    // partitions the corpus; with every cell probed and a full pool the
+    // composition must collapse to the exact scan
+    val a = VectorOps.knnIvfPqAuto(corpus, queries, "vec_id", "embedding",
+      K, nCells = 8, nprobe = 8, rerank = corpusN)
+    assert(a.collect().map(_.toString).sameElements(exactRows))
+  }
+
   test("codebook training is deterministic and encoding is a pure projection") {
     val b1 = VectorOps.pqBooksSampled(corpusIdx, 8, 16)
     val b2 = VectorOps.pqBooksSampled(corpusIdx, 8, 16)
