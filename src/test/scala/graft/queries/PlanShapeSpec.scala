@@ -404,6 +404,22 @@ class PlanShapeSpec extends SparkSpec {
       "corpus shuffled into a merge join for the centroid lookup")
   }
 
+  test("q96 PQ ANN: broadcast ADC pass, limited candidate window, no corpus shuffle for scoring") {
+    val df = Similarity.q96KnnPq(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // the ADC pass is the q45 broadcast-batch shape over the codes frame
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch not broadcast into the codes scan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the ADC/re-rank joins:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "non-broadcast cartesian in the PQ plan")
+    // the top-rerank filter plans as WindowGroupLimit: each task forwards
+    // only its local top-rerank per query before the window exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"candidate pool not group-limited before the exchange:\n${p.take(2000)}")
+  }
+
   test("q92 span scrub is window-free: partial span agg, hash anti-join, agg rebuild") {
     val df = TextPipeline.q92SpanScrub(spark, sfDir)
     df.collect() // finalize the adaptive plan
