@@ -618,13 +618,36 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  def knnPqIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
-      carry: Seq[String] = Nil): DataFrame = {
+  /** Persistable PQ serving artifacts: the driver-held codebooks plus
+    * the CACHED encoded frame (vec_id, codes, rnorm2) — at scale `enc`
+    * is the parquet table a serving deployment writes once (m small
+    * codes + one 8-byte norm per vector, instead of dims floats) and
+    * `books` ship with the job; [[knnPqWithIndex]] probes it without
+    * re-training or re-encoding, the long-lived-session / streaming
+    * serving shape ([[graft.streaming.EventStream.runAnnServing]]). */
+  final case class PqIndex(books: IndexedSeq[IndexedSeq[Array[Long]]],
+      enc: DataFrame)
+
+  def pqIndexOf(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 0): PqIndex = {
     val books0 = pqBooksSampled(corpus, m, ksub)
     val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
-    val enc = pqEncodeIndexed(corpus, books)
-      .withColumn("rnorm2", pqRnorm2Col(col("codes"), books))
+    PqIndex(books, Caching.cached(
+      pqEncodeIndexed(corpus, books)
+        .withColumn("rnorm2", pqRnorm2Col(col("codes"), books)),
+      "spark.graft.vector.storageLevel"))
+  }
+
+  /** The probe half of [[knnPqIndexed]]: ADC over an already-encoded
+    * codes frame + exact re-rank against `corpus`. */
+  def knnPqWithIndex(corpus: DataFrame, pq: PqIndex, queries: DataFrame,
+      k: Int, rerank: Int = 50, carry: Seq[String] = Nil): DataFrame =
+    pqProbe(corpus, pq.books, pq.enc, queries, k, rerank, carry)
+
+  private def pqProbe(corpus: DataFrame,
+      books: IndexedSeq[IndexedSeq[Array[Long]]], enc: DataFrame,
+      queries: DataFrame, k: Int, rerank: Int,
+      carry: Seq[String]): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       pqLutCol(col("efp"), books).as("lut"),
       col("efp").as("qefp"), col("nrm").as("qnrm"))
@@ -642,6 +665,18 @@ object VectorOps {
       .filter(col("rn") <= rerank)
       .select("query_id", "vec_id", "qefp", "qnrm")
     exactReRank(cands, corpus, k, carry)
+  }
+
+  def knnPqIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
+    val books0 = pqBooksSampled(corpus, m, ksub)
+    val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
+    // one-shot form: encode lazily and uncached, so the oracle binding's
+    // plan stays a pure pipeline (pqIndexOf is the cached serving form)
+    val enc = pqEncodeIndexed(corpus, books)
+      .withColumn("rnorm2", pqRnorm2Col(col("codes"), books))
+    pqProbe(corpus, books, enc, queries, k, rerank, carry)
   }
 
   def knnPq(corpus: DataFrame, queries: DataFrame, id: String, vec: String,

@@ -474,6 +474,42 @@ object EventStream {
     tail.get()
   }
 
+  /** Streaming ANN SERVING: a stream of query vectors probes a STATIC
+    * corpus through the PQ index ([[graft.queries.VectorOps.knnPq]]
+    * semantics) — the online-retrieval half of the vector stack, where
+    * [[runVectorIngest]] is the write half. The serving artifacts
+    * (driver-held codebooks + the cached m-byte codes frame,
+    * [[graft.queries.VectorOps.pqIndexOf]]) are built and materialized
+    * ONCE before epoch 0; each micro-batch pays only its own LUT
+    * projection + the ADC probe + the rerank-bounded exact pool —
+    * per-epoch cost is batch-proportional, the corpus never re-encodes.
+    *
+    * `sink` receives each epoch's (query_id, vec_id, cos, rank) top-k
+    * frame. Queries are served exactly once per epoch; a query id
+    * appearing in two epochs is served independently in each (the
+    * stateless-retrieval contract — dedup belongs upstream). */
+  def runAnnServing(queryStream: DataFrame, corpus: DataFrame, id: String,
+      vec: String, checkpoint: String, k: Int, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 50, iters: Int = 0)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val corpusIdx = graft.queries.VectorOps.index(corpus, id, vec)
+    val pq = graft.queries.VectorOps.pqIndexOf(corpusIdx, m, ksub, iters)
+    pq.enc.count() // materialize the serving index before epoch 0
+    val q = queryStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val qIdx = graft.queries.VectorOps.index(batch, id, vec)
+        try sink(graft.queries.VectorOps.knnPqWithIndex(
+          corpusIdx, pq, qIdx, k, rerank), epochId)
+        finally qIdx.unpersist(false)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming VECTOR ingest — the embedding twin of [[runIngestPrep]]:
     * each micro-batch of (id, vec) rows probes the corpus's cached
     * vector index for embedding near-duplicates

@@ -119,6 +119,16 @@ class PqAnnSpec extends SparkSpec {
     assert(r2 >= 0.25, s"IVF-PQ default-shape recall regressed: $r2")
   }
 
+  test("the cached serving index (pqIndexOf + knnPqWithIndex) probes bit-identically") {
+    val srv = VectorOps.pqIndexOf(corpusIdx)
+    try {
+      val served = VectorOps.knnPqWithIndex(corpusIdx, srv, queryIdx, K,
+        rerank = 50).collect().map(_.toString)
+      val oneShot = pq(rerank = 50).collect().map(_.toString)
+      assert(served.sameElements(oneShot))
+    } finally srv.enc.unpersist(false)
+  }
+
   test("knnIvfPqAuto one-call build: all cells probed + full pool equals brute") {
     // exactness holds for ANY trained coarse quantizer — k-means only
     // partitions the corpus; with every cell probed and a full pool the

@@ -127,6 +127,47 @@ class IngestPrepSpec extends SparkSpec {
       s"degenerate split: ${want.size} of ${batchRows.length} admitted")
   }
 
+  test("streaming ANN serving matches the batch PQ probe across epochs") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding"))
+    val queriesDf = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    // land the query batch as several files and stream one per trigger,
+    // so the serving index is genuinely REUSED across micro-batches
+    val inDir = java.nio.file.Files.createTempDirectory("ann-queries").toString
+    queriesDf.repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    var epochs = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-ann").toString
+    EventStream.runAnnServing(stream, corpus,
+      "vec_id", "embedding", ckpt, k = 5) { (topk, _) =>
+      epochs += 1
+      got ++= topk.collect().map(_.toString)
+    }
+    assert(epochs >= 2, s"expected multi-epoch serving, saw $epochs")
+
+    // queries are independent, so the union over epochs must equal one
+    // batch probe over all of them (identical corpus-trained books)
+    val want = graft.queries.VectorOps.knnPq(corpus, queriesDf,
+      "vec_id", "embedding", k = 5).collect().map(_.toString)
+    assert(got.sorted.sameElements(want.sorted.toIndexedSeq),
+      s"streaming served ${got.size} rows, batch ${want.length}")
+  }
+
   test("qualityGateStream applies a parquet-round-tripped gate with batch parity") {
     val spark0 = spark
     import spark0.implicits._
