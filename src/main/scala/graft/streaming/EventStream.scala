@@ -506,7 +506,11 @@ object EventStream {
         finally qIdx.unpersist(false)
       }
       .start()
-    q.awaitTermination()
+    // the codes frame is built here and unreachable by the caller, so
+    // release it when the serving session drains (corpusIdx stays — the
+    // shared session-level artifact, same contract as runVectorIngest)
+    try q.awaitTermination()
+    finally pq.enc.unpersist(false)
     q
   }
 
