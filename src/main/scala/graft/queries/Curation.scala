@@ -289,6 +289,27 @@ object Curation {
       .select(col(strata), col(metric).as("thr"))
   }
 
+  /** Sketch-mode FIT — the "threshold-first" shape the exact fit's
+    * scaladoc promises for extreme scale: per-stratum
+    * `percentile_approx` (a deterministic Greenwald-Khanna-style
+    * sketch for a fixed `accuracy`) in ONE two-phase aggregate, so no
+    * stratum ever sorts its full membership — a 10⁹-row stratum costs
+    * a bounded sketch merge instead of a sorted window. `accuracy`
+    * bounds the rank error at n/accuracy per stratum; the returned
+    * threshold is an actual data value, so gates fitted this way
+    * differ from the exact fit by at most the epsilon band around the
+    * cut (spec-pinned: equal on the fixtures at high accuracy,
+    * rank-bounded at low). Output schema matches
+    * [[fitPercentileThresholds]] — [[applyPercentileGate]] (and the
+    * streaming gate) serve either interchangeably. */
+  def fitPercentileThresholdsApprox(d: DataFrame, strata: String,
+      metric: String, pctNum: Int, pctDen: Int,
+      accuracy: Int = 10000): DataFrame = {
+    val p = pctNum.toDouble / pctDen
+    d.groupBy(col(strata))
+      .agg(expr(s"percentile_approx($metric, ${p}d, $accuracy)").as("thr"))
+  }
+
   /** APPLY half: stateless projection + broadcast threshold join +
     * filter — shuffle-free over the gated frame and legal on a
     * STREAMING frame as-is (no window, no aggregate). */

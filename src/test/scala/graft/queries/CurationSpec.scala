@@ -218,6 +218,39 @@ class CurationSpec extends SparkSpec {
     assert(g11.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
   }
 
+  test("sketch-mode fit: high accuracy matches the exact thresholds; low accuracy is rank-bounded") {
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val exact = Curation
+      .fitPercentileThresholds(docs, "lang", "n_chars", 9, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // accuracy >= stratum size => the GK sketch is lossless
+    val hi = Curation
+      .fitPercentileThresholdsApprox(docs, "lang", "n_chars", 9, 10,
+        accuracy = 100000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hi == exact, s"lossless sketch diverged: $hi vs $exact")
+    // coarse sketch: each threshold is a real data value whose RANK is
+    // within n/accuracy + 1 of the exact target rank, per stratum
+    val lo = Curation
+      .fitPercentileThresholdsApprox(docs, "lang", "n_chars", 9, 10,
+        accuracy = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = docs.select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    lo.foreach { case (lang, thr) =>
+      val vals = byLang(lang)
+      val n = vals.length
+      val target = (9 * n + 9) / 10
+      // rank range of thr among the sorted values (ties give a span)
+      val lo0 = vals.count(_ < thr) + 1
+      val hi0 = vals.count(_ <= thr)
+      val tol = n / 50 + 1
+      assert(lo0 - tol <= target && target <= hi0 + tol,
+        s"$lang: thr=$thr rank [$lo0,$hi0] vs target $target ±$tol (n=$n)")
+    }
+  }
+
   test("percentileGate: threshold is per-stratum, ties at the boundary kept") {
     val df = Seq(
       (1L, "en", 5L), (2L, "en", 9L), (3L, "en", 9L), (4L, "en", 9L),
