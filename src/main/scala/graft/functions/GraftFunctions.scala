@@ -11,14 +11,41 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val IntDotName = "graft_int_dot"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
 
   /** Idempotent; cheap enough to call before every query. */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       IntDotName, exprs => ArrayIntDot(exprs.head, exprs(1)), "built-in")
+    // Spark's OWN bloom-filter expressions (the machinery behind runtime
+    // row-level filtering), surfaced for explicit use: bits-bounded set
+    // sketches that replace broadcast hash SETS with broadcast FILTERS
+    // (no false negatives; caller-tuned false-positive rate).
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomAggName,
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomContainsName,
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Exact Σ a(i)*b(i) over two array<long> columns (codegen'd). */
   def intDot(a: Column, b: Column): Column = call_function(IntDotName, a, b)
+
+  /** Aggregate a LONG column into a serialized Bloom filter (binary). */
+  def bloomAgg(h: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(BloomAggName, h, lit(estItems), lit(numBits))
+  }
+
+  /** Membership probe of a LONG value against a (foldable, usually
+    * literal) serialized Bloom filter. */
+  def bloomContains(filter: Column, h: Column): Column =
+    call_function(BloomContainsName, filter, h)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Training-data text pipeline: analysis, fingerprinting, and the dedup
   * family (exact, n-gram Jaccard, MinHash+LSH, SimHash) over the driver's
@@ -1366,6 +1367,43 @@ object TextDedup {
           .when(col("overlap_frac") >= medium, lit("medium"))
           .when(col("overlap_frac") > 0.0, lit("low"))
           .otherwise(lit("clean")))
+  }
+
+  /** Map-only decontamination SCREEN: a broadcast BLOOM FILTER of the
+    * eval set's shingle hashes replaces the exact broadcast hash join —
+    * each corpus document pays one membership probe per shingle against
+    * a bits-bounded filter literal, with NO join and NO shuffle of any
+    * kind (the flag is a pure projection over the cached shingle sets).
+    *
+    * Contract: no false negatives — every document the exact scan
+    * ([[contaminationScoreOf]] with n_overlap > 0) flags is flagged
+    * here (Bloom filters cannot miss an inserted element); false
+    * positives at the filter's rate flag clean documents. The scale
+    * play: run the screen over the full corpus, then feed ONLY the
+    * flagged sliver to the exact overlap join — at a 10⁷-shingle eval
+    * suite the filter is ~1 MB where the exact distinct-hash broadcast
+    * is ~100 MB, and the (overwhelmingly clean) unflagged mass never
+    * enters a join at all. `numBits` trades broadcast size for the
+    * false-positive rate (fpp ≈ (1−e^(−kn/m))^k with Spark's default
+    * k); both knobs sit inside Spark's runtime-filter conf caps.
+    *
+    * Output: (doc_id, flagged 0/1). Spec-pinned (BloomScreenSpec):
+    * flagged ⊇ the exact contaminated set at ANY numBits; plan is
+    * join-free. */
+  private[queries] def decontaminationScreenOf(corpus: DataFrame,
+      bench: DataFrame, nGrams: Int = 3,
+      numBits: Long = 1L << 22): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val filterBytes = hashedShingleRowsNOf(bench, nGrams)
+      .agg(GraftFunctions.bloomAgg(col("sh"),
+        estItems = math.max(numBits / 16L, 1L), numBits = numBits))
+      .head().getAs[Array[Byte]](0)
+    val probe = lit(filterBytes)
+    shingleSetsNOf(corpus, nGrams)
+      .select(col("doc_id"),
+        when(exists(transform(col("ts"), s => xxhash64(s)),
+          h => GraftFunctions.bloomContains(probe, h)), lit(1L))
+          .otherwise(lit(0L)).as("flagged"))
   }
 
   /** Graded contamination core over arbitrary corpus/bench frames —

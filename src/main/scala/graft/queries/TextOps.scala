@@ -218,6 +218,20 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Map-only decontamination SCREEN
+    * ([[TextDedup.decontaminationScreenOf]]): (doc_id, flagged 0/1) via
+    * a broadcast Bloom filter of the eval set's shingle hashes — no
+    * join, no shuffle, no false negatives (every doc [[decontaminate]]
+    * would flag is flagged); false positives at the filter's rate. Run
+    * it over the full corpus first and feed only the flagged sliver to
+    * the exact [[decontaminate]]/[[contaminationScore]] pass — the
+    * screening shape for eval suites too large to broadcast exactly. */
+  def decontaminationScreen(corpus: DataFrame, bench: DataFrame,
+      id: String, text: String, nGrams: Int = 3,
+      numBits: Long = 1L << 22): DataFrame =
+    TextDedup.decontaminationScreenOf(norm(corpus, id, text),
+      norm(bench, id, text), nGrams, numBits)
+
   /** Eval-set novelty audit (q93 semantics — the inverse direction of
     * [[decontaminate]]): per BENCH document, how many of its distinct
     * 3-grams appear anywhere in `corpus`, plus the novelty fraction

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The map-only Bloom decontamination screen
+  * ([[TextOps.decontaminationScreen]]): its one hard guarantee — no
+  * false negatives at ANY filter size — plus the join-free plan shape
+  * and the screen→exact composition it exists for. */
+class BloomScreenSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  // q61's deterministic split: %97==0 is the eval set
+  private lazy val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+  private lazy val bench = docs.filter(col("doc_id") % 97 === 0)
+
+  private lazy val exactContaminated: Set[Long] =
+    TextOps.contaminationScore(corpus, bench, "doc_id", "text")
+      .filter(col("n_overlap") > 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+  test("no false negatives: the screen flags every exactly-contaminated doc, even tiny filters") {
+    for (bits <- Seq(1L << 22, 1L << 12)) { // 512 KiB and 0.5 KiB filters
+      val flagged = TextOps.decontaminationScreen(
+        corpus, bench, "doc_id", "text", numBits = bits)
+        .filter(col("flagged") === 1L)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val missed = exactContaminated -- flagged
+      assert(missed.isEmpty, s"bits=$bits missed $missed")
+    }
+  }
+
+  test("false positives shrink with filter size; a roomy filter is near-exact on the fixtures") {
+    def fp(bits: Long): Int = {
+      val flagged = TextOps.decontaminationScreen(
+        corpus, bench, "doc_id", "text", numBits = bits)
+        .filter(col("flagged") === 1L)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      (flagged -- exactContaminated).size
+    }
+    val roomy = fp(1L << 22)
+    val tiny = fp(1L << 12)
+    info(s"false positives: roomy(512KiB)=$roomy tiny(0.5KiB)=$tiny " +
+      s"of ${corpus.count()} docs (${exactContaminated.size} truly contaminated)")
+    assert(roomy <= tiny, s"more FPs at MORE bits: $roomy > $tiny")
+    assert(roomy == 0, s"512 KiB filter should be FP-free on ~15k eval shingles: $roomy")
+  }
+
+  test("the screen plan is join-free and shuffle-free (pure projection over the cached sets)") {
+    val df = TextOps.decontaminationScreen(corpus, bench, "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"screen grew a join:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"), s"screen shuffled:\n${p.take(1500)}")
+  }
+
+  test("screen -> exact composition reproduces the exact contaminated set") {
+    // the production shape: exact pass runs only over the flagged sliver
+    val flagged = TextOps.decontaminationScreen(
+      corpus, bench, "doc_id", "text")
+      .filter(col("flagged") === 1L).select("doc_id")
+    val sliver = corpus.join(flagged, Seq("doc_id"), "left_semi")
+    val got = TextOps.contaminationScore(sliver, bench, "doc_id", "text")
+      .filter(col("n_overlap") > 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == exactContaminated)
+  }
+}
