@@ -139,4 +139,42 @@ class HofReferenceSpec extends SparkSpec {
     assert(rows == want,
       s"span sets differ: extra=${(rows -- want).take(3)} missing=${(want -- rows).take(3)}")
   }
+
+  // ---- q92 span scrub (the transform: excise + verbatim rebuild) ----
+
+  test("spanScrub == plain-Scala reference: excised positions and rebuilt text") {
+    val spanLen = TextPipeline.SpanLen
+    // duplicated spans, naive (same derivation as the q58 check above)
+    val all = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < spanLen) Seq.empty
+      else (0 to toks.length - spanLen).map(i =>
+        (toks.slice(i, i + spanLen).mkString(" "), id, i + 1))
+    }
+    val cuts: Map[Long, Set[Int]] = all.groupBy(_._1).values
+      .filter(_.size > 1)
+      .flatMap { occ =>
+        val canon = occ.map(o => (o._2, o._3)).min
+        occ.filter(o => (o._2, o._3) != canon)
+          .flatMap(o => (o._3 until o._3 + spanLen).map(p => (o._2, p)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = corpus.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val cut = cuts.getOrElse(id, Set.empty)
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !cut.contains(i + 1) => t
+      }
+      id -> ((toks.length.toLong, kept.length.toLong,
+        (toks.length - kept.length).toLong, md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = TextOps.spanScrub(df, "doc_id", "text", spanLen)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.size == corpus.size)
+    corpus.foreach { case (id, text) =>
+      assert(got(id) == want(id),
+        s"doc $id '${text.take(60)}': got ${got(id)}, want ${want(id)}")
+    }
+  }
 }
