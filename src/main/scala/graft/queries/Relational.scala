@@ -451,6 +451,49 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  // ---- range (interval) join (absent from both reference and Spark) ----
+  /** Concurrency report: for every `purchase` event, how many events of ANY
+    * type (any user) fire inside the 5-minute window starting at it, plus
+    * their exact fixed-point value total — the load-attribution question
+    * ("what was in flight around each purchase") that needs a pure
+    * time-interval join with no equi key.
+    *
+    * Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    * O(|A|·|B|) compare volume and a broadcast-memory hazard; DuckDB plans
+    * the identical SQL as a specialized IEJoin, which is why the oracle can
+    * state the naive predicate directly. The scalable Spark shape is the
+    * classic BINNED equi-join: bucket time into bins exactly one window
+    * length wide (bin = unix_micros div 300e6 — integer `div`, not double
+    * `/`, which loses sub-200ns precision on 2^53-scale micros). A window
+    * starting in bin k ends strictly inside bin k+1, so it can only reach
+    * events whose bin ∈ {k, k+1}: the probe side keeps its ONE bin and the
+    * ~5× smaller anchor side explodes to its two candidate bins. The
+    * equi-join on bin is then an ordinary shuffled join — AQE-broadcastable
+    * when the anchor side is small, skew-split like any hot join key when a
+    * traffic spike makes one bin heavy — refined by the exact
+    * microsecond-precision window predicate. Each qualifying pair appears
+    * exactly once (a probe row has one bin), so no dedup pass; every anchor
+    * matches at least itself, so inner semantics lose no anchors.
+    * Plan-asserted (RelationalSpec): no BroadcastNestedLoopJoin, no
+    * CartesianProduct. */
+  def q97RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 300L * 1000000L // 5-minute window == bin width, in micros
+    val ev = t(s, dir, "events")
+    val probe = ev.select(col("event_id"), col("value"),
+      unix_micros(col("ts")).as("us"))
+      .withColumn("bin", expr(s"us div $winUs"))
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("a_us"))
+      .withColumn("bin", explode(array(expr(s"a_us div $winUs"),
+        expr(s"a_us div $winUs + 1"))))
+    anchors.join(probe, Seq("bin"))
+      .filter(col("us") >= col("a_us") && col("us") < col("a_us") + lit(winUs))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_ev"), fpsum(col("value"), 2).as("total"))
+      .orderBy("purchase_id")
+  }
+
   // ---- full window-function suite (beyond reference's LAG/RANK) --------
   def q39WindowSuite(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
@@ -525,6 +568,7 @@ object Relational {
     "q35_percentiles" -> q35Percentiles _,
     "q36_cube" -> q36Cube _,
     "q38_asof_join" -> q38AsofJoin _,
+    "q97_range_join" -> q97RangeJoin _,
     "q39_window_suite" -> q39WindowSuite _,
     "q95_json_props" -> q95JsonProps _,
   )
@@ -748,6 +792,16 @@ object Relational {
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    // the declarative interval-join definition — DuckDB's optimizer turns
+    // this exact inequality predicate into an IEJoin; the Spark side
+    // implements the same semantics with the binned equi-join
+    "q97_range_join" ->
+      s"""SELECT a.event_id AS purchase_id, count(*) AS n_ev,
+         | ${oSum("b.value", 2)} AS total
+         |FROM events a JOIN events b
+         |  ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+         |WHERE a.event_type = 'purchase'
+         |GROUP BY 1 ORDER BY purchase_id""".stripMargin,
     "q39_window_suite" ->
       """SELECT o_orderpriority, o_orderkey,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,

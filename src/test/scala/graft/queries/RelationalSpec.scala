@@ -93,6 +93,32 @@ class RelationalSpec extends SparkSpec {
     assert(semiDirect == semi)
   }
 
+  test("q97 binned range join == naive inequality join (plan has no nested loop)") {
+    import org.apache.spark.sql.functions._
+    val winUs = 300L * 1000000L
+    val ev = Tables.load(spark, sfDir, "events")
+    // naive definition: the raw inequality join Spark would plan as a
+    // BroadcastNestedLoopJoin — fine at sf0.001, the semantic reference
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("a_us"))
+    val b = ev.select(col("value"), unix_micros(col("ts")).as("us"))
+    val naive = a.join(b, col("us") >= col("a_us") && col("us") < col("a_us") + lit(winUs))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(round(col("value") * 100).cast("long")).as("fp"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val df = Relational.q97RangeJoin(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+    assert(got == naive, {
+      val diff = (got.keySet ++ naive.keySet).filter(k => got.get(k) != naive.get(k))
+      s"range join mismatch on ${diff.take(5)}: got=${diff.take(5).map(got.get)} naive=${diff.take(5).map(naive.get)}"
+    })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join fell back to a nested loop:\n$plan")
+  }
+
   test("q23 dialect translation produces same rows as plain Spark SQL") {
     Tables.load(spark, sfDir, "orders")
     val translated = Relational.q23Dialect(spark, sfDir).count()
