@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.TextDedup.queries ++
       graft.queries.TextPipeline.queries ++
       graft.queries.Curation.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.Bpe.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.TextDedup.oracle ++
       graft.queries.TextPipeline.oracle ++
       graft.queries.Curation.oracle ++
-      graft.queries.Similarity.oracle
+      graft.queries.Similarity.oracle ++
+      graft.queries.Bpe.oracle
 }

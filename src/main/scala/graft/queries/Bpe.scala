@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, the
+  * word-histogram formulation) — the "train a tokenizer on the corpus" leg
+  * of an LLM data pipeline, built so the CORPUS-scale cost is exactly one
+  * `groupBy(word)` pass:
+  *
+  *  - `wordHistogram` reduces the corpus to (word, count) — bounded by the
+  *    natural-language vocabulary (Heaps' law: ~millions of rows at 100 TB,
+  *    not trillions), with map-side partial aggregation collapsing repeats
+  *    before the one shuffle.
+  *  - every merge iteration then runs on the HISTOGRAM only: adjacent-pair
+  *    counts are a `zip_with`+`explode` two-phase aggregate weighted by
+  *    word count (output bounded by |observed symbol pairs|), the argmax is
+  *    a 1-row `orderBy(...).limit(1)` with a total (count desc, l, r)
+  *    tie-break so training is deterministic, and the merge applies as a
+  *    leftmost-greedy `aggregate` HOF fold over each word's symbol array —
+  *    a pure projection, no shuffle. Each step materializes into the cache
+  *    and releases its parent, so plan depth stays O(1) per merge instead
+  *    of accumulating N chained projections.
+  *  - applying the trained tokenizer to a corpus never re-runs BPE per
+  *    document: the final word→symbols vocabulary (a training byproduct)
+  *    broadcast-joins against the corpus words, so apply cost is
+  *    O(corpus words) + O(|vocab| · merges) — the second term independent
+  *    of corpus size. OOV words fall back to character-level (chars +
+  *    end-of-word), the worst case BPE itself degenerates to.
+  *
+  * The driver holds only the merge list (numMerges rows) and the loop's
+  * 1-row argmax results — no corpus data. Oracle: q98 pins the iteration-0
+  * pair statistics (SQL-expressible); the merge LOOP is pinned against a
+  * plain-Scala reference implementation in BpeSpec (the HofReferenceSpec
+  * pattern), since its iterated argmax is not expressible in one DuckDB
+  * query.
+  */
+object Bpe {
+
+  /** End-of-word marker (Sennrich et al.'s `</w>`): lets the tokenizer
+    * distinguish word-final subwords and makes detokenization lossless. */
+  val Eow = "</w>"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** (word, wc) — the ONE corpus-scale pass. */
+  def wordHistogramOf(d: DataFrame, textCol: String = "text"): DataFrame =
+    d.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Initial symbol sequence of a word: its characters plus `</w>`. */
+  private[queries] def initSyms(word: Column): Column =
+    concat(filter(split(word, ""), c => length(c) > 0), array(lit(Eow)))
+
+  /** Adjacent-symbol pairs weighted by word count, over a histogram frame
+    * carrying a `syms` array column. Output bounded by distinct observed
+    * pairs — two-phase aggregate, map-side combine does the heavy lifting
+    * on skewed vocabularies. */
+  def pairCountsOf(hist: DataFrame): DataFrame = {
+    val n = size(col("syms"))
+    hist
+      .filter(n >= 2)
+      .select(col("wc"), explode(zip_with(
+        slice(col("syms"), lit(1), n - 1),
+        slice(col("syms"), lit(2), n - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("pc"))
+  }
+
+  /** Leftmost-greedy application of ONE merge (a,b)→ab to a symbol array —
+    * the standard BPE scan as an `aggregate` fold: a pair consumed by a
+    * merge cannot seed an overlapping one ("aaa" + (a,a) → [aa, a]). Pure
+    * projection: no shuffle, no UDF. */
+  private[queries] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Trained tokenizer: ranked merges plus the word→symbols vocabulary the
+    * training loop produced (the serving artifact — broadcastable). */
+  final case class BpeModel(merges: Seq[(String, String)], vocab: DataFrame)
+
+  /** Learn `numMerges` merges (stopping early when no pair repeats —
+    * `minCount` floor). Each iteration: one bounded-histogram aggregate +
+    * a 1-row argmax + a cached fold projection. */
+  def train(d: DataFrame, numMerges: Int, minCount: Long = 2,
+      textCol: String = "text"): BpeModel = {
+    var hist = wordHistogramOf(d, textCol)
+      .withColumn("syms", initSyms(col("word")))
+      .cache()
+    hist.count() // materialize so each step folds over the cache, not the corpus
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var step = 0
+    while (!done && step < numMerges) {
+      val top = pairCountsOf(hist)
+        .orderBy(desc("pc"), asc("l"), asc("r")).limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("pc") < minCount) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
+        merges += ((a, b))
+        val next = hist.withColumn("syms", applyMerge(col("syms"), a, b)).cache()
+        next.count() // materialize + keep lineage depth O(1)
+        hist.unpersist()
+        hist = next
+        step += 1
+      }
+    }
+    BpeModel(merges.result(),
+      hist.withColumn("n_tokens", size(col("syms")).cast("long")))
+  }
+
+  /** Per-document token counts under a trained model: corpus words
+    * broadcast-join the bounded vocabulary; OOV words cost chars+1
+    * (character-level fallback). No per-document BPE scan. */
+  def tokenCounts(d: DataFrame, model: BpeModel, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    d.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(model.vocab.select(col("word"), col("n_tokens"))),
+        Seq("word"), "left")
+      .withColumn("n_tokens",
+        coalesce(col("n_tokens"), length(col("word")).cast("long") + 1L))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tokens")).as("bpe_tokens"), count(lit(1)).as("words"))
+
+  // ---- registered oracle-checked slice ---------------------------------
+
+  /** q98: iteration-0 BPE pair statistics — the top-20 adjacent symbol
+    * pairs (chars + `</w>`) by corpus-weighted count, the exact frame the
+    * first merge argmax reads. Total (pc desc, l, r) order makes the
+    * LIMIT deterministic. */
+  def q98BpePairs(s: SparkSession, dir: String): DataFrame =
+    pairCountsOf(wordHistogramOf(docs(s, dir))
+      .withColumn("syms", initSyms(col("word"))))
+      .orderBy(desc("pc"), asc("l"), asc("r"))
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bpe_pairs" -> q98BpePairs _)
+
+  val oracle: Map[String, String] = Map(
+    // same derivation declaratively: per word of length n, pairs
+    // (c_i, c_{i+1}) for i<n plus (c_n, '</w>') — n pairs, weighted by wc
+    "q98_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY 1),
+        |pairs AS (
+        |  SELECT wc, substr(word, i, 1) AS l,
+        |    CASE WHEN i = len(word) THEN '</w>'
+        |         ELSE substr(word, i + 1, 1) END AS r
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) g)
+        |SELECT l, r, sum(wc) AS pc FROM pairs
+        |GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 20""".stripMargin)
+}

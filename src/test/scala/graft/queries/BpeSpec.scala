@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed BPE trainer against an independent plain-Scala
+  * reference implementation (the HofReferenceSpec pattern): same word
+  * histogram, same (count desc, l, r) argmax, same leftmost-greedy merge
+  * scan. The registered q98 covers iteration-0 pair counts via DuckDB; this
+  * spec covers the LOOP the oracle can't express.
+  */
+class BpeSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  // the classic Sennrich-style corpus: shared stems + suffixes so merges
+  // have real structure, plus repetition so counts differ
+  private val corpus = Seq(
+    (1L, "lower lower lowest low low low"),
+    (2L, "newer newest new new newer"),
+    (3L, "wider widest wide wider"),
+    (4L, "low lower newest widest"),
+    (5L, "newer wider lowest low"))
+  private lazy val df = corpus.toDF("doc_id", "text")
+
+  // ---- plain-Scala reference BPE --------------------------------------
+
+  private def refHistogram(c: Seq[(Long, String)]): Map[String, Long] =
+    c.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  private def refInit(w: String): Vector[String] =
+    w.map(_.toString).toVector :+ Bpe.Eow
+
+  private def refApply(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  /** (merges, final word→syms) after up to n merges with minCount 2. */
+  private def refTrain(c: Seq[(Long, String)], n: Int)
+      : (Seq[(String, String)], Map[String, Vector[String]]) = {
+    val hist = refHistogram(c)
+    var syms = hist.map { case (w, _) => w -> refInit(w) }
+    val merges = Seq.newBuilder[(String, String)]
+    var stop = false
+    var i = 0
+    while (!stop && i < n) {
+      val pairs = syms.toSeq.flatMap { case (w, ss) =>
+        ss.zip(ss.tail).map(p => p -> hist(w))
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (pairs.isEmpty) stop = true
+      else {
+        val ((a, b), pc) = pairs.minBy { case ((l, r), pc) => (-pc, l, r) }
+        if (pc < 2) stop = true
+        else {
+          merges += ((a, b))
+          syms = syms.map { case (w, ss) => w -> refApply(ss, a, b) }
+          i += 1
+        }
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  // ---- tests ----------------------------------------------------------
+
+  test("train matches the plain-Scala reference: merges AND final vocab") {
+    val n = 12
+    val model = Bpe.train(df, n)
+    val (wantMerges, wantSyms) = refTrain(corpus, n)
+    assert(model.merges == wantMerges,
+      s"merge sequences differ:\n got=${model.merges}\nwant=$wantMerges")
+    val gotSyms = model.vocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(gotSyms == wantSyms)
+    model.vocab.unpersist()
+  }
+
+  test("training is deterministic across runs") {
+    val m1 = Bpe.train(df, 6)
+    val m2 = Bpe.train(df, 6)
+    assert(m1.merges == m2.merges)
+    m1.vocab.unpersist(); m2.vocab.unpersist()
+  }
+
+  test("tokenCounts: vocabulary words use trained lengths, OOV falls back to chars+1") {
+    val model = Bpe.train(df, 8)
+    val lens = model.vocab.select("word", "n_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probe = Seq((10L, "low lowest zebra")).toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(probe, model).collect()
+    assert(out.length == 1)
+    val want = lens("low") + lens("lowest") + ("zebra".length + 1)
+    assert(out(0).getAs[Long]("bpe_tokens") == want,
+      s"got ${out(0).getAs[Long]("bpe_tokens")}, want $want (lens=$lens)")
+    assert(out(0).getAs[Long]("words") == 3L)
+    model.vocab.unpersist()
+  }
+
+  test("merges terminate early when no pair repeats") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val model = Bpe.train(tiny, 50)
+    assert(model.merges.isEmpty, s"unexpected merges: ${model.merges}")
+    model.vocab.unpersist()
+  }
+
+  test("q98 pair counts run on the real corpus with the documented order") {
+    val rows = Bpe.q98BpePairs(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val pcs = rows.map(_.getAs[Long]("pc"))
+    assert(pcs.sameElements(pcs.sortBy(-_)), "not ordered by pc desc")
+    // the EOW pair of the corpus's most common word-final char must appear
+    assert(rows.exists(_.getAs[String]("r") == Bpe.Eow))
+  }
+
+  test("applyMerge is leftmost-greedy on overlapping pairs (aaa + (a,a) -> [aa, a])") {
+    val out = Seq(Tuple1(Seq("a", "a", "a")))
+      .toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+}
