@@ -179,6 +179,16 @@ object ScaleStress {
     // exercises the BROADCAST-table assignment path (k×dims plan literals
     // would blow janino method limits at this k) — cost should scale with
     // corpus rows, not explode with k
+    // BPE trainer: corpus-scale cost is ONE word-histogram groupBy; the
+    // 20-merge loop then runs on the bounded histogram (~31·R salted
+    // words here; Heaps-law-bounded in real corpora), so 10× wall should
+    // track the histogram pass while the per-merge argmax jobs stay
+    // constant-time
+    "bpe_train20" -> ((s, dir) => {
+      val m = graft.queries.Bpe.train(
+        s.read.parquet(s"$dir/documents.parquet"), numMerges = 20)
+      m.vocab
+    }),
     "kmeans_build_k1024" -> ((s, dir) => {
       val idx = graft.queries.VectorOps.index(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
@@ -230,7 +240,9 @@ object ScaleStress {
     * the full-suite sweep; `b` was the documents/embeddings-only
     * stopword-preserving salting; the original everything-salted scheme
     * was `x<reps>`.) */
-  def replicatedDir(outDir: String, reps: Int): String = s"$outDir/x${reps}c"
+  // `d` scheme suffix: events replicas are TIME-SHIFTED (see
+  // buildReplicated) — bump invalidates stale cached builds
+  def replicatedDir(outDir: String, reps: Int): String = s"$outDir/x${reps}d"
 
   /** Key offset between replicas: every base key (l_orderkey 600k,
     * event_id 100k, doc_id, vec_id, ...) is < 1e6 at sf0.1, so replica
@@ -306,11 +318,14 @@ object ScaleStress {
     // (dates, prices, flags) — and therefore group-by cardinalities and
     // filter selectivities — are exactly preserved while row volume
     // grows R×.
-    def replicateKeyed(table: String, keyCols: Seq[String]): Unit = {
+    def replicateKeyed(table: String, keyCols: Seq[String],
+        tsShift: Seq[String] = Seq.empty): Unit = {
       val t = spark.read.parquet(s"$baseDir/$table.parquet")
       val reps10 = (0 until reps).map { k =>
         t.select(t.columns.toSeq.map { c =>
           if (keyCols.contains(c)) (col(c) + lit(k * RepOff)).as(c)
+          else if (tsShift.contains(c))
+            (col(c) + expr(s"INTERVAL ${k * 32} DAYS")).as(c)
           else col(c)
         }: _*)
       }
@@ -323,7 +338,17 @@ object ScaleStress {
     replicateKeyed("part", Seq("p_partkey"))
     replicateKeyed("orders", Seq("o_orderkey", "o_custkey"))
     replicateKeyed("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    replicateKeyed("events", Seq("event_id", "user_id"))
+    // events: replica k shifts ts by k·32 days (the 30-day base span +
+    // margin, so replica windows never overlap). A 10× event stream in
+    // the SAME window would be 10× traffic DENSITY — which genuinely
+    // multiplies time-window join volume (q97's per-anchor matches) and
+    // per-hour group sizes quadratically/linearly in density; the
+    // realistic "corpus grew 10×" regime for an event log is a 10×
+    // LONGER history at the same density, which keeps per-window
+    // concurrency, per-user session shapes, and hourly group sizes
+    // replica-invariant while hour-spine/group-output cardinality grows
+    // R× — matching the star-schema doctrine above.
+    replicateKeyed("events", Seq("event_id", "user_id"), tsShift = Seq("ts"))
     Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$rd/$t.parquet")

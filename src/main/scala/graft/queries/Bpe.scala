@@ -87,13 +87,24 @@ object Bpe {
 
   /** Learn `numMerges` merges (stopping early when no pair repeats —
     * `minCount` floor). Each iteration: one bounded-histogram aggregate +
-    * a 1-row argmax + a cached fold projection. */
+    * a 1-row argmax + a checkpointed fold projection.
+    *
+    * Lineage is cut with [[Caching.cutLineage]] (eager localCheckpoint;
+    * reliable `checkpoint()` under `spark.graft.dedup.checkpointDir`)
+    * rather than chained `cache()`: an InMemoryRelation EMBEDS its child's
+    * whole physical tree (AQE stages included), so k chained cache steps
+    * nest k plan trees and plan stringification / analysis grows
+    * superlinearly — measured pathological (minutes, then a blown render)
+    * at 20 merges before this was a checkpoint loop, the same reason the
+    * connected-components fixpoint checkpoints. A checkpointed step is a
+    * flat LogicalRDD scan: plan depth stays O(1) however many merges run.
+    * The loop keeps ≤2 step snapshots alive (the superseded one is
+    * unpersisted and its blocks reclaimed by the context cleaner). */
   def train(d: DataFrame, numMerges: Int, minCount: Long = 2,
       textCol: String = "text"): BpeModel = {
-    var hist = wordHistogramOf(d, textCol)
-      .withColumn("syms", initSyms(col("word")))
-      .cache()
-    hist.count() // materialize so each step folds over the cache, not the corpus
+    var hist = Caching.cutLineage(
+      wordHistogramOf(d, textCol).withColumn("syms", initSyms(col("word"))),
+      eager = true)
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var step = 0
@@ -104,8 +115,8 @@ object Bpe {
       else {
         val (a, b) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
         merges += ((a, b))
-        val next = hist.withColumn("syms", applyMerge(col("syms"), a, b)).cache()
-        next.count() // materialize + keep lineage depth O(1)
+        val next = Caching.cutLineage(
+          hist.withColumn("syms", applyMerge(col("syms"), a, b)), eager = true)
         hist.unpersist()
         hist = next
         step += 1
@@ -128,6 +139,41 @@ object Bpe {
         coalesce(col("n_tokens"), length(col("word")).cast("long") + 1L))
       .groupBy(col(idCol))
       .agg(sum(col("n_tokens")).as("bpe_tokens"), count(lit(1)).as("words"))
+
+  /** Full order-preserving tokenization: (id, tokens array) per document.
+    * Same broadcast-vocab shape as [[tokenCounts]] — corpus words join the
+    * bounded word→symbols table, then ONE groupBy reassembles each
+    * document's subword stream in word order (`array_sort` on (pos, syms)
+    * structs — no window, no second shuffle). OOV words fall back to
+    * char-level symbols (chars + `</w>`), consistent with [[tokenCounts]]'
+    * fallback length; a serving-time exact-BPE OOV path would fold the
+    * merge list per novel word — deliberately not done corpus-side, where
+    * the vocabulary covers every trained word by construction. */
+  def encode(d: DataFrame, model: BpeModel, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = d
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    words
+      .join(broadcast(model.vocab.select(col("word"), col("syms"))),
+        Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), initSyms(col("word"))))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("syms"))))
+        .getField("syms")).as("tokens"))
+  }
+
+  /** Bounded token→id table (the vocabulary artifact a trainer ships):
+    * every distinct symbol the trained vocabulary produces, densely
+    * numbered in lexicographic order so ids are deterministic across
+    * engines and runs. The global-order window is safe here by
+    * construction — the frame is the FINAL subword vocabulary (bounded by
+    * |merges| + alphabet, not corpus size). */
+  def tokenIds(model: BpeModel): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+    model.vocab.select(explode(col("syms")).as("token")).distinct()
+      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+  }
 
   // ---- registered oracle-checked slice ---------------------------------
 

@@ -99,6 +99,35 @@ class BpeSpec extends SparkSpec {
     model.vocab.unpersist()
   }
 
+  test("encode: word-order-preserving subword stream, consistent with tokenCounts") {
+    val model = Bpe.train(df, 8)
+    val (_, refSyms) = refTrain(corpus, 8)
+    val probe = Seq((7L, "lowest zebra low")).toDF("doc_id", "text")
+    val out = Bpe.encode(probe, model).collect()
+    assert(out.length == 1)
+    val got = out(0).getSeq[String](1)
+    val want = refSyms("lowest") ++ refInit("zebra") ++ refSyms("low")
+    assert(got == want, s"got $got, want $want")
+    val counted = Bpe.tokenCounts(probe, model).collect()(0).getAs[Long]("bpe_tokens")
+    assert(counted == got.size.toLong, "encode length disagrees with tokenCounts")
+    model.vocab.unpersist()
+  }
+
+  test("tokenIds: dense, deterministic, covers every produced symbol") {
+    val model = Bpe.train(df, 8)
+    val ids = Bpe.tokenIds(model).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val produced = model.vocab.select("syms").collect()
+      .flatMap(_.getSeq[String](0)).toSet
+    assert(ids.keySet == produced)
+    assert(ids.values.toSeq.sorted == (0L until ids.size).toSeq, "ids not dense from 0")
+    val sortedTokens = ids.keys.toSeq.sorted
+    sortedTokens.zipWithIndex.foreach { case (t, i) =>
+      assert(ids(t) == i.toLong, s"token $t id ${ids(t)} != lexicographic rank $i")
+    }
+    model.vocab.unpersist()
+  }
+
   test("merges terminate early when no pair repeats") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val model = Bpe.train(tiny, 50)
