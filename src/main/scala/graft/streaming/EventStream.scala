@@ -514,6 +514,34 @@ object EventStream {
     q
   }
 
+  /** Streaming BPE tokenization serving — the text twin of
+    * [[runAnnServing]]: the tokenizer is trained ONCE
+    * ([[graft.queries.Bpe.train]] — one corpus histogram pass + the
+    * bounded checkpointed merge loop) and its word→symbols vocabulary is
+    * the session-held serving artifact; each micro-batch of (id, text)
+    * rows is then encoded STATELESSLY ([[graft.queries.Bpe.encode]]: a
+    * broadcast vocab join + one per-batch groupBy, char-level OOV
+    * fallback). No state store needed — tokenization is per-row pure, so
+    * exactly-once comes from the checkpoint alone, and multi-epoch output
+    * equals the one-shot batch encode (spec'd).
+    *
+    * `sink` receives each epoch's (id, tokens) frame. */
+  def runBpeTokenize(docStream: DataFrame, model: graft.queries.Bpe.BpeModel,
+      checkpoint: String, id: String = "doc_id", text: String = "text")
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    model.vocab.count() // materialize the serving vocabulary before epoch 0
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(graft.queries.Bpe.encode(batch, model, id, text), epochId)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming VECTOR ingest — the embedding twin of [[runIngestPrep]]:
     * each micro-batch of (id, vec) rows probes the corpus's cached
     * vector index for embedding near-duplicates

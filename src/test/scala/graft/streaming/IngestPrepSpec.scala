@@ -308,4 +308,39 @@ class IngestPrepSpec extends SparkSpec {
       assert(um == r.getAs[Long]("unseen_mass"), s"unseen mass lost for ${r.getString(0)}")
     }
   }
+
+  test("streaming BPE tokenization matches the batch encode across epochs") {
+    import java.nio.file.Files
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // train ONCE on the at-rest corpus — the serving artifact
+    val model = graft.queries.Bpe.train(corpus, numMerges = 10)
+
+    // stream the same docs back one file per trigger: the vocab must be
+    // REUSED across micro-batches, and the union over epochs must equal
+    // the one-shot batch encode (tokenization is stateless per row)
+    val inDir = Files.createTempDirectory("bpe-docs").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    var epochs = 0
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    EventStream.runBpeTokenize(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      model, Files.createTempDirectory("ckpt-bpe").toString) { (out, _) =>
+      epochs += 1
+      out.collect().foreach(r => got(r.getLong(0)) = r.getSeq[String](1))
+    }
+    assert(epochs >= 2, s"expected multi-epoch serving, saw $epochs")
+    val want = graft.queries.Bpe.encode(corpus, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got.toMap == want,
+      s"streamed ${got.size} docs, batch ${want.size}")
+    model.vocab.unpersist()
+  }
 }
