@@ -163,6 +163,30 @@ object Bpe {
         .getField("syms")).as("tokens"))
   }
 
+  /** Persist a trained model as two parquet tables — the serving contract
+    * a fresh cluster starts from (same pattern as the percentile gate's
+    * fit/apply round-trip): the word→symbols vocabulary (the broadcast
+    * apply artifact) and the ranked merge list (the audit trail + the
+    * input an exact-OOV serving tokenizer would fold). */
+  def saveModel(model: BpeModel, dir: String): Unit = {
+    val s = model.vocab.sparkSession
+    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab.parquet")
+    s.createDataFrame(model.merges.zipWithIndex.map {
+      case ((a, b), i) => (i.toLong, a, b)
+    }).toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges.parquet")
+  }
+
+  /** Load a persisted model; the vocabulary comes back cached (it is the
+    * per-batch broadcast side of [[encode]]/[[tokenCounts]]). */
+  def loadModel(s: SparkSession, dir: String): BpeModel = {
+    val vocab = s.read.parquet(s"$dir/vocab.parquet").cache()
+    val merges = s.read.parquet(s"$dir/merges.parquet")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    BpeModel(merges, vocab)
+  }
+
   /** Bounded token→id table (the vocabulary artifact a trainer ships):
     * every distinct symbol the trained vocabulary produces, densely
     * numbered in lexicographic order so ids are deterministic across

@@ -128,6 +128,19 @@ class BpeSpec extends SparkSpec {
     model.vocab.unpersist()
   }
 
+  test("saveModel/loadModel: parquet round-trip preserves merges and encode output") {
+    val model = Bpe.train(df, 8)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    Bpe.saveModel(model, dir)
+    val loaded = Bpe.loadModel(spark, dir)
+    assert(loaded.merges == model.merges)
+    val probe = Seq((1L, "lower newest zebra")).toDF("doc_id", "text")
+    val a = Bpe.encode(probe, model).collect()(0).getSeq[String](1)
+    val b = Bpe.encode(probe, loaded).collect()(0).getSeq[String](1)
+    assert(a == b)
+    model.vocab.unpersist(); loaded.vocab.unpersist()
+  }
+
   test("merges terminate early when no pair repeats") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val model = Bpe.train(tiny, 50)
