@@ -140,24 +140,76 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("n_tokens")).as("bpe_tokens"), count(lit(1)).as("words"))
 
+  /** Applies the full merge list to one word, driver-side — EXACT BPE.
+    * Sequential application in rank order equals greedy
+    * lowest-rank-first (the reference tokenizer algorithm): a merge only
+    * creates adjacencies involving its brand-new symbol, and no pair
+    * containing a symbol born at rank j can have rank < j, so earlier
+    * merges never become applicable again once passed. This is also
+    * exactly how training evolved the vocabulary, so in-vocab words
+    * reproduce their trained symbol sequences bit-for-bit. */
+  private[queries] def applyAll(word: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector :+ Eow) { case (syms, (a, b)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    }
+
+  /** Distinct-OOV cap for [[encode]]'s `exactOov` path (session conf):
+    * the OOV words of a batch are collected to the driver for exact
+    * merge-folding — bounded by DISTINCT novel words, the same
+    * bounded-collect discipline as the k-means seed collect. Beyond the
+    * cap the call fails loudly (an adversarial all-novel corpus should
+    * surface, not OOM the driver); raise the conf or use the default
+    * char-level fallback for such corpora. */
+  val OovCapConf = "spark.graft.bpe.oovMaxDistinct"
+
   /** Full order-preserving tokenization: (id, tokens array) per document.
     * Same broadcast-vocab shape as [[tokenCounts]] — corpus words join the
     * bounded word→symbols table, then ONE groupBy reassembles each
     * document's subword stream in word order (`array_sort` on (pos, syms)
-    * structs — no window, no second shuffle). OOV words fall back to
-    * char-level symbols (chars + `</w>`), consistent with [[tokenCounts]]'
-    * fallback length; a serving-time exact-BPE OOV path would fold the
-    * merge list per novel word — deliberately not done corpus-side, where
-    * the vocabulary covers every trained word by construction. */
+    * structs — no window, no second shuffle).
+    *
+    * OOV handling: by default char-level symbols (chars + `</w>`,
+    * consistent with [[tokenCounts]]' fallback length). With
+    * `exactOov = true` the batch's DISTINCT novel words are merge-folded
+    * driver-side ([[applyAll]] — exact reference-tokenizer semantics) and
+    * broadcast back, capped by [[OovCapConf]] (default 100000): the
+    * serving-time contract where any input word tokenizes exactly as a
+    * trained tokenizer would. */
   def encode(d: DataFrame, model: BpeModel, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", exactOov: Boolean = false): DataFrame = {
     val words = d
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-    words
+    val joined = words
       .join(broadcast(model.vocab.select(col("word"), col("syms"))),
         Seq("word"), "left")
-      .withColumn("syms", coalesce(col("syms"), initSyms(col("word"))))
+    val resolved =
+      if (!exactOov)
+        joined.withColumn("syms", coalesce(col("syms"), initSyms(col("word"))))
+      else {
+        val s = d.sparkSession
+        val cap = s.conf.get(OovCapConf, "100000").toInt
+        val oov = joined.filter(col("syms").isNull)
+          .select(col("word")).distinct().limit(cap + 1).collect()
+          .map(_.getString(0))
+        require(oov.length <= cap,
+          s"encode(exactOov=true): > $cap distinct OOV words in this batch " +
+            s"($OovCapConf); raise the conf or use the char-level fallback")
+        if (oov.isEmpty) joined
+        else {
+          val folded = s.createDataFrame(
+            oov.toSeq.map(w => (w, applyAll(w, model.merges))))
+            .toDF("word", "oov_syms")
+          joined.join(broadcast(folded), Seq("word"), "left")
+            .withColumn("syms", coalesce(col("syms"), col("oov_syms")))
+            .drop("oov_syms")
+        }
+      }
+    resolved
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("syms"))))
         .getField("syms")).as("tokens"))

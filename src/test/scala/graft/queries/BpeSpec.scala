@@ -128,6 +128,42 @@ class BpeSpec extends SparkSpec {
     model.vocab.unpersist()
   }
 
+  test("encode(exactOov): novel words fold the merge list exactly; in-vocab unchanged") {
+    val model = Bpe.train(df, 10)
+    // "lowerest" is OOV but shares trained structure with lower/lowest
+    val probe = Seq((1L, "lower lowerest zebra")).toDF("doc_id", "text")
+    val got = Bpe.encode(probe, model, exactOov = true).collect()(0).getSeq[String](1)
+    // independent expectation: sequential rank-order application per word
+    def fold(w: String) = {
+      var syms = refInit(w)
+      model.merges.foreach { case (a, b) => syms = refApply(syms, a, b) }
+      syms
+    }
+    val want = fold("lower") ++ fold("lowerest") ++ fold("zebra")
+    assert(got == want, s"got $got, want $want")
+    // exact OOV must differ from char-level for the structured novel word
+    val charLevel = Bpe.encode(probe, model).collect()(0).getSeq[String](1)
+    assert(got != charLevel, "exactOov should merge subwords inside OOV words")
+    // on all-in-vocab input the two modes agree
+    val inVocab = Seq((2L, "low newest wider")).toDF("doc_id", "text")
+    assert(Bpe.encode(inVocab, model, exactOov = true).collect()(0).getSeq[String](1) ==
+      Bpe.encode(inVocab, model).collect()(0).getSeq[String](1))
+    model.vocab.unpersist()
+  }
+
+  test("encode(exactOov): the distinct-OOV cap fails loudly") {
+    val model = Bpe.train(df, 4)
+    val probe = Seq((1L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    spark.conf.set(Bpe.OovCapConf, "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Bpe.encode(probe, model, exactOov = true).collect()
+      }
+      assert(e.getMessage.contains(Bpe.OovCapConf))
+    } finally spark.conf.unset(Bpe.OovCapConf)
+    model.vocab.unpersist()
+  }
+
   test("saveModel/loadModel: parquet round-trip preserves merges and encode output") {
     val model = Bpe.train(df, 8)
     val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
