@@ -189,6 +189,14 @@ object ScaleStress {
         s.read.parquet(s"$dir/documents.parquet"), numMerges = 20)
       m.vocab
     }),
+    // corpus-side tokenization under a trained model: one broadcast vocab
+    // join + one groupBy reassembly — wall should track corpus rows (the
+    // train prefix is the bpe_train20 cost, measured separately above)
+    "bpe_encode20" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.queries.Bpe.train(d, numMerges = 20)
+      graft.queries.Bpe.encode(d, m)
+    }),
     "kmeans_build_k1024" -> ((s, dir) => {
       val idx = graft.queries.VectorOps.index(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")

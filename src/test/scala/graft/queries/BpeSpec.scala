@@ -193,6 +193,42 @@ class BpeSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("r") == Bpe.Eow))
   }
 
+  test("detokenization is lossless: join tokens, split at </w>, recover the words") {
+    val model = Bpe.train(df, 8)
+    val out = Bpe.encode(df, model).collect()
+    val texts = corpus.toMap
+    assert(out.length == corpus.size)
+    out.foreach { r =>
+      val rebuilt = r.getSeq[String](1).mkString
+        .split(java.util.regex.Pattern.quote(Bpe.Eow)).toSeq.filter(_.nonEmpty)
+      val want = texts(r.getLong(0)).split(" ").toSeq.filter(_.nonEmpty)
+      assert(rebuilt == want, s"doc ${r.getLong(0)}: $rebuilt != $want")
+    }
+    model.vocab.unpersist()
+  }
+
+  test("seeded-random corpora: train matches the plain-Scala reference") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val alphabet = "abcd"
+      val c = (1L to 6L).map { id =>
+        val words = (0 until 4 + rnd.nextInt(5)).map { _ =>
+          (0 until 1 + rnd.nextInt(6))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }
+        (id, words.mkString(" "))
+      }
+      val cdf = c.toDF("doc_id", "text")
+      val model = Bpe.train(cdf, 6)
+      val (wantMerges, wantSyms) = refTrain(c, 6)
+      assert(model.merges == wantMerges, s"trial $trial corpus $c")
+      val gotSyms = model.vocab.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+      assert(gotSyms == wantSyms, s"trial $trial corpus $c")
+      model.vocab.unpersist()
+    }
+  }
+
   test("applyMerge is leftmost-greedy on overlapping pairs (aaa + (a,a) -> [aa, a])") {
     val out = Seq(Tuple1(Seq("a", "a", "a")))
       .toDF("syms")
