@@ -847,6 +847,150 @@ object Curation {
       |FROM fp CROSS JOIN nrm ORDER BY source""".stripMargin
 
   // =====================================================================
+  // q99: DSIR-style importance selection (target-vs-raw unigram ratio)
+  // =====================================================================
+
+  /** FIT half of the importance selector: a (token, c_t, c_r) count
+    * table — each token's occurrence count under the TARGET corpus (the
+    * small, high-quality set the selection should steer toward) and
+    * under the RAW pool (the large crawl being filtered). The Data
+    * Selection via Importance Resampling recipe (Xie et al., NeurIPS
+    * 2023): score each raw document by how much more likely its
+    * features are under the target distribution than under the raw one,
+    * then keep the importance-heavy slice. This is the persistable
+    * serving artifact (parquet round-trip scores bit-identically —
+    * spec'd): fit once on target+pool, score every later crawl batch.
+    *
+    * The full-outer join keeps single-sided tokens with an explicit 0
+    * on the missing side (they carry the strongest signal), and makes
+    * the model SELF-CONTAINED: N_t = Σc_t, N_r = Σc_r, V = row count,
+    * so [[importanceScoreOf]] needs no side-channel totals.
+    *
+    * Scale: two token-keyed two-phase aggregates (hot tokens collapse
+    * map-side) plus one |vocab|-keyed full-outer join — model-sized,
+    * never corpus-sized. */
+  def fitImportanceModel(target: DataFrame, raw: DataFrame,
+      text: String): DataFrame = {
+    def counts(d: DataFrame, as: String) =
+      d.select(explode(split(col(text), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(as))
+    counts(target, "c_t").join(counts(raw, "c_r"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"))
+  }
+
+  /** APPLY half: per-document importance of a batch under a fitted
+    * model. Per token, the add-1-smoothed likelihood ratio as a
+    * fixed-point integer
+    * `w_fp = round(1e6 · ((c_t+1)/(N_t+V)) / ((c_r+1)/(N_r+V)))`
+    * (> 1e6 ⇔ the token is more probable under the target); per
+    * document the exact BIGINT sum and the once-rounded mean of those
+    * ratios, plus `keep = mean_w_fp >= keepMinRatioFp` — the selection
+    * verdict (default: keep documents that look more target-like than
+    * raw-like on average). The arithmetic-mean ratio is the LOG-FREE
+    * surrogate for DSIR's summed log-ratio — the same determinism trade
+    * q54 makes for BM25 (sums of BIGINTs are order-independent; ln is
+    * not IEEE-exactly specified cross-engine). For a top-share policy
+    * instead of a fixed threshold, compose with
+    * [[fitPercentileThresholds]] over `mean_w_fp`.
+    *
+    * Tokens unseen at fit time (a serving batch's novelties) flow
+    * through the same smoothed expression with c_t = c_r = 0 — the
+    * neutral-prior ratio (N_r+V)/(N_t+V) — rather than erroring or
+    * dropping mass. Zero-token documents score (0, 0, 0, keep=false).
+    *
+    * Scale: batch-proportional. Occurrences pre-aggregate to
+    * (doc_id, token, tf) BEFORE the model join — hot tokens become one
+    * row per document, so the token-keyed equi-join (AQE broadcasts the
+    * model while it fits; shuffled-hash beyond) never sees raw
+    * occurrence volume; totals ride one broadcast row; the corpus never
+    * self-joins. */
+  def importanceScoreOf(batch: DataFrame, model: DataFrame, text: String,
+      keepMinRatioFp: Long = 1000000L): DataFrame = {
+    val tot = model.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
+      count(lit(1)).as("v"))
+    val wFp = round(
+      lit(1000000.0) * (coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double")
+        * (col("n_r") + col("v")).cast("double")
+        / ((coalesce(col("c_r"), lit(0L)) + lit(1L)).cast("double")
+          * (col("n_t") + col("v")).cast("double"))).cast("long")
+    val scored = batch
+      .select(col("doc_id"), explode(split(col(text), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(model, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"), wFp.as("w_fp"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w_fp")).as("sum_w_fp"))
+    val mean = coalesce(round(col("sum_w_fp").cast("double") /
+      col("n_tokens").cast("double")).cast("long"), lit(0L))
+    batch.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_w_fp"), lit(0L)).as("sum_w_fp"),
+        mean.as("mean_w_fp"),
+        (mean >= lit(keepMinRatioFp)).as("keep"))
+  }
+
+  /** Target slice of the oracle-checked q99 binding: every 19th doc_id
+    * (~5% of the corpus) plays the high-quality target set, the rest is
+    * the raw pool — the deterministic stand-in for "target = curated
+    * reference corpus" that both engines can replay. */
+  val DsirTargetMod = 19L
+
+  /** Oracle-checked binding: fit on the %19 target/raw split of
+    * `documents`, score the raw pool, keep the target-leaning docs. */
+  def q99DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val target = d.filter(col("doc_id") % DsirTargetMod === 0)
+    val raw = d.filter(col("doc_id") % DsirTargetMod =!= 0)
+    // cache the model (|vocab| rows): it feeds both the totals aggregate
+    // and the scoring join — without the cache the two corpus-wide count
+    // aggregates execute once per consumer
+    importanceScoreOf(raw,
+      fitImportanceModel(target, raw, "text").dedupCached, "text")
+      .orderBy("doc_id")
+  }
+
+  val oracleQ99: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tgt AS (SELECT token, CAST(count(*) AS BIGINT) AS c_t FROM toks
+       |        WHERE doc_id % $DsirTargetMod = 0 GROUP BY token),
+       |raw AS (SELECT token, CAST(count(*) AS BIGINT) AS c_r FROM toks
+       |        WHERE doc_id % $DsirTargetMod <> 0 GROUP BY token),
+       |model AS (
+       |  SELECT COALESCE(t.token, r.token) AS token,
+       |         COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+       |  FROM tgt t FULL OUTER JOIN raw r ON t.token = r.token),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+       |               CAST(sum(c_r) AS BIGINT) AS n_r,
+       |               CAST(count(*) AS BIGINT) AS v FROM model),
+       |w AS (SELECT token,
+       |  CAST(round((1000000.0 * CAST(c_t + 1 AS DOUBLE)
+       |      * CAST(n_r + v AS DOUBLE))
+       |    / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + v AS DOUBLE)))
+       |    AS BIGINT) AS w_fp
+       |  FROM model CROSS JOIN tot),
+       |scored AS (
+       |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(w_fp) AS BIGINT) AS sum_w_fp
+       |  FROM toks o JOIN w USING (token) WHERE o.doc_id % $DsirTargetMod <> 0
+       |  GROUP BY o.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_tokens, 0) AS n_tokens,
+       |  COALESCE(sum_w_fp, 0) AS sum_w_fp,
+       |  COALESCE(CAST(round(CAST(sum_w_fp AS DOUBLE)
+       |    / CAST(n_tokens AS DOUBLE)) AS BIGINT), 0) AS mean_w_fp,
+       |  COALESCE(CAST(round(CAST(sum_w_fp AS DOUBLE)
+       |    / CAST(n_tokens AS DOUBLE)) AS BIGINT), 0) >= 1000000 AS keep
+       |FROM documents d LEFT JOIN scored USING (doc_id)
+       |WHERE d.doc_id % $DsirTargetMod <> 0 ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_winnow_fp" -> q65Winnow _,
     "q66_snapshot_diff" -> q66SnapshotDiff _,
@@ -858,6 +1002,7 @@ object Curation {
     "q85_source_divergence" -> q85SourceDivergence _,
     "q86_temperature_weights" -> q86TemperatureWeights _,
     "q89_token_drift" -> q89TokenDrift _,
+    "q99_dsir_select" -> q99DsirSelect _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -871,5 +1016,6 @@ object Curation {
     "q85_source_divergence" -> oracleQ85,
     "q86_temperature_weights" -> oracleQ86,
     "q89_token_drift" -> oracleQ89,
+    "q99_dsir_select" -> oracleQ99,
   )
 }

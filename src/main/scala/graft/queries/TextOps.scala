@@ -404,6 +404,32 @@ object TextOps {
     if (ordered) r.orderBy("doc_id") else r
   }
 
+  /** Fit a DSIR-style importance model (q99 semantics) from a TARGET
+    * frame (the small high-quality reference) and a RAW pool frame:
+    * a self-contained (token, c_t, c_r) count table, persistable as
+    * parquet (round-trip scores bit-identically — spec'd). See
+    * [[Curation.fitImportanceModel]] for the recipe and scale notes. */
+  def fitImportanceModel(target: DataFrame, raw: DataFrame, id: String,
+      text: String): DataFrame =
+    Curation.fitImportanceModel(norm(target, id, text),
+      norm(raw, id, text), "text")
+
+  /** Score any (id, text) frame under a fitted importance model: per
+    * document the exact fixed-point sum/mean of the add-1-smoothed
+    * target-vs-raw likelihood ratios and the `keep` selection verdict
+    * (q99 semantics; mean ratio ≥ `keepMinRatioFp`, default "more
+    * target-like than raw-like"). Tokens unseen at fit time take the
+    * neutral-prior ratio. Stateless given the model — streaming-legal
+    * with `ordered = false`; for a top-share policy, compose with
+    * [[Curation.fitPercentileThresholds]] over `mean_w_fp`. */
+  def importanceScore(df: DataFrame, id: String, text: String,
+      model: DataFrame, keepMinRatioFp: Long = 1000000L,
+      ordered: Boolean = true): DataFrame = {
+    val r = Curation.importanceScoreOf(norm(df, id, text), model, "text",
+      keepMinRatioFp)
+    if (ordered) r.orderBy("doc_id") else r
+  }
+
   /** PII detection + redaction over any (id, text) frame (q57 semantics):
     * per-pattern match counts (independent of scrub order) plus the md5
     * of the fully redacted text. Patterns live in

@@ -426,6 +426,42 @@ object EventStream {
     q
   }
 
+  /** Streaming DSIR SELECTION: score each micro-batch of crawl documents
+    * under a once-fitted importance model
+    * ([[graft.queries.Curation.fitImportanceModel]]) and emit the
+    * per-document (n_tokens, sum_w_fp, mean_w_fp, keep) verdicts — the
+    * ingest-time "does this document look like the target corpus"
+    * filter, applied before expensive downstream stages. The scoring is
+    * [[graft.queries.Curation.importanceScoreOf]] verbatim (q99
+    * semantics, `ordered = false` — stateless per batch), so a
+    * single-epoch run over the q99 raw slice reproduces the oracle rows
+    * bit-for-bit (pinned by `IngestPrepSpec`). Batch tokens unseen at
+    * fit time take the smoothed neutral-prior ratio — the serving path
+    * novel crawl vocabulary flows through by construction.
+    *
+    * Per-epoch cost is batch-proportional: the batch pre-aggregates to
+    * (doc, token, tf) before joining the CACHED-once model (AQE
+    * broadcasts it while it fits); the model totals are a |vocab|-row
+    * aggregate over that cached frame per epoch; nothing batch-derived
+    * is cached, so a long-lived stream accumulates nothing. */
+  def runImportanceScore(docStream: DataFrame, model: DataFrame,
+      id: String, text: String, checkpoint: String,
+      keepMinRatioFp: Long = 1000000L)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val ref = model.cache()
+    val q = docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(graft.queries.TextOps.importanceScore(batch, id, text, ref,
+          keepMinRatioFp, ordered = false), epochId)
+      }
+      .start()
+    try q.awaitTermination() finally ref.unpersist()
+    q
+  }
+
   /** Streaming PACKING LAYOUT: each micro-batch of admitted documents is
     * laid out on the global training-token stream CONTINUING from the
     * running tail — the append-only serving form of the q88

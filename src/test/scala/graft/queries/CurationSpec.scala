@@ -295,4 +295,57 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Double]("rare_ratio") == 0.5)
     }
   }
+
+  test("DSIR: hand-computed ratios, OOV neutral prior, null-text floor") {
+    // target: {good: 2}; raw: {bad: 3, good: 1}; V = 2, N_t = 2, N_r = 4
+    // w(good) = round(1e6 * (2+1) * (4+2) / ((1+1) * (2+2))) = 2_250_000
+    // w(bad)  = round(1e6 * (0+1) * 6 / ((3+1) * 4))         =   375_000
+    val target = Seq((0L, "good good")).toDF("doc_id", "text")
+    val raw = Seq((1L, "bad good"), (2L, "bad bad")).toDF("doc_id", "text")
+    val model = Curation.fitImportanceModel(target, raw, "text")
+    val byTok = model.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTok == Map("good" -> ((2L, 1L)), "bad" -> ((0L, 3L))))
+    val got = Curation.importanceScoreOf(raw, model, "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("sum_w_fp") == 2250000L + 375000L)
+    assert(got(0).getAs[Long]("mean_w_fp") == 1312500L)
+    assert(got(0).getAs[Boolean]("keep"))
+    assert(got(1).getAs[Long]("sum_w_fp") == 750000L)
+    assert(!got(1).getAs[Boolean]("keep"))
+    // serving a batch with a token unseen at fit time: the smoothed
+    // neutral-prior ratio (N_r+V)/(N_t+V) = 6/4 -> 1_500_000, keep=true
+    val novel = Seq((9L, "zzz")).toDF("doc_id", "text")
+    val n = Curation.importanceScoreOf(novel, model, "text").head()
+    assert(n.getAs[Long]("sum_w_fp") == 1500000L)
+    assert(n.getAs[Boolean]("keep"))
+    // null text never reaches the explode: scores (0, 0, 0, keep=false)
+    val nul = Seq((7L, null: String)).toDF("doc_id", "text")
+    val z = Curation.importanceScoreOf(nul, model, "text").head()
+    assert(z.getAs[Long]("n_tokens") == 0L &&
+      z.getAs[Long]("mean_w_fp") == 0L && !z.getAs[Boolean]("keep"))
+  }
+
+  test("DSIR: model round-trips through parquet; TextOps form == q99 binding") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val target = d.filter(col("doc_id") % Curation.DsirTargetMod === 0)
+    val raw = d.filter(col("doc_id") % Curation.DsirTargetMod =!= 0)
+    val model = Curation.fitImportanceModel(target, raw, "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    model.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val direct = Curation.importanceScoreOf(raw, model, "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(Curation.importanceScoreOf(raw, reloaded, "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq == direct)
+    // generic (id, text)-parameterized form on renamed columns is the
+    // same pipeline: inherits the q99 oracle verification
+    val renamed = raw.select(col("doc_id").as("k"), col("text").as("body"))
+    assert(TextOps.importanceScore(renamed, "k", "body", model)
+      .collect().map(_.toString).toSeq == direct)
+    assert(TextOps.fitImportanceModel(
+      target.select(col("doc_id").as("k"), col("text").as("body")),
+      renamed, "k", "body").orderBy("token").collect().map(_.toString).toSeq
+      == model.orderBy("token").collect().map(_.toString).toSeq)
+  }
 }

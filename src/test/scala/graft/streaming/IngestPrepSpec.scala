@@ -309,6 +309,47 @@ class IngestPrepSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSIR scoring: single-epoch == q99 bit-exact; multi-epoch union == batch") {
+    val d = graft.queries.Tables.load(spark, sfDir, "documents")
+    val target = d.filter(col("doc_id") % graft.queries.Curation.DsirTargetMod === 0)
+    val raw = d.filter(col("doc_id") % graft.queries.Curation.DsirTargetMod =!= 0)
+    // fit ONCE on the at-rest corpus — the serving artifact
+    val model = graft.queries.Curation.fitImportanceModel(target, raw, "text")
+    val want = graft.queries.Curation.q99DsirSelect(spark, sfDir)
+      .collect().toSeq
+    val inDir = Files.createTempDirectory("dsir_docs").toString
+    raw.select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    // single epoch: the streaming verdicts ARE the oracle-checked q99
+    val one = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    EventStream.runImportanceScore(
+      spark.readStream.schema(schema).parquet(inDir), model,
+      "doc_id", "text", Files.createTempDirectory("ckpt-dsir1").toString) {
+      (verdicts, _) => one ++= verdicts.collect()
+    }
+    assert(one.sortBy(_.getAs[Long]("doc_id")).map(_.toString).toSeq ==
+      want.map(_.toString), "single-epoch streaming DSIR diverged from q99")
+
+    // multi-epoch: scoring is stateless per document given the frozen
+    // model, so the union over epochs must equal the batch verdicts
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Seq[org.apache.spark.sql.Row]]
+    EventStream.runImportanceScore(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir), model,
+      "doc_id", "text", Files.createTempDirectory("ckpt-dsir2").toString) {
+      (verdicts, _) => epochs += verdicts.collect().toSeq
+    }
+    assert(epochs.size >= 2, "expected multiple micro-batches")
+    assert(epochs.flatten.sortBy(_.getAs[Long]("doc_id")).map(_.toString) ==
+      want.map(_.toString), "multi-epoch union diverged from batch q99")
+  }
+
   test("streaming BPE tokenization matches the batch encode across epochs") {
     import java.nio.file.Files
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
