@@ -306,14 +306,21 @@ object ScaleStress {
     // shift together), so each replica reproduces the 1× neighborhood
     // structure, while cross-replica cosines decorrelate; labels (the IVF
     // cells) are preserved, so cells grow 10× in membership, not in count.
+    // The shift is k MOD dims: beyond reps > dims a raw k would drive
+    // slice length negative (runtime error — hit at the first 100×/64-dim
+    // build); replicas at k ≡ 0 (mod dims) shift by 0 and stay correlated
+    // with replica 0, which only makes the stress HARDER (denser ANN
+    // buckets), never easier.
     val e = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val eReplicas = (0 until reps).map { k =>
+    val eDims = e.select(size(col("embedding"))).head().getInt(0)
+    val eReplicas = (0 until reps).map { rk =>
+      val k = rk % eDims
       val emb =
         if (k == 0) col("embedding")
         else concat(
           slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
           slice(col("embedding"), lit(1), lit(k)))
-      e.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+      e.select((col("vec_id") + lit(rk * 1000000L)).as("vec_id"),
         emb.as("embedding"), col("label"))
     }
     eReplicas.reduce(_.unionAll(_))

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * ([[TextDedup]], [[TextPipeline]], [[TextOps]]) composed into the
   * standard pipeline a training-data team actually runs —
   *
-  *   quality filter → PII scrub → exact dedup → near-dup dedup →
+  *   quality filter → (optional) DSIR importance selection →
+  *   PII scrub → exact dedup → near-dup dedup →
   *   (optional) graded benchmark decontamination →
   *   (optional) vocabulary normalization → sequence packing
   *
@@ -49,7 +50,15 @@ object CorpusPrep {
     * document whose text length falls below its STRATUM's num/den-th
     * percentile (q68 semantics, fitted per run on the post-rule
     * survivors) — e.g. (1, 10) trims the shortest ~10% of each stratum,
-    * the data-relative companion of the absolute q50 rules. */
+    * the data-relative companion of the absolute q50 rules.
+    * `importanceTarget`, when set to a (doc_id, text) reference frame,
+    * adds DSIR-style importance selection (q99 semantics) after the
+    * rule gates: the model is fitted target-vs-pool on the post-quality
+    * survivors and only target-leaning documents (mean fixed-point
+    * likelihood ratio ≥ `importanceMinRatioFp`, default "more
+    * target-like than raw-like") continue into dedup — the
+    * distribution-steering stage run before the expensive pair joins
+    * shrink the pool further. */
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
@@ -58,7 +67,9 @@ object CorpusPrep {
       contaminationMaxFrac: Double = 0.0,
       vocabKeepK: Option[Int] = None,
       nearDupDfCap: Option[Long] = Some(100L),
-      lengthGatePct: Option[(Int, Int)] = None)
+      lengthGatePct: Option[(Int, Int)] = None,
+      importanceTarget: Option[DataFrame] = None,
+      importanceMinRatioFp: Long = 1000000L)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -110,13 +121,32 @@ object CorpusPrep {
       case None => d1r
     }
 
+    // 1c. DSIR importance selection (optional): steer the surviving pool
+    // toward the target reference corpus (q99 semantics). Fitted
+    // target-vs-THIS-pool so the ratio is calibrated against what the
+    // pipeline actually holds; runs before dedup so the expensive pair
+    // joins only see target-leaning documents. The model is |vocab|-rows
+    // and the scoring join pre-aggregates to (doc, token, tf) — see
+    // [[Curation.importanceScoreOf]].
+    val d1i = cfg.importanceTarget match {
+      case Some(t) =>
+        val pool = d1.select(col("doc_id"), col("text"))
+        val keep = Curation.importanceScoreOf(pool,
+          Curation.fitImportanceModel(
+            t.select(col("doc_id"), col("text")), pool, "text"),
+          "text", cfg.importanceMinRatioFp)
+          .filter(col("keep")).select(col("doc_id"))
+        d1.join(keep, Seq("doc_id"), "left_semi")
+      case None => d1
+    }
+
     // 2. PII scrub — rewrites text in place (downstream hashes see the
     // scrubbed form, so a dup differing only in its PII still collapses)
     val d2 =
       if (cfg.scrubPii)
-        d1.select(col("doc_id"),
+        d1i.select(col("doc_id"),
           TextPipeline.redactedTextCol(col("text")).as("text"), col(strata))
-      else d1
+      else d1i
 
     // 3. exact dedup: lowest id per content hash survives
     val exactKeep = d2
@@ -183,9 +213,10 @@ object CorpusPrep {
       stage(-1, "input", dIn), stage(0, "url_filter", d0),
       stage(1, "quality", d1r)) ++
       cfg.lengthGatePct.map(_ => stage(2, "length_gate", d1)).toSeq ++
-      Seq(stage(3, "pii_scrub", d2), stage(4, "exact_dedup", d3),
-        stage(5, "near_dedup", d4), stage(6, "decontaminated", d5),
-        stage(7, "vocab_normalized", d6)))
+      cfg.importanceTarget.map(_ => stage(3, "importance_select", d1i)).toSeq ++
+      Seq(stage(4, "pii_scrub", d2), stage(5, "exact_dedup", d3),
+        stage(6, "near_dedup", d4), stage(7, "decontaminated", d5),
+        stage(8, "vocab_normalized", d6)))
       .reduce(_.unionAll(_))
 
     val release = () => {

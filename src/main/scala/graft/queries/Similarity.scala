@@ -636,6 +636,51 @@ object Similarity {
   }
 
   // =====================================================================
+  // q100: per-cell diversity sampling (keep each cluster's outer shell)
+  // =====================================================================
+
+  /** Per-cell diversity subsample ([[VectorOps.diverseSampleIndexed]]
+    * semantics): within each label cell keep the least-prototypical
+    * QUARTER (≥ 1 per cell) by centroid cosine ascending — the
+    * cluster-coverage-preserving training subsample (every cell stays
+    * represented; prototype-adjacent redundancy goes first), the
+    * selection-shaped companion of q82's prune flags. */
+  def q100DiverseSample(s: SparkSession, dir: String): DataFrame =
+    VectorOps.diverseSampleIndexed(emb(s, dir), cell = "label",
+      num = 1, den = 4)
+      .orderBy("label", "vec_id")
+
+  val oracleQ100: String = {
+    val nrm = oDot("e.efp", "e.efp")
+    s"""WITH $oEfpCte,
+       |ex AS (
+       |  SELECT vec_id, label, generate_subscripts(efp, 1) AS i, unnest(efp) AS x
+       |  FROM efp),
+       |cells AS (SELECT label, i, sum(x) AS sx FROM ex GROUP BY label, i),
+       |cn AS (SELECT label, sum(CAST(sx AS HUGEINT)*sx) AS cnorm
+       |       FROM cells GROUP BY label),
+       |dots AS (
+       |  SELECT ex.vec_id, ex.label, sum(ex.x * cells.sx) AS dotc
+       |  FROM ex JOIN cells ON ex.label = cells.label AND ex.i = cells.i
+       |  GROUP BY ex.vec_id, ex.label),
+       |base AS (
+       |  SELECT d.label, d.vec_id,
+       |    round(${oCos("dotc", nrm, "cnorm")}, 6) AS cos_c
+       |  FROM dots d JOIN efp e ON e.vec_id = d.vec_id
+       |  JOIN cn ON cn.label = d.label),
+       |r AS (
+       |  SELECT label, vec_id, cos_c,
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_cell
+       |  FROM base)
+       |SELECT label, vec_id, cos_c, rnk, n_cell,
+       |  GREATEST(1, (n_cell * 1) // 4) AS quota
+       |FROM r WHERE rnk <= GREATEST(1, (n_cell * 1) // 4)
+       |ORDER BY label, vec_id""".stripMargin
+  }
+
+  // =====================================================================
   // q87: embedding dimension health report
   // =====================================================================
 
@@ -720,6 +765,7 @@ object Similarity {
     "q63_semantic_incremental" -> q63SemanticIncremental _,
     "q81_ann_recall" -> q81AnnRecall _,
     "q82_prototypicality" -> q82Prototypicality _,
+    "q100_diverse_sample" -> q100DiverseSample _,
     "q87_dimension_stats" -> q87DimensionStats _,
     "q91_referential_audit" -> q91ReferentialAudit _,
     "q96_knn_pq" -> q96KnnPq _,
@@ -735,6 +781,7 @@ object Similarity {
     "q63_semantic_incremental" -> oracleQ63,
     "q81_ann_recall" -> oracleQ81,
     "q82_prototypicality" -> oracleQ82,
+    "q100_diverse_sample" -> oracleQ100,
     "q87_dimension_stats" -> oracleQ87,
     "q91_referential_audit" -> oracleQ91,
     "q96_knn_pq" -> oracleQ96,

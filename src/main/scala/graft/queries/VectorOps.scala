@@ -842,6 +842,42 @@ object VectorOps {
     prototypicalityIndexed(index(df, id, vec, Seq(cell)), cell, pruneTenths)
 
   // =====================================================================
+  // Per-cell diversity sampling (q100 semantics)
+  // =====================================================================
+
+  /** Diversity-preserving per-cell subsample: within every cell keep the
+    * `num/den` LEAST prototypical fraction (cosine to the exact
+    * integer-sum cell centroid, ascending — the cluster's outer shell),
+    * at least one per cell, ties on id. The coreset-flavored companion
+    * of [[prototypicalityIndexed]]: where q82 FLAGS the most redundant
+    * examples for pruning, this SELECTS the per-cluster spread a
+    * balanced training subsample keeps — cluster-coverage-preserving by
+    * construction (every cell retains ≥ 1 member), redundancy-dropping
+    * by ranking (prototype-adjacent members go first). Quota is exact
+    * integer arithmetic: `greatest(1, (n_cell·num) div den)`.
+    *
+    * Output per kept vector: (cell, vec_id, cos_c, rnk, n_cell, quota).
+    *
+    * Scale: identical to q82 — centroids are a |cells|-row broadcast
+    * aggregate, the rank window partitions by cell (bounded by cell
+    * membership; size cells via the q37/kmeans k knob), and the quota
+    * is a projection on the already-computed window counts. */
+  def diverseSampleIndexed(idx: DataFrame, cell: String, num: Int,
+      den: Int): DataFrame = {
+    require(num >= 1 && den >= num, s"need 1 <= num <= den (got $num/$den)")
+    val quota = greatest(lit(1L), expr(s"(n_cell * $num) div $den"))
+    prototypicalityIndexed(idx, cell)
+      .withColumn("quota", quota)
+      .filter(col("rnk") <= col("quota"))
+      .select(col(cell), col("vec_id"), col("cos_c"), col("rnk"),
+        col("n_cell"), col("quota"))
+  }
+
+  def diverseSample(df: DataFrame, id: String, vec: String, cell: String,
+      num: Int, den: Int): DataFrame =
+    diverseSampleIndexed(index(df, id, vec, Seq(cell)), cell, num, den)
+
+  // =====================================================================
   // Embedding dimension health report (q87 semantics)
   // =====================================================================
 

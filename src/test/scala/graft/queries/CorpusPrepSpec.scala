@@ -88,6 +88,35 @@ class CorpusPrepSpec extends SparkSpec {
     plain.release(); normed.release()
   }
 
+  test("importance stage drops target-unlike docs; every survivor passed its gate") {
+    val target = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id"), col("text"))
+    val sel = CorpusPrep.prepare(docs, "doc_id", "text", "source", Some(bench),
+      CorpusPrep.Config(importanceTarget = Some(target)))
+    try {
+      val stats = sel.stats.orderBy("stage_ord").collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+      assert(stats.contains("importance_select"), "stage missing from stats")
+      assert(stats("importance_select") < stats("quality"),
+        "importance stage dropped nothing — fixture degenerate")
+      // reconstruct the stage's own keep set (model fitted target-vs-pool
+      // on the post-quality survivors, exactly as the pipeline does) and
+      // check every pipeline survivor was marked keep by it. NOT a
+      // subset-of-plain-run check: removing docs before dedup can change
+      // which cluster member is the min-id representative.
+      val pool = docs.select(col("doc_id"), col("text")).join(
+        TextDedup.qualityFilterOf(docs.select(col("doc_id"), col("text")))
+          .filter(col("keep") === 1L).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val keep = Curation.importanceScoreOf(pool,
+        Curation.fitImportanceModel(target, pool, "text"), "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val escaped = sel.survivors.select(col("doc_id"))
+        .join(keep, Seq("doc_id"), "left_anti").count()
+      assert(escaped == 0L, s"$escaped survivors never passed the importance gate")
+    } finally sel.release()
+  }
+
   test("length gate trims each stratum's short tail, subset of the ungated run") {
     val gated = CorpusPrep.prepare(docs, "doc_id", "text", "source",
       Some(bench), CorpusPrep.Config(lengthGatePct = Some((1, 10))))

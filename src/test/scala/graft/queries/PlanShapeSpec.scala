@@ -511,4 +511,32 @@ class PlanShapeSpec extends SparkSpec {
       s"token df not map-side combined:\n${p.take(2000)}")
     assert(!p.contains("Window "), "df computed via window (no partial agg)")
   }
+
+  test("q99 DSIR: partial-aggregated counts, broadcast model join, no corpus self-join") {
+    val df = Curation.q99DsirSelect(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // fit counts and per-doc tf both map-side combine before their shuffle
+    assert(p.contains("partial_count"),
+      s"token counts not partial-aggregated:\n${p.take(2000)}")
+    // the scoring join probes the MODEL (an aggregate), never raw corpus
+    // against raw corpus — the q56 contract
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val selfJoins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.left.collectLeaves().toString.contains("documents") &&
+            j.right.collectLeaves().toString.contains("documents") &&
+            !j.right.toString.contains("HashAggregate") &&
+            !j.right.toString.contains("Exchange") => j
+    }
+    assert(selfJoins.isEmpty, "scoring joined raw corpus to raw corpus")
+    assert(!p.contains("CartesianProduct"),
+      "totals must ride a broadcast nested loop of ONE row, not a cartesian")
+    // the |vocab|-sized model broadcasts into the scoring join at this SF
+    assert(p.contains("BroadcastHashJoin"),
+      "model join did not broadcast at sf scale")
+  }
 }

@@ -323,4 +323,42 @@ class VectorOpsSpec extends SparkSpec {
     assert(got("__unmatched__") == Seq(0L, 0L, 0L, 0L, 0L, 1L),
       s"orphan row wrong: ${got("__unmatched__")}")
   }
+
+  test("diverseSample == q100 on renamed columns") {
+    val got = VectorOps.diverseSample(renamed, "vid", "v", "tag", 1, 4)
+      .withColumnRenamed("tag", "label")
+      .orderBy("label", "vec_id")
+    assert(rows(got) == rows(Similarity.q100DiverseSample(spark, sfDir)))
+  }
+
+  test("diverseSample keeps exactly the quota per cell, lowest-cos first, >= 1 always") {
+    val sel = VectorOps.diverseSample(renamed, "vid", "v", "tag", 1, 4)
+    val proto = VectorOps.prototypicality(renamed, "vid", "v", "tag")
+    // per cell: kept count == greatest(1, n_cell div 4), and the kept set
+    // is the rank-prefix (max kept rnk == count) — the least prototypical
+    val perCell = sel.groupBy("tag")
+      .agg(count(lit(1)).as("kept"), max(col("rnk")).as("maxr"),
+        min(col("quota")).as("q"), min(col("n_cell")).as("nc"))
+      .collect()
+    assert(perCell.nonEmpty)
+    perCell.foreach { r =>
+      val want = math.max(1L, r.getAs[Long]("nc") / 4L)
+      assert(r.getAs[Long]("kept") == want, s"cell ${r.get(0)}: quota off")
+      assert(r.getAs[Long]("maxr") == want, s"cell ${r.get(0)}: not rank-prefix")
+      assert(r.getAs[Long]("q") == want)
+    }
+    // every cell of the corpus stays represented
+    assert(sel.select("tag").distinct().count() ==
+      proto.select("tag").distinct().count())
+    // a singleton cell keeps its only member even though n/4 rounds to 0
+    val sp = spark
+    import sp.implicits._
+    val one = Seq((1L, Array(1.0f, 0.0f), "solo"),
+      (2L, Array(0.9f, 0.1f), "duo"), (3L, Array(0.0f, 1.0f), "duo"),
+      (4L, Array(0.5f, 0.5f), "duo")).toDF("vid", "v", "tag")
+    val kept = VectorOps.diverseSample(one, "vid", "v", "tag", 1, 4)
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Long]("vec_id"))
+    assert(kept.count(_._1 == "solo") == 1)
+    assert(kept.count(_._1 == "duo") == 1)
+  }
 }
