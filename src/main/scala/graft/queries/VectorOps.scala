@@ -877,6 +877,18 @@ object VectorOps {
       num: Int, den: Int): DataFrame =
     diverseSampleIndexed(index(df, id, vec, Seq(cell)), cell, num, den)
 
+  /** [[kmeansCells]] + [[diverseSampleIndexed]] in one call: train the
+    * cells from the corpus itself, then keep each learned cluster's
+    * least-prototypical `num/den` — diversity sampling over a frame with
+    * NO pre-existing cell column (the common case: a raw embedding dump).
+    * Deterministic end to end (hash-seeded k-means, id tie-breaks). */
+  def diverseSampleAuto(df: DataFrame, id: String, vec: String, num: Int,
+      den: Int, nCells: Int, iters: Int = 5): DataFrame = {
+    val idx = index(df, id, vec)
+    val withCells = idx.join(kmeansCells(idx, nCells, iters), "vec_id")
+    diverseSampleIndexed(withCells, "cell", num, den)
+  }
+
   // =====================================================================
   // Embedding dimension health report (q87 semantics)
   // =====================================================================

@@ -361,4 +361,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(kept.count(_._1 == "solo") == 1)
     assert(kept.count(_._1 == "duo") == 1)
   }
+
+  test("diverseSampleAuto learns cells, covers all of them, and is deterministic") {
+    val sel = VectorOps.diverseSampleAuto(renamed, "vid", "v",
+      num = 1, den = 4, nCells = 8)
+    val again = VectorOps.diverseSampleAuto(renamed, "vid", "v",
+      num = 1, den = 4, nCells = 8)
+    assert(rows(sel.orderBy("cell", "vec_id")) ==
+      rows(again.orderBy("cell", "vec_id")), "auto path not deterministic")
+    val perCell = sel.groupBy("cell")
+      .agg(count(lit(1)).as("kept"), min(col("n_cell")).as("nc")).collect()
+    assert(perCell.nonEmpty && perCell.length <= 8)
+    perCell.foreach { r =>
+      assert(r.getAs[Long]("kept") == math.max(1L, r.getAs[Long]("nc") / 4L))
+    }
+    // learned cells partition the corpus: kept counts sum to the quota sum
+    val total = sel.count()
+    assert(total >= 1L && total <= renamed.count() / 4 + 8)
+  }
 }
