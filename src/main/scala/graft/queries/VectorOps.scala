@@ -105,17 +105,53 @@ object VectorOps {
     * wide buckets, because that is what the S-curve demands there — a
     * low-threshold pair family is where the text-side MinHash machinery
     * (calibrated K/bands, q79) is the better tool.
+    *
+    * Above the occupancy floor the shape DEEPENS further by an explicit
+    * per-row cost model — cost(bits) ∝ bands(bits)·(rows/2^bits + bits),
+    * candidate volume plus signature plane-dots in the same 64-dim-dot
+    * units — minimized over the bits whose recall-matched band count
+    * fits the (maxBands, maxPlanes) budget. Each extra bit multiplies
+    * candidate volume by 1/(2p) < 1 while bands grow only 1/p, so large
+    * corpora deepen and small ones stay shallow. The 100× sweep
+    * measured the model's ranking monotone end to end: 498 s at the old
+    * 11-bit/12-band cap → 344 s at the model's 14/19 pick (BENCH_NOTES
+    * r12 100× section). `maxPlanes = 288` is the codegen ceiling: a
+    * 416-plane signature projection exceeds janino's 64 KB method limit
+    * (measured), 266 compiles fine.
     * Corpora ≤ targetBucketRows·2^4 resolve to exactly (16, 4) at any
     * threshold — the oracle-checked baseline. */
   def autoShape(rows: Long, minCos: Double, targetBucketRows: Int = 64,
-      maxBands: Int = 12): (Int, Int) = {
+      maxBands: Int = 20, maxPlanes: Int = 288): (Int, Int) = {
     val p = pBit(minCos)
     def bandsFor(bits: Int): Int =
       math.max(4, math.ceil(4.0 / math.pow(p, (bits - 4).toDouble)).toInt)
-    var bits = autoBitsPer(rows, targetBucketRows)
-    while (bits > 4 && bandsFor(bits) > maxBands) bits -= 1
-    val b = math.min(maxBands, bandsFor(bits))
-    (bits * b, b)
+    def fits(bits: Int): Boolean =
+      bandsFor(bits) <= maxBands && bits * bandsFor(bits) <= maxPlanes
+    // per-row cost in candidate-refine units: each band contributes
+    // ~rows/2^bits expected candidates (a 64-dim dot + a shuffle row
+    // each) plus `bits` plane-dots of signature work — the minimizer
+    // deepens large corpora (200k @0.9 -> 14 bits/19 bands) and keeps
+    // small ones shallow (2k -> 9/9), where a deep signature is all
+    // compile+dot cost and no candidate savings (measured 10.8 s vs
+    // 2.96 s when a first always-deepen design shipped it)
+    def cost(bits: Int): Double =
+      bandsFor(bits).toDouble * (rows.toDouble / (1L << bits) + bits)
+    val occBits = autoBitsPer(rows, targetBucketRows)
+    val deeper = (occBits to 16).filter(fits)
+    val bits =
+      if (occBits > 4 && deeper.nonEmpty)
+        deeper.minBy(cost)
+      else {
+        // low-threshold regime: even the occupancy bits demand more
+        // bands than the budget — back off (occupancy grows, recall
+        // does not silently drop); ≤ 1024-row corpora land here at 4
+        // bits and resolve to the (16, 4) oracle baseline
+        var b = occBits
+        while (b > 4 && !fits(b)) b -= 1
+        b
+      }
+    val nb = math.min(maxBands, bandsFor(bits))
+    (bits * nb, nb)
   }
 
   /** Bounded memo of row counts keyed by canonicalized logical plan:
