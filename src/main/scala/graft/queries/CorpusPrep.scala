@@ -127,14 +127,22 @@ object CorpusPrep {
     // pipeline actually holds; runs before dedup so the expensive pair
     // joins only see target-leaning documents. The model is |vocab|-rows
     // and the scoring join pre-aggregates to (doc, token, tf) — see
-    // [[Curation.importanceScoreOf]].
-    val d1i = cfg.importanceTarget match {
-      case Some(t) =>
-        val pool = d1.select(col("doc_id"), col("text"))
-        val keep = Curation.importanceScoreOf(pool,
-          Curation.fitImportanceModel(
-            t.select(col("doc_id"), col("text")), pool, "text"),
-          "text", cfg.importanceMinRatioFp)
+    // [[Curation.importanceScoreOf]]. The model is CACHED (the q99
+    // binding's rationale): importanceScoreOf consumes it twice (totals
+    // aggregate + scoring join) and the keep frame feeds every
+    // downstream stage/stat — uncached, the two corpus-wide count
+    // aggregates would re-execute per consumer. Released in release().
+    val importanceModel = cfg.importanceTarget.map { t =>
+      Caching.cached(
+        Curation.fitImportanceModel(t.select(col("doc_id"), col("text")),
+          d1.select(col("doc_id"), col("text")), "text"),
+        "spark.graft.dedup.storageLevel")
+    }
+    val d1i = importanceModel match {
+      case Some(m) =>
+        val keep = Curation.importanceScoreOf(
+          d1.select(col("doc_id"), col("text")), m, "text",
+          cfg.importanceMinRatioFp)
           .filter(col("keep")).select(col("doc_id"))
         d1.join(keep, Seq("doc_id"), "left_semi")
       case None => d1
@@ -228,6 +236,7 @@ object CorpusPrep {
         case None => pairs.unpersist(false)
       }
       TextDedup.unpersistDerivationsOf(d3Text)
+      importanceModel.foreach(_.unpersist(false))
     }
     Prepared(packed, d6, stats, release)
   }

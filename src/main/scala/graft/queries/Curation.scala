@@ -900,6 +900,19 @@ object Curation {
     * neutral-prior ratio (N_r+V)/(N_t+V) — rather than erroring or
     * dropping mass. Zero-token documents score (0, 0, 0, keep=false).
     *
+    * 64-bit range contract (the family-wide exactness rule): sum_w_fp
+    * is exact while Σ_doc tf·w_fp < 2^63 ≈ 9.2·10^18 — i.e. ~9·10^12
+    * micro-ratio-units per document. w_fp ≈ 1e6 × (the token's
+    * target-vs-raw probability ratio); a document would need ~10^7
+    * occurrences of a 10^6-ratio token (a target-exclusive token seen
+    * ~N_t times against a single raw occurrence) to wrap. Degenerate
+    * fits — a few-token target against a trillion-token pool — can
+    * manufacture such ratios; keep the target a non-vanishing sample
+    * (≥ ~1e-6 of the pool mass) and the contract holds with orders of
+    * magnitude to spare. On overflow Spark (non-ANSI) would wrap while
+    * DuckDB's HUGEINT sum errors on the BIGINT cast — loud on the
+    * oracle side, which is the side the gate would catch.
+    *
     * Scale: batch-proportional. Occurrences pre-aggregate to
     * (doc_id, token, tf) BEFORE the model join — hot tokens become one
     * row per document, so the token-keyed equi-join (AQE broadcasts the

@@ -606,7 +606,13 @@ object Similarity {
       pruneTenths = 1)
       .orderBy("label", "vec_id")
 
-  val oracleQ82: String = {
+  /** Shared CTE chain of the centroid-cosine family (q82 prune flags /
+    * q100 diversity selection): per-label exact integer-sum centroids,
+    * per-vector centroid cosine (rounded once), the ascending
+    * prototypicality rank and cell size — one copy, so a fix to the
+    * shared shape (the HUGEINT cnorm cast, the round-6 expression)
+    * cannot desynchronize the two oracles. */
+  private val oCentroidRankCtes: String = {
     val nrm = oDot("e.efp", "e.efp")
     s"""WITH $oEfpCte,
        |ex AS (
@@ -629,11 +635,14 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY label
        |      ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk,
        |    CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_cell
-       |  FROM base)
+       |  FROM base)""".stripMargin
+  }
+
+  val oracleQ82: String =
+    s"""$oCentroidRankCtes
        |SELECT label, vec_id, cos_c, rnk, n_cell,
        |  CAST(CASE WHEN rnk*10 <= n_cell*1 THEN 1 ELSE 0 END AS BIGINT) AS prune
        |FROM r ORDER BY label, vec_id""".stripMargin
-  }
 
   // =====================================================================
   // q100: per-cell diversity sampling (keep each cluster's outer shell)
@@ -650,35 +659,12 @@ object Similarity {
       num = 1, den = 4)
       .orderBy("label", "vec_id")
 
-  val oracleQ100: String = {
-    val nrm = oDot("e.efp", "e.efp")
-    s"""WITH $oEfpCte,
-       |ex AS (
-       |  SELECT vec_id, label, generate_subscripts(efp, 1) AS i, unnest(efp) AS x
-       |  FROM efp),
-       |cells AS (SELECT label, i, sum(x) AS sx FROM ex GROUP BY label, i),
-       |cn AS (SELECT label, sum(CAST(sx AS HUGEINT)*sx) AS cnorm
-       |       FROM cells GROUP BY label),
-       |dots AS (
-       |  SELECT ex.vec_id, ex.label, sum(ex.x * cells.sx) AS dotc
-       |  FROM ex JOIN cells ON ex.label = cells.label AND ex.i = cells.i
-       |  GROUP BY ex.vec_id, ex.label),
-       |base AS (
-       |  SELECT d.label, d.vec_id,
-       |    round(${oCos("dotc", nrm, "cnorm")}, 6) AS cos_c
-       |  FROM dots d JOIN efp e ON e.vec_id = d.vec_id
-       |  JOIN cn ON cn.label = d.label),
-       |r AS (
-       |  SELECT label, vec_id, cos_c,
-       |    CAST(row_number() OVER (PARTITION BY label
-       |      ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk,
-       |    CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_cell
-       |  FROM base)
+  val oracleQ100: String =
+    s"""$oCentroidRankCtes
        |SELECT label, vec_id, cos_c, rnk, n_cell,
        |  GREATEST(1, (n_cell * 1) // 4) AS quota
        |FROM r WHERE rnk <= GREATEST(1, (n_cell * 1) // 4)
        |ORDER BY label, vec_id""".stripMargin
-  }
 
   // =====================================================================
   // q87: embedding dimension health report
