@@ -177,4 +177,47 @@ class HofReferenceSpec extends SparkSpec {
         s"doc $id '${text.take(60)}': got ${got(id)}, want ${want(id)}")
     }
   }
+
+  // ---- q99 DSIR importance scoring (Curation.importanceScoreOf) ----
+
+  test("importanceScoreOf == plain-Scala reference on the adversarial corpus") {
+    // denser target slice (%3) than the corpus binding's %19 so the
+    // 128-doc adversarial corpus exercises both keep outcomes broadly
+    val targetRows = corpus.filter(_._1 % 3 == 0)
+    val rawRows = corpus.filter(_._1 % 3 != 0)
+    def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+    val cT = targetRows.flatMap(r => toks(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cR = rawRows.flatMap(r => toks(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = cT.values.sum
+    val nR = cR.values.sum
+    val v = (cT.keySet ++ cR.keySet).size.toLong
+    // EXACT double evaluation order of the implementation/oracle:
+    // ((1e6 * (c_t+1)) * (n_r+v)) / ((c_r+1) * (n_t+v)), one round
+    def wFp(tok: String): Long = math.round(
+      1e6 * (cT.getOrElse(tok, 0L) + 1L).toDouble * (nR + v).toDouble /
+        ((cR.getOrElse(tok, 0L) + 1L).toDouble * (nT + v).toDouble))
+    val want = rawRows.map { case (id, text) =>
+      val ws = toks(text).map(wFp)
+      val sum = ws.sum
+      val mean = math.round(sum.toDouble / ws.length)
+      id -> ((ws.length.toLong, sum, mean, mean >= 1000000L))
+    }.toMap
+    val s = spark
+    import s.implicits._
+    val targetDf = targetRows.toDF("doc_id", "text")
+    val rawDf = rawRows.toDF("doc_id", "text")
+    val got = Curation.importanceScoreOf(rawDf,
+      Curation.fitImportanceModel(targetDf, rawDf, "text"), "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == rawRows.size)
+    rawRows.foreach { case (id, text) =>
+      assert(got(id) == want(id),
+        s"doc $id '${text.take(60)}': got ${got(id)}, want ${want(id)}")
+    }
+    // sanity: the adversarial corpus produces both verdicts
+    assert(want.values.exists(_._4) && want.values.exists(!_._4))
+  }
 }
