@@ -539,7 +539,17 @@ object TextDedup {
     * scale. For larger corpora / higher thresholds the same construction
     * extends to chunk-TRIPLE keys (C(10,3) over 10 chunks, complete for
     * d<=7) or Manku et al.'s permuted sorted tables (WWW'07).
-    * All integer arithmetic — bit-exact across engines. */
+    * All integer arithmetic — bit-exact across engines.
+    *
+    * Scale envelope (measured, r12 100× sweep): the 16-bit key space
+    * saturates near ~500k docs — bucket occupancy crosses 1 between the
+    * 10× and 100× fixtures, after which candidate volume grows
+    * ~n²·28/2^16. q31 itself stays cheap at 100× (the hamming filter
+    * prunes inside the join: 4 s), but consumers that attach PAYLOADS to
+    * every candidate (q80's exact-Jaccard calibration joins the shingle
+    * arrays) feel the n² first — at that scale move to chunk-triple keys
+    * or run the calibration on a hash-mod document sample (it is a
+    * measurement, not a pipeline stage). */
   def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Bit-count packing: each hex digit's 4 bits are spread into four
     // 16-bit fields of ONE long (bit k of d at field k) via a 16-entry

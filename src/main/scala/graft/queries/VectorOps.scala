@@ -106,20 +106,28 @@ object VectorOps {
     * low-threshold pair family is where the text-side MinHash machinery
     * (calibrated K/bands, q79) is the better tool.
     *
-    * Above the occupancy floor the shape DEEPENS further by an explicit
-    * per-row cost model — cost(bits) ∝ bands(bits)·(rows/2^bits + bits),
-    * candidate volume plus signature plane-dots in the same 64-dim-dot
-    * units — minimized over the bits whose recall-matched band count
-    * fits the (maxBands, maxPlanes) budget. Each extra bit multiplies
-    * candidate volume by 1/(2p) < 1 while bands grow only 1/p, so large
-    * corpora deepen and small ones stay shallow. The 100× sweep
-    * measured the model's ranking monotone end to end: 498 s at the old
-    * 11-bit/12-band cap → 344 s at the model's 14/19 pick (BENCH_NOTES
-    * r12 100× section). `maxPlanes = 288` is the codegen ceiling: a
-    * 416-plane signature projection exceeds janino's 64 KB method limit
-    * (measured), 266 compiles fine.
+    * At [[DeepenMinBits]]-and-above occupancy bits (≳128k rows) the
+    * shape DEEPENS further by an explicit per-row cost model —
+    * cost(bits) ∝ bands(bits)·(rows/2^bits + bits), random-candidate
+    * volume plus signature plane-dots in the same 64-dim-dot units —
+    * minimized over the bits whose recall-matched band count fits the
+    * (maxBands, maxPlanes) budget. The gate is empirical: the in-round
+    * A/B measured deepening monotonically WINNING at 200k rows (498 s
+    * at 11/12 → 344 s at the model's 14/19 pick) and LOSING at 20k
+    * ((81,9) 14.0 s vs (168,14) 23.8 s warm) — on clustered embeddings
+    * true pairs collide in ~every band, so below the random-collision
+    * scale extra bands are pure cost and the occupancy shape ships
+    * unchanged (BENCH_NOTES r12 100× section). `maxPlanes = 288` is
+    * the codegen ceiling: a 416-plane signature projection exceeds
+    * janino's 64 KB method limit (measured), 266 compiles fine.
     * Corpora ≤ targetBucketRows·2^4 resolve to exactly (16, 4) at any
     * threshold — the oracle-checked baseline. */
+  /** Deepening threshold for [[autoShape]]: the occupancy-bit count
+    * (≈ log2(rows/64)) above which the cost-model deepening is trusted —
+    * 12 bits ≈ 128k rows at the default occupancy target, the scale
+    * where the in-round A/B measured deepening winning (see autoShape). */
+  val DeepenMinBits = 12
+
   def autoShape(rows: Long, minCos: Double, targetBucketRows: Int = 64,
       maxBands: Int = 20, maxPlanes: Int = 288): (Int, Int) = {
     val p = pBit(minCos)
@@ -128,19 +136,25 @@ object VectorOps {
     def fits(bits: Int): Boolean =
       bandsFor(bits) <= maxBands && bits * bandsFor(bits) <= maxPlanes
     // per-row cost in candidate-refine units: each band contributes
-    // ~rows/2^bits expected candidates (a 64-dim dot + a shuffle row
-    // each) plus `bits` plane-dots of signature work — the minimizer
-    // deepens large corpora (200k @0.9 -> 14 bits/19 bands) and keeps
-    // small ones shallow (2k -> 9/9), where a deep signature is all
-    // compile+dot cost and no candidate savings (measured 10.8 s vs
-    // 2.96 s when a first always-deepen design shipped it)
+    // ~rows/2^bits expected RANDOM candidates (a 64-dim dot + a shuffle
+    // row each) plus `bits` plane-dots of signature work. The model
+    // only counts random collisions, so it is trusted only at the scale
+    // where they dominate: the in-round A/B measured deepening a WIN at
+    // 200k rows ((266,19) 344 s vs occupancy (168,14) 449 s, monotone)
+    // but a LOSS at 20k ((81,9) 14.0 s vs (168,14) 23.8 s warm) — on
+    // clustered data true pairs collide in ~every band, so extra bands
+    // are pure cost until random-bucket mass is large. Hence deepening
+    // is gated to occBits >= DeepenMinBits (~128k rows at the default
+    // occupancy target); below that the occupancy shape ships as-is.
     def cost(bits: Int): Double =
       bandsFor(bits).toDouble * (rows.toDouble / (1L << bits) + bits)
     val occBits = autoBitsPer(rows, targetBucketRows)
     val deeper = (occBits to 16).filter(fits)
     val bits =
-      if (occBits > 4 && deeper.nonEmpty)
+      if (occBits >= DeepenMinBits && deeper.nonEmpty)
         deeper.minBy(cost)
+      else if (occBits > 4 && fits(occBits))
+        occBits
       else {
         // low-threshold regime: even the occupancy bits demand more
         // bands than the budget — back off (occupancy grows, recall

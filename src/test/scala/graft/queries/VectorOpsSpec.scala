@@ -144,14 +144,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(VectorOps.pBit(0.9) - 0.8564) < 1e-3)
     assert(math.abs(VectorOps.pBit(0.35) - 0.6139) < 1e-3)
     assert(math.abs(VectorOps.pBit(1.0) - 1.0) < 1e-12)
-    // near-dup threshold: the cost model deepens past the occupancy
-    // bits exactly while candidate savings beat signature cost — 12
-    // bits / 14 bands at 20k rows, 14/19 at 200k (the measured 100x
-    // optimum, BENCH_NOTES r12), 9/9 at 2k where deep signatures are
-    // pure overhead
-    assert(VectorOps.autoShape(20000L, 0.9) == (168, 14))
+    // near-dup threshold: occupancy shapes below the deepening scale
+    // ((25,5) at 2k, (81,9) at 20k — the measured 10x winners), the
+    // cost-model deepened 14/19 at 200k (the measured 100x optimum,
+    // BENCH_NOTES r12)
+    assert(VectorOps.autoShape(20000L, 0.9) == (81, 9))
     assert(VectorOps.autoShape(200000L, 0.9) == (266, 19))
-    assert(VectorOps.autoShape(2000L, 0.9) == (81, 9))
+    assert(VectorOps.autoShape(2000L, 0.9) == (25, 5))
     // low threshold: the S-curve demands more bands than the budget at
     // the occupancy bits, so bitsPer backs off until it fits — recall
     // is held, occupancy (cost) grows instead of recall silently
