@@ -330,12 +330,25 @@ object EventStream {
     * (out-of-vocabulary tokens become `<UNK>`) before reaching the
     * sink, which then receives (`id`, `text`) with the text normalized.
     * The keep-list is bounded and broadcasts; the rebuild cost is
-    * batch-proportional. */
+    * batch-proportional.
+    *
+    * `importanceModel`, when set, is a PRE-FITTED DSIR model from
+    * [[graft.queries.Curation.fitImportanceModel]] (fit once on
+    * target + at-rest pool — the q99/CorpusPrep stage's serving
+    * artifact): after the quality rules and before the scrub, only
+    * documents whose mean fixed-point likelihood ratio is ≥
+    * `importanceMinRatioFp` (default "more target-like than raw-like")
+    * continue — the same stage order as the batch pipeline. The model
+    * is cached once across epochs and released on termination; scoring
+    * is batch-proportional (see importanceScoreOf). */
   def runIngestPrep(docStream: DataFrame, corpus: DataFrame,
       id: String, text: String, checkpoint: String, threshold: Double = 0.5,
-      vocab: Option[DataFrame] = None)
+      vocab: Option[DataFrame] = None,
+      importanceModel: Option[DataFrame] = None,
+      importanceMinRatioFp: Long = 1000000L)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
+    val impRef = importanceModel.map(_.cache())
     val q = docStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -345,8 +358,19 @@ object EventStream {
           .qualityFilter(batch, id, text, ordered = false)
           .filter(col("keep") === 1L)
           .select(col("doc_id").as("__keep_id"))
-        val scrubbed = batch
+        val ruleKept = batch
           .join(keepIds, col(id).cast("long") === col("__keep_id"), "left_semi")
+        val selected = impRef match {
+          case Some(m) =>
+            val impIds = graft.queries.TextOps
+              .importanceScore(ruleKept, id, text, m, importanceMinRatioFp,
+                ordered = false)
+              .filter(col("keep")).select(col("doc_id").as("__imp_id"))
+            ruleKept.join(impIds,
+              col(id).cast("long") === col("__imp_id"), "left_semi")
+          case None => ruleKept
+        }
+        val scrubbed = selected
           .select(col(id),
             graft.queries.TextPipeline.redactedTextCol(col(text)).as(text))
         // within-batch novelty: exact dups share a cluster (J = 1), so
@@ -381,7 +405,7 @@ object EventStream {
         }
       }
       .start()
-    q.awaitTermination()
+    try q.awaitTermination() finally impRef.foreach(_.unpersist())
     q
   }
 

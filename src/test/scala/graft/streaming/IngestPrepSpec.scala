@@ -55,6 +55,50 @@ class IngestPrepSpec extends SparkSpec {
       s"PII survived ingest: ${byId(9005L)}")
   }
 
+  test("ingest with a pre-fitted importance model admits only target-leaning docs") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Seq((1L, corpusA), (2L, corpusB)).toDF("doc_id", "text")
+    // target register = the newGood vocabulary; raw pool = the corpus.
+    // A doc written in corpus words scores raw-leaning; one in target
+    // words scores target-leaning.
+    val target = Seq((100L, newGood)).toDF("doc_id", "text")
+    val model = graft.queries.Curation.fitImportanceModel(target, corpus, "text")
+    // needs >= 2 distinct stopwords ("in", "the", "a") to clear the
+    // quality rules — the gate under test here is the importance model
+    val targetLike = "every distant star in the dark night sky tells a " +
+      "long story about worlds that spin slowly beyond our reach"
+    val rawLike = "the quick brown dog jumps over a lazy fox while the " +
+      "calm river flows under an old stone bridge near the quiet meadow"
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input.addData((9101L, targetLike), (9102L, rawLike))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    EventStream.runIngestPrep(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      Files.createTempDirectory("ckpt-ingest-imp").toString,
+      importanceModel = Some(model)) {
+      (admitted, _) => got ++= admitted.collect().map(_.getAs[Long]("doc_id"))
+    }
+    assert(got.toSet == Set(9101L),
+      s"admitted $got; expected only the target-leaning doc")
+    // the same stream WITHOUT the model admits both (both are clean+novel)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input2.addData((9101L, targetLike), (9102L, rawLike))
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    EventStream.runIngestPrep(
+      input2.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      Files.createTempDirectory("ckpt-ingest-imp2").toString) {
+      (admitted, _) => got2 ++= admitted.collect().map(_.getAs[Long]("doc_id"))
+    }
+    assert(got2.toSet == Set(9101L, 9102L),
+      s"control run admitted $got2; the gate must be the model, not dedup")
+  }
+
   test("ingest with a pre-fitted vocab rewrites admitted docs over the keep-list") {
     val spark0 = spark
     import spark0.implicits._
