@@ -140,6 +140,46 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("n_tokens")).as("bpe_tokens"), count(lit(1)).as("words"))
 
+  /** Per-stratum tokenizer FERTILITY report under a trained model — the
+    * standard tokenizer-health metric reviewed before committing a
+    * vocabulary: characters per token (low ⇒ the vocabulary fragments
+    * this stratum into char-level pieces — the classic symptom of a
+    * tokenizer trained on the wrong register/language) and tokens per
+    * word (fertility proper; 1.0 ⇒ every word is a single symbol).
+    * Ratios are fixed-point milli integers (`x·1000 div y` — exact,
+    * order-independent, the house determinism contract); a stratum with
+    * zero tokens reports null ratios rather than dividing by zero.
+    *
+    * Output per stratum: (source, n_docs, n_tokens, n_words, n_chars,
+    * chars_per_token_milli, tokens_per_word_milli), ordered by source.
+    *
+    * Scale: [[tokenCounts]]'s broadcast-vocabulary join (the corpus
+    * never shuffles for it) into a per-doc aggregate, then one
+    * |strata|-row rollup — two two-phase aggregates, model-bounded
+    * broadcast, corpus-linear. */
+  def fertilityReport(d: DataFrame, model: BpeModel,
+      idCol: String = "doc_id", textCol: String = "text",
+      strata: String = "source"): DataFrame = {
+    val counts = tokenCounts(d.select(col(idCol), col(textCol)), model,
+      idCol, textCol)
+    d.select(col(idCol), col(strata).as("source"),
+        length(col(textCol)).cast("long").as("doc_chars"))
+      .join(counts, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("bpe_tokens"), lit(0L))).as("n_tokens"),
+        sum(coalesce(col("words"), lit(0L))).as("n_words"),
+        sum(col("doc_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_words"),
+        col("n_chars"),
+        // nullif: ANSI div raises on zero; an empty stratum reports null
+        expr("(n_chars * 1000) div nullif(n_tokens, 0)")
+          .as("chars_per_token_milli"),
+        expr("(n_tokens * 1000) div nullif(n_words, 0)")
+          .as("tokens_per_word_milli"))
+      .orderBy("source")
+  }
+
   /** Applies the full merge list to one word, driver-side — EXACT BPE.
     * Sequential application in rank order equals greedy
     * lowest-rank-first (the reference tokenizer algorithm): a merge only

@@ -229,6 +229,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("fertilityReport: hand-computed milli ratios per stratum, null on empty") {
+    val model = Bpe.train(df, 8)
+    val lens = model.vocab.select("word", "n_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tok(w: String): Long = lens.getOrElse(w, w.length.toLong + 1L)
+    val probe = Seq(
+      (1L, "low lowest", "s1"),
+      (2L, "zebra", "s1"),
+      (3L, "low low low", "s2")).toDF("doc_id", "text", "source")
+    val got = Bpe.fertilityReport(probe, model).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1Tokens = tok("low") + tok("lowest") + tok("zebra")
+    val s1Chars = "low lowest".length.toLong + "zebra".length
+    assert(got("s1").getAs[Long]("n_docs") == 2L)
+    assert(got("s1").getAs[Long]("n_tokens") == s1Tokens)
+    assert(got("s1").getAs[Long]("n_words") == 3L)
+    assert(got("s1").getAs[Long]("n_chars") == s1Chars)
+    assert(got("s1").getAs[Long]("chars_per_token_milli") ==
+      s1Chars * 1000L / s1Tokens)
+    assert(got("s1").getAs[Long]("tokens_per_word_milli") ==
+      s1Tokens * 1000L / 3L)
+    val s2Tokens = 3L * tok("low")
+    assert(got("s2").getAs[Long]("tokens_per_word_milli") ==
+      s2Tokens * 1000L / 3L)
+    // a stratum with only empty text has zero tokens: null ratios, no
+    // divide-by-zero
+    val empty = Seq((9L, "", "sx")).toDF("doc_id", "text", "source")
+    val ex = Bpe.fertilityReport(empty, model).collect()(0)
+    assert(ex.getAs[Long]("n_tokens") == 0L && ex.isNullAt(5))
+    model.vocab.unpersist()
+  }
+
   test("applyMerge is leftmost-greedy on overlapping pairs (aaa + (a,a) -> [aa, a])") {
     val out = Seq(Tuple1(Seq("a", "a", "a")))
       .toDF("syms")
