@@ -164,6 +164,15 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.9)),
+    // the cell-sharded SemDeDup path at BOTH sizes (auto09 above routes
+    // to it only past the DeepenMinBits boundary, so its ratio mixes
+    // regimes): within-cell candidate volume is corpus-size-invariant,
+    // so this is the like-for-like pair whose growth should be ~linear
+    // in rows plus the (linear) k-means build
+    "semantic_dedup_cells09" -> ((s, dir) =>
+      graft.queries.VectorOps.semanticDedupCells(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        minCos = 0.9)),
     // incremental probe at the same scale parameterization; the batch is
     // the replica-0 %7 slice (fixed at ~1/70th of the 10× corpus), so
     // replication grows ONLY the corpus index — the serving contract

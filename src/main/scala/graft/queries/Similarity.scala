@@ -374,6 +374,23 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q63b: the SAME incremental probe through the LIBRARY-DEFAULT knobs
+    * ([[VectorOps.AutoPlanes]]/AutoBands → [[VectorOps.autoShape]]): the
+    * cross-engine check that the auto path — not just the pinned 16/4
+    * binding — resolves to DuckDB-replayable semantics. At the gate SF
+    * (≤ 64·16 corpus rows) autoShape resolves exactly (16, 4) at ANY
+    * threshold (spec-pinned in VectorOpsSpec), so the oracle twin IS
+    * [[oracleQ63]]; at larger SFs autoShape picks a different shape and
+    * this binding would need its shape re-pinned — the divergence
+    * BENCH_NOTES' scale-envelope section documents. */
+  def q63bSemanticIncrementalAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.semanticIncrementalIndexed(
+      e.filter(col("vec_id") % 7 =!= 3), e.filter(col("vec_id") % 7 === 3),
+      SEMDEDUP_MINCOS)
+      .orderBy("vec_id")
+  }
+
   val oracleQ63: String = {
     val sigBits = (0 until PLANES)
       .map(p => s"max(CASE WHEN p = $p AND s > 0 THEN 1 ELSE 0 END) AS bit$p").mkString(", ")
@@ -749,6 +766,7 @@ object Similarity {
     "q45_knn_batch" -> q45KnnBatch _,
     "q60_semantic_dedup" -> q60SemanticDedup _,
     "q63_semantic_incremental" -> q63SemanticIncremental _,
+    "q63b_semantic_incr_auto" -> q63bSemanticIncrementalAuto _,
     "q81_ann_recall" -> q81AnnRecall _,
     "q82_prototypicality" -> q82Prototypicality _,
     "q100_diverse_sample" -> q100DiverseSample _,
@@ -765,6 +783,7 @@ object Similarity {
     "q45_knn_batch" -> oracleQ45,
     "q60_semantic_dedup" -> oracleQ60,
     "q63_semantic_incremental" -> oracleQ63,
+    "q63b_semantic_incr_auto" -> oracleQ63,
     "q81_ann_recall" -> oracleQ81,
     "q82_prototypicality" -> oracleQ82,
     "q100_diverse_sample" -> oracleQ100,

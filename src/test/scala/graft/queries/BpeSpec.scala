@@ -261,6 +261,48 @@ class BpeSpec extends SparkSpec {
     model.vocab.unpersist()
   }
 
+  test("round-trip bindings: OracleMerges merges all land at the gate SFs") {
+    // the q101-q104 DuckDB replay has no early-stop branch, so the loop
+    // must genuinely run all OracleMerges merges on the gate corpora
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val m = Bpe.train(docs, Bpe.OracleMerges)
+      assert(m.merges.length == Bpe.OracleMerges,
+        s"$dir stopped early: ${m.merges}")
+      m.vocab.unpersist()
+    }
+  }
+
+  test("q101-q104 are mutually consistent on the real corpus") {
+    val vocab = Bpe.q101BpeVocab(spark, sfDir).collect()
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    assert(vocab.length == words, "one vocab row per distinct corpus word")
+    vocab.foreach { r =>
+      assert(r.getAs[String]("syms_str").split(" ").length ==
+        r.getAs[Long]("n_tokens"), s"n_tokens disagrees for $r")
+    }
+    val merges = Bpe.q102BpeMerges(spark, sfDir).collect()
+    assert(merges.length == Bpe.OracleMerges)
+    assert(merges.map(_.getAs[Long]("mrank")).toSeq ==
+      (0L until Bpe.OracleMerges.toLong))
+    val ids = Bpe.q104BpeTokenIds(spark, sfDir).collect()
+    val toks = ids.map(_.getAs[String]("token"))
+    assert(ids.map(_.getAs[Long]("token_id")).toSeq ==
+      (0L until ids.length.toLong), "ids not dense")
+    assert(toks.sameElements(toks.sorted), "ids not lexicographic")
+    val produced = vocab.flatMap(_.getAs[String]("syms_str").split(" ")).toSet
+    assert(produced == toks.toSet, "token table != produced symbols")
+    val fert = Bpe.q103BpeFertility(spark, sfDir).collect()
+    fert.foreach { r =>
+      assert(r.getAs[Long]("chars_per_token_milli") ==
+        r.getAs[Long]("n_chars") * 1000L / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("tokens_per_word_milli") ==
+        r.getAs[Long]("n_tokens") * 1000L / r.getAs[Long]("n_words"))
+    }
+  }
+
   test("applyMerge is leftmost-greedy on overlapping pairs (aaa + (a,a) -> [aa, a])") {
     val out = Seq(Tuple1(Seq("a", "a", "a")))
       .toDF("syms")

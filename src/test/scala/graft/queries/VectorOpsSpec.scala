@@ -154,8 +154,9 @@ class VectorOpsSpec extends SparkSpec {
     // low threshold: the S-curve demands more bands than the budget at
     // the occupancy bits, so bitsPer backs off until it fits — recall
     // is held, occupancy (cost) grows instead of recall silently
-    // dropping
-    assert(VectorOps.autoShape(20000L, 0.35) == (126, 18))
+    // dropping. Below DeepenMinBits the 12-band ShallowMaxBands budget
+    // applies (the 20-band ceiling is only A/B-validated when deepened).
+    assert(VectorOps.autoShape(20000L, 0.35) == (66, 11))
     // bands never below the baseline 4, planes always bitsPer * bands
     for (c <- Seq(0.35, 0.9); n <- Seq(5000L, 200000L, 5000000L)) {
       val (p, b) = VectorOps.autoShape(n, c)
@@ -209,6 +210,48 @@ class VectorOpsSpec extends SparkSpec {
     val strict = VectorOps.semanticDedup(renamed, "vid", "v", 0.9).collect()
     assert(strict.map(_.getAs[Long]("cluster_id")).distinct.length >=
       byCluster.size)
+  }
+
+  test("semanticDedupCells with one cell == global semanticDedup (exact)") {
+    // a single cell makes the cell key vacuous and the within-cell shape
+    // identical to the global autoShape — outputs must be bit-equal
+    val cells = VectorOps.semanticDedupCells(renamed, "vid", "v", 0.35,
+      nCells = 1).orderBy("vec_id")
+    val global = VectorOps.semanticDedup(renamed, "vid", "v", 0.35)
+      .orderBy("vec_id")
+    assert(rows(cells) == rows(global))
+  }
+
+  test("semanticDedupCells output contract + refinement of global clusters") {
+    val got = VectorOps.semanticDedupCells(renamed, "vid", "v", 0.35,
+      nCells = 4, targetCellRows = 16).collect()
+    assert(got.length == renamed.count(), "one row per corpus vector")
+    val byCluster = got.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == cid)
+      assert(members.count(_.getAs[Long]("is_kept") == 1L) == 1)
+      members.foreach(m => assert(m.getAs[Long]("n_members") == members.length))
+    }
+    // every in-cell edge is also a global edge, so the cell-sharded
+    // partition must REFINE the global one: a cells-cluster never spans
+    // two global clusters (it may split one — the boundary-miss price)
+    val globalOf = VectorOps.semanticDedup(renamed, "vid", "v", 0.35)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    byCluster.foreach { case (cid, members) =>
+      val g = members.map(m => globalOf(m.getAs[Long]("vec_id"))).distinct
+      assert(g.length == 1,
+        s"cells-cluster $cid spans global clusters ${g.mkString(",")}")
+    }
+  }
+
+  test("auto-knob semanticDedup routes to cells only at DeepenMinBits scale") {
+    // the routing predicate itself: fixture scale (2k rows) stays global
+    assert(VectorOps.autoBitsPer(renamed.count()) < VectorOps.DeepenMinBits)
+    // and the boundary where it flips is the measured ~131k-row regime
+    // (64-row buckets × 2^11 = 131072 is the last 11-bit corpus)
+    assert(VectorOps.autoBitsPer(131073L) >= VectorOps.DeepenMinBits)
+    assert(VectorOps.autoBitsPer(131072L) < VectorOps.DeepenMinBits)
   }
 
   test("semanticIncremental == q63 on renamed columns") {

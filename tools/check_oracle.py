@@ -21,14 +21,34 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_path):
         fails.append((name, "no spark output")); continue
     try:
-        odf = con.sql(sql).df()
+        orel = con.sql(sql)
+        oarrow = orel.arrow()
+        odf = oarrow.to_pandas()
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
     try:
-        sdf = con.sql(
-            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        srel = con.sql(
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+        sarrow = srel.arrow()
+        sdf = sarrow.to_pandas()
     except Exception as e:
         fails.append((name, f"spark read error: {e}")); continue
+    # dtype-strict: the driver hashes TYPED values, so decimal128 vs int64
+    # (DuckDB HUGEINT from sum(BIGINT) without a cast) must fail here too,
+    # not be masked by pandas float coercion (r12 q98 lesson).
+    otypes = {f.name: str(f.type) for f in oarrow.schema}
+    stypes = {f.name: str(f.type) for f in sarrow.schema}
+    def _canon(t):
+        # timestamp tz-representation and large_string/string differences
+        # are serialization details the driver's hash does not see
+        return (t.replace("large_string", "string")
+                 .replace("timestamp[us, tz=UTC]", "timestamp[us]")
+                 .replace("timestamp[ns, tz=UTC]", "timestamp[ns]")
+                 .replace("timestamp[ns]", "timestamp[us]"))
+    dt_diffs = [(c, otypes.get(c), stypes.get(c)) for c in sorted(otypes)
+                if c in stypes and _canon(otypes[c]) != _canon(stypes[c])]
+    if dt_diffs:
+        fails.append((name, f"dtype differs (driver hash would mismatch): {dt_diffs}")); continue
     # driver compare: sort columns by name, then hash values
     o = odf[sorted(odf.columns)]
     s = sdf[sorted(sdf.columns)]
