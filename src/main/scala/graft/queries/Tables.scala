@@ -64,14 +64,28 @@ object Tables {
       case _ => df
     }
 
+  /** Session-lifetime memo of resolved relations per (session, dir,
+    * name): `spark.read.parquet` re-runs schema inference + relation
+    * resolution on every call, which at the suite's 0.15–0.3 s per-query
+    * scheduling floor is pure overhead (105 queries × several tables
+    * each). One shared relation per table also gives every query the
+    * SAME plan object, so Spark's plan-identity caching (and the
+    * operator memos keyed on canonicalized plans) hit more often. Same
+    * staleness contract as any cache: valid while the files under `dir`
+    * are immutable — which the driver's test dirs are. */
+  private val relationMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = if (name == "events") {
-      // Legacy conf lets NANOS parquet read as Long instead of failing;
-      // harmless when the file is already MICROS.
-      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"), "ts")
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val df = relationMemo.getOrElseUpdate((spark, dir, name), {
+      if (name == "events") {
+        // Legacy conf lets NANOS parquet read as Long instead of failing;
+        // harmless when the file is already MICROS.
+        if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        normalizeTs(spark.read.parquet(s"$dir/$name.parquet"), "ts")
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
     df.createOrReplaceTempView(name)
     df
   }
