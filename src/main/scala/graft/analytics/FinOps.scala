@@ -16,7 +16,7 @@ final class FinOps(val spark: SparkSession, val table: String = "CUR",
   val allocation = new Allocation(spark, table, asOf)
   val discounts = new Discounts(spark, table, asOf)
   val ai = new AiRecommendations(spark, table, asOf)
-  val kpi = new KpiSummary(spark, asOf)
+  val kpi = new KpiSummary(spark, asOf, table)
 
   final case class HealthCheck(
       overallScore: Double,

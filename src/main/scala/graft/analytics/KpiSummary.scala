@@ -10,7 +10,8 @@ import java.time.LocalDate
   * DAG, aggregates kpi_tracker over the window, and shapes the nested
   * summary including the savings rollup (SURVEY.md §2.9 C5).
   */
-final class KpiSummary(spark: SparkSession, asOf: LocalDate) {
+final class KpiSummary(spark: SparkSession, asOf: LocalDate,
+    table: String = "CUR") {
 
   final case class SavingsSummary(
       totalPotentialSavings: Double,
@@ -36,14 +37,14 @@ final class KpiSummary(spark: SparkSession, asOf: LocalDate) {
   /** Build DAG + aggregate + shape (kpi_summary.py:26-78, :322-450). */
   def comprehensiveSummary(billingPeriod: Option[String] = None,
       accountFilter: Option[Seq[String]] = None): ComprehensiveSummary = {
-    KpiViews.registerAll(spark, asOf)
+    KpiViews.registerAll(spark, asOf, table)
     // filter injection (kpi_summary.py:290-320)
     var t = spark.table("kpi_tracker")
     billingPeriod.foreach(bp =>
       t = t.filter(date_format(col("billing_period"), "yyyy-MM") === bp))
     accountFilter.foreach(accts => t = t.filter(col("linked_account_id").isin(accts: _*)))
 
-    val records = spark.table("CUR").count()
+    val records = spark.table(table).count()
     def s(c: String) = sum(coalesce(col(c), lit(0.0))).as(c)
     val agg = t.agg(
       s("spend_all_cost"), s("ec2_all_cost"), s("ec2_spot_cost"), s("ec2_graviton_cost"),

@@ -149,8 +149,8 @@ object KpiViews {
 
   /** Per-key amortized + unblended roll-up of CUR — consumed at
     * kpi_tracker.sql:84-94. */
-  def registerSummaryView(spark: SparkSession): DataFrame = {
-    val df = spark.table("CUR").select(
+  def registerSummaryView(spark: SparkSession, table: String = "CUR"): DataFrame = {
+    val df = spark.table(table).select(
       split_part(col("billing_period"), lit("-"), lit(1)).as("year"),
       split_part(col("billing_period"), lit("-"), lit(2)).as("month"),
       col("bill_billing_period_start_date").as("billing_period"),
@@ -173,9 +173,9 @@ object KpiViews {
 
   /** gp2→gp3 migration saves ~20% (public CID KPI assumption) —
     * consumed at kpi_tracker.sql:165-179. */
-  def registerEbsStorageAll(spark: SparkSession): DataFrame = {
+  def registerEbsStorageAll(spark: SparkSession, table: String = "CUR"): DataFrame = {
     val cost = col("line_item_unblended_cost")
-    val df = spark.table("CUR")
+    val df = spark.table(table)
       .filter(col("line_item_usage_type").like("%EBS:VolumeUsage%"))
       .select(keyCols :+
         cost.as("ebs_all_cost") :+
@@ -188,11 +188,11 @@ object KpiViews {
   }
 
   /** Snapshot age split at 1 year — consumed at kpi_tracker.sql:180-192. */
-  def registerEbsSnap(spark: SparkSession, asOf: LocalDate): DataFrame = {
+  def registerEbsSnap(spark: SparkSession, asOf: LocalDate, table: String = "CUR"): DataFrame = {
     val cost = col("line_item_unblended_cost")
     val oneYearAgo = lit(asOf.minusYears(1).toString).cast("date")
     val under = col("line_item_usage_start_date").cast("date") >= oneYearAgo
-    val df = spark.table("CUR")
+    val df = spark.table(table)
       .filter(col("line_item_usage_type").like("%EBS:Snapshot%"))
       .select(keyCols :+
         when(under, cost).otherwise(0.0).as("ebs_snapshots_under_1yr_cost") :+
@@ -204,10 +204,10 @@ object KpiViews {
 
   /** Standard-storage → IA/Glacier savings ~30% (public CID assumption) —
     * consumed at kpi_tracker.sql:193-205. */
-  def registerS3StorageAll(spark: SparkSession): DataFrame = {
+  def registerS3StorageAll(spark: SparkSession, table: String = "CUR"): DataFrame = {
     val cost = col("line_item_unblended_cost")
     val standard = col("line_item_usage_type").like("%TimedStorage-ByteHrs%")
-    val df = spark.table("CUR")
+    val df = spark.table(table)
       .filter(col("line_item_product_code") === "AmazonS3" &&
         col("line_item_usage_type").like("%Storage%"))
       .select(keyCols :+
@@ -222,7 +222,7 @@ object KpiViews {
 
   /** The 26-key dedup-aggregate over instance-scoped CUR rows
     * (kpi_instance_all.sql:8-43). */
-  def curAll(spark: SparkSession, asOf: LocalDate): DataFrame = {
+  def curAll(spark: SparkSession, asOf: LocalDate, table: String = "CUR"): DataFrame = {
     val monthStart = lit(asOf.withDayOfMonth(1).minusMonths(3).toString).cast("date")
     val ut = coalesce(col("line_item_usage_type"), lit(""))
     val it = coalesce(col("product_instance_type"), lit(""))
@@ -243,7 +243,7 @@ object KpiViews {
         ut.like("%Fargate%") ||
         (pc === "AmazonSageMaker" && it =!= "") ||
         pc === "ComputeSavingsPlans" || pc === "MachineLearningSavingsPlans"
-    spark.table("CUR")
+    spark.table(table)
       .filter(
         to_date(concat(col("billing_period"), lit("-01"))) >= monthStart &&
           col("bill_payer_account_id") =!= "" &&
@@ -291,10 +291,10 @@ object KpiViews {
     * generated from templates: every service gets all/usage/ondemand/
     * commit-savings/commit-potential; EC2 adds spot/graviton/AMD/
     * previous-generation variants. */
-  def registerKpiInstanceAll(spark: SparkSession, asOf: LocalDate): DataFrame = {
+  def registerKpiInstanceAll(spark: SparkSession, asOf: LocalDate, table: String = "CUR"): DataFrame = {
     registerInstanceMapping(spark)
     val mapping = spark.table("kpi_instance_mapping")
-    val base = curAll(spark, asOf)
+    val base = curAll(spark, asOf, table)
       .join(broadcast(mapping), col("instance_type_family") === col("family"), "left")
       // graviton recommendation only applies on eligible platforms/engines
       // (kpi_instance_all.sql:118-124 latest_graviton projection)
@@ -551,13 +551,14 @@ object KpiViews {
   }
 
   /** Create the whole DAG in dependency order (kpi_summary.py:80-114). */
-  def registerAll(spark: SparkSession, asOf: LocalDate): DataFrame = {
-    registerSummaryView(spark)
+  def registerAll(spark: SparkSession, asOf: LocalDate,
+      table: String = "CUR"): DataFrame = {
+    registerSummaryView(spark, table)
     registerInstanceMapping(spark)
-    registerEbsStorageAll(spark)
-    registerEbsSnap(spark, asOf)
-    registerS3StorageAll(spark)
-    registerKpiInstanceAll(spark, asOf)
+    registerEbsStorageAll(spark, table)
+    registerEbsSnap(spark, asOf, table)
+    registerS3StorageAll(spark, table)
+    registerKpiInstanceAll(spark, asOf, table)
     registerKpiTracker(spark, asOf)
   }
 }
