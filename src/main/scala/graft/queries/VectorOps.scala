@@ -1250,11 +1250,19 @@ object VectorOps {
   private val cellsMemo = scala.collection.concurrent.TrieMap.empty[
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int, Int), DataFrame]
+      Int, Int, Long), DataFrame]
+
+  /** Lloyd-update sample cap for the cell build inside cell-sharded
+    * dedup: past ~262k rows the k-means iterations train on a hash-mod
+    * sample of this size (final assignment still scans everything) —
+    * the build cost becomes iters·O(cap) + ONE full-corpus assignment
+    * pass instead of iters full scans. Below the cap nothing changes. */
+  val CellTrainSampleCap = 262144L
 
   def semanticDedupCellsIndexed(idx: DataFrame, minCos: Double,
       nCells: Int = AutoCells, kmeansIters: Int = 2,
-      targetCellRows: Int = DefaultCellRows, dims: Int = 64): DataFrame = {
+      targetCellRows: Int = DefaultCellRows, dims: Int = 64,
+      trainSampleCap: Long = CellTrainSampleCap): DataFrame = {
     val rows = memoizedCount(idx)
     val k =
       if (nCells != AutoCells) nCells
@@ -1264,8 +1272,8 @@ object VectorOps {
     val (p, b) = autoShape(cellRows, minCos)
     val cells = cellsMemo.getOrElseUpdate(
       (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
-        kmeansIters),
-      Caching.cached(kmeansCells(idx, k, kmeansIters),
+        kmeansIters, trainSampleCap),
+      Caching.cached(kmeansCells(idx, k, kmeansIters, trainSampleCap),
         "spark.graft.vector.storageLevel"))
     val br = lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
     val cand = br.select(col("vec_id").as("id_a"), col("cell"), col("k"),
@@ -1406,12 +1414,33 @@ object VectorOps {
     * collecting k×dims rows to the driver (bounded by construction,
     * independent of corpus size). Empty cells keep their previous
     * centroid. Returns (vec_id, cell: int). */
-  def kmeansCells(idx: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+  def kmeansCells(idx: DataFrame, k: Int, iters: Int = 5,
+      trainSampleCap: Long = 0L): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1 (got $k, $iters)")
     val s = idx.sparkSession
     val dims = idx.select(size(col("efp"))).head().getInt(0)
     val literalMaxK =
       s.conf.get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
+
+    // SAMPLED TRAINING (trainSampleCap > 0): seeds and every Lloyd update
+    // pass run over a deterministic hash-mod sample of ~cap rows, and only
+    // the FINAL assignment scans the full corpus — the standard recipe at
+    // real scale, where iters x full-corpus scans dominate the build and
+    // codebook quality saturates long before the corpus is exhausted
+    // (same argument as pqBooksSampled). The sample is a pure function of
+    // vec_id (the q42 hash-mod idiom), so training stays deterministic;
+    // the cap is floored at 16k rows per seed-k so the seed collect can
+    // never come up short. 0 = train on everything (exact legacy path).
+    val trainIdx =
+      if (trainSampleCap <= 0L) idx
+      else {
+        val rows = memoizedCount(idx)
+        val cap = math.max(trainSampleCap, 16L * k)
+        val m = math.max(1L, rows / cap)
+        if (m <= 1L) idx
+        else idx.filter(expr(
+          s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % ${m}L = 0"))
+      }
 
     // scoring is IDENTICAL in both regimes: cos reduces to dot/|centroid|
     // (|v| is a common positive factor), |centroid| computed ON THE DRIVER
@@ -1451,14 +1480,14 @@ object VectorOps {
       * broadcast-path aggregate stays NARROW (score, negated cell) — the
       * k-way fan-out must never carry the dims-long vector through the
       * partial-agg buffers (measured 30×+ heavier when it did). */
-    def assigned(cents: IndexedSeq[Array[Long]]): DataFrame =
+    def assignedOn(on: DataFrame, cents: IndexedSeq[Array[Long]]): DataFrame =
       if (k <= literalMaxK)
-        idx.select(col("vec_id"), assignCol(cents))
+        on.select(col("vec_id"), assignCol(cents))
       else {
         val score = when(col("cn") === 0.0, lit(Double.MinValue))
           .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
             .cast("double") / col("cn"))
-        idx.select(col("vec_id"), col("efp"))
+        on.select(col("vec_id"), col("efp"))
           .crossJoin(broadcast(centTable(cents)))
           .select(col("vec_id"), struct(score.as("s"),
             (col("cell") * -1).as("nc")).as("sc"))
@@ -1472,17 +1501,18 @@ object VectorOps {
       * fan-out rows are gone by here). */
     def assignedWithVec(cents: IndexedSeq[Array[Long]]): DataFrame =
       if (k <= literalMaxK)
-        idx.select(assignCol(cents), col("efp"))
-      else assigned(cents)
-        .join(idx.select(col("vec_id"), col("efp")), Seq("vec_id"))
+        trainIdx.select(assignCol(cents), col("efp"))
+      else assignedOn(trainIdx, cents)
+        .join(trainIdx.select(col("vec_id"), col("efp")), Seq("vec_id"))
         .select(col("cell"), col("efp"))
 
-    val seeds = idx
+    val seeds = trainIdx
       .select(col("vec_id"), col("efp"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("efp")).collect()
       .map(_.getSeq[Long](0).toArray).toIndexedSeq
-    require(seeds.length == k, s"corpus has fewer than k=$k vectors")
+    require(seeds.length == k,
+      s"training frame has fewer than k=$k vectors (sampled cap $trainSampleCap)")
 
     var cents = seeds
     for (_ <- 0 until iters) {
@@ -1502,7 +1532,7 @@ object VectorOps {
       }
       cents = next.toIndexedSeq
     }
-    assigned(cents)
+    assignedOn(idx, cents)
   }
 
   /** [[kmeansCells]] + [[knnIvfIndexed]] in one call: build the coarse

@@ -315,6 +315,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("kmeansCells sampled training: total, deterministic, exact below the cap") {
+    val idx = VectorOps.index(renamed, "vid", "v")
+    // cap above the corpus size: the sample is the corpus — bit-equal to
+    // the full-training build
+    val full = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val capped = VectorOps.kmeansCells(idx, 8, iters = 3,
+      trainSampleCap = 1000000L).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(capped == full, "cap above corpus size must not change training")
+    // cap far below: training runs on the hash-mod sample, but the FINAL
+    // assignment is still total over the corpus and deterministic
+    val a = VectorOps.kmeansCells(idx, 4, iters = 2, trainSampleCap = 128L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val b = VectorOps.kmeansCells(idx, 4, iters = 2, trainSampleCap = 128L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(a == b, "sampled builds diverged")
+    assert(a.length == renamed.count(), "sampled assignment not total")
+    assert(a.map(_._2).distinct.length > 1)
+  }
+
   test("kmeansCells broadcast-join path is bit-identical to the literal path") {
     val idx = VectorOps.index(renamed, "vid", "v")
     val lit = VectorOps.kmeansCells(idx, 8, iters = 3).collect()
