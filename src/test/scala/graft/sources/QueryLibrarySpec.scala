@@ -36,12 +36,22 @@ class QueryLibrarySpec extends SparkSpec {
     val (results, errors) = QueryLibrary.runAll(spark, "query_library", out)
     assert(errors.isEmpty, s"library errors: $errors")
     assert(results.map(_.sqlFile).toSet ==
-      Set("analytics/service_costs.sql", "compute/ec2_usage_categories.sql"))
+      Set("analytics/service_costs.sql", "analytics/account_service_daily.sql",
+        "compute/ec2_usage_categories.sql", "compute/purchase_option_mix.sql"))
     results.foreach { r =>
       assert(r.rows > 0)
       assert(r.outputPath.startsWith(out))
       assert(spark.read.parquet(r.outputPath).count() == r.rows)
     }
+    // map-column access (product['region']) survived translation + write
+    val daily = spark.read.parquet(
+      results.find(_.sqlFile.contains("account_service_daily")).get.outputPath)
+    assert(daily.schema.fieldNames.contains("region"))
+    assert(daily.count() == 20) // LIMIT applied
+    // purchase-option mix covers more than one option on the fixture
+    val mix = spark.read.parquet(
+      results.find(_.sqlFile.contains("purchase_option_mix")).get.outputPath)
+    assert(mix.select("purchase_option").distinct().count() >= 3)
     // the :: cast file produced a date column (dialect translation ran)
     val ec2 = spark.read.parquet(
       results.find(_.sqlFile.contains("ec2")).get.outputPath)
