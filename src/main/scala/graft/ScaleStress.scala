@@ -173,6 +173,17 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedupCells(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.9)),
+    // same path with the OPT-IN Lloyd-update sample cap forced below the
+    // 100× corpus size: times the build-vs-balance trade the cap's
+    // scaladoc records (sampled centroids train iters×O(16k) instead of
+    // iters×O(corpus), but their cell balance DOUBLED the dedup wall on
+    // this clustered fixture — why sampling is NOT the dedup default).
+    // Identical-vector dups co-assign under ANY centroid set (equal
+    // scores ⇒ same argmax), so true-dup recall is cap-invariant.
+    "semantic_dedup_cells09_s16k" -> ((s, dir) =>
+      graft.queries.VectorOps.semanticDedupCells(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        minCos = 0.9, trainSampleCap = 16384L)),
     // incremental probe at the same scale parameterization; the batch is
     // the replica-0 %7 slice (fixed at ~1/70th of the 10× corpus), so
     // replication grows ONLY the corpus index — the serving contract
@@ -183,6 +194,19 @@ object ScaleStress {
         e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3),
         e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3),
         "vec_id", "embedding", minCos = 0.35, planes = 32, bands = 4)
+    }),
+    // the cell-sharded incremental probe (the serving path auto-knob
+    // callers route to past DeepenMinBits): the same fixed replica-0 %7
+    // batch probes the corpus's (cell, band, value) buckets — per-batch-
+    // vector probe volume is pinned to ~targetCellRows, so wall should
+    // track the batch plus the (memoized) cell build, not the corpus
+    "semantic_incr_cells09" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.queries.VectorOps.semanticIncrementalCells(
+        e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3),
+        e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3),
+        "vec_id", "embedding", minCos = 0.9)
     }),
     // serving-scale IVF build: k=1024 exceeds kmeansLiteralMaxK, so this
     // exercises the BROADCAST-table assignment path (k×dims plan literals
@@ -210,6 +234,16 @@ object ScaleStress {
       val idx = graft.queries.VectorOps.index(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
       graft.queries.VectorOps.kmeansCells(idx, k = 1024, iters = 1)
+    }),
+    // the broadcast-path build with sampled Lloyd updates (floor is
+    // 16·k = 16384 rows here): the k-way fan-out aggregate — the build's
+    // dominant cost — runs over the sample; only the final assignment
+    // fans out over the whole corpus
+    "kmeans_build_k1024_s16k" -> ((s, dir) => {
+      val idx = graft.queries.VectorOps.index(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      graft.queries.VectorOps.kmeansCells(idx, k = 1024, iters = 1,
+        trainSampleCap = 16384L)
     }),
     // full residual IVF-PQ serving probe (label cells): per-query cost
     // is (touched vectors)·m LUT lookups + the rerank-bounded exact

@@ -1252,28 +1252,64 @@ object VectorOps {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Int, Int, Long), DataFrame]
 
-  /** Lloyd-update sample cap for the cell build inside cell-sharded
-    * dedup: past ~262k rows the k-means iterations train on a hash-mod
-    * sample of this size (final assignment still scans everything) —
-    * the build cost becomes iters·O(cap) + ONE full-corpus assignment
-    * pass instead of iters full scans. Below the cap nothing changes. */
+  /** Session-lifetime memo of the TRAINED centroid set per the same key:
+    * the batch dedup and the incremental serving path share one training
+    * run per corpus (the incremental path must assign new batches with
+    * the corpus's own centroids, or an identical batch vector could land
+    * in a different cell than its corpus twin). */
+  private val centsMemo = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Long), IndexedSeq[Array[Long]]]
+
+  private def memoizedCentroids(idx: DataFrame, k: Int, iters: Int,
+      trainSampleCap: Long): IndexedSeq[Array[Long]] =
+    centsMemo.getOrElseUpdate(
+      (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
+        iters, trainSampleCap),
+      kmeansCentroids(idx, k, iters, trainSampleCap))
+
+  /** Auto cell count: enough ~`targetCellRows`-row cells to tile the
+    * corpus, capped at [[MaxAutoCells]]. Shared by the batch and
+    * incremental cell-sharded paths so both resolve identical shapes
+    * for the same corpus. */
+  private def autoCellCount(rows: Long, nCells: Int,
+      targetCellRows: Int): Int =
+    if (nCells != AutoCells) nCells
+    else math.max(1, math.min(MaxAutoCells.toLong,
+      (rows + targetCellRows - 1) / targetCellRows).toInt)
+
+  /** OPT-IN Lloyd-update sample cap for k-means builds: past `cap` rows
+    * the training iterations run on a hash-mod sample of this size
+    * (final assignment still scans everything) — the build cost becomes
+    * iters·O(cap) + ONE full-corpus assignment pass instead of iters
+    * full scans (measured: kmeans_build_k1024 at 100× vectors 7.4 s →
+    * 1.8 s, ratio 4.9× → 1.7×).
+    *
+    * Deliberately NOT the default for the cell-sharded DEDUP paths:
+    * there the build is a small fraction of the wall and centroid
+    * quality drives the within-cell candidate volume — on the clustered
+    * 100× stress corpus the sampled centroids' cell balance DOUBLED the
+    * dedup wall (isolated JVMs: 66.4 s sampled vs 33.9 s full,
+    * BENCH_NOTES r13), dwarfing the training saving. Pass it explicitly
+    * for build-bound uses (IVF index construction, serving cell builds)
+    * where the build IS the cost. */
   val CellTrainSampleCap = 262144L
 
   def semanticDedupCellsIndexed(idx: DataFrame, minCos: Double,
       nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = CellTrainSampleCap): DataFrame = {
+      trainSampleCap: Long = 0L): DataFrame = {
     val rows = memoizedCount(idx)
-    val k =
-      if (nCells != AutoCells) nCells
-      else math.max(1, math.min(MaxAutoCells.toLong,
-        (rows + targetCellRows - 1) / targetCellRows).toInt)
+    val k = autoCellCount(rows, nCells, targetCellRows)
     val cellRows = math.max(1L, (rows + k - 1) / k)
     val (p, b) = autoShape(cellRows, minCos)
     val cells = cellsMemo.getOrElseUpdate(
       (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
         kmeansIters, trainSampleCap),
-      Caching.cached(kmeansCells(idx, k, kmeansIters, trainSampleCap),
+      Caching.cached(
+        assignCells(idx, memoizedCentroids(idx, k, kmeansIters,
+          trainSampleCap)),
         "spark.graft.vector.storageLevel"))
     val br = lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
     val cand = br.select(col("vec_id").as("id_a"), col("cell"), col("k"),
@@ -1289,9 +1325,10 @@ object VectorOps {
   /** [[semanticDedupCellsIndexed]] over any raw (id, vec) frame. */
   def semanticDedupCells(df: DataFrame, id: String, vec: String,
       minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
-      targetCellRows: Int = DefaultCellRows, dims: Int = 64): DataFrame =
+      targetCellRows: Int = DefaultCellRows, dims: Int = 64,
+      trainSampleCap: Long = 0L): DataFrame =
     semanticDedupCellsIndexed(index(df, id, vec), minCos, nCells,
-      kmeansIters, targetCellRows, dims)
+      kmeansIters, targetCellRows, dims, trainSampleCap)
 
   /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
   def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
@@ -1315,12 +1352,31 @@ object VectorOps {
   def semanticIncrementalIndexed(corpus: DataFrame, batch: DataFrame,
       minCos: Double, planes: Int = AutoPlanes, bands: Int = AutoBands,
       dims: Int = 64): DataFrame = {
+    // Auto-knob callers past the DeepenMinBits occupancy route to the
+    // cell-sharded probe, mirroring [[semanticDedupIndexed]]: the global
+    // path's corpus-sized band artifact deepens with corpus occupancy,
+    // so per-batch-vector candidate volume grows with the CORPUS — the
+    // cell path keeps it pinned to ~targetCellRows. Explicit-knob
+    // callers (the q63 oracle binding) keep exact global semantics.
+    if (planes == AutoPlanes && bands == AutoBands &&
+        autoBitsPer(memoizedCount(corpus)) >= DeepenMinBits)
+      return semanticIncrementalCellsIndexed(corpus, batch, minCos,
+        dims = dims)
     val (p, b) = resolveShape(planes, bands, minCos, corpus) // the big side
     val cb = lshBandRows(corpus, p, b, dims)
       .select(col("vec_id").as("partner_id"), col("k"), col("v"))
     val bb = lshBandRows(batch, p, b, dims)
     val cand = bb.join(cb, Seq("k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
+    bestPartnerOf(corpus, batch, cand, minCos)
+  }
+
+  /** Shared re-rank + verdict tail of the incremental variants: exact
+    * rounded cosine over the candidate (batch, corpus) pairs, best
+    * partner per batch vector by (cos desc, partner_id asc), left-join
+    * back so every batch vector gets a row. */
+  private def bestPartnerOf(corpus: DataFrame, batch: DataFrame,
+      cand: DataFrame, minCos: Double): DataFrame = {
     val bq = batch.select(col("vec_id"), col("efp").as("be"),
       col("nrm").as("bn"))
     val cq = corpus.select(col("vec_id").as("partner_id"),
@@ -1341,6 +1397,55 @@ object VectorOps {
           .as("verdict"),
         col("partner_id"), col("cos"))
   }
+
+  /** Cell-sharded incremental semantic dedup — the serving twin of
+    * [[semanticDedupCellsIndexed]]: the corpus's k-means cells + cached
+    * assignment are the persisted index; each batch vector is assigned
+    * to its cell with the CORPUS's own centroids (identical scoring to
+    * training, so an identical batch vector always lands in its corpus
+    * twin's cell), then probes only (cell, band, value) buckets. The
+    * LSH shape is sized for `targetCellRows`, so per-batch-vector probe
+    * volume stays CONSTANT as the corpus grows — the global path's probe
+    * volume grows with corpus occupancy because its shape must deepen to
+    * hold recall (the r12/r13 super-linear measurements).
+    *
+    * Approximation contract: a batch vector whose true near-dup sits in
+    * a NEIGHBORING cell reports `new` — same boundary trade as
+    * [[semanticDedupCellsIndexed]], acceptable for ingest admission. */
+  def semanticIncrementalCellsIndexed(corpus: DataFrame, batch: DataFrame,
+      minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
+      targetCellRows: Int = DefaultCellRows, dims: Int = 64,
+      trainSampleCap: Long = 0L): DataFrame = {
+    val rows = memoizedCount(corpus)
+    val k = autoCellCount(rows, nCells, targetCellRows)
+    val cellRows = math.max(1L, (rows + k - 1) / k)
+    val (p, b) = autoShape(cellRows, minCos)
+    val cents = memoizedCentroids(corpus, k, kmeansIters, trainSampleCap)
+    val corpusCells = cellsMemo.getOrElseUpdate(
+      (corpus.sparkSession, corpus.queryExecution.logical.canonicalized, k,
+        kmeansIters, trainSampleCap),
+      Caching.cached(assignCells(corpus, cents),
+        "spark.graft.vector.storageLevel"))
+    val cb = lshBandRows(corpus, p, b, dims).join(corpusCells, Seq("vec_id"))
+      .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+        col("v"))
+    val bb = lshBandRows(batch, p, b, dims)
+      .join(assignCells(batch, cents), Seq("vec_id"))
+    val cand = bb.join(cb, Seq("cell", "k", "v"))
+      .select(col("vec_id"), col("partner_id")).distinct()
+    bestPartnerOf(corpus, batch, cand, minCos)
+  }
+
+  /** [[semanticIncrementalCellsIndexed]] over raw (id, vec) frames —
+    * corpus first, then batch (matching [[semanticIncremental]]). */
+  def semanticIncrementalCells(corpus: DataFrame, batch: DataFrame,
+      id: String, vec: String, minCos: Double, nCells: Int = AutoCells,
+      kmeansIters: Int = 2, targetCellRows: Int = DefaultCellRows,
+      dims: Int = 64,
+      trainSampleCap: Long = 0L): DataFrame =
+    semanticIncrementalCellsIndexed(index(corpus, id, vec),
+      index(batch, id, vec), minCos, nCells, kmeansIters, targetCellRows,
+      dims, trainSampleCap)
 
   /** [[semanticIncrementalIndexed]] over raw (id, vec) frames. Parameter
     * order matches the Indexed variant (corpus first, then batch) — the
@@ -1415,12 +1520,85 @@ object VectorOps {
     * independent of corpus size). Empty cells keep their previous
     * centroid. Returns (vec_id, cell: int). */
   def kmeansCells(idx: DataFrame, k: Int, iters: Int = 5,
-      trainSampleCap: Long = 0L): DataFrame = {
+      trainSampleCap: Long = 0L): DataFrame =
+    assignCells(idx, kmeansCentroids(idx, k, iters, trainSampleCap))
+
+  // scoring is IDENTICAL in both assignment regimes: cos reduces to
+  // dot/|centroid| (|v| is a common positive factor), |centroid| computed
+  // ON THE DRIVER with the same double arithmetic, ties to the lowest
+  // cell id via the negated-cell struct field — so path choice never
+  // changes the output
+  private def cellAssignCol(cents: IndexedSeq[Array[Long]]): Column = {
+    val scored = (0 until cents.length).map { c =>
+      val cn = math.sqrt(cents(c).map(x => x.toDouble * x.toDouble).sum)
+      val score =
+        if (cn == 0.0) lit(Double.MinValue)
+        else GraftFunctions.intDot(col("efp"), typedLit(cents(c).toSeq))
+          .cast("double") / lit(cn)
+      struct(score.as("s"), lit(-c).as("nc"))
+    }
+    (array_max(array(scored: _*)).getField("nc") * -1).as("cell")
+  }
+
+  private def cellCentTable(s: org.apache.spark.sql.SparkSession,
+      cents: IndexedSeq[Array[Long]]): DataFrame = {
+    val rows = cents.zipWithIndex.map { case (cent, c) =>
+      org.apache.spark.sql.Row(c,
+        math.sqrt(cent.map(x => x.toDouble * x.toDouble).sum), cent.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cn",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cefp",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** (vec_id, cell) for an indexed frame under a FIXED centroid set —
+    * the assignment half of [[kmeansCells]], public so serving paths
+    * ([[semanticIncrementalCellsIndexed]]) can place NEW batches into a
+    * corpus's existing cells with the exact training-time scoring. Two
+    * regimes, bit-identical output (spec'd): k ≤ `kmeansLiteralMaxK`
+    * rides as plan literals (pure map); larger k broadcasts a centroid
+    * table and picks the argmax via a NARROW max-of-struct partial agg
+    * (score, negated cell) — the k-way fan-out must never carry the
+    * dims-long vector through the partial-agg buffers (measured 30×+
+    * heavier when it did). */
+  def assignCells(frame: DataFrame,
+      cents: IndexedSeq[Array[Long]]): DataFrame = {
+    val k = cents.length
+    val literalMaxK = frame.sparkSession.conf
+      .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
+    if (k <= literalMaxK)
+      frame.select(col("vec_id"), cellAssignCol(cents))
+    else {
+      val score = when(col("cn") === 0.0, lit(Double.MinValue))
+        .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
+          .cast("double") / col("cn"))
+      frame.select(col("vec_id"), col("efp"))
+        .crossJoin(broadcast(cellCentTable(frame.sparkSession, cents)))
+        .select(col("vec_id"), struct(score.as("s"),
+          (col("cell") * -1).as("nc")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), (col("m.nc") * -1).as("cell"))
+    }
+  }
+
+  /** The TRAINING half of [[kmeansCells]]: Lloyd iterations to the final
+    * centroid set (fixed-point coordinates), no assignment pass. Exposed
+    * so serving paths can persist/reuse the model independent of the
+    * corpus assignment. */
+  def kmeansCentroids(idx: DataFrame, k: Int, iters: Int = 5,
+      trainSampleCap: Long = 0L): IndexedSeq[Array[Long]] = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1 (got $k, $iters)")
-    val s = idx.sparkSession
+    val literalMaxK = idx.sparkSession.conf
+      .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
     val dims = idx.select(size(col("efp"))).head().getInt(0)
-    val literalMaxK =
-      s.conf.get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
 
     // SAMPLED TRAINING (trainSampleCap > 0): seeds and every Lloyd update
     // pass run over a deterministic hash-mod sample of ~cap rows, and only
@@ -1442,67 +1620,14 @@ object VectorOps {
           s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % ${m}L = 0"))
       }
 
-    // scoring is IDENTICAL in both regimes: cos reduces to dot/|centroid|
-    // (|v| is a common positive factor), |centroid| computed ON THE DRIVER
-    // with the same double arithmetic, ties to the lowest cell id via the
-    // negated-cell struct field — so path choice never changes the output
-    def assignCol(cents: IndexedSeq[Array[Long]]): Column = {
-      val scored = (0 until cents.length).map { c =>
-        val cn = math.sqrt(cents(c).map(x => x.toDouble * x.toDouble).sum)
-        val score =
-          if (cn == 0.0) lit(Double.MinValue)
-          else GraftFunctions.intDot(col("efp"), typedLit(cents(c).toSeq))
-            .cast("double") / lit(cn)
-        struct(score.as("s"), lit(-c).as("nc"))
-      }
-      (array_max(array(scored: _*)).getField("nc") * -1).as("cell")
-    }
-
-    def centTable(cents: IndexedSeq[Array[Long]]): DataFrame = {
-      val rows = cents.zipWithIndex.map { case (cent, c) =>
-        org.apache.spark.sql.Row(c,
-          math.sqrt(cent.map(x => x.toDouble * x.toDouble).sum), cent.toSeq)
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("cn",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("cefp",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType, containsNull = false),
-          nullable = false)))
-      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-    }
-
-    /** (vec_id, cell) under the current centroids, either regime. The
-      * broadcast-path aggregate stays NARROW (score, negated cell) — the
-      * k-way fan-out must never carry the dims-long vector through the
-      * partial-agg buffers (measured 30×+ heavier when it did). */
-    def assignedOn(on: DataFrame, cents: IndexedSeq[Array[Long]]): DataFrame =
-      if (k <= literalMaxK)
-        on.select(col("vec_id"), assignCol(cents))
-      else {
-        val score = when(col("cn") === 0.0, lit(Double.MinValue))
-          .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
-            .cast("double") / col("cn"))
-        on.select(col("vec_id"), col("efp"))
-          .crossJoin(broadcast(centTable(cents)))
-          .select(col("vec_id"), struct(score.as("s"),
-            (col("cell") * -1).as("nc")).as("sc"))
-          .groupBy("vec_id").agg(max(col("sc")).as("m"))
-          .select(col("vec_id"), (col("m.nc") * -1).as("cell"))
-      }
-
     /** (cell, efp) for the update pass: the literal regime reads both in
       * one projection; the broadcast regime joins the narrow assignment
       * back to the index — corpus-row-proportional on both sides (the
       * fan-out rows are gone by here). */
     def assignedWithVec(cents: IndexedSeq[Array[Long]]): DataFrame =
       if (k <= literalMaxK)
-        trainIdx.select(assignCol(cents), col("efp"))
-      else assignedOn(trainIdx, cents)
+        trainIdx.select(cellAssignCol(cents), col("efp"))
+      else assignCells(trainIdx, cents)
         .join(trainIdx.select(col("vec_id"), col("efp")), Seq("vec_id"))
         .select(col("cell"), col("efp"))
 
@@ -1532,7 +1657,7 @@ object VectorOps {
       }
       cents = next.toIndexedSeq
     }
-    assignedOn(idx, cents)
+    cents
   }
 
   /** [[kmeansCells]] + [[knnIvfIndexed]] in one call: build the coarse

@@ -623,14 +623,26 @@ object EventStream {
     // Resolve auto-sizing ONCE from the static corpus before the stream
     // starts — per-epoch resolution would re-run the count and could
     // drift the signature scheme between epochs. The recall-preserving
-    // autoShape sizes against minCos, like the batch operator.
+    // autoShape sizes against minCos, like the batch operator. Fully
+    // auto-knobbed streams past the DeepenMinBits occupancy route to the
+    // CELL-SHARDED probe instead (mirroring the batch operators): the
+    // corpus's centroids + cell assignment are memoized across epochs,
+    // so each epoch pays batch assignment + a probe volume pinned to
+    // ~targetCellRows — the global shape would deepen with the corpus
+    // and grow every epoch's candidate volume with it.
+    val corpusRows = corpusIdx.count()
+    val useCells =
+      planes == graft.queries.VectorOps.AutoPlanes &&
+        bands == graft.queries.VectorOps.AutoBands &&
+        graft.queries.VectorOps.autoBitsPer(corpusRows) >=
+          graft.queries.VectorOps.DeepenMinBits
     val (resolvedPlanes, resolvedBands) =
       (planes, bands) match {
         case (graft.queries.VectorOps.AutoPlanes,
           graft.queries.VectorOps.AutoBands) =>
-          graft.queries.VectorOps.autoShape(corpusIdx.count(), minCos)
+          graft.queries.VectorOps.autoShape(corpusRows, minCos)
         case (graft.queries.VectorOps.AutoPlanes, b) =>
-          (graft.queries.VectorOps.autoPlanes(corpusIdx.count(), b), b)
+          (graft.queries.VectorOps.autoPlanes(corpusRows, b), b)
         case (p, graft.queries.VectorOps.AutoBands) => (p, 4)
         case (p, b) => (p, b)
       }
@@ -641,8 +653,13 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val batchIdx = graft.queries.VectorOps.index(batch, id, vec)
         try {
-          val verdicts = graft.queries.VectorOps.semanticIncrementalIndexed(
-            corpusIdx, batchIdx, minCos, resolvedPlanes, resolvedBands, dims)
+          val verdicts =
+            if (useCells)
+              graft.queries.VectorOps.semanticIncrementalCellsIndexed(
+                corpusIdx, batchIdx, minCos, dims = dims)
+            else graft.queries.VectorOps.semanticIncrementalIndexed(
+              corpusIdx, batchIdx, minCos, resolvedPlanes, resolvedBands,
+              dims)
           val admitted = batch.join(
             verdicts.filter(col("verdict") === "new")
               .select(col("vec_id").as("__new_id")),

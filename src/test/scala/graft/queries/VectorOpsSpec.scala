@@ -284,6 +284,69 @@ class VectorOpsSpec extends SparkSpec {
     assert(vs == Set("near_dup", "new"), s"degenerate verdict set $vs")
   }
 
+  test("semanticIncrementalCells with one cell == global semanticIncremental") {
+    // a single cell makes the cell key vacuous and the within-cell shape
+    // identical to the global autoShape — outputs must be bit-equal
+    val corpus = renamed.filter(col("vid") % 7 =!= 3)
+    val batch = renamed.filter(col("vid") % 7 === 3)
+    val cells = VectorOps.semanticIncrementalCells(corpus, batch,
+      "vid", "v", 0.35, nCells = 1).orderBy("vec_id")
+    val global = VectorOps.semanticIncremental(corpus, batch,
+      "vid", "v", 0.35).orderBy("vec_id")
+    assert(rows(cells) == rows(global))
+  }
+
+  test("semanticIncrementalCells finds identical corpus twins across many cells") {
+    // batch = re-id'd EXACT copies of corpus vectors: the batch is
+    // assigned with the corpus's own centroids, so an identical vector
+    // always lands in its twin's cell (equal scores => same argmax) and
+    // the within-cell probe must find it at cos 1.0 — cell count and
+    // training sample cap must not change that
+    val corpus = renamed.filter(col("vid") < 1500)
+    val batch = corpus.filter(col("vid") % 11 === 0)
+      .select((col("vid") + 100000L).as("vid"), col("v"), col("tag"))
+    val got = VectorOps.semanticIncrementalCells(corpus, batch,
+      "vid", "v", 0.999, nCells = 8, targetCellRows = 16,
+      trainSampleCap = 128L).collect()
+    assert(got.length == batch.count(), "one verdict per batch vector")
+    got.foreach { r =>
+      assert(r.getAs[String]("verdict") == "near_dup", s"missed twin: $r")
+      assert(r.getAs[Double]("cos") >= 0.999999, s"row $r")
+      assert(r.getAs[Long]("partner_id") == r.getAs[Long]("vec_id") - 100000L,
+        s"wrong twin (not the identical vector): $r")
+    }
+  }
+
+  test("semanticIncrementalCells verdict contract on the %7 split") {
+    val corpus = renamed.filter(col("vid") % 7 =!= 3)
+    val batch = renamed.filter(col("vid") % 7 === 3)
+    val got = VectorOps.semanticIncrementalCells(corpus, batch,
+      "vid", "v", 0.35, nCells = 4, targetCellRows = 16).collect()
+    assert(got.length == batch.count())
+    got.foreach { r =>
+      r.getAs[String]("verdict") match {
+        case "near_dup" =>
+          assert(r.getAs[Double]("cos") >= 0.35, s"row $r")
+          assert(r.getAs[Long]("partner_id") % 7 != 3,
+            s"partner not from the corpus: $r")
+        case "new" =>
+          assert(r.isNullAt(r.fieldIndex("partner_id")), s"row $r")
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+    // the cell partition can only LOSE candidates vs global — every
+    // cells near_dup must also be a global near_dup with cos <= global's
+    val globalBest = VectorOps.semanticIncremental(corpus, batch,
+      "vid", "v", 0.35).collect()
+      .filter(_.getAs[String]("verdict") == "near_dup")
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    got.filter(_.getAs[String]("verdict") == "near_dup").foreach { r =>
+      val g = globalBest.get(r.getAs[Long]("vec_id"))
+      assert(g.isDefined, s"cells found a dup global missed: $r")
+      assert(r.getAs[Double]("cos") <= g.get + 1e-9, s"row $r vs global $g")
+    }
+  }
+
   test("semanticKeepBest picks the max-quality member per cluster, min-id on ties") {
     val clusters = VectorOps.semanticDedup(renamed, "vid", "v", 0.35).collect()
       .groupBy(_.getAs[Long]("cluster_id"))

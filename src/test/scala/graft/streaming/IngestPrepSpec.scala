@@ -171,6 +171,56 @@ class IngestPrepSpec extends SparkSpec {
       s"degenerate split: ${want.size} of ${batchRows.length} admitted")
   }
 
+  test("auto-knob vector ingest routes to the cell-sharded probe past DeepenMinBits") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.VectorOps
+
+    // a corpus PAST the deepening boundary, so both the streaming ingest
+    // and the batch comparator route to the cell-sharded probe
+    val n = 140000L
+    assert(VectorOps.autoBitsPer(n) >= VectorOps.DeepenMinBits)
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> CAST(pmod(hash(id * 67 + i), 13) - 6 AS FLOAT))")
+        .as("embedding"))
+    // batch: re-id'd EXACT twins of corpus vectors (must be rejected —
+    // identical vectors co-assign under any centroid set) + novel vectors
+    val twins = corpus.filter(col("vec_id") % 7000 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val novel = spark.range(20).select((col("id") + 2000000L).as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> CAST(pmod(hash((id + 999) * 101 + i * 31), 9) - 4 AS FLOAT))")
+        .as("embedding"))
+    val batchDf = twins.unionAll(novel)
+    val batchRows = batchDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    input.addData(batchRows.toIndexedSeq: _*)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-vec-cells").toString
+    EventStream.runVectorIngest(
+      input.toDF().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", ckpt, minCos = 0.999) { (admitted, _) =>
+      got ++= admitted.collect().map(_.getAs[Long]("vec_id"))
+    }
+
+    // every identical twin is rejected by the cell-sharded probe
+    val twinIds = twins.collect().map(_.getLong(0)).toSet
+    assert(got.toSet.intersect(twinIds).isEmpty,
+      s"identical twins admitted: ${got.toSet.intersect(twinIds)}")
+    assert(got.nonEmpty, "novel vectors should be admitted")
+    // and the stream admits exactly what batch-mode (also routed) admits
+    val want = VectorOps.semanticIncremental(
+      corpus, batchDf, "vec_id", "embedding", 0.999)
+      .filter(col("verdict") === "new")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.toSet == want, s"streaming admitted ${got.toSet}; batch says $want")
+  }
+
   test("streaming ANN serving matches the batch PQ probe across epochs") {
     val spark0 = spark
     import spark0.implicits._
