@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bucketing
+
+/** PERSISTED vector serving index — the embedding twin of [[DedupIndex]]
+  * (the r13 verdict's top next-round item): the artifacts the cell-sharded
+  * semantic-dedup and PQ-ANN serving paths derive per session
+  * ([[VectorOps.semanticIncrementalCellsIndexed]]'s k-means centroids +
+  * cell assignment + banded LSH rows, [[VectorOps.pqIndexOf]]'s codebooks
+  * + encoded codes) written ONCE to external tables, so a FRESH session —
+  * or a different cluster entirely — [[attach]]es the artifact (metadata
+  * only) and serves bit-identical verdicts with ZERO corpus recomputation:
+  * no k-means retraining, no signature pass, no PQ re-encoding, not even a
+  * scan of the raw embeddings.
+  *
+  * Layout under `dir` (bucketed+sorted external tables, [[Bucketing]]):
+  *
+  *   - `<prefix>_vecs`    (vec_id, efp, nrm)            bucketed vec_id —
+  *                        the quantized index, re-rank side of every probe
+  *   - `<prefix>_bands`   (partner_id, cell, k, v)      bucketed (cell,k,v)
+  *                        — the cell-scoped LSH band index; the batch's
+  *                        probe join needs no exchange on this side
+  *   - `<prefix>_cells`   (vec_id, cell)                bucketed vec_id —
+  *                        the coarse-quantizer assignment
+  *   - `<prefix>_pqcodes` (vec_id, codes, rnorm2)       bucketed vec_id —
+  *                        the m-byte PQ representation + reconstructed norm
+  *   - `<prefix>_cents`   (cell, cefp)                  plain parquet —
+  *                        k-means centroids (driver-collected at probe time)
+  *   - `<prefix>_pqbooks` (j, code, w)                  plain parquet —
+  *                        per-subspace PQ codewords (driver-collected)
+  *   - `<prefix>_meta`    one row of build knobs        plain parquet
+  *
+  * Bit-parity contract (pinned by `VectorIndexSpec`): [[incrementalDedup]]
+  * equals the building session's
+  * [[VectorOps.semanticIncrementalCellsIndexed]] and [[knn]] equals its
+  * [[VectorOps.knnPqIndexed]] — both paths feed the SAME probe cores with
+  * the SAME persisted derivations (parquet round-trips of long/int arrays
+  * are exact; centroids/codebooks re-collect to identical driver arrays).
+  *
+  * 100 TB shape: the index never moves — probe joins read the bucketed
+  * layout in place; each serving batch pays only its own signatures +
+  * assignment + the (cell, band, value)-bucketed candidate join, volume
+  * pinned to ~targetCellRows per batch vector regardless of corpus size.
+  * The LSH shape is frozen at build time (sized by [[VectorOps.autoShape]]
+  * against the build `minCos`), so every serving session probes with the
+  * exact scheme the bands were written under.
+  */
+object VectorIndex {
+
+  /** Default bucket count per table — raise at real scale so each bucket
+    * file stays executor-sized ([[DedupIndex.DefaultBuckets]] rationale). */
+  val DefaultBuckets = 8
+
+  /** Driver-held image of `<prefix>_meta`. */
+  final case class Meta(minCos: Double, dims: Int, nCells: Int,
+      kmeansIters: Int, trainSampleCap: Long, targetCellRows: Int,
+      planes: Int, bands: Int, pqM: Int, pqKsub: Int, corpusRows: Long,
+      buckets: Int)
+
+  private def metaOf(r: Row): Meta = Meta(
+    r.getAs[Double]("min_cos"), r.getAs[Int]("dims"), r.getAs[Int]("n_cells"),
+    r.getAs[Int]("kmeans_iters"), r.getAs[Long]("train_sample_cap"),
+    r.getAs[Int]("target_cell_rows"), r.getAs[Int]("planes"),
+    r.getAs[Int]("bands"), r.getAs[Int]("pq_m"), r.getAs[Int]("pq_ksub"),
+    r.getAs[Long]("corpus_rows"), r.getAs[Int]("buckets"))
+
+  /** Read the persisted meta row for `prefix` from the session catalog. */
+  def meta(spark: SparkSession, prefix: String = "vec_idx"): Meta =
+    metaOf(spark.table(s"${prefix}_meta").head())
+
+  private def writePlain(df: DataFrame, table: String,
+      location: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", location).option("compression", "snappy")
+      .saveAsTable(table)
+  }
+
+  private def attachPlain(spark: SparkSession, table: String,
+      location: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"CREATE TABLE $table ($schema) USING PARQUET LOCATION '$location'")
+  }
+
+  /** Derive the serving artifacts from `corpus` and persist them under
+    * `dir` (also registering `<prefix>_*` in the building session's
+    * catalog). `minCos` is the dedup threshold the LSH shape is sized
+    * against — the index serves recall-calibrated verdicts AT THIS
+    * THRESHOLD (probing with a higher one is safe; a lower one loses
+    * recall the frozen shape was never sized for). Knob defaults mirror
+    * [[VectorOps.semanticIncrementalCellsIndexed]] /
+    * [[VectorOps.pqIndexOf]], so default builds are bit-compatible with
+    * default in-session calls. */
+  def build(corpus: DataFrame, id: String, vec: String, dir: String,
+      minCos: Double, prefix: String = "vec_idx",
+      nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 2,
+      targetCellRows: Int = VectorOps.DefaultCellRows, dims: Int = 64,
+      trainSampleCap: Long = 0L, pqM: Int = 8, pqKsub: Int = 16,
+      buckets: Int = DefaultBuckets): Unit = {
+    val s = corpus.sparkSession
+    val idx = VectorOps.index(corpus, id, vec)
+    try {
+      val rows = idx.count()
+      val k = VectorOps.autoCellCount(rows, nCells, targetCellRows)
+      val cellRows = math.max(1L, (rows + k - 1) / k)
+      val (p, b) = VectorOps.autoShape(cellRows, minCos)
+
+      val cents = VectorOps.kmeansCentroids(idx, k, kmeansIters,
+        trainSampleCap)
+      val cells = VectorOps.assignCells(idx, cents)
+
+      Bucketing.writeBucketedExternal(
+        idx.select(col("vec_id"), col("efp"), col("nrm")),
+        s"${prefix}_vecs", Seq("vec_id"), s"$dir/vecs", buckets)
+      Bucketing.writeBucketedExternal(cells,
+        s"${prefix}_cells", Seq("vec_id"), s"$dir/cells", buckets)
+      Bucketing.writeBucketedExternal(
+        VectorOps.lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
+          .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+            col("v")),
+        s"${prefix}_bands", Seq("cell", "k", "v"), s"$dir/bands", buckets)
+
+      val books = VectorOps.pqBooksSampled(idx, pqM, pqKsub)
+      Bucketing.writeBucketedExternal(
+        VectorOps.pqEncodeIndexed(idx, books)
+          .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books)),
+        s"${prefix}_pqcodes", Seq("vec_id"), s"$dir/pqcodes", buckets)
+
+      import scala.jdk.CollectionConverters._
+      val centRows: Seq[Row] = cents.zipWithIndex.map { case (c, i) =>
+        Row(i, c.toSeq)
+      }
+      val centSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cefp",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+      writePlain(s.createDataFrame(
+        new java.util.ArrayList[Row](centRows.asJava), centSchema)
+        .coalesce(1), s"${prefix}_cents", s"$dir/cents")
+
+      val bookRows: Seq[Row] = for {
+        j <- books.indices
+        c <- books(j).indices
+      } yield Row(j, c, books(j)(c).toSeq)
+      val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+      writePlain(s.createDataFrame(
+        new java.util.ArrayList[Row](bookRows.asJava), bookSchema)
+        .coalesce(1), s"${prefix}_pqbooks", s"$dir/pqbooks")
+
+      import s.implicits._
+      writePlain(Seq((minCos, dims, k, kmeansIters, trainSampleCap,
+        targetCellRows, p, b, pqM, pqKsub, rows, buckets))
+        .toDF("min_cos", "dims", "n_cells", "kmeans_iters",
+          "train_sample_cap", "target_cell_rows", "planes", "bands",
+          "pq_m", "pq_ksub", "corpus_rows", "buckets")
+        .coalesce(1), s"${prefix}_meta", s"$dir/meta")
+    } finally idx.unpersist(false) // the index lives on disk now
+  }
+
+  /** Register an existing index written by [[build]] in `spark`'s catalog
+    * — metadata only (no data job, no corpus recomputation). Bucket
+    * counts come from the persisted meta, so the planner proves the
+    * layout exactly as at write time. */
+  def attach(spark: SparkSession, dir: String,
+      prefix: String = "vec_idx"): Unit = {
+    val buckets = spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("buckets")
+    attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
+    attachPlain(spark, s"${prefix}_cents", s"$dir/cents")
+    attachPlain(spark, s"${prefix}_pqbooks", s"$dir/pqbooks")
+    Bucketing.attachBucketed(spark, s"${prefix}_vecs", Seq("vec_id"),
+      s"$dir/vecs", buckets)
+    Bucketing.attachBucketed(spark, s"${prefix}_cells", Seq("vec_id"),
+      s"$dir/cells", buckets)
+    Bucketing.attachBucketed(spark, s"${prefix}_bands",
+      Seq("cell", "k", "v"), s"$dir/bands", buckets)
+    Bucketing.attachBucketed(spark, s"${prefix}_pqcodes", Seq("vec_id"),
+      s"$dir/pqcodes", buckets)
+  }
+
+  /** Centroids re-collected from the persisted table — identical driver
+    * arrays to the building session's (exact long round-trip). */
+  def centroids(spark: SparkSession,
+      prefix: String = "vec_idx"): IndexedSeq[Array[Long]] =
+    spark.table(s"${prefix}_cents").orderBy("cell")
+      .select("cefp").collect()
+      .map(_.getSeq[Long](0).toArray).toIndexedSeq
+
+  /** PQ codebooks re-collected from the persisted table. */
+  def pqBooks(spark: SparkSession,
+      prefix: String = "vec_idx"): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val rows = spark.table(s"${prefix}_pqbooks")
+      .orderBy("j", "code").collect()
+    rows.groupBy(_.getAs[Int]("j")).toIndexedSeq.sortBy(_._1).map {
+      case (_, rs) =>
+        rs.sortBy(_.getAs[Int]("code"))
+          .map(_.getSeq[Long](2).toArray).toIndexedSeq
+    }
+  }
+
+  /** [[VectorOps.semanticIncrementalCellsIndexed]]-semantics ingest
+    * verdicts for `batch`, served entirely off the persisted `<prefix>_*`
+    * tables ([[build]] or [[attach]] must have registered them in
+    * `batch`'s session). Batch-proportional: the batch derives its own
+    * signatures + cell assignment (with the CORPUS's persisted centroids
+    * — identical scoring to training); the corpus contributes only
+    * bucketed table scans. `minCos` defaults (NaN) to the build
+    * threshold; `probes = 2` widens the batch-side cell probe
+    * ([[VectorOps.assignCellsMulti]]). */
+  def incrementalDedup(batch: DataFrame, id: String, vec: String,
+      prefix: String = "vec_idx", minCos: Double = Double.NaN,
+      probes: Int = 1): DataFrame = {
+    val s = batch.sparkSession
+    val m = meta(s, prefix)
+    val th = if (minCos.isNaN) m.minCos else minCos
+    val cents = centroids(s, prefix)
+    // uncached batch index: a narrow projection consumed three times is
+    // cheaper than a cache entry per serving epoch the caller can't free
+    val batchIdx = VectorOps.indexUncached(batch, id, vec)
+    val bb = VectorOps.lshBandRows(batchIdx, m.planes, m.bands, m.dims)
+      .join(VectorOps.assignCellsMulti(batchIdx, cents, probes),
+        Seq("vec_id"))
+    val cand = bb.join(s.table(s"${prefix}_bands"), Seq("cell", "k", "v"))
+      .select(col("vec_id"), col("partner_id")).distinct()
+    VectorOps.bestPartnerOf(s.table(s"${prefix}_vecs"), batchIdx, cand, th)
+  }
+
+  /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,
+    * served off the persisted PQ codes + codebooks — no corpus
+    * re-encoding; the exact re-rank reads full vectors only for the
+    * rerank-bounded candidate pool, off the vec_id-bucketed table. */
+  def knn(queries: DataFrame, id: String, vec: String, k: Int,
+      prefix: String = "vec_idx", rerank: Int = 50): DataFrame = {
+    val s = queries.sparkSession
+    val pq = VectorOps.PqIndex(pqBooks(s, prefix),
+      s.table(s"${prefix}_pqcodes"))
+    VectorOps.knnPqWithIndex(s.table(s"${prefix}_vecs"), pq,
+      VectorOps.indexUncached(queries, id, vec), k, rerank)
+  }
+}

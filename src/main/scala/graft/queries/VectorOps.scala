@@ -42,6 +42,25 @@ object VectorOps {
 
   private val SCALE = 1e6
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Session conf gating the silent auto-knob reroute to the cell-sharded
+    * approximate algorithm past [[DeepenMinBits]] occupancy (default on).
+    * Callers that rely on exact global LSH semantics at any corpus size
+    * set `spark.graft.vector.autoCellRoute=false` instead of pinning
+    * knobs; the engaged route also logs, so the semantic switch is never
+    * silent (r13 advisor). */
+  private[queries] def cellRouteEnabled(
+      s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get("spark.graft.vector.autoCellRoute", "true").toBoolean
+
+  private def logCellRoute(op: String, rows: Long): Unit =
+    log.info(s"graft: $op with auto knobs routed to the CELL-SHARDED " +
+      s"approximate path (corpus rows=$rows >= ~${64L << DeepenMinBits}): " +
+      "clusters cannot span k-means cells and boundary near-dups can be " +
+      "missed; set spark.graft.vector.autoCellRoute=false (or pass " +
+      "explicit planes/bands) for exact global LSH semantics")
+
   /** Sentinel default for `planes` in the THRESHOLD family
     * (semanticDedup / semanticIncremental / semanticKeepBest): size the
     * LSH from the corpus row count at call time ([[autoPlanes]] /
@@ -247,13 +266,20 @@ object VectorOps {
     * plan identity. `carry` columns ride along into operator output
     * (must not collide with vec_id/efp/nrm/cos/rank/query_id). */
   def index(df: DataFrame, id: String, vec: String,
+      carry: Seq[String] = Nil): DataFrame =
+    Caching.cached(indexUncached(df, id, vec, carry),
+      "spark.graft.vector.storageLevel")
+
+  /** [[index]] without the cache pin — for batch-proportional serving
+    * probes (streaming epochs) where recomputing the narrow projection a
+    * few times beats accumulating per-epoch cache entries the caller
+    * cannot release. */
+  private[queries] def indexUncached(df: DataFrame, id: String, vec: String,
       carry: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    Caching.cached(
-      df.select(col(id).cast("long").as("vec_id") +: carry.map(col) :+
-          efpCol(col(vec)).as("efp"): _*)
-        .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp"))),
-      "spark.graft.vector.storageLevel")
+    df.select(col(id).cast("long").as("vec_id") +: carry.map(col) :+
+        efpCol(col(vec)).as("efp"): _*)
+      .withColumn("nrm", GraftFunctions.intDot(col("efp"), col("efp")))
   }
 
   // =====================================================================
@@ -652,7 +678,7 @@ object VectorOps {
 
   /** Σ_j ‖book_j[codes_j]‖² — the reconstructed norm, from a literal
     * per-subspace codeword-norm table. */
-  private def pqRnorm2Col(codes: Column,
+  private[queries] def pqRnorm2Col(codes: Column,
       books: IndexedSeq[IndexedSeq[Array[Long]]]): Column = {
     val nrm2Lut = books.map(_.map(c => c.map(x => x * x).sum))
     books.indices.map(j =>
@@ -1160,10 +1186,14 @@ object VectorOps {
     // callers route to the cell-sharded SemDeDup path: candidate volume
     // there is O(rows) because cells hold ~targetCellRows regardless of
     // corpus size. Explicit-knob callers (the q60 oracle binding) keep
-    // the exact global semantics they pinned.
+    // the exact global semantics they pinned; the route logs and is
+    // gated on spark.graft.vector.autoCellRoute ([[cellRouteEnabled]]).
     if (planes == AutoPlanes && bands == AutoBands &&
-        autoBitsPer(memoizedCount(idx)) >= DeepenMinBits)
+        cellRouteEnabled(idx.sparkSession) &&
+        autoBitsPer(memoizedCount(idx)) >= DeepenMinBits) {
+      logCellRoute("semanticDedup", memoizedCount(idx))
       return semanticDedupCellsIndexed(idx, minCos, dims = dims)
+    }
     val (rp, rb) = resolveShape(planes, bands, minCos, idx)
     val cand = lshCandidatePairs(idx, rp, rb, dims)
     clusterOutputOf(idx, cosineFilteredPairs(idx, cand, minCos))
@@ -1239,41 +1269,81 @@ object VectorOps {
     * boundary near-dups can be missed and clusters never span cells —
     * the price of O(rows) growth, acceptable for dedup (a missed
     * boundary dup costs a duplicate training doc, not a wrong answer).
-    * Recall measured on the clustered stress corpus in BENCH_NOTES r13.
+    * Recall measured on the clustered stress corpus in BENCH_NOTES r13;
+    * `probes = 2` is SemDeDup's standard boundary mitigation (each
+    * vector is additionally assigned to its SECOND-nearest cell via
+    * [[assignCellsMulti]], so a pair split across adjacent cells still
+    * shares one) — assignment cost ~2×, candidate volume ≤ 2×, still
+    * O(rows); measured recall on planted cos∈[τ, τ+0.02] boundary pairs
+    * in `CellBoundarySpec` / BENCH_NOTES r14.
     * Determinism: k-means seeds/ties are md5-ordered, iterations fixed,
     * LSH shape derives from (rows, minCos) — no RNG anywhere. */
-  /** Session-lifetime memo of the cached cell assignment per (session,
-    * canonical corpus plan, k, iters): [[kmeansCells]] runs driver-side
-    * Lloyd iterations at CALL time, so Spark's plan-identity cache alone
-    * cannot stop a repeat call (Bench runs each query 3×) from re-paying
-    * the build. Same staleness semantics as any .cache(). */
-  private val cellsMemo = scala.collection.concurrent.TrieMap.empty[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int, Int, Long), DataFrame]
+  private type ModelKey = (org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Long,
+    Int)
 
-  /** Session-lifetime memo of the TRAINED centroid set per the same key:
-    * the batch dedup and the incremental serving path share one training
-    * run per corpus (the incremental path must assign new batches with
-    * the corpus's own centroids, or an identical batch vector could land
-    * in a different cell than its corpus twin). */
-  private val centsMemo = scala.collection.concurrent.TrieMap.empty[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int, Int, Long), IndexedSeq[Array[Long]]]
+  /** Bounded (LRU) memo of the cached cell assignment per (session,
+    * canonical corpus plan, k, iters, sampleCap, probes): [[kmeansCells]]
+    * runs driver-side Lloyd iterations at CALL time, so Spark's
+    * plan-identity cache alone cannot stop a repeat call (Bench runs each
+    * query 3×) from re-paying the build. Same staleness semantics as any
+    * .cache(). Eviction unpersists the evicted frame, and a build that
+    * loses a concurrent race unpersists its own copy before adopting the
+    * winner's — the multi-threaded REST/streaming paths can never strand
+    * a persisted frame (r13 advisor). */
+  private val cellsMemo =
+    new java.util.LinkedHashMap[ModelKey, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[ModelKey, DataFrame]): Boolean =
+        if (size > 32) {
+          try e.getValue.unpersist(false) catch { case _: Throwable => () }
+          true
+        } else false
+    }
+
+  private def memoizedCells(key: ModelKey)(build: => DataFrame): DataFrame =
+    cellsMemo.synchronized(Option(cellsMemo.get(key))).getOrElse {
+      val built = build // Spark jobs — never under the memo lock
+      cellsMemo.synchronized(Option(cellsMemo.get(key)) match {
+        case Some(winner) => // lost the race: release our duplicate cache
+          try built.unpersist(false) catch { case _: Throwable => () }
+          winner
+        case None => cellsMemo.put(key, built); built
+      })
+    }
+
+  /** Bounded memo of the TRAINED centroid set (probes pinned to 1 in the
+    * key — the model is probe-count-independent): the batch dedup and the
+    * incremental serving path share one training run per corpus (the
+    * incremental path must assign new batches with the corpus's own
+    * centroids, or an identical batch vector could land in a different
+    * cell than its corpus twin). Driver-held arrays only — eviction needs
+    * no unpersist; a lost build race just discards the loser's arrays. */
+  private val centsMemo =
+    new java.util.LinkedHashMap[ModelKey, IndexedSeq[Array[Long]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[ModelKey, IndexedSeq[Array[Long]]]): Boolean =
+        size > 32
+    }
 
   private def memoizedCentroids(idx: DataFrame, k: Int, iters: Int,
-      trainSampleCap: Long): IndexedSeq[Array[Long]] =
-    centsMemo.getOrElseUpdate(
-      (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
-        iters, trainSampleCap),
-      kmeansCentroids(idx, k, iters, trainSampleCap))
+      trainSampleCap: Long): IndexedSeq[Array[Long]] = {
+    val key: ModelKey = (idx.sparkSession,
+      idx.queryExecution.logical.canonicalized, k, iters, trainSampleCap, 1)
+    centsMemo.synchronized(Option(centsMemo.get(key))).getOrElse {
+      val built = kmeansCentroids(idx, k, iters, trainSampleCap)
+      centsMemo.synchronized(Option(centsMemo.get(key)).getOrElse {
+        centsMemo.put(key, built); built
+      })
+    }
+  }
 
   /** Auto cell count: enough ~`targetCellRows`-row cells to tile the
     * corpus, capped at [[MaxAutoCells]]. Shared by the batch and
     * incremental cell-sharded paths so both resolve identical shapes
     * for the same corpus. */
-  private def autoCellCount(rows: Long, nCells: Int,
+  private[queries] def autoCellCount(rows: Long, nCells: Int,
       targetCellRows: Int): Int =
     if (nCells != AutoCells) nCells
     else math.max(1, math.min(MaxAutoCells.toLong,
@@ -1299,17 +1369,17 @@ object VectorOps {
   def semanticDedupCellsIndexed(idx: DataFrame, minCos: Double,
       nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = 0L): DataFrame = {
+      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame = {
     val rows = memoizedCount(idx)
     val k = autoCellCount(rows, nCells, targetCellRows)
     val cellRows = math.max(1L, (rows + k - 1) / k)
     val (p, b) = autoShape(cellRows, minCos)
-    val cells = cellsMemo.getOrElseUpdate(
+    val cells = memoizedCells(
       (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
-        kmeansIters, trainSampleCap),
+        kmeansIters, trainSampleCap, probes))(
       Caching.cached(
-        assignCells(idx, memoizedCentroids(idx, k, kmeansIters,
-          trainSampleCap)),
+        assignCellsMulti(idx, memoizedCentroids(idx, k, kmeansIters,
+          trainSampleCap), probes),
         "spark.graft.vector.storageLevel"))
     val br = lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
     val cand = br.select(col("vec_id").as("id_a"), col("cell"), col("k"),
@@ -1326,9 +1396,9 @@ object VectorOps {
   def semanticDedupCells(df: DataFrame, id: String, vec: String,
       minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = 0L): DataFrame =
+      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame =
     semanticDedupCellsIndexed(index(df, id, vec), minCos, nCells,
-      kmeansIters, targetCellRows, dims, trainSampleCap)
+      kmeansIters, targetCellRows, dims, trainSampleCap, probes)
 
   /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
   def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
@@ -1357,11 +1427,15 @@ object VectorOps {
     // path's corpus-sized band artifact deepens with corpus occupancy,
     // so per-batch-vector candidate volume grows with the CORPUS — the
     // cell path keeps it pinned to ~targetCellRows. Explicit-knob
-    // callers (the q63 oracle binding) keep exact global semantics.
+    // callers (the q63 oracle binding) keep exact global semantics; the
+    // route logs and respects spark.graft.vector.autoCellRoute.
     if (planes == AutoPlanes && bands == AutoBands &&
-        autoBitsPer(memoizedCount(corpus)) >= DeepenMinBits)
+        cellRouteEnabled(corpus.sparkSession) &&
+        autoBitsPer(memoizedCount(corpus)) >= DeepenMinBits) {
+      logCellRoute("semanticIncremental", memoizedCount(corpus))
       return semanticIncrementalCellsIndexed(corpus, batch, minCos,
         dims = dims)
+    }
     val (p, b) = resolveShape(planes, bands, minCos, corpus) // the big side
     val cb = lshBandRows(corpus, p, b, dims)
       .select(col("vec_id").as("partner_id"), col("k"), col("v"))
@@ -1375,7 +1449,7 @@ object VectorOps {
     * rounded cosine over the candidate (batch, corpus) pairs, best
     * partner per batch vector by (cos desc, partner_id asc), left-join
     * back so every batch vector gets a row. */
-  private def bestPartnerOf(corpus: DataFrame, batch: DataFrame,
+  private[queries] def bestPartnerOf(corpus: DataFrame, batch: DataFrame,
       cand: DataFrame, minCos: Double): DataFrame = {
     val bq = batch.select(col("vec_id"), col("efp").as("be"),
       col("nrm").as("bn"))
@@ -1415,22 +1489,26 @@ object VectorOps {
   def semanticIncrementalCellsIndexed(corpus: DataFrame, batch: DataFrame,
       minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = 0L): DataFrame = {
+      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame = {
     val rows = memoizedCount(corpus)
     val k = autoCellCount(rows, nCells, targetCellRows)
     val cellRows = math.max(1L, (rows + k - 1) / k)
     val (p, b) = autoShape(cellRows, minCos)
     val cents = memoizedCentroids(corpus, k, kmeansIters, trainSampleCap)
-    val corpusCells = cellsMemo.getOrElseUpdate(
+    val corpusCells = memoizedCells(
       (corpus.sparkSession, corpus.queryExecution.logical.canonicalized, k,
-        kmeansIters, trainSampleCap),
+        kmeansIters, trainSampleCap, 1))(
       Caching.cached(assignCells(corpus, cents),
         "spark.graft.vector.storageLevel"))
     val cb = lshBandRows(corpus, p, b, dims).join(corpusCells, Seq("vec_id"))
       .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
         col("v"))
+    // `probes` widens only the BATCH side (the corpus index keeps its
+    // single training-time assignment): a batch vector whose partner
+    // sits just across its cell boundary probes its second-nearest cell
+    // too — the multi-probe IVF search pattern, batch-cost ~2×
     val bb = lshBandRows(batch, p, b, dims)
-      .join(assignCells(batch, cents), Seq("vec_id"))
+      .join(assignCellsMulti(batch, cents, probes), Seq("vec_id"))
     val cand = bb.join(cb, Seq("cell", "k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
     bestPartnerOf(corpus, batch, cand, minCos)
@@ -1442,10 +1520,10 @@ object VectorOps {
       id: String, vec: String, minCos: Double, nCells: Int = AutoCells,
       kmeansIters: Int = 2, targetCellRows: Int = DefaultCellRows,
       dims: Int = 64,
-      trainSampleCap: Long = 0L): DataFrame =
+      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame =
     semanticIncrementalCellsIndexed(index(corpus, id, vec),
       index(batch, id, vec), minCos, nCells, kmeansIters, targetCellRows,
-      dims, trainSampleCap)
+      dims, trainSampleCap, probes)
 
   /** [[semanticIncrementalIndexed]] over raw (id, vec) frames. Parameter
     * order matches the Indexed variant (corpus first, then batch) — the
@@ -1528,17 +1606,18 @@ object VectorOps {
   // ON THE DRIVER with the same double arithmetic, ties to the lowest
   // cell id via the negated-cell struct field — so path choice never
   // changes the output
-  private def cellAssignCol(cents: IndexedSeq[Array[Long]]): Column = {
-    val scored = (0 until cents.length).map { c =>
+  private def cellScoredArr(cents: IndexedSeq[Array[Long]]): Column =
+    array((0 until cents.length).map { c =>
       val cn = math.sqrt(cents(c).map(x => x.toDouble * x.toDouble).sum)
       val score =
         if (cn == 0.0) lit(Double.MinValue)
         else GraftFunctions.intDot(col("efp"), typedLit(cents(c).toSeq))
           .cast("double") / lit(cn)
       struct(score.as("s"), lit(-c).as("nc"))
-    }
-    (array_max(array(scored: _*)).getField("nc") * -1).as("cell")
-  }
+    }: _*)
+
+  private def cellAssignCol(cents: IndexedSeq[Array[Long]]): Column =
+    (array_max(cellScoredArr(cents)).getField("nc") * -1).as("cell")
 
   private def cellCentTable(s: org.apache.spark.sql.SparkSession,
       cents: IndexedSeq[Array[Long]]): DataFrame = {
@@ -1586,6 +1665,57 @@ object VectorOps {
           (col("cell") * -1).as("nc")).as("sc"))
         .groupBy("vec_id").agg(max(col("sc")).as("m"))
         .select(col("vec_id"), (col("m.nc") * -1).as("cell"))
+    }
+  }
+
+  /** TOP-`probes` cell assignment — [[assignCells]] widened to SemDeDup's
+    * standard boundary mitigation: each vector gets one output row per
+    * probed cell (its nearest, then second-nearest centroid; ties to the
+    * lowest cell id at each rank), so a near-dup pair straddling a cell
+    * boundary still shares a cell whenever either member's second choice
+    * is the other's first. probes ∈ {1, 2}; probes = 1 IS [[assignCells]].
+    *
+    * Cost shape: the literal regime (k ≤ `kmeansLiteralMaxK`) stays a
+    * PURE MAP — the scored array is let-bound once and the top-2 comes
+    * from array_max + a filtered array_max, no join, no shuffle. The
+    * broadcast regime pays the k-way fan-out twice (best via the narrow
+    * max-of-struct partial agg, second via a re-score excluding the best
+    * struct) — assignment cost ~2×, exactly the multi-probe trade. */
+  def assignCellsMulti(frame: DataFrame, cents: IndexedSeq[Array[Long]],
+      probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= 2,
+      s"probes must be 1 or 2 (got $probes); deeper probing composes from" +
+        " smaller cells (raise nCells) rather than wider assignment")
+    if (probes == 1 || cents.length < 2) assignCells(frame, cents)
+    else {
+      val k = cents.length
+      val literalMaxK = frame.sparkSession.conf
+        .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
+      if (k <= literalMaxK) {
+        // let-bind the scored array, then the best struct, then emit
+        // [best, second] — the single-element-array `transform` trick
+        val top2 = element_at(transform(array(cellScoredArr(cents)), a =>
+          element_at(transform(array(array_max(a)), b =>
+            array(b.getField("nc") * -1,
+              array_max(filter(a, x =>
+                x.getField("nc") =!= b.getField("nc"))).getField("nc") * -1)),
+            1)), 1)
+        frame.select(col("vec_id"), explode(top2).as("cell"))
+      } else {
+        val score = when(col("cn") === 0.0, lit(Double.MinValue))
+          .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
+            .cast("double") / col("cn"))
+        def fan = frame.select(col("vec_id"), col("efp"))
+          .crossJoin(broadcast(cellCentTable(frame.sparkSession, cents)))
+          .select(col("vec_id"), struct(score.as("s"),
+            (col("cell") * -1).as("nc")).as("sc"))
+        val best = fan.groupBy("vec_id").agg(max(col("sc")).as("b"))
+        val second = fan.join(best, Seq("vec_id"))
+          .filter(col("sc") =!= col("b"))
+          .groupBy("vec_id").agg(max(col("sc")).as("b"))
+        best.unionAll(second)
+          .select(col("vec_id"), (col("b.nc") * -1).as("cell"))
+      }
     }
   }
 

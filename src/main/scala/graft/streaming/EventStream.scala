@@ -630,10 +630,14 @@ object EventStream {
     // so each epoch pays batch assignment + a probe volume pinned to
     // ~targetCellRows — the global shape would deepen with the corpus
     // and grow every epoch's candidate volume with it.
-    val corpusRows = corpusIdx.count()
+    // lazy: fully explicit-knob streams never pay the corpus count scan
+    // at stream start (r13 advisor) — only the Auto sentinels consume it
+    lazy val corpusRows = corpusIdx.count()
     val useCells =
       planes == graft.queries.VectorOps.AutoPlanes &&
         bands == graft.queries.VectorOps.AutoBands &&
+        corpus.sparkSession.conf
+          .get("spark.graft.vector.autoCellRoute", "true").toBoolean &&
         graft.queries.VectorOps.autoBitsPer(corpusRows) >=
           graft.queries.VectorOps.DeepenMinBits
     val (resolvedPlanes, resolvedBands) =
@@ -666,6 +670,42 @@ object EventStream {
             col(id).cast("long") === col("__new_id"), "left_semi")
           sink(admitted, epochId)
         } finally batchIdx.unpersist(false)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Streaming vector ingest served off a PERSISTED
+    * [[graft.queries.VectorIndex]] — the restart-safe twin of
+    * [[runVectorIngest]]: the corpus's k-means centroids, cell-scoped LSH
+    * bands, and quantized vectors come from the attached `<prefix>_*`
+    * tables ([[graft.queries.VectorIndex.attach]] in THIS session — even
+    * a brand-new JVM whose in-memory catalog forgot everything), so a
+    * serving restart retrains NOTHING and each epoch's verdicts are
+    * bit-identical to the building session's
+    * ([[graft.queries.VectorIndex.incrementalDedup]] parity contract;
+    * `IngestPrepSpec` pins it across a session swap). Per-epoch cost is
+    * the batch's own signatures + assignment + the bucketed candidate
+    * join — corpus-size-invariant probe volume, the 100 TB serving
+    * shape. Only `new` vectors reach the sink. */
+  def runVectorIngestIndexed(vecStream: DataFrame, id: String, vec: String,
+      checkpoint: String, prefix: String = "vec_idx",
+      minCos: Double = Double.NaN, probes: Int = 1)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val q = vecStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val verdicts = graft.queries.VectorIndex.incrementalDedup(
+          batch, id, vec, prefix, minCos, probes)
+        val admitted = batch.join(
+          verdicts.filter(col("verdict") === "new")
+            .select(col("vec_id").as("__new_id")),
+          col(id).cast("long") === col("__new_id"), "left_semi")
+        sink(admitted, epochId)
       }
       .start()
     q.awaitTermination()

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted VECTOR serving story (r13 verdict item 1): build the
+  * k-means/LSH/PQ index once, then a session whose catalog has FORGOTTEN
+  * the tables (the new-JVM scenario — an in-memory catalog loses all
+  * metadata across restarts while the external-table files survive)
+  * re-attaches the artifact and serves ingest verdicts AND ANN top-k
+  * bit-identically — with no k-means retraining, no PQ re-encoding, no
+  * scan of the raw embeddings, and no exchange over the corpus side of
+  * the band probe join. */
+class VectorIndexSpec extends SparkSpec {
+
+  private val MinCos = 0.35 // the q60/q63 τ — shared dup-graph regime
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+    .select("vec_id", "embedding")
+  private def isBatch = col("vec_id") % 7 === 3
+
+  /** The arriving batch: the %7==3 slice plus RE-IDDED copies of corpus
+    * vectors — guaranteed cos=1.0 near-dups, so both verdicts occur. */
+  private def batchOf(e: org.apache.spark.sql.DataFrame) =
+    e.filter(isBatch).unionAll(
+      e.filter(col("vec_id") % 100 === 4)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+
+  private lazy val indexDir = {
+    val d = java.nio.file.Files.createTempDirectory("vec_idx").toString
+    VectorIndex.build(emb.filter(!isBatch), "vec_id", "embedding", d, MinCos)
+    d
+  }
+
+  private def allTables = Seq("vec_idx_meta", "vec_idx_cents",
+    "vec_idx_pqbooks", "vec_idx_vecs", "vec_idx_cells", "vec_idx_bands",
+    "vec_idx_pqcodes")
+
+  private def freshServingSession() = {
+    indexDir // ensure built
+    allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("vec_idx_bands"),
+      "catalog entry survived the drop; the test would not prove re-attach")
+    fresh
+  }
+
+  test("a fresh catalog serves ingest verdicts bit-identically off the persisted index") {
+    val corpusIdx = VectorOps.index(emb.filter(!isBatch), "vec_id", "embedding")
+    val batchIdx = VectorOps.index(batchOf(emb), "vec_id", "embedding")
+    val want = VectorOps
+      .semanticIncrementalCellsIndexed(corpusIdx, batchIdx, MinCos)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+
+    val fresh = freshServingSession()
+    VectorIndex.attach(fresh, indexDir)
+    val batch = batchOf(Tables.load(fresh, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    val got = VectorIndex.incrementalDedup(batch, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(got == want, "persisted-index verdicts diverged from in-session form")
+    assert(want.exists(_.contains("near_dup")) && want.exists(_.contains("new")),
+      "degenerate fixture: both verdicts should occur")
+  }
+
+  test("a fresh catalog serves PQ ANN top-k bit-identically off the persisted index") {
+    val corpusIdx = VectorOps.index(emb.filter(!isBatch), "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 100 === 7)
+    val want = VectorOps
+      .knnPqIndexed(corpusIdx, VectorOps.index(queries, "vec_id", "embedding"),
+        k = 5, m = 8, ksub = 16, rerank = 50, iters = 0)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(want.nonEmpty)
+
+    val fresh = freshServingSession()
+    VectorIndex.attach(fresh, indexDir)
+    val freshQueries = Tables.load(fresh, sfDir, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") % 100 === 7)
+    val got = VectorIndex.knn(freshQueries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(got == want, "persisted-index ANN diverged from in-session form")
+  }
+
+  test("batch-side probes=2 only widens the candidate set (verdict monotonicity)") {
+    val fresh = freshServingSession()
+    VectorIndex.attach(fresh, indexDir)
+    val batch = batchOf(Tables.load(fresh, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    val p1 = VectorIndex.incrementalDedup(batch, "vec_id", "embedding")
+      .filter(col("verdict") === "near_dup").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val p2 = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+        probes = 2)
+      .filter(col("verdict") === "near_dup").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(p1.subsetOf(p2),
+      "a near-dup found with 1 probe must survive the widened 2-probe search")
+  }
+
+  test("the probe plan never scans the raw embeddings and never shuffles the index side") {
+    val fresh = freshServingSession()
+    VectorIndex.attach(fresh, indexDir)
+    // batch as a LOCAL relation: any file scan in the plan must be the
+    // index tables — an embeddings.parquet scan = corpus recomputation
+    val rows = batchOf(emb).collect().toSeq
+    val batch = fresh.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      emb.schema)
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = VectorIndex.incrementalDedup(batch, "vec_id", "embedding")
+      val exec = served.queryExecution.executedPlan
+      val scans = exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scans at all — index tables unused?")
+      assert(scans.forall(_.toString.contains("vec_idx")),
+        s"plan scans a non-index source (corpus recomputation):\n${scans.mkString("\n")}")
+      assert(scans.forall(_.bucketedScan),
+        "an index table scan lost its bucket layout")
+      def scanBeforeJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(scanBeforeJoin)
+        }
+      val shuffledIndex = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if scanBeforeJoin(e.child) => e
+      }
+      assert(shuffledIndex.isEmpty,
+        s"index side re-shuffled before its probe join:\n${shuffledIndex.mkString("\n")}")
+      assert(served.count() == rows.length, "one verdict per batch vector")
+    } finally {
+      fresh.conf.unset("spark.sql.adaptive.enabled")
+      fresh.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

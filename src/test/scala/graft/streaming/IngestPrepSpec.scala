@@ -221,6 +221,54 @@ class IngestPrepSpec extends SparkSpec {
     assert(got.toSet == want, s"streaming admitted ${got.toSet}; batch says $want")
   }
 
+  test("vector ingest off a persisted index survives a session restart bit-identically") {
+    import graft.queries.{Tables, VectorIndex, VectorOps}
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val batchDf = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+
+    // BUILDING session: persist the index and compute the in-session
+    // expected admissions (the cell-sharded probe the index serves)
+    val dir = java.nio.file.Files.createTempDirectory("vec_idx_stream").toString
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, minCos = 0.35)
+    val want = VectorOps.semanticIncrementalCellsIndexed(
+      VectorOps.index(corpus, "vec_id", "embedding"),
+      VectorOps.index(batchDf, "vec_id", "embedding"), 0.35)
+      .filter(col("verdict") === "new")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val batchRows = batchDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    // "restart": catalog forgets the tables; a fresh session re-attaches
+    Seq("vec_idx_meta", "vec_idx_cents", "vec_idx_pqbooks", "vec_idx_vecs",
+      "vec_idx_cells", "vec_idx_bands", "vec_idx_pqcodes")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("vec_idx_bands"))
+    VectorIndex.attach(fresh, dir)
+
+    import fresh.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = fresh.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    input.addData(batchRows.toIndexedSeq: _*)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-vec-idx").toString
+    EventStream.runVectorIngestIndexed(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ckpt) { (admitted, _) =>
+      got ++= admitted.collect().map(_.getAs[Long]("vec_id"))
+    }
+
+    assert(got.toSet == want,
+      s"restarted serving admitted ${got.toSet}; building session says $want")
+    assert(want.nonEmpty && want.size < batchRows.length,
+      s"degenerate split: ${want.size} of ${batchRows.length} admitted")
+  }
+
   test("streaming ANN serving matches the batch PQ probe across epochs") {
     val spark0 = spark
     import spark0.implicits._
