@@ -184,6 +184,13 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedupCells(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.9, trainSampleCap = 16384L)),
+    // top-2-centroid soft assignment (the boundary-recall mitigation,
+    // CellBoundarySpec): candidate volume ≤ 2× the single-probe path —
+    // this times the recall/cost trade the probes=2 scaladoc quotes
+    "semantic_dedup_cells09_p2" -> ((s, dir) =>
+      graft.queries.VectorOps.semanticDedupCells(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        minCos = 0.9, probes = 2)),
     // incremental probe at the same scale parameterization; the batch is
     // the replica-0 %7 slice (fixed at ~1/70th of the 10× corpus), so
     // replication grows ONLY the corpus index — the serving contract
