@@ -191,6 +191,15 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedupCells(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.9, probes = 2)),
+    // q54 alternative plan shape (r13 verdict item 4): ONE doc_id
+    // exchange shared by the tf aggregate and the top-k window, at the
+    // price of shuffling RAW exploded tokens (no map-side combine) —
+    // timed against q54_tfidf_topk at both sizes; bit-equal output
+    // (TextPipelineSpec)
+    "q54_one_shuffle" -> ((s, dir) =>
+      graft.queries.TextPipeline.tfidfTopKOneShuffle(
+        s.read.parquet(s"$dir/documents.parquet"), 5)
+        .orderBy("doc_id", "rank")),
     // incremental probe at the same scale parameterization; the batch is
     // the replica-0 %7 slice (fixed at ~1/70th of the 10× corpus), so
     // replication grows ONLY the corpus index — the serving contract

@@ -301,15 +301,17 @@ object Bpe {
     * the replay never needs the early-stop branch. */
   val OracleMerges = 8
 
-  /** Session-lifetime memo of the trained oracle model per (session,
-    * dir): training runs driver-side merge iterations at call time, so
+  /** Bounded memo of the trained oracle model per (session, dir):
+    * training runs driver-side merge iterations at call time, so
     * plan-identity caching alone cannot stop the four train-derived
-    * bindings (and Bench's 3 runs of each) from re-paying the loop. */
-  private val trainMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), BpeModel]
+    * bindings (and Bench's 3 runs of each) from re-paying the loop.
+    * Evicted models become unreachable and the ContextCleaner reclaims
+    * their checkpoint blocks; a lost concurrent build race adopts the
+    * winner ([[BoundedMemo]], r13 advisor). */
+  private val trainMemo = new BoundedMemo[(SparkSession, String), BpeModel](8)
 
   private def trainedModel(s: SparkSession, dir: String): BpeModel =
-    trainMemo.getOrElseUpdate((s, dir), train(docs(s, dir), OracleMerges))
+    trainMemo.getOrBuild((s, dir))(train(docs(s, dir), OracleMerges))
 
   /** q101: the TRAINED vocabulary after [[OracleMerges]] merges — the
     * round-trip artifact [[saveModel]] persists, cross-engine-checked

@@ -20,6 +20,36 @@ import org.apache.spark.storage.StorageLevel
   * FIRST cached in a session; later identical plans share the existing
   * entry (Spark cache semantics).
   */
+/** Bounded LRU memo for session-lifetime derivation artifacts (trained
+  * models, cached assignment frames) keyed by canonicalized plan or dir —
+  * the shared shape of the cellsMemo/centsMemo/trainMemo/dsirModelMemo
+  * family (r13 advisor): unlike a raw TrieMap it (a) EVICTS past `max`
+  * entries, releasing the evicted value via `onDrop` (unpersist for
+  * cached frames; models become unreachable and the ContextCleaner
+  * reclaims their blocks), and (b) never strands a concurrent loser —
+  * the build runs OUTSIDE the lock (it launches Spark jobs), and a build
+  * that finds a winner already installed releases its own copy. */
+private[queries] final class BoundedMemo[K, V](max: Int,
+    onDrop: V => Unit = (_: V) => ()) {
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      if (size > max) {
+        try onDrop(e.getValue) catch { case _: Throwable => () }
+        true
+      } else false
+  }
+  def getOrBuild(key: K)(build: => V): V =
+    m.synchronized(Option(m.get(key))).getOrElse {
+      val built = build
+      m.synchronized(Option(m.get(key)) match {
+        case Some(winner) =>
+          try onDrop(built) catch { case _: Throwable => () }
+          winner
+        case None => m.put(key, built); built
+      })
+    }
+}
+
 private[queries] object Caching {
 
   def cached(df: DataFrame, confKey: String): DataFrame = {

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   *
   *   quality filter → (optional) DSIR importance selection →
   *   PII scrub → exact dedup → near-dup dedup →
+  *   (optional) semantic (embedding) dedup →
   *   (optional) graded benchmark decontamination →
   *   (optional) vocabulary normalization → sequence packing
   *
@@ -59,6 +60,27 @@ object CorpusPrep {
     * target-like than raw-like") continue into dedup — the
     * distribution-steering stage run before the expensive pair joins
     * shrink the pool further. */
+  /** Embedding-level (semantic) dedup stage knobs — the SemDeDup pass run
+    * AFTER text-level dedup (exact + near-dup collapse lexical copies;
+    * this collapses PARAPHRASES the text machinery cannot see).
+    * `embeddings` is a (doc_id, embedding: array&lt;float&gt;) frame
+    * covering some or all documents; docs without an embedding pass
+    * through unjudged. The cell knobs are
+    * [[VectorOps.semanticDedupCells]]'s — exposed here so a deployment
+    * can size cells (`targetCellRows`), cap Lloyd training
+    * (`trainSampleCap` for build-bound corpora), and opt into top-2
+    * boundary probing (`probes = 2`, CellBoundarySpec) without leaving
+    * the pipeline config (r13 verdict item 6). */
+  case class SemanticStage(
+      embeddings: DataFrame,
+      minCos: Double = 0.9,
+      nCells: Int = VectorOps.AutoCells,
+      kmeansIters: Int = 2,
+      targetCellRows: Int = VectorOps.DefaultCellRows,
+      dims: Int = 64,
+      trainSampleCap: Long = 0L,
+      probes: Int = 1)
+
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
@@ -69,7 +91,8 @@ object CorpusPrep {
       nearDupDfCap: Option[Long] = Some(100L),
       lengthGatePct: Option[(Int, Int)] = None,
       importanceTarget: Option[DataFrame] = None,
-      importanceMinRatioFp: Long = 1000000L)
+      importanceMinRatioFp: Long = 1000000L,
+      semantic: Option[SemanticStage] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -177,6 +200,27 @@ object CorpusPrep {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("text"), col(strata))
 
+    // 4b. semantic (embedding) dedup (optional): collapse paraphrase-
+    // level duplicates the lexical stages cannot see — cell-sharded
+    // SemDeDup over the SURVIVORS' embeddings (the expensive vector pass
+    // only sees what the cheap text gates already admitted); each
+    // cluster keeps its min-id member, docs without an embedding pass
+    // through unjudged
+    val d4s = cfg.semantic match {
+      case Some(st) =>
+        val vecs = st.embeddings
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("embedding"))
+          .join(d4.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val verdicts = VectorOps.semanticDedupCells(vecs, "doc_id",
+          "embedding", st.minCos, st.nCells, st.kmeansIters,
+          st.targetCellRows, st.dims, st.trainSampleCap, st.probes)
+        val dropped = verdicts.filter(col("is_kept") === 0L)
+          .select(col("vec_id").as("doc_id"))
+        d4.join(dropped, Seq("doc_id"), "left_anti")
+      case None => d4
+    }
+
     // 5. decontamination (optional, graded): docs whose eval-overlap
     // FRACTION exceeds the configured tolerance drop (q61 semantics;
     // maxFrac=0.0 reproduces the strict any-overlap policy exactly — by
@@ -186,14 +230,14 @@ object CorpusPrep {
     val d5 = bench match {
       case Some(b) =>
         val scored = TextOps
-          .contaminationScore(d4.select(col("doc_id"), col("text")), b,
+          .contaminationScore(d4s.select(col("doc_id"), col("text")), b,
             "doc_id", "text", ordered = false)
         val contaminated = (
           if (cfg.contaminationMaxFrac == 0.0) scored.filter(col("n_overlap") > 0L)
           else scored.filter(col("overlap_frac") > cfg.contaminationMaxFrac))
           .select(col("doc_id"))
-        d4.join(contaminated, Seq("doc_id"), "left_anti")
-      case None => d4
+        d4s.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => d4s
     }
 
     // 5b. vocabulary normalization (optional): rewrite survivors over the
@@ -223,8 +267,10 @@ object CorpusPrep {
       cfg.lengthGatePct.map(_ => stage(2, "length_gate", d1)).toSeq ++
       cfg.importanceTarget.map(_ => stage(3, "importance_select", d1i)).toSeq ++
       Seq(stage(4, "pii_scrub", d2), stage(5, "exact_dedup", d3),
-        stage(6, "near_dedup", d4), stage(7, "decontaminated", d5),
-        stage(8, "vocab_normalized", d6)))
+        stage(6, "near_dedup", d4)) ++
+      cfg.semantic.map(_ => stage(7, "semantic_dedup", d4s)).toSeq ++
+      Seq(stage(8, "decontaminated", d5),
+        stage(9, "vocab_normalized", d6)))
       .reduce(_.unionAll(_))
 
     val release = () => {

@@ -953,13 +953,13 @@ object Curation {
     * reference corpus" that both engines can replay. */
   val DsirTargetMod = 19L
 
-  /** Session-lifetime memo of the cached importance model per
-    * (session, dir) — the [[TextDedup]] clusterMemo pattern: without it
-    * every Verify/Bench invocation (Bench runs each query 3×) persisted
-    * another |vocab|-row frame for the session's lifetime. Same
-    * staleness semantics as any .cache(). */
+  /** Bounded memo of the cached importance model per (session, dir) —
+    * the [[TextDedup]] clusterMemo pattern: without it every Verify/Bench
+    * invocation (Bench runs each query 3×) persisted another |vocab|-row
+    * frame for the session's lifetime. Eviction and lost build races
+    * unpersist the superseded frame ([[BoundedMemo]], r13 advisor). */
   private val dsirModelMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new BoundedMemo[(SparkSession, String), DataFrame](8, _.unpersist(false))
 
   /** Oracle-checked binding: fit on the %19 target/raw split of
     * `documents`, score the raw pool, keep the target-leaning docs. */
@@ -971,7 +971,7 @@ object Curation {
     // and the scoring join — without the cache the two corpus-wide count
     // aggregates execute once per consumer; memoized per (session, dir)
     // so repeated runs reuse ONE cached copy instead of accumulating
-    val model = dsirModelMemo.getOrElseUpdate((s, dir),
+    val model = dsirModelMemo.getOrBuild((s, dir))(
       fitImportanceModel(target, raw, "text").dedupCached)
     importanceScoreOf(raw, model, "text")
       .orderBy("doc_id")

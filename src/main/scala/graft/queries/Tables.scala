@@ -76,6 +76,16 @@ object Tables {
   private val relationMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
+  /** Evict memoized relations under `dir` (all of them when `name` is
+    * None) — the escape hatch for write-then-reload flows (round-trip
+    * tests, refreshed snapshots): the memo captures file listing + schema
+    * at first load, so a directory REWRITTEN within a session must
+    * invalidate or later loads see stale data / missing-file errors. */
+  def invalidate(dir: String, name: Option[String] = None): Unit =
+    relationMemo.keys
+      .filter(k => k._2 == dir && name.forall(_ == k._3))
+      .foreach(relationMemo.remove)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = relationMemo.getOrElseUpdate((spark, dir, name), {
       if (name == "events") {

@@ -1287,57 +1287,28 @@ object VectorOps {
     * runs driver-side Lloyd iterations at CALL time, so Spark's
     * plan-identity cache alone cannot stop a repeat call (Bench runs each
     * query 3×) from re-paying the build. Same staleness semantics as any
-    * .cache(). Eviction unpersists the evicted frame, and a build that
-    * loses a concurrent race unpersists its own copy before adopting the
-    * winner's — the multi-threaded REST/streaming paths can never strand
-    * a persisted frame (r13 advisor). */
+    * .cache(). Eviction — and a lost concurrent build race — unpersists
+    * the superseded frame ([[BoundedMemo]], r13 advisor). */
   private val cellsMemo =
-    new java.util.LinkedHashMap[ModelKey, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[ModelKey, DataFrame]): Boolean =
-        if (size > 32) {
-          try e.getValue.unpersist(false) catch { case _: Throwable => () }
-          true
-        } else false
-    }
+    new BoundedMemo[ModelKey, DataFrame](32, _.unpersist(false))
 
   private def memoizedCells(key: ModelKey)(build: => DataFrame): DataFrame =
-    cellsMemo.synchronized(Option(cellsMemo.get(key))).getOrElse {
-      val built = build // Spark jobs — never under the memo lock
-      cellsMemo.synchronized(Option(cellsMemo.get(key)) match {
-        case Some(winner) => // lost the race: release our duplicate cache
-          try built.unpersist(false) catch { case _: Throwable => () }
-          winner
-        case None => cellsMemo.put(key, built); built
-      })
-    }
+    cellsMemo.getOrBuild(key)(build)
 
   /** Bounded memo of the TRAINED centroid set (probes pinned to 1 in the
     * key — the model is probe-count-independent): the batch dedup and the
     * incremental serving path share one training run per corpus (the
     * incremental path must assign new batches with the corpus's own
     * centroids, or an identical batch vector could land in a different
-    * cell than its corpus twin). Driver-held arrays only — eviction needs
-    * no unpersist; a lost build race just discards the loser's arrays. */
-  private val centsMemo =
-    new java.util.LinkedHashMap[ModelKey, IndexedSeq[Array[Long]]](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[ModelKey, IndexedSeq[Array[Long]]]): Boolean =
-        size > 32
-    }
+    * cell than its corpus twin). Driver-held arrays only — no unpersist
+    * on drop. */
+  private val centsMemo = new BoundedMemo[ModelKey, IndexedSeq[Array[Long]]](32)
 
   private def memoizedCentroids(idx: DataFrame, k: Int, iters: Int,
-      trainSampleCap: Long): IndexedSeq[Array[Long]] = {
-    val key: ModelKey = (idx.sparkSession,
-      idx.queryExecution.logical.canonicalized, k, iters, trainSampleCap, 1)
-    centsMemo.synchronized(Option(centsMemo.get(key))).getOrElse {
-      val built = kmeansCentroids(idx, k, iters, trainSampleCap)
-      centsMemo.synchronized(Option(centsMemo.get(key)).getOrElse {
-        centsMemo.put(key, built); built
-      })
-    }
-  }
+      trainSampleCap: Long): IndexedSeq[Array[Long]] =
+    centsMemo.getOrBuild((idx.sparkSession,
+      idx.queryExecution.logical.canonicalized, k, iters, trainSampleCap, 1))(
+      kmeansCentroids(idx, k, iters, trainSampleCap))
 
   /** Auto cell count: enough ~`targetCellRows`-row cells to tile the
     * corpus, capped at [[MaxAutoCells]]. Shared by the batch and

@@ -107,10 +107,28 @@ class FinOpsServerScaleSpec extends SparkSpec {
     (status, text)
   }
 
+  /** Post-GC used heap, STABILIZED: System.gc() is advisory and the
+    * shared forked JVM carries background allocation (codegen cache,
+    * prior suites' retained caches), so a single reading can flake (r13
+    * advisor). Re-measure until two consecutive readings agree within
+    * 16 MB (up to 8 rounds) and return the MINIMUM seen — the floor is
+    * the honest retained-set signal; transients only add. */
   private def usedHeap(): Long = {
-    System.gc(); Thread.sleep(200); System.gc()
     val r = Runtime.getRuntime
-    r.totalMemory() - r.freeMemory()
+    def once(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      r.totalMemory() - r.freeMemory()
+    }
+    var prev = once()
+    var best = prev
+    var i = 0
+    while (i < 8) {
+      val cur = once()
+      best = math.min(best, cur)
+      if (math.abs(cur - prev) < 16L * 1024 * 1024) i = 8
+      else { prev = cur; i += 1 }
+    }
+    best
   }
 
   test("serving endpoints stay bounded-heap over the 600k-row table") {

@@ -141,6 +141,43 @@ class CorpusPrepSpec extends SparkSpec {
     gated.release()
   }
 
+  test("semantic stage drops exactly the embedding-dedup non-keepers of the near-dup survivors") {
+    // embeddings cover ~4/5 of the corpus (vec_id ≅ doc_id, TESTDATA.md);
+    // the %5==2 slice has NO embedding and must pass through unjudged
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .filter(col("doc_id") % 5 =!= 2)
+    // no bench/vocab stages → survivors ARE the near-dup survivors (d4),
+    // so the stage contract is directly reconstructable
+    val plain = CorpusPrep.prepare(docs, "doc_id", "text", "source", None)
+    val sem = CorpusPrep.prepare(docs, "doc_id", "text", "source", None,
+      CorpusPrep.Config(semantic =
+        Some(CorpusPrep.SemanticStage(emb, minCos = 0.35))))
+    try {
+      val d4 = plain.survivors.select(col("doc_id"))
+      val vecs = emb.join(d4, Seq("doc_id"), "left_semi")
+      val keep = VectorOps.semanticDedupCells(vecs, "doc_id", "embedding",
+        minCos = 0.35)
+        .filter(col("is_kept") === 1L).select(col("vec_id").as("doc_id"))
+      val expect = d4.join(vecs.select(col("doc_id")), Seq("doc_id"),
+        "left_anti").unionByName(keep)
+      val got = sem.survivors.select(col("doc_id"))
+      assert(got.exceptAll(expect).count() == 0L &&
+        expect.exceptAll(got).count() == 0L,
+        "semantic-stage survivors diverge from the reconstructed contract")
+      val stats = sem.stats.orderBy("stage_ord").collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+      assert(stats.contains("semantic_dedup"), "stage missing from stats")
+      assert(stats("semantic_dedup") < stats("near_dedup"),
+        "semantic stage dropped nothing — fixture degenerate")
+      // unjudged docs (no embedding) all survive the semantic stage
+      val unjudgedLost = d4.filter(col("doc_id") % 5 === 2)
+        .join(got, Seq("doc_id"), "left_anti").count()
+      assert(unjudgedLost == 0L,
+        s"$unjudgedLost docs without embeddings were dropped by the stage")
+    } finally { plain.release(); sem.release() }
+  }
+
   test("packed output covers every survivor with valid bin assignments") {
     val p = prep.packed.cache()
     try {
