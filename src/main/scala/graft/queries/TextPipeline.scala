@@ -133,8 +133,12 @@ object TextPipeline {
     * shuffles RAW exploded tokens (no map-side combine — the repartition
     * is below the aggregate), where the windowed plan shuffles map-side-
     * combined tf rows once and WindowGroupLimit-pruned rows once.
-    * Same output bit-for-bit (spec'd); which wins is an empirical
-    * question measured in BENCH_NOTES r14 at 1× and 100×. */
+    * Same output bit-for-bit (spec'd). MEASURED (BENCH_NOTES r14,
+    * min-of-2 solo at both sizes): ties at 1× (0.73 vs 0.71 s) and
+    * LOSES 2.4× at 100× (10.57 vs 4.39 s) — the un-combined raw-token
+    * exchange dwarfs the WindowGroupLimit-pruned window shuffle it
+    * saves. q54 ships the windowed plan; this stays as the reproducible
+    * negative result. */
   private[graft] def tfidfTopKOneShuffle(d: DataFrame, k: Int): DataFrame = {
     val tf = d.select(col("doc_id"), explode(toks).as("token"))
       .repartition(col("doc_id"))

@@ -241,6 +241,56 @@ object VectorIndex {
     VectorOps.bestPartnerOf(s.table(s"${prefix}_vecs"), batchIdx, cand, th)
   }
 
+  /** APPEND a batch of vectors to an attached index — incremental index
+    * maintenance with a FROZEN quantizer (standard IVF serving practice:
+    * centroids, LSH shape, and PQ codebooks stay the build-time model;
+    * only the four data tables grow). The batch derives its bands / cell
+    * assignment / PQ codes with the persisted model — identical scoring
+    * to the original build — and appends bucketed files to each table,
+    * so later probes ([[incrementalDedup]], [[knn]],
+    * [[graft.streaming.EventStream.runVectorIngestIndexed]] epochs) see
+    * corpus ∪ appended with no rebuild and no retraining. Composes the
+    * serving loop: ingest admits `new` vectors → append → the NEXT epoch
+    * dedups against them (IngestPrepSpec).
+    *
+    * Contract notes: ids must be novel (the index does not dedup ids);
+    * a frozen quantizer drifts from what a full retrain would pick as
+    * the appended mass grows — periodic rebuilds are the real-scale
+    * answer (as for any IVF index), and each append adds one file set
+    * per bucket (compact by rebuilding when file counts matter). */
+  def append(batch: DataFrame, id: String, vec: String,
+      prefix: String = "vec_idx"): Unit = {
+    val s = batch.sparkSession
+    val m = meta(s, prefix)
+    val cents = centroids(s, prefix)
+    val books = pqBooks(s, prefix)
+    val bIdx = VectorOps.indexUncached(batch, id, vec)
+      .persist() // consumed by four writes; released below
+    try {
+      val cells = VectorOps.assignCells(bIdx, cents)
+      def appendTo(df: DataFrame, table: String, keys: Seq[String]): Unit =
+        df.repartition(m.buckets, keys.map(col): _*)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(m.buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("compression", "snappy")
+          .saveAsTable(s"${prefix}_$table")
+      appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
+        "vecs", Seq("vec_id"))
+      appendTo(cells, "cells", Seq("vec_id"))
+      appendTo(
+        VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
+          .join(cells, Seq("vec_id"))
+          .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+            col("v")),
+        "bands", Seq("cell", "k", "v"))
+      appendTo(
+        VectorOps.pqEncodeIndexed(bIdx, books)
+          .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books)),
+        "pqcodes", Seq("vec_id"))
+    } finally bIdx.unpersist(false)
+  }
+
   /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,
     * served off the persisted PQ codes + codebooks — no corpus
     * re-encoding; the exact re-rank reads full vectors only for the

@@ -1273,9 +1273,13 @@ object VectorOps {
     * `probes = 2` is SemDeDup's standard boundary mitigation (each
     * vector is additionally assigned to its SECOND-nearest cell via
     * [[assignCellsMulti]], so a pair split across adjacent cells still
-    * shares one) — assignment cost ~2×, candidate volume ≤ 2×, still
-    * O(rows); measured recall on planted cos∈[τ, τ+0.02] boundary pairs
-    * in `CellBoundarySpec` / BENCH_NOTES r14.
+    * shares one). Measured (r14): recall on planted cos∈[τ, τ+0.02]
+    * cross-boundary pairs goes 0/20 → 20/20 (`CellBoundarySpec`), at
+    * 5.1× wall on the clustered 100× stress corpus (31.4 → 159.8 s
+    * min-of-2 — second-choice cells CONCENTRATE there, so hot-bucket
+    * occupancy doubles and within-bucket candidate pairs grow ~4×;
+    * still O(rows) in corpus size, but a real constant). Opt in where
+    * boundary recall is threshold-critical; the default stays 1.
     * Determinism: k-means seeds/ties are md5-ordered, iterations fixed,
     * LSH shape derives from (rows, minCos) — no RNG anywhere. */
   private type ModelKey = (org.apache.spark.sql.SparkSession,

@@ -691,7 +691,8 @@ object EventStream {
     * shape. Only `new` vectors reach the sink. */
   def runVectorIngestIndexed(vecStream: DataFrame, id: String, vec: String,
       checkpoint: String, prefix: String = "vec_idx",
-      minCos: Double = Double.NaN, probes: Int = 1)
+      minCos: Double = Double.NaN, probes: Int = 1,
+      appendAdmitted: Boolean = false)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val q = vecStream.writeStream
@@ -705,7 +706,18 @@ object EventStream {
           verdicts.filter(col("verdict") === "new")
             .select(col("vec_id").as("__new_id")),
           col(id).cast("long") === col("__new_id"), "left_semi")
-        sink(admitted, epochId)
+        // sink first (exactly-once from the checkpoint), then grow the
+        // index with the FROZEN quantizer so the NEXT epoch dedups
+        // against this epoch's admissions — cross-epoch dedup, opt-in
+        // ([[graft.queries.VectorIndex.append]])
+        if (appendAdmitted) {
+          val mat = admitted.persist()
+          try {
+            sink(mat, epochId)
+            if (!mat.isEmpty)
+              graft.queries.VectorIndex.append(mat, id, vec, prefix)
+          } finally mat.unpersist(false)
+        } else sink(admitted, epochId)
       }
       .start()
     q.awaitTermination()

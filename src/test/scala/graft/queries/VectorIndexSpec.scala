@@ -97,6 +97,61 @@ class VectorIndexSpec extends SparkSpec {
       "a near-dup found with 1 probe must survive the widened 2-probe search")
   }
 
+  test("append grows the index under the frozen quantizer; later probes see appended vectors") {
+    // a PRIVATE index copy — append mutates tables, so the shared fixture
+    // must stay untouched
+    val dir = java.nio.file.Files.createTempDirectory("vec_idx_app").toString
+    val prefix = "vec_idx_appb"
+    VectorIndex.build(emb.filter(!isBatch), "vec_id", "embedding", dir,
+      MinCos, prefix = prefix)
+
+    // X: a re-idded copy of a corpus-EXCLUDED vector — novel at build time
+    val x = emb.filter(isBatch && col("vec_id") % 100 === 3)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+      .limit(1)
+    // before append: X's exact twin Y reports whatever the corpus says,
+    // and the full batch verdicts are the un-appended reference
+    val y = x.select((col("vec_id") + 1L).as("vec_id"), col("embedding"))
+    val batch = batchOf(emb)
+    val wantServed = VectorIndex.incrementalDedup(batch, "vec_id",
+      "embedding", prefix).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    val before = VectorIndex.incrementalDedup(y, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect()
+    assert(before.length == 1 && before(0).getAs[String]("verdict") == "new",
+      s"fixture degenerate: Y already had a 0.999-partner in the corpus")
+
+    VectorIndex.append(x, "vec_id", "embedding", prefix)
+    val after = VectorIndex.incrementalDedup(y, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect()
+    assert(after.length == 1 && after(0).getAs[String]("verdict") == "near_dup"
+      && after(0).getAs[Long]("partner_id") == x.head().getLong(0),
+      s"append invisible to the probe: ${after.toSeq}")
+
+    // appending must not disturb verdicts whose partners were already
+    // in the corpus (the frozen model scores everything identically);
+    // batch rows whose BEST partner became the appended vector are the
+    // one legitimate difference, so compare per-vec_id excluding them
+    val xid = x.head().getLong(0)
+    val served = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+      prefix).collect()
+      .map(r => r.getLong(0) -> (r.toString, Option(r.get(2)))).toMap
+    val switched = served.collect {
+      case (vid, (_, Some(p))) if p == xid => vid
+    }.toSet
+    val servedRest = served.collect {
+      case (vid, (s, _)) if !switched(vid) => vid -> s
+    }
+    assert(servedRest == (wantServed -- switched),
+      "append changed verdicts unrelated to the appended vector")
+
+    // ANN also sees the appended vector: its twin's top-1 is X at cos 1
+    val top = VectorIndex.knn(y, "vec_id", "embedding", k = 1, prefix)
+      .collect()
+    assert(top.length == 1 && top(0).getAs[Long]("vec_id") == xid,
+      s"appended vector missing from ANN serving: ${top.toSeq}")
+  }
+
   test("the probe plan never scans the raw embeddings and never shuffles the index side") {
     val fresh = freshServingSession()
     VectorIndex.attach(fresh, indexDir)

@@ -269,6 +269,62 @@ class IngestPrepSpec extends SparkSpec {
       s"degenerate split: ${want.size} of ${batchRows.length} admitted")
   }
 
+  test("appendAdmitted dedups later epochs against earlier admissions") {
+    import graft.queries.VectorIndex
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("vec_idx_xepoch").toString
+    val prefix = "vec_idx_xepoch"
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, minCos = 0.999,
+      prefix = prefix)
+
+    // epoch 1: X (re-idded corpus-excluded vector — novel at 0.999);
+    // epoch 2: Y, an exact twin of X under a different id
+    val x = emb.filter(col("vec_id") === 50)
+      .select(lit(700001L).as("vec_id"), col("embedding"))
+    val y = emb.filter(col("vec_id") === 50)
+      .select(lit(700002L).as("vec_id"), col("embedding"))
+    // two EPOCHS as two stream runs over ONE checkpoint (AvailableNow
+    // snapshots everything already present into one batch, so in-run
+    // multi-epoch ordering is not guaranteed; a stopped-and-resumed
+    // stream is, and is also the realistic serving shape): run 1 sees X,
+    // run 2 resumes the checkpoint and sees only the newly-landed Y
+    val inDir = java.nio.file.Files.createTempDirectory("xepoch-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-xepoch").toString
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .parquet(inDir)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    def runEpoch(n: Int): Unit =
+      EventStream.runVectorIngestIndexed(stream, "vec_id", "embedding",
+        ckpt, prefix, appendAdmitted = true) { (adm, _) =>
+        admitted ++= adm.collect().map(r => n -> r.getAs[Long]("vec_id"))
+      }
+
+    x.coalesce(1).write.mode("append").parquet(inDir)
+    runEpoch(1)
+    y.coalesce(1).write.mode("append").parquet(inDir)
+    runEpoch(2)
+    assert(admitted.toSet == Set(1 -> 700001L),
+      s"cross-epoch dedup failed: admitted ${admitted.toSeq} (Y is X's twin)")
+
+    // and the epoch-1 admission is durably in the index: a later batch
+    // session (no stream) still sees it
+    val z = emb.filter(col("vec_id") === 50)
+      .select(lit(700003L).as("vec_id"), col("embedding"))
+    val v = VectorIndex.incrementalDedup(z, "vec_id", "embedding", prefix)
+      .collect()
+    assert(v.length == 1 && v(0).getAs[String]("verdict") == "near_dup" &&
+      v(0).getAs[Long]("partner_id") == 700001L, s"got ${v.toSeq}")
+  }
+
   test("streaming ANN serving matches the batch PQ probe across epochs") {
     val spark0 = spark
     import spark0.implicits._
