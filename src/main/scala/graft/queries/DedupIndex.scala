@@ -65,6 +65,46 @@ object DedupIndex {
     TextDedup.unpersistDerivationsOf(nc)
   }
 
+  /** APPEND a batch of documents to an attached/built index — the text
+    * twin of [[VectorIndex.append]], and STRONGER: the MinHash/shingle
+    * derivations are model-free (no quantizer to freeze), so an appended
+    * index serves verdicts bit-identical to a full rebuild over
+    * corpus ∪ batch whenever the appended content is novel (the admitted
+    * ingest stream — spec-pinned in DedupIndexSpec). The one divergence:
+    * a batch doc whose content hash ALREADY exists keeps the corpus's
+    * exact-partner row (its novel-ch filter skips the collision), where a
+    * rebuild would re-minimize over both ids — irrelevant for admitted
+    * (verdict `new`) docs, which have no existing partner by definition.
+    * Each append adds one file set per bucket; rebuild to compact. */
+  def append(batch: DataFrame, id: String, text: String,
+      prefix: String = "dedup_idx"): Unit = {
+    val s = batch.sparkSession
+    val nc = batch.select(col(id).cast("long").as("doc_id"),
+      col(text).cast("string").as("text"))
+    def bucketsOf(table: String): Int =
+      s.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
+    def appendTo(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      df.repartition(bucketsOf(table), keys.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(bucketsOf(table), keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("compression", "snappy")
+        .saveAsTable(table)
+    val hashes = nc.select(col("doc_id"), md5(col("text")).as("ch"))
+      .groupBy("ch").agg(min("doc_id").as("exact_partner"))
+      // novel-ch only: a second row per ch would multiply the probe join
+      .join(s.table(s"${prefix}_hashes").select("ch"), Seq("ch"),
+        "left_anti")
+    appendTo(hashes, s"${prefix}_hashes", Seq("ch"))
+    appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands", Seq("b", "h"))
+    appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
+      Seq("doc_id"))
+    TextDedup.unpersistDerivationsOf(nc)
+  }
+
   /** Register an existing index written by [[build]] in `spark`'s catalog
     * — metadata only (no data job, no corpus recomputation); `buckets`
     * must match the build-time value for the planner to prove the

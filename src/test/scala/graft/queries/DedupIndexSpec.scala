@@ -132,4 +132,35 @@ class DedupIndexSpec extends SparkSpec {
     assert(got.toSeq == want,
       "streaming persisted-index verdicts diverged from the batch form")
   }
+
+  test("append of novel docs serves verdicts bit-identical to a full rebuild") {
+    // a PRIVATE index copy — append mutates tables
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_app").toString
+    val prefix = "dedup_idx_app"
+    val corpus = docs.filter(!isBatch)
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+
+    // appended wave: novel content (the %10==3 slice — disjoint from the
+    // corpus; DedupIndexSpec's main fixture shows it carries no exact
+    // twin of the corpus)
+    val wave = docs.filter(isBatch)
+    DedupIndex.append(wave, "doc_id", "text", prefix)
+
+    // the NEXT batch: re-idded copies of wave docs (exact dups of the
+    // appended content) + re-idded corpus docs + untouched novel ids
+    val next = wave.filter(col("doc_id") % 100 === 3)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(!isBatch && col("doc_id") % 100 === 4)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+    val got = DedupIndex.incrementalDedup(next, "doc_id", "text", prefix)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val want = TextOps
+      .incrementalDedup(next, corpus.unionAll(wave), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want,
+      "appended index diverged from the corpus∪wave rebuild")
+    // the appended wave is actually visible: some partner id is a wave id
+    assert(got.exists(r => r.contains("exact_dup")),
+      "fixture degenerate: no exact dup of appended content")
+  }
 }
