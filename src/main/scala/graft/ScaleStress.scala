@@ -191,6 +191,31 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedupCells(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.9, probes = 2)),
+    // the PERSISTED-index serving probe (VectorIndex): run 1 pays the
+    // one-time build (written under /tmp/graft_scale, keyed by data dir,
+    // reused across sweeps); the min-of-N signal is the warm probe —
+    // batch fixed at the replica-0 %7 slice, so growth measures the
+    // corpus-side cost of serving OFF DISK: the bucketed candidate join
+    // shuffles nothing corpus-sized, but the narrow band/vecs table
+    // scans are honestly linear in index size (bucketing prunes
+    // exchanges, not scans) — the expected shape is a small linear term,
+    // nowhere near the batch-quadratic regimes the index exists to avoid
+    "vec_index_probe09" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val pfx = s"vecidx_$tag"
+      val idxDir = s"/tmp/graft_scale/vecidx_$tag"
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val corpus = e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3)
+      val batch = e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3)
+      if (!new java.io.File(s"$idxDir/meta").exists())
+        graft.queries.VectorIndex.build(corpus, "vec_id", "embedding",
+          idxDir, minCos = 0.9, prefix = pfx)
+      else if (!s.catalog.tableExists(s"${pfx}_meta"))
+        graft.queries.VectorIndex.attach(s, idxDir, pfx)
+      graft.queries.VectorIndex.incrementalDedup(batch, "vec_id",
+        "embedding", pfx, minCos = 0.9)
+    }),
     // q54 alternative plan shape (r13 verdict item 4): ONE doc_id
     // exchange shared by the tf aggregate and the top-k window, at the
     // price of shuffling RAW exploded tokens (no map-side combine) —

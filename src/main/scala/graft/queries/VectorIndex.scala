@@ -291,6 +291,61 @@ object VectorIndex {
     } finally bIdx.unpersist(false)
   }
 
+  /** COMPACT an attached index into `outDir`: every [[append]] adds one
+    * file set per bucket, so a long-appended index accumulates small
+    * files; compaction rewrites the four data tables (one file per
+    * bucket again) and copies the model tables unchanged — NO
+    * retraining, NO re-derivation, so the compacted index serves
+    * bit-identical verdicts (spec-pinned). Registers `<outPrefix>_*` in
+    * the session; [[attach]] works on `outDir` from any later session.
+    * This is the file-hygiene half of the real-scale maintenance story
+    * (the other half — refreshing the frozen quantizer as appended mass
+    * drifts — is a [[build]] rebuild by design). */
+  def compact(spark: SparkSession, outDir: String,
+      prefix: String = "vec_idx", outPrefix: String = "vec_idx"): Unit = {
+    val oldLoc = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_vecs"))
+      .location.toString.stripSuffix("/")
+    require(!oldLoc.endsWith(
+        new java.io.File(s"$outDir/vecs").getAbsolutePath.stripSuffix("/")),
+      s"compact target $outDir is the live index location — compaction " +
+        "rewrites tables while reading them, so it needs a fresh directory")
+    val m = meta(spark, prefix)
+    Bucketing.writeBucketedExternal(
+      spark.table(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+      Seq("vec_id"), s"$outDir/vecs", m.buckets)
+    Bucketing.writeBucketedExternal(
+      spark.table(s"${prefix}_cells"), s"${outPrefix}_cells",
+      Seq("vec_id"), s"$outDir/cells", m.buckets)
+    Bucketing.writeBucketedExternal(
+      spark.table(s"${prefix}_bands"), s"${outPrefix}_bands",
+      Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
+    Bucketing.writeBucketedExternal(
+      spark.table(s"${prefix}_pqcodes"), s"${outPrefix}_pqcodes",
+      Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
+    // model tables ride unchanged (collect→rewrite keeps them tiny and
+    // avoids reading a table the same statement is overwriting)
+    val cents = spark.table(s"${prefix}_cents").orderBy("cell").collect()
+    val books = spark.table(s"${prefix}_pqbooks").orderBy("j", "code")
+      .collect()
+    val metaRow = spark.table(s"${prefix}_meta").collect()
+    def rewrite(rows: Array[Row], like: String, table: String,
+        loc: String): Unit = {
+      val schema = spark.table(like).schema
+      import scala.jdk.CollectionConverters._
+      writePlain(spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.toSeq.asJava), schema)
+        .coalesce(1), table, loc)
+    }
+    rewrite(cents, s"${prefix}_cents", s"${outPrefix}_cents",
+      s"$outDir/cents")
+    rewrite(books, s"${prefix}_pqbooks", s"${outPrefix}_pqbooks",
+      s"$outDir/pqbooks")
+    rewrite(metaRow, s"${prefix}_meta", s"${outPrefix}_meta",
+      s"$outDir/meta")
+  }
+
   /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,
     * served off the persisted PQ codes + codebooks — no corpus
     * re-encoding; the exact re-rank reads full vectors only for the

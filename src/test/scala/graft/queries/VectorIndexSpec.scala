@@ -150,6 +150,47 @@ class VectorIndexSpec extends SparkSpec {
       .collect()
     assert(top.length == 1 && top(0).getAs[Long]("vec_id") == xid,
       s"appended vector missing from ANN serving: ${top.toSeq}")
+
+    // two more append waves (novel ids), so compaction has accumulated
+    // file sets to actually collapse
+    Seq(600000L, 700000L).foreach { off =>
+      VectorIndex.append(
+        emb.filter(col("vec_id") % 50 === 7)
+          .select((col("vec_id") + off).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", prefix)
+    }
+
+    // COMPACT the appended index: fewer files, verdicts and ANN
+    // bit-identical, and a fresh session can attach the result
+    val cdir = java.nio.file.Files.createTempDirectory("vec_idx_cmp").toString
+    val cpfx = "vec_idx_cmpb"
+    def partFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val beforeFiles = partFiles(s"$dir/vecs")
+    VectorIndex.compact(spark, cdir, prefix, cpfx)
+    val afterFiles = partFiles(s"$cdir/vecs")
+    assert(afterFiles < beforeFiles,
+      s"compaction did not shrink the file count ($beforeFiles -> $afterFiles)")
+    val servedC = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+      cpfx).collect().map(_.toString).toSet
+    val servedA = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+      prefix).collect().map(_.toString).toSet
+    assert(servedC == servedA, "compaction changed serving verdicts")
+    val fresh = spark.newSession()
+    Seq("_meta", "_cents", "_pqbooks", "_vecs", "_cells", "_bands",
+      "_pqcodes").foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $cpfx$sfx"))
+    VectorIndex.attach(fresh, cdir, cpfx)
+    val topC = VectorIndex.knn(
+      batchOf(Tables.load(fresh, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))).limit(3),
+      "vec_id", "embedding", k = 1, cpfx).collect()
+    assert(topC.nonEmpty, "compacted index unservable from a fresh session")
+
+    // compacting INTO the live location must refuse
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.compact(spark, dir, prefix, prefix)
+    }
+    assert(err.getMessage.contains("live index location"))
   }
 
   test("the probe plan never scans the raw embeddings and never shuffles the index side") {
