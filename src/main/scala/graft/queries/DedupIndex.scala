@@ -105,6 +105,29 @@ object DedupIndex {
     TextDedup.unpersistDerivationsOf(nc)
   }
 
+  /** COMPACT an attached index into `outDir` — the [[VectorIndex.compact]]
+    * twin: every [[append]] adds one file set per bucket, compaction
+    * rewrites the three tables (collapsing them) with identical content,
+    * so serving is bit-identical (the derivations are data, not model —
+    * nothing to freeze). Refuses the live location. */
+  def compact(spark: SparkSession, outDir: String,
+      prefix: String = "dedup_idx", outPrefix: String = "dedup_idx",
+      buckets: Int = DefaultBuckets): Unit = {
+    val oldLoc = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
+      .location.toString.stripSuffix("/")
+    require(!oldLoc.endsWith(
+        new java.io.File(s"$outDir/hashes").getAbsolutePath.stripSuffix("/")),
+      s"compact target $outDir is the live index location — compaction " +
+        "rewrites tables while reading them, so it needs a fresh directory")
+    tables(prefix).zip(tables(outPrefix)).foreach {
+      case ((src, keys, sub), (dst, _, _)) =>
+        Bucketing.writeBucketedExternal(spark.table(src), dst, keys,
+          s"$outDir/$sub", buckets)
+    }
+  }
+
   /** Register an existing index written by [[build]] in `spark`'s catalog
     * — metadata only (no data job, no corpus recomputation); `buckets`
     * must match the build-time value for the planner to prove the

@@ -162,5 +162,41 @@ class DedupIndexSpec extends SparkSpec {
     // the appended wave is actually visible: some partner id is a wave id
     assert(got.exists(r => r.contains("exact_dup")),
       "fixture degenerate: no exact dup of appended content")
+
+    // more append waves (each adds a file set per table), then compact:
+    // fewer files, identical verdicts. Novel texts (salted) so the
+    // rebuild-parity reference `want` for `next` is unaffected — their
+    // shingles/hashes exist in both the appended and compacted index.
+    Seq(500000L, 600000L).foreach { off =>
+      DedupIndex.append(
+        docs.filter(col("doc_id") % 10 === (off / 100000L - 1))
+          .select((col("doc_id") + off).as("doc_id"),
+            concat(col("text"), lit(s" salt$off")).as("text")),
+        "doc_id", "text", prefix)
+    }
+    def partFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val beforeFiles = partFiles(s"$d/hashes")
+    val cd = java.nio.file.Files.createTempDirectory("dedup_idx_cmp").toString
+    DedupIndex.compact(spark, cd, prefix, prefix)
+    assert(partFiles(s"$cd/hashes") < beforeFiles,
+      s"compaction did not shrink hashes files ($beforeFiles)")
+    val gotC = DedupIndex.incrementalDedup(next, "doc_id", "text", prefix)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val wantC = TextOps.incrementalDedup(next,
+      corpus.unionAll(wave).unionAll(
+        Seq(500000L, 600000L).map(off =>
+          docs.filter(col("doc_id") % 10 === (off / 100000L - 1))
+            .select((col("doc_id") + off).as("doc_id"),
+              concat(col("text"), lit(s" salt$off")).as("text")))
+          .reduce(_.unionAll(_))),
+      "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotC == wantC, "compacted index diverged from the rebuild")
+    // compacting INTO the (now-live) location must refuse
+    val err = intercept[IllegalArgumentException] {
+      DedupIndex.compact(spark, cd, prefix, prefix)
+    }
+    assert(err.getMessage.contains("live index location"))
   }
 }
