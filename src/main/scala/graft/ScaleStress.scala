@@ -145,6 +145,30 @@ object ScaleStress {
     * says to leave by raising planes. The stress therefore times the
     * 32-plane/8-bit-band configuration (256 values per band) on BOTH
     * sizes — the like-for-like pair whose growth should be near-linear. */
+  /** Shared body of the vec_index_tiny_probe A/B entries: a ~6-vector
+    * batch served off a persisted small-cell index built with the given
+    * `pcells` (partitioned vs flat layout — the only variable). */
+  private def tinyProbe(s: SparkSession, dir: String,
+      pcells: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tag = java.lang.Integer.toHexString(dir.hashCode) +
+      (if (pcells > 0) "p" else "f")
+    val pfx = s"vecidx_t$tag"
+    val idxDir = s"/tmp/graft_scale/vecidx_t$tag"
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 1000000L || col("vec_id") % 7 =!= 3)
+    val batch = e.filter(col("vec_id") < 1000000L && col("vec_id") % 7 === 3
+      && col("vec_id") % 100 < 2)
+    if (!new java.io.File(s"$idxDir/meta").exists())
+      graft.queries.VectorIndex.build(corpus, "vec_id", "embedding",
+        idxDir, minCos = 0.9, prefix = pfx, targetCellRows = 512,
+        pcells = pcells)
+    else if (!s.catalog.tableExists(s"${pfx}_meta"))
+      graft.queries.VectorIndex.attach(s, idxDir, pfx)
+    graft.queries.VectorIndex.incrementalDedup(batch, "vec_id",
+      "embedding", pfx, minCos = 0.9)
+  }
+
   val CustomVector: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q60_semantic_dedup_p32" -> ((s, dir) =>
       graft.queries.VectorOps.semanticDedup(
@@ -191,6 +215,14 @@ object ScaleStress {
       graft.queries.VectorOps.semanticDedupCells(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         minCos = 0.9, probes = 2)),
+    // margin-GATED top-2 (adaptive multi-probe): only boundary-ambiguous
+    // vectors (cos gap to the 2nd centroid ≤ 0.3) get the second cell —
+    // the mitigation for the unconditional path's 5.1× (cluster-core
+    // vectors, the overwhelming mass here, keep single assignment)
+    "semantic_dedup_cells09_p2m03" -> ((s, dir) =>
+      graft.queries.VectorOps.semanticDedupCells(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        minCos = 0.9, probes = 2, probeMargin = 0.3)),
     // the PERSISTED-index serving probe (VectorIndex): run 1 pays the
     // one-time build (written under /tmp/graft_scale, keyed by data dir,
     // reused across sweeps); the min-of-N signal is the warm probe —
@@ -216,6 +248,18 @@ object ScaleStress {
       graft.queries.VectorIndex.incrementalDedup(batch, "vec_id",
         "embedding", pfx, minCos = 0.9)
     }),
+    // TINY-batch probe A/B over the pcell-PARTITIONED vs FLAT layouts:
+    // the 286-vector batch above probes ~every cell, so directory
+    // pruning can't show there — a ~6-vector batch probes a handful of
+    // the ~42 cells at 100×, and the partitioned layout's scan is pruned
+    // to those pcell dirs while the flat layout still reads the whole
+    // band/vec tables. Small targetCellRows (512) keeps multiple cells
+    // even at 1×. Same batch, same verdicts (spec-pinned parity); the
+    // wall-clock gap is pure scan pruning.
+    "vec_index_tiny_probe" -> ((s, dir) =>
+      tinyProbe(s, dir, pcells = graft.queries.VectorIndex.DefaultPcells)),
+    "vec_index_tiny_probe_flat" -> ((s, dir) =>
+      tinyProbe(s, dir, pcells = 0)),
     // q54 alternative plan shape (r13 verdict item 4): ONE doc_id
     // exchange shared by the tf aggregate and the top-k window, at the
     // price of shuffling RAW exploded tokens (no map-side combine) —

@@ -62,6 +62,51 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketedExternal]] with Hive-style PARTITION directories on
+    * `partCols` layered above the bucket files — the layout for a table
+    * whose probes are scoped to a data-dependent key subset (e.g. the
+    * IVF cells a serving batch actually lands in): a literal
+    * partition-column predicate prunes whole directories at planning
+    * time, so the probe's scan touches |probed partitions|/|partitions|
+    * of the data instead of all of it, while the bucket spec still
+    * proves the exchange-free side of the probe join. `partCols` must be
+    * present in `df`; they land LAST in the on-disk schema (Spark moves
+    * partition columns to the end). */
+  def writePartitionedBucketedExternal(df: DataFrame, table: String,
+      partCols: Seq[String], keys: Seq[String], location: String,
+      buckets: Int): Unit = {
+    require(partCols.nonEmpty && keys.nonEmpty,
+      "need at least one partition column and one bucket key")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", location)
+      .option("compression", "snappy")
+      .saveAsTable(table)
+  }
+
+  /** Register an existing [[writePartitionedBucketedExternal]] artifact —
+    * metadata plus one RECOVER PARTITIONS file listing (no data read):
+    * partition discovery is what re-arms planning-time pruning in the
+    * fresh session. */
+  def attachPartitionedBucketed(spark: SparkSession, table: String,
+      partCols: Seq[String], keys: Seq[String], location: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $table ($schema) USING PARQUET
+         |PARTITIONED BY (${partCols.mkString(", ")})
+         |CLUSTERED BY (${keys.mkString(", ")})
+         |SORTED BY (${keys.mkString(", ")})
+         |INTO $buckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+  }
+
   /** Register an existing [[writeBucketedExternal]] artifact in `spark`'s
     * catalog — metadata only (schema read from the parquet footers, no
     * data job): the bucket spec in the DDL is what lets the planner prove

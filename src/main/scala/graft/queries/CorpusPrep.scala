@@ -79,7 +79,8 @@ object CorpusPrep {
       targetCellRows: Int = VectorOps.DefaultCellRows,
       dims: Int = 64,
       trainSampleCap: Long = 0L,
-      probes: Int = 1)
+      probes: Int = 1,
+      probeMargin: Double = 2.0)
 
   case class Config(
       nearDupThreshold: Double = 0.5,
@@ -214,7 +215,8 @@ object CorpusPrep {
           .join(d4.select(col("doc_id")), Seq("doc_id"), "left_semi")
         val verdicts = VectorOps.semanticDedupCells(vecs, "doc_id",
           "embedding", st.minCos, st.nCells, st.kmeansIters,
-          st.targetCellRows, st.dims, st.trainSampleCap, st.probes)
+          st.targetCellRows, st.dims, st.trainSampleCap, st.probes,
+          st.probeMargin)
         val dropped = verdicts.filter(col("is_kept") === 0L)
           .select(col("vec_id").as("doc_id"))
         d4.join(dropped, Seq("doc_id"), "left_anti")

@@ -16,13 +16,20 @@ import graft.operators.Bucketing
   * no k-means retraining, no signature pass, no PQ re-encoding, not even a
   * scan of the raw embeddings.
   *
-  * Layout under `dir` (bucketed+sorted external tables, [[Bucketing]]):
+  * Layout under `dir` (bucketed+sorted external tables, [[Bucketing]];
+  * vecs/bands additionally carry Hive-style `pcell = cell % pcells`
+  * partition directories so serving probes PRUNE the scan to the cells
+  * the batch actually lands in — bucketing alone prunes exchanges, not
+  * scans):
   *
-  *   - `<prefix>_vecs`    (vec_id, efp, nrm)            bucketed vec_id —
-  *                        the quantized index, re-rank side of every probe
-  *   - `<prefix>_bands`   (partner_id, cell, k, v)      bucketed (cell,k,v)
-  *                        — the cell-scoped LSH band index; the batch's
-  *                        probe join needs no exchange on this side
+  *   - `<prefix>_vecs`    (vec_id, efp, nrm / pcell)    bucketed vec_id,
+  *                        partitioned pcell — the quantized index,
+  *                        re-rank side of every probe
+  *   - `<prefix>_bands`   (partner_id, cell, k, v / pcell) bucketed
+  *                        (cell,k,v), partitioned pcell — the cell-scoped
+  *                        LSH band index; the batch's probe join needs no
+  *                        exchange on this side and scans only probed
+  *                        pcell directories
   *   - `<prefix>_cells`   (vec_id, cell)                bucketed vec_id —
   *                        the coarse-quantizer assignment
   *   - `<prefix>_pqcodes` (vec_id, codes, rnorm2)       bucketed vec_id —
@@ -54,18 +61,34 @@ object VectorIndex {
     * file stays executor-sized ([[DedupIndex.DefaultBuckets]] rationale). */
   val DefaultBuckets = 8
 
-  /** Driver-held image of `<prefix>_meta`. */
+  /** Default cell-range PARTITION count for the bands/vecs tables
+    * (`pcell = cell % pcells` Hive-style directories above the bucket
+    * files): bucketing prunes EXCHANGES but not SCANS, so without it a
+    * constant-size serving batch still reads the whole band table — the
+    * linear residual the r14 probe series measured (2.2× wall for 100×
+    * index). A batch probes only the cells it lands in, and the probe
+    * filters `pcell IN (batch's cells % pcells)` — planning-time
+    * directory pruning caps the scan at |probed pcells|/pcells of the
+    * index. 64 keeps directory counts trivial (64 × buckets files per
+    * table) while a small batch typically probes a handful. */
+  val DefaultPcells = 64
+
+  /** Driver-held image of `<prefix>_meta`. `pcells = 0` marks a legacy
+    * unpartitioned index (pre-r14 layout) — probes skip the partition
+    * filter and scan as before. */
   final case class Meta(minCos: Double, dims: Int, nCells: Int,
       kmeansIters: Int, trainSampleCap: Long, targetCellRows: Int,
       planes: Int, bands: Int, pqM: Int, pqKsub: Int, corpusRows: Long,
-      buckets: Int)
+      buckets: Int, pcells: Int)
 
   private def metaOf(r: Row): Meta = Meta(
     r.getAs[Double]("min_cos"), r.getAs[Int]("dims"), r.getAs[Int]("n_cells"),
     r.getAs[Int]("kmeans_iters"), r.getAs[Long]("train_sample_cap"),
     r.getAs[Int]("target_cell_rows"), r.getAs[Int]("planes"),
     r.getAs[Int]("bands"), r.getAs[Int]("pq_m"), r.getAs[Int]("pq_ksub"),
-    r.getAs[Long]("corpus_rows"), r.getAs[Int]("buckets"))
+    r.getAs[Long]("corpus_rows"), r.getAs[Int]("buckets"),
+    if (r.schema.fieldNames.contains("pcells")) r.getAs[Int]("pcells")
+    else 0)
 
   /** Read the persisted meta row for `prefix` from the session catalog. */
   def meta(spark: SparkSession, prefix: String = "vec_idx"): Meta =
@@ -101,7 +124,7 @@ object VectorIndex {
       nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = VectorOps.DefaultCellRows, dims: Int = 64,
       trainSampleCap: Long = 0L, pqM: Int = 8, pqKsub: Int = 16,
-      buckets: Int = DefaultBuckets): Unit = {
+      buckets: Int = DefaultBuckets, pcells: Int = DefaultPcells): Unit = {
     val s = corpus.sparkSession
     val idx = VectorOps.index(corpus, id, vec)
     try {
@@ -113,17 +136,35 @@ object VectorIndex {
       val cents = VectorOps.kmeansCentroids(idx, k, kmeansIters,
         trainSampleCap)
       val cells = VectorOps.assignCells(idx, cents)
+      val pcellOf = pmod(col("cell"), lit(pcells)).cast("int").as("pcell")
 
-      Bucketing.writeBucketedExternal(
-        idx.select(col("vec_id"), col("efp"), col("nrm")),
-        s"${prefix}_vecs", Seq("vec_id"), s"$dir/vecs", buckets)
+      if (pcells > 0) {
+        Bucketing.writePartitionedBucketedExternal(
+          idx.select(col("vec_id"), col("efp"), col("nrm"))
+            .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
+              col("nrm"), pcellOf),
+          s"${prefix}_vecs", Seq("pcell"), Seq("vec_id"), s"$dir/vecs",
+          buckets)
+        Bucketing.writePartitionedBucketedExternal(
+          VectorOps.lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
+            .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+              col("v"), pcellOf),
+          s"${prefix}_bands", Seq("pcell"), Seq("cell", "k", "v"),
+          s"$dir/bands", buckets)
+      } else {
+        // legacy layout (pcells = 0): kept buildable so the pruning
+        // parity spec can compare against it directly
+        Bucketing.writeBucketedExternal(
+          idx.select(col("vec_id"), col("efp"), col("nrm")),
+          s"${prefix}_vecs", Seq("vec_id"), s"$dir/vecs", buckets)
+        Bucketing.writeBucketedExternal(
+          VectorOps.lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
+            .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+              col("v")),
+          s"${prefix}_bands", Seq("cell", "k", "v"), s"$dir/bands", buckets)
+      }
       Bucketing.writeBucketedExternal(cells,
         s"${prefix}_cells", Seq("vec_id"), s"$dir/cells", buckets)
-      Bucketing.writeBucketedExternal(
-        VectorOps.lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
-          .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-            col("v")),
-        s"${prefix}_bands", Seq("cell", "k", "v"), s"$dir/bands", buckets)
 
       val books = VectorOps.pqBooksSampled(idx, pqM, pqKsub)
       Bucketing.writeBucketedExternal(
@@ -165,10 +206,10 @@ object VectorIndex {
 
       import s.implicits._
       writePlain(Seq((minCos, dims, k, kmeansIters, trainSampleCap,
-        targetCellRows, p, b, pqM, pqKsub, rows, buckets))
+        targetCellRows, p, b, pqM, pqKsub, rows, buckets, pcells))
         .toDF("min_cos", "dims", "n_cells", "kmeans_iters",
           "train_sample_cap", "target_cell_rows", "planes", "bands",
-          "pq_m", "pq_ksub", "corpus_rows", "buckets")
+          "pq_m", "pq_ksub", "corpus_rows", "buckets", "pcells")
         .coalesce(1), s"${prefix}_meta", s"$dir/meta")
     } finally idx.unpersist(false) // the index lives on disk now
   }
@@ -179,19 +220,25 @@ object VectorIndex {
     * layout exactly as at write time. */
   def attach(spark: SparkSession, dir: String,
       prefix: String = "vec_idx"): Unit = {
-    val buckets = spark.read.parquet(s"$dir/meta").head()
-      .getAs[Int]("buckets")
+    val m = metaOf(spark.read.parquet(s"$dir/meta").head())
     attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
     attachPlain(spark, s"${prefix}_cents", s"$dir/cents")
     attachPlain(spark, s"${prefix}_pqbooks", s"$dir/pqbooks")
-    Bucketing.attachBucketed(spark, s"${prefix}_vecs", Seq("vec_id"),
-      s"$dir/vecs", buckets)
+    if (m.pcells > 0) {
+      Bucketing.attachPartitionedBucketed(spark, s"${prefix}_vecs",
+        Seq("pcell"), Seq("vec_id"), s"$dir/vecs", m.buckets)
+      Bucketing.attachPartitionedBucketed(spark, s"${prefix}_bands",
+        Seq("pcell"), Seq("cell", "k", "v"), s"$dir/bands", m.buckets)
+    } else {
+      Bucketing.attachBucketed(spark, s"${prefix}_vecs", Seq("vec_id"),
+        s"$dir/vecs", m.buckets)
+      Bucketing.attachBucketed(spark, s"${prefix}_bands",
+        Seq("cell", "k", "v"), s"$dir/bands", m.buckets)
+    }
     Bucketing.attachBucketed(spark, s"${prefix}_cells", Seq("vec_id"),
-      s"$dir/cells", buckets)
-    Bucketing.attachBucketed(spark, s"${prefix}_bands",
-      Seq("cell", "k", "v"), s"$dir/bands", buckets)
+      s"$dir/cells", m.buckets)
     Bucketing.attachBucketed(spark, s"${prefix}_pqcodes", Seq("vec_id"),
-      s"$dir/pqcodes", buckets)
+      s"$dir/pqcodes", m.buckets)
   }
 
   /** Centroids re-collected from the persisted table — identical driver
@@ -221,11 +268,11 @@ object VectorIndex {
     * signatures + cell assignment (with the CORPUS's persisted centroids
     * — identical scoring to training); the corpus contributes only
     * bucketed table scans. `minCos` defaults (NaN) to the build
-    * threshold; `probes = 2` widens the batch-side cell probe
-    * ([[VectorOps.assignCellsMulti]]). */
+    * threshold; `probes = 2` widens the batch-side cell probe, gated by
+    * `probeMargin` ([[VectorOps.assignCellsMulti]]). */
   def incrementalDedup(batch: DataFrame, id: String, vec: String,
       prefix: String = "vec_idx", minCos: Double = Double.NaN,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, probeMargin: Double = 2.0): DataFrame = {
     val s = batch.sparkSession
     val m = meta(s, prefix)
     val th = if (minCos.isNaN) m.minCos else minCos
@@ -233,12 +280,32 @@ object VectorIndex {
     // uncached batch index: a narrow projection consumed three times is
     // cheaper than a cache entry per serving epoch the caller can't free
     val batchIdx = VectorOps.indexUncached(batch, id, vec)
+    val assigned = VectorOps.assignCellsMulti(batchIdx, cents, probes,
+      probeMargin)
+    // partitioned layout: collect the batch's probed pcell values (one
+    // small batch-proportional job, ≤ pcells integers) and prune the
+    // index scans to those directories at planning time — every
+    // candidate partner necessarily lives in a probed cell, so filtering
+    // BOTH the band table and the re-rank vec table is recall-neutral
+    // (parity spec-pinned); the scan cost becomes |probed|/pcells of the
+    // index instead of all of it
+    val (bandsT, vecsT) =
+      if (m.pcells > 0) {
+        val probed = assigned
+          .select(pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        (s.table(s"${prefix}_bands")
+            .where(col("pcell").isin(probed.map(Integer.valueOf): _*))
+            .drop("pcell"),
+          s.table(s"${prefix}_vecs")
+            .where(col("pcell").isin(probed.map(Integer.valueOf): _*))
+            .select(col("vec_id"), col("efp"), col("nrm")))
+      } else (s.table(s"${prefix}_bands"), s.table(s"${prefix}_vecs"))
     val bb = VectorOps.lshBandRows(batchIdx, m.planes, m.bands, m.dims)
-      .join(VectorOps.assignCellsMulti(batchIdx, cents, probes),
-        Seq("vec_id"))
-    val cand = bb.join(s.table(s"${prefix}_bands"), Seq("cell", "k", "v"))
+      .join(assigned, Seq("vec_id"))
+    val cand = bb.join(bandsT, Seq("cell", "k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
-    VectorOps.bestPartnerOf(s.table(s"${prefix}_vecs"), batchIdx, cand, th)
+    VectorOps.bestPartnerOf(vecsT, batchIdx, cand, th)
   }
 
   /** APPEND a batch of vectors to an attached index — incremental index
@@ -268,22 +335,39 @@ object VectorIndex {
       .persist() // consumed by four writes; released below
     try {
       val cells = VectorOps.assignCells(bIdx, cents)
-      def appendTo(df: DataFrame, table: String, keys: Seq[String]): Unit =
-        df.repartition(m.buckets, keys.map(col): _*)
+      def appendTo(df: DataFrame, table: String, keys: Seq[String],
+          partCols: Seq[String] = Nil): Unit = {
+        val w = df.repartition(m.buckets, keys.map(col): _*)
           .write.mode(org.apache.spark.sql.SaveMode.Append)
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .bucketBy(m.buckets, keys.head, keys.tail: _*)
           .sortBy(keys.head, keys.tail: _*)
           .option("compression", "snappy")
           .saveAsTable(s"${prefix}_$table")
-      appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
-        "vecs", Seq("vec_id"))
+      }
+      val pcellOf = pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell")
+      if (m.pcells > 0) {
+        appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm"))
+            .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
+              col("nrm"), pcellOf),
+          "vecs", Seq("vec_id"), Seq("pcell"))
+        appendTo(
+          VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
+            .join(cells, Seq("vec_id"))
+            .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+              col("v"), pcellOf),
+          "bands", Seq("cell", "k", "v"), Seq("pcell"))
+      } else {
+        appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
+          "vecs", Seq("vec_id"))
+        appendTo(
+          VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
+            .join(cells, Seq("vec_id"))
+            .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+              col("v")),
+          "bands", Seq("cell", "k", "v"))
+      }
       appendTo(cells, "cells", Seq("vec_id"))
-      appendTo(
-        VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
-          .join(cells, Seq("vec_id"))
-          .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-            col("v")),
-        "bands", Seq("cell", "k", "v"))
       appendTo(
         VectorOps.pqEncodeIndexed(bIdx, books)
           .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books)),
@@ -312,15 +396,24 @@ object VectorIndex {
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
     val m = meta(spark, prefix)
-    Bucketing.writeBucketedExternal(
-      spark.table(s"${prefix}_vecs"), s"${outPrefix}_vecs",
-      Seq("vec_id"), s"$outDir/vecs", m.buckets)
+    if (m.pcells > 0) {
+      Bucketing.writePartitionedBucketedExternal(
+        spark.table(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+        Seq("pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
+      Bucketing.writePartitionedBucketedExternal(
+        spark.table(s"${prefix}_bands"), s"${outPrefix}_bands",
+        Seq("pcell"), Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
+    } else {
+      Bucketing.writeBucketedExternal(
+        spark.table(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+        Seq("vec_id"), s"$outDir/vecs", m.buckets)
+      Bucketing.writeBucketedExternal(
+        spark.table(s"${prefix}_bands"), s"${outPrefix}_bands",
+        Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
+    }
     Bucketing.writeBucketedExternal(
       spark.table(s"${prefix}_cells"), s"${outPrefix}_cells",
       Seq("vec_id"), s"$outDir/cells", m.buckets)
-    Bucketing.writeBucketedExternal(
-      spark.table(s"${prefix}_bands"), s"${outPrefix}_bands",
-      Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
     Bucketing.writeBucketedExternal(
       spark.table(s"${prefix}_pqcodes"), s"${outPrefix}_pqcodes",
       Seq("vec_id"), s"$outDir/pqcodes", m.buckets)

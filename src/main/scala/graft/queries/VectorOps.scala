@@ -1282,9 +1282,11 @@ object VectorOps {
     * boundary recall is threshold-critical; the default stays 1.
     * Determinism: k-means seeds/ties are md5-ordered, iterations fixed,
     * LSH shape derives from (rows, minCos) — no RNG anywhere. */
+  // (session, corpus plan, k, iters, trainSampleCap, probes,
+  //  doubleToLongBits(probeMargin))
   private type ModelKey = (org.apache.spark.sql.SparkSession,
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Long,
-    Int)
+    Int, Long)
 
   /** Bounded (LRU) memo of the cached cell assignment per (session,
     * canonical corpus plan, k, iters, sampleCap, probes): [[kmeansCells]]
@@ -1311,7 +1313,8 @@ object VectorOps {
   private def memoizedCentroids(idx: DataFrame, k: Int, iters: Int,
       trainSampleCap: Long): IndexedSeq[Array[Long]] =
     centsMemo.getOrBuild((idx.sparkSession,
-      idx.queryExecution.logical.canonicalized, k, iters, trainSampleCap, 1))(
+      idx.queryExecution.logical.canonicalized, k, iters, trainSampleCap, 1,
+      0L))(
       kmeansCentroids(idx, k, iters, trainSampleCap))
 
   /** Auto cell count: enough ~`targetCellRows`-row cells to tile the
@@ -1344,17 +1347,19 @@ object VectorOps {
   def semanticDedupCellsIndexed(idx: DataFrame, minCos: Double,
       nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame = {
+      trainSampleCap: Long = 0L, probes: Int = 1,
+      probeMargin: Double = 2.0): DataFrame = {
     val rows = memoizedCount(idx)
     val k = autoCellCount(rows, nCells, targetCellRows)
     val cellRows = math.max(1L, (rows + k - 1) / k)
     val (p, b) = autoShape(cellRows, minCos)
     val cells = memoizedCells(
       (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
-        kmeansIters, trainSampleCap, probes))(
+        kmeansIters, trainSampleCap, probes,
+        java.lang.Double.doubleToLongBits(probeMargin)))(
       Caching.cached(
         assignCellsMulti(idx, memoizedCentroids(idx, k, kmeansIters,
-          trainSampleCap), probes),
+          trainSampleCap), probes, probeMargin),
         "spark.graft.vector.storageLevel"))
     val br = lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
     val cand = br.select(col("vec_id").as("id_a"), col("cell"), col("k"),
@@ -1371,9 +1376,10 @@ object VectorOps {
   def semanticDedupCells(df: DataFrame, id: String, vec: String,
       minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame =
+      trainSampleCap: Long = 0L, probes: Int = 1,
+      probeMargin: Double = 2.0): DataFrame =
     semanticDedupCellsIndexed(index(df, id, vec), minCos, nCells,
-      kmeansIters, targetCellRows, dims, trainSampleCap, probes)
+      kmeansIters, targetCellRows, dims, trainSampleCap, probes, probeMargin)
 
   /** [[semanticDedupIndexed]] over any raw (id, vec) frame. */
   def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
@@ -1464,7 +1470,8 @@ object VectorOps {
   def semanticIncrementalCellsIndexed(corpus: DataFrame, batch: DataFrame,
       minCos: Double, nCells: Int = AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = DefaultCellRows, dims: Int = 64,
-      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame = {
+      trainSampleCap: Long = 0L, probes: Int = 1,
+      probeMargin: Double = 2.0): DataFrame = {
     val rows = memoizedCount(corpus)
     val k = autoCellCount(rows, nCells, targetCellRows)
     val cellRows = math.max(1L, (rows + k - 1) / k)
@@ -1472,7 +1479,7 @@ object VectorOps {
     val cents = memoizedCentroids(corpus, k, kmeansIters, trainSampleCap)
     val corpusCells = memoizedCells(
       (corpus.sparkSession, corpus.queryExecution.logical.canonicalized, k,
-        kmeansIters, trainSampleCap, 1))(
+        kmeansIters, trainSampleCap, 1, 0L))(
       Caching.cached(assignCells(corpus, cents),
         "spark.graft.vector.storageLevel"))
     val cb = lshBandRows(corpus, p, b, dims).join(corpusCells, Seq("vec_id"))
@@ -1483,7 +1490,8 @@ object VectorOps {
     // sits just across its cell boundary probes its second-nearest cell
     // too — the multi-probe IVF search pattern, batch-cost ~2×
     val bb = lshBandRows(batch, p, b, dims)
-      .join(assignCellsMulti(batch, cents, probes), Seq("vec_id"))
+      .join(assignCellsMulti(batch, cents, probes, probeMargin),
+        Seq("vec_id"))
     val cand = bb.join(cb, Seq("cell", "k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
     bestPartnerOf(corpus, batch, cand, minCos)
@@ -1495,10 +1503,11 @@ object VectorOps {
       id: String, vec: String, minCos: Double, nCells: Int = AutoCells,
       kmeansIters: Int = 2, targetCellRows: Int = DefaultCellRows,
       dims: Int = 64,
-      trainSampleCap: Long = 0L, probes: Int = 1): DataFrame =
+      trainSampleCap: Long = 0L, probes: Int = 1,
+      probeMargin: Double = 2.0): DataFrame =
     semanticIncrementalCellsIndexed(index(corpus, id, vec),
       index(batch, id, vec), minCos, nCells, kmeansIters, targetCellRows,
-      dims, trainSampleCap, probes)
+      dims, trainSampleCap, probes, probeMargin)
 
   /** [[semanticIncrementalIndexed]] over raw (id, vec) frames. Parameter
     * order matches the Indexed variant (corpus first, then batch) — the
@@ -1650,6 +1659,16 @@ object VectorOps {
     * boundary still shares a cell whenever either member's second choice
     * is the other's first. probes ∈ {1, 2}; probes = 1 IS [[assignCells]].
     *
+    * `maxMargin` is the ADAPTIVE gate (standard multi-probe refinement):
+    * the second cell is emitted only when the vector is boundary-
+    * AMBIGUOUS — cos(v, c1) − cos(v, c2) ≤ maxMargin. A pair that
+    * straddles a boundary has both members near it (small margins by
+    * construction), while cluster-core vectors — the overwhelming mass
+    * on clustered data, and the source of the unconditional probes=2
+    * blow-up (5.1× wall, BENCH_NOTES r14) — keep single assignment.
+    * The default 2.0 (the cosine diameter) is unconditional, i.e. plain
+    * top-2; measured trade at maxMargin=0.3 in BENCH_NOTES r14.
+    *
     * Cost shape: the literal regime (k ≤ `kmeansLiteralMaxK`) stays a
     * PURE MAP — the scored array is let-bound once and the top-2 comes
     * from array_max + a filtered array_max, no join, no shuffle. The
@@ -1657,7 +1676,7 @@ object VectorOps {
     * max-of-struct partial agg, second via a re-score excluding the best
     * struct) — assignment cost ~2×, exactly the multi-probe trade. */
   def assignCellsMulti(frame: DataFrame, cents: IndexedSeq[Array[Long]],
-      probes: Int): DataFrame = {
+      probes: Int, maxMargin: Double = 2.0): DataFrame = {
     require(probes >= 1 && probes <= 2,
       s"probes must be 1 or 2 (got $probes); deeper probing composes from" +
         " smaller cells (raise nCells) rather than wider assignment")
@@ -1666,28 +1685,38 @@ object VectorOps {
       val k = cents.length
       val literalMaxK = frame.sparkSession.conf
         .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
+      // score s = dot/|cent|, so cos = s/|v|: the margin condition
+      // (cos1 − cos2 ≤ maxMargin) is (s1 − s2) ≤ maxMargin·|v|
+      def marginOk(s1: Column, s2: Column): Column =
+        (s1 - s2) <= lit(maxMargin) * sqrt(col("nrm").cast("double"))
       if (k <= literalMaxK) {
         // let-bind the scored array, then the best struct, then emit
-        // [best, second] — the single-element-array `transform` trick
-        val top2 = element_at(transform(array(cellScoredArr(cents)), a =>
+        // [best] or [best, second] — the single-element-array
+        // `transform` trick; the margin gate rides the same projection
+        val cellsArr = element_at(transform(array(cellScoredArr(cents)), a =>
           element_at(transform(array(array_max(a)), b =>
-            array(b.getField("nc") * -1,
-              array_max(filter(a, x =>
-                x.getField("nc") =!= b.getField("nc"))).getField("nc") * -1)),
-            1)), 1)
-        frame.select(col("vec_id"), explode(top2).as("cell"))
+            element_at(transform(
+              array(array_max(filter(a, x =>
+                x.getField("nc") =!= b.getField("nc")))), s2 =>
+              when(marginOk(b.getField("s"), s2.getField("s")),
+                array(b.getField("nc") * -1, s2.getField("nc") * -1))
+                .otherwise(array(b.getField("nc") * -1))), 1)), 1)), 1)
+        frame.select(col("vec_id"), explode(cellsArr).as("cell"))
       } else {
         val score = when(col("cn") === 0.0, lit(Double.MinValue))
           .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
             .cast("double") / col("cn"))
-        def fan = frame.select(col("vec_id"), col("efp"))
+        def fan = frame.select(col("vec_id"), col("efp"), col("nrm"))
           .crossJoin(broadcast(cellCentTable(frame.sparkSession, cents)))
-          .select(col("vec_id"), struct(score.as("s"),
+          .select(col("vec_id"), col("nrm"), struct(score.as("s"),
             (col("cell") * -1).as("nc")).as("sc"))
         val best = fan.groupBy("vec_id").agg(max(col("sc")).as("b"))
-        val second = fan.join(best, Seq("vec_id"))
+        val second = fan.join(best.select(col("vec_id"), col("b")), Seq("vec_id"))
           .filter(col("sc") =!= col("b"))
-          .groupBy("vec_id").agg(max(col("sc")).as("b"))
+          .groupBy("vec_id").agg(max(col("sc")).as("b2"),
+            first(col("b")).as("b"), first(col("nrm")).as("nrm"))
+          .filter(marginOk(col("b.s"), col("b2.s")))
+          .select(col("vec_id"), col("b2").as("b"))
         best.unionAll(second)
           .select(col("vec_id"), (col("b.nc") * -1).as("cell"))
       }

@@ -692,7 +692,7 @@ object EventStream {
   def runVectorIngestIndexed(vecStream: DataFrame, id: String, vec: String,
       checkpoint: String, prefix: String = "vec_idx",
       minCos: Double = Double.NaN, probes: Int = 1,
-      appendAdmitted: Boolean = false)
+      appendAdmitted: Boolean = false, probeMargin: Double = 2.0)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val q = vecStream.writeStream
@@ -701,7 +701,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val verdicts = graft.queries.VectorIndex.incrementalDedup(
-          batch, id, vec, prefix, minCos, probes)
+          batch, id, vec, prefix, minCos, probes, probeMargin)
         val admitted = batch.join(
           verdicts.filter(col("verdict") === "new")
             .select(col("vec_id").as("__new_id")),

@@ -114,6 +114,33 @@ class CellBoundarySpec extends SparkSpec {
       s"probes=2 recovered only ${caught2.size}/$NPairs boundary pairs")
   }
 
+  test("margin-gated probes=2 keeps boundary recall while sparing cluster-core vectors") {
+    val idx = VectorOps.index(fixture, "vec_id", "embedding")
+    val cents = VectorOps.kmeansCentroids(idx, k = 2, iters = 2)
+    // planted pair members sit ~22° off the bisector: their cos gap to
+    // the second centroid is ≈ cos(33°) − cos(57°) ≈ 0.28 < 0.3, while
+    // cluster-core vectors read ≈ cos(0°) − cos(90°) ≈ 1 — the 0.3 gate
+    // separates them cleanly
+    val gated = VectorOps.assignCellsMulti(idx, cents, probes = 2,
+      maxMargin = 0.3)
+    val perVec = gated.groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairMembers = pairIds.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(pairMembers.forall(perVec(_) == 2L),
+      "a planted boundary member lost its second probe under the margin gate")
+    val coreDoubled = perVec.count { case (vid, n) => !pairMembers(vid) && n == 2L }
+    info(s"cluster-core vectors double-assigned under margin 0.3: $coreDoubled/600")
+    assert(coreDoubled == 0,
+      s"$coreDoubled cluster-core vectors paid the second probe despite the gate")
+
+    // end to end: the gated dedup still recovers every planted pair
+    val out = VectorOps.semanticDedupCells(fixture, "vec_id", "embedding",
+      minCos = Tau, nCells = 2, kmeansIters = 2, probes = 2,
+      probeMargin = 0.3)
+    assert(caughtPairs(out).size == NPairs,
+      "margin-gated probes=2 lost boundary pairs the unconditional path catches")
+  }
+
   test("probes=2 assignment emits each vector's two distinct nearest cells in both regimes") {
     val idx = VectorOps.index(fixture, "vec_id", "embedding")
     val cents = VectorOps.kmeansCentroids(idx, k = 2, iters = 2)
@@ -132,6 +159,14 @@ class CellBoundarySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1)))
       assert(multiB.sorted.toSeq == multi.sorted.toSeq,
         "literal vs broadcast multi-probe assignment diverged")
+      // and the margin-GATED form agrees across regimes too
+      val gatedB = VectorOps.assignCellsMulti(idx, cents, probes = 2,
+        maxMargin = 0.3).collect().map(r => (r.getLong(0), r.getInt(1)))
+      s.conf.set("spark.graft.vector.kmeansLiteralMaxK", old)
+      val gatedL = VectorOps.assignCellsMulti(idx, cents, probes = 2,
+        maxMargin = 0.3).collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(gatedB.sorted.toSeq == gatedL.sorted.toSeq,
+        "literal vs broadcast margin-gated assignment diverged")
     } finally s.conf.set("spark.graft.vector.kmeansLiteralMaxK", old)
   }
 }

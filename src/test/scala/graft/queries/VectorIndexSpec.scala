@@ -164,8 +164,13 @@ class VectorIndexSpec extends SparkSpec {
     // bit-identical, and a fresh session can attach the result
     val cdir = java.nio.file.Files.createTempDirectory("vec_idx_cmp").toString
     val cpfx = "vec_idx_cmpb"
-    def partFiles(p: String) = new java.io.File(p).listFiles()
-      .count(f => f.getName.startsWith("part-"))
+    // partitioned tables nest part- files under pcell=N/ directories
+    def partFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      walk(new java.io.File(p))
+    }
     val beforeFiles = partFiles(s"$dir/vecs")
     VectorIndex.compact(spark, cdir, prefix, cpfx)
     val afterFiles = partFiles(s"$cdir/vecs")
@@ -191,6 +196,56 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.compact(spark, dir, prefix, prefix)
     }
     assert(err.getMessage.contains("live index location"))
+  }
+
+  test("a small batch's probe prunes the partitioned index scan to its probed cells") {
+    // small cells => many of them (k ≈ 27 at ~1.7k corpus rows), so a
+    // 2-vector batch probes a strict subset of the pcell directories
+    val dir = java.nio.file.Files.createTempDirectory("vec_idx_prt").toString
+    val prefix = "vec_idx_prtb"
+    VectorIndex.build(emb.filter(!isBatch), "vec_id", "embedding", dir,
+      MinCos, prefix = prefix, targetCellRows = 64)
+    val diskParts = new java.io.File(s"$dir/bands").listFiles()
+      .count(_.getName.startsWith("pcell="))
+    assert(diskParts > 2, s"fixture degenerate: only $diskParts pcell dirs")
+
+    val batch = emb.filter(isBatch).limit(2)
+    // AQE's AdaptiveSparkPlanExec is a leaf to collect(), so inspect the
+    // non-adaptive plan; pruning itself is planning-time either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+        prefix)
+      val scans = served.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith(prefix)) => f
+      }
+      assert(scans.nonEmpty, "no index scans in the probe plan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "an index scan carries no pcell partition filter — nothing prunes")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one), so the collected scan nodes' metrics fill in
+      served.collect()
+      scans.foreach { f =>
+        val read = f.metrics("numPartitions").value
+        assert(read > 0 && read < diskParts,
+          s"scan read $read of $diskParts partitions — pruning ineffective")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+
+    // pruning must be invisible to results: verdicts equal the ones a
+    // legacy UNPARTITIONED index serves for the same batch
+    val ldir = java.nio.file.Files.createTempDirectory("vec_idx_leg").toString
+    val lpfx = "vec_idx_legb"
+    VectorIndex.build(emb.filter(!isBatch), "vec_id", "embedding", ldir,
+      MinCos, prefix = lpfx, targetCellRows = 64, pcells = 0)
+    assert(VectorIndex.meta(spark, lpfx).pcells == 0)
+    val fullBatch = batchOf(emb)
+    val want = VectorIndex.incrementalDedup(fullBatch, "vec_id", "embedding",
+      lpfx).collect().map(_.toString).sorted.toSeq
+    val got = VectorIndex.incrementalDedup(fullBatch, "vec_id", "embedding",
+      prefix).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "partition pruning changed serving verdicts")
   }
 
   test("the probe plan never scans the raw embeddings and never shuffles the index side") {
