@@ -169,7 +169,41 @@ object ScaleStress {
       "embedding", pfx, minCos = 0.9)
   }
 
+  /** Text twin of [[tinyProbe]]: a ~14-doc batch served off a persisted
+    * text dedup index built with the given `pvals` (hash-partitioned vs
+    * flat layout — the only variable). Small batches are the text serving
+    * regime where partition pruning shows: the batch probes ≤14 of 64
+    * hash partitions and its candidates a handful of shingle partitions,
+    * while the flat layout reads all three corpus-sized tables. */
+  private def textTinyProbe(s: SparkSession, dir: String,
+      pvals: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tag = java.lang.Integer.toHexString(dir.hashCode) +
+      (if (pvals > 0) "p" else "f")
+    val pfx = s"dedupidx_t$tag"
+    val idxDir = s"/tmp/graft_scale/dedupidx_t$tag"
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") >= 1000000L || col("doc_id") % 7 =!= 3)
+    val batch = d.filter(col("doc_id") < 1000000L && col("doc_id") % 7 === 3
+      && col("doc_id") % 100 < 2)
+    if (!new java.io.File(s"$idxDir/hashes").exists())
+      graft.queries.DedupIndex.build(corpus, "doc_id", "text", idxDir,
+        prefix = pfx, pvals = pvals)
+    else if (!s.catalog.tableExists(s"${pfx}_hashes"))
+      graft.queries.DedupIndex.attach(s, idxDir, pfx)
+    graft.queries.DedupIndex.incrementalDedup(batch, "doc_id", "text", pfx)
+  }
+
   val CustomVector: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // text-index serving A/B over the hash-PARTITIONED vs FLAT layouts —
+    // the DedupIndex twin of vec_index_tiny_probe: same batch, same
+    // verdicts (spec-pinned parity); the wall-clock gap is pure scan
+    // pruning on the three corpus-sized tables
+    "dedup_index_tiny_probe" -> ((s, dir) =>
+      textTinyProbe(s, dir, pvals = graft.queries.DedupIndex.DefaultPvals)),
+    "dedup_index_tiny_probe_flat" -> ((s, dir) =>
+      textTinyProbe(s, dir, pvals = 0)),
     "q60_semantic_dedup_p32" -> ((s, dir) =>
       graft.queries.VectorOps.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",

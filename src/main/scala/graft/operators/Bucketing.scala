@@ -123,6 +123,26 @@ object Bucketing {
          |LOCATION '$location'""".stripMargin)
   }
 
+  /** Persist `df` as a plain (unbucketed, unpartitioned) external table —
+    * the single-row meta / small-dimension artifact form next to the
+    * bucketed tables above. */
+  def writePlainExternal(df: DataFrame, table: String,
+      location: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", location).option("compression", "snappy")
+      .saveAsTable(table)
+  }
+
+  /** Register an existing [[writePlainExternal]] artifact — metadata only. */
+  def attachPlain(spark: SparkSession, table: String,
+      location: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"CREATE TABLE $table ($schema) USING PARQUET LOCATION '$location'")
+  }
+
   /** Join two same-bucketed tables on their bucket key — shuffle-free by
     * construction (verified in BucketingSpec's plan assertion). */
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,

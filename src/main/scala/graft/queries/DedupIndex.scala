@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Bucketing
@@ -24,6 +24,20 @@ import graft.operators.Bucketing
   * own batch-proportional rows into the bucket layout; the 100 TB index
   * never moves.
   *
+  * Bucketing prunes EXCHANGES but not SCANS: a constant-size batch would
+  * still read all three corpus-sized tables per probe (the linear residual
+  * the vector index's r14 scale series measured). The default layout
+  * therefore layers Hive-style hash-partition directories above the
+  * bucket files — `pch = xxhash64(ch) % pvals` on hashes,
+  * `pbh = h % pvals` on bands, `pdoc = doc_id % pvals` on shingles — and
+  * the probe filters each table to the partition values the batch (or its
+  * candidates) actually lands in, collected in tiny batch-proportional
+  * jobs. Every potential match necessarily shares the probe's key, so the
+  * pruning is verdict-neutral (spec-pinned against the flat layout); the
+  * scan cost drops to |probed partitions|/pvals of the index. `pvals = 0`
+  * keeps the flat pre-partitioned layout, and indexes without a meta
+  * table (built before partitioning existed) attach and probe unchanged.
+  *
   * Serving output is bit-identical to the in-session
   * [[TextOps.incrementalDedup]] by construction: both feed the SAME
   * verdict core ([[TextOps.incrementalVerdicts]]), and the persisted
@@ -37,17 +51,49 @@ object DedupIndex {
     * parallelism on the corpus side). */
   val DefaultBuckets = 8
 
-  private def tables(prefix: String): Seq[(String, Seq[String], String)] = Seq(
-    (s"${prefix}_hashes", Seq("ch"), "hashes"),
-    (s"${prefix}_bands", Seq("b", "h"), "bands"),
-    (s"${prefix}_shingles", Seq("doc_id"), "shingles"))
+  /** Default hash-partition count above the bucket files (directories per
+    * table = pvals × buckets files at most). 64 keeps directory counts
+    * trivial while a small serving batch probes a handful: a 10-doc batch
+    * touches ≤10 of 64 hash partitions, ≤60 band partitions only if all
+    * 6 band hashes per doc spread maximally, and as many shingle
+    * partitions as it has CANDIDATES — each scan reads that fraction of
+    * the index instead of all of it. */
+  val DefaultPvals = 64
+
+  /** (table, bucket keys, subdir, partition column) per artifact. */
+  private def tables(prefix: String): Seq[(String, Seq[String], String, String)] =
+    Seq((s"${prefix}_hashes", Seq("ch"), "hashes", "pch"),
+      (s"${prefix}_bands", Seq("b", "h"), "bands", "pbh"),
+      (s"${prefix}_shingles", Seq("doc_id"), "shingles", "pdoc"))
+
+  /** The partition-value derivation per partition column — shared by the
+    * build side (layout) and the probe side (pruning filter), so the two
+    * can never drift. xxhash64 is seed-fixed and version-stable; `h` is
+    * already an xxhash64, and doc ids partition directly. */
+  private def partValue(partCol: String, pvals: Int): Column = {
+    val v = partCol match {
+      case "pch" => xxhash64(col("ch"))
+      case "pbh" => col("h")
+      case "pdoc" => col("doc_id")
+    }
+    pmod(v, lit(pvals.toLong)).cast("int")
+  }
+
+  /** Partition count of an attached/built index: the meta row when the
+    * index has one, 0 (flat legacy layout) when it does not. */
+  def pvalsOf(spark: SparkSession, prefix: String = "dedup_idx"): Int =
+    if (spark.catalog.tableExists(s"${prefix}_meta"))
+      spark.table(s"${prefix}_meta").head().getAs[Int]("pvals")
+    else 0
 
   /** Derive the corpus artifacts and persist them under `dir` (also
     * registering `<prefix>_*` in this session's catalog). One corpus pass
     * per artifact; the shared shingle cache ([[TextDedup]]) means the
     * expensive 3-gram derivation is computed once across the three. */
   def build(corpus: DataFrame, id: String, text: String, dir: String,
-      prefix: String = "dedup_idx", buckets: Int = DefaultBuckets): Unit = {
+      prefix: String = "dedup_idx", buckets: Int = DefaultBuckets,
+      pvals: Int = DefaultPvals): Unit = {
+    val s = corpus.sparkSession
     val nc = corpus.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
     val frames = Map(
@@ -55,9 +101,20 @@ object DedupIndex {
         .groupBy("ch").agg(min("doc_id").as("exact_partner")),
       "bands" -> TextDedup.bandRowsOf(nc),
       "shingles" -> TextDedup.shingleSetsOf(nc))
-    tables(prefix).foreach { case (table, keys, sub) =>
-      Bucketing.writeBucketedExternal(frames(sub), table, keys,
-        s"$dir/$sub", buckets)
+    tables(prefix).foreach { case (table, keys, sub, partCol) =>
+      if (pvals > 0)
+        Bucketing.writePartitionedBucketedExternal(
+          frames(sub).withColumn(partCol, partValue(partCol, pvals)),
+          table, Seq(partCol), keys, s"$dir/$sub", buckets)
+      else
+        Bucketing.writeBucketedExternal(frames(sub), table, keys,
+          s"$dir/$sub", buckets)
+    }
+    if (pvals > 0) {
+      import s.implicits._
+      Bucketing.writePlainExternal(
+        Seq((pvals, buckets)).toDF("pvals", "buckets").coalesce(1),
+        s"${prefix}_meta", s"$dir/meta")
     }
     // release the derivation caches build() itself populated: the index
     // is on disk now, and a long-lived builder session should not keep
@@ -79,6 +136,7 @@ object DedupIndex {
   def append(batch: DataFrame, id: String, text: String,
       prefix: String = "dedup_idx"): Unit = {
     val s = batch.sparkSession
+    val pvals = pvalsOf(s, prefix)
     val nc = batch.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
     def bucketsOf(table: String): Int =
@@ -86,30 +144,36 @@ object DedupIndex {
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
-    def appendTo(df: DataFrame, table: String, keys: Seq[String]): Unit =
-      df.repartition(bucketsOf(table), keys.map(col): _*)
+    def appendTo(df: DataFrame, table: String, keys: Seq[String],
+        partCol: String): Unit = {
+      val w = (if (pvals > 0)
+          df.withColumn(partCol, partValue(partCol, pvals)) else df)
+        .repartition(bucketsOf(table), keys.map(col): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
+      (if (pvals > 0) w.partitionBy(partCol) else w)
         .bucketBy(bucketsOf(table), keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .option("compression", "snappy")
         .saveAsTable(table)
+    }
     val hashes = nc.select(col("doc_id"), md5(col("text")).as("ch"))
       .groupBy("ch").agg(min("doc_id").as("exact_partner"))
       // novel-ch only: a second row per ch would multiply the probe join
       .join(s.table(s"${prefix}_hashes").select("ch"), Seq("ch"),
         "left_anti")
-    appendTo(hashes, s"${prefix}_hashes", Seq("ch"))
-    appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands", Seq("b", "h"))
+    appendTo(hashes, s"${prefix}_hashes", Seq("ch"), "pch")
+    appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands", Seq("b", "h"),
+      "pbh")
     appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
-      Seq("doc_id"))
+      Seq("doc_id"), "pdoc")
     TextDedup.unpersistDerivationsOf(nc)
   }
 
   /** COMPACT an attached index into `outDir` — the [[VectorIndex.compact]]
-    * twin: every [[append]] adds one file set per bucket, compaction
-    * rewrites the three tables (collapsing them) with identical content,
-    * so serving is bit-identical (the derivations are data, not model —
-    * nothing to freeze). Refuses the live location. */
+    * twin: every [[append]] adds one file set per bucket (and partition),
+    * compaction rewrites the three tables (collapsing them) with identical
+    * content, so serving is bit-identical (the derivations are data, not
+    * model — nothing to freeze). Refuses the live location. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "dedup_idx", outPrefix: String = "dedup_idx",
       buckets: Int = DefaultBuckets): Unit = {
@@ -121,36 +185,103 @@ object DedupIndex {
         new java.io.File(s"$outDir/hashes").getAbsolutePath.stripSuffix("/")),
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
+    val pvals = pvalsOf(spark, prefix)
+    // read each source from its FILES, not the catalog table: when
+    // outPrefix == prefix the write drops the catalog entry first, and a
+    // PARTITIONED table's scan consults the catalog lazily at execution
+    // (CatalogFileIndex) — reading the location keeps the plan
+    // catalog-independent (partition columns come back via directory
+    // inference, identically valued)
+    def srcDf(table: String) = spark.read.parquet(
+      spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString)
     tables(prefix).zip(tables(outPrefix)).foreach {
-      case ((src, keys, sub), (dst, _, _)) =>
-        Bucketing.writeBucketedExternal(spark.table(src), dst, keys,
-          s"$outDir/$sub", buckets)
+      case ((src, keys, sub, partCol), (dst, _, _, _)) =>
+        if (pvals > 0)
+          Bucketing.writePartitionedBucketedExternal(srcDf(src), dst,
+            Seq(partCol), keys, s"$outDir/$sub", buckets)
+        else
+          Bucketing.writeBucketedExternal(srcDf(src), dst, keys,
+            s"$outDir/$sub", buckets)
+    }
+    if (pvals > 0) {
+      import spark.implicits._
+      Bucketing.writePlainExternal(
+        Seq((pvals, buckets)).toDF("pvals", "buckets").coalesce(1),
+        s"${outPrefix}_meta", s"$outDir/meta")
     }
   }
 
   /** Register an existing index written by [[build]] in `spark`'s catalog
-    * — metadata only (no data job, no corpus recomputation); `buckets`
-    * must match the build-time value for the planner to prove the
-    * layout. */
+    * — metadata only (no data job, no corpus recomputation, plus one
+    * partition-discovery file listing for the partitioned layout).
+    * Partitioned indexes carry their own meta (buckets/pvals read from
+    * `dir/meta`); for legacy flat indexes `buckets` must match the
+    * build-time value for the planner to prove the layout. */
   def attach(spark: SparkSession, dir: String,
       prefix: String = "dedup_idx", buckets: Int = DefaultBuckets): Unit =
-    tables(prefix).foreach { case (table, keys, sub) =>
-      Bucketing.attachBucketed(spark, table, keys, s"$dir/$sub", buckets)
-    }
+    if (new java.io.File(s"$dir/meta").exists()) {
+      val m = spark.read.parquet(s"$dir/meta").head()
+      Bucketing.attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
+      tables(prefix).foreach { case (table, keys, sub, partCol) =>
+        Bucketing.attachPartitionedBucketed(spark, table, Seq(partCol),
+          keys, s"$dir/$sub", m.getAs[Int]("buckets"))
+      }
+    } else
+      tables(prefix).foreach { case (table, keys, sub, _) =>
+        Bucketing.attachBucketed(spark, table, keys, s"$dir/$sub", buckets)
+      }
 
   /** q48-semantics ingest verdicts for `batch`, served entirely off the
     * persisted `<prefix>_*` tables ([[build]] or [[attach]] must have
     * registered them in `batch`'s session). Batch-proportional: the batch
     * derives its own hashes/bands/shingles; the corpus contributes only
-    * bucketed table scans. */
+    * bucketed table scans — pruned, on the partitioned layout, to the
+    * partition values the batch probes (two tiny batch-side collect jobs
+    * for hashes/bands; the shingle pruning keys on the CANDIDATES, so its
+    * collect runs the pruned band probe once more — batch-proportional,
+    * and both executions read only probed partitions). */
   def incrementalDedup(batch: DataFrame, id: String, text: String,
       prefix: String = "dedup_idx", threshold: Double = 0.5): DataFrame = {
     val s = batch.sparkSession
-    TextOps.incrementalVerdicts(
-      batch.select(col(id).cast("long").as("doc_id"),
-        col(text).cast("string").as("text")),
-      s.table(s"${prefix}_hashes"),
-      s.table(s"${prefix}_bands"),
-      s.table(s"${prefix}_shingles"), threshold)
+    val nb = batch.select(col(id).cast("long").as("doc_id"),
+      col(text).cast("string").as("text"))
+    val pvals = pvalsOf(s, prefix)
+    if (pvals == 0)
+      TextOps.incrementalVerdicts(nb,
+        s.table(s"${prefix}_hashes"),
+        s.table(s"${prefix}_bands"),
+        s.table(s"${prefix}_shingles"), threshold)
+    else {
+      def pruned(table: String, partCol: String, values: Array[Int]) =
+        s.table(table)
+          .where(col(partCol).isin(values.map(Integer.valueOf): _*))
+          .drop(partCol)
+      // ONE collect job for both batch-side partition sets (each extra
+      // job costs a scheduling floor that dominates the probe wall at
+      // small index sizes); the band leg rides the shared cached band
+      // derivation — the same node the verdict core's candidate join
+      // consumes
+      val batchParts = nb.select(md5(col("text")).as("ch"))
+        .select(lit(0).as("t"), partValue("pch", pvals).as("p"))
+        .unionAll(TextDedup.bandRowsOf(nb)
+          .select(lit(1).as("t"), partValue("pbh", pvals).as("p")))
+        .distinct().collect()
+      val pch = batchParts.filter(_.getInt(0) == 0).map(_.getInt(1)).sorted
+      val pbh = batchParts.filter(_.getInt(0) == 1).map(_.getInt(1)).sorted
+      TextOps.incrementalVerdicts(nb,
+        pruned(s"${prefix}_hashes", "pch", pch),
+        pruned(s"${prefix}_bands", "pbh", pbh),
+        s.table(s"${prefix}_shingles"), threshold,
+        setsFor = Some { cand =>
+          val pdoc = cand
+            .select(pmod(col("partner_id"), lit(pvals.toLong)).cast("int")
+              .as("p"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          pruned(s"${prefix}_shingles", "pdoc", pdoc)
+        })
+    }
   }
 }

@@ -166,10 +166,19 @@ object TextOps {
     * derivations read back from persisted bucketed tables): batch
     * (doc_id, text) against the three corpus-side artifacts —
     * `exactMap` (ch, exact_partner), `corpusBands` (doc_id, b, h),
-    * `corpusSets` (doc_id, ts). Output and semantics are q48's. */
+    * `corpusSets` (doc_id, ts). Output and semantics are q48's.
+    *
+    * `setsFor` is the partition-pruning hook for a PARTITIONED corpusSets
+    * artifact ([[DedupIndex]] pvals layout): the shingle table can only
+    * be pruned to the partitions the CANDIDATES land in, and candidates
+    * exist only here — so the caller hands a function from the candidate
+    * frame (doc_id, partner_id) to the (possibly pruned) sets frame, and
+    * this core calls it once `cand` is built. `None` keeps `corpusSets`
+    * as-is (the in-session path and legacy flat indexes). */
   private[queries] def incrementalVerdicts(nb: DataFrame, exactMap: DataFrame,
       corpusBands: DataFrame, corpusSets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      setsFor: Option[DataFrame => DataFrame] = None): DataFrame = {
     val exact = nb.select(col("doc_id"), md5(col("text")).as("ch"))
       .join(exactMap, Seq("ch"), "left")
       .select(col("doc_id"), col("exact_partner"))
@@ -178,6 +187,7 @@ object TextOps {
         col("x.b") === col("y.b") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
       .distinct()
+    val setsT = setsFor.map(_(cand)).getOrElse(corpusSets)
     val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
     val j = interC.cast("double") /
       ((size(col("ts_a")) + size(col("ts_b"))).cast("long") - interC).cast("double")
@@ -185,7 +195,7 @@ object TextOps {
       .partitionBy("doc_id").orderBy(col("j").desc, col("partner_id").asc)
     val best = cand
       .join(TextDedup.shingleSetsOf(nb).select(col("doc_id"), col("ts").as("ts_a")), "doc_id")
-      .join(corpusSets.select(col("doc_id").as("partner_id"),
+      .join(setsT.select(col("doc_id").as("partner_id"),
         col("ts").as("ts_b")), "partner_id")
       .withColumn("j", j).filter(col("j") >= threshold)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -396,26 +396,37 @@ object VectorIndex {
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
     val m = meta(spark, prefix)
+    // read each source from its FILES, not the catalog table: with
+    // outPrefix == prefix (the default) the write drops the catalog
+    // entry first, and a PARTITIONED table's scan consults the catalog
+    // lazily at execution (CatalogFileIndex) — reading the location
+    // keeps the plan catalog-independent (partition columns come back
+    // via directory inference, identically valued)
+    def srcDf(table: String) = spark.read.parquet(
+      spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString)
     if (m.pcells > 0) {
       Bucketing.writePartitionedBucketedExternal(
-        spark.table(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+        srcDf(s"${prefix}_vecs"), s"${outPrefix}_vecs",
         Seq("pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        spark.table(s"${prefix}_bands"), s"${outPrefix}_bands",
+        srcDf(s"${prefix}_bands"), s"${outPrefix}_bands",
         Seq("pcell"), Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
     } else {
       Bucketing.writeBucketedExternal(
-        spark.table(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+        srcDf(s"${prefix}_vecs"), s"${outPrefix}_vecs",
         Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writeBucketedExternal(
-        spark.table(s"${prefix}_bands"), s"${outPrefix}_bands",
+        srcDf(s"${prefix}_bands"), s"${outPrefix}_bands",
         Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
     }
     Bucketing.writeBucketedExternal(
-      spark.table(s"${prefix}_cells"), s"${outPrefix}_cells",
+      srcDf(s"${prefix}_cells"), s"${outPrefix}_cells",
       Seq("vec_id"), s"$outDir/cells", m.buckets)
     Bucketing.writeBucketedExternal(
-      spark.table(s"${prefix}_pqcodes"), s"${outPrefix}_pqcodes",
+      srcDf(s"${prefix}_pqcodes"), s"${outPrefix}_pqcodes",
       Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     // model tables ride unchanged (collect→rewrite keeps them tiny and
     // avoids reading a table the same statement is overwriting)

@@ -1662,12 +1662,19 @@ object VectorOps {
     * `maxMargin` is the ADAPTIVE gate (standard multi-probe refinement):
     * the second cell is emitted only when the vector is boundary-
     * AMBIGUOUS — cos(v, c1) − cos(v, c2) ≤ maxMargin. A pair that
-    * straddles a boundary has both members near it (small margins by
-    * construction), while cluster-core vectors — the overwhelming mass
-    * on clustered data, and the source of the unconditional probes=2
-    * blow-up (5.1× wall, BENCH_NOTES r14) — keep single assignment.
-    * The default 2.0 (the cosine diameter) is unconditional, i.e. plain
-    * top-2; measured trade at maxMargin=0.3 in BENCH_NOTES r14.
+    * straddles a boundary has at least one member near it (small margin
+    * by construction), while well-separated cluster-core vectors keep
+    * single assignment (CellBoundarySpec: 0/600 core vectors doubled at
+    * 0.3 on a 2-cluster fixture). MEASURED LIMIT (BENCH_NOTES r14): on
+    * high-dimensional embedding corpora top-2 gaps CONCENTRATE far below
+    * any recall-safe margin (stress corpus deciles p50 0.039 / p95 0.139 /
+    * p99 0.194 vs the τ=0.9-safe ≈0.3 ≈ 2·sin(θc/2)·sin(acos τ / 2)), so
+    * the gate passes ~everything and cannot recover the unconditional
+    * probes=2 cost (324.7 vs 327.3 s at 100×) — that cost is inherent to
+    * double assignment there; treat probes=2 as a deliberate recall-
+    * insurance spend and the gate as a win only on low-dim/strongly-
+    * separated corpora. The default 2.0 (the cosine diameter) is
+    * unconditional, i.e. plain top-2.
     *
     * Cost shape: the literal regime (k ≤ `kmeansLiteralMaxK`) stays a
     * PURE MAP — the scored array is let-bound once and the top-2 comes

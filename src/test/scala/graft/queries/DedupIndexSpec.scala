@@ -174,8 +174,13 @@ class DedupIndexSpec extends SparkSpec {
             concat(col("text"), lit(s" salt$off")).as("text")),
         "doc_id", "text", prefix)
     }
-    def partFiles(p: String) = new java.io.File(p).listFiles()
-      .count(f => f.getName.startsWith("part-"))
+    // partitioned tables nest part- files under pch=N/ directories
+    def partFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      walk(new java.io.File(p))
+    }
     val beforeFiles = partFiles(s"$d/hashes")
     val cd = java.nio.file.Files.createTempDirectory("dedup_idx_cmp").toString
     DedupIndex.compact(spark, cd, prefix, prefix)
@@ -198,5 +203,65 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.compact(spark, cd, prefix, prefix)
     }
     assert(err.getMessage.contains("live index location"))
+  }
+
+  test("a small batch's probe prunes the partitioned index scans to its probed partitions") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_prt").toString
+    val prefix = "dedup_idx_prt"
+    DedupIndex.build(docs.filter(!isBatch), "doc_id", "text", d,
+      prefix = prefix)
+    // per-table on-disk partition counts (each table hash-partitions on
+    // its own key, so the counts differ)
+    def diskParts(sub: String, pc: String) =
+      new java.io.File(s"$d/$sub").listFiles()
+        .count(_.getName.startsWith(s"$pc="))
+    val parts = Map(
+      s"${prefix}_hashes" -> diskParts("hashes", "pch"),
+      s"${prefix}_bands" -> diskParts("bands", "pbh"),
+      s"${prefix}_shingles" -> diskParts("shingles", "pdoc"))
+    assert(parts.values.forall(_ > 4), s"fixture degenerate: $parts")
+
+    // 2 re-idded corpus docs: they carry exact-hash partners AND band
+    // candidates, so all three tables get probed with nonempty values
+    val batch = docs.filter(!isBatch && col("doc_id") % 100 === 4).limit(2)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    // AQE's AdaptiveSparkPlanExec is a leaf to collect(), so inspect the
+    // non-adaptive plan; pruning itself is planning-time either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = DedupIndex.incrementalDedup(batch, "doc_id", "text",
+        prefix)
+      val scans = served.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith(prefix)) => f
+      }
+      assert(scans.size >= 3, s"expected all three index scans, got $scans")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "an index scan carries no partition filter — nothing prunes")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one), so the collected scan nodes' metrics fill in
+      served.collect()
+      scans.foreach { f =>
+        val table = f.tableIdentifier.get.table
+        val read = f.metrics("numPartitions").value
+        assert(read > 0 && read < parts(table),
+          s"$table scan read $read of ${parts(table)} partitions — " +
+            "pruning ineffective")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+
+    // pruning must be invisible to results: verdicts equal the ones a
+    // legacy FLAT index serves for the same batch
+    val ld = java.nio.file.Files.createTempDirectory("dedup_idx_flt").toString
+    val lpfx = "dedup_idx_flt"
+    DedupIndex.build(docs.filter(!isBatch), "doc_id", "text", ld,
+      prefix = lpfx, pvals = 0)
+    assert(DedupIndex.pvalsOf(spark, lpfx) == 0)
+    val full = batchOf(docs)
+    val want = DedupIndex.incrementalDedup(full, "doc_id", "text", lpfx)
+      .collect().map(_.toString).sorted.toSeq
+    val got = DedupIndex.incrementalDedup(full, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "partition pruning changed serving verdicts")
   }
 }
