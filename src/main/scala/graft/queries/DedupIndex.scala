@@ -86,6 +86,59 @@ object DedupIndex {
       spark.table(s"${prefix}_meta").head().getAs[Int]("pvals")
     else 0
 
+  /** The live directory of an attached/built index (parent of the hashes
+    * table's location). */
+  private def dirOf(spark: SparkSession, prefix: String): String =
+    new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
+      .location.getPath).getParent
+
+  /** TOMBSTONE documents out of an attached/built index — the takedown /
+    * deletion half of index maintenance ([[append]] is the growth half):
+    * the removed ids are appended to a tiny `<prefix>_tombs` table (one
+    * long column, persisted next to the index so a fresh session's
+    * [[attach]] keeps honoring the removal), and every probe anti-joins
+    * the BROADCAST tombstone set against the partner-bearing index sides
+    * — map-side, no extra exchange, no index rewrite. [[compact]]
+    * materializes the deletion physically and clears the tombstones.
+    *
+    * Verdict contract after removal (vs a rebuild over corpus∖removed):
+    * a removed id never appears as any partner. The one LABEL divergence:
+    * `<prefix>_hashes` keeps only the min id per content hash, so when
+    * THAT id is removed but other identical copies remain in the corpus,
+    * a later twin reads `near_dup` with jaccard 1.0 against the next
+    * copy (identical text ⇒ identical shingles) where a rebuild would
+    * say `exact_dup` — the dedup DECISION is identical, and the label
+    * converges again after a rebuild. (Only sub-3-token docs, which have
+    * no shingles, lose the fallback — they dedup by hash alone.)
+    * Tombstones key on the ID: re-admitting a removed id needs a
+    * [[compact]] (which clears the tombstones) first. */
+  def remove(ids: DataFrame, id: String, prefix: String = "dedup_idx"): Unit =
+    ids.select(col(id).cast("long").as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"${dirOf(ids.sparkSession, prefix)}/tombs")
+      .option("compression", "snappy")
+      .saveAsTable(s"${prefix}_tombs")
+
+  /** [[remove]] for a driver-known takedown list. */
+  def remove(spark: SparkSession, ids: Seq[Long], prefix: String): Unit = {
+    import spark.implicits._
+    remove(ids.toDF("doc_id"), "doc_id", prefix)
+  }
+
+  /** `df` minus rows whose `idCol` is tombstoned — a broadcast anti-join
+    * (map-side; the takedown set is tiny by nature); identity when the
+    * index has no tombstones. */
+  private def notTombstoned(s: SparkSession, prefix: String, df: DataFrame,
+      idCol: String): DataFrame =
+    if (!s.catalog.tableExists(s"${prefix}_tombs")) df
+    else df.join(
+      broadcast(s.table(s"${prefix}_tombs")
+        .select(col("doc_id").as("__tomb_id"))),
+      col(idCol) === col("__tomb_id"), "left_anti")
+
   /** Derive the corpus artifacts and persist them under `dir` (also
     * registering `<prefix>_*` in this session's catalog). One corpus pass
     * per artifact; the shared shingle cache ([[TextDedup]]) means the
@@ -116,6 +169,9 @@ object DedupIndex {
         Seq((pvals, buckets)).toDF("pvals", "buckets").coalesce(1),
         s"${prefix}_meta", s"$dir/meta")
     }
+    // a rebuild starts with no removals: drop any stale tombstone entry
+    // a previous index under this prefix left in the catalog
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
     // release the derivation caches build() itself populated: the index
     // is on disk now, and a long-lived builder session should not keep
     // the corpus-sized shingle/band plans pinned
@@ -197,13 +253,19 @@ object DedupIndex {
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location.toString)
+    // deletions materialize here: tombstoned rows are dropped from the
+    // rewrite (hashes by their partner id, bands/shingles by doc id) and
+    // the tombstone table is NOT carried into the compacted artifact
+    val idColOf = Map("hashes" -> "exact_partner", "bands" -> "doc_id",
+      "shingles" -> "doc_id")
     tables(prefix).zip(tables(outPrefix)).foreach {
       case ((src, keys, sub, partCol), (dst, _, _, _)) =>
+        val live = notTombstoned(spark, prefix, srcDf(src), idColOf(sub))
         if (pvals > 0)
-          Bucketing.writePartitionedBucketedExternal(srcDf(src), dst,
+          Bucketing.writePartitionedBucketedExternal(live, dst,
             Seq(partCol), keys, s"$outDir/$sub", buckets)
         else
-          Bucketing.writeBucketedExternal(srcDf(src), dst, keys,
+          Bucketing.writeBucketedExternal(live, dst, keys,
             s"$outDir/$sub", buckets)
     }
     if (pvals > 0) {
@@ -212,6 +274,7 @@ object DedupIndex {
         Seq((pvals, buckets)).toDF("pvals", "buckets").coalesce(1),
         s"${outPrefix}_meta", s"$outDir/meta")
     }
+    spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")
   }
 
   /** Register an existing index written by [[build]] in `spark`'s catalog
@@ -221,7 +284,7 @@ object DedupIndex {
     * `dir/meta`); for legacy flat indexes `buckets` must match the
     * build-time value for the planner to prove the layout. */
   def attach(spark: SparkSession, dir: String,
-      prefix: String = "dedup_idx", buckets: Int = DefaultBuckets): Unit =
+      prefix: String = "dedup_idx", buckets: Int = DefaultBuckets): Unit = {
     if (new java.io.File(s"$dir/meta").exists()) {
       val m = spark.read.parquet(s"$dir/meta").head()
       Bucketing.attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
@@ -233,6 +296,12 @@ object DedupIndex {
       tables(prefix).foreach { case (table, keys, sub, _) =>
         Bucketing.attachBucketed(spark, table, keys, s"$dir/$sub", buckets)
       }
+    // the tombstone table rides along when the artifact has removals —
+    // and a stale entry from a DIFFERENT index under this prefix must not
+    if (new java.io.File(s"$dir/tombs").exists())
+      Bucketing.attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
+    else spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
+  }
 
   /** q48-semantics ingest verdicts for `batch`, served entirely off the
     * persisted `<prefix>_*` tables ([[build]] or [[attach]] must have
@@ -249,10 +318,16 @@ object DedupIndex {
     val nb = batch.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
     val pvals = pvalsOf(s, prefix)
+    // the tombstone anti-join rides the partner-bearing sides only: a
+    // filtered exactMap hides removed exact partners, filtered corpus
+    // bands keep removed docs out of the candidate set — the shingle
+    // side needs nothing (candidates are already live-only)
+    def live(df: DataFrame, idCol: String) =
+      notTombstoned(s, prefix, df, idCol)
     if (pvals == 0)
       TextOps.incrementalVerdicts(nb,
-        s.table(s"${prefix}_hashes"),
-        s.table(s"${prefix}_bands"),
+        live(s.table(s"${prefix}_hashes"), "exact_partner"),
+        live(s.table(s"${prefix}_bands"), "doc_id"),
         s.table(s"${prefix}_shingles"), threshold)
     else {
       def pruned(table: String, partCol: String, values: Array[Int]) =
@@ -272,8 +347,8 @@ object DedupIndex {
       val pch = batchParts.filter(_.getInt(0) == 0).map(_.getInt(1)).sorted
       val pbh = batchParts.filter(_.getInt(0) == 1).map(_.getInt(1)).sorted
       TextOps.incrementalVerdicts(nb,
-        pruned(s"${prefix}_hashes", "pch", pch),
-        pruned(s"${prefix}_bands", "pbh", pbh),
+        live(pruned(s"${prefix}_hashes", "pch", pch), "exact_partner"),
+        live(pruned(s"${prefix}_bands", "pbh", pbh), "doc_id"),
         s.table(s"${prefix}_shingles"), threshold,
         setsFor = Some { cand =>
           val pdoc = cand

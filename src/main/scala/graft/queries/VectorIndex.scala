@@ -211,6 +211,9 @@ object VectorIndex {
           "train_sample_cap", "target_cell_rows", "planes", "bands",
           "pq_m", "pq_ksub", "corpus_rows", "buckets", "pcells")
         .coalesce(1), s"${prefix}_meta", s"$dir/meta")
+      // a rebuild starts with no removals: drop any stale tombstone
+      // entry a previous index under this prefix left in the catalog
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
     } finally idx.unpersist(false) // the index lives on disk now
   }
 
@@ -239,7 +242,53 @@ object VectorIndex {
       s"$dir/cells", m.buckets)
     Bucketing.attachBucketed(spark, s"${prefix}_pqcodes", Seq("vec_id"),
       s"$dir/pqcodes", m.buckets)
+    // the tombstone table rides along when the artifact has removals —
+    // and a stale entry from a DIFFERENT index under this prefix must not
+    if (new java.io.File(s"$dir/tombs").exists())
+      attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
+    else spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
   }
+
+  /** TOMBSTONE vectors out of an attached/built index — the takedown /
+    * deletion half of index maintenance ([[append]] is the growth half):
+    * removed ids land in a tiny `<prefix>_tombs` table persisted next to
+    * the index (a fresh session's [[attach]] keeps honoring them), and
+    * every probe anti-joins the BROADCAST tombstone set against the
+    * index side — map-side, no extra exchange, no index rewrite, and no
+    * quantizer retraining (the frozen-model contract [[append]] already
+    * documents). [[compact]] materializes the deletion physically and
+    * clears the tombstones. A removed id never again appears as a dedup
+    * partner or an ANN result; re-admitting one needs a [[compact]]
+    * first. */
+  def remove(ids: DataFrame, id: String, prefix: String = "vec_idx"): Unit = {
+    val dir = new java.io.File(ids.sparkSession.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_meta"))
+      .location.getPath).getParent
+    ids.select(col(id).cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"$dir/tombs")
+      .option("compression", "snappy")
+      .saveAsTable(s"${prefix}_tombs")
+  }
+
+  /** [[remove]] for a driver-known takedown list. */
+  def remove(spark: SparkSession, ids: Seq[Long], prefix: String): Unit = {
+    import spark.implicits._
+    remove(ids.toDF("vec_id"), "vec_id", prefix)
+  }
+
+  /** `df` minus rows whose `idCol` is tombstoned — a broadcast anti-join
+    * (map-side; the takedown set is tiny by nature); identity when the
+    * index has no tombstones. */
+  private def notTombstoned(s: SparkSession, prefix: String, df: DataFrame,
+      idCol: String): DataFrame =
+    if (!s.catalog.tableExists(s"${prefix}_tombs")) df
+    else df.join(
+      broadcast(s.table(s"${prefix}_tombs")
+        .select(col("vec_id").as("__tomb_id"))),
+      col(idCol) === col("__tomb_id"), "left_anti")
 
   /** Centroids re-collected from the persisted table — identical driver
     * arrays to the building session's (exact long round-trip). */
@@ -303,7 +352,11 @@ object VectorIndex {
       } else (s.table(s"${prefix}_bands"), s.table(s"${prefix}_vecs"))
     val bb = VectorOps.lshBandRows(batchIdx, m.planes, m.bands, m.dims)
       .join(assigned, Seq("vec_id"))
-    val cand = bb.join(bandsT, Seq("cell", "k", "v"))
+    // tombstoned vectors leave the candidate set at the band side
+    // (broadcast anti-join, map-side over the pruned scan)
+    val cand = bb
+      .join(notTombstoned(s, prefix, bandsT, "partner_id"),
+        Seq("cell", "k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
     VectorOps.bestPartnerOf(vecsT, batchIdx, cand, th)
   }
@@ -407,26 +460,31 @@ object VectorIndex {
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location.toString)
+    // deletions materialize here: tombstoned rows are dropped from the
+    // rewrite (bands by partner id, the rest by vec id) and the
+    // tombstone table is NOT carried into the compacted artifact
+    def live(table: String, idCol: String) =
+      notTombstoned(spark, prefix, srcDf(table), idCol)
     if (m.pcells > 0) {
       Bucketing.writePartitionedBucketedExternal(
-        srcDf(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+        live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",
         Seq("pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        srcDf(s"${prefix}_bands"), s"${outPrefix}_bands",
+        live(s"${prefix}_bands", "partner_id"), s"${outPrefix}_bands",
         Seq("pcell"), Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
     } else {
       Bucketing.writeBucketedExternal(
-        srcDf(s"${prefix}_vecs"), s"${outPrefix}_vecs",
+        live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",
         Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writeBucketedExternal(
-        srcDf(s"${prefix}_bands"), s"${outPrefix}_bands",
+        live(s"${prefix}_bands", "partner_id"), s"${outPrefix}_bands",
         Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
     }
     Bucketing.writeBucketedExternal(
-      srcDf(s"${prefix}_cells"), s"${outPrefix}_cells",
+      live(s"${prefix}_cells", "vec_id"), s"${outPrefix}_cells",
       Seq("vec_id"), s"$outDir/cells", m.buckets)
     Bucketing.writeBucketedExternal(
-      srcDf(s"${prefix}_pqcodes"), s"${outPrefix}_pqcodes",
+      live(s"${prefix}_pqcodes", "vec_id"), s"${outPrefix}_pqcodes",
       Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     // model tables ride unchanged (collect→rewrite keeps them tiny and
     // avoids reading a table the same statement is overwriting)
@@ -448,6 +506,7 @@ object VectorIndex {
       s"$outDir/pqbooks")
     rewrite(metaRow, s"${prefix}_meta", s"${outPrefix}_meta",
       s"$outDir/meta")
+    spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")
   }
 
   /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,
@@ -457,8 +516,10 @@ object VectorIndex {
   def knn(queries: DataFrame, id: String, vec: String, k: Int,
       prefix: String = "vec_idx", rerank: Int = 50): DataFrame = {
     val s = queries.sparkSession
+    // tombstoned vectors leave the ADC scoring universe (broadcast
+    // anti-join, map-side) — removed ids can never reach the re-rank
     val pq = VectorOps.PqIndex(pqBooks(s, prefix),
-      s.table(s"${prefix}_pqcodes"))
+      notTombstoned(s, prefix, s.table(s"${prefix}_pqcodes"), "vec_id"))
     VectorOps.knnPqWithIndex(s.table(s"${prefix}_vecs"), pq,
       VectorOps.indexUncached(queries, id, vec), k, rerank)
   }

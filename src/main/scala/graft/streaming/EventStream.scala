@@ -277,18 +277,45 @@ object EventStream {
     * corpus recomputation — the corpus side is three bucketed table scans,
     * exchange-free on their probe keys; per-epoch cost stays
     * batch-proportional and the batch-side derivation caches are released
-    * every epoch exactly as in the in-session form. */
+    * every epoch exactly as in the in-session form.
+    *
+    * `appendAdmitted = true` closes the ingest loop exactly like the
+    * vector twin ([[runVectorIngestIndexed]]): after the sink sees the
+    * epoch's verdicts, the `new` documents are
+    * [[graft.queries.DedupIndex.append]]ed to the index, so the NEXT
+    * epoch dedups against this epoch's admissions — cross-epoch,
+    * restart-safe (the text derivations are model-free, so appended
+    * serving is bit-identical to a rebuild — the append contract). Note
+    * the sink still receives ALL verdicts here (the prep pipelines
+    * filter downstream); only `new` rows are appended. */
   def runIncrementalDedupIndexed(docStream: DataFrame, prefix: String,
-      id: String, text: String, checkpoint: String, threshold: Double = 0.5)
+      id: String, text: String, checkpoint: String, threshold: Double = 0.5,
+      appendAdmitted: Boolean = false)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
     val q = docStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        try sink(graft.queries.DedupIndex.incrementalDedup(
-          batch, id, text, prefix, threshold), epochId)
-        finally graft.queries.TextOps.unpersistDedupCaches(batch, id, text)
+        try {
+          val verdicts = graft.queries.DedupIndex.incrementalDedup(
+            batch, id, text, prefix, threshold)
+          if (appendAdmitted) {
+            // sink first (exactly-once from the checkpoint), then grow
+            // the index so the NEXT epoch dedups against this epoch
+            val mat = verdicts.persist()
+            try {
+              sink(mat, epochId)
+              val admitted = batch.join(
+                mat.filter(col("verdict") === "new")
+                  .select(col("doc_id").as("__new_id")),
+                col(id).cast("long") === col("__new_id"), "left_semi")
+              if (!admitted.isEmpty)
+                graft.queries.DedupIndex.append(admitted, id, text, prefix)
+            } finally mat.unpersist(false)
+          } else sink(verdicts, epochId)
+        } finally graft.queries.TextOps.unpersistDedupCaches(batch, id, text)
       }
       .start()
     q.awaitTermination()

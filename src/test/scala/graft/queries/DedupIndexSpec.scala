@@ -205,6 +205,93 @@ class DedupIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("live index location"))
   }
 
+  test("removed documents vanish from every verdict path; compact materializes the removal") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_rm").toString
+    val prefix = "dedup_idx_rm"
+    val corpus = docs.filter(!isBatch)
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+
+    // the batch: re-idded exact copies of corpus docs — before removal
+    // every one reads exact_dup with its source as the partner
+    val srcIds = corpus.filter(col("doc_id") % 100 === 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.take(3)
+    val batch = corpus
+      .filter(col("doc_id").isin(srcIds.map(java.lang.Long.valueOf): _*))
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    val before = DedupIndex.incrementalDedup(batch, "doc_id", "text", prefix)
+      .collect()
+    assert(before.forall(_.getString(1) == "exact_dup") &&
+      before.forall(r => srcIds.contains(r.getLong(2))),
+      s"fixture degenerate: ${before.mkString(";")}")
+
+    DedupIndex.remove(spark, srcIds.toSeq, prefix)
+    val after = DedupIndex.incrementalDedup(batch, "doc_id", "text", prefix)
+      .collect()
+    assert(after.forall(r => r.isNullAt(2) || !srcIds.contains(r.getLong(2))),
+      s"a removed id survived as a partner: ${after.mkString(";")}")
+    // sf0.001 has no natural exact-duplicate texts (fixture comment), so
+    // with the only copy removed the exact path must not fire
+    assert(after.forall(_.getString(1) != "exact_dup"),
+      "exact verdict against a removed partner")
+
+    // removal survives a catalog wipe: a fresh session re-attaches the
+    // index AND its tombstones
+    Seq("hashes", "bands", "shingles", "meta", "tombs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val fresh = spark.newSession()
+    DedupIndex.attach(fresh, d, prefix)
+    val batchF = batch.collect().toSeq
+    val freshBatch = fresh.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(batchF).asJava),
+      batch.schema)
+    val got = DedupIndex.incrementalDedup(freshBatch, "doc_id", "text",
+      prefix).collect().map(_.toString).sorted.toSeq
+    assert(got == after.map(_.toString).sorted.toSeq,
+      "re-attached tombstones served different verdicts")
+
+    // compact materializes: rows gone physically, tombstones cleared,
+    // verdicts unchanged
+    val cd = java.nio.file.Files.createTempDirectory("dedup_idx_rmc").toString
+    DedupIndex.compact(fresh, cd, prefix, prefix)
+    assert(!fresh.catalog.tableExists(s"${prefix}_tombs"),
+      "compaction kept the tombstone table")
+    val liveHashes = fresh.table(s"${prefix}_hashes")
+      .filter(col("exact_partner")
+        .isin(srcIds.map(java.lang.Long.valueOf): _*)).count()
+    assert(liveHashes == 0, "compacted hashes still carry removed partners")
+    val gotC = DedupIndex.incrementalDedup(freshBatch, "doc_id", "text",
+      prefix).collect().map(_.toString).sorted.toSeq
+    assert(gotC == got, "compaction changed post-removal verdicts")
+  }
+
+  test("removing the min-id copy degrades exact_dup to near_dup j=1.0 against the next copy") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_rm2").toString
+    val prefix = "dedup_idx_rm2"
+    // corpus with TWO copies of the same text under different ids: the
+    // hashes artifact keeps only the min id; removing it must fall back
+    // to the near path against the surviving copy
+    val src = docs.filter(!isBatch && col("doc_id") % 100 === 9).limit(1)
+    val srcId = src.collect()(0).getLong(0)
+    val corpus = docs.filter(!isBatch).unionAll(
+      src.select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+
+    val batch = src.select((col("doc_id") + 800000L).as("doc_id"),
+      col("text"))
+    val before = DedupIndex.incrementalDedup(batch, "doc_id", "text",
+      prefix).collect()(0)
+    assert(before.getString(1) == "exact_dup" && before.getLong(2) == srcId)
+
+    DedupIndex.remove(spark, Seq(srcId), prefix)
+    val after = DedupIndex.incrementalDedup(batch, "doc_id", "text",
+      prefix).collect()(0)
+    assert(after.getString(1) == "near_dup" &&
+      after.getLong(2) == srcId + 700000L &&
+      after.getDouble(3) == 1.0,
+      s"expected near_dup j=1.0 vs the surviving copy, got $after")
+  }
+
   test("a small batch's probe prunes the partitioned index scans to its probed partitions") {
     val d = java.nio.file.Files.createTempDirectory("dedup_idx_prt").toString
     val prefix = "dedup_idx_prt"

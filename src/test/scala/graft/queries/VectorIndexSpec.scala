@@ -198,6 +198,66 @@ class VectorIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("live index location"))
   }
 
+  test("removed vectors vanish from dedup partners and ANN results; compact materializes") {
+    val d = java.nio.file.Files.createTempDirectory("vec_idx_rm").toString
+    val prefix = "vec_idx_rmb"
+    val corpus = emb.filter(!isBatch)
+    VectorIndex.build(corpus, "vec_id", "embedding", d, MinCos,
+      prefix = prefix)
+
+    // re-idded copies of corpus vectors: cos = 1.0 near-dups whose best
+    // partner is their source before removal
+    val srcIds = corpus.filter(col("vec_id") % 100 === 4)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.take(3)
+    val batch = corpus
+      .filter(col("vec_id").isin(srcIds.map(java.lang.Long.valueOf): _*))
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    val before = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+      prefix).collect()
+    assert(before.forall(r => r.getString(1) == "near_dup" &&
+      srcIds.contains(r.getLong(2))),
+      s"fixture degenerate: ${before.mkString(";")}")
+
+    VectorIndex.remove(spark, srcIds.toSeq, prefix)
+    val after = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+      prefix).collect()
+    assert(after.forall(r => r.isNullAt(2) || !srcIds.contains(r.getLong(2))),
+      s"a removed id survived as a dedup partner: ${after.mkString(";")}")
+    val knnAfter = VectorIndex.knn(batch, "vec_id", "embedding", k = 5,
+      prefix).collect()
+    assert(knnAfter.nonEmpty &&
+      knnAfter.forall(r => !srcIds.contains(r.getLong(1))),
+      s"a removed id survived in ANN results: ${knnAfter.take(5).mkString(";")}")
+
+    // removal survives a catalog wipe + re-attach
+    Seq("meta", "cents", "pqbooks", "vecs", "cells", "bands", "pqcodes",
+      "tombs").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val fresh = spark.newSession()
+    VectorIndex.attach(fresh, d, prefix)
+    val rows = batch.collect().toSeq
+    val freshBatch = fresh.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      batch.schema)
+    val got = VectorIndex.incrementalDedup(freshBatch, "vec_id",
+      "embedding", prefix).collect().map(_.toString).sorted.toSeq
+    assert(got == after.map(_.toString).sorted.toSeq,
+      "re-attached tombstones served different verdicts")
+
+    // compact materializes: index rows physically gone, tombstones
+    // cleared, verdicts unchanged
+    val cd = java.nio.file.Files.createTempDirectory("vec_idx_rmc").toString
+    VectorIndex.compact(fresh, cd, prefix, prefix)
+    assert(!fresh.catalog.tableExists(s"${prefix}_tombs"),
+      "compaction kept the tombstone table")
+    assert(fresh.table(s"${prefix}_vecs")
+      .filter(col("vec_id").isin(srcIds.map(java.lang.Long.valueOf): _*))
+      .count() == 0, "compacted vecs still carry removed vectors")
+    val gotC = VectorIndex.incrementalDedup(freshBatch, "vec_id",
+      "embedding", prefix).collect().map(_.toString).sorted.toSeq
+    assert(gotC == got, "compaction changed post-removal verdicts")
+  }
+
   test("a small batch's probe prunes the partitioned index scan to its probed cells") {
     // small cells => many of them (k ≈ 27 at ~1.7k corpus rows), so a
     // 2-vector batch probes a strict subset of the pcell directories

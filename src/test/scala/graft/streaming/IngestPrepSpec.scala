@@ -325,6 +325,58 @@ class IngestPrepSpec extends SparkSpec {
       v(0).getAs[Long]("partner_id") == 700001L, s"got ${v.toSeq}")
   }
 
+  test("text appendAdmitted dedups later epochs against earlier admissions") {
+    import graft.queries.DedupIndex
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val dir = java.nio.file.Files.createTempDirectory("didx_xepoch").toString
+    val prefix = "dedup_idx_xepoch"
+    DedupIndex.build(corpus, "doc_id", "text", dir, prefix = prefix)
+
+    // epoch 1: X (a corpus-excluded doc — novel); epoch 2: Y, an exact
+    // twin of X under a different id — same two-run/one-checkpoint shape
+    // as the vector twin above
+    val x = docs.filter(col("doc_id") === 50)
+      .select(lit(700001L).as("doc_id"), col("text"))
+    val y = docs.filter(col("doc_id") === 50)
+      .select(lit(700002L).as("doc_id"), col("text"))
+    val inDir = java.nio.file.Files.createTempDirectory("txepoch-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-txepoch").toString
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(inDir)
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+    def runEpoch(n: Int): Unit =
+      EventStream.runIncrementalDedupIndexed(stream, prefix, "doc_id",
+        "text", ckpt, appendAdmitted = true) { (vs, _) =>
+        verdicts ++= vs.collect().map(r =>
+          (n, r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
+      }
+
+    x.coalesce(1).write.mode("append").parquet(inDir)
+    runEpoch(1)
+    y.coalesce(1).write.mode("append").parquet(inDir)
+    runEpoch(2)
+    assert(verdicts.toSet == Set((1, 700001L, "new"),
+      (2, 700002L, "exact_dup")),
+      s"cross-epoch text dedup failed: ${verdicts.toSeq} (Y is X's twin)")
+
+    // and the epoch-1 admission is durably in the index: a later batch
+    // session (no stream) still sees it as the exact partner
+    val z = docs.filter(col("doc_id") === 50)
+      .select(lit(700003L).as("doc_id"), col("text"))
+    val v = DedupIndex.incrementalDedup(z, "doc_id", "text", prefix)
+      .collect()
+    assert(v.length == 1 && v(0).getAs[String]("verdict") == "exact_dup" &&
+      v(0).getAs[Long]("partner_id") == 700001L, s"got ${v.toSeq}")
+  }
+
   test("streaming ANN serving matches the batch PQ probe across epochs") {
     val spark0 = spark
     import spark0.implicits._
