@@ -143,6 +143,22 @@ object Bucketing {
       s"CREATE TABLE $table ($schema) USING PARQUET LOCATION '$location'")
   }
 
+  /** Recursive `part-` data-file count under `location` (any Hadoop FS
+    * scheme) — the file-hygiene signal: each append adds one file set,
+    * and a count far above buckets × partitions says compact. */
+  def partFileCount(spark: SparkSession, location: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) 0
+    else {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+  }
+
   /** Join two same-bucketed tables on their bucket key — shuffle-free by
     * construction (verified in BucketingSpec's plan assertion). */
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,

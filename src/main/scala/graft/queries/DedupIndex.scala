@@ -139,6 +139,54 @@ object DedupIndex {
         .select(col("doc_id").as("__tomb_id"))),
       col(idCol) === col("__tomb_id"), "left_anti")
 
+  /** Operational statistics of an attached index — the maintenance
+    * decision surface ([[VectorIndex.stats]] twin). What the numbers
+    * drive:
+    *
+    *   - `maxBandBucket` / `bandSkew` — a hot (b, h) bucket (boilerplate
+    *     mass: every copy of a template shares every band) multiplies
+    *     probe candidates for any batch doc landing in it; skew far
+    *     above the build-time norm says re-shard with deeper bands or
+    *     pre-drop the boilerplate (the df-cap rationale in TextDedup).
+    *   - `tombstones / docs` — every probe pays the broadcast anti-join;
+    *     a growing fraction says [[compact]].
+    *   - `fileSets` vs buckets × (pvals + 1) — each [[append]] adds one
+    *     file set per table; far above the layout minimum says
+    *     [[compact]].
+    *   - `docs − distinctHashes` — exact-duplicate mass already inside
+    *     the index (docs sharing a content hash), the dedup-rate
+    *     denominator ops dashboards want.
+    *
+    * Cost: one aggregate over the band table + tiny counts + driver-side
+    * file listings — a maintenance-cadence operation, not a per-probe
+    * one. */
+  final case class IndexStats(docs: Long, liveDocs: Long, tombstones: Long,
+      distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
+      meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int])
+
+  def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
+    val docs = spark.table(s"${prefix}_shingles").count()
+    val hashes = spark.table(s"${prefix}_hashes").count()
+    val occ = spark.table(s"${prefix}_bands")
+      .groupBy("b", "h").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), max("n"), avg("n")).head()
+    val (buckets, maxN, meanN) =
+      (occ.getLong(0), occ.getLong(1), occ.getDouble(2))
+    val tombs =
+      if (spark.catalog.tableExists(s"${prefix}_tombs"))
+        spark.table(s"${prefix}_tombs").count()
+      else 0L
+    def loc(table: String) = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    val files = Seq("hashes", "bands", "shingles").map { sub =>
+      sub -> Bucketing.partFileCount(spark, loc(s"${prefix}_$sub"))
+    }.toMap
+    IndexStats(docs, docs - tombs, tombs, hashes, buckets, maxN, meanN,
+      if (meanN == 0.0) 0.0 else maxN / meanN, files)
+  }
+
   /** Derive the corpus artifacts and persist them under `dir` (also
     * registering `<prefix>_*` in this session's catalog). One corpus pass
     * per artifact; the shared shingle cache ([[TextDedup]]) means the

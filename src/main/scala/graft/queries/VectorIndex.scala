@@ -290,6 +290,51 @@ object VectorIndex {
         .select(col("vec_id").as("__tomb_id"))),
       col(idCol) === col("__tomb_id"), "left_anti")
 
+  /** Operational statistics of an attached index — the maintenance
+    * decision surface. Rebuild/compact heuristics these numbers drive:
+    *
+    *   - `appendedRows / corpusRowsAtBuild` — frozen-quantizer drift:
+    *     appended mass was assigned with centroids trained before it
+    *     existed; a large fraction (rule of thumb: >0.5) says rebuild.
+    *   - `cellSkew` (max / mean cell occupancy) — hot cells grow probe
+    *     candidate volume linearly; skew ≫ the build-time balance (and
+    *     `maxCellRows` ≫ targetCellRows) says rebuild with more cells.
+    *   - `tombstones / totalRows` — every probe pays the anti-join
+    *     against this set; a growing fraction says [[compact]].
+    *   - `fileSets` vs buckets × (pcells + 1) — each [[append]] adds one
+    *     file set per table; counts far above the layout minimum say
+    *     [[compact]] (small-file pressure on the scan side).
+    *
+    * Cost: one aggregate over the narrow cells table + a count of the
+    * tiny tombstone set + driver-side file listings. */
+  final case class IndexStats(corpusRowsAtBuild: Long, totalRows: Long,
+      liveRows: Long, tombstones: Long, appendedRows: Long, cells: Long,
+      maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
+      fileSets: Map[String, Int])
+
+  def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
+    val m = meta(spark, prefix)
+    val occ = spark.table(s"${prefix}_cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(sum("n"), count(lit(1)), max("n"), avg("n")).head()
+    val (total, nCells, maxN, meanN) = (occ.getLong(0), occ.getLong(1),
+      occ.getLong(2), occ.getDouble(3))
+    val tombs =
+      if (spark.catalog.tableExists(s"${prefix}_tombs"))
+        spark.table(s"${prefix}_tombs").count()
+      else 0L
+    def loc(table: String) = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    val files = Seq("vecs", "bands", "cells", "pqcodes").map { sub =>
+      sub -> Bucketing.partFileCount(spark, loc(s"${prefix}_$sub"))
+    }.toMap
+    IndexStats(m.corpusRows, total, total - tombs, tombs,
+      total - m.corpusRows, nCells, maxN, meanN,
+      if (meanN == 0.0) 0.0 else maxN / meanN, files)
+  }
+
   /** Centroids re-collected from the persisted table — identical driver
     * arrays to the building session's (exact long round-trip). */
   def centroids(spark: SparkSession,

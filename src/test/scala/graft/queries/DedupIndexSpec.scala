@@ -292,6 +292,40 @@ class DedupIndexSpec extends SparkSpec {
       s"expected near_dup j=1.0 vs the surviving copy, got $after")
   }
 
+  test("stats track appends, removals, and compaction") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_st").toString
+    val prefix = "dedup_idx_st"
+    val corpus = docs.filter(!isBatch)
+    val corpusN = corpus.count()
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+    val s0 = DedupIndex.stats(spark, prefix)
+    assert(s0.docs == corpusN && s0.liveDocs == corpusN &&
+      s0.tombstones == 0 && s0.distinctHashes == corpusN &&
+      s0.bandSkew >= 1.0 && s0.fileSets.values.forall(_ > 0), s"$s0")
+
+    val wave = docs.filter(isBatch)
+    val waveN = wave.count()
+    DedupIndex.append(wave, "doc_id", "text", prefix)
+    val s1 = DedupIndex.stats(spark, prefix)
+    assert(s1.docs == corpusN + waveN, s"$s1")
+    assert(s1.fileSets("shingles") > s0.fileSets("shingles"),
+      "append did not add a file set")
+
+    val removed = corpus.limit(3).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    DedupIndex.remove(spark, removed, prefix)
+    val s2 = DedupIndex.stats(spark, prefix)
+    assert(s2.tombstones == 3 && s2.liveDocs == corpusN + waveN - 3, s"$s2")
+
+    val cd = java.nio.file.Files.createTempDirectory("dedup_idx_stc").toString
+    DedupIndex.compact(spark, cd, prefix, prefix)
+    val s3 = DedupIndex.stats(spark, prefix)
+    assert(s3.tombstones == 0 && s3.docs == corpusN + waveN - 3 &&
+      s3.liveDocs == s3.docs, s"$s3")
+    assert(s3.fileSets("shingles") < s1.fileSets("shingles"),
+      "compaction did not shrink file sets")
+  }
+
   test("a small batch's probe prunes the partitioned index scans to its probed partitions") {
     val d = java.nio.file.Files.createTempDirectory("dedup_idx_prt").toString
     val prefix = "dedup_idx_prt"

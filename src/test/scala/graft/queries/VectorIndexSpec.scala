@@ -258,6 +258,44 @@ class VectorIndexSpec extends SparkSpec {
     assert(gotC == got, "compaction changed post-removal verdicts")
   }
 
+  test("stats track appends, removals, and compaction") {
+    val d = java.nio.file.Files.createTempDirectory("vec_idx_st").toString
+    val prefix = "vec_idx_stb"
+    val corpus = emb.filter(!isBatch)
+    val corpusN = corpus.count()
+    VectorIndex.build(corpus, "vec_id", "embedding", d, MinCos,
+      prefix = prefix)
+    val s0 = VectorIndex.stats(spark, prefix)
+    assert(s0.corpusRowsAtBuild == corpusN && s0.totalRows == corpusN &&
+      s0.appendedRows == 0 && s0.tombstones == 0 && s0.cells > 0 &&
+      s0.cellSkew >= 1.0 && s0.maxCellRows >= s0.meanCellRows.toLong &&
+      s0.fileSets.values.forall(_ > 0), s"$s0")
+
+    val wave = corpus.filter(col("vec_id") % 100 === 6)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val waveN = wave.count()
+    VectorIndex.append(wave, "vec_id", "embedding", prefix)
+    val s1 = VectorIndex.stats(spark, prefix)
+    assert(s1.totalRows == corpusN + waveN && s1.appendedRows == waveN,
+      s"$s1")
+    assert(s1.fileSets("cells") > s0.fileSets("cells"),
+      "append did not add a file set")
+
+    val removed = corpus.limit(3).select("vec_id").collect()
+      .map(_.getLong(0)).toSeq
+    VectorIndex.remove(spark, removed, prefix)
+    val s2 = VectorIndex.stats(spark, prefix)
+    assert(s2.tombstones == 3 && s2.liveRows == corpusN + waveN - 3, s"$s2")
+
+    val cd = java.nio.file.Files.createTempDirectory("vec_idx_stc").toString
+    VectorIndex.compact(spark, cd, prefix, prefix)
+    val s3 = VectorIndex.stats(spark, prefix)
+    assert(s3.tombstones == 0 && s3.totalRows == corpusN + waveN - 3 &&
+      s3.liveRows == s3.totalRows, s"$s3")
+    assert(s3.fileSets("cells") < s1.fileSets("cells"),
+      "compaction did not shrink file sets")
+  }
+
   test("a small batch's probe prunes the partitioned index scan to its probed cells") {
     // small cells => many of them (k ≈ 27 at ~1.7k corpus rows), so a
     // 2-vector batch probes a strict subset of the pcell directories
