@@ -223,6 +223,36 @@ class VectorIndexSpec extends SparkSpec {
       prefix).collect()
     assert(after.forall(r => r.isNullAt(2) || !srcIds.contains(r.getLong(2))),
       s"a removed id survived as a dedup partner: ${after.mkString(";")}")
+
+    // the 100 TB statement: deletion costs NO exchange on the index side
+    // — the tombstone set broadcasts into a LeftAnti join that preserves
+    // the scan's bucketed partitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = VectorIndex.incrementalDedup(batch, "vec_id", "embedding",
+        prefix).queryExecution.executedPlan
+      val antis = exec.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+      }
+      assert(antis.nonEmpty, "no broadcast anti-join in the probe plan")
+      def idxScanBeforeSmj(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.startsWith(prefix))
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+              if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+            b.children.exists(idxScanBeforeSmj) // the anti-join is transparent
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(idxScanBeforeSmj)
+        }
+      val shuffled = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if idxScanBeforeSmj(e.child) => e
+      }
+      assert(shuffled.isEmpty,
+        s"tombstone filtering re-shuffled the index side:\n${shuffled.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
     val knnAfter = VectorIndex.knn(batch, "vec_id", "embedding", k = 5,
       prefix).collect()
     assert(knnAfter.nonEmpty &&
