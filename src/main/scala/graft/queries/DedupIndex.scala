@@ -87,12 +87,20 @@ object DedupIndex {
     else 0
 
   /** The live directory of an attached/built index (parent of the hashes
-    * table's location). */
+    * table's location) — Hadoop-Path arithmetic, so remote schemes
+    * (s3a://, mock://) keep their scheme. */
   private def dirOf(spark: SparkSession, prefix: String): String =
-    new java.io.File(spark.sessionState.catalog
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
-      .location.getPath).getParent
+      .location).getParent.toString
+
+  /** Scheme-agnostic existence check (attach runs against whatever FS
+    * the artifact lives on). */
+  private def fsExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
 
   /** TOMBSTONE documents out of an attached/built index — the takedown /
     * deletion half of index maintenance ([[append]] is the growth half):
@@ -236,13 +244,28 @@ object DedupIndex {
     * exact-partner row (its novel-ch filter skips the collision), where a
     * rebuild would re-minimize over both ids — irrelevant for admitted
     * (verdict `new`) docs, which have no existing partner by definition.
-    * Each append adds one file set per bucket; rebuild to compact. */
+    * Each append adds one file set per bucket; rebuild to compact.
+    * Visibility: the writing session (and any session attached LATER)
+    * sees the append immediately; a DIFFERENT already-attached session
+    * holds its own cached file listing and must
+    * `spark.catalog.refreshTable` to observe it (standard Spark
+    * per-session relation caching). */
   def append(batch: DataFrame, id: String, text: String,
       prefix: String = "dedup_idx"): Unit = {
     val s = batch.sparkSession
     val pvals = pvalsOf(s, prefix)
+    // EAGER local checkpoint: a caller's `batch` routinely derives from
+    // probe verdicts against THIS index (the appendAdmitted loop), and
+    // the FIRST write below (hashes) refreshes its catalog table — which
+    // invalidates every cache whose lineage reads it, so the bands and
+    // shingles writes would silently recompute the batch against the
+    // half-appended index, where each row now exact-dups ITSELF ⇒ empty
+    // appends (the bug JointDebug exposed: hashes present, bands/shingles
+    // missing, near-dup serving of appended content silently lost). The
+    // checkpoint severs the lineage; blocks free on GC after the writes.
     val nc = batch.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
+      .localCheckpoint(true)
     def bucketsOf(table: String): Int =
       s.sessionState.catalog
         .getTableMetadata(
@@ -333,7 +356,7 @@ object DedupIndex {
     * build-time value for the planner to prove the layout. */
   def attach(spark: SparkSession, dir: String,
       prefix: String = "dedup_idx", buckets: Int = DefaultBuckets): Unit = {
-    if (new java.io.File(s"$dir/meta").exists()) {
+    if (fsExists(spark, s"$dir/meta")) {
       val m = spark.read.parquet(s"$dir/meta").head()
       Bucketing.attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
       tables(prefix).foreach { case (table, keys, sub, partCol) =>
@@ -346,7 +369,7 @@ object DedupIndex {
       }
     // the tombstone table rides along when the artifact has removals —
     // and a stale entry from a DIFFERENT index under this prefix must not
-    if (new java.io.File(s"$dir/tombs").exists())
+    if (fsExists(spark, s"$dir/tombs"))
       Bucketing.attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
     else spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
   }

@@ -244,7 +244,8 @@ object VectorIndex {
       s"$dir/pqcodes", m.buckets)
     // the tombstone table rides along when the artifact has removals —
     // and a stale entry from a DIFFERENT index under this prefix must not
-    if (new java.io.File(s"$dir/tombs").exists())
+    val tp = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+    if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
       attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
     else spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
   }
@@ -261,10 +262,11 @@ object VectorIndex {
     * partner or an ANN result; re-admitting one needs a [[compact]]
     * first. */
   def remove(ids: DataFrame, id: String, prefix: String = "vec_idx"): Unit = {
-    val dir = new java.io.File(ids.sparkSession.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_meta"))
-      .location.getPath).getParent
+    val dir = new org.apache.hadoop.fs.Path(
+      ids.sparkSession.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_meta"))
+        .location).getParent.toString
     ids.select(col(id).cast("long").as("vec_id")).distinct()
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -422,15 +424,29 @@ object VectorIndex {
     * a frozen quantizer drifts from what a full retrain would pick as
     * the appended mass grows — periodic rebuilds are the real-scale
     * answer (as for any IVF index), and each append adds one file set
-    * per bucket (compact by rebuilding when file counts matter). */
+    * per bucket (compact by rebuilding when file counts matter).
+    * Visibility: the writing session (and any session attached LATER)
+    * sees the append immediately; a DIFFERENT already-attached session
+    * holds its own cached file listing and must
+    * `spark.catalog.refreshTable` to observe it (standard Spark
+    * per-session relation caching). */
   def append(batch: DataFrame, id: String, vec: String,
       prefix: String = "vec_idx"): Unit = {
     val s = batch.sparkSession
     val m = meta(s, prefix)
     val cents = centroids(s, prefix)
     val books = pqBooks(s, prefix)
+    // EAGER local checkpoint, not persist: a caller's `batch` routinely
+    // derives from probe verdicts against THIS index (the appendAdmitted
+    // loops), and each table write below refreshes its catalog table —
+    // which invalidates every cache whose lineage reads it, so later
+    // writes would silently recompute the batch against the half-appended
+    // index (where each row now duplicates ITSELF ⇒ empty appends; the
+    // bug JointDebug exposed). The checkpoint severs the lineage: the
+    // staged frame references no tables, so no refresh can touch it.
+    // Blocks are executor-local and freed by GC after the four writes.
     val bIdx = VectorOps.indexUncached(batch, id, vec)
-      .persist() // consumed by four writes; released below
+      .localCheckpoint(true)
     try {
       val cells = VectorOps.assignCells(bIdx, cents)
       def appendTo(df: DataFrame, table: String, keys: Seq[String],
@@ -470,7 +486,7 @@ object VectorIndex {
         VectorOps.pqEncodeIndexed(bIdx, books)
           .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books)),
         "pqcodes", Seq("vec_id"))
-    } finally bIdx.unpersist(false)
+    } finally bIdx.unpersist(false) // checkpoint blocks also free on GC
   }
 
   /** COMPACT an attached index into `outDir`: every [[append]] adds one

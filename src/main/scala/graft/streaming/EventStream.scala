@@ -751,6 +751,82 @@ object EventStream {
     q
   }
 
+  /** JOINT text+vector ingest gate served off BOTH persisted indexes —
+    * the full admission shape a production corpus runs: text dedup
+    * ([[graft.queries.DedupIndex]]) catches verbatim and near-verbatim
+    * copies, semantic dedup ([[graft.queries.VectorIndex]]) catches the
+    * paraphrase-level duplicates token LSH structurally misses, and a
+    * document enters the corpus only when BOTH say `new`. Each
+    * micro-batch row carries the document and its embedding; each side
+    * probes its own attached index (batch-proportional, partition-pruned,
+    * tombstone-aware — everything the individual probes guarantee), and
+    * the sink receives one row per batch document with both verdicts,
+    * both partners, both scores, and the joint `admitted` flag — the
+    * audit record admission pipelines keep.
+    *
+    * `appendAdmitted = true` closes the loop on BOTH indexes: admitted
+    * rows are appended to the text index (model-free, rebuild-exact) and
+    * the vector index (frozen quantizer), so later epochs dedup against
+    * earlier admissions on either axis. */
+  def runJointIngestIndexed(stream: DataFrame, id: String, text: String,
+      vec: String, checkpoint: String, textPrefix: String = "dedup_idx",
+      vecPrefix: String = "vec_idx", threshold: Double = 0.5,
+      minCos: Double = Double.NaN, probes: Int = 1,
+      probeMargin: Double = 2.0, appendAdmitted: Boolean = false)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        try {
+          val tv = graft.queries.DedupIndex.incrementalDedup(
+            batch, id, text, textPrefix, threshold)
+            .select(col("doc_id").as("__jid"),
+              col("verdict").as("text_verdict"),
+              col("partner_id").as("text_partner"), col("jaccard"))
+          val vv = graft.queries.VectorIndex.incrementalDedup(
+            batch, id, vec, vecPrefix, minCos, probes, probeMargin)
+            .select(col("vec_id").as("__jid"),
+              col("verdict").as("vec_verdict"),
+              col("partner_id").as("vec_partner"), col("cos"))
+          val joint = tv.join(vv, Seq("__jid"))
+            .select(col("__jid").as("doc_id"), col("text_verdict"),
+              col("text_partner"), col("jaccard"), col("vec_verdict"),
+              col("vec_partner"), col("cos"),
+              (col("text_verdict") === "new" &&
+                col("vec_verdict") === "new").as("admitted"))
+          val mat = joint.persist() // sink + (optionally) two appends
+          try {
+            sink(mat, epochId)
+            if (appendAdmitted) {
+              // EAGER local checkpoint before the first append: the text
+              // append refreshes the text tables the admission frame's
+              // lineage reads, so without severing it the vector append
+              // would recompute `adm` against the updated text index —
+              // where the admitted row exact-dups ITSELF — and append
+              // nothing (the cross-index half of the bug the appends'
+              // own staging guards within one index)
+              val adm = batch.join(
+                mat.filter(col("admitted"))
+                  .select(col("doc_id").as("__new_id")),
+                col(id).cast("long") === col("__new_id"), "left_semi")
+                .localCheckpoint(true)
+              if (!adm.isEmpty) {
+                graft.queries.DedupIndex.append(adm, id, text, textPrefix)
+                graft.queries.VectorIndex.append(adm, id, vec, vecPrefix)
+              }
+            }
+          } finally mat.unpersist(false)
+        } finally
+          graft.queries.TextOps.unpersistDedupCaches(batch, id, text)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Production-shaped sink: partitioned parquet via foreachBatch (gives
     * exactly-once per epoch plus the ability to run arbitrary batch logic
     * — the standard pattern for parquet/warehouse sinks). */

@@ -375,6 +375,106 @@ class IngestPrepSpec extends SparkSpec {
       .collect()
     assert(v.length == 1 && v(0).getAs[String]("verdict") == "exact_dup" &&
       v(0).getAs[Long]("partner_id") == 700001L, s"got ${v.toSeq}")
+
+    // the append must be COMPLETE: the bands/shingles rows of the
+    // admitted doc exist, not just its hash row (regression pin for the
+    // mid-append self-invalidation bug — the first table write's refresh
+    // used to empty the later writes' recomputed source, silently losing
+    // near-dup serving of appended content)
+    assert(spark.table(s"${prefix}_bands")
+      .filter(col("doc_id") === 700001L).count() > 0,
+      "appended doc missing from the band index")
+    assert(spark.table(s"${prefix}_shingles")
+      .filter(col("doc_id") === 700001L).count() == 1,
+      "appended doc missing from the shingle index")
+  }
+
+  test("joint text+vector ingest admits only rows new on BOTH indexes, cross-epoch") {
+    import graft.queries.{DedupIndex, VectorIndex}
+
+    val docsT = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val embsT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val joined = docsT.join(embsT, docsT("doc_id") === embsT("vec_id"))
+      .select(docsT("doc_id"), col("text"), col("embedding"))
+    val corpus = joined.filter(col("doc_id") >= 100)
+    val tdir = java.nio.file.Files.createTempDirectory("joint_txt").toString
+    val vdir = java.nio.file.Files.createTempDirectory("joint_vec").toString
+    DedupIndex.build(corpus, "doc_id", "text", tdir, prefix = "joint_txt")
+    VectorIndex.build(corpus, "doc_id", "embedding", vdir, minCos = 0.999,
+      prefix = "joint_vec")
+
+    // fixture selection is DYNAMIC (documents/embeddings carry natural
+    // near-dups): pick excluded ids that are new on both axes, and one
+    // corpus row to copy for the dup cases
+    val excluded = joined.filter(col("doc_id") < 100)
+    val textNew = DedupIndex.incrementalDedup(excluded, "doc_id", "text",
+      "joint_txt").filter(col("verdict") === "new")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecNew = VectorIndex.incrementalDedup(excluded, "doc_id",
+      "embedding", "joint_vec").filter(col("verdict") === "new")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bothNew = (textNew & vecNew).toSeq.sorted
+    assert(bothNew.size >= 3, s"fixture degenerate: bothNew=$bothNew")
+    val Seq(nb, nc, nd) = bothNew.take(3)
+    val corpusPick = corpus.select(min("doc_id")).head().getLong(0)
+    def rowOf(src: org.apache.spark.sql.DataFrame, srcId: Long) =
+      src.filter(col("doc_id") === srcId)
+
+    // four admission cases in one epoch:
+    //   700001 both-new             -> admitted
+    //   700002 both-dup (corpus copy) -> rejected by both
+    //   700003 new text, dup embedding -> rejected by the vector side
+    //   700004 dup text, new embedding -> rejected by the text side
+    val b1 = rowOf(excluded, nb)
+      .select(lit(700001L).as("doc_id"), col("text"), col("embedding"))
+    val b2 = rowOf(corpus, corpusPick)
+      .select(lit(700002L).as("doc_id"), col("text"), col("embedding"))
+    val b3 = rowOf(excluded, nc).select(col("text"))
+      .crossJoin(rowOf(corpus, corpusPick).select(col("embedding")))
+      .select(lit(700003L).as("doc_id"), col("text"), col("embedding"))
+    val b4 = rowOf(corpus, corpusPick).select(col("text"))
+      .crossJoin(rowOf(excluded, nd).select(col("embedding")))
+      .select(lit(700004L).as("doc_id"), col("text"), col("embedding"))
+    val epoch1 = b1.unionAll(b2).unionAll(b3).unionAll(b4)
+
+    val inDir = java.nio.file.Files.createTempDirectory("joint-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-joint").toString
+    def stream = spark.readStream.schema(epoch1.schema).parquet(inDir)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, String, String, Boolean)]
+    def runEpoch(n: Int): Unit =
+      EventStream.runJointIngestIndexed(stream, "doc_id", "text",
+        "embedding", ckpt, "joint_txt", "joint_vec",
+        appendAdmitted = true) { (joint, _) =>
+        got ++= joint.collect().map(r => (n, r.getAs[Long]("doc_id"),
+          r.getAs[String]("text_verdict"), r.getAs[String]("vec_verdict"),
+          r.getAs[Boolean]("admitted")))
+      }
+
+    epoch1.coalesce(1).write.mode("append").parquet(inDir)
+    runEpoch(1)
+    val e1 = got.filter(_._1 == 1).map(t => t._2 -> (t._3, t._4, t._5)).toMap
+    assert(e1(700001L) == (("new", "new", true)), s"both-new: ${e1(700001L)}")
+    assert(e1(700002L) == (("exact_dup", "near_dup", false)),
+      s"both-dup: ${e1(700002L)}")
+    assert(e1(700003L)._1 == "new" && e1(700003L)._2 == "near_dup" &&
+      !e1(700003L)._3, s"vec-dup: ${e1(700003L)}")
+    assert(e1(700004L)._1 == "exact_dup" && e1(700004L)._2 == "new" &&
+      !e1(700004L)._3, s"text-dup: ${e1(700004L)}")
+
+    // epoch 2: a twin of the epoch-1 admission — rejected on BOTH axes
+    // thanks to appendAdmitted (cross-epoch, both indexes)
+    rowOf(excluded, nb)
+      .select(lit(700005L).as("doc_id"), col("text"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runEpoch(2)
+    val e2 = got.filter(_._1 == 2)
+    assert(e2.map(_._2) == Seq(700005L) &&
+      e2.head._3 == "exact_dup" && e2.head._4 == "near_dup" &&
+      !e2.head._5,
+      s"cross-epoch joint dedup failed: $e2")
   }
 
   test("streaming ANN serving matches the batch PQ probe across epochs") {
