@@ -427,7 +427,11 @@ object DedupIndex {
               .as("p"))
             .distinct().collect().map(_.getInt(0)).sorted
           pruned(s"${prefix}_shingles", "pdoc", pdoc)
-        })
+        },
+        // stage candidates ONCE (eager local checkpoint): the pruner's
+        // collect above and the re-rank join both consume the staged
+        // frame, so the band-probe join runs a single time per call
+        candStage = _.localCheckpoint(true))
     }
   }
 }

@@ -174,19 +174,27 @@ object TextOps {
     * exist only here — so the caller hands a function from the candidate
     * frame (doc_id, partner_id) to the (possibly pruned) sets frame, and
     * this core calls it once `cand` is built. `None` keeps `corpusSets`
-    * as-is (the in-session path and legacy flat indexes). */
+    * as-is (the in-session path and legacy flat indexes).
+    *
+    * `candStage` wraps the candidate frame before BOTH consumers (the
+    * pruner's partition-value collect and the re-rank join): the pruned
+    * path passes an eager local checkpoint so the band-probe join runs
+    * ONCE per serving call instead of once for the collect and again in
+    * the verdict plan — at scale that is a whole extra pass over the
+    * (pruned) band table per epoch. Identity for the in-session path. */
   private[queries] def incrementalVerdicts(nb: DataFrame, exactMap: DataFrame,
       corpusBands: DataFrame, corpusSets: DataFrame,
       threshold: Double,
-      setsFor: Option[DataFrame => DataFrame] = None): DataFrame = {
+      setsFor: Option[DataFrame => DataFrame] = None,
+      candStage: DataFrame => DataFrame = identity): DataFrame = {
     val exact = nb.select(col("doc_id"), md5(col("text")).as("ch"))
       .join(exactMap, Seq("ch"), "left")
       .select(col("doc_id"), col("exact_partner"))
-    val cand = TextDedup.bandRowsOf(nb).as("x")
+    val cand = candStage(TextDedup.bandRowsOf(nb).as("x")
       .join(corpusBands.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
-      .distinct()
+      .distinct())
     val setsT = setsFor.map(_(cand)).getOrElse(corpusSets)
     val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
     val j = interC.cast("double") /
