@@ -178,8 +178,10 @@ object DedupIndex {
     val occ = spark.table(s"${prefix}_bands")
       .groupBy("b", "h").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)), max("n"), avg("n")).head()
-    val (buckets, maxN, meanN) =
-      (occ.getLong(0), occ.getLong(1), occ.getDouble(2))
+    // an empty index (degenerate but attachable) aggregates to nulls
+    val (buckets, maxN, meanN) = (occ.getLong(0),
+      if (occ.isNullAt(1)) 0L else occ.getLong(1),
+      if (occ.isNullAt(2)) 0.0 else occ.getDouble(2))
     val tombs =
       if (spark.catalog.tableExists(s"${prefix}_tombs"))
         spark.table(s"${prefix}_tombs").count()

@@ -1401,14 +1401,24 @@ object TextDedup {
     * Output: (doc_id, flagged 0/1). Spec-pinned (BloomScreenSpec):
     * flagged ⊇ the exact contaminated set at ANY numBits; plan is
     * join-free. */
-  private[queries] def decontaminationScreenOf(corpus: DataFrame,
-      bench: DataFrame, nGrams: Int = 3,
-      numBits: Long = 1L << 22): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
-    val filterBytes = hashedShingleRowsNOf(bench, nGrams)
+  /** The eval-set Bloom bits — the FIT half of the screen ([[BloomScreen]]
+    * persists exactly these bytes; parquet binary round-trips exactly, so
+    * a persisted screen is bit-identical to the in-session one). */
+  private[queries] def bloomScreenBytes(bench: DataFrame, nGrams: Int,
+      numBits: Long): Array[Byte] = {
+    GraftFunctions.register(bench.sparkSession)
+    hashedShingleRowsNOf(bench, nGrams)
       .agg(GraftFunctions.bloomAgg(col("sh"),
         estItems = math.max(numBits / 16L, 1L), numBits = numBits))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** The APPLY half: a pure map-only projection — the filter bytes ride
+    * as a literal, so the plan has no join, no shuffle, and no scan
+    * beyond the corpus itself. */
+  private[queries] def bloomScreenApply(corpus: DataFrame,
+      filterBytes: Array[Byte], nGrams: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val probe = lit(filterBytes)
     shingleSetsNOf(corpus, nGrams)
       .select(col("doc_id"),
@@ -1416,6 +1426,12 @@ object TextDedup {
           h => GraftFunctions.bloomContains(probe, h)), lit(1L))
           .otherwise(lit(0L)).as("flagged"))
   }
+
+  private[queries] def decontaminationScreenOf(corpus: DataFrame,
+      bench: DataFrame, nGrams: Int = 3,
+      numBits: Long = 1L << 22): DataFrame =
+    bloomScreenApply(corpus, bloomScreenBytes(bench, nGrams, numBits),
+      nGrams)
 
   /** Graded contamination core over arbitrary corpus/bench frames —
     * [[TextOps.contaminationScore]]'s implementation. Same broadcast

@@ -319,8 +319,11 @@ object VectorIndex {
     val occ = spark.table(s"${prefix}_cells")
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(sum("n"), count(lit(1)), max("n"), avg("n")).head()
-    val (total, nCells, maxN, meanN) = (occ.getLong(0), occ.getLong(1),
-      occ.getLong(2), occ.getDouble(3))
+    // an empty index (degenerate but attachable) aggregates to nulls
+    val (total, nCells, maxN, meanN) = (
+      if (occ.isNullAt(0)) 0L else occ.getLong(0), occ.getLong(1),
+      if (occ.isNullAt(2)) 0L else occ.getLong(2),
+      if (occ.isNullAt(3)) 0.0 else occ.getDouble(3))
     val tombs =
       if (spark.catalog.tableExists(s"${prefix}_tombs"))
         spark.table(s"${prefix}_tombs").count()

@@ -64,4 +64,43 @@ class BloomScreenSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(got == exactContaminated)
   }
+
+  test("a fresh catalog screens bit-identically off the persisted filter, map-only") {
+    val want = TextOps.decontaminationScreen(corpus, bench,
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(want.exists(_.contains(",1]")) && want.exists(_.contains(",0]")),
+      s"degenerate fixture: both flags should occur (${want.take(3)})")
+
+    val d = java.nio.file.Files.createTempDirectory("bloom_scr").toString
+    BloomScreen.build(bench, "doc_id", "text", d)
+
+    // new-JVM scenario: catalog forgets the table, files survive
+    spark.sql("DROP TABLE IF EXISTS bloom_screen")
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("bloom_screen"))
+    BloomScreen.attach(fresh, d)
+
+    // LOCAL-relation corpus: any file scan in the served plan would be
+    // benchmark recomputation; the screen must also plan NO exchange
+    // (pure map — the 100 TB shape: bits broadcast as a literal)
+    val rows = corpus.select("doc_id", "text").collect().toSeq
+    val local = fresh.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      corpus.select("doc_id", "text").schema)
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val screened = BloomScreen.screen(local, "doc_id", "text")
+      val exec = screened.queryExecution.executedPlan
+      assert(exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty, "screen plan scans files — benchmark recomputation?")
+      assert(exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "screen plan shuffles — must be map-only")
+      val got = screened.collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        "persisted screen diverged from the in-session screen")
+    } finally fresh.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
