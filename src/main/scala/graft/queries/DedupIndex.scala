@@ -102,6 +102,15 @@ object DedupIndex {
     path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
   }
 
+  /** Delete `dir/tombs` on disk (recursive, scheme-agnostic, no-op when
+    * absent) — a rebuild's removals reset. */
+  private[queries] def deleteTombFiles(spark: SparkSession,
+      dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** TOMBSTONE documents out of an attached/built index — the takedown /
     * deletion half of index maintenance ([[append]] is the growth half):
     * the removed ids are appended to a tiny `<prefix>_tombs` table (one
@@ -122,13 +131,22 @@ object DedupIndex {
     * no shingles, lose the fallback — they dedup by hash alone.)
     * Tombstones key on the ID: re-admitting a removed id needs a
     * [[compact]] (which clears the tombstones) first. */
-  def remove(ids: DataFrame, id: String, prefix: String = "dedup_idx"): Unit =
-    ids.select(col(id).cast("long").as("doc_id")).distinct()
-      .coalesce(1)
+  def remove(ids: DataFrame, id: String, prefix: String = "dedup_idx"): Unit = {
+    val s = ids.sparkSession
+    val fresh = ids.select(col(id).cast("long").as("doc_id")).distinct()
+    // anti-join the PERSISTED set too: a retried takedown job must not
+    // double-count (verdicts would stay right — the anti-join dedups —
+    // but stats' tombstone fraction, the compaction trigger, would lie)
+    val novel =
+      if (s.catalog.tableExists(s"${prefix}_tombs"))
+        fresh.join(s.table(s"${prefix}_tombs"), Seq("doc_id"), "left_anti")
+      else fresh
+    novel.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("path", s"${dirOf(ids.sparkSession, prefix)}/tombs")
+      .option("path", s"${dirOf(s, prefix)}/tombs")
       .option("compression", "snappy")
       .saveAsTable(s"${prefix}_tombs")
+  }
 
   /** [[remove]] for a driver-known takedown list. */
   def remove(spark: SparkSession, ids: Seq[Long], prefix: String): Unit = {
@@ -228,8 +246,12 @@ object DedupIndex {
         s"${prefix}_meta", s"$dir/meta")
     }
     // a rebuild starts with no removals: drop any stale tombstone entry
-    // a previous index under this prefix left in the catalog
+    // a previous index under this prefix left in the catalog AND delete
+    // the on-disk tombstone files at this location — otherwise a fresh
+    // session's attach would re-arm the previous index's takedown list
+    // against the rebuilt data (cross-session divergence)
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
+    deleteTombFiles(s, dir)
     // release the derivation caches build() itself populated: the index
     // is on disk now, and a long-lived builder session should not keep
     // the corpus-sized shingle/band plans pinned
@@ -285,11 +307,24 @@ object DedupIndex {
         .option("compression", "snappy")
         .saveAsTable(table)
     }
+    // novel-ch anti-join, PRUNED on the partitioned layout: any index ch
+    // equal to a batch ch necessarily lives in one of the batch's pch
+    // partitions (same partValue derivation), so the anti-join scans
+    // |batch ch|/pvals of the corpus-sized table instead of all of it —
+    // the probe-side pruning argument applied to the append path
+    val existingCh =
+      if (pvals > 0) {
+        val pch = nc.select(md5(col("text")).as("ch"))
+          .select(partValue("pch", pvals).as("p"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        s.table(s"${prefix}_hashes")
+          .where(col("pch").isin(pch.map(Integer.valueOf): _*))
+          .select("ch")
+      } else s.table(s"${prefix}_hashes").select("ch")
     val hashes = nc.select(col("doc_id"), md5(col("text")).as("ch"))
       .groupBy("ch").agg(min("doc_id").as("exact_partner"))
       // novel-ch only: a second row per ch would multiply the probe join
-      .join(s.table(s"${prefix}_hashes").select("ch"), Seq("ch"),
-        "left_anti")
+      .join(existingCh, Seq("ch"), "left_anti")
     appendTo(hashes, s"${prefix}_hashes", Seq("ch"), "pch")
     appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands", Seq("b", "h"),
       "pbh")

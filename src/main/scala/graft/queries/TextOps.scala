@@ -187,13 +187,24 @@ object TextOps {
       threshold: Double,
       setsFor: Option[DataFrame => DataFrame] = None,
       candStage: DataFrame => DataFrame = identity): DataFrame = {
+    // SELF-partners (partner_id == the probing doc_id) are excluded on
+    // both paths: they arise only when the batch's own rows are already
+    // in the corpus index — an epoch REPLAY against an appendAdmitted
+    // index (foreachBatch is at-least-once), or a caller id collision —
+    // and excluding them makes a replayed epoch's verdicts IDENTICAL to
+    // the original run's (a doc is never a duplicate of itself). In
+    // normal operation ids are disjoint and this is a no-op.
     val exact = nb.select(col("doc_id"), md5(col("text")).as("ch"))
       .join(exactMap, Seq("ch"), "left")
-      .select(col("doc_id"), col("exact_partner"))
+      .select(col("doc_id"),
+        when(col("exact_partner") === col("doc_id"),
+          lit(null).cast("long"))
+          .otherwise(col("exact_partner")).as("exact_partner"))
     val cand = candStage(TextDedup.bandRowsOf(nb).as("x")
       .join(corpusBands.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
+      .filter(col("doc_id") =!= col("partner_id"))
       .distinct())
     val setsT = setsFor.map(_(cand)).getOrElse(corpusSets)
     val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")

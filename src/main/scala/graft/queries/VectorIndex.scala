@@ -213,7 +213,11 @@ object VectorIndex {
         .coalesce(1), s"${prefix}_meta", s"$dir/meta")
       // a rebuild starts with no removals: drop any stale tombstone
       // entry a previous index under this prefix left in the catalog
+      // AND delete the on-disk tombstone files at this location —
+      // otherwise a fresh session's attach would re-arm the previous
+      // index's takedown list against the rebuilt data
       s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
+      DedupIndex.deleteTombFiles(s, dir)
     } finally idx.unpersist(false) // the index lives on disk now
   }
 
@@ -262,13 +266,21 @@ object VectorIndex {
     * partner or an ANN result; re-admitting one needs a [[compact]]
     * first. */
   def remove(ids: DataFrame, id: String, prefix: String = "vec_idx"): Unit = {
+    val s = ids.sparkSession
     val dir = new org.apache.hadoop.fs.Path(
-      ids.sparkSession.sessionState.catalog
+      s.sessionState.catalog
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_meta"))
         .location).getParent.toString
-    ids.select(col(id).cast("long").as("vec_id")).distinct()
-      .coalesce(1)
+    val fresh = ids.select(col(id).cast("long").as("vec_id")).distinct()
+    // anti-join the PERSISTED set too: a retried takedown job must not
+    // double-count (verdicts would stay right — the anti-join dedups —
+    // but stats' tombstone fraction, the compaction trigger, would lie)
+    val novel =
+      if (s.catalog.tableExists(s"${prefix}_tombs"))
+        fresh.join(s.table(s"${prefix}_tombs"), Seq("vec_id"), "left_anti")
+      else fresh
+    novel.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("path", s"$dir/tombs")
       .option("compression", "snappy")
@@ -335,8 +347,13 @@ object VectorIndex {
     val files = Seq("vecs", "bands", "cells", "pqcodes").map { sub =>
       sub -> Bucketing.partFileCount(spark, loc(s"${prefix}_$sub"))
     }.toMap
+    // appendedRows derives from the meta's build-time row count, which
+    // compact() deliberately preserves (it is the quantizer's training
+    // size); compacting away tombstoned BUILD-time rows therefore
+    // under-counts appended mass by that many rows — clamped at 0 so a
+    // removal-heavy compacted index reads "no drift" rather than nonsense
     IndexStats(m.corpusRows, total, total - tombs, tombs,
-      total - m.corpusRows, nCells, maxN, meanN,
+      math.max(0L, total - m.corpusRows), nCells, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files)
   }
 
@@ -379,8 +396,14 @@ object VectorIndex {
     // uncached batch index: a narrow projection consumed three times is
     // cheaper than a cache entry per serving epoch the caller can't free
     val batchIdx = VectorOps.indexUncached(batch, id, vec)
-    val assigned = VectorOps.assignCellsMulti(batchIdx, cents, probes,
+    // ...but the cell ASSIGNMENT (the centroid cross-score, the expensive
+    // batch-side piece) is staged once on the partitioned path — the
+    // probed-pcell collect below and the candidate join would otherwise
+    // each evaluate it (the text probe's candidate-staging argument)
+    val assigned0 = VectorOps.assignCellsMulti(batchIdx, cents, probes,
       probeMargin)
+    val assigned =
+      if (m.pcells > 0) assigned0.localCheckpoint(true) else assigned0
     // partitioned layout: collect the batch's probed pcell values (one
     // small batch-proportional job, ≤ pcells integers) and prune the
     // index scans to those directories at planning time — every

@@ -1353,10 +1353,14 @@ object VectorOps {
     val k = autoCellCount(rows, nCells, targetCellRows)
     val cellRows = math.max(1L, (rows + k - 1) / k)
     val (p, b) = autoShape(cellRows, minCos)
+    // probes=1 ignores the margin, so its key pins 0L margin bits — the
+    // incremental path and CorpusPrep then SHARE the corpus-sized cached
+    // assignment instead of splitting LRU entries on an inert parameter
     val cells = memoizedCells(
       (idx.sparkSession, idx.queryExecution.logical.canonicalized, k,
         kmeansIters, trainSampleCap, probes,
-        java.lang.Double.doubleToLongBits(probeMargin)))(
+        if (probes == 1) 0L
+        else java.lang.Double.doubleToLongBits(probeMargin)))(
       Caching.cached(
         assignCellsMulti(idx, memoizedCentroids(idx, k, kmeansIters,
           trainSampleCap), probes, probeMargin),
@@ -1432,13 +1436,20 @@ object VectorOps {
     * back so every batch vector gets a row. */
   private[queries] def bestPartnerOf(corpus: DataFrame, batch: DataFrame,
       cand: DataFrame, minCos: Double): DataFrame = {
+    // SELF-candidates (partner == the probing vector) arise only when
+    // the batch's own rows are already in the index — an epoch REPLAY
+    // against an appendAdmitted index (foreachBatch is at-least-once),
+    // or a caller id collision. Excluding them makes a replayed epoch's
+    // verdicts IDENTICAL to the original run's (a vector is never a
+    // duplicate of itself); disjoint-id callers see a no-op.
+    val liveCand = cand.filter(col("vec_id") =!= col("partner_id"))
     val bq = batch.select(col("vec_id"), col("efp").as("be"),
       col("nrm").as("bn"))
     val cq = corpus.select(col("vec_id").as("partner_id"),
       col("efp").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("partner_id").asc)
-    val best = cand.join(bq, Seq("vec_id")).join(cq, Seq("partner_id"))
+    val best = liveCand.join(bq, Seq("vec_id")).join(cq, Seq("partner_id"))
       .withColumn("cos", round(cosOf(GraftFunctions.intDot(col("be"),
         col("ce")), col("bn"), col("cn")), 6))
       .filter(col("cos") >= minCos)

@@ -733,10 +733,15 @@ object EventStream {
           verdicts.filter(col("verdict") === "new")
             .select(col("vec_id").as("__new_id")),
           col(id).cast("long") === col("__new_id"), "left_semi")
-        // sink first (exactly-once from the checkpoint), then grow the
-        // index with the FROZEN quantizer so the NEXT epoch dedups
-        // against this epoch's admissions — cross-epoch dedup, opt-in
-        // ([[graft.queries.VectorIndex.append]])
+        // sink first, then grow the index with the FROZEN quantizer so
+        // the NEXT epoch dedups against this epoch's admissions.
+        // foreachBatch is AT-LEAST-ONCE: a crash between the append and
+        // the epoch commit replays the epoch against the already-grown
+        // index — verdicts stay IDENTICAL (self-partners are excluded in
+        // the probe core), the re-append adds duplicate index rows for
+        // the same ids (verdict-neutral: candidate pairs are distinct;
+        // compact collapses the files), and the sink re-emits the same
+        // records — the standard idempotent-sink contract.
         if (appendAdmitted) {
           val mat = admitted.persist()
           try {
@@ -767,7 +772,14 @@ object EventStream {
     * `appendAdmitted = true` closes the loop on BOTH indexes: admitted
     * rows are appended to the text index (model-free, rebuild-exact) and
     * the vector index (frozen quantizer), so later epochs dedup against
-    * earlier admissions on either axis. */
+    * earlier admissions on either axis. Replay contract (foreachBatch is
+    * at-least-once): verdicts are replay-stable because the probe cores
+    * exclude self-partners, and a crash between the two appends heals on
+    * replay — the row still reads admitted (its own copy is not a
+    * partner) and both appends re-run, the text side deduping its hash
+    * row via the novel-ch filter. Ids must be UNIQUE within a batch
+    * (duplicate ids multiply the joint audit rows; the same contract the
+    * appends already demand). */
   def runJointIngestIndexed(stream: DataFrame, id: String, text: String,
       vec: String, checkpoint: String, textPrefix: String = "dedup_idx",
       vecPrefix: String = "vec_idx", threshold: Double = 0.5,
@@ -788,10 +800,14 @@ object EventStream {
               col("partner_id").as("text_partner"), col("jaccard"))
           val vv = graft.queries.VectorIndex.incrementalDedup(
             batch, id, vec, vecPrefix, minCos, probes, probeMargin)
-            .select(col("vec_id").as("__jid"),
+            .select(col("vec_id").as("__jid2"),
               col("verdict").as("vec_verdict"),
               col("partner_id").as("vec_partner"), col("cos"))
-          val joint = tv.join(vv, Seq("__jid"))
+          // null-safe join: both verdict cores emit one row per batch
+          // document INCLUDING null-id rows, and a plain equi-join would
+          // silently drop those from the audit record
+          val joint = tv.join(vv, col("__jid") <=> col("__jid2"))
+            .drop("__jid2")
             .select(col("__jid").as("doc_id"), col("text_verdict"),
               col("text_partner"), col("jaccard"), col("vec_verdict"),
               col("vec_partner"), col("cos"),

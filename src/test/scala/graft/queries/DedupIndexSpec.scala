@@ -322,6 +322,40 @@ class DedupIndexSpec extends SparkSpec {
       s"expected near_dup j=1.0 vs the surviving copy, got $after")
   }
 
+  test("an in-place rebuild clears tombstones on disk; retried removals don't double-count") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_rb").toString
+    val prefix = "dedup_idx_rb"
+    val corpus = docs.filter(!isBatch)
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+    val ids = corpus.limit(2).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    DedupIndex.remove(spark, ids, prefix)
+    // a RETRIED takedown must not inflate the tombstone count (the
+    // stats compaction trigger)
+    DedupIndex.remove(spark, ids, prefix)
+    assert(DedupIndex.stats(spark, prefix).tombstones == 2,
+      "retried removal double-counted tombstones")
+
+    // periodic rebuild at the SAME location: removals reset — and a
+    // FRESH session's attach must not re-arm the old takedown list
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+    assert(DedupIndex.stats(spark, prefix).tombstones == 0,
+      "rebuild kept tombstones in the building session")
+    Seq("hashes", "bands", "shingles", "meta", "tombs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val fresh = spark.newSession()
+    DedupIndex.attach(fresh, d, prefix)
+    assert(!fresh.catalog.tableExists(s"${prefix}_tombs"),
+      "fresh attach re-armed a pre-rebuild takedown list")
+    val twin = Tables.load(fresh, sfDir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") === ids.head)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    val v = DedupIndex.incrementalDedup(twin, "doc_id", "text", prefix)
+      .collect()(0)
+    assert(v.getString(1) == "exact_dup" && v.getLong(2) == ids.head,
+      s"rebuilt index still hides a pre-rebuild removed id: $v")
+  }
+
   test("stats track appends, removals, and compaction") {
     val d = java.nio.file.Files.createTempDirectory("dedup_idx_st").toString
     val prefix = "dedup_idx_st"
