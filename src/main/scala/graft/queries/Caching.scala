@@ -38,15 +38,29 @@ private[queries] final class BoundedMemo[K, V](max: Int,
         true
       } else false
   }
+  // Builds run under a PER-KEY lock (not the map lock — builds launch
+  // Spark jobs; not lock-free racing either): the old lost-race path
+  // called onDrop(built) on the loser, but for persisted-DataFrame memos
+  // the loser's persist() keys the SAME CacheManager entry as the
+  // winner's (cache entries key on the canonicalized plan, and equal memo
+  // keys mean canonically-equal plans here), so unpersisting the loser
+  // silently uncached the winner (r14 advisor). With the per-key lock a
+  // second builder of the same key waits, re-checks, and adopts the
+  // winner — no duplicate persist is ever created, so eviction's onDrop
+  // (on the sole installed value) is the only drop path left.
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[K, Object]()
   def getOrBuild(key: K)(build: => V): V =
     m.synchronized(Option(m.get(key))).getOrElse {
-      val built = build
-      m.synchronized(Option(m.get(key)) match {
-        case Some(winner) =>
-          try onDrop(built) catch { case _: Throwable => () }
-          winner
-        case None => m.put(key, built); built
-      })
+      val lock = inflight.computeIfAbsent(key, _ => new Object)
+      try lock.synchronized {
+        m.synchronized(Option(m.get(key))) match {
+          case Some(winner) => winner
+          case None =>
+            val built = build
+            m.synchronized(m.put(key, built))
+            built
+        }
+      } finally inflight.remove(key, lock)
     }
 }
 

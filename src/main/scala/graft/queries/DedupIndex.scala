@@ -191,10 +191,18 @@ object DedupIndex {
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int])
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
-    val docs = spark.table(s"${prefix}_shingles").count()
-    val hashes = spark.table(s"${prefix}_hashes").count()
+    // DISTINCT ids, not row counts: an at-least-once REPLAYED append
+    // (verdict-neutral by the probe cores' batch-id anti-join) writes
+    // duplicate shingle/band rows per doc, and raw counts would drift
+    // docs/liveDocs and the tombstones/docs compaction trigger after any
+    // replay (r14 advisor). [[compact]] dedups by id, re-aligning the
+    // physical artifact with these logical counts.
+    val docs = spark.table(s"${prefix}_shingles")
+      .agg(count_distinct(col("doc_id"))).head().getLong(0)
+    val hashes = spark.table(s"${prefix}_hashes")
+      .agg(count_distinct(col("ch"))).head().getLong(0)
     val occ = spark.table(s"${prefix}_bands")
-      .groupBy("b", "h").agg(count(lit(1)).as("n"))
+      .groupBy("b", "h").agg(count_distinct(col("doc_id")).as("n"))
       .agg(count(lit(1)), max("n"), avg("n")).head()
     // an empty index (degenerate but attachable) aggregates to nulls
     val (buckets, maxN, meanN) = (occ.getLong(0),
@@ -337,10 +345,16 @@ object DedupIndex {
     * twin: every [[append]] adds one file set per bucket (and partition),
     * compaction rewrites the three tables (collapsing them) with identical
     * content, so serving is bit-identical (the derivations are data, not
-    * model — nothing to freeze). Refuses the live location. */
+    * model — nothing to freeze). Refuses the live location.
+    *
+    * `buckets <= 0` (the default) INHERITS the source index's bucket
+    * count — the meta row when present, else the attached table's bucket
+    * spec — so compacting an index built with a non-default count never
+    * silently rewrites its layout/parallelism (r14 advisor); pass an
+    * explicit positive value only to deliberately re-bucket. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "dedup_idx", outPrefix: String = "dedup_idx",
-      buckets: Int = DefaultBuckets): Unit = {
+      buckets: Int = 0): Unit = {
     val oldLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
@@ -350,6 +364,14 @@ object DedupIndex {
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
     val pvals = pvalsOf(spark, prefix)
+    val outBuckets =
+      if (buckets > 0) buckets
+      else if (spark.catalog.tableExists(s"${prefix}_meta"))
+        spark.table(s"${prefix}_meta").head().getAs[Int]("buckets")
+      else spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
+        .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
     // read each source from its FILES, not the catalog table: when
     // outPrefix == prefix the write drops the catalog entry first, and a
     // PARTITIONED table's scan consults the catalog lazily at execution
@@ -363,23 +385,29 @@ object DedupIndex {
         .location.toString)
     // deletions materialize here: tombstoned rows are dropped from the
     // rewrite (hashes by their partner id, bands/shingles by doc id) and
-    // the tombstone table is NOT carried into the compacted artifact
+    // the tombstone table is NOT carried into the compacted artifact.
+    // Duplicate rows a replayed append left behind (identical by
+    // construction — the derivations are deterministic) collapse too, so
+    // the compacted artifact matches [[stats]]' distinct-id counts.
     val idColOf = Map("hashes" -> "exact_partner", "bands" -> "doc_id",
       "shingles" -> "doc_id")
+    val dedupKeysOf = Map("hashes" -> Seq("ch"),
+      "bands" -> Seq("doc_id", "b", "h"), "shingles" -> Seq("doc_id"))
     tables(prefix).zip(tables(outPrefix)).foreach {
       case ((src, keys, sub, partCol), (dst, _, _, _)) =>
         val live = notTombstoned(spark, prefix, srcDf(src), idColOf(sub))
+          .dropDuplicates(dedupKeysOf(sub))
         if (pvals > 0)
           Bucketing.writePartitionedBucketedExternal(live, dst,
-            Seq(partCol), keys, s"$outDir/$sub", buckets)
+            Seq(partCol), keys, s"$outDir/$sub", outBuckets)
         else
           Bucketing.writeBucketedExternal(live, dst, keys,
-            s"$outDir/$sub", buckets)
+            s"$outDir/$sub", outBuckets)
     }
     if (pvals > 0) {
       import spark.implicits._
       Bucketing.writePlainExternal(
-        Seq((pvals, buckets)).toDF("pvals", "buckets").coalesce(1),
+        Seq((pvals, outBuckets)).toDF("pvals", "buckets").coalesce(1),
         s"${outPrefix}_meta", s"$outDir/meta")
     }
     spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")

@@ -187,24 +187,31 @@ object TextOps {
       threshold: Double,
       setsFor: Option[DataFrame => DataFrame] = None,
       candStage: DataFrame => DataFrame = identity): DataFrame = {
-    // SELF-partners (partner_id == the probing doc_id) are excluded on
-    // both paths: they arise only when the batch's own rows are already
-    // in the corpus index — an epoch REPLAY against an appendAdmitted
-    // index (foreachBatch is at-least-once), or a caller id collision —
-    // and excluding them makes a replayed epoch's verdicts IDENTICAL to
-    // the original run's (a doc is never a duplicate of itself). In
-    // normal operation ids are disjoint and this is a no-op.
+    // BATCH-member partners (any partner_id that is itself a batch id —
+    // not just the probing doc's own id) are excluded on both paths: they
+    // arise only when the batch's own rows are already in the corpus
+    // index — an epoch REPLAY against an appendAdmitted index
+    // (foreachBatch is at-least-once), or a caller id collision. A
+    // replayed epoch probes the index AFTER its own admissions were
+    // appended, so a batch with two mutual near-dups A and B would —
+    // under mere self-exclusion — flip both new→dup on replay (A matches
+    // B's appended row and vice versa). Anti-joining the full batch id
+    // set makes partners "pre-batch corpus members" and replayed verdicts
+    // genuinely BIT-IDENTICAL to the original run's (r14 advisor). The
+    // batch id set is batch-proportional by construction and broadcasts;
+    // in normal (disjoint-id) operation both joins are no-ops.
+    val batchIds = broadcast(nb.select(col("doc_id").as("__b_id")).distinct())
     val exact = nb.select(col("doc_id"), md5(col("text")).as("ch"))
       .join(exactMap, Seq("ch"), "left")
+      .join(batchIds, col("exact_partner") === col("__b_id"), "left")
       .select(col("doc_id"),
-        when(col("exact_partner") === col("doc_id"),
-          lit(null).cast("long"))
+        when(col("__b_id").isNotNull, lit(null).cast("long"))
           .otherwise(col("exact_partner")).as("exact_partner"))
     val cand = candStage(TextDedup.bandRowsOf(nb).as("x")
       .join(corpusBands.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner_id"))
-      .filter(col("doc_id") =!= col("partner_id"))
+      .join(batchIds, col("partner_id") === col("__b_id"), "left_anti")
       .distinct())
     val setsT = setsFor.map(_(cand)).getOrElse(corpusSets)
     val interC = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")

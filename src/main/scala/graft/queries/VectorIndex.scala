@@ -328,8 +328,14 @@ object VectorIndex {
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
+    // DISTINCT vec_ids, not row counts: an at-least-once REPLAYED append
+    // (verdict-neutral by the probe core's batch-id anti-join) writes
+    // duplicate cell rows per vector, and raw counts would drift
+    // totalRows/appendedRows and the compaction trigger after any replay
+    // (r14 advisor). [[compact]] dedups by id, re-aligning the physical
+    // artifact with these logical counts.
     val occ = spark.table(s"${prefix}_cells")
-      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .groupBy("cell").agg(count_distinct(col("vec_id")).as("n"))
       .agg(sum("n"), count(lit(1)), max("n"), avg("n")).head()
     // an empty index (degenerate but attachable) aggregates to nulls
     val (total, nCells, maxN, meanN) = (
@@ -549,9 +555,19 @@ object VectorIndex {
         .location.toString)
     // deletions materialize here: tombstoned rows are dropped from the
     // rewrite (bands by partner id, the rest by vec id) and the
-    // tombstone table is NOT carried into the compacted artifact
-    def live(table: String, idCol: String) =
+    // tombstone table is NOT carried into the compacted artifact.
+    // Duplicate rows a replayed append left behind (identical by
+    // construction — the frozen model re-derives the same assignment /
+    // bands / codes) collapse too, so the compacted artifact matches
+    // [[stats]]' distinct-id counts.
+    val dedupKeysOf = Map("vecs" -> Seq("vec_id"),
+      "bands" -> Seq("partner_id", "cell", "k", "v"),
+      "cells" -> Seq("vec_id"), "pqcodes" -> Seq("vec_id"))
+    def live(table: String, idCol: String) = {
+      val sub = table.stripPrefix(s"${prefix}_")
       notTombstoned(spark, prefix, srcDf(table), idCol)
+        .dropDuplicates(dedupKeysOf(sub))
+    }
     if (m.pcells > 0) {
       Bucketing.writePartitionedBucketedExternal(
         live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",

@@ -1436,13 +1436,21 @@ object VectorOps {
     * back so every batch vector gets a row. */
   private[queries] def bestPartnerOf(corpus: DataFrame, batch: DataFrame,
       cand: DataFrame, minCos: Double): DataFrame = {
-    // SELF-candidates (partner == the probing vector) arise only when
-    // the batch's own rows are already in the index — an epoch REPLAY
-    // against an appendAdmitted index (foreachBatch is at-least-once),
-    // or a caller id collision. Excluding them makes a replayed epoch's
-    // verdicts IDENTICAL to the original run's (a vector is never a
-    // duplicate of itself); disjoint-id callers see a no-op.
-    val liveCand = cand.filter(col("vec_id") =!= col("partner_id"))
+    // BATCH-member candidates (any partner that is itself a batch id —
+    // not just the probing vector's own id) arise only when the batch's
+    // rows are already in the index — an epoch REPLAY against an
+    // appendAdmitted index (foreachBatch is at-least-once), or a caller
+    // id collision. Mere self-exclusion is not enough for replays: a
+    // batch holding two mutual near-dups A and B (both admitted and
+    // appended on the first run) would flip both new→dup on replay, A
+    // matching B's appended row and vice versa. Anti-joining the FULL
+    // batch id set (broadcast — batch-proportional by construction)
+    // makes partners "pre-batch corpus members" and replayed verdicts
+    // bit-identical to the original run's (r14 advisor); disjoint-id
+    // callers see a no-op.
+    val liveCand = cand.join(
+      broadcast(batch.select(col("vec_id").as("__b_id")).distinct()),
+      col("partner_id") === col("__b_id"), "left_anti")
     val bq = batch.select(col("vec_id"), col("efp").as("be"),
       col("nrm").as("bn"))
     val cq = corpus.select(col("vec_id").as("partner_id"),

@@ -737,8 +737,10 @@ object EventStream {
         // the NEXT epoch dedups against this epoch's admissions.
         // foreachBatch is AT-LEAST-ONCE: a crash between the append and
         // the epoch commit replays the epoch against the already-grown
-        // index — verdicts stay IDENTICAL (self-partners are excluded in
-        // the probe core), the re-append adds duplicate index rows for
+        // index — verdicts stay IDENTICAL (the probe core anti-joins the
+        // batch's FULL id set out of the candidate partners, so neither a
+        // doc's own appended row nor a fellow batch member's can flip a
+        // verdict on replay), the re-append adds duplicate index rows for
         // the same ids (verdict-neutral: candidate pairs are distinct;
         // compact collapses the files), and the sink re-emits the same
         // records — the standard idempotent-sink contract.
@@ -774,12 +776,14 @@ object EventStream {
     * the vector index (frozen quantizer), so later epochs dedup against
     * earlier admissions on either axis. Replay contract (foreachBatch is
     * at-least-once): verdicts are replay-stable because the probe cores
-    * exclude self-partners, and a crash between the two appends heals on
-    * replay — the row still reads admitted (its own copy is not a
-    * partner) and both appends re-run, the text side deduping its hash
-    * row via the novel-ch filter. Ids must be UNIQUE within a batch
-    * (duplicate ids multiply the joint audit rows; the same contract the
-    * appends already demand). */
+    * anti-join the batch's FULL id set out of the candidate partners —
+    * a replayed doc matches neither its own appended row nor a fellow
+    * batch member's, so even an epoch carrying two mutual near-dups
+    * replays bit-identically — and a crash between the two appends heals
+    * on replay: the row still reads admitted and both appends re-run,
+    * the text side deduping its hash row via the novel-ch filter. Ids
+    * must be UNIQUE within a batch (duplicate ids multiply the joint
+    * audit rows; the same contract the appends already demand). */
   def runJointIngestIndexed(stream: DataFrame, id: String, text: String,
       vec: String, checkpoint: String, textPrefix: String = "dedup_idx",
       vecPrefix: String = "vec_idx", threshold: Double = 0.5,

@@ -131,6 +131,37 @@ class CachingSpec extends SparkSpec {
     }
   }
 
+  test("BoundedMemo builds once per key under races and never drops the installed value") {
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dropped = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val memo = new BoundedMemo[String, Int](2, v => dropped.add(v))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            latch.await()
+            memo.getOrBuild("k") { Thread.sleep(30); built.incrementAndGet() }
+          }
+        })
+      }
+      latch.countDown()
+      val vals = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      // the r14 advisor's finding: a racing loser's onDrop(built) would
+      // unpersist the WINNER's canonically-identical cache entry; the
+      // per-key lock means the build runs once and no loser ever exists
+      assert(built.get == 1, s"value built ${built.get} times despite the per-key lock")
+      assert(vals.toSet == Set(1), s"racers saw different values: $vals")
+      assert(dropped.isEmpty, s"onDrop fired outside eviction: $dropped")
+      // LRU eviction is still the one drop path: exceed max=2
+      memo.getOrBuild("k2")(100)
+      memo.getOrBuild("k3")(200)
+      assert(dropped.size == 1 && dropped.contains(1),
+        s"eviction should have dropped the eldest entry, got $dropped")
+    } finally pool.shutdown()
+  }
+
   test("local union-find and distributed fixpoint produce identical labels") {
     val sp = spark
     import sp.implicits._

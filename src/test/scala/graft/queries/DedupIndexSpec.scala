@@ -390,6 +390,91 @@ class DedupIndexSpec extends SparkSpec {
       "compaction did not shrink file sets")
   }
 
+  test("an at-least-once replay of an epoch with INTRA-BATCH duplicates is bit-identical") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_rp").toString
+    val prefix = "dedup_idx_rp"
+    DedupIndex.build(docs.filter(!isBatch), "doc_id", "text", d,
+      prefix = prefix)
+    val sp = spark
+    import sp.implicits._
+    // the epoch: an EXACT intra-batch twin pair (identical text, both
+    // novel vs the corpus) and a NEAR pair (9 of 10 tokens shared —
+    // jaccard 7/9 over 3-gram shingles, well above the 0.5 threshold)
+    val exactT = "replay twin pair shares this exact synthetic text verbatim"
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val epoch = Seq((910000L, exactT), (910001L, exactT),
+      (910002L, near1), (910003L, near2)).toDF("doc_id", "text")
+    val first = DedupIndex.incrementalDedup(epoch, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.forall(_.contains("new")), s"fixture degenerate: $first")
+    // ... all four admitted and appended (the appendAdmitted loop) ...
+    DedupIndex.append(epoch, "doc_id", "text", prefix)
+    // ... then a crash before the epoch commit REPLAYS the same epoch
+    // against the grown index. Self-exclusion alone is not enough here:
+    // 910001 would flip new→exact_dup(910000) and the near pair would
+    // flip new→near_dup of each other. The probe core's batch-id
+    // anti-join keeps the replay bit-identical (r14 advisor).
+    val replay = DedupIndex.incrementalDedup(epoch, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    assert(replay == first,
+      s"replayed verdicts diverged:\nfirst  $first\nreplay $replay")
+    // exclusion — not absence — drives the identity: the appended rows
+    // ARE served to a LATER (disjoint-id) batch — an exact twin of the
+    // pair's text, and a THIRD near variant (novel hash, shared 3-grams)
+    val near3 = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    val next = Seq((920000L, exactT), (920001L, near3))
+      .toDF("doc_id", "text")
+    val v = DedupIndex.incrementalDedup(next, "doc_id", "text", prefix)
+      .orderBy("doc_id").collect()
+    assert(v(0).getString(1) == "exact_dup" && v(0).getLong(2) == 910000L,
+      s"appended exact twin not served: ${v(0)}")
+    assert(v(1).getString(1) == "near_dup" &&
+      Set(910002L, 910003L).contains(v(1).getLong(2)),
+      s"appended near twin not served: ${v(1)}")
+  }
+
+  test("replayed appends don't drift stats; compact collapses the duplicate rows") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_ra").toString
+    val prefix = "dedup_idx_ra"
+    val corpus = docs.filter(!isBatch)
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+    val wave = docs.filter(isBatch)
+    DedupIndex.append(wave, "doc_id", "text", prefix)
+    val s1 = DedupIndex.stats(spark, prefix)
+    DedupIndex.append(wave, "doc_id", "text", prefix) // the replayed append
+    val s2 = DedupIndex.stats(spark, prefix)
+    assert(s2.docs == s1.docs && s2.liveDocs == s1.liveDocs &&
+      s2.distinctHashes == s1.distinctHashes,
+      s"replayed append drifted stats: $s1 -> $s2")
+    // the duplicate rows are physically there (stats counts DISTINCT ids)
+    val physRows = spark.table(s"${prefix}_shingles").count()
+    assert(physRows > s2.docs, s"expected duplicate shingle rows, $physRows")
+    // compact dedups by id: physical rows re-align with the logical count
+    val cd = java.nio.file.Files.createTempDirectory("dedup_idx_rac").toString
+    DedupIndex.compact(spark, cd, prefix, prefix)
+    assert(spark.table(s"${prefix}_shingles").count() == s2.docs,
+      "compact kept replayed duplicate rows")
+    assert(DedupIndex.stats(spark, prefix).docs == s2.docs)
+  }
+
+  test("compact inherits the source index's bucket count (non-default builds)") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_bk").toString
+    val prefix = "dedup_idx_bk"
+    DedupIndex.build(docs.filter(!isBatch).limit(200), "doc_id", "text", d,
+      prefix = prefix, buckets = 5)
+    val cd = java.nio.file.Files.createTempDirectory("dedup_idx_bkc").toString
+    DedupIndex.compact(spark, cd, prefix, prefix)
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
+      .bucketSpec
+    assert(spec.map(_.numBuckets).contains(5),
+      s"compact rewrote a 5-bucket index at ${spec.map(_.numBuckets)}")
+    assert(spark.table(s"${prefix}_meta").head().getAs[Int]("buckets") == 5,
+      "compacted meta lost the inherited bucket count")
+  }
+
   test("a small batch's probe prunes the partitioned index scans to its probed partitions") {
     val d = java.nio.file.Files.createTempDirectory("dedup_idx_prt").toString
     val prefix = "dedup_idx_prt"

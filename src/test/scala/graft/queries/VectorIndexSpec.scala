@@ -376,6 +376,66 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == want, "partition pruning changed serving verdicts")
   }
 
+  test("an at-least-once replay of an epoch with INTRA-BATCH near-dups is bit-identical") {
+    val d = java.nio.file.Files.createTempDirectory("vec_idx_rp").toString
+    val prefix = "vec_idx_rpb"
+    VectorIndex.build(emb.filter(!isBatch), "vec_id", "embedding", d,
+      MinCos, prefix = prefix)
+    // the epoch: two re-idded copies of the SAME corpus-excluded vector —
+    // mutual cos-1.0 near-dups of each other, and (probed at 0.999) novel
+    // vs the corpus
+    val src = emb.filter(isBatch && col("vec_id") % 100 === 3).limit(1)
+    val epoch = src.select((col("vec_id") + 930000L).as("vec_id"),
+        col("embedding"))
+      .unionAll(src.select((col("vec_id") + 930001L).as("vec_id"),
+        col("embedding")))
+    val ids = epoch.select("vec_id").collect().map(_.getLong(0)).sorted
+    val first = VectorIndex.incrementalDedup(epoch, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect().map(_.toString).sorted.toSeq
+    assert(first.forall(_.contains("new")), s"fixture degenerate: $first")
+    // ... both admitted and appended (the appendAdmitted loop) ...
+    VectorIndex.append(epoch, "vec_id", "embedding", prefix)
+    // ... then a crash before the epoch commit REPLAYS the epoch against
+    // the grown index. Self-exclusion alone would flip both new→near_dup
+    // (each matches the OTHER's appended row at cos 1.0); the probe
+    // core's batch-id anti-join keeps the replay bit-identical.
+    val replay = VectorIndex.incrementalDedup(epoch, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect().map(_.toString).sorted.toSeq
+    assert(replay == first,
+      s"replayed verdicts diverged:\nfirst  $first\nreplay $replay")
+    // exclusion — not absence — drives the identity: a LATER disjoint-id
+    // twin is served the appended pair (min id wins the cos tie)
+    val next = src.select((col("vec_id") + 940000L).as("vec_id"),
+      col("embedding"))
+    val v = VectorIndex.incrementalDedup(next, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect()(0)
+    assert(v.getString(1) == "near_dup" && v.getLong(2) == ids.head,
+      s"appended twin not served to a later batch: $v")
+  }
+
+  test("replayed appends don't drift stats; compact collapses the duplicate rows") {
+    val d = java.nio.file.Files.createTempDirectory("vec_idx_ra").toString
+    val prefix = "vec_idx_rab"
+    val corpus = emb.filter(!isBatch)
+    VectorIndex.build(corpus, "vec_id", "embedding", d, MinCos,
+      prefix = prefix)
+    val wave = corpus.filter(col("vec_id") % 100 === 6)
+      .select((col("vec_id") + 950000L).as("vec_id"), col("embedding"))
+    VectorIndex.append(wave, "vec_id", "embedding", prefix)
+    val s1 = VectorIndex.stats(spark, prefix)
+    VectorIndex.append(wave, "vec_id", "embedding", prefix) // the replay
+    val s2 = VectorIndex.stats(spark, prefix)
+    assert(s2.totalRows == s1.totalRows && s2.appendedRows == s1.appendedRows,
+      s"replayed append drifted stats: $s1 -> $s2")
+    val physRows = spark.table(s"${prefix}_cells").count()
+    assert(physRows > s2.totalRows, s"expected duplicate cell rows, $physRows")
+    val cd = java.nio.file.Files.createTempDirectory("vec_idx_rac").toString
+    VectorIndex.compact(spark, cd, prefix, prefix)
+    assert(spark.table(s"${prefix}_cells").count() == s2.totalRows,
+      "compact kept replayed duplicate rows")
+    assert(VectorIndex.stats(spark, prefix).totalRows == s2.totalRows)
+  }
+
   test("the probe plan never scans the raw embeddings and never shuffles the index side") {
     val fresh = freshServingSession()
     VectorIndex.attach(fresh, indexDir)
