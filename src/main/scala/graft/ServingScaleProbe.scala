@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** THREE-DECADE serving-index scale series (r14 verdict item 3): the
+  * near-scale-invariant partitioned-probe claim rested on a 1× vs 100×
+  * A/B (≤200k-row indexes); this main adds the 1000×-class decade —
+  * ~5M-doc text index / ~2M-vector index — and times, per decade,
+  *
+  *   - the one-time `build` wall (context, not the claim under test),
+  *   - the constant-batch PROBE wall (min of 3 warm runs — the serving
+  *     contract: a ~14-doc / ~6-vector batch against 1×/100×/1000×),
+  *   - the `compact` wall (the maintenance op whose cost IS corpus-sized
+  *     by design — it should grow ~linearly, unlike the probe).
+  *
+  * Corpus replication follows ScaleStress's dup-structure-preserving
+  * schemes (stopword-preserving token salting for documents, circular
+  * shifts for embeddings) but replicates ONLY documents + embeddings
+  * (scheme dir `x<reps>e`) — the relational star is irrelevant here and
+  * 1000× of it would be pure build cost. Replica generation is a
+  * crossJoin with a range (a 1000-way union would bloat the plan).
+  *
+  * Output: one JSON line `{"metric":"serving_scale_decades","points":
+  * [...]}` — the BENCH_NOTES 3-point growth table's source.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DECADES=1,100,1000 \
+  *     sbt "runMain graft.ServingScaleProbe [baseSfDir] [workDir]"
+  */
+object ServingScaleProbe {
+
+  private val RepOff = 1000000L
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in")
+
+  /** documents + embeddings replicated `reps`× under `<work>/x<reps>e`
+    * (idempotent): same salting/shift schemes as ScaleStress, so the
+    * dup-rate and neighborhood structure are replica-invariant. */
+  private def buildCorpus(spark: SparkSession, baseDir: String,
+      work: String, reps: Int): String = {
+    val rd = s"$work/x${reps}e"
+    if (Seq("documents", "embeddings")
+      .forall(t => new java.io.File(s"$rd/$t.parquet").exists())) return rd
+    val ks = spark.range(reps).select(col("id").cast("long").as("k"))
+
+    val d = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    d.crossJoin(ks).select(
+      (col("doc_id") + col("k") * RepOff).as("doc_id"),
+      when(col("k") === 0L, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "), w =>
+          when(w.isin(Stopwords: _*), w)
+            .otherwise(concat(w, lit("_"), col("k")))), " ")).as("text"),
+      col("source"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$rd/documents.parquet")
+
+    val e = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val kk = pmod(col("k"), lit(dims.toLong)).cast("int")
+    e.crossJoin(ks).select(
+      (col("vec_id") + col("k") * RepOff).as("vec_id"),
+      when(kk === 0, col("embedding")).otherwise(
+        concat(
+          slice(col("embedding"), kk + 1, size(col("embedding")) - kk),
+          slice(col("embedding"), lit(1), kk))).as("embedding"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$rd/embeddings.parquet")
+    rd
+  }
+
+  private def timed[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_scale")
+    val decades = sys.env.getOrElse("SPARK_GRAFT_DECADES", "1,100,1000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // the shared shingle/band derivations of a 5M-doc build outgrow
+      // executor memory fractions — spill straight to disk
+      .config("spark.graft.dedup.storageLevel", "DISK_ONLY")
+      .config("spark.graft.vector.storageLevel", "DISK_ONLY")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val points = decades.map { reps =>
+      val rd = buildCorpus(spark, baseDir, work, reps)
+      val tpfx = s"decade_txt_x$reps"
+      val vpfx = s"decade_vec_x$reps"
+      val tdir = s"$work/$tpfx"
+      val vdir = s"$work/$vpfx"
+
+      val docs = spark.read.parquet(s"$rd/documents.parquet")
+        .select("doc_id", "text")
+      val embs = spark.read.parquet(s"$rd/embeddings.parquet")
+      // replica-0 %7 slice is the (constant) serving batch; the corpus
+      // excludes it so probes measure genuine lookups, not self-hits
+      def docCorpus = docs.filter(col("doc_id") >= RepOff ||
+        col("doc_id") % 7 =!= 3)
+      def docBatch = docs.filter(col("doc_id") < RepOff &&
+        col("doc_id") % 7 === 3 && col("doc_id") % 100 < 2)
+      def vecCorpus = embs.filter(col("vec_id") >= RepOff ||
+        col("vec_id") % 7 =!= 3)
+      def vecBatch = embs.filter(col("vec_id") < RepOff &&
+        col("vec_id") % 7 === 3 && col("vec_id") % 100 < 2)
+
+      val (tBuild, _) = timed {
+        if (!new java.io.File(s"$tdir/hashes").exists())
+          graft.queries.DedupIndex.build(docCorpus, "doc_id", "text", tdir,
+            prefix = tpfx)
+        else if (!spark.catalog.tableExists(s"${tpfx}_hashes"))
+          graft.queries.DedupIndex.attach(spark, tdir, tpfx)
+      }
+      val (vBuild, _) = timed {
+        if (!new java.io.File(s"$vdir/meta").exists())
+          graft.queries.VectorIndex.build(vecCorpus, "vec_id", "embedding",
+            vdir, minCos = 0.9, prefix = vpfx, targetCellRows = 512)
+        else if (!spark.catalog.tableExists(s"${vpfx}_meta"))
+          graft.queries.VectorIndex.attach(spark, vdir, vpfx)
+      }
+
+      def probeText() = graft.queries.DedupIndex
+        .incrementalDedup(docBatch, "doc_id", "text", tpfx).count()
+      def probeVec() = graft.queries.VectorIndex
+        .incrementalDedup(vecBatch, "vec_id", "embedding", vpfx,
+          minCos = 0.9).count()
+      probeText(); probeVec() // warm file listings + codegen
+      val tProbe = (1 to 3).map(_ => timed(probeText())._1).min
+      val vProbe = (1 to 3).map(_ => timed(probeVec())._1).min
+
+      val (tCompact, _) = timed {
+        graft.queries.DedupIndex.compact(spark,
+          s"$work/${tpfx}_cmp", tpfx, s"${tpfx}c")
+      }
+      val (vCompact, _) = timed {
+        graft.queries.VectorIndex.compact(spark,
+          s"$work/${vpfx}_cmp", vpfx, s"${vpfx}c")
+      }
+      val docRows = docCorpus.count()
+      val vecRows = vecCorpus.count()
+      spark.catalog.clearCache()
+      f"""{"reps":$reps,"doc_rows":$docRows,"vec_rows":$vecRows,""" +
+        f""""text_build":$tBuild%.2f,"text_probe":$tProbe%.3f,""" +
+        f""""text_compact":$tCompact%.2f,"vec_build":$vBuild%.2f,""" +
+        f""""vec_probe":$vProbe%.3f,"vec_compact":$vCompact%.2f}"""
+    }
+    println(s"""{"metric":"serving_scale_decades","points":${points.mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}

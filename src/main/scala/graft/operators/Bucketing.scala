@@ -159,6 +159,93 @@ object Bucketing {
     }
   }
 
+  // ---- wave-commit markers (atomic multi-table publish) ----------------
+  //
+  // A serving index spans several external tables; appending a wave of
+  // data commits each table separately, and a reader listing files
+  // between those commits would see a TORN index (exact-dup rows present,
+  // near-dup rows missing — silent under-detection). The fix is the
+  // classic staged-write + single-commit-object pattern, Spark-native:
+  // every data table carries `wave` as its FIRST partition column, a wave's
+  // files land under wave=W directories across all tables, and the wave
+  // becomes visible only when the writer creates the empty marker file
+  // `<dir>/_wave_W` — ONE atomic FS create. Readers resolve
+  // [[committedWave]] once per probe and filter `wave <= committed`
+  // (planning-time directory pruning, so the filter costs nothing), which
+  // makes a mid-append crash leave only INVISIBLE garbage (reclaimed by
+  // compaction) instead of a torn index. Single-writer per index is still
+  // the contract — markers serialize visibility, not writers.
+
+  /** The committed wave SET under `dir` (sorted; empty when none): the
+    * read-side filter is `wave IN (set)` — NOT `wave <= max` — because a
+    * crashed append abandons its wave number and the retry publishes a
+    * HIGHER one; a ≤-horizon would resurrect the abandoned garbage the
+    * moment the retry commits. The set stays small (one entry per append
+    * since the last rebuild/compact, both of which reset it to {0}). */
+  def committedWaves(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("_wave_\\d+")).map(_.stripPrefix("_wave_").toInt)
+      .sorted.toSeq
+  }
+
+  /** Highest committed wave under `dir` (−1 when no marker exists). */
+  def committedWave(spark: SparkSession, dir: String): Int =
+    committedWaves(spark, dir).foldLeft(-1)(math.max)
+
+  /** PUBLISH wave `wave` under `dir` — one atomic empty-file create; the
+    * moment this returns, every reader's next [[committedWave]] includes
+    * the wave's staged files across all tables. */
+  def commitWave(spark: SparkSession, dir: String, wave: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(p, true).close()
+  }
+
+  /** Drop every wave marker under `dir` — a rebuild starts the history
+    * over (its own wave 0 is committed after the tables are written). */
+  def clearWaveMarkers(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.matches("_wave_\\d+"))
+        .foreach(fs.delete(_, false))
+  }
+
+  /** Highest wave directory STAGED under any of `dir/<sub>` — committed
+    * or not (−1 when none): the next append writes above every number any
+    * previous (possibly crashed) writer used, so abandoned garbage can
+    * never collide with live data. */
+  def maxStagedWave(spark: SparkSession, dir: String,
+      subs: Seq[String]): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    subs.flatMap { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.matches("wave=\\d+")).map(_.stripPrefix("wave=").toInt)
+    }.foldLeft(-1)(math.max)
+  }
+
+  /** Waves staged on disk but never committed (crashed-append garbage
+    * count — the torn-write detector surfaced through index stats). */
+  def abandonedWaves(spark: SparkSession, dir: String,
+      subs: Seq[String]): Int = {
+    val committed = committedWaves(spark, dir).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    subs.flatMap { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.matches("wave=\\d+")).map(_.stripPrefix("wave=").toInt)
+    }.distinct.count(!committed(_))
+  }
+
   /** Join two same-bucketed tables on their bucket key — shuffle-free by
     * construction (verified in BucketingSpec's plan assertion). */
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,

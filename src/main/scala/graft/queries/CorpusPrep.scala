@@ -80,8 +80,24 @@ object CorpusPrep {
       dims: Int = 64,
       trainSampleCap: Long = 0L,
       probes: Int = 1,
-      probeMargin: Double = 2.0)
+      probeMargin: Double = 2.0,
+      indexPrefix: Option[String] = None)
 
+  /** `textIndexPrefix` / `SemanticStage.indexPrefix` route the dedup
+    * stages through ATTACHED PERSISTED serving indexes
+    * ([[DedupIndex]] / [[VectorIndex]]) — the RESTARTABLE production prep
+    * shape (r14 verdict item 4): after the in-pool stages collapse
+    * duplicates WITHIN this run's documents, the survivors probe the
+    * corpus index and any doc duplicating ALREADY-INGESTED content drops
+    * too. The corpus side comes entirely from the persisted bucketed
+    * tables (batch-proportional probes, zero corpus recomputation), so a
+    * prep that restarts in a new JVM — or runs on a different cluster —
+    * produces bit-identical survivors with nothing retrained and nothing
+    * re-derived; the streaming loops ([[graft.streaming.EventStream]])
+    * already work this way, this closes the batch path. The caller
+    * attaches the indexes first ([[DedupIndex.attach]] /
+    * [[VectorIndex.attach]]) and appends admitted survivors afterward if
+    * the run feeds an ingest loop. */
   case class Config(
       nearDupThreshold: Double = 0.5,
       scrubPii: Boolean = true,
@@ -93,7 +109,8 @@ object CorpusPrep {
       lengthGatePct: Option[(Int, Int)] = None,
       importanceTarget: Option[DataFrame] = None,
       importanceMinRatioFp: Long = 1000000L,
-      semantic: Option[SemanticStage] = None)
+      semantic: Option[SemanticStage] = None,
+      textIndexPrefix: Option[String] = None)
 
   /** `packed` — the training mix (one row per surviving doc with its bin
     * assignment); `survivors` — the cleaned (doc_id, text, strata) frame
@@ -223,6 +240,38 @@ object CorpusPrep {
       case None => d4
     }
 
+    // 4c. corpus-index text dedup (optional): the survivors probe an
+    // ATTACHED persisted DedupIndex and anything already ingested —
+    // exact OR near-dup — drops; corpus side read entirely from the
+    // bucketed index tables (batch-proportional, restart-identical)
+    val d4t = cfg.textIndexPrefix match {
+      case Some(pfx) =>
+        val dup = DedupIndex.incrementalDedup(
+          d4s.select(col("doc_id"), col("text")), "doc_id", "text", pfx,
+          cfg.nearDupThreshold)
+          .filter(col("verdict") =!= "new").select(col("doc_id"))
+        d4s.join(dup, Seq("doc_id"), "left_anti")
+      case None => d4s
+    }
+
+    // 4d. corpus-index semantic dedup (optional): survivors' embeddings
+    // probe an ATTACHED persisted VectorIndex — paraphrase-level overlap
+    // with already-ingested content drops; docs without an embedding
+    // pass through unjudged (the in-pool semantic stage's contract)
+    val d4v = cfg.semantic.flatMap(st => st.indexPrefix.map((st, _))) match {
+      case Some((st, pfx)) =>
+        val vecs = st.embeddings
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("embedding"))
+          .join(d4t.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val dup = VectorIndex.incrementalDedup(vecs, "doc_id", "embedding",
+          pfx, st.minCos, st.probes, st.probeMargin)
+          .filter(col("verdict") === "near_dup")
+          .select(col("vec_id").as("doc_id"))
+        d4t.join(dup, Seq("doc_id"), "left_anti")
+      case None => d4t
+    }
+
     // 5. decontamination (optional, graded): docs whose eval-overlap
     // FRACTION exceeds the configured tolerance drop (q61 semantics;
     // maxFrac=0.0 reproduces the strict any-overlap policy exactly — by
@@ -232,14 +281,14 @@ object CorpusPrep {
     val d5 = bench match {
       case Some(b) =>
         val scored = TextOps
-          .contaminationScore(d4s.select(col("doc_id"), col("text")), b,
+          .contaminationScore(d4v.select(col("doc_id"), col("text")), b,
             "doc_id", "text", ordered = false)
         val contaminated = (
           if (cfg.contaminationMaxFrac == 0.0) scored.filter(col("n_overlap") > 0L)
           else scored.filter(col("overlap_frac") > cfg.contaminationMaxFrac))
           .select(col("doc_id"))
-        d4s.join(contaminated, Seq("doc_id"), "left_anti")
-      case None => d4s
+        d4v.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => d4v
     }
 
     // 5b. vocabulary normalization (optional): rewrite survivors over the
@@ -271,8 +320,12 @@ object CorpusPrep {
       Seq(stage(4, "pii_scrub", d2), stage(5, "exact_dedup", d3),
         stage(6, "near_dedup", d4)) ++
       cfg.semantic.map(_ => stage(7, "semantic_dedup", d4s)).toSeq ++
-      Seq(stage(8, "decontaminated", d5),
-        stage(9, "vocab_normalized", d6)))
+      cfg.textIndexPrefix.map(_ =>
+        stage(8, "index_text_dedup", d4t)).toSeq ++
+      cfg.semantic.flatMap(_.indexPrefix).map(_ =>
+        stage(9, "index_semantic_dedup", d4v)).toSeq ++
+      Seq(stage(10, "decontaminated", d5),
+        stage(11, "vocab_normalized", d6)))
       .reduce(_.unionAll(_))
 
     val release = () => {

@@ -38,6 +38,18 @@ import graft.operators.Bucketing
   * keeps the flat pre-partitioned layout, and indexes without a meta
   * table (built before partitioning existed) attach and probe unchanged.
   *
+  * ATOMIC multi-table publish: the partitioned layout additionally
+  * carries `wave` as the FIRST partition column — each [[append]] stages
+  * its rows under `wave=W` directories across all three tables and
+  * publishes them with ONE atomic marker-file create
+  * ([[Bucketing.commitWave]]); probes filter `wave IN (committed set)`
+  * (planning-time pruning, zero data cost), so a reader interleaved
+  * between the three per-table commits — or after a mid-append crash —
+  * always sees a CONSISTENT committed index, never a torn one, and a
+  * crashed wave's garbage stays invisible even after later appends
+  * commit (the set, not a ≤-horizon, is what makes retry-safe numbering
+  * work). The writer side stays single-writer by contract.
+  *
   * Serving output is bit-identical to the in-session
   * [[TextOps.incrementalDedup]] by construction: both feed the SAME
   * verdict core ([[TextOps.incrementalVerdicts]]), and the persisted
@@ -188,7 +200,8 @@ object DedupIndex {
     * one. */
   final case class IndexStats(docs: Long, liveDocs: Long, tombstones: Long,
       distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
-      meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int])
+      meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
+      committedWave: Int, abandonedWaves: Int)
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
@@ -196,12 +209,26 @@ object DedupIndex {
     // duplicate shingle/band rows per doc, and raw counts would drift
     // docs/liveDocs and the tombstones/docs compaction trigger after any
     // replay (r14 advisor). [[compact]] dedups by id, re-aligning the
-    // physical artifact with these logical counts.
-    val docs = spark.table(s"${prefix}_shingles")
+    // physical artifact with these logical counts. Counting sees what
+    // probes see — committed waves only; `abandonedWaves > 0` is the
+    // crashed-append detector (invisible garbage; compact reclaims it).
+    val pvals = pvalsOf(spark, prefix)
+    val (cws, abandoned) =
+      if (pvals > 0) {
+        val d = dirOf(spark, prefix)
+        (Bucketing.committedWaves(spark, d),
+          Bucketing.abandonedWaves(spark, d,
+            Seq("hashes", "bands", "shingles")))
+      } else (Nil, 0)
+    def committedT(table: String) =
+      if (pvals > 0) spark.table(table)
+        .where(col("wave").isin(cws.map(Integer.valueOf): _*))
+      else spark.table(table)
+    val docs = committedT(s"${prefix}_shingles")
       .agg(count_distinct(col("doc_id"))).head().getLong(0)
-    val hashes = spark.table(s"${prefix}_hashes")
+    val hashes = committedT(s"${prefix}_hashes")
       .agg(count_distinct(col("ch"))).head().getLong(0)
-    val occ = spark.table(s"${prefix}_bands")
+    val occ = committedT(s"${prefix}_bands")
       .groupBy("b", "h").agg(count_distinct(col("doc_id")).as("n"))
       .agg(count(lit(1)), max("n"), avg("n")).head()
     // an empty index (degenerate but attachable) aggregates to nulls
@@ -220,7 +247,8 @@ object DedupIndex {
       sub -> Bucketing.partFileCount(spark, loc(s"${prefix}_$sub"))
     }.toMap
     IndexStats(docs, docs - tombs, tombs, hashes, buckets, maxN, meanN,
-      if (meanN == 0.0) 0.0 else maxN / meanN, files)
+      if (meanN == 0.0) 0.0 else maxN / meanN, files,
+      cws.foldLeft(-1)(math.max), abandoned)
   }
 
   /** Derive the corpus artifacts and persist them under `dir` (also
@@ -233,6 +261,11 @@ object DedupIndex {
     val s = corpus.sparkSession
     val nc = corpus.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
+    // the wave history restarts with the rebuild: old markers must not
+    // make the new tables' wave=0 visible before it is written (build is
+    // not atomic — the single-writer contract covers rebuilds; readers
+    // of a LIVE index rebuild into a fresh directory instead)
+    if (pvals > 0) Bucketing.clearWaveMarkers(s, dir)
     val frames = Map(
       "hashes" -> nc.select(col("doc_id"), md5(col("text")).as("ch"))
         .groupBy("ch").agg(min("doc_id").as("exact_partner")),
@@ -241,8 +274,9 @@ object DedupIndex {
     tables(prefix).foreach { case (table, keys, sub, partCol) =>
       if (pvals > 0)
         Bucketing.writePartitionedBucketedExternal(
-          frames(sub).withColumn(partCol, partValue(partCol, pvals)),
-          table, Seq(partCol), keys, s"$dir/$sub", buckets)
+          frames(sub).withColumn(partCol, partValue(partCol, pvals))
+            .withColumn("wave", lit(0)),
+          table, Seq("wave", partCol), keys, s"$dir/$sub", buckets)
       else
         Bucketing.writeBucketedExternal(frames(sub), table, keys,
           s"$dir/$sub", buckets)
@@ -260,6 +294,9 @@ object DedupIndex {
     // against the rebuilt data (cross-session divergence)
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
     deleteTombFiles(s, dir)
+    // PUBLISH wave 0 — last, so every table (and the meta/tomb state)
+    // is in place before any reader can resolve a committed wave
+    if (pvals > 0) Bucketing.commitWave(s, dir, 0)
     // release the derivation caches build() itself populated: the index
     // is on disk now, and a long-lived builder session should not keep
     // the corpus-sized shingle/band plans pinned
@@ -277,6 +314,18 @@ object DedupIndex {
     * rebuild would re-minimize over both ids — irrelevant for admitted
     * (verdict `new`) docs, which have no existing partner by definition.
     * Each append adds one file set per bucket; rebuild to compact.
+    *
+    * ATOMIC PUBLISH (partitioned layout): the wave's rows are staged
+    * under `wave=W` partition directories across all three tables and
+    * become visible only when the single `_wave_W` marker is created
+    * LAST ([[Bucketing.commitWave]]) — a reader between the three table
+    * commits still resolves the previous committed wave and sees a
+    * CONSISTENT index, never a torn one (exact-dup rows present, near-dup
+    * rows missing); a crash mid-append leaves only invisible garbage a
+    * later [[compact]] reclaims, and the retried append stages wave W+1.
+    * Single-writer per index remains the contract. Legacy flat indexes
+    * (pvals = 0) keep the old per-table commit semantics.
+    *
     * Visibility: the writing session (and any session attached LATER)
     * sees the append immediately; a DIFFERENT already-attached session
     * holds its own cached file listing and must
@@ -285,7 +334,30 @@ object DedupIndex {
   def append(batch: DataFrame, id: String, text: String,
       prefix: String = "dedup_idx"): Unit = {
     val s = batch.sparkSession
+    val w = appendStaged(batch, id, text, prefix)
+    if (w >= 0) Bucketing.commitWave(s, dirOf(s, prefix), w)
+  }
+
+  /** The staging half of [[append]]: writes the wave's files across all
+    * tables WITHOUT publishing them (partitioned layout; returns the
+    * staged wave number, or −1 on the legacy flat layout whose writes are
+    * visible per-table as before). `maxTables` is the fault-injection
+    * knob the torn-write spec uses to stop after N table commits —
+    * production callers never pass it. */
+  private[queries] def appendStaged(batch: DataFrame, id: String,
+      text: String, prefix: String = "dedup_idx",
+      maxTables: Int = Int.MaxValue): Int = {
+    val s = batch.sparkSession
     val pvals = pvalsOf(s, prefix)
+    val dir = if (pvals > 0) dirOf(s, prefix) else ""
+    // committed-set horizon for the novel-ch anti-join: an UNCOMMITTED
+    // leftover wave (crashed append) must not suppress re-appending its
+    // content — those rows are invisible to every probe forever
+    val cws = if (pvals > 0) Bucketing.committedWaves(s, dir) else Nil
+    val wave =
+      if (pvals == 0) -1
+      else math.max(cws.foldLeft(-1)(math.max),
+        Bucketing.maxStagedWave(s, dir, Seq("hashes", "bands", "shingles"))) + 1
     // EAGER local checkpoint: a caller's `batch` routinely derives from
     // probe verdicts against THIS index (the appendAdmitted loop), and
     // the FIRST write below (hashes) refreshes its catalog table — which
@@ -306,10 +378,11 @@ object DedupIndex {
     def appendTo(df: DataFrame, table: String, keys: Seq[String],
         partCol: String): Unit = {
       val w = (if (pvals > 0)
-          df.withColumn(partCol, partValue(partCol, pvals)) else df)
+          df.withColumn(partCol, partValue(partCol, pvals))
+            .withColumn("wave", lit(wave)) else df)
         .repartition(bucketsOf(table), keys.map(col): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-      (if (pvals > 0) w.partitionBy(partCol) else w)
+      (if (pvals > 0) w.partitionBy("wave", partCol) else w)
         .bucketBy(bucketsOf(table), keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .option("compression", "snappy")
@@ -326,19 +399,23 @@ object DedupIndex {
           .select(partValue("pch", pvals).as("p"))
           .distinct().collect().map(_.getInt(0)).sorted
         s.table(s"${prefix}_hashes")
-          .where(col("pch").isin(pch.map(Integer.valueOf): _*))
+          .where(col("wave").isin(cws.map(Integer.valueOf): _*) &&
+            col("pch").isin(pch.map(Integer.valueOf): _*))
           .select("ch")
       } else s.table(s"${prefix}_hashes").select("ch")
     val hashes = nc.select(col("doc_id"), md5(col("text")).as("ch"))
       .groupBy("ch").agg(min("doc_id").as("exact_partner"))
       // novel-ch only: a second row per ch would multiply the probe join
       .join(existingCh, Seq("ch"), "left_anti")
-    appendTo(hashes, s"${prefix}_hashes", Seq("ch"), "pch")
-    appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands", Seq("b", "h"),
-      "pbh")
-    appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
-      Seq("doc_id"), "pdoc")
+    val writes = Seq(
+      () => appendTo(hashes, s"${prefix}_hashes", Seq("ch"), "pch"),
+      () => appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands",
+        Seq("b", "h"), "pbh"),
+      () => appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
+        Seq("doc_id"), "pdoc"))
+    writes.take(math.max(0, maxTables)).foreach(_())
     TextDedup.unpersistDerivationsOf(nc)
+    wave
   }
 
   /** COMPACT an attached index into `outDir` — the [[VectorIndex.compact]]
@@ -393,13 +470,25 @@ object DedupIndex {
       "shingles" -> "doc_id")
     val dedupKeysOf = Map("hashes" -> Seq("ch"),
       "bands" -> Seq("doc_id", "b", "h"), "shingles" -> Seq("doc_id"))
+    // the committed-set horizon: abandoned (crashed-append) waves were
+    // never visible to any probe, and compaction is where their garbage
+    // files are physically reclaimed — filter them out, then restart the
+    // wave history at 0 in the compacted artifact
+    val cws = if (pvals > 0)
+      Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
+    if (pvals > 0) Bucketing.clearWaveMarkers(spark, outDir)
     tables(prefix).zip(tables(outPrefix)).foreach {
       case ((src, keys, sub, partCol), (dst, _, _, _)) =>
-        val live = notTombstoned(spark, prefix, srcDf(src), idColOf(sub))
+        val committed =
+          if (pvals > 0) srcDf(src)
+            .where(col("wave").isin(cws.map(Integer.valueOf): _*))
+            .withColumn("wave", lit(0))
+          else srcDf(src)
+        val live = notTombstoned(spark, prefix, committed, idColOf(sub))
           .dropDuplicates(dedupKeysOf(sub))
         if (pvals > 0)
           Bucketing.writePartitionedBucketedExternal(live, dst,
-            Seq(partCol), keys, s"$outDir/$sub", outBuckets)
+            Seq("wave", partCol), keys, s"$outDir/$sub", outBuckets)
         else
           Bucketing.writeBucketedExternal(live, dst, keys,
             s"$outDir/$sub", outBuckets)
@@ -411,6 +500,7 @@ object DedupIndex {
         s"${outPrefix}_meta", s"$outDir/meta")
     }
     spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")
+    if (pvals > 0) Bucketing.commitWave(spark, outDir, 0)
   }
 
   /** Register an existing index written by [[build]] in `spark`'s catalog
@@ -425,8 +515,8 @@ object DedupIndex {
       val m = spark.read.parquet(s"$dir/meta").head()
       Bucketing.attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
       tables(prefix).foreach { case (table, keys, sub, partCol) =>
-        Bucketing.attachPartitionedBucketed(spark, table, Seq(partCol),
-          keys, s"$dir/$sub", m.getAs[Int]("buckets"))
+        Bucketing.attachPartitionedBucketed(spark, table,
+          Seq("wave", partCol), keys, s"$dir/$sub", m.getAs[Int]("buckets"))
       }
     } else
       tables(prefix).foreach { case (table, keys, sub, _) =>
@@ -466,10 +556,19 @@ object DedupIndex {
         live(s.table(s"${prefix}_bands"), "doc_id"),
         s.table(s"${prefix}_shingles"), threshold)
     else {
+      // the probe's consistency horizon: the committed wave SET, resolved
+      // ONCE per call, so all three table scans see the same snapshot
+      // even while a writer stages (or publishes) the next wave
+      // concurrently — the atomic-publish read side. `wave IN (set)` is a
+      // partition-column predicate: planning-time directory pruning, zero
+      // data cost (and abandoned crashed-append waves stay invisible
+      // forever — the set never includes them).
+      val cws = Bucketing.committedWaves(s, dirOf(s, prefix))
       def pruned(table: String, partCol: String, values: Array[Int]) =
         s.table(table)
-          .where(col(partCol).isin(values.map(Integer.valueOf): _*))
-          .drop(partCol)
+          .where(col("wave").isin(cws.map(Integer.valueOf): _*) &&
+            col(partCol).isin(values.map(Integer.valueOf): _*))
+          .drop("wave", partCol)
       // ONE collect job for both batch-side partition sets (each extra
       // job costs a scheduling floor that dominates the probe wall at
       // small index sizes); the band leg rides the shared cached band

@@ -1405,13 +1405,25 @@ object TextDedup {
     * persists exactly these bytes; parquet binary round-trips exactly, so
     * a persisted screen is bit-identical to the in-session one). */
   private[queries] def bloomScreenBytes(bench: DataFrame, nGrams: Int,
-      numBits: Long): Array[Byte] = {
+      numBits: Long, estItems: Long = 0L): Array[Byte] = {
     GraftFunctions.register(bench.sparkSession)
+    // estItems sets the aggregate's hash-function count k (optimal
+    // k ≈ m/n·ln2); callers that measured the true distinct-shingle
+    // count pass it ([[BloomScreen.buildSized]]), the legacy default
+    // keeps the m/16 guess for bit-compat with existing artifacts
     hashedShingleRowsNOf(bench, nGrams)
       .agg(GraftFunctions.bloomAgg(col("sh"),
-        estItems = math.max(numBits / 16L, 1L), numBits = numBits))
+        estItems =
+          if (estItems > 0L) estItems else math.max(numBits / 16L, 1L),
+        numBits = numBits))
       .head().getAs[Array[Byte]](0)
   }
+
+  /** The benchmark's distinct `nGrams`-gram shingle count — the `n` of
+    * the standard Bloom sizing formula. */
+  private[queries] def distinctShingleCount(bench: DataFrame,
+      nGrams: Int): Long =
+    hashedShingleRowsNOf(bench, nGrams).select(col("sh")).distinct().count()
 
   /** The APPLY half: a pure map-only projection — the filter bytes ride
     * as a literal, so the plan has no join, no shuffle, and no scan

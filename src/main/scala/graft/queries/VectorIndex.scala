@@ -20,7 +20,10 @@ import graft.operators.Bucketing
   * vecs/bands additionally carry Hive-style `pcell = cell % pcells`
   * partition directories so serving probes PRUNE the scan to the cells
   * the batch actually lands in — bucketing alone prunes exchanges, not
-  * scans):
+  * scans; all four data tables carry `wave` as their first partition
+  * column for the atomic multi-table publish — [[append]] stages a wave
+  * across the tables and ONE marker-file create makes it visible, probes
+  * filter `wave IN (committed set)`, see [[DedupIndex]]):
   *
   *   - `<prefix>_vecs`    (vec_id, efp, nrm / pcell)    bucketed vec_id,
   *                        partitioned pcell — the quantized index,
@@ -137,20 +140,34 @@ object VectorIndex {
         trainSampleCap)
       val cells = VectorOps.assignCells(idx, cents)
       val pcellOf = pmod(col("cell"), lit(pcells)).cast("int").as("pcell")
+      val books = VectorOps.pqBooksSampled(idx, pqM, pqKsub)
+      val pqcodes = VectorOps.pqEncodeIndexed(idx, books)
+        .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books))
 
       if (pcells > 0) {
+        // the wave history restarts with the rebuild ([[DedupIndex.build]]
+        // rationale: single-writer covers rebuilds; wave 0 commits last)
+        Bucketing.clearWaveMarkers(s, dir)
         Bucketing.writePartitionedBucketedExternal(
           idx.select(col("vec_id"), col("efp"), col("nrm"))
             .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
-              col("nrm"), pcellOf),
-          s"${prefix}_vecs", Seq("pcell"), Seq("vec_id"), s"$dir/vecs",
-          buckets)
+              col("nrm"), pcellOf).withColumn("wave", lit(0)),
+          s"${prefix}_vecs", Seq("wave", "pcell"), Seq("vec_id"),
+          s"$dir/vecs", buckets)
         Bucketing.writePartitionedBucketedExternal(
           VectorOps.lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
             .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-              col("v"), pcellOf),
-          s"${prefix}_bands", Seq("pcell"), Seq("cell", "k", "v"),
+              col("v"), pcellOf).withColumn("wave", lit(0)),
+          s"${prefix}_bands", Seq("wave", "pcell"), Seq("cell", "k", "v"),
           s"$dir/bands", buckets)
+        Bucketing.writePartitionedBucketedExternal(
+          cells.withColumn("wave", lit(0)),
+          s"${prefix}_cells", Seq("wave"), Seq("vec_id"), s"$dir/cells",
+          buckets)
+        Bucketing.writePartitionedBucketedExternal(
+          pqcodes.withColumn("wave", lit(0)),
+          s"${prefix}_pqcodes", Seq("wave"), Seq("vec_id"), s"$dir/pqcodes",
+          buckets)
       } else {
         // legacy layout (pcells = 0): kept buildable so the pruning
         // parity spec can compare against it directly
@@ -162,15 +179,11 @@ object VectorIndex {
             .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
               col("v")),
           s"${prefix}_bands", Seq("cell", "k", "v"), s"$dir/bands", buckets)
+        Bucketing.writeBucketedExternal(cells,
+          s"${prefix}_cells", Seq("vec_id"), s"$dir/cells", buckets)
+        Bucketing.writeBucketedExternal(pqcodes,
+          s"${prefix}_pqcodes", Seq("vec_id"), s"$dir/pqcodes", buckets)
       }
-      Bucketing.writeBucketedExternal(cells,
-        s"${prefix}_cells", Seq("vec_id"), s"$dir/cells", buckets)
-
-      val books = VectorOps.pqBooksSampled(idx, pqM, pqKsub)
-      Bucketing.writeBucketedExternal(
-        VectorOps.pqEncodeIndexed(idx, books)
-          .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books)),
-        s"${prefix}_pqcodes", Seq("vec_id"), s"$dir/pqcodes", buckets)
 
       import scala.jdk.CollectionConverters._
       val centRows: Seq[Row] = cents.zipWithIndex.map { case (c, i) =>
@@ -218,8 +231,21 @@ object VectorIndex {
       // index's takedown list against the rebuilt data
       s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
       DedupIndex.deleteTombFiles(s, dir)
+      // PUBLISH wave 0 — last, so every table is in place before any
+      // reader can resolve a committed wave
+      if (pcells > 0) Bucketing.commitWave(s, dir, 0)
     } finally idx.unpersist(false) // the index lives on disk now
   }
+
+  /** The live directory of an attached/built index (parent of the meta
+    * table's location). */
+  private def dirOf(spark: SparkSession, prefix: String): String =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_meta"))
+      .location).getParent.toString
+
+  private val DataSubs = Seq("vecs", "bands", "cells", "pqcodes")
 
   /** Register an existing index written by [[build]] in `spark`'s catalog
     * — metadata only (no data job, no corpus recomputation). Bucket
@@ -233,19 +259,24 @@ object VectorIndex {
     attachPlain(spark, s"${prefix}_pqbooks", s"$dir/pqbooks")
     if (m.pcells > 0) {
       Bucketing.attachPartitionedBucketed(spark, s"${prefix}_vecs",
-        Seq("pcell"), Seq("vec_id"), s"$dir/vecs", m.buckets)
+        Seq("wave", "pcell"), Seq("vec_id"), s"$dir/vecs", m.buckets)
       Bucketing.attachPartitionedBucketed(spark, s"${prefix}_bands",
-        Seq("pcell"), Seq("cell", "k", "v"), s"$dir/bands", m.buckets)
+        Seq("wave", "pcell"), Seq("cell", "k", "v"), s"$dir/bands",
+        m.buckets)
+      Bucketing.attachPartitionedBucketed(spark, s"${prefix}_cells",
+        Seq("wave"), Seq("vec_id"), s"$dir/cells", m.buckets)
+      Bucketing.attachPartitionedBucketed(spark, s"${prefix}_pqcodes",
+        Seq("wave"), Seq("vec_id"), s"$dir/pqcodes", m.buckets)
     } else {
       Bucketing.attachBucketed(spark, s"${prefix}_vecs", Seq("vec_id"),
         s"$dir/vecs", m.buckets)
       Bucketing.attachBucketed(spark, s"${prefix}_bands",
         Seq("cell", "k", "v"), s"$dir/bands", m.buckets)
+      Bucketing.attachBucketed(spark, s"${prefix}_cells", Seq("vec_id"),
+        s"$dir/cells", m.buckets)
+      Bucketing.attachBucketed(spark, s"${prefix}_pqcodes", Seq("vec_id"),
+        s"$dir/pqcodes", m.buckets)
     }
-    Bucketing.attachBucketed(spark, s"${prefix}_cells", Seq("vec_id"),
-      s"$dir/cells", m.buckets)
-    Bucketing.attachBucketed(spark, s"${prefix}_pqcodes", Seq("vec_id"),
-      s"$dir/pqcodes", m.buckets)
     // the tombstone table rides along when the artifact has removals —
     // and a stale entry from a DIFFERENT index under this prefix must not
     val tp = new org.apache.hadoop.fs.Path(s"$dir/tombs")
@@ -324,7 +355,7 @@ object VectorIndex {
   final case class IndexStats(corpusRowsAtBuild: Long, totalRows: Long,
       liveRows: Long, tombstones: Long, appendedRows: Long, cells: Long,
       maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
-      fileSets: Map[String, Int])
+      fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int)
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
@@ -333,8 +364,20 @@ object VectorIndex {
     // duplicate cell rows per vector, and raw counts would drift
     // totalRows/appendedRows and the compaction trigger after any replay
     // (r14 advisor). [[compact]] dedups by id, re-aligning the physical
-    // artifact with these logical counts.
-    val occ = spark.table(s"${prefix}_cells")
+    // artifact with these logical counts. Counting sees what probes see —
+    // committed waves only; `abandonedWaves > 0` is the crashed-append
+    // detector (invisible garbage; compact reclaims it).
+    val (cws, abandoned) =
+      if (m.pcells > 0) {
+        val d = dirOf(spark, prefix)
+        (Bucketing.committedWaves(spark, d),
+          Bucketing.abandonedWaves(spark, d, DataSubs))
+      } else (Nil, 0)
+    val cellsT =
+      if (m.pcells > 0) spark.table(s"${prefix}_cells")
+        .where(col("wave").isin(cws.map(Integer.valueOf): _*))
+      else spark.table(s"${prefix}_cells")
+    val occ = cellsT
       .groupBy("cell").agg(count_distinct(col("vec_id")).as("n"))
       .agg(sum("n"), count(lit(1)), max("n"), avg("n")).head()
     // an empty index (degenerate but attachable) aggregates to nulls
@@ -360,7 +403,8 @@ object VectorIndex {
     // removal-heavy compacted index reads "no drift" rather than nonsense
     IndexStats(m.corpusRows, total, total - tombs, tombs,
       math.max(0L, total - m.corpusRows), nCells, maxN, meanN,
-      if (meanN == 0.0) 0.0 else maxN / meanN, files)
+      if (meanN == 0.0) 0.0 else maxN / meanN, files,
+      cws.foldLeft(-1)(math.max), abandoned)
   }
 
   /** Centroids re-collected from the persisted table — identical driver
@@ -419,14 +463,23 @@ object VectorIndex {
     // index instead of all of it
     val (bandsT, vecsT) =
       if (m.pcells > 0) {
+        // the probe's consistency horizon: the committed wave SET,
+        // resolved once per call, so both scans see the same snapshot
+        // even while a writer stages or publishes the next wave — the
+        // atomic-publish read side ([[DedupIndex]] twin); planning-time
+        // directory pruning, zero data cost
+        val cws = Bucketing.committedWaves(s, dirOf(s, prefix))
+          .map(Integer.valueOf)
         val probed = assigned
           .select(pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell"))
           .distinct().collect().map(_.getInt(0)).sorted
         (s.table(s"${prefix}_bands")
-            .where(col("pcell").isin(probed.map(Integer.valueOf): _*))
-            .drop("pcell"),
+            .where(col("wave").isin(cws: _*) &&
+              col("pcell").isin(probed.map(Integer.valueOf): _*))
+            .drop("wave", "pcell"),
           s.table(s"${prefix}_vecs")
-            .where(col("pcell").isin(probed.map(Integer.valueOf): _*))
+            .where(col("wave").isin(cws: _*) &&
+              col("pcell").isin(probed.map(Integer.valueOf): _*))
             .select(col("vec_id"), col("efp"), col("nrm")))
       } else (s.table(s"${prefix}_bands"), s.table(s"${prefix}_vecs"))
     val bb = VectorOps.lshBandRows(batchIdx, m.planes, m.bands, m.dims)
@@ -457,6 +510,16 @@ object VectorIndex {
     * the appended mass grows — periodic rebuilds are the real-scale
     * answer (as for any IVF index), and each append adds one file set
     * per bucket (compact by rebuilding when file counts matter).
+    *
+    * ATOMIC PUBLISH (partitioned layout): the wave's rows stage under
+    * `wave=W` directories across all four data tables and become visible
+    * only when the single `_wave_W` marker lands LAST
+    * ([[Bucketing.commitWave]]; [[DedupIndex.append]] twin) — a reader
+    * between the four table commits, or after a mid-append crash, always
+    * resolves a consistent committed snapshot. Single-writer per index
+    * remains the contract; legacy pcells = 0 indexes keep per-table
+    * commit semantics.
+    *
     * Visibility: the writing session (and any session attached LATER)
     * sees the append immediately; a DIFFERENT already-attached session
     * holds its own cached file listing and must
@@ -465,7 +528,27 @@ object VectorIndex {
   def append(batch: DataFrame, id: String, vec: String,
       prefix: String = "vec_idx"): Unit = {
     val s = batch.sparkSession
+    val w = appendStaged(batch, id, vec, prefix)
+    if (w >= 0) Bucketing.commitWave(s, dirOf(s, prefix), w)
+  }
+
+  /** The staging half of [[append]] ([[DedupIndex.appendStaged]] twin):
+    * writes the wave WITHOUT publishing it; returns the staged wave
+    * number (−1 on the legacy layout, whose writes publish per-table).
+    * `maxTables` is the torn-write spec's fault-injection knob. */
+  private[queries] def appendStaged(batch: DataFrame, id: String,
+      vec: String, prefix: String = "vec_idx",
+      maxTables: Int = Int.MaxValue): Int = {
+    val s = batch.sparkSession
     val m = meta(s, prefix)
+    val wave =
+      if (m.pcells == 0) -1
+      else {
+        val dir = dirOf(s, prefix)
+        math.max(
+          Bucketing.committedWaves(s, dir).foldLeft(-1)(math.max),
+          Bucketing.maxStagedWave(s, dir, DataSubs)) + 1
+      }
     val cents = centroids(s, prefix)
     val books = pqBooks(s, prefix)
     // EAGER local checkpoint, not persist: a caller's `batch` routinely
@@ -483,41 +566,54 @@ object VectorIndex {
       val cells = VectorOps.assignCells(bIdx, cents)
       def appendTo(df: DataFrame, table: String, keys: Seq[String],
           partCols: Seq[String] = Nil): Unit = {
-        val w = df.repartition(m.buckets, keys.map(col): _*)
+        val staged =
+          if (m.pcells > 0) df.withColumn("wave", lit(wave)) else df
+        val w = staged.repartition(m.buckets, keys.map(col): _*)
           .write.mode(org.apache.spark.sql.SaveMode.Append)
-        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        val allPartCols =
+          if (m.pcells > 0) "wave" +: partCols else partCols
+        (if (allPartCols.nonEmpty) w.partitionBy(allPartCols: _*) else w)
           .bucketBy(m.buckets, keys.head, keys.tail: _*)
           .sortBy(keys.head, keys.tail: _*)
           .option("compression", "snappy")
           .saveAsTable(s"${prefix}_$table")
       }
       val pcellOf = pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell")
-      if (m.pcells > 0) {
-        appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm"))
-            .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
-              col("nrm"), pcellOf),
-          "vecs", Seq("vec_id"), Seq("pcell"))
-        appendTo(
-          VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
-            .join(cells, Seq("vec_id"))
-            .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-              col("v"), pcellOf),
-          "bands", Seq("cell", "k", "v"), Seq("pcell"))
-      } else {
-        appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
-          "vecs", Seq("vec_id"))
-        appendTo(
-          VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
-            .join(cells, Seq("vec_id"))
-            .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-              col("v")),
-          "bands", Seq("cell", "k", "v"))
-      }
-      appendTo(cells, "cells", Seq("vec_id"))
-      appendTo(
-        VectorOps.pqEncodeIndexed(bIdx, books)
-          .withColumn("rnorm2", VectorOps.pqRnorm2Col(col("codes"), books)),
-        "pqcodes", Seq("vec_id"))
+      val writes: Seq[() => Unit] =
+        if (m.pcells > 0) Seq(
+          () => appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm"))
+              .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
+                col("nrm"), pcellOf),
+            "vecs", Seq("vec_id"), Seq("pcell")),
+          () => appendTo(
+            VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
+              .join(cells, Seq("vec_id"))
+              .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+                col("v"), pcellOf),
+            "bands", Seq("cell", "k", "v"), Seq("pcell")),
+          () => appendTo(cells, "cells", Seq("vec_id")),
+          () => appendTo(
+            VectorOps.pqEncodeIndexed(bIdx, books)
+              .withColumn("rnorm2",
+                VectorOps.pqRnorm2Col(col("codes"), books)),
+            "pqcodes", Seq("vec_id")))
+        else Seq(
+          () => appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
+            "vecs", Seq("vec_id")),
+          () => appendTo(
+            VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
+              .join(cells, Seq("vec_id"))
+              .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
+                col("v")),
+            "bands", Seq("cell", "k", "v")),
+          () => appendTo(cells, "cells", Seq("vec_id")),
+          () => appendTo(
+            VectorOps.pqEncodeIndexed(bIdx, books)
+              .withColumn("rnorm2",
+                VectorOps.pqRnorm2Col(col("codes"), books)),
+            "pqcodes", Seq("vec_id")))
+      writes.take(math.max(0, maxTables)).foreach(_())
+      wave
     } finally bIdx.unpersist(false) // checkpoint blocks also free on GC
   }
 
@@ -563,18 +659,37 @@ object VectorIndex {
     val dedupKeysOf = Map("vecs" -> Seq("vec_id"),
       "bands" -> Seq("partner_id", "cell", "k", "v"),
       "cells" -> Seq("vec_id"), "pqcodes" -> Seq("vec_id"))
+    // committed-set horizon ([[DedupIndex.compact]] rationale): abandoned
+    // crashed-append waves are filtered out here — compaction is where
+    // their garbage is physically reclaimed — and the compacted artifact
+    // restarts its wave history at 0
+    val cws = if (m.pcells > 0)
+      Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
+    if (m.pcells > 0) Bucketing.clearWaveMarkers(spark, outDir)
     def live(table: String, idCol: String) = {
       val sub = table.stripPrefix(s"${prefix}_")
-      notTombstoned(spark, prefix, srcDf(table), idCol)
+      val committed =
+        if (m.pcells > 0) srcDf(table)
+          .where(col("wave").isin(cws.map(Integer.valueOf): _*))
+          .withColumn("wave", lit(0))
+        else srcDf(table)
+      notTombstoned(spark, prefix, committed, idCol)
         .dropDuplicates(dedupKeysOf(sub))
     }
     if (m.pcells > 0) {
       Bucketing.writePartitionedBucketedExternal(
         live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",
-        Seq("pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
+        Seq("wave", "pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
         live(s"${prefix}_bands", "partner_id"), s"${outPrefix}_bands",
-        Seq("pcell"), Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
+        Seq("wave", "pcell"), Seq("cell", "k", "v"), s"$outDir/bands",
+        m.buckets)
+      Bucketing.writePartitionedBucketedExternal(
+        live(s"${prefix}_cells", "vec_id"), s"${outPrefix}_cells",
+        Seq("wave"), Seq("vec_id"), s"$outDir/cells", m.buckets)
+      Bucketing.writePartitionedBucketedExternal(
+        live(s"${prefix}_pqcodes", "vec_id"), s"${outPrefix}_pqcodes",
+        Seq("wave"), Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     } else {
       Bucketing.writeBucketedExternal(
         live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",
@@ -582,13 +697,13 @@ object VectorIndex {
       Bucketing.writeBucketedExternal(
         live(s"${prefix}_bands", "partner_id"), s"${outPrefix}_bands",
         Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
+      Bucketing.writeBucketedExternal(
+        live(s"${prefix}_cells", "vec_id"), s"${outPrefix}_cells",
+        Seq("vec_id"), s"$outDir/cells", m.buckets)
+      Bucketing.writeBucketedExternal(
+        live(s"${prefix}_pqcodes", "vec_id"), s"${outPrefix}_pqcodes",
+        Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     }
-    Bucketing.writeBucketedExternal(
-      live(s"${prefix}_cells", "vec_id"), s"${outPrefix}_cells",
-      Seq("vec_id"), s"$outDir/cells", m.buckets)
-    Bucketing.writeBucketedExternal(
-      live(s"${prefix}_pqcodes", "vec_id"), s"${outPrefix}_pqcodes",
-      Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     // model tables ride unchanged (collect→rewrite keeps them tiny and
     // avoids reading a table the same statement is overwriting)
     val cents = spark.table(s"${prefix}_cents").orderBy("cell").collect()
@@ -610,6 +725,7 @@ object VectorIndex {
     rewrite(metaRow, s"${prefix}_meta", s"${outPrefix}_meta",
       s"$outDir/meta")
     spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")
+    if (m.pcells > 0) Bucketing.commitWave(spark, outDir, 0)
   }
 
   /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,
@@ -619,11 +735,22 @@ object VectorIndex {
   def knn(queries: DataFrame, id: String, vec: String, k: Int,
       prefix: String = "vec_idx", rerank: Int = 50): DataFrame = {
     val s = queries.sparkSession
+    val m = meta(s, prefix)
+    // committed-snapshot reads (the atomic-publish read side): the wave
+    // set is resolved ONCE, so the ADC codes and the re-rank vectors see
+    // the same snapshot even while a concurrent writer publishes
+    val cws = if (m.pcells > 0)
+      Bucketing.committedWaves(s, dirOf(s, prefix)).map(Integer.valueOf)
+    else Nil
+    def committedT(table: String) =
+      if (m.pcells > 0)
+        s.table(table).where(col("wave").isin(cws: _*)).drop("wave")
+      else s.table(table)
     // tombstoned vectors leave the ADC scoring universe (broadcast
     // anti-join, map-side) — removed ids can never reach the re-rank
     val pq = VectorOps.PqIndex(pqBooks(s, prefix),
-      notTombstoned(s, prefix, s.table(s"${prefix}_pqcodes"), "vec_id"))
-    VectorOps.knnPqWithIndex(s.table(s"${prefix}_vecs"), pq,
+      notTombstoned(s, prefix, committedT(s"${prefix}_pqcodes"), "vec_id"))
+    VectorOps.knnPqWithIndex(committedT(s"${prefix}_vecs"), pq,
       VectorOps.indexUncached(queries, id, vec), k, rerank)
   }
 }

@@ -65,6 +65,50 @@ class BloomScreenSpec extends SparkSpec {
     assert(got == exactContaminated)
   }
 
+  test("buildSized derives bits from (item count, target fpp) and holds the measured FP rate") {
+    val d = java.nio.file.Files.createTempDirectory("bloom_scr_sz").toString
+    val prefix = "bloom_screen_sz"
+    val fpp = 1e-4
+    val numBits = BloomScreen.buildSized(bench, "doc_id", "text", d,
+      prefix = prefix, fpp = fpp)
+    // the persisted row carries the sizing inputs, and the bit count is
+    // exactly the standard formula at the persisted item count
+    val row = spark.table(prefix).head()
+    val nItems = row.getAs[Long]("n_items")
+    assert(nItems > 100L, s"fixture degenerate: $nItems eval shingles")
+    assert(row.getAs[Double]("fpp") == fpp)
+    assert(numBits == BloomScreen.bitsFor(nItems, fpp) &&
+      numBits == row.getAs[Long]("num_bits"),
+      s"sized bits $numBits != formula ${BloomScreen.bitsFor(nItems, fpp)}")
+
+    val flagged = BloomScreen.screen(corpus, "doc_id", "text", prefix)
+      .filter(col("flagged") === 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // the hard guarantee survives auto-sizing: no false negatives
+    assert((exactContaminated -- flagged).isEmpty,
+      s"sized screen missed ${(exactContaminated -- flagged).take(5)}")
+    // measured doc-level false-flag rate: a clean doc with s distinct
+    // shingles false-flags at ≈ s·fpp, so the corpus-level expectation is
+    // meanShingles·fpp. The slack is 10×: at this fixture's TINY filter
+    // (≈7k bits, k≈13 hashes) the double-hashing (Kirsch–Mitzenmacher)
+    // scheme Spark's BloomFilter uses runs a measured ~6× over the ideal
+    // per-shingle rate — an artifact of small m with many derived hashes
+    // that vanishes at production sizes (n in the millions ⇒ m in the
+    // tens of MBits); the bound still catches a mis-sized filter, which
+    // would blow past it by orders of magnitude.
+    val cleanDocs = corpus.count() - exactContaminated.size
+    val falseFlags = (flagged -- exactContaminated).size
+    val meanShingles = TextOps
+      .decontaminate(corpus, bench, "doc_id", "text")
+      .agg(avg(col("n_shingles"))).head().getDouble(0)
+    val bound = math.max(10.0 * meanShingles * fpp, 0.002)
+    info(f"measured doc FP rate ${falseFlags.toDouble / cleanDocs}%.5f " +
+      f"(bound $bound%.5f at fpp=$fpp, mean $meanShingles%.0f shingles/doc, " +
+      f"$numBits bits for $nItems items)")
+    assert(falseFlags.toDouble / cleanDocs <= bound,
+      s"$falseFlags false flags of $cleanDocs clean docs exceeds $bound")
+  }
+
   test("a fresh catalog screens bit-identically off the persisted filter, map-only") {
     val want = TextOps.decontaminationScreen(corpus, bench,
       "doc_id", "text").collect().map(_.toString).sorted.toSeq

@@ -178,6 +178,102 @@ class CorpusPrepSpec extends SparkSpec {
     } finally { plain.release(); sem.release() }
   }
 
+  test("index-routed prep drops already-ingested content and restarts bit-identically") {
+    // the restartable production shape (r14 verdict item 4): the dedup
+    // stages probe ATTACHED persisted indexes, so a prep run drops
+    // anything ALREADY INGESTED by previous runs — and a restarted run
+    // (new session, re-attach, nothing retrained) is bit-identical
+    val embsT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val joined = docs.select(col("doc_id"), col("text"))
+      .join(embsT, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val corpus = joined.filter(col("doc_id") % 2 === 0) // already ingested
+    val tdir = java.nio.file.Files.createTempDirectory("prep_txt").toString
+    val vdir = java.nio.file.Files.createTempDirectory("prep_vec").toString
+    DedupIndex.build(corpus, "doc_id", "text", tdir, prefix = "prep_txt")
+    VectorIndex.build(corpus, "doc_id", "embedding", vdir, minCos = 0.999,
+      prefix = "prep_vec")
+
+    // the pool: the odd half plus RE-IDDED copies of ingested docs — the
+    // copies are in-pool unique (no within-run dup drops them), so only
+    // the index stages can catch them
+    val copies = docs.filter(col("doc_id") % 2 === 0 &&
+        col("doc_id") % 20 === 4)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"),
+        col("source"))
+    val pool = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionAll(copies)
+    assert(copies.count() >= 3, "fixture degenerate: no corpus copies")
+    // pool embeddings: natural ids keep their own vector; copies carry
+    // their SOURCE doc's vector (exact cos-1.0 twins of ingested rows)
+    val poolEmb = embsT.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(pool.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .unionAll(embsT.filter(col("vec_id") % 2 === 0 &&
+          col("vec_id") % 20 === 4)
+        .select((col("vec_id") + 800000L).as("doc_id"), col("embedding")))
+
+    def localDf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame) =
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            df.collect().toSeq).asJava), df.schema)
+    def run(s: org.apache.spark.sql.SparkSession) = {
+      val p = localDf(s, pool)
+      val e = localDf(s, poolEmb)
+      CorpusPrep.prepare(p, "doc_id", "text", "source", None,
+        CorpusPrep.Config(
+          textIndexPrefix = Some("prep_txt"),
+          semantic = Some(CorpusPrep.SemanticStage(e, minCos = 0.999,
+            indexPrefix = Some("prep_vec")))))
+    }
+    val first = run(spark)
+    val stats = first.stats.orderBy("stage_ord").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(stats.contains("index_text_dedup") &&
+      stats.contains("index_semantic_dedup"), s"stages missing: $stats")
+    assert(stats("index_text_dedup") < stats("semantic_dedup"),
+      "index text stage dropped nothing — the corpus copies got through")
+    val survIds = first.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // every re-idded ingested copy dropped (in-pool stages can't see them)
+    val survivedCopies = copies.select("doc_id").collect()
+      .map(_.getLong(0)).filter(survIds)
+    assert(survivedCopies.isEmpty,
+      s"already-ingested copies survived: ${survivedCopies.take(5).toSeq}")
+    // stage contract: every survivor re-checks as NEW against both indexes
+    val textRecheck = DedupIndex.incrementalDedup(
+      first.survivors.select(col("doc_id"), col("text")), "doc_id", "text",
+      "prep_txt").filter(col("verdict") =!= "new").count()
+    assert(textRecheck == 0, s"$textRecheck survivors are text-dups of the corpus")
+    val vecRecheck = VectorIndex.incrementalDedup(
+      poolEmb.join(first.survivors.select(col("doc_id")), Seq("doc_id"),
+        "left_semi"),
+      "doc_id", "embedding", "prep_vec", minCos = 0.999)
+      .filter(col("verdict") =!= "new").count()
+    assert(vecRecheck == 0, s"$vecRecheck survivors are vector-dups of the corpus")
+    first.release()
+
+    // RESTART: a fresh session whose catalog forgot everything re-attaches
+    // and prepares the same pool — survivors bit-identical, zero retraining
+    (Seq("hashes", "bands", "shingles", "meta", "tombs").map(t => s"prep_txt_$t") ++
+      Seq("meta", "cents", "pqbooks", "vecs", "cells", "bands", "pqcodes",
+        "tombs").map(t => s"prep_vec_$t"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("prep_txt_bands"))
+    DedupIndex.attach(fresh, tdir, "prep_txt")
+    VectorIndex.attach(fresh, vdir, "prep_vec")
+    val second = run(fresh)
+    val survIds2 = second.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(survIds2 == survIds,
+      "restarted prep diverged from the original run")
+    second.release()
+  }
+
   test("packed output covers every survivor with valid bin assignments") {
     val p = prep.packed.cache()
     try {

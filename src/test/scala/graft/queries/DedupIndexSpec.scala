@@ -458,6 +458,67 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.stats(spark, prefix).docs == s2.docs)
   }
 
+  test("a reader between table commits sees a consistent index; the wave marker publishes atomically") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_idx_tw").toString
+    val prefix = "dedup_idx_tw"
+    val corpus = docs.filter(!isBatch)
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+    val wave = docs.filter(isBatch) // novel content
+    // a probe batch: exact twins of the WAVE — before any append: all new
+    val twins = wave.filter(col("doc_id") % 100 === 3).limit(3)
+      .select((col("doc_id") + 970000L).as("doc_id"), col("text"))
+    val before = DedupIndex.incrementalDedup(twins, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.forall(_.contains("new")), s"fixture degenerate: $before")
+
+    // CRASH MID-APPEND: stage the wave but stop after the FIRST table
+    // commit (hashes written, bands/shingles missing — exactly the torn
+    // state the r14 verdict flagged: exact-dup detection of the new wave
+    // would work while near-dup silently misses)
+    val staged = DedupIndex.appendStaged(wave, "doc_id", "text", prefix,
+      maxTables = 1)
+    assert(staged == 1, s"expected wave 1 staged, got $staged")
+    // the interleaved reader: verdicts BIT-IDENTICAL to the committed
+    // pre-append state — the staged wave is invisible without its marker
+    val mid = DedupIndex.incrementalDedup(twins, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    assert(mid == before,
+      s"reader saw a torn index between table commits:\n$before\n$mid")
+    // stats count only committed waves and DETECT the abandoned one
+    val st = DedupIndex.stats(spark, prefix)
+    assert(st.docs == corpus.count() && st.committedWave == 0 &&
+      st.abandonedWaves == 1, s"$st")
+
+    // the RETRY (a fresh append of the same wave) publishes atomically at
+    // a HIGHER wave number — and the abandoned wave-1 garbage must stay
+    // invisible even after the retry's marker lands (the committed-SET
+    // filter, not a <=-horizon)
+    DedupIndex.append(wave, "doc_id", "text", prefix)
+    val after = DedupIndex.incrementalDedup(twins, "doc_id", "text", prefix)
+      .orderBy("doc_id").collect()
+    assert(after.forall(_.getString(1) == "exact_dup"),
+      s"published wave not served: ${after.mkString(";")}")
+    // full-semantics check: verdicts equal a rebuild over corpus ∪ wave
+    val want = TextOps.incrementalDedup(twins, corpus.unionAll(wave),
+      "doc_id", "text").orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after.map(_.toString).toSeq == want,
+      "post-retry verdicts diverged from the corpus∪wave rebuild")
+    val st2 = DedupIndex.stats(spark, prefix)
+    assert(st2.docs == corpus.count() + wave.count() &&
+      st2.committedWave == 2 && st2.abandonedWaves == 1, s"$st2")
+
+    // compaction physically reclaims the abandoned garbage and restarts
+    // the wave history at 0
+    val cd = java.nio.file.Files.createTempDirectory("dedup_idx_twc").toString
+    DedupIndex.compact(spark, cd, prefix, prefix)
+    val st3 = DedupIndex.stats(spark, prefix)
+    assert(st3.docs == st2.docs && st3.committedWave == 0 &&
+      st3.abandonedWaves == 0, s"$st3")
+    val gotC = DedupIndex.incrementalDedup(twins, "doc_id", "text", prefix)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotC == want, "compaction changed post-retry verdicts")
+  }
+
   test("compact inherits the source index's bucket count (non-default builds)") {
     val d = java.nio.file.Files.createTempDirectory("dedup_idx_bk").toString
     val prefix = "dedup_idx_bk"
@@ -481,9 +542,12 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(docs.filter(!isBatch), "doc_id", "text", d,
       prefix = prefix)
     // per-table on-disk partition counts (each table hash-partitions on
-    // its own key, so the counts differ)
+    // its own key, so the counts differ); the pch/pbh/pdoc dirs nest
+    // under the atomic-publish wave=N level
     def diskParts(sub: String, pc: String) =
       new java.io.File(s"$d/$sub").listFiles()
+        .filter(_.getName.startsWith("wave="))
+        .flatMap(_.listFiles())
         .count(_.getName.startsWith(s"$pc="))
     val parts = Map(
       s"${prefix}_hashes" -> diskParts("hashes", "pch"),

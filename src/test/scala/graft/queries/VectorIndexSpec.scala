@@ -333,7 +333,10 @@ class VectorIndexSpec extends SparkSpec {
     val prefix = "vec_idx_prtb"
     VectorIndex.build(emb.filter(!isBatch), "vec_id", "embedding", dir,
       MinCos, prefix = prefix, targetCellRows = 64)
+    // the pcell dirs nest under the atomic-publish wave=N level
     val diskParts = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("wave="))
+      .flatMap(_.listFiles())
       .count(_.getName.startsWith("pcell="))
     assert(diskParts > 2, s"fixture degenerate: only $diskParts pcell dirs")
 
@@ -374,6 +377,64 @@ class VectorIndexSpec extends SparkSpec {
     val got = VectorIndex.incrementalDedup(fullBatch, "vec_id", "embedding",
       prefix).collect().map(_.toString).sorted.toSeq
     assert(got == want, "partition pruning changed serving verdicts")
+  }
+
+  test("a reader between table commits sees a consistent index; the wave marker publishes atomically") {
+    val d = java.nio.file.Files.createTempDirectory("vec_idx_tw").toString
+    val prefix = "vec_idx_twb"
+    val corpus = emb.filter(!isBatch)
+    VectorIndex.build(corpus, "vec_id", "embedding", d, MinCos,
+      prefix = prefix)
+    val wave = emb.filter(isBatch && col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 960000L).as("vec_id"), col("embedding"))
+    // probe batch: exact twins of the WAVE, probed at 0.999 — before any
+    // append they are novel
+    val twins = wave.limit(3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    def probe() = VectorIndex.incrementalDedup(twins, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect().map(_.toString).sorted.toSeq
+    def top1() = VectorIndex.knn(twins, "vec_id", "embedding", k = 1,
+      prefix).collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    val knnBefore = top1()
+    assert(before.forall(_.contains("new")), s"fixture degenerate: $before")
+
+    // CRASH MID-APPEND: stop after 2 of 4 table commits (vecs + bands
+    // written; cells + pqcodes missing — dedup candidates present but the
+    // ANN scoring universe torn, the exact shape the r14 verdict flagged)
+    val staged = VectorIndex.appendStaged(wave, "vec_id", "embedding",
+      prefix, maxTables = 2)
+    assert(staged == 1, s"expected wave 1 staged, got $staged")
+    assert(probe() == before,
+      "dedup reader saw a torn index between table commits")
+    assert(top1() == knnBefore,
+      "ANN reader saw a torn index between table commits")
+    val st = VectorIndex.stats(spark, prefix)
+    assert(st.totalRows == corpus.count() && st.committedWave == 0 &&
+      st.abandonedWaves == 1, s"$st")
+
+    // the RETRY publishes atomically at a higher wave; the abandoned
+    // wave-1 garbage stays invisible (committed-SET filter, not <=)
+    VectorIndex.append(wave, "vec_id", "embedding", prefix)
+    val after = VectorIndex.incrementalDedup(twins, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect()
+    assert(after.forall(_.getString(1) == "near_dup"),
+      s"published wave not served: ${after.mkString(";")}")
+    val st2 = VectorIndex.stats(spark, prefix)
+    assert(st2.totalRows == corpus.count() + wave.count() &&
+      st2.committedWave == 2 && st2.abandonedWaves == 1, s"$st2")
+
+    // compaction physically reclaims the abandoned garbage and restarts
+    // the wave history at 0; verdicts unchanged
+    val cd = java.nio.file.Files.createTempDirectory("vec_idx_twc").toString
+    VectorIndex.compact(spark, cd, prefix, prefix)
+    val st3 = VectorIndex.stats(spark, prefix)
+    assert(st3.totalRows == st2.totalRows && st3.committedWave == 0 &&
+      st3.abandonedWaves == 0, s"$st3")
+    val gotC = VectorIndex.incrementalDedup(twins, "vec_id", "embedding",
+      prefix, minCos = 0.999).collect().map(_.toString).sorted.toSeq
+    assert(gotC == after.map(_.toString).sorted.toSeq,
+      "compaction changed post-retry verdicts")
   }
 
   test("an at-least-once replay of an epoch with INTRA-BATCH near-dups is bit-identical") {
