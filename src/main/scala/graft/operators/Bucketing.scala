@@ -197,11 +197,15 @@ object Bucketing {
 
   /** PUBLISH wave `wave` under `dir` — one atomic empty-file create; the
     * moment this returns, every reader's next [[committedWave]] includes
-    * the wave's staged files across all tables. */
+    * the wave's staged files across all tables. `overwrite = false` is
+    * deliberate: the wave number was derived from the on-disk state, so
+    * an existing marker means a SECOND writer staged the same number —
+    * failing loudly here turns a silent interleaved-content corruption
+    * into an immediate single-writer-contract violation error. */
   def commitWave(spark: SparkSession, dir: String, wave: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
     p.getFileSystem(spark.sessionState.newHadoopConf())
-      .create(p, true).close()
+      .create(p, false).close()
   }
 
   /** Drop every wave marker under `dir` — a rebuild starts the history

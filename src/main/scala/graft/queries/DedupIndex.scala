@@ -428,7 +428,17 @@ object DedupIndex {
     * count — the meta row when present, else the attached table's bucket
     * spec — so compacting an index built with a non-default count never
     * silently rewrites its layout/parallelism (r14 advisor); pass an
-    * explicit positive value only to deliberately re-bucket. */
+    * explicit positive value only to deliberately re-bucket.
+    *
+    * Interleaving contract (single-writer, made explicit): compaction
+    * snapshots the committed wave set ONCE — an [[append]] or [[remove]]
+    * that commits AFTER that snapshot is not in the compacted artifact,
+    * and switching serving to it would silently lose that wave. Quiesce
+    * writers for the compact window (it is a maintenance-cadence
+    * operation); readers of the OLD location are unaffected throughout.
+    * Abandoned (never-committed) waves are physically reclaimed here —
+    * they are excluded from the rewrite and the fresh history starts at
+    * wave 0. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "dedup_idx", outPrefix: String = "dedup_idx",
       buckets: Int = 0): Unit = {

@@ -626,7 +626,13 @@ object VectorIndex {
     * the session; [[attach]] works on `outDir` from any later session.
     * This is the file-hygiene half of the real-scale maintenance story
     * (the other half — refreshing the frozen quantizer as appended mass
-    * drifts — is a [[build]] rebuild by design). */
+    * drifts — is a [[build]] rebuild by design).
+    *
+    * Interleaving contract ([[DedupIndex.compact]] twin): compaction
+    * snapshots the committed wave set once — appends/removals committing
+    * after the snapshot are not in the output; quiesce writers for the
+    * compact window. Abandoned (never-committed) waves are physically
+    * reclaimed here. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "vec_idx", outPrefix: String = "vec_idx"): Unit = {
     val oldLoc = spark.sessionState.catalog
