@@ -95,12 +95,18 @@ object DriftCalibration {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // cell granularity is the experiment's second axis: the default
+    // 4096-row cells collapse sf0.1's 2000 vectors into ONE cell (pure
+    // LSH+PQ drift — no routing error possible); 128-row cells give ~15
+    // live cells so shifted mass actually exercises the frozen coarse
+    // quantizer's routing. Run both; the delta isolates the IVF axis.
+    val cellRows = sys.env.getOrElse("SPARK_GRAFT_DRIFT_CELLROWS", "128").toInt
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val corpusN = corpus.count()
     val dir = java.nio.file.Files.createTempDirectory("drift_idx").toString
     graft.queries.VectorIndex.build(corpus, "vec_id", "embedding", dir,
-      minCos = Tau, prefix = "drift_idx")
+      minCos = Tau, prefix = "drift_idx", targetCellRows = cellRows)
 
     // fresh shifted probes (ids disjoint from every wave)
     val probes = shiftedVecs(spark, (0L until ProbeN).map(_ + 90000000L))
@@ -108,7 +114,7 @@ object DriftCalibration {
     probes.count()
 
     // cumulative waves: after wave i the appended fraction is fracs(i)
-    val fracs = Seq(0.0, 0.1, 0.25, 0.5, 1.0, 2.0)
+    val fracs = Seq(0.0, 0.1, 0.25, 0.35, 0.5, 1.0, 2.0)
     var appended = 0L
     var all = corpus
     val points = fracs.map { f =>
@@ -138,30 +144,46 @@ object DriftCalibration {
         else hit.toDouble / eligible.size
 
       // ANN recall@10 vs brute
-      val ann = graft.queries.VectorIndex.knn(probes, "vec_id", "embedding",
-        k = 10, "drift_idx")
-        .select(col("query_id"), col("vec_id")).collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) =>
-          q -> rs.map(_.getLong(1)).toSet
-        }
-      val aRecall = truth.keys.toSeq.map { q =>
-        val want = truth(q).map(_._1).toSet
-        if (want.isEmpty) 1.0
-        else (want & ann.getOrElse(q, Set.empty)).size.toDouble / want.size
-      }.sum / truth.size
+      def annRecall(prefix: String): Double = {
+        val ann = graft.queries.VectorIndex.knn(probes, "vec_id", "embedding",
+          k = 10, prefix)
+          .select(col("query_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet
+          }
+        truth.keys.toSeq.map { q =>
+          val want = truth(q).map(_._1).toSet
+          if (want.isEmpty) 1.0
+          else (want & ann.getOrElse(q, Set.empty)).size.toDouble / want.size
+        }.sum / truth.size
+      }
+      val aRecall = annRecall("drift_idx")
+
+      // the COUNTERFACTUAL the rebuild trigger decides between: a fresh
+      // index whose quantizer/codebooks trained on corpus ∪ appended.
+      // The knee is where frozen recall falls away from THIS curve —
+      // absolute recall conflates drift with the probe set's intrinsic
+      // difficulty (dense-cluster fine-ranking is hard for PQ even
+      // retrained).
+      val rbPrefix = s"drift_rb_${(f * 100).toInt}"
+      val rbDir = java.nio.file.Files.createTempDirectory(rbPrefix).toString
+      graft.queries.VectorIndex.build(allC, "vec_id", "embedding", rbDir,
+        minCos = Tau, prefix = rbPrefix, targetCellRows = cellRows)
+      val aRecallRebuilt = annRecall(rbPrefix)
 
       val st = graft.queries.VectorIndex.stats(spark, "drift_idx")
       allC.unpersist()
       (f, st.appendedRows.toDouble / st.corpusRowsAtBuild, vRecall, aRecall,
-        eligible.size, st.cellSkew, st.maxCellRows)
+        aRecallRebuilt, eligible.size, st.cellSkew, st.maxCellRows)
     }
 
-    val js = points.map { case (f, af, vr, ar, n, skew, maxc) =>
+    val js = points.map { case (f, af, vr, ar, arb, n, skew, maxc) =>
       f"""{"target_frac":$f%.2f,"appended_frac":$af%.3f,""" +
         f""""verdict_recall":$vr%.4f,"ann_recall":$ar%.4f,""" +
+        f""""ann_recall_rebuilt":$arb%.4f,""" +
         f""""eligible_probes":$n,"cell_skew":$skew%.2f,"max_cell_rows":$maxc}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"drift_calibration","sigma":$Sigma,"tau":$Tau,"corpus_rows":$corpusN,"points":$js}""")
+    println(s"""{"metric":"drift_calibration","sigma":$Sigma,"tau":$Tau,"cell_rows":$cellRows,"corpus_rows":$corpusN,"points":$js}""")
     spark.stop()
   }
 }

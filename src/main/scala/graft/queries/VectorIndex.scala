@@ -339,8 +339,22 @@ object VectorIndex {
     * decision surface. Rebuild/compact heuristics these numbers drive:
     *
     *   - `appendedRows / corpusRowsAtBuild` — frozen-quantizer drift:
-    *     appended mass was assigned with centroids trained before it
-    *     existed; a large fraction (rule of thumb: >0.5) says rebuild.
+    *     appended mass was assigned with centroids/PQ codebooks trained
+    *     before it existed. MEASURED (graft.DriftCalibration, shifted-
+    *     distribution waves vs a retrained counterfactual — BENCH_NOTES
+    *     "Frozen-quantizer drift calibration"): rebuild when the
+    *     fraction exceeds ~0.3 IF the index serves PQ ANN — frozen
+    *     recall matches a rebuild up to 0.25, then falls away (−27% of
+    *     attainable recall at 0.35, −42% at 0.5, −76% at 2.0). The
+    *     [[incrementalDedup]] verdict path measured drift-IMMUNE to
+    *     2.0× appended mass (recall 1.0 at every point): its candidates
+    *     come from data-independent LSH hyperplanes, and the frozen
+    *     router mis-routes a shifted cluster CONSISTENTLY — batch and
+    *     appended twins land in the same cell, which is all dedup needs.
+    *     A dedup-only index can therefore run far past 0.3; watch
+    *     `cellSkew` instead (the shifted mass piles into one hot cell —
+    *     skew 1.1→5.8 across the same waves — growing that cell's probe
+    *     candidate volume linearly).
     *   - `cellSkew` (max / mean cell occupancy) — hot cells grow probe
     *     candidate volume linearly; skew ≫ the build-time balance (and
     *     `maxCellRows` ≫ targetCellRows) says rebuild with more cells.
