@@ -13,6 +13,7 @@ object GraftFunctions {
   val IntDotName = "graft_int_dot"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val CellTop2Name = "graft_cell_top2"
 
   /** Idempotent; cheap enough to call before every query. */
   def register(spark: SparkSession): Unit = {
@@ -33,6 +34,24 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    // the centroid matrix and norms arrive as FOLDABLE literals and are
+    // consumed here, at function-build time — they become constructor
+    // data of [[CellTop2]] (a codegen reference object), never plan
+    // literals, so plans stay small at any k
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CellTop2Name,
+      exprs => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          s"$CellTop2Name(efp, cents, norms) needs literal cents/norms")
+        val m = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = (0 until m.numElements()).map(c =>
+          m.getArray(c).toLongArray().toSeq)
+        val n = exprs(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        CellTop2(exprs(0), cents, n.toDoubleArray().toSeq)
+      },
+      "built-in")
   }
 
   /** Exact Σ a(i)*b(i) over two array<long> columns (codegen'd). */
@@ -48,4 +67,19 @@ object GraftFunctions {
     * literal) serialized Bloom filter. */
   def bloomContains(filter: Column, h: Column): Column =
     call_function(BloomContainsName, filter, h)
+
+  /** Top-2 nearest-centroid assignment of an `array<long>` fixed-point
+    * vector column against a fixed centroid set, as one codegen'd
+    * projection — `struct<c1, s1, c2, s2>` ([[CellTop2]]). The matrix and
+    * norms ride through the registry as foldable literals and are folded
+    * into the expression at analysis time. Norms are computed here with
+    * the same driver-side double arithmetic the plan-literal regime uses,
+    * so the two regimes score identically. Requires [[register]]. */
+  def cellTop2(efp: Column, cents: IndexedSeq[Array[Long]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(CellTop2Name, efp,
+      typedLit(cents.map(_.toSeq)),
+      typedLit(cents.map(c =>
+        math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))))
+  }
 }

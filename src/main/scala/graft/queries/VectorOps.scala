@@ -1622,35 +1622,17 @@ object VectorOps {
   private def cellAssignCol(cents: IndexedSeq[Array[Long]]): Column =
     (array_max(cellScoredArr(cents)).getField("nc") * -1).as("cell")
 
-  private def cellCentTable(s: org.apache.spark.sql.SparkSession,
-      cents: IndexedSeq[Array[Long]]): DataFrame = {
-    val rows = cents.zipWithIndex.map { case (cent, c) =>
-      org.apache.spark.sql.Row(c,
-        math.sqrt(cent.map(x => x.toDouble * x.toDouble).sum), cent.toSeq)
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("cn",
-        org.apache.spark.sql.types.DoubleType, nullable = false),
-      org.apache.spark.sql.types.StructField("cefp",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, containsNull = false),
-        nullable = false)))
-    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-  }
-
   /** (vec_id, cell) for an indexed frame under a FIXED centroid set —
     * the assignment half of [[kmeansCells]], public so serving paths
     * ([[semanticIncrementalCellsIndexed]]) can place NEW batches into a
     * corpus's existing cells with the exact training-time scoring. Two
-    * regimes, bit-identical output (spec'd): k ≤ `kmeansLiteralMaxK`
-    * rides as plan literals (pure map); larger k broadcasts a centroid
-    * table and picks the argmax via a NARROW max-of-struct partial agg
-    * (score, negated cell) — the k-way fan-out must never carry the
-    * dims-long vector through the partial-agg buffers (measured 30×+
-    * heavier when it did). */
+    * regimes, bit-identical output (spec'd), BOTH pure projections:
+    * k ≤ `kmeansLiteralMaxK` rides as plan literals; larger k evaluates
+    * the argmax inside one codegen'd expression whose centroid matrix is
+    * a reference object ([[graft.functions.CellTop2]]) — plans stay small
+    * at any k, and nothing fans out (the pre-r15 broadcast-join +
+    * max-of-struct formulation planned a SortAggregate over the k-way
+    * fan-out, a disk-filling 8B-row sort at the 1000×-decade build). */
   def assignCells(frame: DataFrame,
       cents: IndexedSeq[Array[Long]]): DataFrame = {
     val k = cents.length
@@ -1658,17 +1640,18 @@ object VectorOps {
       .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
     if (k <= literalMaxK)
       frame.select(col("vec_id"), cellAssignCol(cents))
-    else {
-      val score = when(col("cn") === 0.0, lit(Double.MinValue))
-        .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
-          .cast("double") / col("cn"))
-      frame.select(col("vec_id"), col("efp"))
-        .crossJoin(broadcast(cellCentTable(frame.sparkSession, cents)))
-        .select(col("vec_id"), struct(score.as("s"),
-          (col("cell") * -1).as("nc")).as("sc"))
-        .groupBy("vec_id").agg(max(col("sc")).as("m"))
-        .select(col("vec_id"), (col("m.nc") * -1).as("cell"))
-    }
+    else
+      // large-k regime: argmax as ONE codegen'd projection
+      // ([[GraftFunctions.cellTop2]]) — the former broadcast crossJoin +
+      // max(struct(score, -cell)) partial agg planned as a SORT aggregate
+      // (struct buffers are HashAggregate-ineligible), so every vector's
+      // k-way fan-out was sorted: at the r15 1000×-decade build
+      // (2M vectors × ~4000 cells) the 8-billion-row sort spill filled
+      // the disk. The expression keeps the scoring arithmetic and
+      // lowest-cell tie rule bit-identical to the literal regime (spec'd)
+      // with zero fan-out, zero shuffle, zero sort.
+      frame.select(col("vec_id"),
+        GraftFunctions.cellTop2(col("efp"), cents).getField("c1").as("cell"))
   }
 
   /** TOP-`probes` cell assignment — [[assignCells]] widened to SemDeDup's
@@ -1695,12 +1678,13 @@ object VectorOps {
     * separated corpora. The default 2.0 (the cosine diameter) is
     * unconditional, i.e. plain top-2.
     *
-    * Cost shape: the literal regime (k ≤ `kmeansLiteralMaxK`) stays a
-    * PURE MAP — the scored array is let-bound once and the top-2 comes
-    * from array_max + a filtered array_max, no join, no shuffle. The
-    * broadcast regime pays the k-way fan-out twice (best via the narrow
-    * max-of-struct partial agg, second via a re-score excluding the best
-    * struct) — assignment cost ~2×, exactly the multi-probe trade. */
+    * Cost shape: BOTH regimes are pure maps. The literal regime
+    * (k ≤ `kmeansLiteralMaxK`) let-binds the scored array once and takes
+    * the top-2 via array_max + a filtered array_max; the large-k regime
+    * reads best AND runner-up out of the same single
+    * [[graft.functions.CellTop2]] evaluation, so multi-probe assignment
+    * costs the same one pass as single-probe — the 2× is only in the
+    * emitted rows. */
   def assignCellsMulti(frame: DataFrame, cents: IndexedSeq[Array[Long]],
       probes: Int, maxMargin: Double = 2.0): DataFrame = {
     require(probes >= 1 && probes <= 2,
@@ -1729,22 +1713,18 @@ object VectorOps {
                 .otherwise(array(b.getField("nc") * -1))), 1)), 1)), 1)
         frame.select(col("vec_id"), explode(cellsArr).as("cell"))
       } else {
-        val score = when(col("cn") === 0.0, lit(Double.MinValue))
-          .otherwise(GraftFunctions.intDot(col("efp"), col("cefp"))
-            .cast("double") / col("cn"))
-        def fan = frame.select(col("vec_id"), col("efp"), col("nrm"))
-          .crossJoin(broadcast(cellCentTable(frame.sparkSession, cents)))
-          .select(col("vec_id"), col("nrm"), struct(score.as("s"),
-            (col("cell") * -1).as("nc")).as("sc"))
-        val best = fan.groupBy("vec_id").agg(max(col("sc")).as("b"))
-        val second = fan.join(best.select(col("vec_id"), col("b")), Seq("vec_id"))
-          .filter(col("sc") =!= col("b"))
-          .groupBy("vec_id").agg(max(col("sc")).as("b2"),
-            first(col("b")).as("b"), first(col("nrm")).as("nrm"))
-          .filter(marginOk(col("b.s"), col("b2.s")))
-          .select(col("vec_id"), col("b2").as("b"))
-        best.unionAll(second)
-          .select(col("vec_id"), (col("b.nc") * -1).as("cell"))
+        // large-k regime: best AND runner-up from the same codegen'd
+        // projection ([[assignCells]] rationale — the old double fan-out
+        // through max(struct) planned SORT aggregates); the margin gate
+        // rides the projection, and the second row explodes out only when
+        // it passes — identical emit rule to the former second leg
+        val t = GraftFunctions.cellTop2(col("efp"), cents)
+        frame.select(col("vec_id"), col("nrm"), t.as("t2"))
+          .select(col("vec_id"), explode(
+            when(col("t2.c2") >= 0 &&
+                marginOk(col("t2.s1"), col("t2.s2")),
+              array(col("t2.c1"), col("t2.c2")))
+              .otherwise(array(col("t2.c1")))).as("cell"))
       }
     }
   }
@@ -1787,9 +1767,9 @@ object VectorOps {
     def assignedWithVec(cents: IndexedSeq[Array[Long]]): DataFrame =
       if (k <= literalMaxK)
         trainIdx.select(cellAssignCol(cents), col("efp"))
-      else assignCells(trainIdx, cents)
-        .join(trainIdx.select(col("vec_id"), col("efp")), Seq("vec_id"))
-        .select(col("cell"), col("efp"))
+      else trainIdx.select(
+        GraftFunctions.cellTop2(col("efp"), cents).getField("c1").as("cell"),
+        col("efp"))
 
     val seeds = trainIdx
       .select(col("vec_id"), col("efp"), md5(col("vec_id").cast("string")).as("h"))

@@ -407,11 +407,15 @@ class VectorOpsSpec extends SparkSpec {
     spark.conf.set(key, "1") // force every k onto the broadcast path
     try {
       val bc = VectorOps.kmeansCells(idx, 8, iters = 3)
-      // shape check: the assignment must come from a broadcast join, not
-      // k×dims literals baked into a projection
-      assert(bc.queryExecution.executedPlan.toString
-        .contains("BroadcastNestedLoopJoin"),
-        "forced broadcast path did not plan a broadcast join")
+      // shape check: the large-k assignment must be a PURE PROJECTION
+      // (CellTop2 reference-object argmax) — no join fan-out and, above
+      // all, no SortAggregate (the pre-r15 max-of-struct formulation's
+      // disk-filling failure mode at the 1000× decade)
+      val plan = bc.queryExecution.executedPlan.toString
+      assert(plan.contains("cell_top2"),
+        "forced large-k path did not plan the CellTop2 projection")
+      assert(!plan.contains("SortAggregate") && !plan.contains("Join"),
+        s"large-k assignment must not aggregate or join:\n$plan")
       val got = bc.collect()
         .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
       assert(got == lit, "broadcast-path assignments diverged from literal path")
