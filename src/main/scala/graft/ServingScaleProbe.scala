@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DECADES=1,100,1000 \
   *     sbt "runMain graft.ServingScaleProbe [baseSfDir] [workDir]"
-  */
+  *
+  * SPARK_GRAFT_PVALS / SPARK_GRAFT_PCELLS (default 0 = library defaults)
+  * override the hash-partition grain of the text/vector indexes — the
+  * fixed-grain series showed probe growth RESUMES at the third decade
+  * when pvals stays at 64 (the probed fraction of the index is
+  * |batch partitions|/pvals, so a fixed pvals means a linearly growing
+  * scan residual); a scaled-grain point (512 at 1000×) is the measured
+  * validation of the "raise pvals with index size" design rule. Non-zero
+  * grains build under grain-suffixed dirs/prefixes, so both operating
+  * points coexist in one work dir. */
 object ServingScaleProbe {
 
   private val RepOff = 1000000L
@@ -95,10 +104,15 @@ object ServingScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val pvals = sys.env.getOrElse("SPARK_GRAFT_PVALS", "0").toInt
+    val pcells = sys.env.getOrElse("SPARK_GRAFT_PCELLS", "0").toInt
+
     val points = decades.map { reps =>
       val rd = buildCorpus(spark, baseDir, work, reps)
-      val tpfx = s"decade_txt_x$reps"
-      val vpfx = s"decade_vec_x$reps"
+      val tg = if (pvals > 0) s"p$pvals" else ""
+      val vg = if (pcells > 0) s"p$pcells" else ""
+      val tpfx = s"decade_txt_x$reps$tg"
+      val vpfx = s"decade_vec_x$reps$vg"
       val tdir = s"$work/$tpfx"
       val vdir = s"$work/$vpfx"
 
@@ -119,14 +133,16 @@ object ServingScaleProbe {
       val (tBuild, _) = timed {
         if (!new java.io.File(s"$tdir/hashes").exists())
           graft.queries.DedupIndex.build(docCorpus, "doc_id", "text", tdir,
-            prefix = tpfx)
+            prefix = tpfx,
+            pvals = if (pvals > 0) pvals else graft.queries.DedupIndex.DefaultPvals)
         else if (!spark.catalog.tableExists(s"${tpfx}_hashes"))
           graft.queries.DedupIndex.attach(spark, tdir, tpfx)
       }
       val (vBuild, _) = timed {
         if (!new java.io.File(s"$vdir/meta").exists())
           graft.queries.VectorIndex.build(vecCorpus, "vec_id", "embedding",
-            vdir, minCos = 0.9, prefix = vpfx, targetCellRows = 512)
+            vdir, minCos = 0.9, prefix = vpfx, targetCellRows = 512,
+            pcells = if (pcells > 0) pcells else graft.queries.VectorIndex.DefaultPcells)
         else if (!spark.catalog.tableExists(s"${vpfx}_meta"))
           graft.queries.VectorIndex.attach(spark, vdir, vpfx)
       }
@@ -151,7 +167,10 @@ object ServingScaleProbe {
       val docRows = docCorpus.count()
       val vecRows = vecCorpus.count()
       spark.catalog.clearCache()
+      val tgv = if (pvals > 0) pvals else graft.queries.DedupIndex.DefaultPvals
+      val vgv = if (pcells > 0) pcells else graft.queries.VectorIndex.DefaultPcells
       f"""{"reps":$reps,"doc_rows":$docRows,"vec_rows":$vecRows,""" +
+        f""""pvals":$tgv,"pcells":$vgv,""" +
         f""""text_build":$tBuild%.2f,"text_probe":$tProbe%.3f,""" +
         f""""text_compact":$tCompact%.2f,"vec_build":$vBuild%.2f,""" +
         f""""vec_probe":$vProbe%.3f,"vec_compact":$vCompact%.2f}"""
