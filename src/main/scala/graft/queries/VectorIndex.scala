@@ -128,9 +128,22 @@ object VectorIndex {
       targetCellRows: Int = VectorOps.DefaultCellRows, dims: Int = 64,
       trainSampleCap: Long = 0L, pqM: Int = 8, pqKsub: Int = 16,
       buckets: Int = DefaultBuckets, pcells: Int = DefaultPcells): Unit = {
-    val s = corpus.sparkSession
     val idx = VectorOps.index(corpus, id, vec)
-    try {
+    try buildIndexed(idx, dir, minCos, prefix, nCells, kmeansIters,
+      targetCellRows, dims, trainSampleCap, pqM, pqKsub, buckets, pcells)
+    finally idx.unpersist(false) // the index lives on disk now
+  }
+
+  /** The derivation + write core shared by [[build]] (quantizes a raw
+    * float corpus first) and [[rebuild]] (starts from the index's own
+    * persisted quantized vectors): everything downstream of the
+    * (vec_id, efp, nrm) contract is a pure function of it. */
+  private def buildIndexed(idx: DataFrame, dir: String, minCos: Double,
+      prefix: String, nCells: Int, kmeansIters: Int, targetCellRows: Int,
+      dims: Int, trainSampleCap: Long, pqM: Int, pqKsub: Int,
+      buckets: Int, pcells: Int): Unit = {
+    val s = idx.sparkSession
+    locally {
       val rows = idx.count()
       val k = VectorOps.autoCellCount(rows, nCells, targetCellRows)
       val cellRows = math.max(1L, (rows + k - 1) / k)
@@ -234,7 +247,77 @@ object VectorIndex {
       // PUBLISH wave 0 — last, so every table is in place before any
       // reader can resolve a committed wave
       if (pcells > 0) Bucketing.commitWave(s, dir, 0)
-    } finally idx.unpersist(false) // the index lives on disk now
+    }
+  }
+
+  /** REBUILD an attached index into `outDir` from ITS OWN persisted
+    * vectors — the quantizer-refresh half of index maintenance
+    * ([[compact]] is the file-hygiene half, which deliberately does NOT
+    * retrain): when [[stats]]' appended-mass fraction crosses the
+    * measured ~0.3 PQ-recall knee (BENCH_NOTES r15 drift calibration),
+    * the centroids/LSH shape/PQ codebooks need retraining over
+    * corpus ∪ appended — and at real scale re-reading the original float
+    * corpus to do it means re-shipping 100 TB. The `vecs` table already
+    * stores every committed vector at FULL index precision (`efp` IS the
+    * representation [[build]] derives from floats, exactly), so rebuild
+    * retrains from the index alone: committed waves only, tombstones
+    * dropped physically, replay-duplicate rows collapsed. The result is
+    * BIT-IDENTICAL to a scratch [[build]] over the same live vector set
+    * with the same knobs (spec-pinned): every derivation downstream of
+    * quantization is a pure function of (vec_id, efp, nrm), and the
+    * k-means seeds / PQ training sample are deterministic in vec_id.
+    *
+    * Knobs default to the source meta (`-1`/`0` sentinels) — pass
+    * explicit values to re-shape while re-training (e.g. more cells
+    * after growth; `nCells = AutoCells`, the default, already re-sizes
+    * the cell count to the LIVE row count). Like [[compact]]: fresh
+    * `outDir` required, quiesce writers for the window, readers of the
+    * old location are unaffected throughout.
+    *
+    * (No [[DedupIndex]] twin: the text index is model-free — nothing to
+    * retrain — and its hashes derive from raw text the index does not
+    * store; its maintenance story is complete with compact.) */
+  def rebuild(spark: SparkSession, outDir: String,
+      prefix: String = "vec_idx", outPrefix: String = "vec_idx",
+      nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 0,
+      targetCellRows: Int = 0, trainSampleCap: Long = -1L,
+      pqM: Int = 0, pqKsub: Int = 0, buckets: Int = 0,
+      pcells: Int = -1): Unit = {
+    val m = meta(spark, prefix)
+    val srcLoc = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_vecs"))
+      .location.toString.stripSuffix("/")
+    require(!srcLoc.endsWith(
+        new java.io.File(s"$outDir/vecs").getAbsolutePath.stripSuffix("/")),
+      s"rebuild target $outDir is the live index location — rebuild " +
+        "rewrites tables while reading them, so it needs a fresh directory")
+    // read the source from its FILES, not the catalog table (the compact
+    // rationale: when outPrefix == prefix the writes drop/recreate the
+    // catalog entries mid-derivation; a path-based scan — and the cache
+    // entries over it — is immune to those refreshes)
+    val committed = {
+      val df = spark.read.parquet(srcLoc)
+      if (m.pcells > 0) {
+        val cws = Bucketing.committedWaves(spark, dirOf(spark, prefix))
+        df.where(col("wave").isin(cws.map(Integer.valueOf): _*))
+      } else df
+    }
+    val live = notTombstoned(spark, prefix, committed, "vec_id")
+      .select("vec_id", "efp", "nrm")
+      .dropDuplicates("vec_id") // replayed appends write duplicate rows
+    val idx = graft.queries.Caching.cached(live,
+      "spark.graft.vector.storageLevel")
+    try buildIndexed(idx, outDir, m.minCos, outPrefix, nCells,
+      if (kmeansIters > 0) kmeansIters else m.kmeansIters,
+      if (targetCellRows > 0) targetCellRows else m.targetCellRows,
+      m.dims,
+      if (trainSampleCap >= 0L) trainSampleCap else m.trainSampleCap,
+      if (pqM > 0) pqM else m.pqM,
+      if (pqKsub > 0) pqKsub else m.pqKsub,
+      if (buckets > 0) buckets else m.buckets,
+      if (pcells >= 0) pcells else m.pcells)
+    finally idx.unpersist(false)
   }
 
   /** The live directory of an attached/built index (parent of the meta

@@ -538,4 +538,69 @@ class VectorIndexSpec extends SparkSpec {
       fresh.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("rebuild retrains from the index's own vectors, bit-identical to a scratch build over the live set") {
+    val sp = spark
+    // dedicated prefixes/dirs: this test mutates (append/remove), so it
+    // must not share the suite's fixture index
+    val dA = java.nio.file.Files.createTempDirectory("vec_reb_src").toString
+    val corpus = emb.filter(!isBatch && col("vec_id") % 5 =!= 0)
+    VectorIndex.build(corpus, "vec_id", "embedding", dA, MinCos,
+      prefix = "reb_src")
+    // grow past build: append a novel-id wave, then tombstone one build
+    // vector — rebuild must fold the wave in and drop the removal
+    val wave = emb.filter(isBatch)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    VectorIndex.append(wave, "vec_id", "embedding", "reb_src")
+    val removedId = corpus.agg(min("vec_id")).head().getLong(0)
+    VectorIndex.remove(sp, Seq(removedId), "reb_src")
+
+    val dR = java.nio.file.Files.createTempDirectory("vec_reb_out").toString
+    VectorIndex.rebuild(sp, dR, prefix = "reb_src", outPrefix = "reb_out")
+
+    // the counterfactual: a scratch build over the same live FLOAT set
+    // with the same knobs (quantization is deterministic, so the indexed
+    // frames match exactly and every derivation downstream must too)
+    val dS = java.nio.file.Files.createTempDirectory("vec_reb_scr").toString
+    VectorIndex.build(
+      corpus.filter(col("vec_id") =!= removedId).unionAll(wave),
+      "vec_id", "embedding", dS, MinCos, prefix = "reb_scr")
+
+    val probe = batchOf(emb)
+    def verdicts(pfx: String) = VectorIndex
+      .incrementalDedup(probe, "vec_id", "embedding", pfx)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(verdicts("reb_out") == verdicts("reb_scr"),
+      "rebuilt-index verdicts diverged from the scratch build")
+    val queries = emb.filter(col("vec_id") % 100 === 7)
+    def top(pfx: String) = VectorIndex
+      .knn(queries, "vec_id", "embedding", k = 5, prefix = pfx)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(top("reb_out") == top("reb_scr"),
+      "rebuilt-index ANN top-k diverged from the scratch build")
+
+    // maintenance state resets: retrained quantizer at the LIVE row
+    // count, appended mass folded in, tombstones gone (physically)
+    val st = VectorIndex.stats(sp, "reb_out")
+    assert(st.tombstones == 0L && st.appendedRows == 0L &&
+      st.committedWave == 0 && st.abandonedWaves == 0, s"stats: $st")
+    assert(st.corpusRowsAtBuild == st.totalRows,
+      "rebuild meta must record the live set as its corpus")
+    assert(sp.table("reb_out_vecs")
+      .where(col("vec_id") === removedId).isEmpty,
+      "tombstoned vector survived the rebuild")
+    // a fresh session attaches the rebuilt artifact like any build output
+    Seq("reb_out_meta", "reb_out_cents", "reb_out_pqbooks", "reb_out_vecs",
+      "reb_out_cells", "reb_out_bands", "reb_out_pqcodes")
+      .foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+    val fresh = sp.newSession()
+    VectorIndex.attach(fresh, dR, "reb_out")
+    val freshProbe = batchOf(Tables.load(fresh, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    val freshGot = VectorIndex
+      .incrementalDedup(freshProbe, "vec_id", "embedding", "reb_out")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(freshGot == verdicts("reb_scr"),
+      "fresh-session attach of the rebuilt index diverged")
+  }
 }
