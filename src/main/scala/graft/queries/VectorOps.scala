@@ -1635,6 +1635,10 @@ object VectorOps {
     * fan-out, a disk-filling 8B-row sort at the 1000×-decade build). */
   def assignCells(frame: DataFrame,
       cents: IndexedSeq[Array[Long]]): DataFrame = {
+    // self-register (idempotent): both regimes ride registry functions
+    // (intDot / cellTop2), and callers like VectorIndex.rebuild reach
+    // here without ever passing through index()'s registration
+    GraftFunctions.register(frame.sparkSession)
     val k = cents.length
     val literalMaxK = frame.sparkSession.conf
       .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
@@ -1692,6 +1696,7 @@ object VectorOps {
         " smaller cells (raise nCells) rather than wider assignment")
     if (probes == 1 || cents.length < 2) assignCells(frame, cents)
     else {
+      GraftFunctions.register(frame.sparkSession) // assignCells rationale
       val k = cents.length
       val literalMaxK = frame.sparkSession.conf
         .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
@@ -1736,6 +1741,7 @@ object VectorOps {
   def kmeansCentroids(idx: DataFrame, k: Int, iters: Int = 5,
       trainSampleCap: Long = 0L): IndexedSeq[Array[Long]] = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1 (got $k, $iters)")
+    GraftFunctions.register(idx.sparkSession) // assignCells rationale
     val literalMaxK = idx.sparkSession.conf
       .get("spark.graft.vector.kmeansLiteralMaxK", "64").toInt
     val dims = idx.select(size(col("efp"))).head().getInt(0)
