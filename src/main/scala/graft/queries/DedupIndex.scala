@@ -523,6 +523,16 @@ object DedupIndex {
       prefix: String = "dedup_idx", buckets: Int = DefaultBuckets): Unit = {
     if (fsExists(spark, s"$dir/meta")) {
       val m = spark.read.parquet(s"$dir/meta").head()
+      // refuse a markerless partitioned artifact (crashed build or
+      // pre-wave layout): probes would resolve an empty committed set and
+      // serve `new` for everything — silent admission of the whole
+      // stream; loud beats silent ([[VectorIndex.attach]] twin)
+      require(m.getAs[Int]("pvals") == 0 ||
+          Bucketing.committedWaves(spark, dir).nonEmpty,
+        s"$dir has a partitioned layout (pvals=${m.getAs[Int]("pvals")}) " +
+          "but no committed wave marker — a crashed build or a pre-wave " +
+          "artifact; attaching would serve an empty index (every verdict " +
+          "'new'). Rebuild it under the current layout.")
       Bucketing.attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
       tables(prefix).foreach { case (table, keys, sub, partCol) =>
         Bucketing.attachPartitionedBucketed(spark, table,

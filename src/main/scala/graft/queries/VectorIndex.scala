@@ -333,10 +333,26 @@ object VectorIndex {
   /** Register an existing index written by [[build]] in `spark`'s catalog
     * — metadata only (no data job, no corpus recomputation). Bucket
     * counts come from the persisted meta, so the planner proves the
-    * layout exactly as at write time. */
+    * layout exactly as at write time.
+    *
+    * Refuses a partitioned artifact with NO committed wave marker: every
+    * healthy partitioned index has one (`build`/`compact`/`rebuild`
+    * commit `_wave_0` last, even for an empty corpus), so a markerless
+    * directory is either a crashed build or a pre-wave (r14-layout)
+    * artifact — in both cases probes would resolve an EMPTY committed set
+    * and serve `new` for everything, which in a dedup/decontamination
+    * gate silently admits the whole stream. Loud beats silent here;
+    * rebuild the artifact (crashed build) or re-`build` it under the
+    * current layout (pre-wave). */
   def attach(spark: SparkSession, dir: String,
       prefix: String = "vec_idx"): Unit = {
     val m = metaOf(spark.read.parquet(s"$dir/meta").head())
+    require(m.pcells == 0 ||
+        Bucketing.committedWaves(spark, dir).nonEmpty,
+      s"$dir has a partitioned layout (pcells=${m.pcells}) but no " +
+        "committed wave marker — a crashed build or a pre-wave artifact; " +
+        "attaching would serve an empty index (every verdict 'new'). " +
+        "Rebuild it under the current layout.")
     attachPlain(spark, s"${prefix}_meta", s"$dir/meta")
     attachPlain(spark, s"${prefix}_cents", s"$dir/cents")
     attachPlain(spark, s"${prefix}_pqbooks", s"$dir/pqbooks")

@@ -602,4 +602,20 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(got == want, "partition pruning changed serving verdicts")
   }
+
+  test("attach refuses a markerless partitioned artifact (crashed build / pre-wave layout)") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_nomark").toString
+    DedupIndex.build(docs.filter(col("doc_id") % 50 === 1), "doc_id",
+      "text", d, prefix = "nomark_txt")
+    graft.operators.Bucketing.clearWaveMarkers(spark, d)
+    val fresh = spark.newSession()
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.attach(fresh, d, "nomark_txt")
+    }
+    assert(e.getMessage.contains("no committed wave marker"), e.getMessage)
+    // re-publishing the build's wave heals the artifact
+    graft.operators.Bucketing.commitWave(spark, d, 0)
+    DedupIndex.attach(fresh, d, "nomark_txt")
+    assert(DedupIndex.stats(fresh, "nomark_txt").docs > 0L)
+  }
 }

@@ -603,4 +603,20 @@ class VectorIndexSpec extends SparkSpec {
     assert(freshGot == verdicts("reb_scr"),
       "fresh-session attach of the rebuilt index diverged")
   }
+
+  test("attach refuses a markerless partitioned artifact (crashed build / pre-wave layout)") {
+    val d = java.nio.file.Files.createTempDirectory("vec_nomark").toString
+    VectorIndex.build(emb.filter(col("vec_id") % 20 === 1), "vec_id",
+      "embedding", d, MinCos, prefix = "nomark_vec")
+    graft.operators.Bucketing.clearWaveMarkers(spark, d)
+    val fresh = spark.newSession()
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.attach(fresh, d, "nomark_vec")
+    }
+    assert(e.getMessage.contains("no committed wave marker"), e.getMessage)
+    // re-publishing the build's wave heals the artifact
+    graft.operators.Bucketing.commitWave(spark, d, 0)
+    VectorIndex.attach(fresh, d, "nomark_vec")
+    assert(VectorIndex.stats(fresh, "nomark_vec").totalRows > 0L)
+  }
 }
