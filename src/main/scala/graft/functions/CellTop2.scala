@@ -39,6 +39,25 @@ import org.apache.spark.sql.types._
   * generated code, NOT k×dims plan literals) — plans stay small and the
   * matrix is shared per-JVM, the executor-side analogue of a broadcast.
   */
+object CellTop2 {
+  /** The registry/extension builder (shared so the temp-function and
+    * SparkSessionExtensions registrations can never drift): the centroid
+    * matrix and norms arrive as FOLDABLE literals and are consumed HERE,
+    * at expression-build time — they become constructor data (a codegen
+    * reference object), never plan literals. */
+  def fromExprs(name: String, exprs: Seq[Expression]): CellTop2 = {
+    require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+      s"$name(efp, cents, norms) needs literal cents/norms")
+    val m = exprs(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cents = (0 until m.numElements()).map(c =>
+      m.getArray(c).toLongArray().toSeq)
+    val n = exprs(2).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    CellTop2(exprs.head, cents, n.toDoubleArray().toSeq)
+  }
+}
+
 case class CellTop2(child: Expression, cents: Seq[Seq[Long]],
     cns: Seq[Double]) extends UnaryExpression {
 

@@ -20,17 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CellTop2Name),
       new ExpressionInfo(classOf[CellTop2].getName, GraftFunctions.CellTop2Name),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
-          s"${GraftFunctions.CellTop2Name}(efp, cents, norms) needs " +
-            "literal cents/norms")
-        val m = exprs(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val cents = (0 until m.numElements()).map(c =>
-          m.getArray(c).toLongArray().toSeq)
-        val n = exprs(2).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        CellTop2(exprs.head, cents, n.toDoubleArray().toSeq)
-      }))
+      (exprs: Seq[Expression]) =>
+        CellTop2.fromExprs(GraftFunctions.CellTop2Name, exprs)))
   }
 }

@@ -34,24 +34,8 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
-    // the centroid matrix and norms arrive as FOLDABLE literals and are
-    // consumed here, at function-build time — they become constructor
-    // data of [[CellTop2]] (a codegen reference object), never plan
-    // literals, so plans stay small at any k
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CellTop2Name,
-      exprs => {
-        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
-          s"$CellTop2Name(efp, cents, norms) needs literal cents/norms")
-        val m = exprs(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val cents = (0 until m.numElements()).map(c =>
-          m.getArray(c).toLongArray().toSeq)
-        val n = exprs(2).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        CellTop2(exprs(0), cents, n.toDoubleArray().toSeq)
-      },
-      "built-in")
+      CellTop2Name, CellTop2.fromExprs(CellTop2Name, _), "built-in")
   }
 
   /** Exact Σ a(i)*b(i) over two array<long> columns (codegen'd). */

@@ -143,6 +143,35 @@ object Bucketing {
       s"CREATE TABLE $table ($schema) USING PARQUET LOCATION '$location'")
   }
 
+  /** True when `a` and `b` name the SAME filesystem location, across
+    * scheme qualification and relative/absolute spellings — the
+    * live-location guard for compact/rebuild. `java.io.File` comparison
+    * silently never matches scheme-qualified locations (`s3a://…`,
+    * `mock://…` mangle into `<cwd>/s3a:/…`), which let a rebuild target
+    * the live remote index it was reading (r15 review). Each side is
+    * qualified by ITS OWN filesystem (relative paths resolve against the
+    * FS working directory, local paths gain `file:`), so a remote
+    * `mock://root/idx` and a local `/root/idx` correctly compare
+    * UNEQUAL, while `/tmp/x` and `file:/tmp/x` compare equal. */
+  def samePath(spark: SparkSession, a: String, b: String): Boolean = {
+    val hc = spark.sessionState.newHadoopConf()
+    // qualify ONLY scheme-less paths (resolves relative spellings and
+    // adds file:): an already-qualified path is compared as written —
+    // calling makeQualified on it would route through the named FS's
+    // checkPath, which some FS impls (empty-authority URIs) reject for
+    // authority-bearing paths even though the location is theirs
+    def norm(p: String): (String, String, String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val u =
+        if (path.toUri.getScheme != null) path.toUri
+        else path.getFileSystem(hc).makeQualified(path).toUri
+      (u.getScheme,
+        Option(u.getAuthority).getOrElse(""),
+        u.getPath.stripSuffix("/") match { case "" => "/"; case s => s })
+    }
+    norm(a) == norm(b)
+  }
+
   /** Recursive `part-` data-file count under `location` (any Hadoop FS
     * scheme) — the file-hygiene signal: each append adds one file set,
     * and a count far above buckets × partitions says compact. */

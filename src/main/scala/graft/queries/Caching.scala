@@ -57,8 +57,22 @@ private[queries] final class BoundedMemo[K, V](max: Int,
           case Some(winner) => winner
           case None =>
             val built = build
-            m.synchronized(m.put(key, built))
-            built
+            // install-or-adopt, never overwrite: the lock entry is
+            // removed after a build, so a waiter holding the STALE lock
+            // and a newcomer holding a fresh one can both build the same
+            // key after an LRU eviction (r15 review) — a blind put would
+            // replace the first value without onDrop. Adopting the first
+            // installed value keeps "one installed value per key"; the
+            // adopter's own build needs no onDrop (for persisted-frame
+            // memos both persists share ONE CacheManager entry — the
+            // canonically-equal-plan fact the r14 fix rests on — and
+            // model values just become unreachable).
+            m.synchronized {
+              Option(m.get(key)) match {
+                case Some(winner) => winner
+                case None => m.put(key, built); built
+              }
+            }
         }
       } finally inflight.remove(key, lock)
     }

@@ -445,9 +445,11 @@ object DedupIndex {
     val oldLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
-      .location.toString.stripSuffix("/")
-    require(!oldLoc.endsWith(
-        new java.io.File(s"$outDir/hashes").getAbsolutePath.stripSuffix("/")),
+      .location.toString
+    // Hadoop-Path comparison, NOT java.io.File: scheme-qualified live
+    // locations (s3a://, mock://) never match a File path, which would
+    // let a compact silently destroy the index it is reading (r15 review)
+    require(!Bucketing.samePath(spark, oldLoc, s"$outDir/hashes"),
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
     val pvals = pvalsOf(spark, prefix)

@@ -287,9 +287,8 @@ object VectorIndex {
     val srcLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_vecs"))
-      .location.toString.stripSuffix("/")
-    require(!srcLoc.endsWith(
-        new java.io.File(s"$outDir/vecs").getAbsolutePath.stripSuffix("/")),
+      .location.toString
+    require(!Bucketing.samePath(spark, srcLoc, s"$outDir/vecs"),
       s"rebuild target $outDir is the live index location — rebuild " +
         "rewrites tables while reading them, so it needs a fresh directory")
     // read the source from its FILES, not the catalog table (the compact
@@ -692,33 +691,29 @@ object VectorIndex {
           .saveAsTable(s"${prefix}_$table")
       }
       val pcellOf = pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell")
+      // only vecs/bands differ between layouts (the pcell partition
+      // column); cells/pqcodes are layout-independent — appendTo adds the
+      // wave column itself — so build those closures ONCE (r15 review:
+      // the two copied Seqs could silently diverge under future edits)
+      val bandRows = VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
+        .join(cells, Seq("vec_id"))
       val writes: Seq[() => Unit] =
-        if (m.pcells > 0) Seq(
+        (if (m.pcells > 0) Seq(
           () => appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm"))
               .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
                 col("nrm"), pcellOf),
             "vecs", Seq("vec_id"), Seq("pcell")),
           () => appendTo(
-            VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
-              .join(cells, Seq("vec_id"))
-              .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-                col("v"), pcellOf),
-            "bands", Seq("cell", "k", "v"), Seq("pcell")),
-          () => appendTo(cells, "cells", Seq("vec_id")),
-          () => appendTo(
-            VectorOps.pqEncodeIndexed(bIdx, books)
-              .withColumn("rnorm2",
-                VectorOps.pqRnorm2Col(col("codes"), books)),
-            "pqcodes", Seq("vec_id")))
+            bandRows.select(col("vec_id").as("partner_id"), col("cell"),
+              col("k"), col("v"), pcellOf),
+            "bands", Seq("cell", "k", "v"), Seq("pcell")))
         else Seq(
           () => appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
             "vecs", Seq("vec_id")),
           () => appendTo(
-            VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
-              .join(cells, Seq("vec_id"))
-              .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
-                col("v")),
-            "bands", Seq("cell", "k", "v")),
+            bandRows.select(col("vec_id").as("partner_id"), col("cell"),
+              col("k"), col("v")),
+            "bands", Seq("cell", "k", "v")))) ++ Seq(
           () => appendTo(cells, "cells", Seq("vec_id")),
           () => appendTo(
             VectorOps.pqEncodeIndexed(bIdx, books)
@@ -751,9 +746,10 @@ object VectorIndex {
     val oldLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_vecs"))
-      .location.toString.stripSuffix("/")
-    require(!oldLoc.endsWith(
-        new java.io.File(s"$outDir/vecs").getAbsolutePath.stripSuffix("/")),
+      .location.toString
+    // Hadoop-Path comparison, NOT java.io.File ([[DedupIndex.compact]]
+    // rationale: File mangles scheme-qualified locations)
+    require(!Bucketing.samePath(spark, oldLoc, s"$outDir/vecs"),
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
     val m = meta(spark, prefix)

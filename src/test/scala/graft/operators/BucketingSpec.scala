@@ -39,4 +39,21 @@ class BucketingSpec extends SparkSpec {
     assert(row.getLong(0) == plain.getLong(0))
     assert(math.abs(row.getDouble(1) - plain.getDouble(1)) < 1e-6)
   }
+
+  test("samePath: the compact/rebuild live-location guard across schemes and spellings") {
+    // same location, different spellings → equal
+    assert(Bucketing.samePath(spark, "/tmp/graft_sp/x", "file:/tmp/graft_sp/x"))
+    assert(Bucketing.samePath(spark, "/tmp/graft_sp/x/", "/tmp/graft_sp/x"))
+    // genuinely different locations → unequal
+    assert(!Bucketing.samePath(spark, "/tmp/graft_sp/x", "/tmp/graft_sp/y"))
+    // suffix coincidence must NOT match (the old endsWith guard's bug class)
+    assert(!Bucketing.samePath(spark, "/a/root/idx/vecs", "/root/idx/vecs"))
+    // scheme-qualified remote location vs same-suffix local path: the
+    // java.io.File comparison this replaced silently never matched the
+    // remote side — a rebuild could target the live remote index
+    spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
+      classOf[graft.sources.MockRemoteFileSystem].getName)
+    assert(!Bucketing.samePath(spark, "mock://tmp/graft_sp/x", "/tmp/graft_sp/x"))
+    assert(Bucketing.samePath(spark, "mock://tmp/graft_sp/x", "mock://tmp/graft_sp/x"))
+  }
 }
