@@ -22,6 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * so there is nothing to keep in sync with the DuckDB oracle (the
   * fixed-point quantization of float vectors happens once, upstream, in
   * declarative `round()`).
+  *
+  * Input contract: array ELEMENTS must be non-null (a null ARGUMENT is
+  * fine — nullIntolerant gives a null result). The type check accepts
+  * `array<bigint>` regardless of containsNull, and the loop reads each
+  * slot with `getLong`, so a null element contributes an UNDEFINED term
+  * (typically 0) instead of failing — the hot loop deliberately skips a
+  * per-element null branch; every producer in this library derives its
+  * arrays via `transform(round(...))` over non-null floats.
+  * ([[CellTop2]] shares this contract.)
   */
 case class ArrayIntDot(left: Expression, right: Expression)
     extends BinaryExpression {

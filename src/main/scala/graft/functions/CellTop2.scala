@@ -38,6 +38,17 @@ import org.apache.spark.sql.types._
   * The centroid matrix rides as constructor data (a reference object in
   * generated code, NOT k×dims plan literals) — plans stay small and the
   * matrix is shared per-JVM, the executor-side analogue of a broadcast.
+  *
+  * Input contract: array ELEMENTS must be non-null. The type check
+  * accepts `array<bigint>` regardless of its containsNull flag (every
+  * producer in this library derives efp via `transform(round(...))`
+  * over non-null floats, which Spark often still types containsNull =
+  * true), and the eval/codegen loops read each slot with `getLong` —
+  * a null element would contribute an UNDEFINED term (typically 0) to
+  * the score rather than fail. The hot loop deliberately does not pay
+  * a per-element null branch; feed it null-bearing arrays and cell
+  * assignment is silently wrong. ([[ArrayIntDot]] shares this
+  * contract.)
   */
 object CellTop2 {
   /** The registry/extension builder (shared so the temp-function and

@@ -152,7 +152,15 @@ object Bucketing {
     * qualified by ITS OWN filesystem (relative paths resolve against the
     * FS working directory, local paths gain `file:`), so a remote
     * `mock://root/idx` and a local `/root/idx` correctly compare
-    * UNEQUAL, while `/tmp/x` and `file:/tmp/x` compare equal. */
+    * UNEQUAL, while `/tmp/x` and `file:/tmp/x` compare equal. Authority
+    * case is normalized (hostnames are case-insensitive per RFC 3986);
+    * the RESIDUAL gap: two authority spellings of one service that
+    * differ structurally — an explicit default port vs none
+    * (`hdfs://nn:8020/x` vs `hdfs://nn/x`) or a host alias vs its
+    * canonical name — still compare unequal, so the live-location guard
+    * fails OPEN for them (resolving those requires asking the remote
+    * FS/DNS, which this planning-time check deliberately does not do;
+    * spell index locations consistently within a deployment). */
   def samePath(spark: SparkSession, a: String, b: String): Boolean = {
     val hc = spark.sessionState.newHadoopConf()
     // qualify ONLY scheme-less paths (resolves relative spellings and
@@ -166,7 +174,7 @@ object Bucketing {
         if (path.toUri.getScheme != null) path.toUri
         else path.getFileSystem(hc).makeQualified(path).toUri
       (u.getScheme,
-        Option(u.getAuthority).getOrElse(""),
+        Option(u.getAuthority).map(_.toLowerCase).getOrElse(""),
         u.getPath.stripSuffix("/") match { case "" => "/"; case s => s })
     }
     norm(a) == norm(b)

@@ -440,8 +440,13 @@ object DedupIndex {
     * they are excluded from the rewrite and the fresh history starts at
     * wave 0. */
   def compact(spark: SparkSession, outDir: String,
-      prefix: String = "dedup_idx", outPrefix: String = "dedup_idx",
+      prefix: String = "dedup_idx", outPrefix: String = null,
       buckets: Int = 0): Unit = {
+    // null outPrefix (the default) = in place under `prefix`: a literal
+    // "dedup_idx" default silently compacted a prefix="x" index into the
+    // unrelated "dedup_idx" catalog entries ([[VectorIndex.rebuild]]
+    // rationale; Scala cannot default one parameter to another)
+    val outPfx = Option(outPrefix).getOrElse(prefix)
     val oldLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
@@ -489,7 +494,7 @@ object DedupIndex {
     val cws = if (pvals > 0)
       Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
     if (pvals > 0) Bucketing.clearWaveMarkers(spark, outDir)
-    tables(prefix).zip(tables(outPrefix)).foreach {
+    tables(prefix).zip(tables(outPfx)).foreach {
       case ((src, keys, sub, partCol), (dst, _, _, _)) =>
         val committed =
           if (pvals > 0) srcDf(src)
@@ -509,9 +514,9 @@ object DedupIndex {
       import spark.implicits._
       Bucketing.writePlainExternal(
         Seq((pvals, outBuckets)).toDF("pvals", "buckets").coalesce(1),
-        s"${outPrefix}_meta", s"$outDir/meta")
+        s"${outPfx}_meta", s"$outDir/meta")
     }
-    spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")
+    spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
     if (pvals > 0) Bucketing.commitWave(spark, outDir, 0)
   }
 
@@ -528,7 +533,11 @@ object DedupIndex {
       // refuse a markerless partitioned artifact (crashed build or
       // pre-wave layout): probes would resolve an empty committed set and
       // serve `new` for everything — silent admission of the whole
-      // stream; loud beats silent ([[VectorIndex.attach]] twin)
+      // stream; loud beats silent ([[VectorIndex.attach]] twin). The
+      // pvals == 0 arm is future-proofing, not a live path: build writes
+      // dir/meta only when pvals > 0 today, but a meta-bearing FLAT
+      // layout (no waves, so no marker to demand) must keep attaching if
+      // one ever exists.
       require(m.getAs[Int]("pvals") == 0 ||
           Bucketing.committedWaves(spark, dir).nonEmpty,
         s"$dir has a partitioned layout (pvals=${m.getAs[Int]("pvals")}) " +

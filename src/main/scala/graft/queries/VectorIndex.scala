@@ -278,11 +278,16 @@ object VectorIndex {
     * retrain — and its hashes derive from raw text the index does not
     * store; its maintenance story is complete with compact.) */
   def rebuild(spark: SparkSession, outDir: String,
-      prefix: String = "vec_idx", outPrefix: String = "vec_idx",
+      prefix: String = "vec_idx", outPrefix: String = null,
       nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 0,
       targetCellRows: Int = 0, trainSampleCap: Long = -1L,
       pqM: Int = 0, pqKsub: Int = 0, buckets: Int = 0,
       pcells: Int = -1): Unit = {
+    // null outPrefix (the default) = IN PLACE under `prefix` — Scala
+    // cannot default one parameter to another in the same list, and a
+    // literal "vec_idx" default silently rebuilt a prefix="x" index into
+    // the unrelated "vec_idx" catalog entries (r15 advisor)
+    val outPfx = Option(outPrefix).getOrElse(prefix)
     val m = meta(spark, prefix)
     val srcLoc = spark.sessionState.catalog
       .getTableMetadata(
@@ -307,7 +312,7 @@ object VectorIndex {
       .dropDuplicates("vec_id") // replayed appends write duplicate rows
     val idx = graft.queries.Caching.cached(live,
       "spark.graft.vector.storageLevel")
-    try buildIndexed(idx, outDir, m.minCos, outPrefix, nCells,
+    try buildIndexed(idx, outDir, m.minCos, outPfx, nCells,
       if (kmeansIters > 0) kmeansIters else m.kmeansIters,
       if (targetCellRows > 0) targetCellRows else m.targetCellRows,
       m.dims,
@@ -742,7 +747,11 @@ object VectorIndex {
     * compact window. Abandoned (never-committed) waves are physically
     * reclaimed here. */
   def compact(spark: SparkSession, outDir: String,
-      prefix: String = "vec_idx", outPrefix: String = "vec_idx"): Unit = {
+      prefix: String = "vec_idx", outPrefix: String = null): Unit = {
+    // null outPrefix (the default) = in place under `prefix` (the
+    // [[rebuild]] rationale — a literal default mis-targeted non-default
+    // prefixes)
+    val outPfx = Option(outPrefix).getOrElse(prefix)
     val oldLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_vecs"))
@@ -793,30 +802,30 @@ object VectorIndex {
     }
     if (m.pcells > 0) {
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",
+        live(s"${prefix}_vecs", "vec_id"), s"${outPfx}_vecs",
         Seq("wave", "pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_bands", "partner_id"), s"${outPrefix}_bands",
+        live(s"${prefix}_bands", "partner_id"), s"${outPfx}_bands",
         Seq("wave", "pcell"), Seq("cell", "k", "v"), s"$outDir/bands",
         m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_cells", "vec_id"), s"${outPrefix}_cells",
+        live(s"${prefix}_cells", "vec_id"), s"${outPfx}_cells",
         Seq("wave"), Seq("vec_id"), s"$outDir/cells", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_pqcodes", "vec_id"), s"${outPrefix}_pqcodes",
+        live(s"${prefix}_pqcodes", "vec_id"), s"${outPfx}_pqcodes",
         Seq("wave"), Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     } else {
       Bucketing.writeBucketedExternal(
-        live(s"${prefix}_vecs", "vec_id"), s"${outPrefix}_vecs",
+        live(s"${prefix}_vecs", "vec_id"), s"${outPfx}_vecs",
         Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writeBucketedExternal(
-        live(s"${prefix}_bands", "partner_id"), s"${outPrefix}_bands",
+        live(s"${prefix}_bands", "partner_id"), s"${outPfx}_bands",
         Seq("cell", "k", "v"), s"$outDir/bands", m.buckets)
       Bucketing.writeBucketedExternal(
-        live(s"${prefix}_cells", "vec_id"), s"${outPrefix}_cells",
+        live(s"${prefix}_cells", "vec_id"), s"${outPfx}_cells",
         Seq("vec_id"), s"$outDir/cells", m.buckets)
       Bucketing.writeBucketedExternal(
-        live(s"${prefix}_pqcodes", "vec_id"), s"${outPrefix}_pqcodes",
+        live(s"${prefix}_pqcodes", "vec_id"), s"${outPfx}_pqcodes",
         Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     }
     // model tables ride unchanged (collect→rewrite keeps them tiny and
@@ -833,13 +842,13 @@ object VectorIndex {
         new java.util.ArrayList[Row](rows.toSeq.asJava), schema)
         .coalesce(1), table, loc)
     }
-    rewrite(cents, s"${prefix}_cents", s"${outPrefix}_cents",
+    rewrite(cents, s"${prefix}_cents", s"${outPfx}_cents",
       s"$outDir/cents")
-    rewrite(books, s"${prefix}_pqbooks", s"${outPrefix}_pqbooks",
+    rewrite(books, s"${prefix}_pqbooks", s"${outPfx}_pqbooks",
       s"$outDir/pqbooks")
-    rewrite(metaRow, s"${prefix}_meta", s"${outPrefix}_meta",
+    rewrite(metaRow, s"${prefix}_meta", s"${outPfx}_meta",
       s"$outDir/meta")
-    spark.sql(s"DROP TABLE IF EXISTS ${outPrefix}_tombs")
+    spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
     if (m.pcells > 0) Bucketing.commitWave(spark, outDir, 0)
   }
 

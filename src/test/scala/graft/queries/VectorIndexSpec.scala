@@ -604,6 +604,52 @@ class VectorIndexSpec extends SparkSpec {
       "fresh-session attach of the rebuilt index diverged")
   }
 
+  test("rebuild with outPrefix == prefix (in-place catalog replacement) serves the scratch-build verdicts") {
+    val sp = spark
+    // the r15 advisor's gap: the parity spec above rebuilds into a
+    // DISTINCT prefix, but rebuild's DEFAULTS make outPrefix == prefix —
+    // the drop/recreate-while-reading path whose extra catalog read (the
+    // tombs table in the cached lineage) was inherited from compact
+    // without its own coverage. Same shape: append + remove, then
+    // rebuild IN PLACE under one prefix and compare against scratch.
+    val dA = java.nio.file.Files.createTempDirectory("vec_rip_src").toString
+    val corpus = emb.filter(!isBatch && col("vec_id") % 5 =!= 0)
+    VectorIndex.build(corpus, "vec_id", "embedding", dA, MinCos,
+      prefix = "rip_idx")
+    val wave = emb.filter(isBatch)
+      .select((col("vec_id") + 510000L).as("vec_id"), col("embedding"))
+    VectorIndex.append(wave, "vec_id", "embedding", "rip_idx")
+    val removedId = corpus.agg(min("vec_id")).head().getLong(0)
+    VectorIndex.remove(sp, Seq(removedId), "rip_idx")
+
+    val dR = java.nio.file.Files.createTempDirectory("vec_rip_out").toString
+    VectorIndex.rebuild(sp, dR, prefix = "rip_idx") // outPrefix defaults to prefix
+
+    val dS = java.nio.file.Files.createTempDirectory("vec_rip_scr").toString
+    VectorIndex.build(
+      corpus.filter(col("vec_id") =!= removedId).unionAll(wave),
+      "vec_id", "embedding", dS, MinCos, prefix = "rip_scr")
+
+    val probe = batchOf(emb)
+    def verdicts(pfx: String) = VectorIndex
+      .incrementalDedup(probe, "vec_id", "embedding", pfx)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(verdicts("rip_idx") == verdicts("rip_scr"),
+      "in-place rebuilt verdicts diverged from the scratch build")
+    val queries = emb.filter(col("vec_id") % 100 === 7)
+    def top(pfx: String) = VectorIndex
+      .knn(queries, "vec_id", "embedding", k = 5, prefix = pfx)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(top("rip_idx") == top("rip_scr"),
+      "in-place rebuilt ANN top-k diverged from the scratch build")
+    // the catalog now points at the NEW location; the tombstone table the
+    // source carried must be gone (rebuild materialized the removal)
+    assert(!sp.catalog.tableExists("rip_idx_tombs"),
+      "in-place rebuild kept the source's tombstone table")
+    val st = VectorIndex.stats(sp, "rip_idx")
+    assert(st.tombstones == 0L && st.appendedRows == 0L, s"stats: $st")
+  }
+
   test("attach refuses a markerless partitioned artifact (crashed build / pre-wave layout)") {
     val d = java.nio.file.Files.createTempDirectory("vec_nomark").toString
     VectorIndex.build(emb.filter(col("vec_id") % 20 === 1), "vec_id",
