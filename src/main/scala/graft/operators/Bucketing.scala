@@ -180,6 +180,35 @@ object Bucketing {
     norm(a) == norm(b)
   }
 
+  /** AUTO-SIZE a hash-partition grain (pvals/pcells) from the row count
+    * it has to spread: the next power of two above rows/[[GrainTargetRows]],
+    * clamped to [[MinGrain]], [[MaxGrain]]. The serving indexes' probe
+    * cost is |probed partitions|/grain of the index, so a FIXED grain
+    * means a linearly growing scan residual as the index grows — the r15
+    * 1000×-decade series measured exactly that (text probe 1.13 → 3.57 s
+    * across one decade at pvals=64, recovered at 512). This function is
+    * the measured operating rule ("size grain to the corpus, fixed target
+    * rows per partition — the Hive partition-sizing norm") turned into
+    * the default: 500k rows → 64 (the grain the r14 series validated),
+    * 5M → 512 (the r15 fix), 100B → the 65536 cap (grain "in the tens of
+    * thousands", keeping directory counts filesystem-sane while each
+    * partition holds ~1.5M rows). Power-of-two rounding keeps successive
+    * re-grains stable (a few % row drift never flips the grain). */
+  def autoGrain(rows: Long): Int = {
+    val want = math.max(1L, (rows + GrainTargetRows - 1) / GrainTargetRows)
+    var g = MinGrain
+    while (g < want && g < MaxGrain) g <<= 1
+    g
+  }
+
+  /** Target rows per hash partition for [[autoGrain]]. */
+  val GrainTargetRows = 10000L
+
+  /** [[autoGrain]] clamp: floors tiny test corpora at a grain that still
+    * exercises pruning; caps directory counts at real scale. */
+  val MinGrain = 16
+  val MaxGrain = 65536
+
   /** Recursive `part-` data-file count under `location` (any Hadoop FS
     * scheme) — the file-hygiene signal: each append adds one file set,
     * and a count far above buckets × partitions says compact. */

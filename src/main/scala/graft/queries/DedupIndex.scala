@@ -63,13 +63,22 @@ object DedupIndex {
     * parallelism on the corpus side). */
   val DefaultBuckets = 8
 
-  /** Default hash-partition count above the bucket files (directories per
-    * table = pvals × buckets files at most). 64 keeps directory counts
-    * trivial while a small serving batch probes a handful: a 10-doc batch
-    * touches ≤10 of 64 hash partitions, ≤60 band partitions only if all
-    * 6 band hashes per doc spread maximally, and as many shingle
-    * partitions as it has CANDIDATES — each scan reads that fraction of
-    * the index instead of all of it. */
+  /** AUTO-SIZE sentinel for `pvals`: the hash-partition grain is derived
+    * from the corpus row count at build (or the LIVE row count at a
+    * re-graining compact) via [[Bucketing.autoGrain]] — the r15 scale
+    * series measured that a FIXED grain (the old `DefaultPvals = 64`)
+    * makes constant-batch probe cost resume linear growth one decade up
+    * (1.13 → 3.57 s at 5M docs), and the fix had to be known at build
+    * time. Auto is the default; pass an explicit positive pvals to pin a
+    * grain, or 0 for the flat (unpartitioned) legacy layout. A small
+    * serving batch probes a handful of partitions either way: a 10-doc
+    * batch touches ≤10 hash partitions, ≤60 band partitions, and as many
+    * shingle partitions as it has CANDIDATES — each scan reads that
+    * fraction of the index. */
+  val AutoPvals: Int = -1
+
+  /** The pre-r16 fixed default grain — kept for harnesses that pin the
+    * fixed-grain operating point ([[graft.ServingScaleProbe]]'s A/B). */
   val DefaultPvals = 64
 
   /** (table, bucket keys, subdir, partition column) per artifact. */
@@ -201,7 +210,7 @@ object DedupIndex {
   final case class IndexStats(docs: Long, liveDocs: Long, tombstones: Long,
       distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
-      committedWave: Int, abandonedWaves: Int)
+      committedWave: Int, abandonedWaves: Int, committedWaveCount: Int)
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
@@ -248,7 +257,7 @@ object DedupIndex {
     }.toMap
     IndexStats(docs, docs - tombs, tombs, hashes, buckets, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
-      cws.foldLeft(-1)(math.max), abandoned)
+      cws.foldLeft(-1)(math.max), abandoned, cws.length)
   }
 
   /** Derive the corpus artifacts and persist them under `dir` (also
@@ -257,10 +266,20 @@ object DedupIndex {
     * expensive 3-gram derivation is computed once across the three. */
   def build(corpus: DataFrame, id: String, text: String, dir: String,
       prefix: String = "dedup_idx", buckets: Int = DefaultBuckets,
-      pvals: Int = DefaultPvals): Unit = {
+      pvals: Int = AutoPvals): Unit = {
     val s = corpus.sparkSession
     val nc = corpus.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
+    // AUTO grain: one count of the narrow (id, text) projection — a small
+    // fraction of the multi-pass derivation cost below, and the price of
+    // a grain that probes at constant cost as the corpus decades up
+    val pv = if (pvals == AutoPvals) Bucketing.autoGrain(nc.count())
+      else pvals
+    buildFrames(s, nc, dir, prefix, buckets, pv)
+  }
+
+  private def buildFrames(s: SparkSession, nc: DataFrame, dir: String,
+      prefix: String, buckets: Int, pvals: Int): Unit = {
     // the wave history restarts with the rebuild: old markers must not
     // make the new tables' wave=0 visible before it is written (build is
     // not atomic — the single-writer contract covers rebuilds; readers
@@ -430,6 +449,20 @@ object DedupIndex {
     * silently rewrites its layout/parallelism (r14 advisor); pass an
     * explicit positive value only to deliberately re-bucket.
     *
+    * `pvals` RE-GRAINS during the rewrite — the answer to the r15 scale
+    * series' one open finding (grain was write-once; a wrong or outgrown
+    * grain could only be corrected by a scratch rebuild): `0` (default)
+    * inherits the source grain unchanged; [[AutoPvals]] re-sizes it from
+    * the LIVE distinct doc count ([[Bucketing.autoGrain]] — the standing
+    * maintenance recipe: compact with AutoPvals and the grain follows
+    * growth); an explicit positive value pins it. Re-partitioning here is
+    * nearly free — compaction already rewrites every row of every table —
+    * and the probe side reads the new grain from the rewritten meta, so
+    * verdicts are grain-invariant (spec-pinned). A flat (pvals = 0)
+    * source can be UPGRADED to the partitioned layout the same way — the
+    * legacy-migration path that needs no original corpus; downgrading a
+    * partitioned index to flat is not supported.
+    *
     * Interleaving contract (single-writer, made explicit): compaction
     * snapshots the committed wave set ONCE — an [[append]] or [[remove]]
     * that commits AFTER that snapshot is not in the compacted artifact,
@@ -441,7 +474,7 @@ object DedupIndex {
     * wave 0. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "dedup_idx", outPrefix: String = null,
-      buckets: Int = 0): Unit = {
+      buckets: Int = 0, pvals: Int = 0): Unit = {
     // null outPrefix (the default) = in place under `prefix`: a literal
     // "dedup_idx" default silently compacted a prefix="x" index into the
     // unrelated "dedup_idx" catalog entries ([[VectorIndex.rebuild]]
@@ -457,7 +490,6 @@ object DedupIndex {
     require(!Bucketing.samePath(spark, oldLoc, s"$outDir/hashes"),
       s"compact target $outDir is the live index location — compaction " +
         "rewrites tables while reading them, so it needs a fresh directory")
-    val pvals = pvalsOf(spark, prefix)
     val outBuckets =
       if (buckets > 0) buckets
       else if (spark.catalog.tableExists(s"${prefix}_meta"))
@@ -491,33 +523,55 @@ object DedupIndex {
     // never visible to any probe, and compaction is where their garbage
     // files are physically reclaimed — filter them out, then restart the
     // wave history at 0 in the compacted artifact
-    val cws = if (pvals > 0)
+    val srcPvals = pvalsOf(spark, prefix)
+    val cws = if (srcPvals > 0)
       Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
-    if (pvals > 0) Bucketing.clearWaveMarkers(spark, outDir)
+    def liveOf(sub: String): DataFrame = {
+      val (src, _, _, _) = tables(prefix).find(_._3 == sub).get
+      val committed =
+        if (srcPvals > 0) srcDf(src)
+          .where(col("wave").isin(cws.map(Integer.valueOf): _*))
+          .withColumn("wave", lit(0))
+        else srcDf(src)
+      notTombstoned(spark, prefix, committed, idColOf(sub))
+        .dropDuplicates(dedupKeysOf(sub))
+    }
+    // the output grain: inherit / auto-size from the LIVE doc count /
+    // explicit; re-graining a flat source upgrades it to the partitioned
+    // layout (wave 0 + computed partition columns added in the rewrite)
+    val outPvals =
+      if (pvals == 0) srcPvals
+      else if (pvals == AutoPvals) Bucketing.autoGrain(
+        liveOf("shingles").select("doc_id").distinct().count())
+      else pvals
+    require(outPvals > 0 || srcPvals == 0,
+      "downgrading a partitioned index to the flat layout is not supported")
+    if (outPvals > 0) Bucketing.clearWaveMarkers(spark, outDir)
     tables(prefix).zip(tables(outPfx)).foreach {
-      case ((src, keys, sub, partCol), (dst, _, _, _)) =>
-        val committed =
-          if (pvals > 0) srcDf(src)
-            .where(col("wave").isin(cws.map(Integer.valueOf): _*))
-            .withColumn("wave", lit(0))
-          else srcDf(src)
-        val live = notTombstoned(spark, prefix, committed, idColOf(sub))
-          .dropDuplicates(dedupKeysOf(sub))
-        if (pvals > 0)
-          Bucketing.writePartitionedBucketedExternal(live, dst,
+      case ((_, keys, sub, partCol), (dst, _, _, _)) =>
+        val live = liveOf(sub)
+        if (outPvals > 0) {
+          // ALWAYS recompute the partition column at the output grain
+          // (identical values when the grain is inherited — partValue is
+          // the one shared derivation — and the re-grain path otherwise);
+          // a flat source additionally gains its wave column here
+          val base = (if (srcPvals > 0) live.drop(partCol)
+            else live.withColumn("wave", lit(0)))
+            .withColumn(partCol, partValue(partCol, outPvals))
+          Bucketing.writePartitionedBucketedExternal(base, dst,
             Seq("wave", partCol), keys, s"$outDir/$sub", outBuckets)
-        else
+        } else
           Bucketing.writeBucketedExternal(live, dst, keys,
             s"$outDir/$sub", outBuckets)
     }
-    if (pvals > 0) {
+    if (outPvals > 0) {
       import spark.implicits._
       Bucketing.writePlainExternal(
-        Seq((pvals, outBuckets)).toDF("pvals", "buckets").coalesce(1),
+        Seq((outPvals, outBuckets)).toDF("pvals", "buckets").coalesce(1),
         s"${outPfx}_meta", s"$outDir/meta")
     }
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
-    if (pvals > 0) Bucketing.commitWave(spark, outDir, 0)
+    if (outPvals > 0) Bucketing.commitWave(spark, outDir, 0)
   }
 
   /** Register an existing index written by [[build]] in `spark`'s catalog

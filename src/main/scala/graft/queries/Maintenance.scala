@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Bucketing
+
+/** The stats → action DECISION FUNCTION for the persisted serving
+  * indexes (r15 verdict item 2): `DedupIndex.stats` / `VectorIndex.stats`
+  * report appended fraction, cell/band skew, tombstone fraction, wave
+  * counts, and file pressure — each with a measured or documented
+  * threshold — but until r16 an operator had to re-read three scaladocs
+  * and a BENCH_NOTES table to decide compact-vs-rebuild-vs-nothing.
+  * [[Maintenance.forText]] / [[Maintenance.forVectors]] compose those
+  * rules into ONE typed recommendation.
+  *
+  * The rules and where each threshold comes from:
+  *
+  *   - REBUILD (vector index only; the text index is model-free — its
+  *     maintenance story is complete with compact): appended mass
+  *     fraction ≥ [[Maintenance.RebuildAppendedFraction]] AND the index
+  *     serves PQ ANN. MEASURED (r15 `graft.DriftCalibration`,
+  *     BENCH_NOTES "Frozen-quantizer drift calibration"): frozen-model
+  *     PQ recall matches a retrained counterfactual up to ~0.25 appended
+  *     fraction, then falls away (−27% of attainable recall at 0.35,
+  *     −76% at 2.0). The DEDUP-VERDICT path measured drift-IMMUNE to
+  *     2.0× appended mass — a dedup-only index (`servesAnn = false`)
+  *     never rebuilds on this rule; its drift signal is hot-cell SKEW
+  *     (performance, not recall), surfaced as a warning below.
+  *
+  *   - COMPACT, any of:
+  *       · tombstone fraction ≥ [[Maintenance.CompactTombstoneFraction]]
+  *         — every probe pays the broadcast anti-join against the
+  *         takedown set, and removed rows still occupy scan bytes;
+  *       · abandoned (crashed-append) waves on disk — invisible to
+  *         probes but physical garbage only compact reclaims;
+  *       · committed-wave count ≥ [[Maintenance.CompactWaveCount]] —
+  *         the wave-set hygiene rule: every probe resolves the marker
+  *         listing and plans `wave IN (set)`, both O(waves) at PLANNING
+  *         time (the data cost stays pruned — spec-pinned at 200 waves);
+  *         compact folds the history back to {0};
+  *       · grain outgrown: [[Bucketing.autoGrain]] of the LIVE rows is
+  *         ≥ [[Maintenance.GrainRatio]]× the current grain (or the
+  *         current grain is that much too fine) — the r15 1000×-decade
+  *         finding; compact with `pvals`/`pcells = Auto*` re-grains
+  *         during the rewrite it already does.
+  *
+  *   - WARNINGS (no action forced): band/cell skew ≥
+  *     [[Maintenance.SkewWarn]] — a hot (b,h) band bucket (boilerplate
+  *     mass) or hot k-means cell (drifted ingest distribution, measured
+  *     skew 1.1 → 5.8 across the r15 drift waves) multiplies probe
+  *     candidate volume for batches landing in it. The text fix is
+  *     upstream (df-capping / boilerplate pre-drop); the vector fix is a
+  *     rebuild with more cells — forced only when recall is also at
+  *     stake (the rebuild rule), since skew alone is a wall-clock
+  *     concern.
+  *
+  * Priority: rebuild ⊃ compact (a rebuild rewrites everything compact
+  * would), so one rebuild recommendation subsumes the compact reasons.
+  * Cost: one [[DedupIndex.stats]]/[[VectorIndex.stats]] pass — a
+  * maintenance-cadence operation, not per-probe.
+  */
+object Maintenance {
+
+  /** Appended-mass fraction past which a PQ-ANN-serving vector index
+    * should retrain (the r15 measured recall knee at ~0.3). */
+  val RebuildAppendedFraction = 0.3
+
+  /** Tombstone fraction past which physical deletion pays for itself. */
+  val CompactTombstoneFraction = 0.1
+
+  /** Committed-wave count past which marker listing + `wave IN (set)`
+    * planning overhead warrants folding the history (each append since
+    * the last compact adds one wave; probes stay CORRECT and pruned far
+    * past this — it is planning-time hygiene, not a correctness cliff). */
+  val CompactWaveCount = 64
+
+  /** Grain-mismatch ratio (two power-of-two steps) before a re-graining
+    * compact is recommended — wide enough that ordinary growth between
+    * maintenance windows never flaps the recommendation. */
+  val GrainRatio = 4
+
+  /** Band/cell occupancy skew (max/mean) that earns a hot-spot warning. */
+  val SkewWarn = 10.0
+
+  /** What to do, why, and with what grain. `action` ∈ {"rebuild",
+    * "compact", "none"}; `reasons` are the fired rules (empty for
+    * "none"); `warnings` are advisory hot-spot signals; `currentGrain` /
+    * `recommendedGrain` are pvals/pcells now vs [[Bucketing.autoGrain]]
+    * of the live rows (pass `pvals = AutoPvals` / `pcells = AutoPcells`
+    * to the recommended compact and it re-grains to exactly that). */
+  final case class Recommendation(action: String, reasons: Seq[String],
+      warnings: Seq[String], currentGrain: Int, recommendedGrain: Int)
+
+  private def grainReason(current: Int, recommended: Int): Option[String] =
+    if (current > 0 && recommended >= current.toLong * GrainRatio)
+      Some(s"grain outgrown: live rows want $recommended partitions, " +
+        s"index has $current — probe scan fraction has grown " +
+        s"${recommended / current}x past the design point")
+    else if (current > Bucketing.MinGrain &&
+        current >= recommended.toLong * GrainRatio)
+      Some(s"grain too fine: live rows want $recommended partitions, " +
+        s"index has $current — directory/file pressure with no probe win")
+    else None
+
+  /** Compose the compact-side rules shared by both indexes. */
+  private def compactReasons(tombstones: Long, liveRows: Long,
+      abandonedWaves: Int, waveCount: Int,
+      grain: Option[String]): Seq[String] =
+    Seq(
+      Option.when(liveRows > 0 &&
+          tombstones.toDouble / (liveRows + tombstones) >=
+            CompactTombstoneFraction)(
+        s"tombstone fraction ${tombstones}/${liveRows + tombstones} >= " +
+          s"$CompactTombstoneFraction — probes pay the anti-join and " +
+          "removed rows still occupy scan bytes"),
+      Option.when(abandonedWaves > 0)(
+        s"$abandonedWaves abandoned (crashed-append) wave(s) on disk — " +
+          "invisible to probes, reclaimed only by compact"),
+      Option.when(waveCount >= CompactWaveCount)(
+        s"$waveCount committed waves >= $CompactWaveCount — marker " +
+          "listing and wave IN (set) planning overhead; compact folds " +
+          "the history to {0}"),
+      grain).flatten
+
+  /** Maintenance recommendation for an attached [[DedupIndex]]. The text
+    * index never needs a model rebuild, so the action space is
+    * compact-or-nothing (compact with `pvals = AutoPvals` when the grain
+    * reason fires). */
+  def forText(spark: SparkSession,
+      prefix: String = "dedup_idx"): Recommendation = {
+    val st = DedupIndex.stats(spark, prefix)
+    val current = DedupIndex.pvalsOf(spark, prefix)
+    val recommended = Bucketing.autoGrain(st.liveDocs)
+    val reasons = compactReasons(st.tombstones, st.liveDocs,
+      st.abandonedWaves, st.committedWaveCount,
+      grainReason(current, recommended))
+    val warnings = Seq(
+      Option.when(st.bandSkew >= SkewWarn)(
+        f"band-bucket skew ${st.bandSkew}%.1f (max ${st.maxBandBucket}) — " +
+          "boilerplate mass multiplies probe candidates; df-cap or " +
+          "pre-drop the template upstream")).flatten
+    Recommendation(if (reasons.nonEmpty) "compact" else "none",
+      reasons, warnings, current, recommended)
+  }
+
+  /** Maintenance recommendation for an attached [[VectorIndex]].
+    * `servesAnn = false` declares a dedup-verdict-only index, which the
+    * r15 calibration measured drift-immune — the appended-fraction
+    * rebuild rule is then skipped and drift surfaces only through the
+    * skew warning. */
+  def forVectors(spark: SparkSession, prefix: String = "vec_idx",
+      servesAnn: Boolean = true): Recommendation = {
+    val st = VectorIndex.stats(spark, prefix)
+    val current = VectorIndex.meta(spark, prefix).pcells
+    val recommended = Bucketing.autoGrain(st.liveRows)
+    val appendedFraction =
+      if (st.corpusRowsAtBuild == 0) 0.0
+      else st.appendedRows.toDouble / st.corpusRowsAtBuild
+    val rebuild = Option.when(servesAnn &&
+        appendedFraction >= RebuildAppendedFraction)(
+      f"appended fraction $appendedFraction%.2f >= " +
+        f"$RebuildAppendedFraction%.1f — frozen-quantizer PQ recall is " +
+        "past the measured knee (r15 drift calibration); rebuild " +
+        "retrains from the index's own vectors")
+    val compact = compactReasons(st.tombstones, st.liveRows,
+      st.abandonedWaves, st.committedWaveCount,
+      grainReason(current, recommended))
+    val warnings = Seq(
+      Option.when(st.cellSkew >= SkewWarn)(
+        f"cell skew ${st.cellSkew}%.1f (max ${st.maxCellRows} rows) — a " +
+          "hot cell grows probe candidate volume linearly; rebuild with " +
+          "more cells if the probe wall matters"),
+      Option.when(!servesAnn && appendedFraction >= RebuildAppendedFraction)(
+        f"appended fraction $appendedFraction%.2f — verdict path is " +
+          "drift-immune (measured), but a rebuild would rebalance cells")
+    ).flatten
+    val (action, reasons) = rebuild match {
+      case Some(r) => ("rebuild", r +: compact)
+      case None if compact.nonEmpty => ("compact", compact)
+      case None => ("none", Nil)
+    }
+    Recommendation(action, reasons, warnings, current, recommended)
+  }
+}

@@ -73,8 +73,23 @@ object VectorIndex {
     * filters `pcell IN (batch's cells % pcells)` — planning-time
     * directory pruning caps the scan at |probed pcells|/pcells of the
     * index. 64 keeps directory counts trivial (64 × buckets files per
-    * table) while a small batch typically probes a handful. */
+    * table) while a small batch typically probes a handful. Kept for
+    * harnesses that pin the fixed-grain operating point; [[build]]
+    * defaults to [[AutoPcells]] since r16. */
   val DefaultPcells = 64
+
+  /** AUTO-SIZE sentinel for `pcells` ([[DedupIndex.AutoPvals]] twin): the
+    * grain derives from the corpus row count via [[Bucketing.autoGrain]],
+    * so it follows the corpus across decades instead of freezing the
+    * build-time default — the r15 series' one open scale finding. The
+    * default for [[build]]; [[compact]] accepts it to RE-grain from live
+    * rows during its rewrite. */
+  val AutoPcells: Int = -1
+
+  /** [[rebuild]]'s "inherit the source grain" sentinel (its default;
+    * distinct from [[AutoPcells]], which re-sizes — rebuild can express
+    * an explicit flat 0, so inherit needs its own value). */
+  val InheritPcells: Int = -2
 
   /** Driver-held image of `<prefix>_meta`. `pcells = 0` marks a legacy
     * unpartitioned index (pre-r14 layout) — probes skip the partition
@@ -127,7 +142,7 @@ object VectorIndex {
       nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 2,
       targetCellRows: Int = VectorOps.DefaultCellRows, dims: Int = 64,
       trainSampleCap: Long = 0L, pqM: Int = 8, pqKsub: Int = 16,
-      buckets: Int = DefaultBuckets, pcells: Int = DefaultPcells): Unit = {
+      buckets: Int = DefaultBuckets, pcells: Int = AutoPcells): Unit = {
     val idx = VectorOps.index(corpus, id, vec)
     try buildIndexed(idx, dir, minCos, prefix, nCells, kmeansIters,
       targetCellRows, dims, trainSampleCap, pqM, pqKsub, buckets, pcells)
@@ -141,10 +156,13 @@ object VectorIndex {
   private def buildIndexed(idx: DataFrame, dir: String, minCos: Double,
       prefix: String, nCells: Int, kmeansIters: Int, targetCellRows: Int,
       dims: Int, trainSampleCap: Long, pqM: Int, pqKsub: Int,
-      buckets: Int, pcells: Int): Unit = {
+      buckets: Int, pcells0: Int): Unit = {
     val s = idx.sparkSession
     locally {
       val rows = idx.count()
+      // AUTO grain resolves here — `rows` is already on hand
+      val pcells =
+        if (pcells0 == AutoPcells) Bucketing.autoGrain(rows) else pcells0
       val k = VectorOps.autoCellCount(rows, nCells, targetCellRows)
       val cellRows = math.max(1L, (rows + k - 1) / k)
       val (p, b) = VectorOps.autoShape(cellRows, minCos)
@@ -267,10 +285,11 @@ object VectorIndex {
     * quantization is a pure function of (vec_id, efp, nrm), and the
     * k-means seeds / PQ training sample are deterministic in vec_id.
     *
-    * Knobs default to the source meta (`-1`/`0` sentinels) — pass
-    * explicit values to re-shape while re-training (e.g. more cells
-    * after growth; `nCells = AutoCells`, the default, already re-sizes
-    * the cell count to the LIVE row count). Like [[compact]]: fresh
+    * Knobs default to the source meta (`0`/`-1`/[[InheritPcells]]
+    * sentinels) — pass explicit values to re-shape while re-training
+    * (e.g. more cells after growth; `nCells = AutoCells`, the default,
+    * already re-sizes the cell count to the LIVE row count, and
+    * `pcells = AutoPcells` re-sizes the partition grain the same way). Like [[compact]]: fresh
     * `outDir` required, quiesce writers for the window, readers of the
     * old location are unaffected throughout.
     *
@@ -282,7 +301,7 @@ object VectorIndex {
       nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 0,
       targetCellRows: Int = 0, trainSampleCap: Long = -1L,
       pqM: Int = 0, pqKsub: Int = 0, buckets: Int = 0,
-      pcells: Int = -1): Unit = {
+      pcells: Int = InheritPcells): Unit = {
     // null outPrefix (the default) = IN PLACE under `prefix` — Scala
     // cannot default one parameter to another in the same list, and a
     // literal "vec_idx" default silently rebuilt a prefix="x" index into
@@ -320,7 +339,9 @@ object VectorIndex {
       if (pqM > 0) pqM else m.pqM,
       if (pqKsub > 0) pqKsub else m.pqKsub,
       if (buckets > 0) buckets else m.buckets,
-      if (pcells >= 0) pcells else m.pcells)
+      // inherit / auto-size from live rows (buildIndexed resolves the
+      // Auto sentinel against its own count) / explicit (0 = flat)
+      if (pcells == InheritPcells) m.pcells else pcells)
     finally idx.unpersist(false)
   }
 
@@ -472,7 +493,8 @@ object VectorIndex {
   final case class IndexStats(corpusRowsAtBuild: Long, totalRows: Long,
       liveRows: Long, tombstones: Long, appendedRows: Long, cells: Long,
       maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
-      fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int)
+      fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int,
+      committedWaveCount: Int)
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
@@ -521,7 +543,7 @@ object VectorIndex {
     IndexStats(m.corpusRows, total, total - tombs, tombs,
       math.max(0L, total - m.corpusRows), nCells, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
-      cws.foldLeft(-1)(math.max), abandoned)
+      cws.foldLeft(-1)(math.max), abandoned, cws.length)
   }
 
   /** Centroids re-collected from the persisted table — identical driver
@@ -741,13 +763,26 @@ object VectorIndex {
     * (the other half — refreshing the frozen quantizer as appended mass
     * drifts — is a [[build]] rebuild by design).
     *
+    * `pcells` RE-GRAINS during the rewrite ([[DedupIndex.compact]]'s
+    * `pvals` twin — the r15 write-once-grain finding): `0` (default)
+    * inherits; [[AutoPcells]] re-sizes from the LIVE row count (the
+    * standing maintenance recipe); positive pins. Re-graining joins the
+    * vecs rewrite with the cells table to recover each vector's cell
+    * (the old pcell cannot be re-derived from itself) — both sides are
+    * vec_id-bucketed, so the join needs no exchange; the bands table
+    * recomputes from its own cell column. A flat source upgrades to the
+    * partitioned layout (the no-original-corpus legacy migration);
+    * downgrading is not supported. The rewritten meta carries the new
+    * grain, so every probe derives its pruning filter at it.
+    *
     * Interleaving contract ([[DedupIndex.compact]] twin): compaction
     * snapshots the committed wave set once — appends/removals committing
     * after the snapshot are not in the output; quiesce writers for the
     * compact window. Abandoned (never-committed) waves are physically
     * reclaimed here. */
   def compact(spark: SparkSession, outDir: String,
-      prefix: String = "vec_idx", outPrefix: String = null): Unit = {
+      prefix: String = "vec_idx", outPrefix: String = null,
+      pcells: Int = 0): Unit = {
     // null outPrefix (the default) = in place under `prefix` (the
     // [[rebuild]] rationale — a literal default mis-targeted non-default
     // prefixes)
@@ -789,7 +824,6 @@ object VectorIndex {
     // restarts its wave history at 0
     val cws = if (m.pcells > 0)
       Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
-    if (m.pcells > 0) Bucketing.clearWaveMarkers(spark, outDir)
     def live(table: String, idCol: String) = {
       val sub = table.stripPrefix(s"${prefix}_")
       val committed =
@@ -800,19 +834,48 @@ object VectorIndex {
       notTombstoned(spark, prefix, committed, idCol)
         .dropDuplicates(dedupKeysOf(sub))
     }
-    if (m.pcells > 0) {
+    // the output grain: inherit / auto-size from the LIVE distinct row
+    // count / explicit; flat sources upgrade when outPcells > 0
+    val outPcells =
+      if (pcells == 0) m.pcells
+      else if (pcells == AutoPcells) Bucketing.autoGrain(
+        live(s"${prefix}_cells", "vec_id").count())
+      else pcells
+    require(outPcells > 0 || m.pcells == 0,
+      "downgrading a partitioned index to the flat layout is not supported")
+    if (outPcells > 0) Bucketing.clearWaveMarkers(spark, outDir)
+    // a flat source's rows gain their wave column in the rewrite
+    def waved(df: DataFrame) =
+      if (m.pcells > 0) df else df.withColumn("wave", lit(0))
+    if (outPcells > 0) {
+      val regrain = outPcells != m.pcells
+      val newPcell = pmod(col("cell"), lit(outPcells)).cast("int")
+        .as("pcell")
+      // re-grain recovers each vector's cell from the cells table (both
+      // sides vec_id-bucketed — no exchange); inherit keeps rows as-is
+      val vecs =
+        if (!regrain) live(s"${prefix}_vecs", "vec_id")
+        else waved(live(s"${prefix}_vecs", "vec_id"))
+          .drop("pcell")
+          .join(live(s"${prefix}_cells", "vec_id").select("vec_id", "cell"),
+            Seq("vec_id"))
+          .withColumn("pcell", newPcell).drop("cell")
+      val bands =
+        if (!regrain) live(s"${prefix}_bands", "partner_id")
+        else waved(live(s"${prefix}_bands", "partner_id"))
+          .drop("pcell").withColumn("pcell", newPcell)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_vecs", "vec_id"), s"${outPfx}_vecs",
+        vecs, s"${outPfx}_vecs",
         Seq("wave", "pcell"), Seq("vec_id"), s"$outDir/vecs", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_bands", "partner_id"), s"${outPfx}_bands",
+        bands, s"${outPfx}_bands",
         Seq("wave", "pcell"), Seq("cell", "k", "v"), s"$outDir/bands",
         m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_cells", "vec_id"), s"${outPfx}_cells",
+        waved(live(s"${prefix}_cells", "vec_id")), s"${outPfx}_cells",
         Seq("wave"), Seq("vec_id"), s"$outDir/cells", m.buckets)
       Bucketing.writePartitionedBucketedExternal(
-        live(s"${prefix}_pqcodes", "vec_id"), s"${outPfx}_pqcodes",
+        waved(live(s"${prefix}_pqcodes", "vec_id")), s"${outPfx}_pqcodes",
         Seq("wave"), Seq("vec_id"), s"$outDir/pqcodes", m.buckets)
     } else {
       Bucketing.writeBucketedExternal(
@@ -833,7 +896,6 @@ object VectorIndex {
     val cents = spark.table(s"${prefix}_cents").orderBy("cell").collect()
     val books = spark.table(s"${prefix}_pqbooks").orderBy("j", "code")
       .collect()
-    val metaRow = spark.table(s"${prefix}_meta").collect()
     def rewrite(rows: Array[Row], like: String, table: String,
         loc: String): Unit = {
       val schema = spark.table(like).schema
@@ -846,10 +908,20 @@ object VectorIndex {
       s"$outDir/cents")
     rewrite(books, s"${prefix}_pqbooks", s"${outPfx}_pqbooks",
       s"$outDir/pqbooks")
-    rewrite(metaRow, s"${prefix}_meta", s"${outPfx}_meta",
-      s"$outDir/meta")
+    // the meta row is REGENERATED (not copied) so the output grain lands
+    // in it — and a legacy pre-pcells meta gains the column on upgrade
+    locally {
+      import spark.implicits._
+      writePlain(Seq((m.minCos, m.dims, m.nCells, m.kmeansIters,
+        m.trainSampleCap, m.targetCellRows, m.planes, m.bands, m.pqM,
+        m.pqKsub, m.corpusRows, m.buckets, outPcells))
+        .toDF("min_cos", "dims", "n_cells", "kmeans_iters",
+          "train_sample_cap", "target_cell_rows", "planes", "bands",
+          "pq_m", "pq_ksub", "corpus_rows", "buckets", "pcells")
+        .coalesce(1), s"${outPfx}_meta", s"$outDir/meta")
+    }
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
-    if (m.pcells > 0) Bucketing.commitWave(spark, outDir, 0)
+    if (outPcells > 0) Bucketing.commitWave(spark, outDir, 0)
   }
 
   /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,
