@@ -161,23 +161,24 @@ object Bucketing {
     * fails OPEN for them (resolving those requires asking the remote
     * FS/DNS, which this planning-time check deliberately does not do;
     * spell index locations consistently within a deployment). */
-  def samePath(spark: SparkSession, a: String, b: String): Boolean = {
-    val hc = spark.sessionState.newHadoopConf()
-    // qualify ONLY scheme-less paths (resolves relative spellings and
-    // adds file:): an already-qualified path is compared as written —
-    // calling makeQualified on it would route through the named FS's
-    // checkPath, which some FS impls (empty-authority URIs) reject for
-    // authority-bearing paths even though the location is theirs
-    def norm(p: String): (String, String, String) = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val u =
-        if (path.toUri.getScheme != null) path.toUri
-        else path.getFileSystem(hc).makeQualified(path).toUri
-      (u.getScheme,
-        Option(u.getAuthority).map(_.toLowerCase).getOrElse(""),
-        u.getPath.stripSuffix("/") match { case "" => "/"; case s => s })
-    }
-    norm(a) == norm(b)
+  def samePath(spark: SparkSession, a: String, b: String): Boolean =
+    normPath(spark, a) == normPath(spark, b)
+
+  // qualify ONLY scheme-less paths (resolves relative spellings and
+  // adds file:): an already-qualified path is compared as written —
+  // calling makeQualified on it would route through the named FS's
+  // checkPath, which some FS impls (empty-authority URIs) reject for
+  // authority-bearing paths even though the location is theirs
+  private def normPath(spark: SparkSession,
+      p: String): (String, String, String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val u =
+      if (path.toUri.getScheme != null) path.toUri
+      else path.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(path).toUri
+    (u.getScheme,
+      Option(u.getAuthority).map(_.toLowerCase).getOrElse(""),
+      u.getPath.stripSuffix("/") match { case "" => "/"; case s => s })
   }
 
   /** AUTO-SIZE a hash-partition grain (pvals/pcells) from the row count
@@ -274,16 +275,110 @@ object Bucketing {
       .create(p, false).close()
   }
 
-  /** Drop every wave marker under `dir` — a rebuild starts the history
-    * over (its own wave 0 is committed after the tables are written). */
+  /** Drop every wave marker AND lease under `dir` — a rebuild starts the
+    * history over (its own wave 0 is committed after the tables are
+    * written), and stale leases from the retired history must not inflate
+    * the new one's numbering. */
   def clearWaveMarkers(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p))
       fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.matches("_wave_\\d+"))
+        .filter(f => f.getName.matches("_wave_\\d+") ||
+          f.getName.matches("_lease_\\d+"))
         .foreach(fs.delete(_, false))
   }
+
+  // ---- wave leases (cooperative multi-writer numbering) -----------------
+  //
+  // commitWave's no-overwrite marker create turns a second writer into a
+  // LOUD failure — correct, but only after both writers have already
+  // staged rows under the SAME wave number (interleaved content the
+  // failure can no longer untangle). Leases move the atomic create to
+  // BEFORE staging: a writer first claims its number by creating the
+  // empty `_lease_W` file (the same create-no-overwrite primitive), and
+  // only the winner stages wave W — the loser retries at the next free
+  // number. Two concurrent appenders therefore both land, on DISJOINT
+  // waves, with no coordination service: the filesystem's atomic
+  // create-no-overwrite IS the lock (atomic on HDFS and local FS;
+  // object stores need conditional-put support — S3 has it since 2024 —
+  // or an external lock). The lease is deleted when its wave commits;
+  // a crashed writer's stale lease just keeps its number reserved
+  // forever (numbering is monotonic anyway), and compact/rebuild clear
+  // leases with the rest of the retired history.
+
+  /** Wave numbers currently leased under `dir` (sorted; committed waves'
+    * leases are deleted at commit, so these are in-flight or crashed). */
+  def leasedWaves(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("_lease_\\d+")).map(_.stripPrefix("_lease_").toInt)
+      .sorted.toSeq
+  }
+
+  /** Atomically ACQUIRE the next free wave number under `dir`: computes
+    * the first number above everything committed, staged, or leased,
+    * then claims it with one create-no-overwrite; on a collision (a
+    * concurrent writer claimed it first) the listing is re-taken and the
+    * next number tried, `maxAttempts` times before giving up loudly. */
+  def acquireWave(spark: SparkSession, dir: String, subs: Seq[String],
+      maxAttempts: Int = 64): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir)) // first append to a dir-less index
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = math.max(
+        math.max(committedWave(spark, dir), maxStagedWave(spark, dir, subs)),
+        leasedWaves(spark, dir).foldLeft(-1)(math.max)) + 1
+      try {
+        fs.create(new org.apache.hadoop.fs.Path(s"$dir/_lease_$next"),
+          false).close()
+        return next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1 // a concurrent writer won this number; re-list
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exist") =>
+          attempt += 1 // RawLocalFileSystem wraps the collision in IOException
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire a wave lease under $dir after $maxAttempts " +
+        "attempts — writer storm or a filesystem without atomic " +
+        "create-no-overwrite")
+  }
+
+  /** Release the lease for `wave` (called after its marker commits, or
+    * to explicitly abandon a claimed-but-unstaged number). */
+  def releaseWave(spark: SparkSession, dir: String, wave: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lease_$wave")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+  }
+
+  /** Serialize the PHYSICAL table writes of concurrent same-JVM writers
+    * to one index: wave leases make concurrent appends land on disjoint
+    * waves, but the underlying `saveAsTable(Append)` jobs share the
+    * table path's Hadoop committer staging directory (`_temporary/0`) —
+    * one job's commit-cleanup can delete another in-flight job's task
+    * files, silently truncating its wave. Within a JVM this mutex closes
+    * that race (lease acquisition stays concurrent; only the write
+    * section serializes). ACROSS JVMs it cannot — cross-cluster
+    * multi-writer needs writer-private staging locations moved in by
+    * rename (the documented follow-up in PLANS.md); until then the
+    * single-writer-PER-JVM contract holds across processes, enforced
+    * loudly by the lease/marker creates. Keyed by the qualified index
+    * directory, so two spellings of one location share a lock. */
+  def withWriteLock[A](spark: SparkSession, dir: String)(body: => A): A = {
+    val lock = writeLocks.computeIfAbsent(normPath(spark, dir),
+      _ => new Object)
+    lock.synchronized(body)
+  }
+
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
 
   /** Highest wave directory STAGED under any of `dir/<sub>` — committed
     * or not (−1 when none): the next append writes above every number any

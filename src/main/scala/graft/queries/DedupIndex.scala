@@ -162,11 +162,16 @@ object DedupIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("doc_id"), "left_anti")
       else fresh
-    novel.coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("path", s"${dirOf(s, prefix)}/tombs")
-      .option("compression", "snappy")
-      .saveAsTable(s"${prefix}_tombs")
+    // same-JVM write serialization: concurrent takedown jobs (or a
+    // takedown racing an append's catalog refresh) share the committer
+    // staging dir like any same-path writers
+    Bucketing.withWriteLock(s, dirOf(s, prefix)) {
+      novel.coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("path", s"${dirOf(s, prefix)}/tombs")
+        .option("compression", "snappy")
+        .saveAsTable(s"${prefix}_tombs")
+    }
   }
 
   /** [[remove]] for a driver-known takedown list. */
@@ -354,7 +359,11 @@ object DedupIndex {
       prefix: String = "dedup_idx"): Unit = {
     val s = batch.sparkSession
     val w = appendStaged(batch, id, text, prefix)
-    if (w >= 0) Bucketing.commitWave(s, dirOf(s, prefix), w)
+    if (w >= 0) {
+      val d = dirOf(s, prefix)
+      Bucketing.commitWave(s, d, w)
+      Bucketing.releaseWave(s, d, w) // the marker supersedes the lease
+    }
   }
 
   /** The staging half of [[append]]: writes the wave's files across all
@@ -373,10 +382,18 @@ object DedupIndex {
     // leftover wave (crashed append) must not suppress re-appending its
     // content — those rows are invisible to every probe forever
     val cws = if (pvals > 0) Bucketing.committedWaves(s, dir) else Nil
+    // the wave number is LEASED (atomic create-no-overwrite) before any
+    // staging, so two concurrent appenders land on DISJOINT waves instead
+    // of interleaving one ([[Bucketing.acquireWave]]). Concurrent writers
+    // must append DISJOINT content: the novel-ch anti-join below reads
+    // the committed snapshot, so two writers carrying the same new text
+    // would each see it as novel and both insert its hash row (compact
+    // collapses the duplicates by ch, but probes in between would serve
+    // duplicate exact-verdict rows). Parallel ingest shards partitioned
+    // by id/hash satisfy this by construction.
     val wave =
       if (pvals == 0) -1
-      else math.max(cws.foldLeft(-1)(math.max),
-        Bucketing.maxStagedWave(s, dir, Seq("hashes", "bands", "shingles"))) + 1
+      else Bucketing.acquireWave(s, dir, Seq("hashes", "bands", "shingles"))
     // EAGER local checkpoint: a caller's `batch` routinely derives from
     // probe verdicts against THIS index (the appendAdmitted loop), and
     // the FIRST write below (hashes) refreshes its catalog table — which
@@ -432,7 +449,15 @@ object DedupIndex {
         Seq("b", "h"), "pbh"),
       () => appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
         Seq("doc_id"), "pdoc"))
-    writes.take(math.max(0, maxTables)).foreach(_())
+    // same-JVM writers serialize the PHYSICAL writes (the shared Hadoop
+    // committer staging dir — [[Bucketing.withWriteLock]]); the lease
+    // acquisition above stays concurrent, so waiting writers already
+    // hold their disjoint numbers
+    if (pvals > 0)
+      Bucketing.withWriteLock(s, dir) {
+        writes.take(math.max(0, maxTables)).foreach(_())
+      }
+    else writes.take(math.max(0, maxTables)).foreach(_())
     TextDedup.unpersistDerivationsOf(nc)
     wave
   }

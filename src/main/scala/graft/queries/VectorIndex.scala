@@ -435,11 +435,14 @@ object VectorIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("vec_id"), "left_anti")
       else fresh
-    novel.coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("path", s"$dir/tombs")
-      .option("compression", "snappy")
-      .saveAsTable(s"${prefix}_tombs")
+    // same-JVM write serialization ([[DedupIndex.remove]] rationale)
+    Bucketing.withWriteLock(s, dir) {
+      novel.coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("path", s"$dir/tombs")
+        .option("compression", "snappy")
+        .saveAsTable(s"${prefix}_tombs")
+    }
   }
 
   /** [[remove]] for a driver-known takedown list. */
@@ -668,7 +671,11 @@ object VectorIndex {
       prefix: String = "vec_idx"): Unit = {
     val s = batch.sparkSession
     val w = appendStaged(batch, id, vec, prefix)
-    if (w >= 0) Bucketing.commitWave(s, dirOf(s, prefix), w)
+    if (w >= 0) {
+      val d = dirOf(s, prefix)
+      Bucketing.commitWave(s, d, w)
+      Bucketing.releaseWave(s, d, w) // the marker supersedes the lease
+    }
   }
 
   /** The staging half of [[append]] ([[DedupIndex.appendStaged]] twin):
@@ -680,14 +687,13 @@ object VectorIndex {
       maxTables: Int = Int.MaxValue): Int = {
     val s = batch.sparkSession
     val m = meta(s, prefix)
+    // wave number LEASED before staging, so concurrent appenders land on
+    // disjoint waves ([[Bucketing.acquireWave]]; [[DedupIndex]] twin —
+    // including its disjoint-content contract: ids must be novel AND not
+    // concurrently duplicated across writers)
     val wave =
       if (m.pcells == 0) -1
-      else {
-        val dir = dirOf(s, prefix)
-        math.max(
-          Bucketing.committedWaves(s, dir).foldLeft(-1)(math.max),
-          Bucketing.maxStagedWave(s, dir, DataSubs)) + 1
-      }
+      else Bucketing.acquireWave(s, dirOf(s, prefix), DataSubs)
     val cents = centroids(s, prefix)
     val books = pqBooks(s, prefix)
     // EAGER local checkpoint, not persist: a caller's `batch` routinely
@@ -747,7 +753,13 @@ object VectorIndex {
               .withColumn("rnorm2",
                 VectorOps.pqRnorm2Col(col("codes"), books)),
             "pqcodes", Seq("vec_id")))
-      writes.take(math.max(0, maxTables)).foreach(_())
+      // same-JVM write serialization ([[Bucketing.withWriteLock]];
+      // [[DedupIndex.appendStaged]] rationale)
+      if (m.pcells > 0)
+        Bucketing.withWriteLock(s, dirOf(s, prefix)) {
+          writes.take(math.max(0, maxTables)).foreach(_())
+        }
+      else writes.take(math.max(0, maxTables)).foreach(_())
       wave
     } finally bIdx.unpersist(false) // checkpoint blocks also free on GC
   }

@@ -1,0 +1,199 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.queries.{DedupIndex, Tables, VectorIndex}
+import org.apache.spark.sql.functions._
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** End-to-end HTTP tests for the serving-index REST surface (r15 verdict
+  * item 5), mirroring FinOpsServerSpec: real server on an ephemeral port,
+  * real requests through java.net, envelopes asserted — including the
+  * ingest-gate loop (verdicts + append_admitted), knn, stats, maintain,
+  * and the bounded-heap property over the sf0.1-built indexes. */
+class ServingServerSpec extends SparkSpec {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+
+  private lazy val server: ServingServer = {
+    // sf0.1 indexes (5k docs / 2k vectors) — the "scale" fixture of this
+    // box; the serving contract under test is that envelopes are
+    // REQUEST-proportional, never index-proportional
+    val docs = Tables.load(spark, Sf01, "documents").select("doc_id", "text")
+    val emb = Tables.load(spark, Sf01, "embeddings")
+      .select("vec_id", "embedding")
+    val td = java.nio.file.Files.createTempDirectory("srv_txt").toString
+    val vd = java.nio.file.Files.createTempDirectory("srv_vec").toString
+    DedupIndex.build(docs.filter(col("doc_id") % 10 =!= 3), "doc_id",
+      "text", td, prefix = "srv_txt")
+    VectorIndex.build(emb.filter(col("vec_id") % 7 =!= 3), "vec_id",
+      "embedding", vd, minCos = 0.35, prefix = "srv_vec")
+    val s = new ServingServer(spark, "srv_txt", "srv_vec")
+    s.start()
+    s
+  }
+
+  override def afterAll(): Unit = {
+    try server.stop() finally super.afterAll()
+  }
+
+  private def request(method: String, path: String,
+      body: Option[String] = None): (Int, String) = {
+    val url = URI.create(s"http://127.0.0.1:${server.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val status = conn.getResponseCode
+    val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (status, text)
+  }
+
+  private def docJson(r: org.apache.spark.sql.Row): String =
+    s"""{"doc_id": ${r.getLong(0)}, "text": ${ApiResponses.toJson(r.getString(1))}}"""
+
+  private def vecJson(r: org.apache.spark.sql.Row): String = {
+    val e = r.getSeq[Float](1).mkString("[", ",", "]")
+    s"""{"vec_id": ${r.getLong(0)}, "embedding": $e}"""
+  }
+
+  test("health and route discovery answer") {
+    val (s1, b1) = request("GET", "/health")
+    assert(s1 == 200 && b1.contains("\"text_index\":true") &&
+      b1.contains("\"vector_index\":true"), b1)
+    val (s2, b2) = request("GET", "/api/v1/serving/routes")
+    assert(s2 == 200 && b2.contains("/api/v1/serving/dedup/ingest") &&
+      b2.contains("/api/v1/serving/vector/knn"), b2)
+  }
+
+  test("dedup ingest gate: verdicts over HTTP; append_admitted closes the loop") {
+    val docs = Tables.load(spark, Sf01, "documents").select("doc_id", "text")
+    // one exact copy of a corpus doc (re-idded) + one novel doc
+    val corpusDoc = docs.filter(col("doc_id") % 10 =!= 3).head()
+    val novel = docs.filter(col("doc_id") % 10 === 3).head()
+    val payload =
+      s"""{"docs": [
+         |{"doc_id": 900001, "text": ${ApiResponses.toJson(corpusDoc.getString(1))}},
+         |${docJson(novel)}
+         |], "append_admitted": true}""".stripMargin
+    val (s1, b1) = request("POST", "/api/v1/serving/dedup/ingest", Some(payload))
+    assert(s1 == 200, b1)
+    assert(b1.contains("\"verdict\":\"exact_dup\"") &&
+      b1.contains("\"verdict\":\"new\"") && b1.contains("\"appended\":1"), b1)
+
+    // the appended doc now gates its own twin: a SECOND request carrying
+    // an exact copy reads exact_dup against the appended id
+    val twin = s"""{"docs": [
+      |{"doc_id": 900002, "text": ${ApiResponses.toJson(novel.getString(1))}}
+      |]}""".stripMargin
+    val (s2, b2) = request("POST", "/api/v1/serving/dedup/ingest", Some(twin))
+    assert(s2 == 200 && b2.contains("\"verdict\":\"exact_dup\"") &&
+      b2.contains(s"""\"partner_id\":${novel.getLong(0)}"""), b2)
+  }
+
+  test("vector ingest and knn serve off the attached index") {
+    val emb = Tables.load(spark, Sf01, "embeddings")
+      .select("vec_id", "embedding")
+    val corpusVec = emb.filter(col("vec_id") % 7 =!= 3).head()
+    val copy = s"""{"vec_id": 910001, "embedding": ${
+      corpusVec.getSeq[Float](1).mkString("[", ",", "]")}}"""
+    val (s1, b1) = request("POST", "/api/v1/serving/vector/ingest",
+      Some(s"""{"vectors": [$copy], "min_cos": 0.999}"""))
+    assert(s1 == 200 && b1.contains("\"verdict\":\"near_dup\"") &&
+      b1.contains(s"""\"partner_id\":${corpusVec.getLong(0)}"""), b1)
+
+    val (s2, b2) = request("POST", "/api/v1/serving/vector/knn",
+      Some(s"""{"queries": [$copy], "k": 3}"""))
+    assert(s2 == 200 && b2.contains("\"row_count\":3") &&
+      b2.contains(s"""\"vec_id\":${corpusVec.getLong(0)}"""),
+      s"top-3 must contain the exact twin: $b2")
+  }
+
+  test("stats and maintain expose the operational surface") {
+    for (side <- Seq("dedup", "vector")) {
+      val (s1, b1) = request("GET", s"/api/v1/serving/$side/stats")
+      assert(s1 == 200 && b1.contains("\"tombstones\":") &&
+        b1.contains("\"committedWaveCount\":"), s"$side stats: $b1")
+      val (s2, b2) = request("GET", s"/api/v1/serving/$side/maintain")
+      assert(s2 == 200 && b2.contains("\"action\":") &&
+        b2.contains("\"recommendedGrain\":"), s"$side maintain: $b2")
+    }
+    // the drift-immunity switch is reachable over HTTP
+    val (s3, b3) = request("GET",
+      "/api/v1/serving/vector/maintain?serves_ann=false")
+    assert(s3 == 200 && b3.contains("\"action\":"), b3)
+  }
+
+  test("bad requests answer 400; unknown routes 404") {
+    val (s1, b1) = request("POST", "/api/v1/serving/dedup/ingest",
+      Some("""{"docs": []}"""))
+    assert(s1 == 400 && b1.contains("non-empty"), s"$s1 $b1")
+    val (s2, _) = request("GET", "/api/v1/serving/nope")
+    assert(s2 == 404)
+  }
+
+  /** Post-GC used heap, stabilized (FinOpsServerScaleSpec's meter). */
+  private def usedHeap(): Long = {
+    val r = Runtime.getRuntime
+    def once(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      r.totalMemory() - r.freeMemory()
+    }
+    var prev = once()
+    var best = prev
+    var i = 0
+    while (i < 8) {
+      val cur = once()
+      best = math.min(best, cur)
+      if (math.abs(cur - prev) < 16L * 1024 * 1024) i = 8
+      else { prev = cur; i += 1 }
+    }
+    best
+  }
+
+  test("serving endpoints stay bounded-heap and request-proportional over the sf0.1 indexes") {
+    val docs = Tables.load(spark, Sf01, "documents").select("doc_id", "text")
+    val emb = Tables.load(spark, Sf01, "embeddings")
+      .select("vec_id", "embedding")
+    // warm off the meter (first-probe codegen + file listings)
+    request("GET", "/health")
+    val docRows = docs.filter(col("doc_id") % 10 === 3).limit(8)
+      .collect().zipWithIndex.map { case (r, i) =>
+        s"""{"doc_id": ${920000 + i}, "text": ${ApiResponses.toJson(r.getString(1))}}"""
+      }
+    val vecRows = emb.filter(col("vec_id") % 7 === 3).limit(4)
+      .collect().zipWithIndex.map { case (r, i) =>
+        s"""{"vec_id": ${930000 + i}, "embedding": ${
+          r.getSeq[Float](1).mkString("[", ",", "]")}}"""
+      }
+    request("POST", "/api/v1/serving/dedup/ingest",
+      Some(s"""{"docs": [${docRows.mkString(",")}]}"""))
+    request("POST", "/api/v1/serving/vector/knn",
+      Some(s"""{"queries": [${vecRows.mkString(",")}], "k": 5}"""))
+    val before = usedHeap()
+    val bodies = Seq(
+      request("POST", "/api/v1/serving/dedup/ingest",
+        Some(s"""{"docs": [${docRows.mkString(",")}]}""")),
+      request("POST", "/api/v1/serving/vector/ingest",
+        Some(s"""{"vectors": [${vecRows.mkString(",")}]}""")),
+      request("POST", "/api/v1/serving/vector/knn",
+        Some(s"""{"queries": [${vecRows.mkString(",")}], "k": 5}""")),
+      request("GET", "/api/v1/serving/dedup/stats"),
+      request("GET", "/api/v1/serving/vector/maintain"))
+    bodies.foreach { case (status, b) =>
+      assert(status == 200, s"$status: ${b.take(200)}")
+      // request-proportional: a handful of docs/vectors → small envelope
+      assert(b.length < 100000, s"envelope is ${b.length} bytes")
+    }
+    val after = usedHeap()
+    val deltaMb = (after - before) / (1024.0 * 1024.0)
+    info(f"post-GC heap delta across 5 serving endpoints: $deltaMb%.1f MB")
+    assert(deltaMb < 256.0,
+      f"serving path retained $deltaMb%.1f MB over the sf0.1 indexes")
+  }
+}
