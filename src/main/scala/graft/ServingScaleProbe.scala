@@ -106,6 +106,24 @@ object ServingScaleProbe {
 
     val pvals = sys.env.getOrElse("SPARK_GRAFT_PVALS", "0").toInt
     val pcells = sys.env.getOrElse("SPARK_GRAFT_PCELLS", "0").toInt
+    // SPARK_GRAFT_REGRAIN=1: compact with AutoPvals/AutoPcells instead of
+    // inheriting, then probe the COMPACTED index — the r15 verdict's
+    // item 1(c): a wrongly-grained (e.g. legacy pvals=64) decade index
+    // must recover the scaled-grain probe wall through the maintenance
+    // path alone, no scratch rebuild. The compacted-index probe is
+    // emitted in all modes (inherit mode doubles as a same-grain control).
+    val regrain = sys.env.get("SPARK_GRAFT_REGRAIN").contains("1")
+    // SPARK_GRAFT_PREP=1: time the INDEX-ROUTED CorpusPrep (r15 verdict
+    // item 3) — a constant pool (the replica-0 %7 slice the corpus
+    // excludes) prepared with textIndexPrefix/indexPrefix pointing at the
+    // decade indexes; the wall must track the POOL, not the corpus.
+    // SPARK_GRAFT_PREP_FULL=1 additionally times the in-session contrast
+    // (pool ∪ corpus prepared with NO indexes — the non-restartable shape
+    // whose cost IS corpus-sized); skipped above 100× where the full prep
+    // would dominate the series for a number whose growth law is already
+    // the point.
+    val prepMode = sys.env.get("SPARK_GRAFT_PREP").contains("1")
+    val prepFull = sys.env.get("SPARK_GRAFT_PREP_FULL").contains("1")
 
     val points = decades.map { reps =>
       val rd = buildCorpus(spark, baseDir, work, reps)
@@ -158,12 +176,67 @@ object ServingScaleProbe {
 
       val (tCompact, _) = timed {
         graft.queries.DedupIndex.compact(spark,
-          s"$work/${tpfx}_cmp", tpfx, s"${tpfx}c")
+          s"$work/${tpfx}_cmp", tpfx, s"${tpfx}c",
+          pvals = if (regrain) graft.queries.DedupIndex.AutoPvals else 0)
       }
       val (vCompact, _) = timed {
         graft.queries.VectorIndex.compact(spark,
-          s"$work/${vpfx}_cmp", vpfx, s"${vpfx}c")
+          s"$work/${vpfx}_cmp", vpfx, s"${vpfx}c",
+          pcells = if (regrain) graft.queries.VectorIndex.AutoPcells else 0)
       }
+
+      // probe the COMPACTED index: under regrain this is the re-grained
+      // operating point; under inherit it is the same-grain control
+      def probeTextC() = graft.queries.DedupIndex
+        .incrementalDedup(docBatch, "doc_id", "text", s"${tpfx}c").count()
+      def probeVecC() = graft.queries.VectorIndex
+        .incrementalDedup(vecBatch, "vec_id", "embedding", s"${vpfx}c",
+          minCos = 0.9).count()
+      probeTextC(); probeVecC()
+      val tProbeC = (1 to 3).map(_ => timed(probeTextC())._1).min
+      val vProbeC = (1 to 3).map(_ => timed(probeVecC())._1).min
+      val tgvC = graft.queries.DedupIndex.pvalsOf(spark, s"${tpfx}c")
+      val vgvC = graft.queries.VectorIndex.meta(spark, s"${vpfx}c").pcells
+
+      val prepStr = if (!prepMode) "" else {
+        import graft.queries.CorpusPrep
+        // the constant pool: the full replica-0 %7 slice (the corpus
+        // excludes it, so index probes are genuine lookups); embeddings
+        // keyed by the same id space cover a subset of the pool — docs
+        // without one pass through unjudged, the stage's contract
+        val pool = spark.read.parquet(s"$rd/documents.parquet")
+          .filter(col("doc_id") < RepOff && col("doc_id") % 7 === 3)
+        val poolEmb = embs.filter(col("vec_id") < RepOff &&
+          col("vec_id") % 7 === 3)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        def runPrep(df: DataFrame, cfg: CorpusPrep.Config): Double = timed {
+          val p = CorpusPrep.prepare(df, "doc_id", "text", "source",
+            cfg = cfg)
+          p.survivors.count(); p.packed.count(); p.release()
+        }._1
+        val idxCfg = CorpusPrep.Config(
+          textIndexPrefix = Some(s"${tpfx}c"),
+          semantic = Some(CorpusPrep.SemanticStage(poolEmb, minCos = 0.9,
+            indexPrefix = Some(s"${vpfx}c"))))
+        val poolDocs = pool.count()
+        val tPrepIdx = (1 to 2).map(_ => runPrep(pool, idxCfg)).min
+        val fullStr =
+          if (!prepFull || reps > 100) ""
+          else {
+            // in-session contrast: prep EVERYTHING (pool ∪ corpus) with
+            // no indexes — the corpus-sized cost the indexed route avoids
+            val all = spark.read.parquet(s"$rd/documents.parquet")
+            val allEmb = embs
+              .select(col("vec_id").as("doc_id"), col("embedding"))
+            val t = runPrep(all, CorpusPrep.Config(
+              semantic = Some(CorpusPrep.SemanticStage(allEmb,
+                minCos = 0.9))))
+            f""","prep_full_insession":$t%.2f"""
+          }
+        f""","prep_pool_docs":$poolDocs,"prep_indexed":$tPrepIdx%.2f""" +
+          fullStr
+      }
+
       val docRows = docCorpus.count()
       val vecRows = vecCorpus.count()
       spark.catalog.clearCache()
@@ -173,7 +246,10 @@ object ServingScaleProbe {
         f""""pvals":$tgv,"pcells":$vgv,""" +
         f""""text_build":$tBuild%.2f,"text_probe":$tProbe%.3f,""" +
         f""""text_compact":$tCompact%.2f,"vec_build":$vBuild%.2f,""" +
-        f""""vec_probe":$vProbe%.3f,"vec_compact":$vCompact%.2f}"""
+        f""""vec_probe":$vProbe%.3f,"vec_compact":$vCompact%.2f,""" +
+        f""""pvals_c":$tgvC,"pcells_c":$vgvC,""" +
+        f""""text_probe_c":$tProbeC%.3f,"vec_probe_c":$vProbeC%.3f""" +
+        prepStr + "}"
     }
     println(s"""{"metric":"serving_scale_decades","points":${points.mkString("[", ",", "]")}}""")
     spark.stop()

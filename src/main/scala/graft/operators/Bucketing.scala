@@ -262,31 +262,65 @@ object Bucketing {
   def committedWave(spark: SparkSession, dir: String): Int =
     committedWaves(spark, dir).foldLeft(-1)(math.max)
 
+  /** Create `p` atomically, failing (false) when it already exists — the
+    * lease/marker primitive. `FileSystem.create(p, overwrite = false)` is
+    * NOT atomic on the local filesystem (RawLocalFileSystem checks
+    * existence then creates — two racing writers can BOTH pass the
+    * check, which the r16 cross-JVM spec caught as a staging-path
+    * collision truncating an in-flight wave), so the `file:` scheme goes
+    * through java.nio `Files.createFile` (O_CREAT|O_EXCL — atomic across
+    * threads AND processes on POSIX); other schemes keep
+    * `create(false)`, which IS atomic where a central metadata service
+    * arbitrates it (HDFS namenode; object stores need conditional-put —
+    * S3 has it since 2024 — or an external lock, as documented on
+    * [[acquireWave]]). */
+  def createNoOverwrite(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      val local = new java.io.File(p.toUri.getPath)
+      Option(local.getParentFile).foreach(_.mkdirs())
+      try { java.nio.file.Files.createFile(local.toPath); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exist") =>
+          false
+      }
+    }
+
   /** PUBLISH wave `wave` under `dir` — one atomic empty-file create; the
     * moment this returns, every reader's next [[committedWave]] includes
-    * the wave's staged files across all tables. `overwrite = false` is
-    * deliberate: the wave number was derived from the on-disk state, so
-    * an existing marker means a SECOND writer staged the same number —
-    * failing loudly here turns a silent interleaved-content corruption
-    * into an immediate single-writer-contract violation error. */
+    * the wave's staged files across all tables. No-overwrite is
+    * deliberate: the wave number was LEASED, so an existing marker means
+    * a writer violated the lease protocol (or a buggy FS) — failing
+    * loudly here turns a silent interleaved-content corruption into an
+    * immediate error. */
   def commitWave(spark: SparkSession, dir: String, wave: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-      .create(p, false).close()
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(createNoOverwrite(fs, p),
+      s"wave marker $p already exists — a second writer committed this " +
+        "wave number; the lease protocol was bypassed or the filesystem " +
+        "lacks atomic create-no-overwrite")
   }
 
-  /** Drop every wave marker AND lease under `dir` — a rebuild starts the
-    * history over (its own wave 0 is committed after the tables are
-    * written), and stale leases from the retired history must not inflate
-    * the new one's numbering. */
+  /** Drop every wave marker, lease, AND crashed-append staging root
+    * under `dir` — a rebuild/compact starts the history over (its own
+    * wave 0 is committed after the tables are written), and stale leases
+    * or `.stage_w*` garbage from the retired history must not inflate
+    * the new one's numbering or linger as dead bytes. */
   def clearWaveMarkers(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p))
       fs.listStatus(p).map(_.getPath)
         .filter(f => f.getName.matches("_wave_\\d+") ||
-          f.getName.matches("_lease_\\d+"))
-        .foreach(fs.delete(_, false))
+          f.getName.matches("_lease_\\d+") ||
+          f.getName.startsWith(".stage_"))
+        .foreach(fs.delete(_, true))
   }
 
   // ---- wave leases (cooperative multi-writer numbering) -----------------
@@ -333,17 +367,14 @@ object Bucketing {
       val next = math.max(
         math.max(committedWave(spark, dir), maxStagedWave(spark, dir, subs)),
         leasedWaves(spark, dir).foldLeft(-1)(math.max)) + 1
-      try {
-        fs.create(new org.apache.hadoop.fs.Path(s"$dir/_lease_$next"),
-          false).close()
+      // atomic claim ([[createNoOverwrite]] — the plain create(false) is
+      // check-then-act on the local FS, and a double-claimed lease means
+      // a shared staging path whose Overwrite truncates the other
+      // writer's in-flight wave)
+      if (createNoOverwrite(fs,
+          new org.apache.hadoop.fs.Path(s"$dir/_lease_$next")))
         return next
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempt += 1 // a concurrent writer won this number; re-list
-        case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("exist") =>
-          attempt += 1 // RawLocalFileSystem wraps the collision in IOException
-      }
+      attempt += 1 // a concurrent writer won this number; re-list
     }
     throw new IllegalStateException(
       s"could not acquire a wave lease under $dir after $maxAttempts " +
@@ -365,11 +396,12 @@ object Bucketing {
     * one job's commit-cleanup can delete another in-flight job's task
     * files, silently truncating its wave. Within a JVM this mutex closes
     * that race (lease acquisition stays concurrent; only the write
-    * section serializes). ACROSS JVMs it cannot — cross-cluster
-    * multi-writer needs writer-private staging locations moved in by
-    * rename (the documented follow-up in PLANS.md); until then the
-    * single-writer-PER-JVM contract holds across processes, enforced
-    * loudly by the lease/marker creates. Keyed by the qualified index
+    * section serializes). ACROSS JVMs it cannot — which is why the
+    * DEFAULT append path is [[appendWaveByRename]] (writer-private
+    * staging moved in by one directory rename: no shared committer dir,
+    * no lock needed, safe across processes); this mutex remains for the
+    * legacy in-place staging mode (`spark.graft.append.staging=inplace`)
+    * and the tombstone-table CREATE race. Keyed by the qualified index
     * directory, so two spellings of one location share a lock. */
   def withWriteLock[A](spark: SparkSession, dir: String)(body: => A): A = {
     val lock = writeLocks.computeIfAbsent(normPath(spark, dir),
@@ -379,6 +411,124 @@ object Bucketing {
 
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
+
+  /** CROSS-JVM-safe staged append of ONE wave's rows to a partitioned
+    * bucketed table: the rows are written to a WRITER-PRIVATE staging
+    * table under `<indexDir>/.stage_w<wave>/<liveTable>`, then published
+    * into the live table by a single directory RENAME of its `wave=W`
+    * subtree, and the moved partitions are registered with one batched
+    * `ALTER TABLE ADD IF NOT EXISTS PARTITION`. Two concurrent writers —
+    * threads OR processes — never share a Hadoop committer staging dir
+    * (`_temporary/0`), so the commit-cleanup race [[withWriteLock]]
+    * guards against cannot occur and no lock is taken: the wave lease
+    * already guarantees the `wave=W` destination is this writer's alone.
+    *
+    * `df` must already carry the `wave` column (= `wave`) and the
+    * partition/bucket columns, pre-repartitioned by the caller exactly as
+    * the in-place path would. A dot-prefixed staging root is invisible to
+    * every table scan (Hadoop's hidden-path filter), and a crash before
+    * the rename leaves garbage ONLY there — reclaimed by
+    * [[clearWaveMarkers]] at compact/rebuild; a crash after some tables'
+    * renames leaves uncommitted `wave=W` dirs under those tables, exactly
+    * the abandoned-wave garbage the marker protocol already makes
+    * invisible. Same-FS rename is the publish primitive (atomic on
+    * HDFS/local; object stores emulate rename by copy — there, prefer
+    * the in-place mode with an external writer lock, or a manifest
+    * committer).
+    *
+    * Registration note: the live tables are catalog-partitioned (attach
+    * runs `RECOVER PARTITIONS`), so moved-in dirs must be ADDed for
+    * planning-time pruning to see them — the statement is
+    * batch-proportional (only partitions the batch touched exist under
+    * `wave=W`). */
+  def appendWaveByRename(spark: SparkSession, df: DataFrame,
+      liveTable: String, keys: Seq[String], partColsAfterWave: Seq[String],
+      buckets: Int, indexDir: String, wave: Int): Unit = {
+    val stagePath = s"$indexDir/.stage_w$wave/$liveTable"
+    val stageTable = s"${liveTable}__stage_w$wave"
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("wave" +: partColsAfterWave: _*)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", stagePath)
+      .option("compression", "snappy")
+      .saveAsTable(stageTable)
+    spark.sql(s"DROP TABLE $stageTable") // external: files stay put
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$stagePath/wave=$wave")
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(src)) { // absent = empty batch (no rows ⇒ no dirs)
+      val liveLoc = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(liveTable))
+        .location.toString
+      val dst = new org.apache.hadoop.fs.Path(s"$liveLoc/wave=$wave")
+      require(fs.rename(src, dst),
+        s"publish rename failed: $src -> $dst (wave $wave was leased, so " +
+          "the destination cannot be another writer's — check FS health)")
+      val parts =
+        if (partColsAfterWave.isEmpty) Seq(s"PARTITION (wave=$wave)")
+        else fs.listStatus(dst).map(_.getPath.getName)
+          .filter(_.contains("=")).toSeq.sorted.map { d =>
+            val Array(k, v) = d.split("=", 2)
+            s"PARTITION (wave=$wave, $k=$v)"
+          }
+      if (parts.nonEmpty)
+        spark.sql(s"ALTER TABLE $liveTable ADD IF NOT EXISTS " +
+          parts.mkString(" "))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    spark.catalog.refreshTable(liveTable)
+  }
+
+  /** [[appendWaveByRename]] for an UNPARTITIONED live table (the
+    * tombstone tables): writes `df` as plain parquet under a private
+    * `.stage_t<tag>` root, then renames each part file into the live
+    * table's directory (job-UUID file names never collide) and refreshes
+    * the listing. Cross-JVM-safe for the same reason — no shared
+    * committer dir; concurrent removers still share the tombs SNAPSHOT
+    * their novel-anti-join read, so the same id removed concurrently by
+    * two processes can double-insert (verdicts stay right — the probe
+    * anti-join dedups — but the raw tombstone row count inflates;
+    * compact collapses the rows). */
+  def appendFilesByRename(spark: SparkSession, df: DataFrame,
+      liveTable: String, indexDir: String): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val stagePath = s"$indexDir/.stage_t$tag"
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(stagePath)
+    val liveLoc = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(liveTable))
+      .location.toString
+    val sp = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(sp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        val dst = new org.apache.hadoop.fs.Path(s"$liveLoc/${f.getName}")
+        require(fs.rename(f, dst), s"publish rename failed: $f -> $dst")
+      }
+    fs.delete(sp, true)
+    spark.catalog.refreshTable(liveTable)
+  }
+
+  /** Drop ONE wave's staging root (normal end-of-append cleanup; the
+    * per-table subtrees are already gone after their renames). */
+  def releaseStaging(spark: SparkSession, dir: String, wave: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/.stage_w$wave")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  /** Count of `.stage_*` staging roots under `dir` (in-flight or
+    * crashed rename-mode appends/removes — the stats/maintenance
+    * signal). */
+  def stagingDirCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith(".stage_"))
+  }
 
   /** Highest wave directory STAGED under any of `dir/<sub>` — committed
     * or not (−1 when none): the next append writes above every number any

@@ -162,16 +162,25 @@ object DedupIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("doc_id"), "left_anti")
       else fresh
-    // same-JVM write serialization: concurrent takedown jobs (or a
-    // takedown racing an append's catalog refresh) share the committer
-    // staging dir like any same-path writers
-    Bucketing.withWriteLock(s, dirOf(s, prefix)) {
-      novel.coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .option("path", s"${dirOf(s, prefix)}/tombs")
-        .option("compression", "snappy")
-        .saveAsTable(s"${prefix}_tombs")
-    }
+    if (s.catalog.tableExists(s"${prefix}_tombs") &&
+        s.conf.get("spark.graft.append.staging", "rename") == "rename")
+      // writer-private staging + file rename: cross-JVM-safe, lock-free
+      // ([[Bucketing.appendFilesByRename]] — incl. its concurrent
+      // same-id double-insert caveat)
+      Bucketing.appendFilesByRename(s, novel.coalesce(1),
+        s"${prefix}_tombs", dirOf(s, prefix))
+    else
+      // first tombstone (table creation) or legacy in-place mode:
+      // same-JVM write serialization — concurrent takedown jobs (or a
+      // takedown racing an append's catalog refresh) share the committer
+      // staging dir like any same-path writers
+      Bucketing.withWriteLock(s, dirOf(s, prefix)) {
+        novel.coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("path", s"${dirOf(s, prefix)}/tombs")
+          .option("compression", "snappy")
+          .saveAsTable(s"${prefix}_tombs")
+      }
   }
 
   /** [[remove]] for a driver-known takedown list. */
@@ -215,7 +224,8 @@ object DedupIndex {
   final case class IndexStats(docs: Long, liveDocs: Long, tombstones: Long,
       distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
-      committedWave: Int, abandonedWaves: Int, committedWaveCount: Int)
+      committedWave: Int, abandonedWaves: Int, committedWaveCount: Int,
+      stagingDirs: Int = 0)
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
@@ -262,7 +272,9 @@ object DedupIndex {
     }.toMap
     IndexStats(docs, docs - tombs, tombs, hashes, buckets, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
-      cws.foldLeft(-1)(math.max), abandoned, cws.length)
+      cws.foldLeft(-1)(math.max), abandoned, cws.length,
+      if (pvals > 0) Bucketing.stagingDirCount(spark, dirOf(spark, prefix))
+      else 0)
   }
 
   /** Derive the corpus artifacts and persist them under `dir` (also
@@ -347,14 +359,25 @@ object DedupIndex {
     * CONSISTENT index, never a torn one (exact-dup rows present, near-dup
     * rows missing); a crash mid-append leaves only invisible garbage a
     * later [[compact]] reclaims, and the retried append stages wave W+1.
-    * Single-writer per index remains the contract. Legacy flat indexes
-    * (pvals = 0) keep the old per-table commit semantics.
+    * Staging is WRITER-PRIVATE by default ([[Bucketing.appendWaveByRename]]:
+    * the wave's files are written under a dot-prefixed private root and
+    * published by one directory rename), so concurrent appenders — other
+    * threads AND other processes — interleave safely with no lock;
+    * `spark.graft.append.staging=inplace` restores the pre-r16
+    * saveAsTable(Append) path, which is same-JVM-locked only. The
+    * concurrent writers' DISJOINT-CONTENT contract (below) applies
+    * either way. Legacy flat indexes (pvals = 0) keep the old per-table
+    * commit semantics.
     *
     * Visibility: the writing session (and any session attached LATER)
     * sees the append immediately; a DIFFERENT already-attached session
     * holds its own cached file listing and must
     * `spark.catalog.refreshTable` to observe it (standard Spark
-    * per-session relation caching). */
+    * per-session relation caching) — and, when the append came from a
+    * DIFFERENT PROCESS and the catalogs are per-process (in-memory), a
+    * `RECOVER PARTITIONS` first, since the writer's ADD PARTITION landed
+    * only in its own catalog (a shared metastore deployment sees it
+    * directly; CrossJvmWriterSpec pins both halves). */
   def append(batch: DataFrame, id: String, text: String,
       prefix: String = "dedup_idx"): Unit = {
     val s = batch.sparkSession
@@ -411,18 +434,29 @@ object DedupIndex {
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
+    // "rename" (default): writer-private staging published by directory
+    // rename — no shared committer dir, cross-JVM-safe, no lock
+    // ([[Bucketing.appendWaveByRename]]); "inplace": the pre-r16
+    // saveAsTable(Append) on the live path, same-JVM-locked
+    val renameMode = pvals > 0 &&
+      s.conf.get("spark.graft.append.staging", "rename") == "rename"
     def appendTo(df: DataFrame, table: String, keys: Seq[String],
         partCol: String): Unit = {
-      val w = (if (pvals > 0)
+      val staged = (if (pvals > 0)
           df.withColumn(partCol, partValue(partCol, pvals))
             .withColumn("wave", lit(wave)) else df)
         .repartition(bucketsOf(table), keys.map(col): _*)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-      (if (pvals > 0) w.partitionBy("wave", partCol) else w)
-        .bucketBy(bucketsOf(table), keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .option("compression", "snappy")
-        .saveAsTable(table)
+      if (renameMode)
+        Bucketing.appendWaveByRename(s, staged, table, keys, Seq(partCol),
+          bucketsOf(table), dir, wave)
+      else {
+        val w = staged.write.mode(org.apache.spark.sql.SaveMode.Append)
+        (if (pvals > 0) w.partitionBy("wave", partCol) else w)
+          .bucketBy(bucketsOf(table), keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("compression", "snappy")
+          .saveAsTable(table)
+      }
     }
     // novel-ch anti-join, PRUNED on the partitioned layout: any index ch
     // equal to a batch ch necessarily lives in one of the batch's pch
@@ -449,15 +483,17 @@ object DedupIndex {
         Seq("b", "h"), "pbh"),
       () => appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
         Seq("doc_id"), "pdoc"))
-    // same-JVM writers serialize the PHYSICAL writes (the shared Hadoop
-    // committer staging dir — [[Bucketing.withWriteLock]]); the lease
-    // acquisition above stays concurrent, so waiting writers already
-    // hold their disjoint numbers
-    if (pvals > 0)
+    // rename mode needs no serialization (writer-private staging dirs;
+    // the wave=W destinations are lease-disjoint); the legacy in-place
+    // mode serializes same-JVM physical writes (the shared Hadoop
+    // committer staging dir — [[Bucketing.withWriteLock]])
+    if (renameMode || pvals == 0)
+      writes.take(math.max(0, maxTables)).foreach(_())
+    else
       Bucketing.withWriteLock(s, dir) {
         writes.take(math.max(0, maxTables)).foreach(_())
       }
-    else writes.take(math.max(0, maxTables)).foreach(_())
+    if (renameMode) Bucketing.releaseStaging(s, dir, wave)
     TextDedup.unpersistDerivationsOf(nc)
     wave
   }

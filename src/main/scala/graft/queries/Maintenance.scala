@@ -104,7 +104,7 @@ object Maintenance {
 
   /** Compose the compact-side rules shared by both indexes. */
   private def compactReasons(tombstones: Long, liveRows: Long,
-      abandonedWaves: Int, waveCount: Int,
+      abandonedWaves: Int, waveCount: Int, stagingDirs: Int,
       grain: Option[String]): Seq[String] =
     Seq(
       Option.when(liveRows > 0 &&
@@ -116,6 +116,10 @@ object Maintenance {
       Option.when(abandonedWaves > 0)(
         s"$abandonedWaves abandoned (crashed-append) wave(s) on disk — " +
           "invisible to probes, reclaimed only by compact"),
+      Option.when(stagingDirs > 0)(
+        s"$stagingDirs staging root(s) (.stage_w*) on disk — in-flight " +
+          "or crashed rename-mode appends; dead bytes if no writer is " +
+          "live, reclaimed by compact"),
       Option.when(waveCount >= CompactWaveCount)(
         s"$waveCount committed waves >= $CompactWaveCount — marker " +
           "listing and wave IN (set) planning overhead; compact folds " +
@@ -132,7 +136,7 @@ object Maintenance {
     val current = DedupIndex.pvalsOf(spark, prefix)
     val recommended = Bucketing.autoGrain(st.liveDocs)
     val reasons = compactReasons(st.tombstones, st.liveDocs,
-      st.abandonedWaves, st.committedWaveCount,
+      st.abandonedWaves, st.committedWaveCount, st.stagingDirs,
       grainReason(current, recommended))
     val warnings = Seq(
       Option.when(st.bandSkew >= SkewWarn)(
@@ -163,7 +167,7 @@ object Maintenance {
         "past the measured knee (r15 drift calibration); rebuild " +
         "retrains from the index's own vectors")
     val compact = compactReasons(st.tombstones, st.liveRows,
-      st.abandonedWaves, st.committedWaveCount,
+      st.abandonedWaves, st.committedWaveCount, st.stagingDirs,
       grainReason(current, recommended))
     val warnings = Seq(
       Option.when(st.cellSkew >= SkewWarn)(

@@ -435,14 +435,21 @@ object VectorIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("vec_id"), "left_anti")
       else fresh
-    // same-JVM write serialization ([[DedupIndex.remove]] rationale)
-    Bucketing.withWriteLock(s, dir) {
-      novel.coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .option("path", s"$dir/tombs")
-        .option("compression", "snappy")
-        .saveAsTable(s"${prefix}_tombs")
-    }
+    if (s.catalog.tableExists(s"${prefix}_tombs") &&
+        s.conf.get("spark.graft.append.staging", "rename") == "rename")
+      // cross-JVM-safe file rename ([[DedupIndex.remove]] twin)
+      Bucketing.appendFilesByRename(s, novel.coalesce(1),
+        s"${prefix}_tombs", dir)
+    else
+      // first tombstone or legacy mode: same-JVM write serialization
+      // ([[DedupIndex.remove]] rationale)
+      Bucketing.withWriteLock(s, dir) {
+        novel.coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("path", s"$dir/tombs")
+          .option("compression", "snappy")
+          .saveAsTable(s"${prefix}_tombs")
+      }
   }
 
   /** [[remove]] for a driver-known takedown list. */
@@ -497,7 +504,7 @@ object VectorIndex {
       liveRows: Long, tombstones: Long, appendedRows: Long, cells: Long,
       maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
       fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int,
-      committedWaveCount: Int)
+      committedWaveCount: Int, stagingDirs: Int = 0)
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
@@ -546,7 +553,9 @@ object VectorIndex {
     IndexStats(m.corpusRows, total, total - tombs, tombs,
       math.max(0L, total - m.corpusRows), nCells, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
-      cws.foldLeft(-1)(math.max), abandoned, cws.length)
+      cws.foldLeft(-1)(math.max), abandoned, cws.length,
+      if (m.pcells > 0) Bucketing.stagingDirCount(spark, dirOf(spark, prefix))
+      else 0)
   }
 
   /** Centroids re-collected from the persisted table — identical driver
@@ -658,15 +667,20 @@ object VectorIndex {
     * only when the single `_wave_W` marker lands LAST
     * ([[Bucketing.commitWave]]; [[DedupIndex.append]] twin) — a reader
     * between the four table commits, or after a mid-append crash, always
-    * resolves a consistent committed snapshot. Single-writer per index
-    * remains the contract; legacy pcells = 0 indexes keep per-table
-    * commit semantics.
+    * resolves a consistent committed snapshot. Staging is WRITER-PRIVATE
+    * by default ([[Bucketing.appendWaveByRename]]), so concurrent
+    * appenders — threads AND processes — interleave safely lock-free
+    * under the disjoint-content contract;
+    * `spark.graft.append.staging=inplace` restores the pre-r16 path.
+    * Legacy pcells = 0 indexes keep per-table commit semantics.
     *
     * Visibility: the writing session (and any session attached LATER)
     * sees the append immediately; a DIFFERENT already-attached session
     * holds its own cached file listing and must
     * `spark.catalog.refreshTable` to observe it (standard Spark
-    * per-session relation caching). */
+    * per-session relation caching) — plus `RECOVER PARTITIONS` first
+    * when the append came from another PROCESS and catalogs are
+    * per-process ([[DedupIndex.append]] note; CrossJvmWriterSpec). */
   def append(batch: DataFrame, id: String, vec: String,
       prefix: String = "vec_idx"): Unit = {
     val s = batch.sparkSession
@@ -709,19 +723,29 @@ object VectorIndex {
       .localCheckpoint(true)
     try {
       val cells = VectorOps.assignCells(bIdx, cents)
+      // "rename" (default): writer-private staging published by directory
+      // rename — cross-JVM-safe, lock-free ([[Bucketing.appendWaveByRename]];
+      // [[DedupIndex.appendStaged]] twin); "inplace": pre-r16 semantics
+      val renameMode = m.pcells > 0 &&
+        s.conf.get("spark.graft.append.staging", "rename") == "rename"
       def appendTo(df: DataFrame, table: String, keys: Seq[String],
           partCols: Seq[String] = Nil): Unit = {
         val staged =
-          if (m.pcells > 0) df.withColumn("wave", lit(wave)) else df
-        val w = staged.repartition(m.buckets, keys.map(col): _*)
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-        val allPartCols =
-          if (m.pcells > 0) "wave" +: partCols else partCols
-        (if (allPartCols.nonEmpty) w.partitionBy(allPartCols: _*) else w)
-          .bucketBy(m.buckets, keys.head, keys.tail: _*)
-          .sortBy(keys.head, keys.tail: _*)
-          .option("compression", "snappy")
-          .saveAsTable(s"${prefix}_$table")
+          (if (m.pcells > 0) df.withColumn("wave", lit(wave)) else df)
+            .repartition(m.buckets, keys.map(col): _*)
+        if (renameMode)
+          Bucketing.appendWaveByRename(s, staged, s"${prefix}_$table", keys,
+            partCols, m.buckets, dirOf(s, prefix), wave)
+        else {
+          val w = staged.write.mode(org.apache.spark.sql.SaveMode.Append)
+          val allPartCols =
+            if (m.pcells > 0) "wave" +: partCols else partCols
+          (if (allPartCols.nonEmpty) w.partitionBy(allPartCols: _*) else w)
+            .bucketBy(m.buckets, keys.head, keys.tail: _*)
+            .sortBy(keys.head, keys.tail: _*)
+            .option("compression", "snappy")
+            .saveAsTable(s"${prefix}_$table")
+        }
       }
       val pcellOf = pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell")
       // only vecs/bands differ between layouts (the pcell partition
@@ -753,13 +777,16 @@ object VectorIndex {
               .withColumn("rnorm2",
                 VectorOps.pqRnorm2Col(col("codes"), books)),
             "pqcodes", Seq("vec_id")))
-      // same-JVM write serialization ([[Bucketing.withWriteLock]];
-      // [[DedupIndex.appendStaged]] rationale)
-      if (m.pcells > 0)
+      // rename mode is lock-free (writer-private staging; lease-disjoint
+      // destinations); legacy in-place serializes same-JVM physical
+      // writes ([[Bucketing.withWriteLock]]; [[DedupIndex]] rationale)
+      if (renameMode || m.pcells == 0)
+        writes.take(math.max(0, maxTables)).foreach(_())
+      else
         Bucketing.withWriteLock(s, dirOf(s, prefix)) {
           writes.take(math.max(0, maxTables)).foreach(_())
         }
-      else writes.take(math.max(0, maxTables)).foreach(_())
+      if (renameMode) Bucketing.releaseStaging(s, dirOf(s, prefix), wave)
       wave
     } finally bIdx.unpersist(false) // checkpoint blocks also free on GC
   }
