@@ -36,8 +36,11 @@ import graft.queries.{DedupIndex, Maintenance, VectorIndex}
   * collects an API-sized result — request payloads ARE the batch, so
   * envelopes are bounded by what the client sent, never by index size
   * (heap-pinned in `ServingServerSpec` like the sf0.1 FinOps scale spec).
-  * Concurrent ingest requests are safe same-JVM: appends coordinate via
-  * wave leases + the per-index write mutex ([[graft.operators.Bucketing]]).
+  * Concurrent ingest requests are safe — same-JVM and across server
+  * replicas on a shared filesystem: appends coordinate via wave leases
+  * and publish from writer-private staging by rename
+  * ([[graft.operators.Bucketing.appendWaveByRename]]), under the
+  * disjoint-content contract documented on the appends.
   */
 final class ServingServer(spark: SparkSession,
     textPrefix: String = "dedup_idx", vecPrefix: String = "vec_idx",
