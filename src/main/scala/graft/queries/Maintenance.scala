@@ -185,4 +185,50 @@ object Maintenance {
     }
     Recommendation(action, reasons, warnings, current, recommended)
   }
+
+  /** EXECUTE [[forText]]'s recommendation: "compact" runs
+    * [[DedupIndex.compact]] into `outDir` (catalog flipped in place under
+    * `prefix`), re-graining to the recommended grain when the grain rule
+    * fired (inherit otherwise); "none" touches nothing (`outDir` unused —
+    * pass the next maintenance location unconditionally and check
+    * `_2` to learn whether it was consumed). One call = one maintenance
+    * round: stats pass → decision → action; quiesce writers for the
+    * window (the standing compact contract). Returns (recommendation,
+    * acted). */
+  def runText(spark: SparkSession, prefix: String,
+      outDir: String): (Recommendation, Boolean) = {
+    val rec = forText(spark, prefix)
+    if (rec.action == "compact")
+      DedupIndex.compact(spark, outDir, prefix,
+        pvals = regrainArg(rec, DedupIndex.AutoPvals, 0))
+    (rec, rec.action != "none")
+  }
+
+  /** EXECUTE [[forVectors]]'s recommendation ([[runText]] twin):
+    * "rebuild" retrains from the index's own vectors into `outDir`
+    * (re-sized cells, tombstones dropped — [[VectorIndex.rebuild]]);
+    * "compact" rewrites into `outDir`, re-graining when the grain rule
+    * fired. Returns (recommendation, acted). */
+  def runVectors(spark: SparkSession, prefix: String, outDir: String,
+      servesAnn: Boolean = true): (Recommendation, Boolean) = {
+    val rec = forVectors(spark, prefix, servesAnn)
+    rec.action match {
+      case "rebuild" =>
+        VectorIndex.rebuild(spark, outDir, prefix,
+          pcells = regrainArg(rec, VectorIndex.AutoPcells,
+            VectorIndex.InheritPcells))
+      case "compact" =>
+        VectorIndex.compact(spark, outDir, prefix,
+          pcells = regrainArg(rec, VectorIndex.AutoPcells, 0))
+      case _ => ()
+    }
+    (rec, rec.action != "none")
+  }
+
+  // Auto grain only when the grain rule fired — otherwise the op's own
+  // inherit sentinel (0 for compact, InheritPcells for rebuild), so a
+  // maintenance run never silently re-grains inside the flap guard band
+  private def regrainArg(rec: Recommendation, auto: Int,
+      inherit: Int): Int =
+    if (rec.reasons.exists(_.startsWith("grain "))) auto else inherit
 }

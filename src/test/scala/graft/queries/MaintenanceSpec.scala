@@ -138,6 +138,55 @@ class MaintenanceSpec extends SparkSpec {
       s"$r2")
   }
 
+  test("runText executes the recommendation: compact + re-grain when the grain rule fired, no-op when clean") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val probeBatch = docs.filter(col("doc_id") % 10 === 3)
+    val d = java.nio.file.Files.createTempDirectory("mntr_txt").toString
+    val prefix = "mntr_txt"
+    // outgrown grain (2 where live rows want 16) + >10% tombstones: both
+    // compact reasons live, so ONE runText must fix both
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix,
+      pvals = 2)
+    val removed = corpus.filter(col("doc_id") % 8 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    DedupIndex.remove(spark, removed, prefix)
+    def verdicts() = DedupIndex
+      .incrementalDedup(probeBatch, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    val want = verdicts()
+
+    val d2 = java.nio.file.Files.createTempDirectory("mntr_txt2").toString
+    val (rec, acted) = Maintenance.runText(spark, prefix, d2)
+    assert(acted && rec.action == "compact" &&
+      rec.reasons.exists(_.startsWith("grain ")), s"$rec")
+    assert(DedupIndex.pvalsOf(spark, prefix) == rec.recommendedGrain,
+      "runText must re-grain to the recommendation when the rule fired")
+    assert(verdicts() == want, "maintenance changed verdicts")
+    // clean index: second run is a no-op (outDir unconsumed)
+    val d3 = java.nio.file.Files.createTempDirectory("mntr_txt3").toString
+    val (rec2, acted2) = Maintenance.runText(spark, prefix, d3)
+    assert(!acted2 && rec2.action == "none", s"$rec2")
+    assert(!new java.io.File(d3, "hashes").exists(),
+      "a no-op run must not write the out dir")
+  }
+
+  test("runVectors executes a rebuild past the knee and is clean after") {
+    val d = java.nio.file.Files.createTempDirectory("mntr_vec").toString
+    val prefix = "mntr_vec"
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+    VectorIndex.build(corpus, "vec_id", "embedding", d, minCos = 0.35,
+      prefix = prefix)
+    val big = corpus.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 350000L).as("vec_id"), col("embedding"))
+    VectorIndex.append(big, "vec_id", "embedding", prefix)
+    val d2 = java.nio.file.Files.createTempDirectory("mntr_vec2").toString
+    val (rec, acted) = Maintenance.runVectors(spark, prefix, d2)
+    assert(acted && rec.action == "rebuild", s"$rec")
+    val (rec2, acted2) = Maintenance.runVectors(spark, prefix,
+      java.nio.file.Files.createTempDirectory("mntr_vec3").toString)
+    assert(!acted2 && rec2.action == "none", s"$rec2")
+  }
+
   test("wave-set hygiene: the count rule fires at the threshold; probe plans stay pruned at 200 waves") {
     val d = java.nio.file.Files.createTempDirectory("mnt_wave").toString
     val prefix = "mnt_wave"
