@@ -188,8 +188,11 @@ final class ServingServer(spark: SparkSession,
       val k = jsonInt(root, "k", 10)
       require(k > 0 && k <= 1000, "k must be in (0, 1000] — the envelope " +
         "is k x queries rows")
+      // optional `as_of_wave`: time-travel the committed horizon (the
+      // index's wave history — see VectorIndex.knn; takedowns stay global)
       val rows = collectRows(VectorIndex.knn(queries, "vec_id", "embedding",
-        k, vecPrefix, rerank = jsonInt(root, "rerank", 50))
+        k, vecPrefix, rerank = jsonInt(root, "rerank", 50),
+        asOfWave = jsonInt(root, "as_of_wave", Int.MaxValue))
         .orderBy(col("query_id"), col("rank")))
       Map("success" -> true, "neighbors" -> rows, "row_count" -> rows.size)
     },

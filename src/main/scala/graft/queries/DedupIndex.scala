@@ -685,11 +685,15 @@ object DedupIndex {
     * collect runs the pruned band probe once more — batch-proportional,
     * and both executions read only probed partitions). */
   def incrementalDedup(batch: DataFrame, id: String, text: String,
-      prefix: String = "dedup_idx", threshold: Double = 0.5): DataFrame = {
+      prefix: String = "dedup_idx", threshold: Double = 0.5,
+      asOfWave: Int = Int.MaxValue): DataFrame = {
     val s = batch.sparkSession
     val nb = batch.select(col(id).cast("long").as("doc_id"),
       col(text).cast("string").as("text"))
     val pvals = pvalsOf(s, prefix)
+    require(asOfWave == Int.MaxValue || pvals > 0,
+      "asOfWave needs the wave-partitioned layout — a flat index keeps " +
+        "no append history to rewind")
     // the tombstone anti-join rides the partner-bearing sides only: a
     // filtered exactMap hides removed exact partners, filtered corpus
     // bands keep removed docs out of the candidate set — the shingle
@@ -708,8 +712,14 @@ object DedupIndex {
       // concurrently — the atomic-publish read side. `wave IN (set)` is a
       // partition-column predicate: planning-time directory pruning, zero
       // data cost (and abandoned crashed-append waves stay invisible
-      // forever — the set never includes them).
+      // forever — the set never includes them). `asOfWave` TIME-TRAVELS
+      // the horizon: only waves ≤ it serve, so yesterday's verdicts
+      // reproduce bit-identically until a compact/rebuild folds the
+      // history (like any log-structured store). TAKEDOWNS stay global
+      // by design: a tombstoned doc serves from NO snapshot —
+      // right-to-be-forgotten outranks reproducibility.
       val cws = Bucketing.committedWaves(s, dirOf(s, prefix))
+        .filter(_ <= asOfWave)
       def pruned(table: String, partCol: String, values: Array[Int]) =
         s.table(table)
           .where(col("wave").isin(cws.map(Integer.valueOf): _*) &&

@@ -589,9 +589,13 @@ object VectorIndex {
     * `probeMargin` ([[VectorOps.assignCellsMulti]]). */
   def incrementalDedup(batch: DataFrame, id: String, vec: String,
       prefix: String = "vec_idx", minCos: Double = Double.NaN,
-      probes: Int = 1, probeMargin: Double = 2.0): DataFrame = {
+      probes: Int = 1, probeMargin: Double = 2.0,
+      asOfWave: Int = Int.MaxValue): DataFrame = {
     val s = batch.sparkSession
     val m = meta(s, prefix)
+    require(asOfWave == Int.MaxValue || m.pcells > 0,
+      "asOfWave needs the wave-partitioned layout — a flat index keeps " +
+        "no append history to rewind")
     val th = if (minCos.isNaN) m.minCos else minCos
     val cents = centroids(s, prefix)
     // uncached batch index: a narrow projection consumed three times is
@@ -618,9 +622,11 @@ object VectorIndex {
         // resolved once per call, so both scans see the same snapshot
         // even while a writer stages or publishes the next wave — the
         // atomic-publish read side ([[DedupIndex]] twin); planning-time
-        // directory pruning, zero data cost
+        // directory pruning, zero data cost. `asOfWave` time-travels the
+        // horizon (waves ≤ it); takedowns stay global by design
+        // ([[DedupIndex.incrementalDedup]] note).
         val cws = Bucketing.committedWaves(s, dirOf(s, prefix))
-          .map(Integer.valueOf)
+          .filter(_ <= asOfWave).map(Integer.valueOf)
         val probed = assigned
           .select(pmod(col("cell"), lit(m.pcells)).cast("int").as("pcell"))
           .distinct().collect().map(_.getInt(0)).sorted
@@ -968,14 +974,20 @@ object VectorIndex {
     * re-encoding; the exact re-rank reads full vectors only for the
     * rerank-bounded candidate pool, off the vec_id-bucketed table. */
   def knn(queries: DataFrame, id: String, vec: String, k: Int,
-      prefix: String = "vec_idx", rerank: Int = 50): DataFrame = {
+      prefix: String = "vec_idx", rerank: Int = 50,
+      asOfWave: Int = Int.MaxValue): DataFrame = {
     val s = queries.sparkSession
     val m = meta(s, prefix)
+    require(asOfWave == Int.MaxValue || m.pcells > 0,
+      "asOfWave needs the wave-partitioned layout — a flat index keeps " +
+        "no append history to rewind")
     // committed-snapshot reads (the atomic-publish read side): the wave
     // set is resolved ONCE, so the ADC codes and the re-rank vectors see
-    // the same snapshot even while a concurrent writer publishes
+    // the same snapshot even while a concurrent writer publishes;
+    // `asOfWave` time-travels it ([[incrementalDedup]] note)
     val cws = if (m.pcells > 0)
-      Bucketing.committedWaves(s, dirOf(s, prefix)).map(Integer.valueOf)
+      Bucketing.committedWaves(s, dirOf(s, prefix))
+        .filter(_ <= asOfWave).map(Integer.valueOf)
     else Nil
     def committedT(table: String) =
       if (m.pcells > 0)
