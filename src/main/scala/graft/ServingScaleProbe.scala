@@ -124,6 +124,11 @@ object ServingScaleProbe {
     // the point.
     val prepMode = sys.env.get("SPARK_GRAFT_PREP").contains("1")
     val prepFull = sys.env.get("SPARK_GRAFT_PREP_FULL").contains("1")
+    // SPARK_GRAFT_PREP_SMALL=1: shrink the prep pool to the serving-batch
+    // size (~14 docs) — isolates how much of the indexed-prep wall is the
+    // POOL-proportional partition coverage (a 714-doc pool probes most
+    // partitions; a 14-doc pool prunes hard) vs fixed pipeline floor
+    val prepSmall = sys.env.get("SPARK_GRAFT_PREP_SMALL").contains("1")
 
     val points = decades.map { reps =>
       val rd = buildCorpus(spark, baseDir, work, reps)
@@ -204,10 +209,12 @@ object ServingScaleProbe {
         // excludes it, so index probes are genuine lookups); embeddings
         // keyed by the same id space cover a subset of the pool — docs
         // without one pass through unjudged, the stage's contract
+        val poolSlice = (c: org.apache.spark.sql.Column) =>
+          if (prepSmall) c < RepOff && c % 7 === 3 && c % 100 < 2
+          else c < RepOff && c % 7 === 3
         val pool = spark.read.parquet(s"$rd/documents.parquet")
-          .filter(col("doc_id") < RepOff && col("doc_id") % 7 === 3)
-        val poolEmb = embs.filter(col("vec_id") < RepOff &&
-          col("vec_id") % 7 === 3)
+          .filter(poolSlice(col("doc_id")))
+        val poolEmb = embs.filter(poolSlice(col("vec_id")))
           .select(col("vec_id").as("doc_id"), col("embedding"))
         def runPrep(df: DataFrame, cfg: CorpusPrep.Config): Double = timed {
           val p = CorpusPrep.prepare(df, "doc_id", "text", "source",
