@@ -196,4 +196,24 @@ class ServingServerSpec extends SparkSpec {
     assert(deltaMb < 256.0,
       f"serving path retained $deltaMb%.1f MB over the sf0.1 indexes")
   }
+
+  // LAST on purpose: appends a wave to the shared vector index
+  test("knn honors as_of_wave over HTTP: an appended vector is invisible at the build horizon") {
+    val emb = Tables.load(spark, Sf01, "embeddings")
+      .select("vec_id", "embedding")
+    val novel = emb.filter(col("vec_id") % 7 === 3).head()
+    val row = s"""{"vec_id": 940001, "embedding": ${
+      novel.getSeq[Float](1).mkString("[", ",", "]")}}"""
+    val (sA, bA) = request("POST", "/api/v1/serving/vector/ingest",
+      Some(s"""{"vectors": [$row], "min_cos": 0.999, "append_admitted": true}"""))
+    assert(sA == 200 && bA.contains("\"appended\":1"), bA)
+    // latest horizon: the appended vector is its own twin's top-1
+    val (s1, b1) = request("POST", "/api/v1/serving/vector/knn",
+      Some(s"""{"queries": [$row], "k": 1}"""))
+    assert(s1 == 200 && b1.contains("\"vec_id\":940001"), b1)
+    // build-time horizon: it never existed
+    val (s0, b0) = request("POST", "/api/v1/serving/vector/knn",
+      Some(s"""{"queries": [$row], "k": 1, "as_of_wave": 0}"""))
+    assert(s0 == 200 && !b0.contains("\"vec_id\":940001"), b0)
+  }
 }
