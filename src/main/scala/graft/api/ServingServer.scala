@@ -40,7 +40,10 @@ import graft.queries.{DedupIndex, Maintenance, VectorIndex}
   * replicas on a shared filesystem: appends coordinate via wave leases
   * and publish from writer-private staging by rename
   * ([[graft.operators.Bucketing.appendWaveByRename]]), under the
-  * disjoint-content contract documented on the appends.
+  * disjoint-content contract documented on the appends. (Takedowns are
+  * not exposed here; `DedupIndex.remove`/`VectorIndex.remove` carry their
+  * own cross-replica contract — rename-staged since r17, including the
+  * first-tombstone table creation.)
   */
 final class ServingServer(spark: SparkSession,
     textPrefix: String = "dedup_idx", vecPrefix: String = "vec_idx",

@@ -285,9 +285,14 @@ object Bucketing {
       try { fs.create(p, false).close(); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("exist") =>
-          false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // message-sniffing for "exist" also matched environmental
+          // failures ("Parent path does not exist"), converting them into
+          // a misleading lost-the-race false that callers retry 64 times
+          // (r16 advisor) — ask the FS whether the path is actually there
+          // and rethrow genuine errors
+          if (fs.exists(p)) false else throw e
       }
     }
 
@@ -343,14 +348,65 @@ object Bucketing {
 
   /** Wave numbers currently leased under `dir` (sorted; committed waves'
     * leases are deleted at commit, so these are in-flight or crashed). */
-  def leasedWaves(spark: SparkSession, dir: String): Seq[Int] = {
+  def leasedWaves(spark: SparkSession, dir: String): Seq[Int] =
+    leaseAges(spark, dir).map(_._1)
+
+  /** (wave, ageMs) of every un-released lease under `dir`, age measured
+    * from the lease file's mtime (= when the writer claimed the number) —
+    * the writer-storm / quiesce diagnostic: a YOUNG lease is a writer
+    * probably mid-append, an OLD one is crash garbage whose number stays
+    * reserved harmlessly. */
+  def leaseAges(spark: SparkSession, dir: String): Seq[(Int, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.matches("_lease_\\d+")).map(_.stripPrefix("_lease_").toInt)
-      .sorted.toSeq
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(p)
+        .filter(_.getPath.getName.matches("_lease_\\d+"))
+        .map(st => (st.getPath.getName.stripPrefix("_lease_").toInt,
+          math.max(0L, now - st.getModificationTime)))
+        .sortBy(_._1).toSeq
+    }
   }
+
+  /** Leases younger than `ttlMs` — writers to presume LIVE (mid-append).
+    * Older leases read as crashed: their numbers stay reserved, their
+    * garbage stays invisible, and maintenance may proceed over them. */
+  def liveLeases(spark: SparkSession, dir: String,
+      ttlMs: Long): Seq[(Int, Long)] =
+    leaseAges(spark, dir).filter(_._2 < ttlMs)
+
+  /** The presumed-live writer TTL ([[liveLeases]] / [[requireQuiesced]]),
+    * from `spark.graft.writerLiveTtlMs` (default 10 min — generous for an
+    * append wave; a genuinely slow writer should bump the conf rather
+    * than get compacted over). */
+  def writerLiveTtlMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.writerLiveTtlMs", "600000").toLong
+
+  /** The WRITER-QUIESCE guard for maintenance ops (compact/rebuild and
+    * the [[graft.queries.Maintenance]] executors): those ops snapshot the
+    * committed wave set once, so a wave committing mid-window is silently
+    * ABSENT from the output — the quiesce contract was previously scaladoc
+    * only, while the machinery to check it (leases) was already on disk
+    * (r16 verdict item 2). Refuses loudly when any lease younger than
+    * [[writerLiveTtlMs]] exists; `force = true` (the operator asserting
+    * the writers are known-dead or drained) or waiting out the TTL
+    * proceeds. Stale leases (crashed writers) never block. */
+  def requireQuiesced(spark: SparkSession, dir: String, force: Boolean,
+      op: String): Unit =
+    if (!force) {
+      val live = liveLeases(spark, dir, writerLiveTtlMs(spark))
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"$op on $dir refused: possibly-live writer lease(s) " +
+            live.map { case (w, a) => s"_lease_$w (${a / 1000}s old)" }
+              .mkString("[", ", ", "]") +
+            s" — a wave committing mid-$op would be silently lost. " +
+            "Drain/stop writers (or wait out spark.graft.writerLiveTtlMs=" +
+            s"${writerLiveTtlMs(spark)}), or pass force = true if they " +
+            "are known dead.")
+    }
 
   /** Atomically ACQUIRE the next free wave number under `dir`: computes
     * the first number above everything committed, staged, or leased,
@@ -376,10 +432,14 @@ object Bucketing {
         return next
       attempt += 1 // a concurrent writer won this number; re-list
     }
+    // enumerate the holders so a writer-storm diagnosis needs no manual
+    // _lease_* listing (r16 verdict item 7)
+    val held = leaseAges(spark, dir)
+      .map { case (w, a) => s"_lease_$w (${a / 1000}s old)" }
     throw new IllegalStateException(
       s"could not acquire a wave lease under $dir after $maxAttempts " +
         "attempts — writer storm or a filesystem without atomic " +
-        "create-no-overwrite")
+        s"create-no-overwrite; live leases: ${held.mkString("[", ", ", "]")}")
   }
 
   /** Release the lease for `wave` (called after its marker commits, or
@@ -472,7 +532,15 @@ object Bucketing {
         else fs.listStatus(dst).map(_.getPath.getName)
           .filter(_.contains("=")).toSeq.sorted.map { d =>
             val Array(k, v) = d.split("=", 2)
-            s"PARTITION (wave=$wave, $k=$v)"
+            // directory names are Hive-ESCAPED ('%3A' for ':'): splicing
+            // them verbatim registered wrong values for any future STRING
+            // partition column (today's int columns happened to round-trip)
+            // — unescape and quote, so the catalog stores the true value
+            // and re-derives the escaped location itself (r16 advisor)
+            val lit = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(v)
+              .replace("\\", "\\\\").replace("'", "\\'")
+            s"PARTITION (wave=$wave, $k='$lit')"
           }
       if (parts.nonEmpty)
         spark.sql(s"ALTER TABLE $liveTable ADD IF NOT EXISTS " +
@@ -494,24 +562,54 @@ object Bucketing {
     * compact collapses the rows). */
   def appendFilesByRename(spark: SparkSession, df: DataFrame,
       liveTable: String, indexDir: String): Unit = {
-    val tag = java.util.UUID.randomUUID().toString.take(12)
-    val stagePath = s"$indexDir/.stage_t$tag"
-    df.write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy").parquet(stagePath)
     val liveLoc = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(liveTable))
       .location.toString
+    appendFilesByRenameTo(spark, df, liveLoc, indexDir)
+    spark.catalog.refreshTable(liveTable)
+  }
+
+  /** [[appendFilesByRename]] against an explicit LOCATION — the form the
+    * FIRST tombstone of an index takes, before any `<prefix>_tombs` table
+    * exists to look the location up from: publish the files, THEN register
+    * the table over them. Two replicas' first removes are safe against
+    * each other — writer-private staging (no shared committer dir) and
+    * job-UUID part names that cannot collide; each replica's CREATE lands
+    * in its own catalog (r16 advisor: the saveAsTable fallback shared
+    * `$dir/tombs`' committer staging dir across processes, the exact race
+    * rename staging was introduced to close). Per-FILE renames only — the
+    * object-store-legal publish shape (one-object copy is atomic there;
+    * directory rename is not). */
+  def appendFilesByRenameTo(spark: SparkSession, df: DataFrame,
+      liveLoc: String, indexDir: String): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val stagePath = s"$indexDir/.stage_t$tag"
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(stagePath)
     val sp = new org.apache.hadoop.fs.Path(stagePath)
     val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(liveLoc))
     fs.listStatus(sp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).foreach { f =>
         val dst = new org.apache.hadoop.fs.Path(s"$liveLoc/${f.getName}")
         require(fs.rename(f, dst), s"publish rename failed: $f -> $dst")
       }
     fs.delete(sp, true)
-    spark.catalog.refreshTable(liveTable)
   }
+
+  /** Wave partition values the session CATALOG currently knows for
+    * `table` — with per-process in-memory catalogs this can TRAIL the
+    * filesystem's committed set after another process appends (its ADD
+    * PARTITION landed only in its own catalog); readers under-read
+    * consistently, but a WRITER's novel-content anti-join would wrongly
+    * re-insert the unseen waves' rows ([[graft.queries.DedupIndex]]
+    * append uses this to self-heal with a RECOVER). */
+  def catalogWaves(spark: SparkSession, table: String): Set[Int] =
+    spark.sessionState.catalog.listPartitionNames(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .flatMap(_.split("/").find(_.startsWith("wave="))
+        .map(_.stripPrefix("wave=").toInt)).toSet
 
   /** Drop ONE wave's staging root (normal end-of-append cleanup; the
     * per-table subtrees are already gone after their renames). */
@@ -523,11 +621,26 @@ object Bucketing {
   /** Count of `.stage_*` staging roots under `dir` (in-flight or
     * crashed rename-mode appends/removes — the stats/maintenance
     * signal). */
-  def stagingDirCount(spark: SparkSession, dir: String): Int = {
+  def stagingDirCount(spark: SparkSession, dir: String): Int =
+    stagingDirAges(spark, dir).size
+
+  /** (name, ageMs) of every `.stage_*` staging root under `dir`, age from
+    * the root's mtime — distinguishes a healthy IN-FLIGHT rename-mode
+    * append (young) from crash garbage (old): the r16 advisor's finding
+    * that counting them all as a compact reason made a live append alone
+    * trigger an executed compact mid-write. */
+  def stagingDirAges(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.startsWith(".stage_"))
+    if (!fs.exists(p)) Nil
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith(".stage_"))
+        .map(st => (st.getPath.getName,
+          math.max(0L, now - st.getModificationTime)))
+        .sortBy(_._1).toSeq
+    }
   }
 
   /** Highest wave directory STAGED under any of `dir/<sub>` — committed

@@ -162,18 +162,27 @@ object DedupIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("doc_id"), "left_anti")
       else fresh
-    if (s.catalog.tableExists(s"${prefix}_tombs") &&
-        s.conf.get("spark.graft.append.staging", "rename") == "rename")
-      // writer-private staging + file rename: cross-JVM-safe, lock-free
-      // ([[Bucketing.appendFilesByRename]] — incl. its concurrent
-      // same-id double-insert caveat)
-      Bucketing.appendFilesByRename(s, novel.coalesce(1),
-        s"${prefix}_tombs", dirOf(s, prefix))
-    else
-      // first tombstone (table creation) or legacy in-place mode:
-      // same-JVM write serialization — concurrent takedown jobs (or a
-      // takedown racing an append's catalog refresh) share the committer
-      // staging dir like any same-path writers
+    if (s.conf.get("spark.graft.append.staging", "rename") != "inplace") {
+      // writer-private staging + per-FILE rename: cross-JVM-safe,
+      // lock-free ([[Bucketing.appendFilesByRenameTo]] — incl. its
+      // concurrent same-id double-insert caveat). The FIRST tombstone
+      // publishes the files the same way and only then registers the
+      // table over them, so two replicas' first removes never share a
+      // committer staging dir either (r16 advisor) — the same-JVM lock
+      // below serializes only the catalog DDL
+      val dir = dirOf(s, prefix)
+      Bucketing.appendFilesByRenameTo(s, novel.coalesce(1), s"$dir/tombs",
+        dir)
+      if (s.catalog.tableExists(s"${prefix}_tombs"))
+        s.catalog.refreshTable(s"${prefix}_tombs")
+      else Bucketing.withWriteLock(s, dir) {
+        if (!s.catalog.tableExists(s"${prefix}_tombs"))
+          Bucketing.attachPlain(s, s"${prefix}_tombs", s"$dir/tombs")
+      }
+    } else
+      // legacy in-place mode: same-JVM write serialization — concurrent
+      // takedown jobs (or a takedown racing an append's catalog refresh)
+      // share the committer staging dir like any same-path writers
       Bucketing.withWriteLock(s, dirOf(s, prefix)) {
         novel.coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -405,6 +414,21 @@ object DedupIndex {
     // leftover wave (crashed append) must not suppress re-appending its
     // content — those rows are invisible to every probe forever
     val cws = if (pvals > 0) Bucketing.committedWaves(s, dir) else Nil
+    // WRITE-SIDE catalog self-heal: with per-process in-memory catalogs a
+    // session that attached BEFORE another process's append prunes that
+    // wave's partitions out of the anti-join scan below and would
+    // re-insert its hashes as novel — duplicate exact-verdict rows until
+    // compact (r16 advisor). A committed wave the catalog does not know
+    // ⇒ RECOVER first (one listing, append-cadence; a shared-metastore
+    // deployment never hits this — the writer's ADD PARTITION is global)
+    if (pvals > 0 && {
+        val known = Bucketing.catalogWaves(s, s"${prefix}_hashes")
+        cws.exists(!known(_))
+      })
+      tables(prefix).foreach { case (t, _, _, _) =>
+        s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+        s.catalog.refreshTable(t)
+      }
     // the wave number is LEASED (atomic create-no-overwrite) before any
     // staging, so two concurrent appenders land on DISJOINT waves instead
     // of interleaving one ([[Bucketing.acquireWave]]). Concurrent writers

@@ -435,13 +435,20 @@ object VectorIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("vec_id"), "left_anti")
       else fresh
-    if (s.catalog.tableExists(s"${prefix}_tombs") &&
-        s.conf.get("spark.graft.append.staging", "rename") == "rename")
-      // cross-JVM-safe file rename ([[DedupIndex.remove]] twin)
-      Bucketing.appendFilesByRename(s, novel.coalesce(1),
-        s"${prefix}_tombs", dir)
-    else
-      // first tombstone or legacy mode: same-JVM write serialization
+    if (s.conf.get("spark.graft.append.staging", "rename") != "inplace") {
+      // cross-JVM-safe per-file rename, first-tombstone table creation
+      // included ([[DedupIndex.remove]] twin — publish files, then
+      // register; the lock serializes only same-JVM catalog DDL)
+      Bucketing.appendFilesByRenameTo(s, novel.coalesce(1), s"$dir/tombs",
+        dir)
+      if (s.catalog.tableExists(s"${prefix}_tombs"))
+        s.catalog.refreshTable(s"${prefix}_tombs")
+      else Bucketing.withWriteLock(s, dir) {
+        if (!s.catalog.tableExists(s"${prefix}_tombs"))
+          attachPlain(s, s"${prefix}_tombs", s"$dir/tombs")
+      }
+    } else
+      // legacy in-place mode: same-JVM write serialization
       // ([[DedupIndex.remove]] rationale)
       Bucketing.withWriteLock(s, dir) {
         novel.coalesce(1)

@@ -56,4 +56,64 @@ class BucketingSpec extends SparkSpec {
     assert(!Bucketing.samePath(spark, "mock://tmp/graft_sp/x", "/tmp/graft_sp/x"))
     assert(Bucketing.samePath(spark, "mock://tmp/graft_sp/x", "mock://tmp/graft_sp/x"))
   }
+
+  test("appendWaveByRename registers Hive-escaped STRING partition values unescaped") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bk_esc").toString
+    // wave 0 via the build path; the string partition value carries the
+    // characters Hive escapes in directory names (':' → %3A)
+    Bucketing.writePartitionedBucketedExternal(
+      Seq((1L, "a:b c", 0)).toDF("id", "tag", "wave"),
+      "bk_esc_t", Seq("wave", "tag"), Seq("id"), s"$dir/t", 2)
+    Bucketing.commitWave(spark, dir, 0)
+    val batch = Seq((2L, "d:e f", 1)).toDF("id", "tag", "wave")
+      .repartition(2, col("id"))
+    Bucketing.appendWaveByRename(spark, batch, "bk_esc_t", Seq("id"),
+      Seq("tag"), 2, dir, 1)
+    // the catalog must hold the TRUE value (it re-derives the escaped
+    // location itself); splicing the raw directory name registered the
+    // still-escaped string "d%3Ae f"
+    val got = spark.table("bk_esc_t").where(col("wave") === 1)
+      .select("tag").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("d:e f"), s"registered partition value wrong: $got")
+    assert(spark.sql("SHOW PARTITIONS bk_esc_t").collect()
+      .map(_.getString(0)).exists(_.contains("tag=d%3Ae f")),
+      "partition location lost its Hive escaping")
+  }
+
+  test("createNoOverwrite distinguishes collisions from environmental FS errors") {
+    val local = java.nio.file.Files.createTempDirectory("bk_cno")
+    val fs = new GrumpyCreateFs
+    fs.initialize(java.net.URI.create("grumpy:///"),
+      new org.apache.hadoop.conf.Configuration())
+    // collision: the path EXISTS, so the opaque IOException means "lost
+    // the race" → false (previously only matched via message sniffing,
+    // which also swallowed genuine failures)
+    val existing = new org.apache.hadoop.fs.Path(
+      s"grumpy://${local.toString}/taken")
+    java.nio.file.Files.createFile(
+      java.nio.file.Path.of(local.toString, "taken"))
+    assert(!Bucketing.createNoOverwrite(fs, existing))
+    // environmental failure: the path does NOT exist — the error must
+    // surface, not read as 64 retries of "a writer won this number"
+    val missing = new org.apache.hadoop.fs.Path(
+      s"grumpy://${local.toString}/does/not/exist/lease")
+    val e = intercept[java.io.IOException](
+      Bucketing.createNoOverwrite(fs, missing))
+    assert(e.getMessage.contains("Parent path does not exist"))
+  }
+}
+
+/** A non-file-scheme FS whose create always fails with an IOException
+  * whose message contains "exist" — the r16 advisor's trap for
+  * [[Bucketing.createNoOverwrite]]'s message sniffing. */
+class GrumpyCreateFs extends graft.sources.MockRemoteFileSystem {
+  override def getScheme: String = "grumpy"
+  override def getUri: java.net.URI = java.net.URI.create("grumpy:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    throw new java.io.IOException(s"Parent path does not exist: $f")
 }

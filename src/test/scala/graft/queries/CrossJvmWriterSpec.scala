@@ -112,22 +112,39 @@ class CrossJvmWriterSpec extends SparkSpec {
       assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
         proc.exitValue == 0, s"child failed:\n$logTail")
 
+      // STALE-CATALOG WRITE-SIDE SELF-HEAL (r16 advisor): this session
+      // never saw the child's ADD PARTITIONs, so an append carrying a
+      // text the child already indexed would prune the child's waves out
+      // of its novel-ch anti-join and re-insert the hash as novel —
+      // appendStaged must RECOVER first (committed waves ⊄ catalog waves)
+      val childBatch = docs.filter(col("doc_id") % 20 === 13).limit(10)
+      val staleDup = childBatch.limit(1)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      DedupIndex.append(staleDup, "doc_id", "text", prefix)
+      val dupCh = staleDup.select(md5(col("text")).as("ch"))
+        .collect().map(_.getString(0)).toSeq
+      assert(spark.table(s"${prefix}_hashes")
+        .where(col("ch").isin(dupCh: _*)).count() == dupCh.distinct.size,
+        "stale-catalog append re-inserted an existing content hash")
+
       // per-process catalogs: pick up the CHILD's partitions (production
-      // shares a metastore; the writer's ADD PARTITION lands there once)
+      // shares a metastore; the writer's ADD PARTITION lands there once) —
+      // redundant after the self-heal above, kept as the documented
+      // reader-side recipe
       Seq("hashes", "bands", "shingles").foreach { t =>
         spark.sql(s"ALTER TABLE ${prefix}_$t RECOVER PARTITIONS")
         spark.catalog.refreshTable(s"${prefix}_$t")
       }
 
-      assert(Bucketing.committedWaves(spark, d) == (0 to 6),
-        s"all six appends + build must commit: " +
+      assert(Bucketing.committedWaves(spark, d) == (0 to 7),
+        s"six appends + build + stale-dup append must commit: " +
           s"${Bucketing.committedWaves(spark, d)}")
       assert(Bucketing.leasedWaves(spark, d).isEmpty,
         "committed appends must release their leases")
-      val childBatch = docs.filter(col("doc_id") % 20 === 13).limit(10)
       val st = DedupIndex.stats(spark, prefix)
       assert(st.docs == corpus.count() + 3 * mine.count() +
-          3 * childBatch.count() &&
+          3 * childBatch.count() + 1 &&
         st.abandonedWaves == 0 && st.stagingDirs == 0, s"$st")
 
       // BOTH processes' content serves: exact twins probe to partners in
