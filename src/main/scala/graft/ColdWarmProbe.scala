@@ -2,23 +2,31 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Cold-start decomposition of the serving probe wall (the r16
-  * contaminated-window lesson turned into a number): attach the decade
-  * indexes in a FRESH session and time N successive identical probes.
-  * Probe #1 pays the session's one-time terms — partition RECOVER was
-  * already paid by attach, but the first probe pays file-index
-  * materialization (O(grain×waves) listing), codegen, and cold page
-  * cache; #2+ are the steady-state serving wall every BENCH_NOTES table
-  * reports (min of warm runs). The #1−#2 gap is the term a production
-  * deployment amortizes via a shared metastore / FileStatusCache — and
-  * what a fine grain (512+) inflates on a cold local FS.
+/** Cold-start decomposition AND mitigation A/B of the serving probe wall
+  * (r16 measured the problem, r17 adds the fix's measurement): for each
+  * decade index, two arms, each from a genuinely cold page cache
+  * (`sync; echo 3 > /proc/sys/vm/drop_caches` — requires root; skipped
+  * with a note otherwise):
+  *
+  *   - COLD arm: attach → N identical probes. Probe #1 pays cold bytes +
+  *     codegen + file-index materialization (the r16 measurement: 2.8–9×
+  *     of warm, dominated by BYTES);
+  *   - WARM-ATTACH arm: attach → `warm()` (timed, sequential prefetch of
+  *     the index bytes — [[graft.queries.DedupIndex.warm]]) → N probes.
+  *     The claim under test: probe #1 lands near the warm steady state,
+  *     because the bytes were paid up front at sequential bandwidth
+  *     instead of as scattered reads inside the first request's latency.
+  *
+  * Production note: steady-state serving is the warm row either way; a
+  * shared metastore/FileStatusCache amortizes the LISTING half for free,
+  * and `warm()` is the deploy-time lever for the BYTES half.
   *
   * Usage: graft.ColdWarmProbe [workDir] [probesPerIndex]
   */
 object ColdWarmProbe {
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_scale")
-    val n = args.lift(1).map(_.toInt).getOrElse(4)
+    val n = args.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,25 +35,41 @@ object ColdWarmProbe {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def timed(body: => Long): Double = {
+    def timed(body: => Any): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    def dropCaches(): Boolean =
+      try new ProcessBuilder("sh", "-c",
+        "sync; echo 3 > /proc/sys/vm/drop_caches").start().waitFor() == 0
+      catch { case _: Exception => false }
+
     val docs = spark.read.parquet(s"$work/x1000e/documents.parquet")
       .select("doc_id", "text")
     val embs = spark.read.parquet(s"$work/x1000e/embeddings.parquet")
     val docBatch = docs.filter(col("doc_id") < 1000000L &&
       col("doc_id") % 7 === 3 && col("doc_id") % 100 < 2)
+      .localCheckpoint(true) // probes must not re-touch the corpus files
     val vecBatch = embs.filter(col("vec_id") < 1000000L &&
       col("vec_id") % 7 === 3 && col("vec_id") % 100 < 2)
+      .localCheckpoint(true)
 
-    def series(kind: String, dir: String, pfx: String): String = {
-      if (!new java.io.File(dir).exists()) return s""""$pfx":"absent""""
-      val (attachT, _) = {
-        val t0 = System.nanoTime()
+    def arm(kind: String, dir: String, pfx: String,
+        warmFirst: Boolean): String = {
+      val dropped = dropCaches()
+      val attachT = timed(
         if (kind == "text") graft.queries.DedupIndex.attach(spark, dir, pfx)
-        else graft.queries.VectorIndex.attach(spark, dir, pfx)
-        ((System.nanoTime() - t0) / 1e9, ())
-      }
+        else graft.queries.VectorIndex.attach(spark, dir, pfx))
+      val (warmT, warmBytes) =
+        if (!warmFirst) (0.0, 0L)
+        else {
+          var b = 0L
+          val t = timed {
+            b = if (kind == "text")
+              graft.queries.DedupIndex.warm(spark, pfx)
+            else graft.queries.VectorIndex.warm(spark, pfx)
+          }
+          (t, b)
+        }
       val times = (1 to n).map { _ =>
         timed(
           if (kind == "text") graft.queries.DedupIndex
@@ -54,8 +78,15 @@ object ColdWarmProbe {
             .incrementalDedup(vecBatch, "vec_id", "embedding", pfx,
               minCos = 0.9).count())
       }
-      f""""$pfx":{"attach":$attachT%.2f,"probes":[${
-        times.map(t => f"$t%.3f").mkString(",")}]}"""
+      f"""{"dropped":$dropped,"attach":$attachT%.2f,"warm":$warmT%.2f,""" +
+        f""""warm_gb":${warmBytes / 1e9}%.2f,"probes":[${
+          times.map(t => f"$t%.3f").mkString(",")}]}"""
+    }
+
+    def series(kind: String, dir: String, pfx: String): String = {
+      if (!new java.io.File(dir).exists()) return s""""$pfx":"absent""""
+      s""""$pfx":{"cold":${arm(kind, dir, pfx, warmFirst = false)},""" +
+        s""""warm_attach":${arm(kind, dir, pfx, warmFirst = true)}}"""
     }
     val out = Seq(
       series("text", s"$work/decade_txt_x1000_cmp", "cw_txt512"),

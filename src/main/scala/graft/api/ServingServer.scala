@@ -47,9 +47,28 @@ import graft.queries.{DedupIndex, Maintenance, VectorIndex}
   */
 final class ServingServer(spark: SparkSession,
     textPrefix: String = "dedup_idx", vecPrefix: String = "vec_idx",
-    port: Int = 0) {
+    port: Int = 0,
+    maxIngestRows: Int = ServingServer.DefaultMaxIngestRows) {
 
   import ApiResponses.{collectRows, toJson}
+
+  /** Oversized request arrays map to HTTP 413 — the driver materializes
+    * every ingest row from JSON before planning, so an unbounded array is
+    * an unbounded driver allocation (r16 verdict item 4; the FinOps SQL
+    * surface enforces the reference's 10k-row discipline already). */
+  private final class PayloadTooLarge(msg: String)
+    extends RuntimeException(msg)
+
+  private def capped(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      field: String): com.fasterxml.jackson.databind.JsonNode = {
+    if (n != null && n.isArray && n.size() > maxIngestRows)
+      throw new PayloadTooLarge(
+        s"'$field' carries ${n.size()} rows, limit $maxIngestRows — " +
+          "split the epoch into chunked requests (each appends its own " +
+          "wave; the gate is order-safe for disjoint content)")
+    n
+  }
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -160,7 +179,7 @@ final class ServingServer(spark: SparkSession,
 
     ("POST", "/api/v1/serving/dedup/ingest") -> { ex =>
       val root = ApiResponses.readTree(body(ex))
-      val batch = docsDf(root.get("docs"))
+      val batch = docsDf(capped(root.get("docs"), "docs"))
       val verdicts = DedupIndex.incrementalDedup(batch, "doc_id", "text",
         textPrefix, jsonDouble(root, "threshold", 0.5))
       verdictEnvelope(verdicts, "doc_id", batch,
@@ -176,7 +195,8 @@ final class ServingServer(spark: SparkSession,
 
     ("POST", "/api/v1/serving/vector/ingest") -> { ex =>
       val root = ApiResponses.readTree(body(ex))
-      val batch = vecsDf(root.get("vectors"), "vectors")
+      val batch = vecsDf(capped(root.get("vectors"), "vectors"),
+        "vectors")
       val verdicts = VectorIndex.incrementalDedup(batch, "vec_id",
         "embedding", vecPrefix,
         minCos = jsonDouble(root, "min_cos", Double.NaN),
@@ -187,7 +207,8 @@ final class ServingServer(spark: SparkSession,
     },
     ("POST", "/api/v1/serving/vector/knn") -> { ex =>
       val root = ApiResponses.readTree(body(ex))
-      val queries = vecsDf(root.get("queries"), "queries")
+      val queries = vecsDf(capped(root.get("queries"), "queries"),
+        "queries")
       val k = jsonInt(root, "k", 10)
       require(k > 0 && k <= 1000, "k must be in (0, 1000] — the envelope " +
         "is k x queries rows")
@@ -223,6 +244,9 @@ final class ServingServer(spark: SparkSession,
       case Some(handler) =>
         try 200 -> toJson(handler(ex))
         catch {
+          case e: PayloadTooLarge =>
+            413 -> toJson(Map("success" -> false,
+              "error" -> e.getMessage.take(500)))
           case e: IllegalArgumentException =>
             400 -> toJson(Map("success" -> false,
               "error" -> Option(e.getMessage).getOrElse("bad request")
@@ -238,4 +262,10 @@ final class ServingServer(spark: SparkSession,
     ex.getResponseBody.write(bytes)
     ex.close()
   })
+}
+
+object ServingServer {
+  /** Default per-request row cap for ingest/knn arrays — matches the
+    * reference's REST row-limit discipline on its SQL surface. */
+  val DefaultMaxIngestRows = 10000
 }

@@ -296,21 +296,138 @@ object Bucketing {
       }
     }
 
-  /** PUBLISH wave `wave` under `dir` — one atomic empty-file create; the
-    * moment this returns, every reader's next [[committedWave]] includes
-    * the wave's staged files across all tables. No-overwrite is
+  /** The staging/publish mode from `spark.graft.append.staging`:
+    *
+    *   - `rename` (default) — writer-private staging published by ONE
+    *     directory rename per table; atomic on HDFS/local, NOT a legal
+    *     publish primitive on object stores (no directory rename there);
+    *   - `manifest` — the OBJECT-STORE protocol (r16 verdict item 1):
+    *     writer-private staging published by per-FILE moves into the live
+    *     `wave=W` prefixes (one-object copy is atomic on S3-class
+    *     stores; order/timing is irrelevant because nothing is visible
+    *     yet), then ONE conditional-put of a `_wave_W` MANIFEST listing
+    *     the wave's keys. Readers are unchanged — visibility is still the
+    *     marker NAME; the manifest body makes garbage reclamation precise
+    *     ([[reclaimGarbage]]) and doubles as a per-wave file inventory;
+    *   - `inplace` — the legacy pre-r16 `saveAsTable(Append)` on the live
+    *     path (same-JVM-locked).
+    */
+  def stagingMode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.append.staging", "rename")
+
+  /** PUBLISH wave `wave` under `dir` — one atomic create-no-overwrite;
+    * the moment this returns, every reader's next [[committedWave]]
+    * includes the wave's staged files across all tables. No-overwrite is
     * deliberate: the wave number was LEASED, so an existing marker means
     * a writer violated the lease protocol (or a buggy FS) — failing
     * loudly here turns a silent interleaved-content corruption into an
-    * immediate error. */
+    * immediate error.
+    *
+    * In `manifest` mode ([[stagingMode]]) the marker is not empty: it
+    * lists every data file of the wave (size + path relative to `dir`),
+    * gathered by listing the writer's own just-written `wave=W`
+    * directories — a read-your-writes listing, strongly consistent on
+    * S3-class stores since 2020 and trivially so on HDFS/local. The
+    * conditional-put (If-None-Match semantics) is the same primitive
+    * [[createNoOverwrite]] already demands of the store. */
   def commitWave(spark: SparkSession, dir: String, wave: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(createNoOverwrite(fs, p),
+    val ok =
+      if (stagingMode(spark) == "manifest")
+        createNoOverwriteContent(fs, p, manifestBody(spark, dir, wave)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else createNoOverwrite(fs, p)
+    require(ok,
       s"wave marker $p already exists — a second writer committed this " +
         "wave number; the lease protocol was bypassed or the filesystem " +
         "lacks atomic create-no-overwrite")
   }
+
+  /** The manifest text for `wave`: one header line, then
+    * `<size>\t<path-relative-to-dir>` per data file under every
+    * `<dir>/<sub>/wave=<wave>` (subs discovered — any non-hidden child
+    * directory carrying that wave). */
+  private def manifestBody(spark: SparkSession, dir: String,
+      wave: Int): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootUri = fs.makeQualified(root).toUri
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+          && !st.getPath.getName.startsWith("_"))
+        .foreach { sub =>
+          val wd = new org.apache.hadoop.fs.Path(sub.getPath, s"wave=$wave")
+          if (fs.exists(wd)) {
+            val it = fs.listFiles(wd, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (!f.getPath.getName.startsWith(".") &&
+                  !f.getPath.getName.startsWith("_")) {
+                val rel = rootUri
+                  .relativize(fs.makeQualified(f.getPath).toUri).getPath
+                entries += s"${f.getLen}\t$rel"
+              }
+            }
+          }
+        }
+    ("graft-wave-manifest v1" +: entries.sorted).mkString("\n")
+  }
+
+  /** Parse the `_wave_<wave>` manifest under `dir`: Some(relPath → size)
+    * when the marker carries a manifest body, None for an empty
+    * marker-mode file or a missing marker. */
+  def waveManifest(spark: SparkSession, dir: String,
+      wave: Int): Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) || fs.getFileStatus(p).getLen == 0L) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      val body = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      val lines = body.split("\n").toSeq
+      if (!lines.headOption.exists(_.startsWith("graft-wave-manifest")))
+        None
+      else Some(lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(sz, rel) = l.split("\t", 2)
+        rel -> sz.toLong
+      }.toMap)
+    }
+  }
+
+  /** [[createNoOverwrite]] carrying CONTENT — the conditional-put shape
+    * (S3 `If-None-Match: *`): the object appears only if the key was
+    * absent. On `file:` the CLAIM is the O_EXCL create and the body lands
+    * immediately after (a reader that races the two sees an empty marker
+    * whose NAME already gates visibility correctly — the body is consumed
+    * only by maintenance-cadence reclamation, never by probes). */
+  def createNoOverwriteContent(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      val local = new java.io.File(p.toUri.getPath)
+      Option(local.getParentFile).foreach(_.mkdirs())
+      try {
+        java.nio.file.Files.createFile(local.toPath)
+        java.nio.file.Files.write(local.toPath, content)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          if (fs.exists(p)) false else throw e
+      }
+    }
 
   /** Drop every wave marker, lease, AND crashed-append staging root
     * under `dir` — a rebuild/compact starts the history over (its own
@@ -503,7 +620,47 @@ object Bucketing {
     * `wave=W`). */
   def appendWaveByRename(spark: SparkSession, df: DataFrame,
       liveTable: String, keys: Seq[String], partColsAfterWave: Seq[String],
-      buckets: Int, indexDir: String, wave: Int): Unit = {
+      buckets: Int, indexDir: String, wave: Int): Unit =
+    appendWaveStaged(spark, df, liveTable, keys, partColsAfterWave,
+      buckets, indexDir, wave, perFile = false)
+
+  /** [[appendWaveByRename]] with the OBJECT-STORE publish primitive:
+    * instead of one directory rename (which S3-class stores cannot do
+    * atomically — or at all, short of an O(files) server-side copy), the
+    * staged files are moved ONE AT A TIME into the live `wave=W`
+    * prefixes. Per-object copy IS atomic on object stores, and the
+    * non-atomicity of the sequence is irrelevant: nothing under `wave=W`
+    * is visible to any reader until the `_wave_W` manifest lands
+    * ([[commitWave]] in `manifest` mode). A crash mid-move leaves a
+    * partial file set under an uncommitted wave — invisible garbage,
+    * reclaimed precisely by [[reclaimGarbage]]. */
+  def appendWaveByMove(spark: SparkSession, df: DataFrame,
+      liveTable: String, keys: Seq[String], partColsAfterWave: Seq[String],
+      buckets: Int, indexDir: String, wave: Int): Unit =
+    appendWaveStaged(spark, df, liveTable, keys, partColsAfterWave,
+      buckets, indexDir, wave, perFile = true)
+
+  /** Move every FILE under `src` to the mirrored path under `dst` —
+    * per-file renames only (the object-store-legal shape; a Hadoop
+    * object-store FS implements single-file rename as one atomic
+    * server-side copy + delete). */
+  private def moveTree(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(src).foreach { st =>
+      val to = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+      if (st.isDirectory) moveTree(fs, st.getPath, to)
+      else {
+        fs.mkdirs(dst)
+        require(fs.rename(st.getPath, to),
+          s"publish move failed: ${st.getPath} -> $to")
+      }
+    }
+  }
+
+  private def appendWaveStaged(spark: SparkSession, df: DataFrame,
+      liveTable: String, keys: Seq[String], partColsAfterWave: Seq[String],
+      buckets: Int, indexDir: String, wave: Int, perFile: Boolean): Unit = {
     val stagePath = s"$indexDir/.stage_w$wave/$liveTable"
     val stageTable = s"${liveTable}__stage_w$wave"
     spark.sql(s"DROP TABLE IF EXISTS $stageTable")
@@ -524,7 +681,8 @@ object Bucketing {
           org.apache.spark.sql.catalyst.TableIdentifier(liveTable))
         .location.toString
       val dst = new org.apache.hadoop.fs.Path(s"$liveLoc/wave=$wave")
-      require(fs.rename(src, dst),
+      if (perFile) moveTree(fs, src, dst)
+      else require(fs.rename(src, dst),
         s"publish rename failed: $src -> $dst (wave $wave was leased, so " +
           "the destination cannot be another writer's — check FS health)")
       val parts =
@@ -672,6 +830,115 @@ object Bucketing {
       else fs.listStatus(p).map(_.getPath.getName)
         .filter(_.matches("wave=\\d+")).map(_.stripPrefix("wave=").toInt)
     }.distinct.count(!committed(_))
+  }
+
+  /** IN-PLACE garbage sweep — the precise-reclamation half the wave
+    * manifests buy (r16 verdict item 1; compact reclaims too, but a
+    * compact REWRITES the whole index, which at 100 TB is the expensive
+    * lever — this one only deletes dead bytes). Removes, under `dir`:
+    *
+    *   - stale `.stage_*` roots (crashed rename/manifest-mode writers;
+    *     roots younger than [[writerLiveTtlMs]] are presumed a live
+    *     writer and skipped),
+    *   - `wave=N` directories of UNCOMMITTED waves under each
+    *     `dir/<sub>`, unless N's lease is live (a writer mid-publish),
+    *   - in manifest mode, files inside COMMITTED wave directories that
+    *     the wave's manifest does not list (belt-and-braces: the lease
+    *     protocol means these should not exist; the manifest makes
+    *     checking cheap).
+    *
+    * Returns the deleted paths. Safe to run concurrently with readers
+    * (everything deleted was invisible to them) and with live writers
+    * (their leases and young staging roots are skipped). */
+  def reclaimGarbage(spark: SparkSession, dir: String,
+      subs: Seq[String]): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val ttl = writerLiveTtlMs(spark)
+    val live = liveLeases(spark, dir, ttl).map(_._1).toSet
+    val committed = committedWaves(spark, dir).toSet
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    // 1. stale staging roots
+    stagingDirAges(spark, dir).filter(_._2 >= ttl).foreach { case (n, _) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      if (fs.delete(p, true)) deleted += p.toString
+    }
+    // 2. uncommitted (abandoned) wave directories, minus live writers'
+    subs.foreach { sub =>
+      val sp = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(sp))
+        fs.listStatus(sp).map(_.getPath)
+          .filter(_.getName.matches("wave=\\d+"))
+          .foreach { wd =>
+            val w = wd.getName.stripPrefix("wave=").toInt
+            if (!committed(w) && !live(w) && fs.delete(wd, true))
+              deleted += wd.toString
+          }
+    }
+    // 3. manifest-precise sweep inside committed waves
+    val rootUri = fs.makeQualified(root).toUri
+    committed.toSeq.sorted.foreach { w =>
+      waveManifest(spark, dir, w).foreach { listed =>
+        subs.foreach { sub =>
+          val wd = new org.apache.hadoop.fs.Path(s"$dir/$sub/wave=$w")
+          if (fs.exists(wd)) {
+            val it = fs.listFiles(wd, true)
+            val strays = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.hadoop.fs.Path]
+            while (it.hasNext) {
+              val f = it.next().getPath
+              val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+              if (!f.getName.startsWith(".") && !f.getName.startsWith("_")
+                  && !listed.contains(rel)) strays += f
+            }
+            strays.foreach(f =>
+              if (fs.delete(f, false)) deleted += f.toString)
+          }
+        }
+      }
+    }
+    deleted.toSeq
+  }
+
+  /** PREFETCH every data file under `location` through the OS page cache —
+    * the cold-start mitigation the r16 `ColdWarmProbe` decomposition
+    * called for: the first probe after a cold attach pays 2.8–9× of the
+    * warm steady state, and the measured dominant term is BYTES (cold
+    * page cache), not listing — so the fix is to pay those bytes UP
+    * FRONT, at sequential-read bandwidth, on deploy/attach, instead of as
+    * scattered reads inside the first serving request's latency. Raw
+    * streaming reads (no parquet decode), distributed one-file-per-task
+    * across executor threads; returns total bytes pulled. On a cluster,
+    * run it wherever the executors that will serve the probes live (page
+    * cache is per-machine); storage tiers with their own cache (or a
+    * shared metastore + FileStatusCache for the listing half) make it a
+    * no-op that costs one sequential pass. */
+  def warmFiles(spark: SparkSession, location: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return 0L
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) files += it.next().getPath.toUri.toString
+    if (files.isEmpty) return 0L
+    val slices = math.min(files.size,
+      math.max(1, spark.sparkContext.defaultParallelism * 2))
+    // RDD on purpose: per-file imperative IO with no relational shape —
+    // the one place the builder guide sanctions dropping below DataFrame
+    spark.sparkContext.parallelize(files.toSeq, slices).map { u =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(u))
+      val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var total = 0L
+        var r = in.read(buf)
+        while (r >= 0) { total += r; r = in.read(buf) }
+        total
+      } finally in.close()
+    }.fold(0L)(_ + _)
   }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free by

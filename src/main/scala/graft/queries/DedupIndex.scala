@@ -234,7 +234,7 @@ object DedupIndex {
       distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
       committedWave: Int, abandonedWaves: Int, committedWaveCount: Int,
-      stagingDirs: Int = 0)
+      stagingDirs: Int = 0, staleStagingDirs: Int = 0)
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
@@ -279,11 +279,17 @@ object DedupIndex {
     val files = Seq("hashes", "bands", "shingles").map { sub =>
       sub -> Bucketing.partFileCount(spark, loc(s"${prefix}_$sub"))
     }.toMap
+    // staging roots split by age against the presumed-live writer TTL:
+    // a YOUNG root is probably an in-flight rename-mode append (not a
+    // compact reason — the r16 advisor's live-writer-triggers-compact
+    // hole); an OLD one is crash garbage
+    val stages = if (pvals > 0)
+      Bucketing.stagingDirAges(spark, dirOf(spark, prefix)) else Nil
+    val ttl = Bucketing.writerLiveTtlMs(spark)
     IndexStats(docs, docs - tombs, tombs, hashes, buckets, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
       cws.foldLeft(-1)(math.max), abandoned, cws.length,
-      if (pvals > 0) Bucketing.stagingDirCount(spark, dirOf(spark, prefix))
-      else 0)
+      stages.size, stages.count(_._2 >= ttl))
   }
 
   /** Derive the corpus artifacts and persist them under `dir` (also
@@ -460,17 +466,23 @@ object DedupIndex {
         .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
     // "rename" (default): writer-private staging published by directory
     // rename — no shared committer dir, cross-JVM-safe, no lock
-    // ([[Bucketing.appendWaveByRename]]); "inplace": the pre-r16
+    // ([[Bucketing.appendWaveByRename]]); "manifest": the object-store
+    // protocol — same private staging, per-FILE moves, and the commit
+    // marker becomes a key manifest ([[Bucketing.appendWaveByMove]] /
+    // [[Bucketing.commitWave]]); "inplace": the pre-r16
     // saveAsTable(Append) on the live path, same-JVM-locked
-    val renameMode = pvals > 0 &&
-      s.conf.get("spark.graft.append.staging", "rename") == "rename"
+    val mode = if (pvals == 0) "flat" else Bucketing.stagingMode(s)
+    val privateStaging = mode == "rename" || mode == "manifest"
     def appendTo(df: DataFrame, table: String, keys: Seq[String],
         partCol: String): Unit = {
       val staged = (if (pvals > 0)
           df.withColumn(partCol, partValue(partCol, pvals))
             .withColumn("wave", lit(wave)) else df)
         .repartition(bucketsOf(table), keys.map(col): _*)
-      if (renameMode)
+      if (mode == "manifest")
+        Bucketing.appendWaveByMove(s, staged, table, keys, Seq(partCol),
+          bucketsOf(table), dir, wave)
+      else if (mode == "rename")
         Bucketing.appendWaveByRename(s, staged, table, keys, Seq(partCol),
           bucketsOf(table), dir, wave)
       else {
@@ -507,17 +519,17 @@ object DedupIndex {
         Seq("b", "h"), "pbh"),
       () => appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
         Seq("doc_id"), "pdoc"))
-    // rename mode needs no serialization (writer-private staging dirs;
-    // the wave=W destinations are lease-disjoint); the legacy in-place
-    // mode serializes same-JVM physical writes (the shared Hadoop
-    // committer staging dir — [[Bucketing.withWriteLock]])
-    if (renameMode || pvals == 0)
+    // private-staging modes need no serialization (writer-private staging
+    // dirs; the wave=W destinations are lease-disjoint); the legacy
+    // in-place mode serializes same-JVM physical writes (the shared
+    // Hadoop committer staging dir — [[Bucketing.withWriteLock]])
+    if (privateStaging || pvals == 0)
       writes.take(math.max(0, maxTables)).foreach(_())
     else
       Bucketing.withWriteLock(s, dir) {
         writes.take(math.max(0, maxTables)).foreach(_())
       }
-    if (renameMode) Bucketing.releaseStaging(s, dir, wave)
+    if (privateStaging) Bucketing.releaseStaging(s, dir, wave)
     TextDedup.unpersistDerivationsOf(nc)
     wave
   }
@@ -551,15 +563,21 @@ object DedupIndex {
     * Interleaving contract (single-writer, made explicit): compaction
     * snapshots the committed wave set ONCE — an [[append]] or [[remove]]
     * that commits AFTER that snapshot is not in the compacted artifact,
-    * and switching serving to it would silently lose that wave. Quiesce
-    * writers for the compact window (it is a maintenance-cadence
-    * operation); readers of the OLD location are unaffected throughout.
-    * Abandoned (never-committed) waves are physically reclaimed here —
-    * they are excluded from the rewrite and the fresh history starts at
-    * wave 0. */
+    * and switching serving to it would silently lose that wave. The
+    * quiesce contract is ENFORCED since r17, not just documented: a lease
+    * younger than `spark.graft.writerLiveTtlMs` (a writer presumed
+    * mid-append) makes compact refuse loudly
+    * ([[Bucketing.requireQuiesced]]); pass `force = true` when the
+    * writers are known dead or drained. Readers of the OLD location are
+    * unaffected throughout. Abandoned (never-committed) waves are
+    * physically reclaimed here — they are excluded from the rewrite and
+    * the fresh history starts at wave 0. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "dedup_idx", outPrefix: String = null,
-      buckets: Int = 0, pvals: Int = 0): Unit = {
+      buckets: Int = 0, pvals: Int = 0, force: Boolean = false): Unit = {
+    if (pvalsOf(spark, prefix) > 0)
+      Bucketing.requireQuiesced(spark, dirOf(spark, prefix), force,
+        "compact")
     // null outPrefix (the default) = in place under `prefix`: a literal
     // "dedup_idx" default silently compacted a prefix="x" index into the
     // unrelated "dedup_idx" catalog entries ([[VectorIndex.rebuild]]
@@ -697,6 +715,18 @@ object DedupIndex {
     if (fsExists(spark, s"$dir/tombs"))
       Bucketing.attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
     else spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombs")
+  }
+
+  /** WARM an attached index's bytes through the page cache — call after
+    * [[attach]] on a cold deployment, BEFORE the first serving request:
+    * the r16 cold-start decomposition measured first-probe latency at
+    * 2.8–9× of warm, dominated by cold bytes; this pays them at
+    * sequential bandwidth up front ([[Bucketing.warmFiles]]). Returns
+    * bytes read. */
+  def warm(spark: SparkSession, prefix: String = "dedup_idx"): Long = {
+    val d = dirOf(spark, prefix)
+    (Seq("hashes", "bands", "shingles", "meta", "tombs"))
+      .map(sub => Bucketing.warmFiles(spark, s"$d/$sub")).sum
   }
 
   /** q48-semantics ingest verdicts for `batch`, served entirely off the

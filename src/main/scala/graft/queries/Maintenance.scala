@@ -102,9 +102,16 @@ object Maintenance {
         s"index has $current — directory/file pressure with no probe win")
     else None
 
-  /** Compose the compact-side rules shared by both indexes. */
+  /** Compose the compact-side rules shared by both indexes. Only STALE
+    * staging roots (older than `spark.graft.writerLiveTtlMs`) count as a
+    * compact reason — a young root is most likely a HEALTHY in-flight
+    * rename-mode append, and letting it alone trigger an EXECUTED compact
+    * would run the compact concurrently with that live writer, the exact
+    * quiesce violation [[graft.operators.Bucketing.requireQuiesced]]
+    * exists to stop (r16 advisor); fresh roots surface as a warning
+    * instead. */
   private def compactReasons(tombstones: Long, liveRows: Long,
-      abandonedWaves: Int, waveCount: Int, stagingDirs: Int,
+      abandonedWaves: Int, waveCount: Int, staleStagingDirs: Int,
       grain: Option[String]): Seq[String] =
     Seq(
       Option.when(liveRows > 0 &&
@@ -116,15 +123,24 @@ object Maintenance {
       Option.when(abandonedWaves > 0)(
         s"$abandonedWaves abandoned (crashed-append) wave(s) on disk — " +
           "invisible to probes, reclaimed only by compact"),
-      Option.when(stagingDirs > 0)(
-        s"$stagingDirs staging root(s) (.stage_w*) on disk — in-flight " +
-          "or crashed rename-mode appends; dead bytes if no writer is " +
-          "live, reclaimed by compact"),
+      Option.when(staleStagingDirs > 0)(
+        s"$staleStagingDirs STALE staging root(s) (.stage_*, older than " +
+          "the live-writer TTL) on disk — crashed rename-mode appends; " +
+          "dead bytes, reclaimed by compact"),
       Option.when(waveCount >= CompactWaveCount)(
         s"$waveCount committed waves >= $CompactWaveCount — marker " +
           "listing and wave IN (set) planning overhead; compact folds " +
           "the history to {0}"),
       grain).flatten
+
+  /** The in-flight-writer advisory shared by both indexes. */
+  private def liveStagingWarning(stagingDirs: Int,
+      staleStagingDirs: Int): Option[String] =
+    Option.when(stagingDirs > staleStagingDirs)(
+      s"${stagingDirs - staleStagingDirs} staging root(s) younger than " +
+        "the live-writer TTL — a rename-mode append is probably in " +
+        "flight; maintenance actions will refuse until it commits or " +
+        "goes stale (requireQuiesced)")
 
   /** Maintenance recommendation for an attached [[DedupIndex]]. The text
     * index never needs a model rebuild, so the action space is
@@ -136,13 +152,14 @@ object Maintenance {
     val current = DedupIndex.pvalsOf(spark, prefix)
     val recommended = Bucketing.autoGrain(st.liveDocs)
     val reasons = compactReasons(st.tombstones, st.liveDocs,
-      st.abandonedWaves, st.committedWaveCount, st.stagingDirs,
+      st.abandonedWaves, st.committedWaveCount, st.staleStagingDirs,
       grainReason(current, recommended))
     val warnings = Seq(
       Option.when(st.bandSkew >= SkewWarn)(
         f"band-bucket skew ${st.bandSkew}%.1f (max ${st.maxBandBucket}) — " +
           "boilerplate mass multiplies probe candidates; df-cap or " +
-          "pre-drop the template upstream")).flatten
+          "pre-drop the template upstream"),
+      liveStagingWarning(st.stagingDirs, st.staleStagingDirs)).flatten
     Recommendation(if (reasons.nonEmpty) "compact" else "none",
       reasons, warnings, current, recommended)
   }
@@ -167,7 +184,7 @@ object Maintenance {
         "past the measured knee (r15 drift calibration); rebuild " +
         "retrains from the index's own vectors")
     val compact = compactReasons(st.tombstones, st.liveRows,
-      st.abandonedWaves, st.committedWaveCount, st.stagingDirs,
+      st.abandonedWaves, st.committedWaveCount, st.staleStagingDirs,
       grainReason(current, recommended))
     val warnings = Seq(
       Option.when(st.cellSkew >= SkewWarn)(
@@ -176,7 +193,8 @@ object Maintenance {
           "more cells if the probe wall matters"),
       Option.when(!servesAnn && appendedFraction >= RebuildAppendedFraction)(
         f"appended fraction $appendedFraction%.2f — verdict path is " +
-          "drift-immune (measured), but a rebuild would rebalance cells")
+          "drift-immune (measured), but a rebuild would rebalance cells"),
+      liveStagingWarning(st.stagingDirs, st.staleStagingDirs)
     ).flatten
     val (action, reasons) = rebuild match {
       case Some(r) => ("rebuild", r +: compact)
@@ -192,15 +210,17 @@ object Maintenance {
     * fired (inherit otherwise); "none" touches nothing (`outDir` unused —
     * pass the next maintenance location unconditionally and check
     * `_2` to learn whether it was consumed). One call = one maintenance
-    * round: stats pass → decision → action; quiesce writers for the
-    * window (the standing compact contract). Returns (recommendation,
-    * acted). */
-  def runText(spark: SparkSession, prefix: String,
-      outDir: String): (Recommendation, Boolean) = {
+    * round: stats pass → decision → action. The quiesce contract is
+    * ENFORCED by the action (compact refuses on a possibly-live lease —
+    * [[graft.operators.Bucketing.requireQuiesced]]); `force = true`
+    * overrides when the writers are known dead/drained. Returns
+    * (recommendation, acted). */
+  def runText(spark: SparkSession, prefix: String, outDir: String,
+      force: Boolean = false): (Recommendation, Boolean) = {
     val rec = forText(spark, prefix)
     if (rec.action == "compact")
       DedupIndex.compact(spark, outDir, prefix,
-        pvals = regrainArg(rec, DedupIndex.AutoPvals, 0))
+        pvals = regrainArg(rec, DedupIndex.AutoPvals, 0), force = force)
     (rec, rec.action != "none")
   }
 
@@ -208,18 +228,21 @@ object Maintenance {
     * "rebuild" retrains from the index's own vectors into `outDir`
     * (re-sized cells, tombstones dropped — [[VectorIndex.rebuild]]);
     * "compact" rewrites into `outDir`, re-graining when the grain rule
-    * fired. Returns (recommendation, acted). */
+    * fired. Writer quiesce enforced as in [[runText]]. Returns
+    * (recommendation, acted). */
   def runVectors(spark: SparkSession, prefix: String, outDir: String,
-      servesAnn: Boolean = true): (Recommendation, Boolean) = {
+      servesAnn: Boolean = true,
+      force: Boolean = false): (Recommendation, Boolean) = {
     val rec = forVectors(spark, prefix, servesAnn)
     rec.action match {
       case "rebuild" =>
         VectorIndex.rebuild(spark, outDir, prefix,
           pcells = regrainArg(rec, VectorIndex.AutoPcells,
-            VectorIndex.InheritPcells))
+            VectorIndex.InheritPcells), force = force)
       case "compact" =>
         VectorIndex.compact(spark, outDir, prefix,
-          pcells = regrainArg(rec, VectorIndex.AutoPcells, 0))
+          pcells = regrainArg(rec, VectorIndex.AutoPcells, 0),
+          force = force)
       case _ => ()
     }
     (rec, rec.action != "none")

@@ -290,8 +290,9 @@ object VectorIndex {
     * (e.g. more cells after growth; `nCells = AutoCells`, the default,
     * already re-sizes the cell count to the LIVE row count, and
     * `pcells = AutoPcells` re-sizes the partition grain the same way). Like [[compact]]: fresh
-    * `outDir` required, quiesce writers for the window, readers of the
-    * old location are unaffected throughout.
+    * `outDir` required, writer quiesce ENFORCED (a live lease refuses the
+    * rebuild unless `force = true` — [[Bucketing.requireQuiesced]]),
+    * readers of the old location are unaffected throughout.
     *
     * (No [[DedupIndex]] twin: the text index is model-free — nothing to
     * retrain — and its hashes derive from raw text the index does not
@@ -301,7 +302,10 @@ object VectorIndex {
       nCells: Int = VectorOps.AutoCells, kmeansIters: Int = 0,
       targetCellRows: Int = 0, trainSampleCap: Long = -1L,
       pqM: Int = 0, pqKsub: Int = 0, buckets: Int = 0,
-      pcells: Int = InheritPcells): Unit = {
+      pcells: Int = InheritPcells, force: Boolean = false): Unit = {
+    if (meta(spark, prefix).pcells > 0)
+      Bucketing.requireQuiesced(spark, dirOf(spark, prefix), force,
+        "rebuild")
     // null outPrefix (the default) = IN PLACE under `prefix` — Scala
     // cannot default one parameter to another in the same list, and a
     // literal "vec_idx" default silently rebuilt a prefix="x" index into
@@ -511,7 +515,8 @@ object VectorIndex {
       liveRows: Long, tombstones: Long, appendedRows: Long, cells: Long,
       maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
       fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int,
-      committedWaveCount: Int, stagingDirs: Int = 0)
+      committedWaveCount: Int, stagingDirs: Int = 0,
+      staleStagingDirs: Int = 0)
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
@@ -557,12 +562,16 @@ object VectorIndex {
     // size); compacting away tombstoned BUILD-time rows therefore
     // under-counts appended mass by that many rows — clamped at 0 so a
     // removal-heavy compacted index reads "no drift" rather than nonsense
+    // staging roots split by age ([[DedupIndex.stats]] rationale): young
+    // = probably an in-flight writer, old = crash garbage
+    val stages = if (m.pcells > 0)
+      Bucketing.stagingDirAges(spark, dirOf(spark, prefix)) else Nil
+    val ttl = Bucketing.writerLiveTtlMs(spark)
     IndexStats(m.corpusRows, total, total - tombs, tombs,
       math.max(0L, total - m.corpusRows), nCells, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
       cws.foldLeft(-1)(math.max), abandoned, cws.length,
-      if (m.pcells > 0) Bucketing.stagingDirCount(spark, dirOf(spark, prefix))
-      else 0)
+      stages.size, stages.count(_._2 >= ttl))
   }
 
   /** Centroids re-collected from the persisted table — identical driver
@@ -738,15 +747,19 @@ object VectorIndex {
       val cells = VectorOps.assignCells(bIdx, cents)
       // "rename" (default): writer-private staging published by directory
       // rename — cross-JVM-safe, lock-free ([[Bucketing.appendWaveByRename]];
-      // [[DedupIndex.appendStaged]] twin); "inplace": pre-r16 semantics
-      val renameMode = m.pcells > 0 &&
-        s.conf.get("spark.graft.append.staging", "rename") == "rename"
+      // [[DedupIndex.appendStaged]] twin); "manifest": the object-store
+      // protocol (per-file moves + manifest commit); "inplace": pre-r16
+      val mode = if (m.pcells == 0) "flat" else Bucketing.stagingMode(s)
+      val privateStaging = mode == "rename" || mode == "manifest"
       def appendTo(df: DataFrame, table: String, keys: Seq[String],
           partCols: Seq[String] = Nil): Unit = {
         val staged =
           (if (m.pcells > 0) df.withColumn("wave", lit(wave)) else df)
             .repartition(m.buckets, keys.map(col): _*)
-        if (renameMode)
+        if (mode == "manifest")
+          Bucketing.appendWaveByMove(s, staged, s"${prefix}_$table", keys,
+            partCols, m.buckets, dirOf(s, prefix), wave)
+        else if (mode == "rename")
           Bucketing.appendWaveByRename(s, staged, s"${prefix}_$table", keys,
             partCols, m.buckets, dirOf(s, prefix), wave)
         else {
@@ -790,16 +803,18 @@ object VectorIndex {
               .withColumn("rnorm2",
                 VectorOps.pqRnorm2Col(col("codes"), books)),
             "pqcodes", Seq("vec_id")))
-      // rename mode is lock-free (writer-private staging; lease-disjoint
-      // destinations); legacy in-place serializes same-JVM physical
-      // writes ([[Bucketing.withWriteLock]]; [[DedupIndex]] rationale)
-      if (renameMode || m.pcells == 0)
+      // private-staging modes are lock-free (writer-private staging;
+      // lease-disjoint destinations); legacy in-place serializes same-JVM
+      // physical writes ([[Bucketing.withWriteLock]]; [[DedupIndex]]
+      // rationale)
+      if (privateStaging || m.pcells == 0)
         writes.take(math.max(0, maxTables)).foreach(_())
       else
         Bucketing.withWriteLock(s, dirOf(s, prefix)) {
           writes.take(math.max(0, maxTables)).foreach(_())
         }
-      if (renameMode) Bucketing.releaseStaging(s, dirOf(s, prefix), wave)
+      if (privateStaging)
+        Bucketing.releaseStaging(s, dirOf(s, prefix), wave)
       wave
     } finally bIdx.unpersist(false) // checkpoint blocks also free on GC
   }
@@ -829,12 +844,15 @@ object VectorIndex {
     *
     * Interleaving contract ([[DedupIndex.compact]] twin): compaction
     * snapshots the committed wave set once — appends/removals committing
-    * after the snapshot are not in the output; quiesce writers for the
-    * compact window. Abandoned (never-committed) waves are physically
-    * reclaimed here. */
+    * after the snapshot are not in the output; writer quiesce is ENFORCED
+    * (a live lease refuses the compact unless `force = true`). Abandoned
+    * (never-committed) waves are physically reclaimed here. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "vec_idx", outPrefix: String = null,
-      pcells: Int = 0): Unit = {
+      pcells: Int = 0, force: Boolean = false): Unit = {
+    if (meta(spark, prefix).pcells > 0)
+      Bucketing.requireQuiesced(spark, dirOf(spark, prefix), force,
+        "compact")
     // null outPrefix (the default) = in place under `prefix` (the
     // [[rebuild]] rationale — a literal default mis-targeted non-default
     // prefixes)
@@ -974,6 +992,16 @@ object VectorIndex {
     }
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
     if (outPcells > 0) Bucketing.commitWave(spark, outDir, 0)
+  }
+
+  /** WARM an attached index's bytes through the page cache
+    * ([[DedupIndex.warm]] twin — call after [[attach]], before the first
+    * serving request, to move the measured 2.8–9× cold-first-probe
+    * penalty out of request latency). Returns bytes read. */
+  def warm(spark: SparkSession, prefix: String = "vec_idx"): Long = {
+    val d = dirOf(spark, prefix)
+    (DataSubs ++ Seq("cents", "pqbooks", "meta", "tombs"))
+      .map(sub => Bucketing.warmFiles(spark, s"$d/$sub")).sum
   }
 
   /** [[VectorOps.knnPqIndexed]]-semantics ANN top-k for a query batch,

@@ -137,6 +137,47 @@ class ServingServerSpec extends SparkSpec {
     assert(s2 == 404)
   }
 
+  test("oversized ingest/knn arrays answer 413 before any planning (r16 verdict item 4)") {
+    server // ensure the shared indexes are built and attached
+    val tiny = new ServingServer(spark, "srv_txt", "srv_vec",
+      maxIngestRows = 3)
+    tiny.start()
+    def at(path: String, body: String): (Int, String) = {
+      val url = URI.create(
+        s"http://127.0.0.1:${tiny.boundPort}$path").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      val status = conn.getResponseCode
+      val stream =
+        if (status < 400) conn.getInputStream else conn.getErrorStream
+      val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect()
+      (status, text)
+    }
+    try {
+      val four = (1 to 4).map(i =>
+        s"""{"doc_id": ${940000 + i}, "text": "cap probe doc $i"}""")
+      val (s1, b1) = at("/api/v1/serving/dedup/ingest",
+        s"""{"docs": [${four.mkString(",")}]}""")
+      assert(s1 == 413 && b1.contains("limit 3"), s"$s1 $b1")
+      // at the cap: normal service
+      val (s2, _) = at("/api/v1/serving/dedup/ingest",
+        s"""{"docs": [${four.take(3).mkString(",")}]}""")
+      assert(s2 == 200)
+      val vec = (1 to 4).map(i =>
+        s"""{"vec_id": ${950000 + i}, "embedding": [${
+          Seq.fill(64)("0.1").mkString(",")}]}""")
+      val (s3, b3) = at("/api/v1/serving/vector/knn",
+        s"""{"queries": [${vec.mkString(",")}], "k": 1}""")
+      assert(s3 == 413 && b3.contains("limit 3"), s"$s3 $b3")
+      val (s4, b4) = at("/api/v1/serving/vector/ingest",
+        s"""{"vectors": [${vec.mkString(",")}]}""")
+      assert(s4 == 413 && b4.contains("limit 3"), s"$s4 $b4")
+    } finally tiny.stop()
+  }
+
   /** Post-GC used heap, stabilized (FinOpsServerScaleSpec's meter). */
   private def usedHeap(): Long = {
     val r = Runtime.getRuntime

@@ -510,7 +510,9 @@ class DedupIndexSpec extends SparkSpec {
     // compaction physically reclaims the abandoned garbage and restarts
     // the wave history at 0
     val cd = java.nio.file.Files.createTempDirectory("dedup_idx_twc").toString
-    DedupIndex.compact(spark, cd, prefix, prefix)
+    // force: the crashed appendStaged above left a young lease this
+    // spec knows is dead (requireQuiesced would presume it live)
+    DedupIndex.compact(spark, cd, prefix, prefix, force = true)
     val st3 = DedupIndex.stats(spark, prefix)
     assert(st3.docs == st2.docs && st3.committedWave == 0 &&
       st3.abandonedWaves == 0, s"$st3")

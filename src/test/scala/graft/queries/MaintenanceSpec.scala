@@ -74,9 +74,11 @@ class MaintenanceSpec extends SparkSpec {
       r3.reasons.exists(_.contains("abandoned")), s"$r3")
 
     // rebuild (the recommended action): retrains over live rows, clears
-    // tombstones/waves, resets appended mass — back to "none"
+    // tombstones/waves, resets appended mass — back to "none". force:
+    // the crashed appendStaged above left a YOUNG lease this spec knows
+    // is dead (requireQuiesced would otherwise presume it live)
     val dR = java.nio.file.Files.createTempDirectory("mnt_vec_rb").toString
-    VectorIndex.rebuild(spark, dR, prefix = prefix)
+    VectorIndex.rebuild(spark, dR, prefix = prefix, force = true)
     val r4 = Maintenance.forVectors(spark, prefix)
     assert(r4.action == "none" && r4.reasons.isEmpty, s"$r4")
   }
@@ -105,9 +107,11 @@ class MaintenanceSpec extends SparkSpec {
     val r2 = Maintenance.forText(spark, prefix)
     assert(r2.reasons.exists(_.contains("abandoned")), s"$r2")
 
-    // the recommended compact (auto grain) clears everything
+    // the recommended compact (auto grain) clears everything (force: the
+    // crashed appendStaged left a young lease this spec knows is dead)
     val d2 = java.nio.file.Files.createTempDirectory("mnt_txt_c").toString
-    DedupIndex.compact(spark, d2, prefix, pvals = DedupIndex.AutoPvals)
+    DedupIndex.compact(spark, d2, prefix, pvals = DedupIndex.AutoPvals,
+      force = true)
     val r3 = Maintenance.forText(spark, prefix)
     assert(r3.action == "none" && r3.reasons.isEmpty, s"$r3")
   }

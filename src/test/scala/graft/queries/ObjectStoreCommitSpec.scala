@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** The OBJECT-STORE commit protocol end to end (r16 verdict item 1): the
+  * wave machinery previously assumed atomic create/rename, which S3-class
+  * stores do not give. `spark.graft.append.staging=manifest` swaps the
+  * publish primitive — per-FILE moves into the live `wave=W` prefixes
+  * (atomic per object), then ONE conditional-put `_wave_W` MANIFEST
+  * listing the wave's keys — with readers unchanged (visibility is still
+  * the marker name). Exercised on [[graft.sources.MockObjectStoreFileSystem]]
+  * (`mos://`), which FORBIDS directory-rename-as-publish and emulates
+  * conditional-put create, so any protocol path still relying on the
+  * rename primitive throws instead of silently passing on the
+  * rename-atomic local FS. */
+class ObjectStoreCommitSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+    .select("doc_id", "text")
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+    .select("vec_id", "embedding")
+
+  private def withManifestMos[A](body: => A): A = {
+    spark.sparkContext.hadoopConfiguration.set("fs.mos.impl",
+      classOf[graft.sources.MockObjectStoreFileSystem].getName)
+    spark.conf.set("spark.graft.append.staging", "manifest")
+    try body
+    finally spark.conf.unset("spark.graft.append.staging")
+  }
+
+  /** Every data file currently on disk under `dir/<sub>/wave=<w>`,
+    * relative to `dir` — the ground truth a manifest must match. */
+  private def filesOfWave(dir: String, w: Int): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(root).toUri
+    val out = scala.collection.mutable.Set.empty[String]
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+        && !st.getPath.getName.startsWith("_"))
+      .foreach { sub =>
+        val wd = new org.apache.hadoop.fs.Path(sub.getPath, s"wave=$w")
+        if (fs.exists(wd)) {
+          val it = fs.listFiles(wd, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (!f.getName.startsWith(".") && !f.getName.startsWith("_"))
+              out += rootUri.relativize(fs.makeQualified(f).toUri).getPath
+          }
+        }
+      }
+    out.toSet
+  }
+
+  test("text index lifecycle on mos://: build, concurrent appends, crash, reclaim, compact — no directory rename, manifests exact") {
+    withManifestMos {
+      val local = java.nio.file.Files.createTempDirectory("mos_txt").toString
+      val d = "mos://" + local
+      val prefix = "mos_txt"
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+      DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0))
+      // the build's manifest lists exactly the wave-0 files on disk
+      val m0 = Bucketing.waveManifest(spark, d, 0)
+      assert(m0.isDefined, "manifest mode must write a manifest body")
+      assert(m0.get.keySet == filesOfWave(d, 0),
+        s"manifest diverged from disk:\n${m0.get.keySet}\n${filesOfWave(d, 0)}")
+
+      // two CONCURRENT appenders: disjoint leased waves, per-file-move
+      // publish (a directory rename would throw on this FS), exact
+      // manifests for both
+      val b1 = docs.filter(col("doc_id") % 40 === 3).limit(8)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val b2 = docs.filter(col("doc_id") % 40 === 13).limit(8)
+        .select((col("doc_id") + 910000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val f1 = Future(DedupIndex.append(b1, "doc_id", "text", prefix))
+      val f2 = Future(DedupIndex.append(b2, "doc_id", "text", prefix))
+      Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0, 1, 2))
+      assert(Bucketing.leasedWaves(spark, d).isEmpty)
+      Seq(1, 2).foreach { w =>
+        val m = Bucketing.waveManifest(spark, d, w)
+        assert(m.isDefined && m.get.keySet == filesOfWave(d, w),
+          s"wave $w manifest wrong")
+      }
+      val st1 = DedupIndex.stats(spark, prefix)
+      assert(st1.docs == corpus.count() + b1.count() + b2.count() &&
+        st1.stagingDirs == 0 && st1.abandonedWaves == 0, s"$st1")
+      // both writers' content serves
+      for ((b, off) <- Seq((b1, 900000L), (b2, 910000L))) {
+        val twins = b.select((col("doc_id") + 50000L).as("doc_id"),
+          col("text"))
+        val got = DedupIndex
+          .incrementalDedup(twins, "doc_id", "text", prefix).collect()
+        assert(got.nonEmpty && got.forall(r =>
+          r.getString(1) == "exact_dup" &&
+            r.getLong(2) >= off && r.getLong(2) < off + 10000L),
+          s"writer at $off lost content: ${got.take(4).mkString(";")}")
+      }
+
+      // CRASH mid-append (1 of 3 tables published): reader unchanged;
+      // the garbage is PRECISELY reclaimable without a compact — the
+      // manifest-less wave dirs go, committed bytes stay
+      // %40==23 ⊂ the out-of-corpus %10==3 slice, disjoint from b1/b2
+      val wave = docs.filter(col("doc_id") % 40 === 23).limit(5)
+        .select((col("doc_id") + 920000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val twins = wave.select((col("doc_id") + 50000L).as("doc_id"),
+        col("text"))
+      def probe() = DedupIndex
+        .incrementalDedup(twins, "doc_id", "text", prefix)
+        .collect().map(_.toString).sorted.toSeq
+      val before = probe()
+      assert(before.forall(_.contains("new")), s"fixture: $before")
+      val staged = DedupIndex.appendStaged(wave, "doc_id", "text", prefix,
+        maxTables = 1)
+      assert(staged == 3)
+      assert(probe() == before, "torn read on mos://")
+      assert(DedupIndex.stats(spark, prefix).abandonedWaves == 1)
+      spark.conf.set("spark.graft.writerLiveTtlMs", "0") // spec killed it
+      val reclaimed =
+        try Bucketing.reclaimGarbage(spark, d,
+          Seq("hashes", "bands", "shingles"))
+        finally spark.conf.unset("spark.graft.writerLiveTtlMs")
+      assert(reclaimed.exists(_.contains("wave=3")),
+        s"abandoned wave not reclaimed: $reclaimed")
+      assert(DedupIndex.stats(spark, prefix).abandonedWaves == 0)
+      assert(probe() == before, "reclaim changed verdicts")
+      assert(Bucketing.waveManifest(spark, d, 0).get.keySet ==
+        filesOfWave(d, 0), "reclaim touched committed files")
+
+      // compact into another mos:// location: verdicts carry over, the
+      // compacted history restarts at a manifested wave 0
+      val out = "mos://" +
+        java.nio.file.Files.createTempDirectory("mos_txt_c").toString
+      DedupIndex.compact(spark, out, prefix, force = true)
+      assert(Bucketing.committedWaves(spark, out) == Seq(0))
+      assert(Bucketing.waveManifest(spark, out, 0).get.keySet ==
+        filesOfWave(out, 0))
+      assert(probe() == before, "compaction changed verdicts on mos://")
+    }
+  }
+
+  test("manifest-precise sweep: a stray file inside a committed wave is deleted, listed keys survive") {
+    withManifestMos {
+      val local = java.nio.file.Files.createTempDirectory("mos_stray").toString
+      val d = "mos://" + local
+      val prefix = "mos_stray"
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3).limit(50)
+      DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+      // plant a stray (a torn multipart upload, an overwritten-wave
+      // remnant): it is NOT in wave 0's manifest, and a table scan that
+      // listed it would read it as parquet — the sweep protects both
+      // bytes and correctness
+      val stray = new java.io.File(
+        s"$local/hashes/wave=0/part-stray-not-in-manifest.parquet")
+      java.nio.file.Files.write(stray.toPath, "junk".getBytes)
+      val reclaimed = Bucketing.reclaimGarbage(spark, d,
+        Seq("hashes", "bands", "shingles"))
+      assert(reclaimed.size == 1 &&
+        reclaimed.head.endsWith("part-stray-not-in-manifest.parquet"),
+        s"$reclaimed")
+      assert(Bucketing.waveManifest(spark, d, 0).get.keySet ==
+        filesOfWave(d, 0), "sweep touched manifested keys")
+    }
+  }
+
+  test("vector index serves, appends, and time-travels on mos:// manifest mode") {
+    withManifestMos {
+      val local = java.nio.file.Files.createTempDirectory("mos_vec").toString
+      val d = "mos://" + local
+      val prefix = "mos_vec"
+      val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+      VectorIndex.build(corpus, "vec_id", "embedding", d, minCos = 0.35,
+        prefix = prefix)
+      val batch = emb.filter(col("vec_id") % 14 === 3).limit(8)
+        .select((col("vec_id") + 930000L).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      VectorIndex.append(batch, "vec_id", "embedding", prefix)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0, 1))
+      assert(Bucketing.waveManifest(spark, d, 1).isDefined)
+      val twins = batch.select((col("vec_id") + 50000L).as("vec_id"),
+        col("embedding"))
+      val got = VectorIndex.incrementalDedup(twins, "vec_id", "embedding",
+        prefix, minCos = 0.999).collect()
+      assert(got.nonEmpty && got.forall(_.getString(1) == "near_dup"),
+        s"${got.take(4).mkString(";")}")
+      // as-of rewinds below the appended wave on the object store too
+      val old = VectorIndex.incrementalDedup(twins, "vec_id", "embedding",
+        prefix, minCos = 0.999, asOfWave = 0).collect()
+      assert(old.forall(_.getString(1) == "new"),
+        s"time travel leaked wave 1: ${old.take(4).mkString(";")}")
+      val knn = VectorIndex.knn(twins, "vec_id", "embedding", k = 1,
+        prefix).collect()
+      assert(knn.nonEmpty)
+    }
+  }
+}

@@ -427,7 +427,9 @@ class VectorIndexSpec extends SparkSpec {
     // compaction physically reclaims the abandoned garbage and restarts
     // the wave history at 0; verdicts unchanged
     val cd = java.nio.file.Files.createTempDirectory("vec_idx_twc").toString
-    VectorIndex.compact(spark, cd, prefix, prefix)
+    // force: the crashed appendStaged above left a young lease this
+    // spec knows is dead (requireQuiesced would presume it live)
+    VectorIndex.compact(spark, cd, prefix, prefix, force = true)
     val st3 = VectorIndex.stats(spark, prefix)
     assert(st3.totalRows == st2.totalRows && st3.committedWave == 0 &&
       st3.abandonedWaves == 0, s"$st3")
