@@ -116,6 +116,11 @@ object DedupIndex {
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_hashes"))
       .location).getParent.toString
 
+  /** [[dirOf]] for the maintenance layer (reclaim targets the live
+    * directory in place). */
+  private[queries] def liveDir(spark: SparkSession, prefix: String): String =
+    dirOf(spark, prefix)
+
   /** Scheme-agnostic existence check (attach runs against whatever FS
     * the artifact lives on). */
   private def fsExists(spark: SparkSession, p: String): Boolean = {

@@ -83,11 +83,16 @@ object Maintenance {
   val SkewWarn = 10.0
 
   /** What to do, why, and with what grain. `action` ∈ {"rebuild",
-    * "compact", "none"}; `reasons` are the fired rules (empty for
-    * "none"); `warnings` are advisory hot-spot signals; `currentGrain` /
-    * `recommendedGrain` are pvals/pcells now vs [[Bucketing.autoGrain]]
-    * of the live rows (pass `pvals = AutoPvals` / `pcells = AutoPcells`
-    * to the recommended compact and it re-grains to exactly that). */
+    * "compact", "reclaim", "none"}; `reasons` are the fired rules (empty
+    * for "none"); `warnings` are advisory hot-spot signals;
+    * `currentGrain` / `recommendedGrain` are pvals/pcells now vs
+    * [[Bucketing.autoGrain]] of the live rows (pass `pvals = AutoPvals` /
+    * `pcells = AutoPcells` to the recommended compact and it re-grains to
+    * exactly that). "reclaim" fires when crash GARBAGE (abandoned waves /
+    * stale staging roots) is the ONLY problem: at 100 TB a compact
+    * rewrites every live byte, while [[Bucketing.reclaimGarbage]] only
+    * deletes dead ones — recommending the rewrite for a deletion-sized
+    * problem would be the wrong lever by orders of magnitude. */
   final case class Recommendation(action: String, reasons: Seq[String],
       warnings: Seq[String], currentGrain: Int, recommendedGrain: Int)
 
@@ -133,6 +138,14 @@ object Maintenance {
           "the history to {0}"),
       grain).flatten
 
+  /** True when every fired reason is crash GARBAGE — deletable in place
+    * by [[graft.operators.Bucketing.reclaimGarbage]]; a compact's full
+    * rewrite buys nothing extra for these. */
+  private def garbageOnly(reasons: Seq[String]): Boolean =
+    reasons.nonEmpty && reasons.forall(r =>
+      r.contains("abandoned (crashed-append)") ||
+        r.contains("STALE staging"))
+
   /** The in-flight-writer advisory shared by both indexes. */
   private def liveStagingWarning(stagingDirs: Int,
       staleStagingDirs: Int): Option[String] =
@@ -160,7 +173,10 @@ object Maintenance {
           "boilerplate mass multiplies probe candidates; df-cap or " +
           "pre-drop the template upstream"),
       liveStagingWarning(st.stagingDirs, st.staleStagingDirs)).flatten
-    Recommendation(if (reasons.nonEmpty) "compact" else "none",
+    Recommendation(
+      if (reasons.isEmpty) "none"
+      else if (garbageOnly(reasons)) "reclaim"
+      else "compact",
       reasons, warnings, current, recommended)
   }
 
@@ -198,7 +214,8 @@ object Maintenance {
     ).flatten
     val (action, reasons) = rebuild match {
       case Some(r) => ("rebuild", r +: compact)
-      case None if compact.nonEmpty => ("compact", compact)
+      case None if compact.nonEmpty =>
+        (if (garbageOnly(compact)) "reclaim" else "compact", compact)
       case None => ("none", Nil)
     }
     Recommendation(action, reasons, warnings, current, recommended)
@@ -218,9 +235,17 @@ object Maintenance {
   def runText(spark: SparkSession, prefix: String, outDir: String,
       force: Boolean = false): (Recommendation, Boolean) = {
     val rec = forText(spark, prefix)
-    if (rec.action == "compact")
-      DedupIndex.compact(spark, outDir, prefix,
-        pvals = regrainArg(rec, DedupIndex.AutoPvals, 0), force = force)
+    rec.action match {
+      case "compact" =>
+        DedupIndex.compact(spark, outDir, prefix,
+          pvals = regrainArg(rec, DedupIndex.AutoPvals, 0), force = force)
+      case "reclaim" =>
+        // in-place garbage deletion (lease/TTL-aware by construction) —
+        // no rewrite, no catalog flip, outDir unused
+        Bucketing.reclaimGarbage(spark, DedupIndex.liveDir(spark, prefix),
+          Seq("hashes", "bands", "shingles"))
+      case _ => ()
+    }
     (rec, rec.action != "none")
   }
 
@@ -243,6 +268,9 @@ object Maintenance {
         VectorIndex.compact(spark, outDir, prefix,
           pcells = regrainArg(rec, VectorIndex.AutoPcells, 0),
           force = force)
+      case "reclaim" =>
+        Bucketing.reclaimGarbage(spark, VectorIndex.liveDir(spark, prefix),
+          Seq("vecs", "bands", "cells", "pqcodes"))
       case _ => ()
     }
     (rec, rec.action != "none")

@@ -357,6 +357,10 @@ object VectorIndex {
         org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_meta"))
       .location).getParent.toString
 
+  /** [[dirOf]] for the maintenance layer ([[DedupIndex.liveDir]] twin). */
+  private[queries] def liveDir(spark: SparkSession, prefix: String): String =
+    dirOf(spark, prefix)
+
   private val DataSubs = Seq("vecs", "bands", "cells", "pqcodes")
 
   /** Register an existing index written by [[build]] in `spark`'s catalog

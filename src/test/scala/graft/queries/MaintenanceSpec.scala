@@ -191,6 +191,41 @@ class MaintenanceSpec extends SparkSpec {
     assert(!acted2 && rec2.action == "none", s"$rec2")
   }
 
+  test("garbage-only state recommends the in-place reclaim, not a full-rewrite compact") {
+    val d = java.nio.file.Files.createTempDirectory("mnt_rcl").toString
+    val prefix = "mnt_rcl"
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+    val probeBatch = docs.filter(col("doc_id") % 10 === 3).limit(5)
+    def verdicts() = DedupIndex
+      .incrementalDedup(probeBatch, "doc_id", "text", prefix)
+      .collect().map(_.toString).sorted.toSeq
+    val want = verdicts()
+    // crash an append: abandoned-wave garbage is now the ONLY problem —
+    // at 100 TB a compact rewrites every live byte for what is a
+    // deletion-sized fix
+    DedupIndex.appendStaged(
+      docs.filter(col("doc_id") % 10 === 3).limit(5)
+        .select((col("doc_id") + 860000L).as("doc_id"), col("text")),
+      "doc_id", "text", prefix, maxTables = 1)
+    spark.conf.set("spark.graft.writerLiveTtlMs", "0") // spec killed it
+    try {
+      val r = Maintenance.forText(spark, prefix)
+      assert(r.action == "reclaim" &&
+        r.reasons.forall(_.contains("abandoned")), s"$r")
+      val outDir = java.nio.file.Files.createTempDirectory("mnt_rcl2")
+        .toString
+      val (rec, acted) = Maintenance.runText(spark, prefix, outDir)
+      assert(acted && rec.action == "reclaim", s"$rec")
+      assert(!new java.io.File(outDir, "hashes").exists(),
+        "reclaim must act in place, not write the out dir")
+      assert(DedupIndex.stats(spark, prefix).abandonedWaves == 0,
+        "reclaim left the abandoned wave on disk")
+      assert(Maintenance.forText(spark, prefix).action == "none")
+      assert(verdicts() == want, "reclaim changed verdicts")
+    } finally spark.conf.unset("spark.graft.writerLiveTtlMs")
+  }
+
   test("wave-set hygiene: the count rule fires at the threshold; probe plans stay pruned at 200 waves") {
     val d = java.nio.file.Files.createTempDirectory("mnt_wave").toString
     val prefix = "mnt_wave"

@@ -143,11 +143,13 @@ class QuiesceSpec extends SparkSpec {
     val st = DedupIndex.stats(spark, prefix)
     assert(st.stagingDirs == 1 && st.staleStagingDirs == 0, s"$st")
 
-    // the same root past the TTL is crash garbage — a compact reason
+    // the same root past the TTL is crash garbage — a reason to act, and
+    // being garbage-ONLY, the cheap in-place reclaim (not a full-rewrite
+    // compact) is the recommended lever
     spark.conf.set("spark.graft.writerLiveTtlMs", "0")
     try {
       val stale = Maintenance.forText(spark, prefix)
-      assert(stale.action == "compact" &&
+      assert(stale.action == "reclaim" &&
         stale.reasons.exists(_.contains("STALE staging")), s"$stale")
       assert(DedupIndex.stats(spark, prefix).staleStagingDirs == 1)
     } finally spark.conf.unset("spark.graft.writerLiveTtlMs")
