@@ -566,6 +566,21 @@ object Bucketing {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
   }
 
+  /** HEARTBEAT the lease for `wave` (bump its mtime): appends call this
+    * between per-table writes, so [[liveLeases]]' age measures the time
+    * since the writer last made PROGRESS, not since the whole append
+    * began — without it, an append legitimately longer than
+    * [[writerLiveTtlMs]] reads as crashed mid-write and a concurrent
+    * maintenance run could compact over it. Object-store note: setTimes
+    * is unsupported on some stores; falls back to a no-op there (the TTL
+    * then bounds the whole append — size the conf accordingly). */
+  def touchLease(spark: SparkSession, dir: String, wave: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lease_$wave")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Serialize the PHYSICAL table writes of concurrent same-JVM writers
     * to one index: wave leases make concurrent appends land on disjoint
     * waves, but the underlying `saveAsTable(Append)` jobs share the
@@ -830,6 +845,53 @@ object Bucketing {
       else fs.listStatus(p).map(_.getPath.getName)
         .filter(_.matches("wave=\\d+")).map(_.stripPrefix("wave=").toInt)
     }.distinct.count(!committed(_))
+  }
+
+  /** One wave's manifest-vs-filesystem audit result: `missing` = keys the
+    * manifest lists but the store no longer has (data loss / partial
+    * replication — investigate loudly), `strays` = keys on the store the
+    * manifest does not list (reclaimable; [[reclaimGarbage]] deletes
+    * them). */
+  final case class ManifestAudit(wave: Int, missing: Seq[String],
+      strays: Seq[String])
+
+  /** AUDIT every committed wave's manifest against the filesystem — the
+    * integrity check the manifest bodies make cheap (one listing, no data
+    * read): an empty result means every committed key is exactly where
+    * its commit said. Marker-mode waves (empty `_wave_N`) have no
+    * inventory and are skipped. */
+  def verifyWaveManifests(spark: SparkSession,
+      dir: String): Seq[ManifestAudit] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val rootUri = fs.makeQualified(root).toUri
+    committedWaves(spark, dir).flatMap { w =>
+      waveManifest(spark, dir, w).flatMap { listed =>
+        val onDisk = scala.collection.mutable.Set.empty[String]
+        fs.listStatus(root)
+          .filter(st => st.isDirectory &&
+            !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .foreach { sub =>
+            val wd = new org.apache.hadoop.fs.Path(sub.getPath, s"wave=$w")
+            if (fs.exists(wd)) {
+              val it = fs.listFiles(wd, true)
+              while (it.hasNext) {
+                val f = it.next().getPath
+                if (!f.getName.startsWith(".") &&
+                    !f.getName.startsWith("_"))
+                  onDisk +=
+                    rootUri.relativize(fs.makeQualified(f).toUri).getPath
+              }
+            }
+          }
+        val missing = (listed.keySet -- onDisk).toSeq.sorted
+        val strays = (onDisk -- listed.keySet).toSeq.sorted
+        if (missing.isEmpty && strays.isEmpty) None
+        else Some(ManifestAudit(w, missing, strays))
+      }
+    }
   }
 
   /** IN-PLACE garbage sweep — the precise-reclamation half the wave

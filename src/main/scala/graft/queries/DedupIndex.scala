@@ -518,10 +518,16 @@ object DedupIndex {
       .groupBy("ch").agg(min("doc_id").as("exact_partner"))
       // novel-ch only: a second row per ch would multiply the probe join
       .join(existingCh, Seq("ch"), "left_anti")
+    // lease heartbeat between table writes: liveness age measures time
+    // since last PROGRESS, so an append longer than the writer TTL is not
+    // misread as crashed mid-write ([[Bucketing.touchLease]])
+    def beat(): Unit = if (wave >= 0) Bucketing.touchLease(s, dir, wave)
     val writes = Seq(
-      () => appendTo(hashes, s"${prefix}_hashes", Seq("ch"), "pch"),
-      () => appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands",
-        Seq("b", "h"), "pbh"),
+      () => { appendTo(hashes, s"${prefix}_hashes", Seq("ch"), "pch")
+        beat() },
+      () => { appendTo(TextDedup.bandRowsOf(nc), s"${prefix}_bands",
+        Seq("b", "h"), "pbh")
+        beat() },
       () => appendTo(TextDedup.shingleSetsOf(nc), s"${prefix}_shingles",
         Seq("doc_id"), "pdoc"))
     // private-staging modes need no serialization (writer-private staging

@@ -784,16 +784,23 @@ object VectorIndex {
       // the two copied Seqs could silently diverge under future edits)
       val bandRows = VectorOps.lshBandRows(bIdx, m.planes, m.bands, m.dims)
         .join(cells, Seq("vec_id"))
+      // lease heartbeat between table writes ([[DedupIndex]] rationale:
+      // liveness age = time since last progress, not append start)
+      def beat(): Unit =
+        if (wave >= 0) Bucketing.touchLease(s, dirOf(s, prefix), wave)
       val writes: Seq[() => Unit] =
         (if (m.pcells > 0) Seq(
-          () => appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm"))
+          () => { appendTo(bIdx.select(col("vec_id"), col("efp"),
+              col("nrm"))
               .join(cells, Seq("vec_id")).select(col("vec_id"), col("efp"),
                 col("nrm"), pcellOf),
-            "vecs", Seq("vec_id"), Seq("pcell")),
-          () => appendTo(
+            "vecs", Seq("vec_id"), Seq("pcell"))
+            beat() },
+          () => { appendTo(
             bandRows.select(col("vec_id").as("partner_id"), col("cell"),
               col("k"), col("v"), pcellOf),
-            "bands", Seq("cell", "k", "v"), Seq("pcell")))
+            "bands", Seq("cell", "k", "v"), Seq("pcell"))
+            beat() })
         else Seq(
           () => appendTo(bIdx.select(col("vec_id"), col("efp"), col("nrm")),
             "vecs", Seq("vec_id")),
@@ -801,7 +808,7 @@ object VectorIndex {
             bandRows.select(col("vec_id").as("partner_id"), col("cell"),
               col("k"), col("v")),
             "bands", Seq("cell", "k", "v")))) ++ Seq(
-          () => appendTo(cells, "cells", Seq("vec_id")),
+          () => { appendTo(cells, "cells", Seq("vec_id")); beat() },
           () => appendTo(
             VectorOps.pqEncodeIndexed(bIdx, books)
               .withColumn("rnorm2",

@@ -163,6 +163,11 @@ class ObjectStoreCommitSpec extends SparkSpec {
       val stray = new java.io.File(
         s"$local/hashes/wave=0/part-stray-not-in-manifest.parquet")
       java.nio.file.Files.write(stray.toPath, "junk".getBytes)
+      // the audit sees it (and only it) before the sweep
+      val audit = Bucketing.verifyWaveManifests(spark, d)
+      assert(audit.map(a => (a.wave, a.missing.size, a.strays)) ==
+        Seq((0, 0, Seq("hashes/wave=0/part-stray-not-in-manifest.parquet"))),
+        s"$audit")
       val reclaimed = Bucketing.reclaimGarbage(spark, d,
         Seq("hashes", "bands", "shingles"))
       assert(reclaimed.size == 1 &&
@@ -170,6 +175,15 @@ class ObjectStoreCommitSpec extends SparkSpec {
         s"$reclaimed")
       assert(Bucketing.waveManifest(spark, d, 0).get.keySet ==
         filesOfWave(d, 0), "sweep touched manifested keys")
+      assert(Bucketing.verifyWaveManifests(spark, d).isEmpty,
+        "post-sweep audit must be clean")
+      // a LISTED key going missing is the loud half of the audit
+      val victim = Bucketing.waveManifest(spark, d, 0).get.keySet.head
+      val vp = new java.io.File(s"$local/$victim")
+      assert(vp.delete(), s"fixture: could not delete $vp")
+      val lost = Bucketing.verifyWaveManifests(spark, d)
+      assert(lost.size == 1 && lost.head.missing == Seq(victim) &&
+        lost.head.strays.isEmpty, s"$lost")
     }
   }
 
