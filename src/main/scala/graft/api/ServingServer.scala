@@ -28,6 +28,9 @@ import graft.queries.{DedupIndex, Maintenance, VectorIndex}
   *   - `GET  /api/v1/serving/{dedup,vector}/stats`    — IndexStats JSON
   *   - `GET  /api/v1/serving/{dedup,vector}/maintain` — the
   *     [[Maintenance]] recommendation (vector takes `?serves_ann=`)
+  *   - `POST /api/v1/serving/{dedup,vector}/maintain/run` — EXECUTE one
+  *     maintenance round (`{"out_dir", "force", "serves_ann"}` — out_dir
+  *     required only when the action rewrites; reclaim acts in place)
   *
   * Deployment shape (the [[FinOpsServer]] contract): the server runs
   * driver-side; each request plans batch-proportional Spark jobs against
@@ -192,6 +195,24 @@ final class ServingServer(spark: SparkSession,
     ("GET", "/api/v1/serving/dedup/maintain") ->
       (_ => Map("success" -> true,
         "recommendation" -> Maintenance.forText(spark, textPrefix))),
+    // EXECUTE the recommendation (one maintenance round): body
+    // {"out_dir": ..., "force": bool} — out_dir is consumed only by a
+    // compact/rebuild (reclaim acts in place; "none" touches nothing);
+    // required exactly when the action needs it. force overrides the
+    // writer-quiesce guard for known-dead writers.
+    ("POST", "/api/v1/serving/dedup/maintain/run") -> { ex =>
+      val root = ApiResponses.readTree(body(ex))
+      val rec0 = Maintenance.forText(spark, textPrefix)
+      val outDir = Option(root.get("out_dir")).filter(!_.isNull)
+        .map(_.asText()).getOrElse("")
+      require(outDir.nonEmpty || rec0.action == "none" ||
+          rec0.action == "reclaim",
+        s"action '${rec0.action}' rewrites into a fresh location — " +
+          "body needs out_dir")
+      val (rec, acted) = Maintenance.runText(spark, textPrefix,
+        outDir, force = jsonBool(root, "force"))
+      Map("success" -> true, "recommendation" -> rec, "acted" -> acted)
+    },
 
     ("POST", "/api/v1/serving/vector/ingest") -> { ex =>
       val root = ApiResponses.readTree(body(ex))
@@ -227,6 +248,23 @@ final class ServingServer(spark: SparkSession,
       val servesAnn = param(ex, "serves_ann").forall(_.toBoolean)
       Map("success" -> true, "recommendation" ->
         Maintenance.forVectors(spark, vecPrefix, servesAnn))
+    },
+    ("POST", "/api/v1/serving/vector/maintain/run") -> { ex =>
+      val root = ApiResponses.readTree(body(ex))
+      val servesAnn = {
+        val v = root.get("serves_ann")
+        v == null || v.isNull || v.asBoolean()
+      }
+      val rec0 = Maintenance.forVectors(spark, vecPrefix, servesAnn)
+      val outDir = Option(root.get("out_dir")).filter(!_.isNull)
+        .map(_.asText()).getOrElse("")
+      require(outDir.nonEmpty || rec0.action == "none" ||
+          rec0.action == "reclaim",
+        s"action '${rec0.action}' rewrites into a fresh location — " +
+          "body needs out_dir")
+      val (rec, acted) = Maintenance.runVectors(spark, vecPrefix, outDir,
+        servesAnn, force = jsonBool(root, "force"))
+      Map("success" -> true, "recommendation" -> rec, "acted" -> acted)
     })
 
   private val allRoutes: Map[(String, String), Handler] = routes +

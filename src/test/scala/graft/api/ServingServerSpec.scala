@@ -137,6 +137,38 @@ class ServingServerSpec extends SparkSpec {
     assert(s2 == 404)
   }
 
+  test("maintain/run executes one maintenance round over HTTP: no-op when clean, in-place reclaim for planted garbage") {
+    // clean index: recommendation "none", nothing acted, no out_dir needed
+    val (s1, b1) = request("POST", "/api/v1/serving/dedup/maintain/run",
+      Some("{}"))
+    assert(s1 == 200 && b1.contains("\"acted\":false") &&
+      b1.contains("\"action\":\"none\""), s"$s1 $b1")
+
+    // plant crash garbage: an uncommitted (abandoned) wave directory —
+    // garbage-only state recommends the in-place reclaim, which needs no
+    // out_dir and must leave the live index serving identically
+    val td = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("srv_txt_hashes"))
+      .location).getParent.toString
+    val fs = new org.apache.hadoop.fs.Path(td)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val garbage = new org.apache.hadoop.fs.Path(s"$td/hashes/wave=99")
+    fs.mkdirs(garbage)
+    fs.create(new org.apache.hadoop.fs.Path(garbage, "part-junk.parquet"))
+      .close()
+    val (s2, b2) = request("GET", "/api/v1/serving/dedup/maintain")
+    assert(s2 == 200 && b2.contains("\"action\":\"reclaim\""), b2)
+    val (s3, b3) = request("POST", "/api/v1/serving/dedup/maintain/run",
+      Some("{}"))
+    assert(s3 == 200 && b3.contains("\"acted\":true") &&
+      b3.contains("\"action\":\"reclaim\""), s"$s3 $b3")
+    assert(!fs.exists(garbage), "reclaim did not remove the planted wave")
+    val (s4, b4) = request("POST", "/api/v1/serving/dedup/maintain/run",
+      Some("{}"))
+    assert(s4 == 200 && b4.contains("\"acted\":false"), s"$s4 $b4")
+  }
+
   test("oversized ingest/knn arrays answer 413 before any planning (r16 verdict item 4)") {
     server // ensure the shared indexes are built and attached
     val tiny = new ServingServer(spark, "srv_txt", "srv_vec",
