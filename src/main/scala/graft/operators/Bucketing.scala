@@ -658,20 +658,48 @@ object Bucketing {
   /** Move every FILE under `src` to the mirrored path under `dst` —
     * per-file renames only (the object-store-legal shape; a Hadoop
     * object-store FS implements single-file rename as one atomic
-    * server-side copy + delete). */
+    * server-side copy + delete). The moves run on a bounded thread pool:
+    * a wave can carry thousands of small files (batch partitions ×
+    * buckets × tables at fine grain), and a sequential driver loop made
+    * the manifest-mode publish measurably slower than rename mode
+    * (PublishModeProbe r17) — per-object latency dominates on real
+    * stores too, and these moves are embarrassingly parallel (the S3A
+    * committers batch exactly the same way). */
   private def moveTree(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit = {
-    fs.listStatus(src).foreach { st =>
-      val to = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
-      if (st.isDirectory) moveTree(fs, st.getPath, to)
-      else {
-        fs.mkdirs(dst)
-        require(fs.rename(st.getPath, to),
-          s"publish move failed: ${st.getPath} -> $to")
+    val moves = scala.collection.mutable
+      .ArrayBuffer.empty[(org.apache.hadoop.fs.Path,
+        org.apache.hadoop.fs.Path)]
+    def walk(s: org.apache.hadoop.fs.Path,
+        d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(s).foreach { st =>
+        val to = new org.apache.hadoop.fs.Path(d, st.getPath.getName)
+        if (st.isDirectory) walk(st.getPath, to)
+        else { fs.mkdirs(d); moves += ((st.getPath, to)) }
       }
+    walk(src, dst)
+    if (moves.size <= 1)
+      moves.foreach { case (f, to) =>
+        require(fs.rename(f, to), s"publish move failed: $f -> $to")
+      }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(moves.size, MovePoolThreads))
+      try {
+        val futures = moves.map { case (f, to) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit =
+              require(fs.rename(f, to), s"publish move failed: $f -> $to")
+          })
+        }
+        futures.foreach(_.get()) // surface the first failure loudly
+      } finally pool.shutdown()
     }
   }
+
+  /** Bounded parallelism for [[moveTree]]'s per-file publishes. */
+  private val MovePoolThreads = 32
 
   private def appendWaveStaged(spark: SparkSession, df: DataFrame,
       liveTable: String, keys: Seq[String], partColsAfterWave: Seq[String],
