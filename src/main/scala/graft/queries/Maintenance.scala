@@ -144,7 +144,28 @@ object Maintenance {
   private def garbageOnly(reasons: Seq[String]): Boolean =
     reasons.nonEmpty && reasons.forall(r =>
       r.contains("abandoned (crashed-append)") ||
-        r.contains("STALE staging"))
+        r.contains("STALE staging") || r.contains("stray key"))
+
+  /** Manifest-audit findings folded into the decision (manifest-mode
+    * indexes only — marker-mode waves carry no inventory and audit to
+    * nothing): STRAY keys are reclaimable garbage (a reason — reclaim
+    * deletes exactly them); MISSING manifested keys are data loss and
+    * deliberately NOT an action — an automated rewrite would bake the
+    * loss in; they surface as the loudest warning instead. */
+  private def auditFindings(spark: SparkSession,
+      dir: String): (Seq[String], Seq[String]) = {
+    val audits = Bucketing.verifyWaveManifests(spark, dir)
+    val strays = audits.map(_.strays.size).sum
+    (Seq(Option.when(strays > 0)(
+      s"$strays manifest-unlisted stray key(s) inside committed waves — " +
+        "reclaimable garbage (a torn upload or an interrupted publish); " +
+        "reclaim deletes exactly them")).flatten,
+      audits.filter(_.missing.nonEmpty).map(a =>
+        s"INTEGRITY: wave ${a.wave} is MISSING ${a.missing.size} " +
+          "manifested key(s) — data loss or partial replication; " +
+          "investigate before any rewrite (a compact would bake the " +
+          s"loss in): ${a.missing.take(3).mkString(", ")}"))
+  }
 
   /** The in-flight-writer advisory shared by both indexes. */
   private def liveStagingWarning(stagingDirs: Int,
@@ -164,10 +185,14 @@ object Maintenance {
     val st = DedupIndex.stats(spark, prefix)
     val current = DedupIndex.pvalsOf(spark, prefix)
     val recommended = Bucketing.autoGrain(st.liveDocs)
+    val (strayReasons, integrity) =
+      if (current > 0) auditFindings(spark, DedupIndex.liveDir(spark,
+        prefix))
+      else (Nil, Nil)
     val reasons = compactReasons(st.tombstones, st.liveDocs,
       st.abandonedWaves, st.committedWaveCount, st.staleStagingDirs,
-      grainReason(current, recommended))
-    val warnings = Seq(
+      grainReason(current, recommended)) ++ strayReasons
+    val warnings = integrity ++ Seq(
       Option.when(st.bandSkew >= SkewWarn)(
         f"band-bucket skew ${st.bandSkew}%.1f (max ${st.maxBandBucket}) — " +
           "boilerplate mass multiplies probe candidates; df-cap or " +
@@ -199,10 +224,14 @@ object Maintenance {
         f"$RebuildAppendedFraction%.1f — frozen-quantizer PQ recall is " +
         "past the measured knee (r15 drift calibration); rebuild " +
         "retrains from the index's own vectors")
+    val (strayReasons, integrity) =
+      if (current > 0) auditFindings(spark, VectorIndex.liveDir(spark,
+        prefix))
+      else (Nil, Nil)
     val compact = compactReasons(st.tombstones, st.liveRows,
       st.abandonedWaves, st.committedWaveCount, st.staleStagingDirs,
-      grainReason(current, recommended))
-    val warnings = Seq(
+      grainReason(current, recommended)) ++ strayReasons
+    val warnings = integrity ++ Seq(
       Option.when(st.cellSkew >= SkewWarn)(
         f"cell skew ${st.cellSkew}%.1f (max ${st.maxCellRows} rows) — a " +
           "hot cell grows probe candidate volume linearly; rebuild with " +

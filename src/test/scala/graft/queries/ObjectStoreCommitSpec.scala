@@ -168,6 +168,11 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(audit.map(a => (a.wave, a.missing.size, a.strays)) ==
         Seq((0, 0, Seq("hashes/wave=0/part-stray-not-in-manifest.parquet"))),
         s"$audit")
+      // the decision layer folds the audit in: stray-only garbage →
+      // the cheap in-place reclaim, not a rewrite
+      val rec = Maintenance.forText(spark, prefix)
+      assert(rec.action == "reclaim" &&
+        rec.reasons.exists(_.contains("stray key")), s"$rec")
       val reclaimed = Bucketing.reclaimGarbage(spark, d,
         Seq("hashes", "bands", "shingles"))
       assert(reclaimed.size == 1 &&
@@ -181,9 +186,18 @@ class ObjectStoreCommitSpec extends SparkSpec {
       val victim = Bucketing.waveManifest(spark, d, 0).get.keySet.head
       val vp = new java.io.File(s"$local/$victim")
       assert(vp.delete(), s"fixture: could not delete $vp")
+      // refresh the cached listings so the decision layer's stats pass
+      // sees the post-loss filesystem instead of failing mid-scan
+      Seq("hashes", "bands", "shingles")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
       val lost = Bucketing.verifyWaveManifests(spark, d)
       assert(lost.size == 1 && lost.head.missing == Seq(victim) &&
         lost.head.strays.isEmpty, s"$lost")
+      // data loss is a WARNING, never an automated action — a rewrite
+      // would bake the loss in
+      val recLost = Maintenance.forText(spark, prefix)
+      assert(recLost.warnings.exists(_.contains("INTEGRITY")) &&
+        recLost.action == "none", s"$recLost")
     }
   }
 
