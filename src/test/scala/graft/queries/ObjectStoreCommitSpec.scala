@@ -106,6 +106,21 @@ class ObjectStoreCommitSpec extends SparkSpec {
           s"writer at $off lost content: ${got.take(4).mkString(";")}")
       }
 
+      // TAKEDOWN on the object store: the tombstone publish is per-file
+      // renames from private staging (appendFilesByRenameTo — the
+      // first-tombstone table creation included), all mos-legal
+      val removedIds = b1.limit(2).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      DedupIndex.remove(spark, removedIds, prefix)
+      assert(DedupIndex.stats(spark, prefix).tombstones == 2)
+      val removedTwins = b1.limit(2)
+        .select((col("doc_id") + 60000L).as("doc_id"), col("text"))
+      val afterRm = DedupIndex
+        .incrementalDedup(removedTwins, "doc_id", "text", prefix).collect()
+      assert(afterRm.forall(r => r.getString(1) == "new" ||
+          !removedIds.contains(r.getLong(2))),
+        s"a removed id still serves as partner: ${afterRm.mkString(";")}")
+
       // CRASH mid-append (1 of 3 tables published): reader unchanged;
       // the garbage is PRECISELY reclaimable without a compact — the
       // manifest-less wave dirs go, committed bytes stay
