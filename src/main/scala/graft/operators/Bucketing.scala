@@ -680,17 +680,14 @@ object Bucketing {
       }
     walk(src, dst)
     if (moves.size <= 1)
-      moves.foreach { case (f, to) =>
-        require(fs.rename(f, to), s"publish move failed: $f -> $to")
-      }
+      moves.foreach { case (f, to) => renameWithRetry(fs, f, to) }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(moves.size, MovePoolThreads))
       try {
         val futures = moves.map { case (f, to) =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit =
-              require(fs.rename(f, to), s"publish move failed: $f -> $to")
+            def call(): Unit = renameWithRetry(fs, f, to)
           })
         }
         futures.foreach(_.get()) // surface the first failure loudly
@@ -698,8 +695,42 @@ object Bucketing {
     }
   }
 
+  /** One publish move, throttle-tolerant: a 32-wide rename fan-out is
+    * exactly the request pattern an object store answers with 503
+    * SlowDown (surfaced by Hadoop FS clients as IOException once their
+    * own retries drain), so each move retries with exponential backoff.
+    * A timeout whose server-side copy actually LANDED is detected
+    * (source gone ∧ destination present ⇒ done) rather than retried into
+    * a spurious failure — safe because a wave's staging paths are
+    * writer-private: nobody else can have moved the file. */
+  private def renameWithRetry(fs: org.apache.hadoop.fs.FileSystem,
+      f: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit = {
+    var attempt = 0
+    var delayMs = 50L
+    while (true) {
+      try {
+        if (fs.rename(f, to)) return
+        throw new java.io.IOException(s"rename returned false: $f -> $to")
+      } catch {
+        case e: java.io.IOException =>
+          if (!fs.exists(f) && fs.exists(to)) return // the move landed
+          if (attempt >= MoveRetries)
+            throw new java.io.IOException(
+              s"publish move failed after ${attempt + 1} attempts " +
+                s"(throttling?): $f -> $to", e)
+          attempt += 1
+          Thread.sleep(delayMs)
+          delayMs = math.min(delayMs * 2, 2000L)
+      }
+    }
+  }
+
   /** Bounded parallelism for [[moveTree]]'s per-file publishes. */
   private val MovePoolThreads = 32
+
+  /** Per-move retry budget against store throttling. */
+  private val MoveRetries = 4
 
   private def appendWaveStaged(spark: SparkSession, df: DataFrame,
       liveTable: String, keys: Seq[String], partColsAfterWave: Seq[String],

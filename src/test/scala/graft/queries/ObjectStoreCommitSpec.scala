@@ -216,6 +216,35 @@ class ObjectStoreCommitSpec extends SparkSpec {
     }
   }
 
+  test("per-file publishes survive store throttling (503-style rename failures)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.thr.impl",
+      classOf[graft.sources.ThrottlingObjectStoreFileSystem].getName)
+    spark.conf.set("spark.graft.append.staging", "manifest")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("thr_txt").toString
+      val d = "thr://" + local
+      val prefix = "thr_txt"
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3).limit(80)
+      DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+      graft.sources.ThrottlingObjectStoreFileSystem.reset()
+      val batch = docs.filter(col("doc_id") % 40 === 3).limit(6)
+        .select((col("doc_id") + 960000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      DedupIndex.append(batch, "doc_id", "text", prefix)
+      assert(graft.sources.ThrottlingObjectStoreFileSystem.throttled.get > 0,
+        "fixture degenerate: no publish move was throttled")
+      assert(Bucketing.committedWaves(spark, d) == Seq(0, 1))
+      val twins = batch.select((col("doc_id") + 50000L).as("doc_id"),
+        col("text"))
+      val got = DedupIndex
+        .incrementalDedup(twins, "doc_id", "text", prefix).collect()
+      assert(got.nonEmpty && got.forall(_.getString(1) == "exact_dup"),
+        s"throttled publish lost content: ${got.take(4).mkString(";")}")
+      assert(Bucketing.verifyWaveManifests(spark, d).isEmpty,
+        "throttled publish left an inconsistent manifest")
+    } finally spark.conf.unset("spark.graft.append.staging")
+  }
+
   test("vector index serves, appends, and time-travels on mos:// manifest mode") {
     withManifestMos {
       val local = java.nio.file.Files.createTempDirectory("mos_vec").toString

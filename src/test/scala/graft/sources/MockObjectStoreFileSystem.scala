@@ -72,3 +72,33 @@ class MockObjectStoreFileSystem extends MockRemoteFileSystem {
     super.rename(src, dst)
   }
 }
+
+/** [[MockObjectStoreFileSystem]] that additionally THROTTLES the publish
+  * fan-out: the FIRST rename attempt of every staged file fails with a
+  * 503-style IOException — the request pattern a real store answers a
+  * 32-wide move burst with. Only protocol publishes (src under a
+  * `.stage_*` root) are throttled; committer-internal and data-file
+  * renames pass, so the Spark write jobs themselves stay deterministic. */
+class ThrottlingObjectStoreFileSystem extends MockObjectStoreFileSystem {
+  override def getScheme: String = "thr"
+  override def getUri: java.net.URI = java.net.URI.create("thr:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val p = src.toUri.getPath
+    if (p.contains("/.stage_") && !p.contains("_temporary") &&
+        ThrottlingObjectStoreFileSystem.firstAttempt(p)) {
+      ThrottlingObjectStoreFileSystem.throttled.incrementAndGet()
+      throw new java.io.IOException(
+        "SlowDown: Please reduce your request rate (mock 503)")
+    }
+    super.rename(src, dst)
+  }
+}
+
+object ThrottlingObjectStoreFileSystem {
+  val throttled = new java.util.concurrent.atomic.AtomicInteger
+  private val seen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def firstAttempt(p: String): Boolean = seen.add(p)
+  def reset(): Unit = { seen.clear(); throttled.set(0) }
+}
