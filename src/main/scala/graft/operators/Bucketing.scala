@@ -824,8 +824,9 @@ object Bucketing {
     fs.mkdirs(new org.apache.hadoop.fs.Path(liveLoc))
     fs.listStatus(sp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).foreach { f =>
-        val dst = new org.apache.hadoop.fs.Path(s"$liveLoc/${f.getName}")
-        require(fs.rename(f, dst), s"publish rename failed: $f -> $dst")
+        // throttle-tolerant like every publish move ([[renameWithRetry]])
+        renameWithRetry(fs,
+          f, new org.apache.hadoop.fs.Path(s"$liveLoc/${f.getName}"))
       }
     fs.delete(sp, true)
   }
