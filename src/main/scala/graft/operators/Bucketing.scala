@@ -312,8 +312,20 @@ object Bucketing {
     *   - `inplace` — the legacy pre-r16 `saveAsTable(Append)` on the live
     *     path (same-JVM-locked).
     */
-  def stagingMode(spark: SparkSession): String =
-    spark.conf.get("spark.graft.append.staging", "rename")
+  def stagingMode(spark: SparkSession): String = {
+    val m = spark.conf.get("spark.graft.append.staging", "rename")
+    // a typo here ("manifests", "renames") previously fell through to the
+    // legacy in-place saveAsTable path — same-JVM-locked, cross-JVM-UNSAFE
+    // — while remove() read the same value as staged-rename: inconsistent
+    // semantics with no error (r17 advisor). Unknown values fail loudly.
+    require(StagingModes(m),
+      s"spark.graft.append.staging='$m' is not a staging mode — expected " +
+        s"one of ${StagingModes.toSeq.sorted.mkString(", ")}")
+    m
+  }
+
+  /** The legal `spark.graft.append.staging` values ([[stagingMode]]). */
+  val StagingModes: Set[String] = Set("rename", "manifest", "inplace")
 
   /** PUBLISH wave `wave` under `dir` — one atomic create-no-overwrite;
     * the moment this returns, every reader's next [[committedWave]]
@@ -1039,27 +1051,46 @@ object Bucketing {
     * no-op that costs one sequential pass. */
   def warmFiles(spark: SparkSession, location: String): Long = {
     val path = new org.apache.hadoop.fs.Path(location)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = path.getFileSystem(hconf)
     if (!fs.exists(path)) return 0L
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(path, true)
     while (it.hasNext) files += it.next().getPath.toUri.toString
     if (files.isEmpty) return 0L
+    // the SESSION Hadoop conf must reach the tasks: a bare
+    // `new Configuration()` drops fs.<scheme>.impl registrations and
+    // spark.hadoop.* credentials, so warm() threw "No FileSystem for
+    // scheme" on any store needing session conf — mos:// and real S3
+    // included, the very substrate it targets (r17 advisor). Hadoop's
+    // Configuration is not Serializable (and Spark's wrapper is
+    // private[spark]); ship the ENTRIES and rebuild once per task —
+    // which also lifts the per-file `new Configuration()` tax that
+    // dominated fine-grain warm wall (each instantiation re-parses the
+    // default XML resources; at 12k+ files that was most of the time).
+    val entries = {
+      import scala.jdk.CollectionConverters._
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
+    val bc = spark.sparkContext.broadcast(entries)
     val slices = math.min(files.size,
       math.max(1, spark.sparkContext.defaultParallelism * 2))
     // RDD on purpose: per-file imperative IO with no relational shape —
     // the one place the builder guide sanctions dropping below DataFrame
-    spark.sparkContext.parallelize(files.toSeq, slices).map { u =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(u))
-      val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](1 << 20)
-        var total = 0L
-        var r = in.read(buf)
-        while (r >= 0) { total += r; r = in.read(buf) }
-        total
-      } finally in.close()
+    spark.sparkContext.parallelize(files.toSeq, slices).mapPartitions { us =>
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      bc.value.foreach { case (k, v) => c.set(k, v) }
+      val buf = new Array[Byte](1 << 20)
+      var total = 0L
+      us.foreach { u =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(u))
+        val in = p.getFileSystem(c).open(p)
+        try {
+          var r = in.read(buf)
+          while (r >= 0) { total += r; r = in.read(buf) }
+        } finally in.close()
+      }
+      Iterator.single(total)
     }.fold(0L)(_ + _)
   }
 

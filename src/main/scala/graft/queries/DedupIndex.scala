@@ -167,7 +167,11 @@ object DedupIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("doc_id"), "left_anti")
       else fresh
-    if (s.conf.get("spark.graft.append.staging", "rename") != "inplace") {
+    // stagingMode (not a raw conf read): rename AND manifest both take
+    // the per-file staged path below — and an unknown value fails loudly
+    // there instead of silently diverging from the append side (r17
+    // advisor)
+    if (Bucketing.stagingMode(s) != "inplace") {
       // writer-private staging + per-FILE rename: cross-JVM-safe,
       // lock-free ([[Bucketing.appendFilesByRenameTo]] — incl. its
       // concurrent same-id double-insert caveat). The FIRST tombstone

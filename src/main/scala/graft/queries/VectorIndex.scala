@@ -443,7 +443,9 @@ object VectorIndex {
       if (s.catalog.tableExists(s"${prefix}_tombs"))
         fresh.join(s.table(s"${prefix}_tombs"), Seq("vec_id"), "left_anti")
       else fresh
-    if (s.conf.get("spark.graft.append.staging", "rename") != "inplace") {
+    // stagingMode (not a raw conf read) — unknown values fail loudly and
+    // both staged modes share the per-file path ([[DedupIndex.remove]])
+    if (Bucketing.stagingMode(s) != "inplace") {
       // cross-JVM-safe per-file rename, first-tombstone table creation
       // included ([[DedupIndex.remove]] twin — publish files, then
       // register; the lock serializes only same-JVM catalog DDL)

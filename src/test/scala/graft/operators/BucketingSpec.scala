@@ -57,6 +57,25 @@ class BucketingSpec extends SparkSpec {
     assert(Bucketing.samePath(spark, "mock://tmp/graft_sp/x", "mock://tmp/graft_sp/x"))
   }
 
+  test("stagingMode rejects unknown conf values instead of silently routing to the legacy path") {
+    // a typo ('manifests') used to fall through to the in-place
+    // saveAsTable path — same-JVM-locked, cross-JVM-unsafe — while
+    // remove() read the same value as staged: divergent semantics with
+    // no error (r17 advisor)
+    assert(Bucketing.stagingMode(spark) == "rename") // the default
+    for (m <- Seq("rename", "manifest", "inplace")) {
+      spark.conf.set("spark.graft.append.staging", m)
+      try assert(Bucketing.stagingMode(spark) == m)
+      finally spark.conf.unset("spark.graft.append.staging")
+    }
+    spark.conf.set("spark.graft.append.staging", "manifests")
+    try {
+      val e = intercept[IllegalArgumentException](Bucketing.stagingMode(spark))
+      assert(e.getMessage.contains("manifests") &&
+        e.getMessage.contains("rename"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.append.staging")
+  }
+
   test("appendWaveByRename registers Hive-escaped STRING partition values unescaped") {
     val s = spark
     import s.implicits._

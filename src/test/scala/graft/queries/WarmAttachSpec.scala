@@ -60,4 +60,27 @@ class WarmAttachSpec extends SparkSpec {
     assert(warmed == diskBytes(d, Seq("vecs", "bands", "cells", "pqcodes",
       "cents", "pqbooks", "meta", "tombs")) && warmed > 0, s"$warmed")
   }
+
+  test("warm() carries the session Hadoop conf to its executor tasks (mos:// store)") {
+    // the r17 advisor's medium: warm tasks built a BARE `new
+    // Configuration()`, dropping the session's fs.<scheme>.impl
+    // registration — so warm() threw 'No FileSystem for scheme: mos' on
+    // the exact substrate (object stores) the cold-start fix targets.
+    // A mos:// index warming end-to-end proves the session conf (and
+    // with it spark.hadoop.* credentials on a real store) now rides
+    // along.
+    spark.sparkContext.hadoopConfiguration.set("fs.mos.impl",
+      classOf[graft.sources.MockObjectStoreFileSystem].getName)
+    spark.conf.set("spark.graft.append.staging", "manifest")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("warm_mos").toString
+      val d = "mos://" + local
+      val prefix = "warm_mos"
+      DedupIndex.build(docs.limit(60), "doc_id", "text", d, prefix = prefix)
+      val warmed = DedupIndex.warm(spark, prefix)
+      assert(warmed == diskBytes(d,
+        Seq("hashes", "bands", "shingles", "meta", "tombs")) && warmed > 0,
+        s"mos:// warm read $warmed bytes")
+    } finally spark.conf.unset("spark.graft.append.staging")
+  }
 }
