@@ -51,7 +51,8 @@ import graft.queries.{DedupIndex, Maintenance, VectorIndex}
 final class ServingServer(spark: SparkSession,
     textPrefix: String = "dedup_idx", vecPrefix: String = "vec_idx",
     port: Int = 0,
-    maxIngestRows: Int = ServingServer.DefaultMaxIngestRows) {
+    maxIngestRows: Int = ServingServer.DefaultMaxIngestRows,
+    maxBodyBytes: Long = ServingServer.DefaultMaxBodyBytes) {
 
   import ApiResponses.{collectRows, toJson}
 
@@ -87,8 +88,26 @@ final class ServingServer(spark: SparkSession,
 
   // ---- request helpers --------------------------------------------------
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  /** Request body, capped at `maxBodyBytes` WHILE STREAMING IN: the row
+    * cap alone bounded element COUNT only after the whole body was
+    * buffered and tree-parsed, so one huge row (or deep padding) still
+    * allocated unboundedly on the driver before any check (r17 advisor)
+    * — the byte cap closes that half, before Jackson sees a byte. */
+  private def body(ex: HttpExchange): String = {
+    val in = ex.getRequestBody
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > maxBodyBytes)
+        throw new PayloadTooLarge(
+          s"request body exceeds $maxBodyBytes bytes — split the epoch " +
+            "into smaller requests (each appends its own wave)")
+      n = in.read(buf)
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
 
   private def param(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getRawQuery).toSeq
@@ -202,15 +221,15 @@ final class ServingServer(spark: SparkSession,
     // writer-quiesce guard for known-dead writers.
     ("POST", "/api/v1/serving/dedup/maintain/run") -> { ex =>
       val root = ApiResponses.readTree(body(ex))
-      val rec0 = Maintenance.forText(spark, textPrefix)
       val outDir = Option(root.get("out_dir")).filter(!_.isNull)
         .map(_.asText()).getOrElse("")
-      require(outDir.nonEmpty || rec0.action == "none" ||
-          rec0.action == "reclaim",
-        s"action '${rec0.action}' rewrites into a fresh location — " +
-          "body needs out_dir")
-      val (rec, acted) = Maintenance.runText(spark, textPrefix,
-        outDir, force = jsonBool(root, "force"))
+      // ONE stats pass: the rec acted on IS the rec validated (the old
+      // validate-then-recompute shape could flip to compact between the
+      // two passes and act with an empty outDir — r17 advisor); run*
+      // validates out_dir against this rec before acting
+      val (rec, acted) = Maintenance.runText(spark, textPrefix, outDir,
+        force = jsonBool(root, "force"),
+        rec = Maintenance.forText(spark, textPrefix))
       Map("success" -> true, "recommendation" -> rec, "acted" -> acted)
     },
 
@@ -255,15 +274,12 @@ final class ServingServer(spark: SparkSession,
         val v = root.get("serves_ann")
         v == null || v.isNull || v.asBoolean()
       }
-      val rec0 = Maintenance.forVectors(spark, vecPrefix, servesAnn)
       val outDir = Option(root.get("out_dir")).filter(!_.isNull)
         .map(_.asText()).getOrElse("")
-      require(outDir.nonEmpty || rec0.action == "none" ||
-          rec0.action == "reclaim",
-        s"action '${rec0.action}' rewrites into a fresh location — " +
-          "body needs out_dir")
+      // one stats pass, validated-rec-is-acted-rec (the dedup twin's note)
       val (rec, acted) = Maintenance.runVectors(spark, vecPrefix, outDir,
-        servesAnn, force = jsonBool(root, "force"))
+        force = jsonBool(root, "force"),
+        rec = Maintenance.forVectors(spark, vecPrefix, servesAnn))
       Map("success" -> true, "recommendation" -> rec, "acted" -> acted)
     })
 
@@ -306,4 +322,10 @@ object ServingServer {
   /** Default per-request row cap for ingest/knn arrays — matches the
     * reference's REST row-limit discipline on its SQL surface. */
   val DefaultMaxIngestRows = 10000
+
+  /** Default request-body byte cap (the row cap's streaming-in half):
+    * generous for a full 10k-row batch of documents or 64-dim embedding
+    * JSON, while bounding what a single request can make the driver
+    * buffer. */
+  val DefaultMaxBodyBytes: Long = 64L * 1024 * 1024
 }

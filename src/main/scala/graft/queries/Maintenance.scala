@@ -262,8 +262,19 @@ object Maintenance {
     * overrides when the writers are known dead/drained. Returns
     * (recommendation, acted). */
   def runText(spark: SparkSession, prefix: String, outDir: String,
-      force: Boolean = false): (Recommendation, Boolean) = {
-    val rec = forText(spark, prefix)
+      force: Boolean = false): (Recommendation, Boolean) =
+    runText(spark, prefix, outDir, force, forText(spark, prefix))
+
+  /** [[runText]] acting on a PRECOMPUTED recommendation — the REST
+    * surface's form: the endpoint shows/validates the same rec it acts
+    * on, instead of paying a second full stats pass (incl. the manifest
+    * audit) whose recommendation could have flipped between the two
+    * (r17 advisor: a flip to compact with an empty outDir failed inside
+    * Spark path parsing rather than as the intended 400). `outDir` is
+    * validated HERE, against the rec that will actually act. */
+  def runText(spark: SparkSession, prefix: String, outDir: String,
+      force: Boolean, rec: Recommendation): (Recommendation, Boolean) = {
+    requireOutDir(rec, outDir)
     rec.action match {
       case "compact" =>
         DedupIndex.compact(spark, outDir, prefix,
@@ -286,8 +297,16 @@ object Maintenance {
     * (recommendation, acted). */
   def runVectors(spark: SparkSession, prefix: String, outDir: String,
       servesAnn: Boolean = true,
-      force: Boolean = false): (Recommendation, Boolean) = {
-    val rec = forVectors(spark, prefix, servesAnn)
+      force: Boolean = false): (Recommendation, Boolean) =
+    runVectors(spark, prefix, outDir, force,
+      forVectors(spark, prefix, servesAnn))
+
+  /** [[runVectors]] acting on a PRECOMPUTED recommendation (the
+    * [[runText]] overload's rationale; `servesAnn` already shaped the
+    * rec, so it is not re-consulted here). */
+  def runVectors(spark: SparkSession, prefix: String, outDir: String,
+      force: Boolean, rec: Recommendation): (Recommendation, Boolean) = {
+    requireOutDir(rec, outDir)
     rec.action match {
       case "rebuild" =>
         VectorIndex.rebuild(spark, outDir, prefix,
@@ -304,6 +323,14 @@ object Maintenance {
     }
     (rec, rec.action != "none")
   }
+
+  // rewriting actions need a fresh location; reclaim acts in place and
+  // "none" touches nothing (outDir unused for both)
+  private def requireOutDir(rec: Recommendation, outDir: String): Unit =
+    require(outDir.nonEmpty || rec.action == "none" ||
+        rec.action == "reclaim",
+      s"action '${rec.action}' rewrites into a fresh location — " +
+        "out_dir required")
 
   // Auto grain only when the grain rule fired — otherwise the op's own
   // inherit sentinel (0 for compact, InheritPcells for rebuild), so a

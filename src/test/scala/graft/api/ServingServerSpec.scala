@@ -210,6 +210,90 @@ class ServingServerSpec extends SparkSpec {
     } finally tiny.stop()
   }
 
+  test("request bodies over the byte cap answer 413 while streaming in (r17 advisor)") {
+    server // shared indexes attached
+    // the ROW cap counts array elements only after the body is fully
+    // buffered and tree-parsed — one huge row still allocated unboundedly;
+    // the byte cap rejects while reading, before Jackson sees a byte
+    val tiny = new ServingServer(spark, "srv_txt", "srv_vec",
+      maxBodyBytes = 4096)
+    tiny.start()
+    def at(path: String, body: String): (Int, String) = {
+      val url = URI.create(
+        s"http://127.0.0.1:${tiny.boundPort}$path").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      val status = conn.getResponseCode
+      val stream =
+        if (status < 400) conn.getInputStream else conn.getErrorStream
+      val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect()
+      (status, text)
+    }
+    try {
+      val hugeRow = s"""{"docs": [{"doc_id": 970001, "text": "${
+        "x" * 8192}"}]}"""
+      val (s1, b1) = at("/api/v1/serving/dedup/ingest", hugeRow)
+      assert(s1 == 413 && b1.contains("bytes"), s"$s1 $b1")
+      // under the cap: normal service
+      val (s2, _) = at("/api/v1/serving/dedup/ingest",
+        """{"docs": [{"doc_id": 970002, "text": "small probe doc"}]}""")
+      assert(s2 == 200)
+    } finally tiny.stop()
+  }
+
+  test("maintain/run validates out_dir against the SAME recommendation it acts on") {
+    // a rewrite-shaped rec (tombstone fraction past the compact trigger)
+    // with no out_dir must answer 400 from the validated rec — the old
+    // shape recomputed the rec after validating, so a flip between the
+    // two passes acted with an empty outDir and died inside Spark path
+    // parsing as a 500 (r17 advisor)
+    val docs = Tables.load(spark, Sf01, "documents").select("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("cap_txt").toString
+    val fixture = docs.limit(15).localCheckpoint(true)
+    DedupIndex.build(fixture, "doc_id", "text", d, prefix = "cap_txt")
+    val rmIds = fixture.limit(3).collect().map(_.getLong(0)).toSeq
+    DedupIndex.remove(spark, rmIds, "cap_txt") // 3/15 = 0.2 ≥ 0.1
+    val srv = new ServingServer(spark, "cap_txt", "srv_vec")
+    srv.start()
+    def at(method: String, path: String,
+        body: Option[String]): (Int, String) = {
+      val url = URI.create(
+        s"http://127.0.0.1:${srv.boundPort}$path").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod(method)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+      }
+      val status = conn.getResponseCode
+      val stream =
+        if (status < 400) conn.getInputStream else conn.getErrorStream
+      val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect()
+      (status, text)
+    }
+    try {
+      val (sm, bm) = at("GET", "/api/v1/serving/dedup/maintain", None)
+      assert(sm == 200 && bm.contains("\"action\":\"compact\""), bm)
+      val (s1, b1) = at("POST", "/api/v1/serving/dedup/maintain/run",
+        Some("{}"))
+      assert(s1 == 400 && b1.contains("out_dir"), s"$s1 $b1")
+      val out = java.nio.file.Files.createTempDirectory("cap_txt_out")
+        .toString
+      val (s2, b2) = at("POST", "/api/v1/serving/dedup/maintain/run",
+        Some(s"""{"out_dir": ${ApiResponses.toJson(out)}}"""))
+      assert(s2 == 200 && b2.contains("\"acted\":true") &&
+        b2.contains("\"action\":\"compact\""), s"$s2 $b2")
+      // compacted: tombstones materialized, next round is a no-op
+      val (s3, b3) = at("POST", "/api/v1/serving/dedup/maintain/run",
+        Some("{}"))
+      assert(s3 == 200 && b3.contains("\"acted\":false"), s"$s3 $b3")
+    } finally srv.stop()
+  }
+
   /** Post-GC used heap, stabilized (FinOpsServerScaleSpec's meter). */
   private def usedHeap(): Long = {
     val r = Runtime.getRuntime
