@@ -453,7 +453,11 @@ object Bucketing {
       fs.listStatus(p).map(_.getPath)
         .filter(f => f.getName.matches("_wave_\\d+") ||
           f.getName.matches("_lease_\\d+") ||
-          f.getName.startsWith(".stage_"))
+          f.getName.startsWith(".stage_") ||
+          // a reused output dir must not inherit a past experiment's
+          // stranded-prior inventory (retire would delete live dirs) or
+          // reader markers — the new history starts empty
+          f.getName == "_prior" || f.getName.startsWith("_reader_"))
         .foreach(fs.delete(_, true))
   }
 
@@ -1034,6 +1038,156 @@ object Bucketing {
       }
     }
     deleted.toSeq
+  }
+
+  // ---- prior-location retirement (compact/rebuild strand the old dir) --
+  //
+  // compact/rebuild write a fresh directory and flip the serving catalog
+  // to it; the OLD location keeps every byte and, before r18, belonged to
+  // nobody — at 100 TB each maintenance-cadence compact silently DOUBLED
+  // index storage until an operator hand-deleted (r17 verdict item 2).
+  // The rewrite now records the stranded location in a `_prior` file at
+  // the NEW directory (carrying forward any chain the old one had), stats
+  // surface it, and [[retirePriors]] deletes it — guarded like every
+  // destructive maintenance op: a live writer lease or a live READER
+  // marker on the old location refuses the delete. Reader markers are
+  // opt-in ([[registerReader]]): a deployment that keeps serving replicas
+  // on the OLD artifact through a catalog flip registers one per replica
+  // and unregisters (or just stops heartbeating) after re-attaching.
+
+  /** Stranded prior index locations recorded under `dir/_prior` (oldest
+    * first; empty when none). */
+  def priorLocations(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_prior")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      if (len == 0) Nil
+      else {
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+      }
+    }
+  }
+
+  /** Record `priorDir` as STRANDED history under `dir/_prior` — called by
+    * a compact/rebuild that flipped the catalog from `priorDir` to `dir`
+    * in place (same prefix). Any chain `priorDir` itself carried rides
+    * along, so A→B→C leaves C knowing about both A and B. Plain
+    * overwrite-put (maintenance ops are single-writer by the quiesce
+    * contract, and the file is advisory inventory, not a commit object). */
+  def recordPriorLocation(spark: SparkSession, dir: String,
+      priorDir: String): Unit = {
+    val chain = (priorLocations(spark, priorDir) :+ priorDir)
+      .filterNot(p => samePath(spark, p, dir)).distinct
+    writePriors(spark, dir, chain)
+  }
+
+  private def writePriors(spark: SparkSession, dir: String,
+      priors: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_prior")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (priors.isEmpty) { fs.delete(p, false); () }
+    else {
+      val out = fs.create(p, true)
+      try out.write(priors.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** REGISTER a reader on `dir` (a `_reader_<token>` marker file): a
+    * serving replica that probes this location directly announces itself
+    * so [[retirePriors]] refuses to delete under it. Returns the token;
+    * heartbeat with [[touchReader]] at probe cadence (liveness is marker
+    * mtime vs [[writerLiveTtlMs]], like writer leases) and
+    * [[unregisterReader]] after re-attaching elsewhere. Opt-in: plain
+    * single-location deployments (the catalog flip moves every reader
+    * atomically within a session) never need one. */
+  def registerReader(spark: SparkSession, dir: String): String = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_reader_$token")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(createNoOverwrite(fs, p), s"reader token collision at $p")
+    token
+  }
+
+  /** Heartbeat a [[registerReader]] marker (no-op where setTimes is
+    * unsupported — the TTL then bounds the whole read session). */
+  def touchReader(spark: SparkSession, dir: String, token: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_reader_$token")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Drop a [[registerReader]] marker. */
+  def unregisterReader(spark: SparkSession, dir: String,
+      token: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_reader_$token")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+  }
+
+  /** (token, ageMs) of every reader marker under `dir`. */
+  def readerAges(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith("_reader_"))
+        .map(st => (st.getPath.getName.stripPrefix("_reader_"),
+          math.max(0L, now - st.getModificationTime)))
+        .sortBy(_._1).toSeq
+    }
+  }
+
+  /** RETIRE every stranded prior location recorded under `dir/_prior`:
+    * the guarded grace-period delete that stops compact/rebuild doubling
+    * index storage forever. Refuses LOUDLY — retiring nothing — when any
+    * prior still has a writer lease or reader marker younger than
+    * [[writerLiveTtlMs]] (a replica may still be serving off it);
+    * `force = true` (the operator asserting nothing reads the old copy)
+    * or waiting out the TTL proceeds. Returns the deleted locations and
+    * rewrites `_prior` to empty. Safe against the live index by
+    * construction: the current `dir` is never in its own prior list
+    * ([[recordPriorLocation]] filters it). */
+  def retirePriors(spark: SparkSession, dir: String,
+      force: Boolean = false): Seq[String] = {
+    val priors = priorLocations(spark, dir)
+      .filterNot(p => samePath(spark, p, dir)) // belt: never self-delete
+    if (priors.isEmpty) return Nil
+    if (!force) {
+      val ttl = writerLiveTtlMs(spark)
+      val blockers = priors.flatMap { p =>
+        liveLeases(spark, p, ttl).map { case (w, a) =>
+          s"$p/_lease_$w (${a / 1000}s old)" } ++
+          readerAges(spark, p).filter(_._2 < ttl).map { case (t, a) =>
+            s"$p/_reader_$t (${a / 1000}s old)" }
+      }
+      if (blockers.nonEmpty)
+        throw new IllegalStateException(
+          s"retire of ${priors.size} prior location(s) under $dir " +
+            "refused: possibly-live writer lease(s) / reader marker(s) " +
+            blockers.mkString("[", ", ", "]") +
+            " — a replica may still serve off the old artifact. " +
+            "Unregister/drain them (or wait out " +
+            s"spark.graft.writerLiveTtlMs=${writerLiveTtlMs(spark)}), or " +
+            "pass force = true if they are known dead.")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val retired = priors.filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      !fs.exists(path) || fs.delete(path, true)
+    }
+    writePriors(spark, dir, priors.filterNot(retired.contains))
+    retired
   }
 
   /** PREFETCH every data file under `location` through the OS page cache —

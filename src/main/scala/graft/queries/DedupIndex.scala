@@ -243,7 +243,8 @@ object DedupIndex {
       distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
       committedWave: Int, abandonedWaves: Int, committedWaveCount: Int,
-      stagingDirs: Int = 0, staleStagingDirs: Int = 0)
+      stagingDirs: Int = 0, staleStagingDirs: Int = 0,
+      priorDirs: Seq[String] = Nil)
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
@@ -298,7 +299,10 @@ object DedupIndex {
     IndexStats(docs, docs - tombs, tombs, hashes, buckets, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
       cws.foldLeft(-1)(math.max), abandoned, cws.length,
-      stages.size, stages.count(_._2 >= ttl))
+      stages.size, stages.count(_._2 >= ttl),
+      // stranded prior locations (past in-place compacts) — dead full
+      // copies of the index until retirePrior deletes them
+      Bucketing.priorLocations(spark, dirOf(spark, prefix)))
   }
 
   /** Derive the corpus artifacts and persist them under `dir` (also
@@ -690,7 +694,24 @@ object DedupIndex {
     }
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
     if (outPvals > 0) Bucketing.commitWave(spark, outDir, 0)
+    // in-place flip (outPrefix == prefix): the old location is now
+    // STRANDED — nobody serves it, nothing deletes it, and at 100 TB each
+    // maintenance compact doubles storage until someone does (r17 verdict
+    // item 2). Record it (plus any chain it carried) for the guarded
+    // [[retirePrior]]; stats/Maintenance surface it until retired.
+    if (outPfx == prefix)
+      Bucketing.recordPriorLocation(spark, outDir,
+        new org.apache.hadoop.fs.Path(oldLoc).getParent.toString)
   }
+
+  /** RETIRE the stranded prior locations a past in-place [[compact]] left
+    * behind — the guarded grace-period delete
+    * ([[Bucketing.retirePriors]]): refuses while any live writer lease or
+    * reader marker sits on an old location; `force = true` overrides for
+    * known-drained replicas. Returns the deleted directories. */
+  def retirePrior(spark: SparkSession, prefix: String = "dedup_idx",
+      force: Boolean = false): Seq[String] =
+    Bucketing.retirePriors(spark, dirOf(spark, prefix), force)
 
   /** Register an existing index written by [[build]] in `spark`'s catalog
     * — metadata only (no data job, no corpus recomputation, plus one

@@ -167,6 +167,20 @@ object Maintenance {
           s"loss in): ${a.missing.take(3).mkString(", ")}"))
   }
 
+  /** The stranded-prior advisory shared by both indexes: past in-place
+    * compacts/rebuilds left full dead copies of the index that nobody
+    * deletes — at 100 TB each one DOUBLES storage. Advisory (not an
+    * action): retirement deletes data a replica might still read, so it
+    * stays an explicit, guarded operator call
+    * ([[DedupIndex.retirePrior]] / [[VectorIndex.retirePrior]]). */
+  private def priorDirsWarning(priorDirs: Seq[String]): Option[String] =
+    Option.when(priorDirs.nonEmpty)(
+      s"${priorDirs.size} stranded prior location(s) from past " +
+        "compact/rebuild rounds — full dead index copies; run " +
+        "retirePrior() (guarded: refuses under live leases/readers) to " +
+        s"reclaim: ${priorDirs.take(2).mkString(", ")}" +
+        (if (priorDirs.size > 2) ", …" else ""))
+
   /** The in-flight-writer advisory shared by both indexes. */
   private def liveStagingWarning(stagingDirs: Int,
       staleStagingDirs: Int): Option[String] =
@@ -197,7 +211,8 @@ object Maintenance {
         f"band-bucket skew ${st.bandSkew}%.1f (max ${st.maxBandBucket}) — " +
           "boilerplate mass multiplies probe candidates; df-cap or " +
           "pre-drop the template upstream"),
-      liveStagingWarning(st.stagingDirs, st.staleStagingDirs)).flatten
+      liveStagingWarning(st.stagingDirs, st.staleStagingDirs),
+      priorDirsWarning(st.priorDirs)).flatten
     Recommendation(
       if (reasons.isEmpty) "none"
       else if (garbageOnly(reasons)) "reclaim"
@@ -239,7 +254,8 @@ object Maintenance {
       Option.when(!servesAnn && appendedFraction >= RebuildAppendedFraction)(
         f"appended fraction $appendedFraction%.2f — verdict path is " +
           "drift-immune (measured), but a rebuild would rebalance cells"),
-      liveStagingWarning(st.stagingDirs, st.staleStagingDirs)
+      liveStagingWarning(st.stagingDirs, st.staleStagingDirs),
+      priorDirsWarning(st.priorDirs)
     ).flatten
     val (action, reasons) = rebuild match {
       case Some(r) => ("rebuild", r +: compact)

@@ -335,18 +335,24 @@ object VectorIndex {
       .dropDuplicates("vec_id") // replayed appends write duplicate rows
     val idx = graft.queries.Caching.cached(live,
       "spark.graft.vector.storageLevel")
-    try buildIndexed(idx, outDir, m.minCos, outPfx, nCells,
-      if (kmeansIters > 0) kmeansIters else m.kmeansIters,
-      if (targetCellRows > 0) targetCellRows else m.targetCellRows,
-      m.dims,
-      if (trainSampleCap >= 0L) trainSampleCap else m.trainSampleCap,
-      if (pqM > 0) pqM else m.pqM,
-      if (pqKsub > 0) pqKsub else m.pqKsub,
-      if (buckets > 0) buckets else m.buckets,
-      // inherit / auto-size from live rows (buildIndexed resolves the
-      // Auto sentinel against its own count) / explicit (0 = flat)
-      if (pcells == InheritPcells) m.pcells else pcells)
-    finally idx.unpersist(false)
+    try {
+      buildIndexed(idx, outDir, m.minCos, outPfx, nCells,
+        if (kmeansIters > 0) kmeansIters else m.kmeansIters,
+        if (targetCellRows > 0) targetCellRows else m.targetCellRows,
+        m.dims,
+        if (trainSampleCap >= 0L) trainSampleCap else m.trainSampleCap,
+        if (pqM > 0) pqM else m.pqM,
+        if (pqKsub > 0) pqKsub else m.pqKsub,
+        if (buckets > 0) buckets else m.buckets,
+        // inherit / auto-size from live rows (buildIndexed resolves the
+        // Auto sentinel against its own count) / explicit (0 = flat)
+        if (pcells == InheritPcells) m.pcells else pcells)
+      // in-place flip: the old location is stranded — record it for the
+      // guarded retire ([[compact]] rationale)
+      if (outPfx == prefix)
+        Bucketing.recordPriorLocation(spark, outDir,
+          new org.apache.hadoop.fs.Path(srcLoc).getParent.toString)
+    } finally idx.unpersist(false)
   }
 
   /** The live directory of an attached/built index (parent of the meta
@@ -522,7 +528,7 @@ object VectorIndex {
       maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
       fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int,
       committedWaveCount: Int, stagingDirs: Int = 0,
-      staleStagingDirs: Int = 0)
+      staleStagingDirs: Int = 0, priorDirs: Seq[String] = Nil)
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
@@ -577,7 +583,9 @@ object VectorIndex {
       math.max(0L, total - m.corpusRows), nCells, maxN, meanN,
       if (meanN == 0.0) 0.0 else maxN / meanN, files,
       cws.foldLeft(-1)(math.max), abandoned, cws.length,
-      stages.size, stages.count(_._2 >= ttl))
+      stages.size, stages.count(_._2 >= ttl),
+      // stranded prior locations (past in-place compacts/rebuilds)
+      Bucketing.priorLocations(spark, dirOf(spark, prefix)))
   }
 
   /** Centroids re-collected from the persisted table — identical driver
@@ -1005,7 +1013,18 @@ object VectorIndex {
     }
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
     if (outPcells > 0) Bucketing.commitWave(spark, outDir, 0)
+    // in-place flip: record the stranded old location for the guarded
+    // retire ([[DedupIndex.compact]] rationale — r17 verdict item 2)
+    if (outPfx == prefix)
+      Bucketing.recordPriorLocation(spark, outDir,
+        new org.apache.hadoop.fs.Path(oldLoc).getParent.toString)
   }
+
+  /** RETIRE the stranded prior locations past in-place [[compact]]s /
+    * [[rebuild]]s left behind ([[DedupIndex.retirePrior]] twin). */
+  def retirePrior(spark: SparkSession, prefix: String = "vec_idx",
+      force: Boolean = false): Seq[String] =
+    Bucketing.retirePriors(spark, dirOf(spark, prefix), force)
 
   /** WARM an attached index's bytes through the page cache
     * ([[DedupIndex.warm]] twin — call after [[attach]], before the first
