@@ -262,6 +262,45 @@ object Bucketing {
   def committedWave(spark: SparkSession, dir: String): Int =
     committedWaves(spark, dir).foldLeft(-1)(math.max)
 
+  /** QUARANTINE committed wave `wave` under `dir` — the recovery lever
+    * for a failed manifest audit (r17 verdict item 4:
+    * [[verifyWaveManifests]] detects missing manifested keys — data loss
+    * — and correctly refuses to auto-rewrite, but left the operator with
+    * no tool). One marker-level move, zero data movement: `_wave_W`
+    * renames to `_quar_W` (single-object rename — atomic and legal on
+    * object stores), so the wave leaves the committed set and every
+    * probe's next horizon excludes it — a damaged wave stops serving
+    * partial content IMMEDIATELY. Its data files STAY for forensics:
+    * [[reclaimGarbage]] treats quarantined waves as protected (they are
+    * no longer committed, but they are not deletable garbage either),
+    * [[abandonedWaves]] does not count them, and the next compact —
+    * which rewrites committed waves only — purges them physically.
+    *
+    * Recovery path: the wave's content has LEFT the committed horizon, so
+    * re-appending it from source is admitted as novel (the appends'
+    * anti-joins read committed waves only) — re-ingest, then compact to
+    * fold the history and drop the quarantined remnant. Restoring an
+    * accidentally-quarantined HEALTHY wave is the reverse rename
+    * (`_quar_W` → `_wave_W`), deliberately left manual. */
+  def quarantineWave(spark: SparkSession, dir: String, wave: Int): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(src),
+      s"wave $wave is not committed under $dir — nothing to quarantine")
+    renameWithRetry(fs, src,
+      new org.apache.hadoop.fs.Path(s"$dir/_quar_$wave"))
+  }
+
+  /** Waves quarantined under `dir` (sorted; see [[quarantineWave]]). */
+  def quarantinedWaves(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("_quar_\\d+")).map(_.stripPrefix("_quar_").toInt)
+      .sorted.toSeq
+  }
+
   /** Create `p` atomically, failing (false) when it already exists — the
     * lease/marker primitive. `FileSystem.create(p, overwrite = false)` is
     * NOT atomic on the local filesystem (RawLocalFileSystem checks
@@ -452,6 +491,7 @@ object Bucketing {
     if (fs.exists(p))
       fs.listStatus(p).map(_.getPath)
         .filter(f => f.getName.matches("_wave_\\d+") ||
+          f.getName.matches("_quar_\\d+") ||
           f.getName.matches("_lease_\\d+") ||
           f.getName.startsWith(".stage_") ||
           // a reused output dir must not inherit a past experiment's
@@ -909,10 +949,14 @@ object Bucketing {
   }
 
   /** Waves staged on disk but never committed (crashed-append garbage
-    * count — the torn-write detector surfaced through index stats). */
+    * count — the torn-write detector surfaced through index stats).
+    * Quarantined waves are NOT abandoned: their files stay deliberately
+    * ([[quarantineWave]] forensics), so counting them would keep firing
+    * the reclaim recommendation against undeletable bytes. */
   def abandonedWaves(spark: SparkSession, dir: String,
       subs: Seq[String]): Int = {
-    val committed = committedWaves(spark, dir).toSet
+    val committed = committedWaves(spark, dir).toSet ++
+      quarantinedWaves(spark, dir)
     val conf = spark.sessionState.newHadoopConf()
     subs.flatMap { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
@@ -997,6 +1041,9 @@ object Bucketing {
     val ttl = writerLiveTtlMs(spark)
     val live = liveLeases(spark, dir, ttl).map(_._1).toSet
     val committed = committedWaves(spark, dir).toSet
+    // quarantined waves are PROTECTED: no longer committed (probes skip
+    // them) but retained for forensics — only compact purges them
+    val quarantined = quarantinedWaves(spark, dir).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     // 1. stale staging roots
     stagingDirAges(spark, dir).filter(_._2 >= ttl).foreach { case (n, _) =>
@@ -1011,7 +1058,8 @@ object Bucketing {
           .filter(_.getName.matches("wave=\\d+"))
           .foreach { wd =>
             val w = wd.getName.stripPrefix("wave=").toInt
-            if (!committed(w) && !live(w) && fs.delete(wd, true))
+            if (!committed(w) && !live(w) && !quarantined(w) &&
+                fs.delete(wd, true))
               deleted += wd.toString
           }
     }

@@ -244,7 +244,7 @@ object DedupIndex {
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
       committedWave: Int, abandonedWaves: Int, committedWaveCount: Int,
       stagingDirs: Int = 0, staleStagingDirs: Int = 0,
-      priorDirs: Seq[String] = Nil)
+      priorDirs: Seq[String] = Nil, quarantinedWaveCount: Int = 0)
 
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
@@ -302,7 +302,10 @@ object DedupIndex {
       stages.size, stages.count(_._2 >= ttl),
       // stranded prior locations (past in-place compacts) — dead full
       // copies of the index until retirePrior deletes them
-      Bucketing.priorLocations(spark, dirOf(spark, prefix)))
+      Bucketing.priorLocations(spark, dirOf(spark, prefix)),
+      if (pvals > 0)
+        Bucketing.quarantinedWaves(spark, dirOf(spark, prefix)).size
+      else 0)
   }
 
   /** Derive the corpus artifacts and persist them under `dir` (also

@@ -164,8 +164,21 @@ object Maintenance {
         s"INTEGRITY: wave ${a.wave} is MISSING ${a.missing.size} " +
           "manifested key(s) — data loss or partial replication; " +
           "investigate before any rewrite (a compact would bake the " +
-          s"loss in): ${a.missing.take(3).mkString(", ")}"))
+          "loss in). Recovery lever: quarantineWave(" + a.wave + ") " +
+          "retires the damaged wave from the committed set (marker-only, " +
+          "files retained for forensics), then re-ingest its content " +
+          s"from source. Missing: ${a.missing.take(3).mkString(", ")}"))
   }
+
+  /** Quarantined-history advisory: damaged waves an operator retired from
+    * the committed set ([[graft.operators.Bucketing.quarantineWave]]) —
+    * not serving, not reclaimable, purged physically by the next
+    * compact. */
+  private def quarantineWarning(quarantined: Int): Option[String] =
+    Option.when(quarantined > 0)(
+      s"$quarantined quarantined wave(s) retained for forensics — not " +
+        "serving; re-ingest their content from source if not already " +
+        "done, then compact to purge the remnants physically")
 
   /** The stranded-prior advisory shared by both indexes: past in-place
     * compacts/rebuilds left full dead copies of the index that nobody
@@ -212,7 +225,8 @@ object Maintenance {
           "boilerplate mass multiplies probe candidates; df-cap or " +
           "pre-drop the template upstream"),
       liveStagingWarning(st.stagingDirs, st.staleStagingDirs),
-      priorDirsWarning(st.priorDirs)).flatten
+      priorDirsWarning(st.priorDirs),
+      quarantineWarning(st.quarantinedWaveCount)).flatten
     Recommendation(
       if (reasons.isEmpty) "none"
       else if (garbageOnly(reasons)) "reclaim"
@@ -255,7 +269,8 @@ object Maintenance {
         f"appended fraction $appendedFraction%.2f — verdict path is " +
           "drift-immune (measured), but a rebuild would rebalance cells"),
       liveStagingWarning(st.stagingDirs, st.staleStagingDirs),
-      priorDirsWarning(st.priorDirs)
+      priorDirsWarning(st.priorDirs),
+      quarantineWarning(st.quarantinedWaveCount)
     ).flatten
     val (action, reasons) = rebuild match {
       case Some(r) => ("rebuild", r +: compact)

@@ -528,7 +528,8 @@ object VectorIndex {
       maxCellRows: Long, meanCellRows: Double, cellSkew: Double,
       fileSets: Map[String, Int], committedWave: Int, abandonedWaves: Int,
       committedWaveCount: Int, stagingDirs: Int = 0,
-      staleStagingDirs: Int = 0, priorDirs: Seq[String] = Nil)
+      staleStagingDirs: Int = 0, priorDirs: Seq[String] = Nil,
+      quarantinedWaveCount: Int = 0)
 
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
@@ -585,7 +586,10 @@ object VectorIndex {
       cws.foldLeft(-1)(math.max), abandoned, cws.length,
       stages.size, stages.count(_._2 >= ttl),
       // stranded prior locations (past in-place compacts/rebuilds)
-      Bucketing.priorLocations(spark, dirOf(spark, prefix)))
+      Bucketing.priorLocations(spark, dirOf(spark, prefix)),
+      if (m.pcells > 0)
+        Bucketing.quarantinedWaves(spark, dirOf(spark, prefix)).size
+      else 0)
   }
 
   /** Centroids re-collected from the persisted table — identical driver

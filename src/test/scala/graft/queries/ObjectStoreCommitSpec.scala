@@ -216,6 +216,85 @@ class ObjectStoreCommitSpec extends SparkSpec {
     }
   }
 
+  test("quarantineWave retires a damaged wave: probes skip it, files stay for forensics, re-ingest recovers") {
+    withManifestMos {
+      val local = java.nio.file.Files.createTempDirectory("mos_quar").toString
+      val d = "mos://" + local
+      val prefix = "mos_quar"
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3).limit(60)
+      DedupIndex.build(corpus, "doc_id", "text", d, prefix = prefix)
+      val batch = docs.filter(col("doc_id") % 40 === 3).limit(6)
+        .select((col("doc_id") + 940000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      DedupIndex.append(batch, "doc_id", "text", prefix)
+      val twins = batch.select((col("doc_id") + 50000L).as("doc_id"),
+        col("text")).localCheckpoint(true)
+      def probe() = DedupIndex
+        .incrementalDedup(twins, "doc_id", "text", prefix)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(probe().forall(_._2 == "exact_dup"), "fixture: wave 1 serves")
+
+      // DAMAGE wave 1: delete one manifested key — the audit flags data
+      // loss and the advisory names the recovery lever
+      val victim = Bucketing.waveManifest(spark, d, 1).get.keySet.head
+      assert(new java.io.File(s"$local/$victim").delete())
+      Seq("hashes", "bands", "shingles")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+      val lost = Bucketing.verifyWaveManifests(spark, d)
+      assert(lost.size == 1 && lost.head.wave == 1 &&
+        lost.head.missing == Seq(victim), s"$lost")
+      val rec = Maintenance.forText(spark, prefix)
+      assert(rec.warnings.exists(w => w.contains("INTEGRITY") &&
+        w.contains("quarantineWave(1)")), s"$rec")
+
+      // QUARANTINE: marker-level, zero data movement; the wave leaves
+      // the committed set and probes stop serving its (partial) content
+      Bucketing.quarantineWave(spark, d, 1)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0))
+      assert(Bucketing.quarantinedWaves(spark, d) == Seq(1))
+      assert(probe().forall(_._2 == "new"),
+        "a quarantined wave still serves")
+      // the audit is silent (wave 1 left the committed set) and the
+      // advisory flips to the quarantine-hygiene note
+      assert(Bucketing.verifyWaveManifests(spark, d).isEmpty)
+      val rec2 = Maintenance.forText(spark, prefix)
+      assert(rec2.warnings.exists(_.contains("quarantined wave(s)")) &&
+        !rec2.warnings.exists(_.contains("INTEGRITY")), s"$rec2")
+      // stats: the retained files are neither live nor abandoned garbage
+      val st = DedupIndex.stats(spark, prefix)
+      assert(st.abandonedWaves == 0 && st.quarantinedWaveCount == 1,
+        s"$st")
+
+      // FORENSICS: reclaim must NOT delete the quarantined wave's files
+      spark.conf.set("spark.graft.writerLiveTtlMs", "0")
+      val reclaimed =
+        try Bucketing.reclaimGarbage(spark, d,
+          Seq("hashes", "bands", "shingles"))
+        finally spark.conf.unset("spark.graft.writerLiveTtlMs")
+      assert(!reclaimed.exists(_.contains("wave=1")),
+        s"reclaim deleted quarantined forensics: $reclaimed")
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$d/shingles/wave=1")), "quarantined files gone")
+
+      // RECOVERY: the content left the committed horizon, so re-ingest
+      // from source is admitted as novel and serves again
+      DedupIndex.append(batch, "doc_id", "text", prefix)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0, 2))
+      assert(probe().forall(_._2 == "exact_dup"),
+        "re-ingested content not serving")
+
+      // compact purges the quarantined remnant physically
+      val out = "mos://" +
+        java.nio.file.Files.createTempDirectory("mos_quar_c").toString
+      DedupIndex.compact(spark, out, prefix)
+      assert(Bucketing.quarantinedWaves(spark, out).isEmpty)
+      assert(probe().forall(_._2 == "exact_dup"),
+        "compaction lost the recovered content")
+    }
+  }
+
   test("per-file publishes survive store throttling (503-style rename failures)") {
     spark.sparkContext.hadoopConfiguration.set("fs.thr.impl",
       classOf[graft.sources.ThrottlingObjectStoreFileSystem].getName)
