@@ -189,6 +189,22 @@ final class ServingServer(spark: SparkSession,
       "appended" -> appended)
   }
 
+  /** Per-marker AGES alongside the counts the IndexStats rows carry: an
+    * operator diagnosing a stuck writer previously listed `_lease_*` /
+    * `.stage_*` by hand over the store (r17 verdict item 7) — the stats
+    * envelope now answers "who holds what, and for how long" directly. */
+  private def opsTelemetry(dir: String): Map[String, Any] = {
+    import graft.operators.Bucketing
+    Map(
+      "lease_ages_ms" -> Bucketing.leaseAges(spark, dir)
+        .map { case (w, a) => Map("wave" -> w, "age_ms" -> a) },
+      "staging_ages_ms" -> Bucketing.stagingDirAges(spark, dir)
+        .map { case (n, a) => Map("name" -> n, "age_ms" -> a) },
+      "reader_ages_ms" -> Bucketing.readerAges(spark, dir)
+        .map { case (t, a) => Map("token" -> t, "age_ms" -> a) },
+      "writer_live_ttl_ms" -> Bucketing.writerLiveTtlMs(spark))
+  }
+
   // ---- route table -------------------------------------------------------
 
   private type Handler = HttpExchange => Any
@@ -210,7 +226,8 @@ final class ServingServer(spark: SparkSession,
     },
     ("GET", "/api/v1/serving/dedup/stats") ->
       (_ => Map("success" -> true,
-        "stats" -> DedupIndex.stats(spark, textPrefix))),
+        "stats" -> DedupIndex.stats(spark, textPrefix)) ++
+        opsTelemetry(DedupIndex.location(spark, textPrefix))),
     ("GET", "/api/v1/serving/dedup/maintain") ->
       (_ => Map("success" -> true,
         "recommendation" -> Maintenance.forText(spark, textPrefix))),
@@ -262,7 +279,8 @@ final class ServingServer(spark: SparkSession,
     },
     ("GET", "/api/v1/serving/vector/stats") ->
       (_ => Map("success" -> true,
-        "stats" -> VectorIndex.stats(spark, vecPrefix))),
+        "stats" -> VectorIndex.stats(spark, vecPrefix)) ++
+        opsTelemetry(VectorIndex.location(spark, vecPrefix))),
     ("GET", "/api/v1/serving/vector/maintain") -> { ex =>
       val servesAnn = param(ex, "serves_ann").forall(_.toBoolean)
       Map("success" -> true, "recommendation" ->

@@ -121,6 +121,13 @@ object DedupIndex {
   private[queries] def liveDir(spark: SparkSession, prefix: String): String =
     dirOf(spark, prefix)
 
+  /** The live index directory of an attached/built index — the PUBLIC
+    * form (the REST stats surface reports lease/staging/reader telemetry
+    * against it; operators pass it to the [[graft.operators.Bucketing]]
+    * diagnostics). */
+  def location(spark: SparkSession, prefix: String = "dedup_idx"): String =
+    dirOf(spark, prefix)
+
   /** Scheme-agnostic existence check (attach runs against whatever FS
     * the artifact lives on). */
   private def fsExists(spark: SparkSession, p: String): Boolean = {

@@ -367,6 +367,11 @@ object VectorIndex {
   private[queries] def liveDir(spark: SparkSession, prefix: String): String =
     dirOf(spark, prefix)
 
+  /** The live index directory — public form ([[DedupIndex.location]]
+    * twin). */
+  def location(spark: SparkSession, prefix: String = "vec_idx"): String =
+    dirOf(spark, prefix)
+
   private val DataSubs = Seq("vecs", "bands", "cells", "pqcodes")
 
   /** Register an existing index written by [[build]] in `spark`'s catalog

@@ -127,6 +127,34 @@ class ServingServerSpec extends SparkSpec {
     val (s3, b3) = request("GET",
       "/api/v1/serving/vector/maintain?serves_ann=false")
     assert(s3 == 200 && b3.contains("\"action\":"), b3)
+
+    // lease/staging/reader telemetry rides the stats envelope (r17
+    // verdict item 7): plant one of each on the text index dir and read
+    // the AGES back over HTTP — no hand-listing the store
+    val d = graft.queries.DedupIndex.location(spark, "srv_txt")
+    import graft.operators.Bucketing
+    val w = Bucketing.acquireWave(spark, d, Seq("hashes"))
+    val token = Bucketing.registerReader(spark, d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$d/.stage_w$w"))
+    try {
+      val (s4, b4) = request("GET", "/api/v1/serving/dedup/stats")
+      assert(s4 == 200 &&
+        b4.contains(s"""{"wave":$w,"age_ms":""") &&
+        b4.contains(s"""{"name":".stage_w$w","age_ms":""") &&
+        b4.contains(s"""{"token":"$token","age_ms":""") &&
+        b4.contains("\"writer_live_ttl_ms\":"), s"telemetry missing: $b4")
+    } finally {
+      Bucketing.releaseWave(spark, d, w)
+      Bucketing.unregisterReader(spark, d, token)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/.stage_w$w"), true)
+    }
+    // clean again: empty telemetry arrays, not absent fields
+    val (s5, b5) = request("GET", "/api/v1/serving/dedup/stats")
+    assert(s5 == 200 && b5.contains("\"lease_ages_ms\":[]") &&
+      b5.contains("\"staging_ages_ms\":[]") &&
+      b5.contains("\"reader_ages_ms\":[]"), b5)
   }
 
   test("bad requests answer 400; unknown routes 404") {
