@@ -210,6 +210,37 @@ object Bucketing {
   val MinGrain = 16
   val MaxGrain = 65536
 
+  /** Every FILE status under `path`, recursively — the shared listing
+    * primitive for warm/stats/manifest paths. NOT `FileSystem.listFiles
+    * (path, recursive = true)` on local filesystems: that path
+    * constructs LocatedFileStatus per file, which materializes
+    * PERMISSIONS — and non-native local Hadoop loads them by FORKING
+    * `ls` once per file. Measured (r18 WarmDebugProbe, 4k-file table):
+    * 20.9 s warm for listFiles vs 0.15 s for this plain listStatus walk
+    * — a ~140x tax that dominated fine-grain warm() wall (the r17
+    * "file-count bound" was never disk: raw reads of the same files run
+    * at 400+ MB/s) and every fine-grain stats/manifest listing. Object
+    * stores KEEP listFiles: there it is a flat LIST (one call per 1000
+    * keys — cheaper than this walk's per-prefix LISTs) and nothing
+    * forks. */
+  def listFileStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getUri.getScheme == "file") {
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) walk(st.getPath) else out += st
+        }
+      walk(path)
+    } else {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) out += it.next()
+    }
+    out.toSeq
+  }
+
   /** Recursive `part-` data-file count under `location` (any Hadoop FS
     * scheme) — the file-hygiene signal: each append adds one file set,
     * and a count far above buckets × partitions says compact. */
@@ -217,13 +248,8 @@ object Bucketing {
     val path = new org.apache.hadoop.fs.Path(location)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) 0
-    else {
-      val it = fs.listFiles(path, true)
-      var n = 0
-      while (it.hasNext)
-        if (it.next().getPath.getName.startsWith("part-")) n += 1
-      n
-    }
+    else listFileStatuses(fs, path)
+      .count(_.getPath.getName.startsWith("part-"))
   }
 
   // ---- wave-commit markers (atomic multi-table publish) ----------------
@@ -412,10 +438,8 @@ object Bucketing {
           && !st.getPath.getName.startsWith("_"))
         .foreach { sub =>
           val wd = new org.apache.hadoop.fs.Path(sub.getPath, s"wave=$wave")
-          if (fs.exists(wd)) {
-            val it = fs.listFiles(wd, true)
-            while (it.hasNext) {
-              val f = it.next()
+          if (fs.exists(wd))
+            listFileStatuses(fs, wd).foreach { f =>
               if (!f.getPath.getName.startsWith(".") &&
                   !f.getPath.getName.startsWith("_")) {
                 val rel = rootUri
@@ -423,7 +447,6 @@ object Bucketing {
                 entries += s"${f.getLen}\t$rel"
               }
             }
-          }
         }
     ("graft-wave-manifest v1" +: entries.sorted).mkString("\n")
   }
@@ -995,16 +1018,14 @@ object Bucketing {
             !st.getPath.getName.startsWith("_"))
           .foreach { sub =>
             val wd = new org.apache.hadoop.fs.Path(sub.getPath, s"wave=$w")
-            if (fs.exists(wd)) {
-              val it = fs.listFiles(wd, true)
-              while (it.hasNext) {
-                val f = it.next().getPath
+            if (fs.exists(wd))
+              listFileStatuses(fs, wd).foreach { st =>
+                val f = st.getPath
                 if (!f.getName.startsWith(".") &&
                     !f.getName.startsWith("_"))
                   onDisk +=
                     rootUri.relativize(fs.makeQualified(f).toUri).getPath
               }
-            }
           }
         val missing = (listed.keySet -- onDisk).toSeq.sorted
         val strays = (onDisk -- listed.keySet).toSeq.sorted
@@ -1070,15 +1091,13 @@ object Bucketing {
         subs.foreach { sub =>
           val wd = new org.apache.hadoop.fs.Path(s"$dir/$sub/wave=$w")
           if (fs.exists(wd)) {
-            val it = fs.listFiles(wd, true)
-            val strays = scala.collection.mutable.ArrayBuffer
-              .empty[org.apache.hadoop.fs.Path]
-            while (it.hasNext) {
-              val f = it.next().getPath
-              val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-              if (!f.getName.startsWith(".") && !f.getName.startsWith("_")
-                  && !listed.contains(rel)) strays += f
-            }
+            val strays = listFileStatuses(fs, wd).map(_.getPath)
+              .filter { f =>
+                val rel =
+                  rootUri.relativize(fs.makeQualified(f).toUri).getPath
+                !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+                  !listed.contains(rel)
+              }
             strays.foreach(f =>
               if (fs.delete(f, false)) deleted += f.toString)
           }
@@ -1256,9 +1275,10 @@ object Bucketing {
     val hconf = spark.sessionState.newHadoopConf()
     val fs = path.getFileSystem(hconf)
     if (!fs.exists(path)) return 0L
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) files += it.next().getPath.toUri.toString
+    // listFileStatuses, NOT listFiles: the recursive LocatedFileStatus
+    // listing forks per file on local FS — it alone was 20 of the 21
+    // seconds a 4k-file warm took (r18 WarmDebugProbe)
+    val files = listFileStatuses(fs, path).map(_.getPath.toUri.toString)
     if (files.isEmpty) return 0L
     // the SESSION Hadoop conf must reach the tasks: a bare
     // `new Configuration()` drops fs.<scheme>.impl registrations and
@@ -1282,11 +1302,21 @@ object Bucketing {
     spark.sparkContext.parallelize(files.toSeq, slices).mapPartitions { us =>
       val c = new org.apache.hadoop.conf.Configuration(false)
       bc.value.foreach { case (k, v) => c.set(k, v) }
+      // ONE FileSystem per task, not per file: FileSystem.get per file
+      // serializes all 32 executor threads on Hadoop's synchronized FS
+      // cache + UGI current-user lookup — a lock convoy the r18
+      // WarmDebugProbe measured at ~50x the entire read cost on a
+      // 4k-file table (20.4 s hot-cache vs 0.43 s with the FS hoisted);
+      // THIS, not disk and not bucket counts, was the r17 "file-count
+      // bound" on fine-grain warm. One warm() call's files share a
+      // location, hence a filesystem.
+      var fs: org.apache.hadoop.fs.FileSystem = null
       val buf = new Array[Byte](1 << 20)
       var total = 0L
       us.foreach { u =>
         val p = new org.apache.hadoop.fs.Path(new java.net.URI(u))
-        val in = p.getFileSystem(c).open(p)
+        if (fs == null) fs = p.getFileSystem(c)
+        val in = fs.open(p)
         try {
           var r = in.read(buf)
           while (r >= 0) { total += r; r = in.read(buf) }

@@ -67,12 +67,12 @@ object PartitionCatalog {
   }
 
   /** Recursive data-file walk (local_data_manager.py:20-44). One flat LIST
-    * per partition dir on object stores. */
+    * per partition dir on object stores; a plain listStatus walk on local
+    * FS ([[graft.operators.Bucketing.listFileStatuses]] — the recursive
+    * LocatedFileStatus listing forks `ls` per file there, r18 probe). */
   private def dataFiles(fs: FileSystem, dir: Path): Seq[PartFile] = {
-    val it = fs.listFiles(dir, true)
     val buf = Seq.newBuilder[PartFile]
-    while (it.hasNext) {
-      val st = it.next()
+    graft.operators.Bucketing.listFileStatuses(fs, dir).foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(".parquet") || n.endsWith(".gz"))
         buf += PartFile(st.getPath, st.getLen)
