@@ -31,6 +31,12 @@ import graft.queries.{DedupIndex, Maintenance, VectorIndex}
   *   - `POST /api/v1/serving/{dedup,vector}/maintain/run` — EXECUTE one
   *     maintenance round (`{"out_dir", "force", "serves_ann"}` — out_dir
   *     required only when the action rewrites; reclaim acts in place)
+  *   - `POST /api/v1/serving/{dedup,vector}/retire` — delete the index
+  *     copies stranded by past in-place compacts/rebuilds (guarded:
+  *     live leases/readers answer 409; `{"force": bool}`)
+  *   - `POST /api/v1/serving/{dedup,vector}/quarantine` — retire a
+  *     damaged committed wave marker-only (`{"wave": N}` — the
+  *     manifest-audit recovery lever)
   *
   * Deployment shape (the [[FinOpsServer]] contract): the server runs
   * driver-side; each request plans batch-proportional Spark jobs against
@@ -250,6 +256,32 @@ final class ServingServer(spark: SparkSession,
       Map("success" -> true, "recommendation" -> rec, "acted" -> acted)
     },
 
+    // RETIRE the stranded prior locations past in-place compacts left
+    // (stats' priorDirs / the maintain advisory's lever): body
+    // {"force": bool}; a live writer lease or reader marker on an old
+    // location refuses with 409 (guarded delete — see
+    // DedupIndex.retirePrior)
+    ("POST", "/api/v1/serving/dedup/retire") -> { ex =>
+      val root = ApiResponses.readTree(body(ex))
+      val retired = DedupIndex.retirePrior(spark, textPrefix,
+        force = jsonBool(root, "force"))
+      Map("success" -> true, "retired" -> retired,
+        "retired_count" -> retired.size)
+    },
+    // QUARANTINE a damaged committed wave (the manifest-audit recovery
+    // lever): body {"wave": N}; marker-only, files retained — see
+    // Bucketing.quarantineWave
+    ("POST", "/api/v1/serving/dedup/quarantine") -> { ex =>
+      val root = ApiResponses.readTree(body(ex))
+      val w = jsonInt(root, "wave", -1)
+      require(w >= 0, "body needs a committed 'wave' number")
+      val d = DedupIndex.location(spark, textPrefix)
+      graft.operators.Bucketing.quarantineWave(spark, d, w)
+      Map("success" -> true, "quarantined_wave" -> w,
+        "committed_waves" ->
+          graft.operators.Bucketing.committedWaves(spark, d))
+    },
+
     ("POST", "/api/v1/serving/vector/ingest") -> { ex =>
       val root = ApiResponses.readTree(body(ex))
       val batch = vecsDf(capped(root.get("vectors"), "vectors"),
@@ -299,6 +331,23 @@ final class ServingServer(spark: SparkSession,
         force = jsonBool(root, "force"),
         rec = Maintenance.forVectors(spark, vecPrefix, servesAnn))
       Map("success" -> true, "recommendation" -> rec, "acted" -> acted)
+    },
+    ("POST", "/api/v1/serving/vector/retire") -> { ex =>
+      val root = ApiResponses.readTree(body(ex))
+      val retired = VectorIndex.retirePrior(spark, vecPrefix,
+        force = jsonBool(root, "force"))
+      Map("success" -> true, "retired" -> retired,
+        "retired_count" -> retired.size)
+    },
+    ("POST", "/api/v1/serving/vector/quarantine") -> { ex =>
+      val root = ApiResponses.readTree(body(ex))
+      val w = jsonInt(root, "wave", -1)
+      require(w >= 0, "body needs a committed 'wave' number")
+      val d = VectorIndex.location(spark, vecPrefix)
+      graft.operators.Bucketing.quarantineWave(spark, d, w)
+      Map("success" -> true, "quarantined_wave" -> w,
+        "committed_waves" ->
+          graft.operators.Bucketing.committedWaves(spark, d))
     })
 
   private val allRoutes: Map[(String, String), Handler] = routes +
@@ -322,6 +371,14 @@ final class ServingServer(spark: SparkSession,
           case e: IllegalArgumentException =>
             400 -> toJson(Map("success" -> false,
               "error" -> Option(e.getMessage).getOrElse("bad request")
+                .take(500)))
+          case e: IllegalStateException =>
+            // guard refusals (live writer lease / reader marker blocking
+            // a retire or maintenance action): the request was
+            // well-formed but conflicts with live state — 409, retryable
+            // after drain/TTL or with force
+            409 -> toJson(Map("success" -> false,
+              "error" -> Option(e.getMessage).getOrElse("conflict")
                 .take(500)))
           case e: Exception =>
             500 -> toJson(Map("success" -> false,

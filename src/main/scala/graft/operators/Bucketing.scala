@@ -228,7 +228,18 @@ object Bucketing {
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.FileStatus]
-    if (fs.getUri.getScheme == "file") {
+    // the fork lives in RawLocalFileSystem's permission loading, so key
+    // the walk on the IMPLEMENTATION (any RawLocal-derived FS — file://
+    // and the local-backed mock remote schemes), not the scheme string;
+    // real object-store clients are not RawLocal and keep the flat list
+    def localBacked(f: org.apache.hadoop.fs.FileSystem): Boolean =
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+        (f match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+            localBacked(c.getRawFileSystem)
+          case _ => false
+        })
+    if (fs.getUri.getScheme == "file" || localBacked(fs)) {
       def walk(p: org.apache.hadoop.fs.Path): Unit =
         fs.listStatus(p).foreach { st =>
           if (st.isDirectory) walk(st.getPath) else out += st

@@ -322,6 +322,66 @@ class ServingServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("retire and quarantine are reachable over HTTP with guard semantics (409 on live readers)") {
+    import graft.operators.Bucketing
+    val docs = Tables.load(spark, Sf01, "documents").select("doc_id", "text")
+    val a = java.nio.file.Files.createTempDirectory("rq_txt_a").toString
+    val b = java.nio.file.Files.createTempDirectory("rq_txt_b").toString
+    val prefix = "rq_txt"
+    DedupIndex.build(docs.limit(40), "doc_id", "text", a, prefix = prefix)
+    val batch = docs.limit(60).orderBy(col("doc_id").desc).limit(5)
+      .select((col("doc_id") + 980000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    DedupIndex.append(batch, "doc_id", "text", prefix) // wave 1
+    DedupIndex.compact(spark, b, prefix) // strands a; history folds to {0}
+    val srv = new ServingServer(spark, prefix, "srv_vec")
+    srv.start()
+    def at(method: String, path: String,
+        body: Option[String]): (Int, String) = {
+      val url = URI.create(
+        s"http://127.0.0.1:${srv.boundPort}$path").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod(method)
+      body.foreach { bo =>
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(bo.getBytes(StandardCharsets.UTF_8))
+      }
+      val status = conn.getResponseCode
+      val stream =
+        if (status < 400) conn.getInputStream else conn.getErrorStream
+      val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect()
+      (status, text)
+    }
+    try {
+      // stats surface the stranded prior over HTTP
+      val (s0, b0) = at("GET", "/api/v1/serving/dedup/stats", None)
+      assert(s0 == 200 && b0.contains("rq_txt_a"), b0)
+      // a live reader on the old copy: retire answers 409, nothing deleted
+      val token = Bucketing.registerReader(spark, a)
+      val (s1, b1) = at("POST", "/api/v1/serving/dedup/retire", Some("{}"))
+      assert(s1 == 409 && b1.contains("_reader_"), s"$s1 $b1")
+      Bucketing.unregisterReader(spark, a, token)
+      val (s2, b2) = at("POST", "/api/v1/serving/dedup/retire", Some("{}"))
+      assert(s2 == 200 && b2.contains("\"retired_count\":1"), s"$s2 $b2")
+      assert(!new java.io.File(a).exists())
+
+      // quarantine: grow a wave, retire it marker-only over HTTP
+      val batch2 = docs.limit(80).orderBy(col("doc_id").desc).limit(4)
+        .select((col("doc_id") + 985000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      DedupIndex.append(batch2, "doc_id", "text", prefix) // wave 1 of b
+      val (s3, b3) = at("POST", "/api/v1/serving/dedup/quarantine",
+        Some("""{"wave": 1}"""))
+      assert(s3 == 200 && b3.contains("\"quarantined_wave\":1") &&
+        b3.contains("\"committed_waves\":[0]"), s"$s3 $b3")
+      // a missing wave number is a 400, not a 500
+      val (s4, b4) = at("POST", "/api/v1/serving/dedup/quarantine",
+        Some("""{"wave": 77}"""))
+      assert(s4 == 400, s"$s4 $b4")
+    } finally srv.stop()
+  }
+
   /** Post-GC used heap, stabilized (FinOpsServerScaleSpec's meter). */
   private def usedHeap(): Long = {
     val r = Runtime.getRuntime
