@@ -89,9 +89,11 @@ object Bucketing {
   }
 
   /** Register an existing [[writePartitionedBucketedExternal]] artifact —
-    * metadata plus one RECOVER PARTITIONS file listing (no data read):
-    * partition discovery is what re-arms planning-time pruning in the
-    * fresh session. */
+    * metadata plus partition discovery (no data read): partition
+    * registration is what re-arms planning-time pruning in the fresh
+    * session. Discovery prefers the WAVE MANIFESTS when the artifact
+    * carries them ([[registerPartitions]] — zero listing); rename-mode
+    * and legacy artifacts RECOVER (one recursive listing). */
   def attachPartitionedBucketed(spark: SparkSession, table: String,
       partCols: Seq[String], keys: Seq[String], location: String,
       buckets: Int): Unit = {
@@ -104,7 +106,61 @@ object Bucketing {
          |SORTED BY (${keys.mkString(", ")})
          |INTO $buckets BUCKETS
          |LOCATION '$location'""".stripMargin)
-    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    registerPartitions(spark, table, partCols, location)
+  }
+
+  /** Partition discovery for a fresh attach. Manifest-mode indexes
+    * already inventory every key per wave in their commit markers, so
+    * the table's partitions derive from ~|waves| SMALL OBJECT READS with
+    * zero directory listing — where `RECOVER PARTITIONS` walks the whole
+    * prefix tree: O(partitions) LIST calls against an object store, the
+    * term that grows with [[autoGrain]] at 100 TB (65536 partitions ×
+    * subs per attach). Quarantined waves' retained manifests register
+    * too, so a later [[unquarantineWave]] serves from already-known
+    * partitions. Falls back to RECOVER whenever any committed wave lacks
+    * a manifest body (rename-mode artifacts, legacy layouts) or carries
+    * no rows for this table. */
+  private def registerPartitions(spark: SparkSession, table: String,
+      partCols: Seq[String], location: String): Unit = {
+    def recover(): Unit =
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    if (!partCols.headOption.contains("wave")) return recover()
+    val loc = new org.apache.hadoop.fs.Path(location)
+    val dir = loc.getParent.toString
+    val sub = loc.getName
+    val cws = committedWaves(spark, dir)
+    if (cws.isEmpty) return recover()
+    val manifests = cws.map(w => waveManifest(spark, dir, w)) ++
+      quarantinedWaves(spark, dir).map(w => quarantinedManifest(spark,
+        dir, w))
+    if (manifests.exists(_.isEmpty)) return recover()
+    val parsed = manifests.flatMap(_.get.keys)
+      .filter(_.startsWith(sub + "/"))
+      .map { rel =>
+        val segs = rel.stripPrefix(sub + "/").split("/").dropRight(1)
+        if (segs.length == partCols.length &&
+            segs.iterator.zip(partCols.iterator)
+              .forall { case (s, c) => s.startsWith(c + "=") })
+          Some(segs.toSeq)
+        else None
+      }
+    // ANY key in an unexpected layout voids the whole derivation — a
+    // silent partial registration would under-read; the listing is the
+    // safe fallback
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) return recover()
+    val parts = parsed.map(_.get).distinct
+    // directory names are Hive-escaped: unescape and quote so the
+    // catalog stores true values and re-derives locations itself (the
+    // appendWaveStaged registration rationale, r16 advisor)
+    val specs = parts.map(_.map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      val lit = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(v)
+        .replace("\\", "\\\\").replace("'", "\\'")
+      s"$k='$lit'"
+    }.mkString("PARTITION (", ", ", ")"))
+    spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
+      specs.mkString(" "))
   }
 
   /** Register an existing [[writeBucketedExternal]] artifact in `spark`'s
@@ -328,6 +384,22 @@ object Bucketing {
       new org.apache.hadoop.fs.Path(s"$dir/_quar_$wave"))
   }
 
+  /** Reverse a [[quarantineWave]] — `_quar_W` renames back to
+    * `_wave_W`, restoring the wave to the committed set (probes serve it
+    * again from their next horizon resolve). For the
+    * accidentally-quarantined HEALTHY wave; restoring a wave whose
+    * audit found missing keys just resurfaces the data loss (the audit
+    * will flag it again). Same single-object atomic move as the
+    * quarantine itself. */
+  def unquarantineWave(spark: SparkSession, dir: String, wave: Int): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/_quar_$wave")
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(src),
+      s"wave $wave is not quarantined under $dir — nothing to restore")
+    renameWithRetry(fs, src,
+      new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave"))
+  }
+
   /** Waves quarantined under `dir` (sorted; see [[quarantineWave]]). */
   def quarantinedWaves(spark: SparkSession, dir: String): Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -466,8 +538,17 @@ object Bucketing {
     * when the marker carries a manifest body, None for an empty
     * marker-mode file or a missing marker. */
   def waveManifest(spark: SparkSession, dir: String,
-      wave: Int): Option[Map[String, Long]] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_wave_$wave")
+      wave: Int): Option[Map[String, Long]] =
+    manifestAt(spark, s"$dir/_wave_$wave")
+
+  /** [[waveManifest]] for a QUARANTINED wave's retained marker. */
+  def quarantinedManifest(spark: SparkSession, dir: String,
+      wave: Int): Option[Map[String, Long]] =
+    manifestAt(spark, s"$dir/_quar_$wave")
+
+  private def manifestAt(spark: SparkSession,
+      marker: String): Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(marker)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p) || fs.getFileStatus(p).getLen == 0L) None
     else {

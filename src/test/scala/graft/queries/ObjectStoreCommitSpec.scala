@@ -278,6 +278,17 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(fs.exists(new org.apache.hadoop.fs.Path(
         s"$d/shingles/wave=1")), "quarantined files gone")
 
+      // the reverse lever: restore puts the wave back in the committed
+      // set (an accidental quarantine is one marker move away from
+      // undone), and the audit re-flags the missing key — then
+      // re-quarantine for the real recovery below
+      Bucketing.unquarantineWave(spark, d, 1)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0, 1))
+      assert(Bucketing.verifyWaveManifests(spark, d)
+        .exists(a => a.wave == 1 && a.missing == Seq(victim)))
+      Bucketing.quarantineWave(spark, d, 1)
+      assert(Bucketing.committedWaves(spark, d) == Seq(0))
+
       // RECOVERY: the content left the committed horizon, so re-ingest
       // from source is admitted as novel and serves again
       DedupIndex.append(batch, "doc_id", "text", prefix)
@@ -292,6 +303,55 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(Bucketing.quarantinedWaves(spark, out).isEmpty)
       assert(probe().forall(_._2 == "exact_dup"),
         "compaction lost the recovered content")
+    }
+  }
+
+  test("attach derives partitions from wave manifests — no listing walk, quarantine-aware") {
+    withManifestMos {
+      val local = java.nio.file.Files.createTempDirectory("mos_att").toString
+      val d = "mos://" + local
+      DedupIndex.build(docs.filter(col("doc_id") % 10 =!= 3).limit(60),
+        "doc_id", "text", d, prefix = "mos_att1")
+      val batch = docs.filter(col("doc_id") % 40 === 3).limit(5)
+        .select((col("doc_id") + 950000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      DedupIndex.append(batch, "doc_id", "text", "mos_att1") // wave 1
+      val twins = batch.select((col("doc_id") + 50000L).as("doc_id"),
+        col("text")).localCheckpoint(true)
+      def probe(pfx: String) = DedupIndex
+        .incrementalDedup(twins, "doc_id", "text", pfx)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val v1 = probe("mos_att1")
+      assert(v1.forall(_._2 == "exact_dup"), s"fixture: $v1")
+
+      // DISCRIMINATOR: an abandoned (uncommitted) wave directory — the
+      // listing-based RECOVER would register its partitions; the
+      // manifest derivation must not see it
+      val junk = new java.io.File(s"$local/hashes/wave=9/pch=0")
+      assert(junk.mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(junk, "part-junk.parquet").toPath,
+        Array[Byte](1, 2, 3))
+
+      // fresh-prefix attach (a new session's catalog shape): partitions
+      // come from the manifests — committed waves only, probes identical
+      DedupIndex.attach(spark, d, "mos_att2")
+      assert(Bucketing.catalogWaves(spark, "mos_att2_hashes") == Set(0, 1),
+        "manifest-derived partitions must cover exactly the committed " +
+          s"waves: ${Bucketing.catalogWaves(spark, "mos_att2_hashes")}")
+      assert(probe("mos_att2") == v1, "manifest-attached probe diverged")
+
+      // quarantined waves' retained manifests register too: an attach
+      // taken DURING quarantine serves the wave the moment it is
+      // restored — no re-attach, no recover
+      Bucketing.quarantineWave(spark, d, 1)
+      DedupIndex.attach(spark, d, "mos_att3")
+      assert(Bucketing.catalogWaves(spark, "mos_att3_hashes") == Set(0, 1))
+      assert(probe("mos_att3").forall(_._2 == "new"),
+        "a quarantined wave served through a fresh attach")
+      Bucketing.unquarantineWave(spark, d, 1)
+      assert(probe("mos_att3") == v1,
+        "restored wave not serving through the quarantine-time attach")
     }
   }
 
