@@ -159,8 +159,12 @@ object Bucketing {
         .replace("\\", "\\\\").replace("'", "\\'")
       s"$k='$lit'"
     }.mkString("PARTITION (", ", ", ")"))
-    spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
-      specs.mkString(" "))
+    // batched: one statement per 1000 specs — a max-grain index is 65536
+    // partitions × waves, and a single multi-MB ALTER statement trades
+    // parser wall for nothing
+    specs.grouped(1000).foreach(g =>
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
+        g.mkString(" ")))
   }
 
   /** Register an existing [[writeBucketedExternal]] artifact in `spark`'s
