@@ -98,7 +98,14 @@ final class ServingServer(spark: SparkSession,
     * cap alone bounded element COUNT only after the whole body was
     * buffered and tree-parsed, so one huge row (or deep padding) still
     * allocated unboundedly on the driver before any check (r17 advisor)
-    * — the byte cap closes that half, before Jackson sees a byte. */
+    * — the byte cap closes that half, before Jackson sees a byte.
+    *
+    * On a cap trip the remaining bytes are DRAINED (bounded) and the
+    * stream closed before the 413 goes out: com.sun.net.httpserver resets
+    * the connection on an unread request body, so a client still writing
+    * could otherwise never read the 413 that tells it why (r18 advisor).
+    * The drain is bounded — a client streaming forever still gets cut,
+    * just without the courtesy status. */
   private def body(ex: HttpExchange): String = {
     val in = ex.getRequestBody
     val out = new java.io.ByteArrayOutputStream()
@@ -106,10 +113,20 @@ final class ServingServer(spark: SparkSession,
     var n = in.read(buf)
     while (n >= 0) {
       out.write(buf, 0, n)
-      if (out.size() > maxBodyBytes)
+      if (out.size() > maxBodyBytes) {
+        var drained = 0L
+        try {
+          var d = in.read(buf)
+          while (d >= 0 && drained < ServingServer.DrainCapBytes) {
+            drained += d
+            d = in.read(buf)
+          }
+          in.close()
+        } catch { case _: java.io.IOException => () } // best-effort drain
         throw new PayloadTooLarge(
           s"request body exceeds $maxBodyBytes bytes — split the epoch " +
             "into smaller requests (each appends its own wave)")
+      }
       n = in.read(buf)
     }
     new String(out.toByteArray, StandardCharsets.UTF_8)
@@ -372,11 +389,14 @@ final class ServingServer(spark: SparkSession,
             400 -> toJson(Map("success" -> false,
               "error" -> Option(e.getMessage).getOrElse("bad request")
                 .take(500)))
-          case e: IllegalStateException =>
-            // guard refusals (live writer lease / reader marker blocking
-            // a retire or maintenance action): the request was
-            // well-formed but conflicts with live state — 409, retryable
-            // after drain/TTL or with force
+          case e: graft.operators.ConflictException =>
+            // guard refusals ONLY (live writer lease / reader marker /
+            // retire grace blocking a destructive action): well-formed
+            // but conflicting with live state — 409, retryable after
+            // drain/TTL/grace or with force. Other IllegalStateExceptions
+            // (stopped SparkContext, writer-storm exhaustion) are
+            // INTERNAL errors and fall through to 500 — the blanket
+            // ISE→409 misreported them as retryable (r18 advisor).
             409 -> toJson(Map("success" -> false,
               "error" -> Option(e.getMessage).getOrElse("conflict")
                 .take(500)))
@@ -403,4 +423,9 @@ object ServingServer {
     * JSON, while bounding what a single request can make the driver
     * buffer. */
   val DefaultMaxBodyBytes: Long = 64L * 1024 * 1024
+
+  /** Bound on the post-413 courtesy drain — enough for any in-flight
+    * client write buffer, far from an unbounded read of a hostile
+    * stream. */
+  val DrainCapBytes: Long = 4L * 1024 * 1024
 }

@@ -2,6 +2,16 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+/** A GUARD REFUSAL: the request was well-formed but conflicts with live
+  * state (a possibly-live writer lease, reader marker, or a too-fresh
+  * stranded prior) — retryable after a drain/TTL/grace, or with force
+  * where the guard allows one. Its own type so API layers can map exactly
+  * these to HTTP 409: a blanket IllegalStateException→409 also caught
+  * stopped-SparkContext and writer-storm-exhaustion errors, misreporting
+  * internal failures as retryable conflicts (r18 advisor). Extends
+  * IllegalStateException so existing catch sites keep working. */
+final class ConflictException(msg: String) extends IllegalStateException(msg)
+
 /** Bucketed-table helpers for co-located joins (SURVEY.md §4 shuffle row;
   * builder directive "repartition/bucketing for co-located joins").
   *
@@ -223,6 +233,24 @@ object Bucketing {
     * spell index locations consistently within a deployment). */
   def samePath(spark: SparkSession, a: String, b: String): Boolean =
     normPath(spark, a) == normPath(spark, b)
+
+  /** True when `a` and `b` name the same location OR one is nested under
+    * the other — the containment form of [[samePath]] the retirement
+    * inventory needs: a compact whose outDir is a SUBDIRECTORY of the old
+    * index root (`/data/idx` → `/data/idx/v2`) records the ancestor in
+    * `_prior`, and a later retire would then recursively delete the live
+    * index — its leases/readers sit under the NESTED dir, not the recorded
+    * root, so the marker guard never fires (r18 advisor, medium). Same
+    * normalization as [[samePath]]; containment is a whole-segment prefix
+    * (`/a/bc` does not overlap `/a/b`). */
+  def pathOverlaps(spark: SparkSession, a: String, b: String): Boolean = {
+    val na = normPath(spark, a)
+    val nb = normPath(spark, b)
+    na._1 == nb._1 && na._2 == nb._2 && {
+      val (pa, pb) = (na._3, nb._3)
+      pa == pb || pa.startsWith(pb + "/") || pb.startsWith(pa + "/")
+    }
+  }
 
   // qualify ONLY scheme-less paths (resolves relative spellings and
   // adds file:): an already-qualified path is compared as written —
@@ -690,7 +718,7 @@ object Bucketing {
     if (!force) {
       val live = liveLeases(spark, dir, writerLiveTtlMs(spark))
       if (live.nonEmpty)
-        throw new IllegalStateException(
+        throw new ConflictException(
           s"$op on $dir refused: possibly-live writer lease(s) " +
             live.map { case (w, a) => s"_lease_$w (${a / 1000}s old)" }
               .mkString("[", ", ", "]") +
@@ -746,14 +774,28 @@ object Bucketing {
     * since the writer last made PROGRESS, not since the whole append
     * began — without it, an append legitimately longer than
     * [[writerLiveTtlMs]] reads as crashed mid-write and a concurrent
-    * maintenance run could compact over it. Object-store note: setTimes
-    * is unsupported on some stores; falls back to a no-op there (the TTL
-    * then bounds the whole append — size the conf accordingly). */
-  def touchLease(spark: SparkSession, dir: String, wave: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_lease_$wave")
+    * maintenance run could compact over it. Object stores without
+    * setTimes heartbeat by OVERWRITE-PUT instead ([[touchMarker]]). */
+  def touchLease(spark: SparkSession, dir: String, wave: Int): Unit =
+    touchMarker(spark, new org.apache.hadoop.fs.Path(s"$dir/_lease_$wave"))
+
+  /** Bump a marker file's mtime — setTimes where the store supports it,
+    * falling back to an overwrite-put of the (empty) marker where it does
+    * not (real object stores: S3A throws on setTimes) — a silent no-op
+    * there meant a reader/writer heartbeating longer than the TTL lost
+    * its liveness protection while still active (r18 advisor). The
+    * overwrite create is race-safe for these markers: the file exists
+    * throughout (no delete window a concurrent [[acquireWave]] could
+    * claim), and marker CONTENT is empty by contract. */
+  private def touchMarker(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Unit = {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try fs.setTimes(p, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () }
+    catch {
+      case _: java.io.IOException | _: UnsupportedOperationException =>
+        try { if (fs.exists(p)) fs.create(p, true).close() }
+        catch { case _: java.io.IOException => () } // best-effort heartbeat
+    }
   }
 
   /** Serialize the PHYSICAL table writes of concurrent same-JVM writers
@@ -1242,11 +1284,20 @@ object Bucketing {
     * in place (same prefix). Any chain `priorDir` itself carried rides
     * along, so A→B→C leaves C knowing about both A and B. Plain
     * overwrite-put (maintenance ops are single-writer by the quiesce
-    * contract, and the file is advisory inventory, not a commit object). */
+    * contract, and the file is advisory inventory, not a commit object).
+    *
+    * A prior that CONTAINS (or is contained by) the live dir is never
+    * recorded — a compact into a subdirectory of the old root would
+    * otherwise inventory an ancestor of the live index, and retiring it
+    * would recursively delete the live data the guard markers (which sit
+    * under the nested dir, not the recorded root) cannot protect (r18
+    * advisor). Such a nested layout keeps its old copy until an operator
+    * deletes the SIBLING content by hand — a storage leak beats a
+    * self-delete. */
   def recordPriorLocation(spark: SparkSession, dir: String,
       priorDir: String): Unit = {
     val chain = (priorLocations(spark, priorDir) :+ priorDir)
-      .filterNot(p => samePath(spark, p, dir)).distinct
+      .filterNot(p => pathOverlaps(spark, p, dir)).distinct
     writePriors(spark, dir, chain)
   }
 
@@ -1279,14 +1330,12 @@ object Bucketing {
     token
   }
 
-  /** Heartbeat a [[registerReader]] marker (no-op where setTimes is
-    * unsupported — the TTL then bounds the whole read session). */
-  def touchReader(spark: SparkSession, dir: String, token: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_reader_$token")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    try fs.setTimes(p, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () }
-  }
+  /** Heartbeat a [[registerReader]] marker — setTimes, with the
+    * overwrite-put fallback on stores without it ([[touchMarker]]): a
+    * replica reading longer than [[writerLiveTtlMs]] keeps its retire
+    * protection on object stores too. */
+  def touchReader(spark: SparkSession, dir: String, token: String): Unit =
+    touchMarker(spark, new org.apache.hadoop.fs.Path(s"$dir/_reader_$token"))
 
   /** Drop a [[registerReader]] marker. */
   def unregisterReader(spark: SparkSession, dir: String,
@@ -1310,21 +1359,58 @@ object Bucketing {
     }
   }
 
+  /** The minimum-stranded-age grace for [[retirePriors]], from
+    * `spark.graft.retireGraceMs` (default = [[writerLiveTtlMs]]): a prior
+    * must have been stranded at least this long before ANY retire — force
+    * included — may delete it. The marker guards below are cooperative
+    * (readers opt in), so a just-flipped catalog could otherwise lose the
+    * copy an unregistered replica is still serving mid-rollover to a
+    * hasty `force = true` (r18 verdict item 3); the age gate is the one
+    * protection independent of markers. Set the conf to 0 to disable. */
+  def retireGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.retireGraceMs")
+      .map(_.toLong).getOrElse(writerLiveTtlMs(spark))
+
   /** RETIRE every stranded prior location recorded under `dir/_prior`:
     * the guarded grace-period delete that stops compact/rebuild doubling
-    * index storage forever. Refuses LOUDLY — retiring nothing — when any
-    * prior still has a writer lease or reader marker younger than
-    * [[writerLiveTtlMs]] (a replica may still be serving off it);
-    * `force = true` (the operator asserting nothing reads the old copy)
-    * or waiting out the TTL proceeds. Returns the deleted locations and
-    * rewrites `_prior` to empty. Safe against the live index by
-    * construction: the current `dir` is never in its own prior list
-    * ([[recordPriorLocation]] filters it). */
+    * index storage forever. Refuses LOUDLY — retiring nothing — when
+    *
+    *   - the priors have been stranded for less than [[retireGraceMs]]
+    *     (measured from the `_prior` inventory's mtime = the latest
+    *     catalog flip): NOT overridable by `force` — the grace is the
+    *     only guard an unregistered replica gets (lower the conf to
+    *     shorten it deliberately);
+    *   - any prior still has a writer lease or reader marker younger
+    *     than [[writerLiveTtlMs]] (a replica may still be serving off
+    *     it); `force = true` (the operator asserting nothing reads the
+    *     old copy) or waiting out the TTL proceeds.
+    *
+    * Returns the deleted locations and rewrites `_prior` to empty. Safe
+    * against the live index by construction: nothing overlapping the
+    * current `dir` — itself, an ancestor, or a descendant — is ever in
+    * its own prior list ([[recordPriorLocation]] filters; the filter here
+    * is the belt for hand-written inventories). */
   def retirePriors(spark: SparkSession, dir: String,
       force: Boolean = false): Seq[String] = {
     val priors = priorLocations(spark, dir)
-      .filterNot(p => samePath(spark, p, dir)) // belt: never self-delete
+      .filterNot(p => pathOverlaps(spark, p, dir)) // belt: never self-delete
     if (priors.isEmpty) return Nil
+    val grace = retireGraceMs(spark)
+    if (grace > 0) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_prior")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val age = math.max(0L,
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+      if (age < grace)
+        throw new ConflictException(
+          s"retire of ${priors.size} prior location(s) under $dir " +
+            s"refused: stranded only ${age / 1000}s — less than the " +
+            s"${grace / 1000}s minimum-stranded-age grace " +
+            "(spark.graft.retireGraceMs; not overridable by force: an " +
+            "unregistered replica may still serve the old copy " +
+            "mid-rollover). Wait out the grace or lower the conf " +
+            "deliberately.")
+    }
     if (!force) {
       val ttl = writerLiveTtlMs(spark)
       val blockers = priors.flatMap { p =>
@@ -1334,7 +1420,7 @@ object Bucketing {
             s"$p/_reader_$t (${a / 1000}s old)" }
       }
       if (blockers.nonEmpty)
-        throw new IllegalStateException(
+        throw new ConflictException(
           s"retire of ${priors.size} prior location(s) under $dir " +
             "refused: possibly-live writer lease(s) / reader marker(s) " +
             blockers.mkString("[", ", ", "]") +

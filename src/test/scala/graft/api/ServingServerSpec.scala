@@ -357,6 +357,13 @@ class ServingServerSpec extends SparkSpec {
       // stats surface the stranded prior over HTTP
       val (s0, b0) = at("GET", "/api/v1/serving/dedup/stats", None)
       assert(s0 == 200 && b0.contains("rq_txt_a"), b0)
+      // a JUST-stranded prior: the minimum-stranded-age grace answers 409
+      // before any marker is even consulted (RetireSpec owns the full
+      // grace semantics; here it proves the REST mapping)
+      val (sg, bg) = at("POST", "/api/v1/serving/dedup/retire",
+        Some("""{"force": true}"""))
+      assert(sg == 409 && bg.contains("minimum-stranded-age"), s"$sg $bg")
+      spark.conf.set("spark.graft.retireGraceMs", "0")
       // a live reader on the old copy: retire answers 409, nothing deleted
       val token = Bucketing.registerReader(spark, a)
       val (s1, b1) = at("POST", "/api/v1/serving/dedup/retire", Some("{}"))
@@ -379,7 +386,10 @@ class ServingServerSpec extends SparkSpec {
       val (s4, b4) = at("POST", "/api/v1/serving/dedup/quarantine",
         Some("""{"wave": 77}"""))
       assert(s4 == 400, s"$s4 $b4")
-    } finally srv.stop()
+    } finally {
+      spark.conf.unset("spark.graft.retireGraceMs")
+      srv.stop()
+    }
   }
 
   /** Post-GC used heap, stabilized (FinOpsServerScaleSpec's meter). */

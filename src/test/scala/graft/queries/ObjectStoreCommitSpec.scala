@@ -414,4 +414,39 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(knn.nonEmpty)
     }
   }
+
+  test("lease/reader heartbeats survive a store without setTimes (overwrite-put fallback)") {
+    // real object stores cannot mutate mtime (S3A throws on setTimes) —
+    // the mos:// mock now rejects it too, so this arm proves the
+    // overwrite-put fallback keeps liveness protection alive there: a
+    // silent no-op meant any reader/writer outliving the TTL lost its
+    // guard while still active (r18 advisor)
+    withManifestMos {
+      val d = "mos://" +
+        java.nio.file.Files.createTempDirectory("mos_beat").toString
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // the mock really rejects setTimes (otherwise this test proves nothing)
+      intercept[java.io.IOException](fs.setTimes(
+        new org.apache.hadoop.fs.Path(s"$d/x"), 0L, -1L))
+      val w = Bucketing.acquireWave(spark, d, Seq("hashes"))
+      val token = Bucketing.registerReader(spark, d)
+      Thread.sleep(1100) // FS mtime granularity
+      val leaseAgeBefore = Bucketing.leaseAges(spark, d).head._2
+      val readerAgeBefore = Bucketing.readerAges(spark, d).head._2
+      assert(leaseAgeBefore >= 1000 && readerAgeBefore >= 1000)
+      Bucketing.touchLease(spark, d, w)
+      Bucketing.touchReader(spark, d, token)
+      val leaseAge = Bucketing.leaseAges(spark, d).head._2
+      val readerAge = Bucketing.readerAges(spark, d).head._2
+      assert(leaseAge < 1000 && readerAge < 1000,
+        s"heartbeat did not bump mtime on a setTimes-less store: " +
+          s"lease $leaseAgeBefore->$leaseAge, " +
+          s"reader $readerAgeBefore->$readerAge")
+      // the markers still exist and still gate (no delete window)
+      assert(Bucketing.liveLeases(spark, d, 60000L).map(_._1) == Seq(w))
+      Bucketing.releaseWave(spark, d, w)
+      Bucketing.unregisterReader(spark, d, token)
+    }
+  }
 }

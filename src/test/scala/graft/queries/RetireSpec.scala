@@ -25,7 +25,15 @@ class RetireSpec extends SparkSpec {
     path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
   }
 
-  test("text: compact records the stranded prior; retire is guarded by readers and leases, then deletes; probes unaffected") {
+  /** Most arms test the MARKER guards, not the stranded-age grace (its
+    * own test below) — disable the grace so a just-compacted prior is
+    * immediately retirable once unblocked. */
+  private def withRetireGrace0[A](body: => A): A = {
+    spark.conf.set("spark.graft.retireGraceMs", "0")
+    try body finally spark.conf.unset("spark.graft.retireGraceMs")
+  }
+
+  test("text: compact records the stranded prior; retire is guarded by readers and leases, then deletes; probes unaffected") { withRetireGrace0 {
     val a = java.nio.file.Files.createTempDirectory("ret_txt_a").toString
     val b = java.nio.file.Files.createTempDirectory("ret_txt_b").toString
     val prefix = "ret_txt"
@@ -78,9 +86,9 @@ class RetireSpec extends SparkSpec {
     // location serves the SAME verdicts
     DedupIndex.attach(spark, b, prefix)
     assert(probe() == before, "retire changed live verdicts")
-  }
+  } }
 
-  test("chained compacts carry the stranded inventory forward; one retire reclaims the whole chain") {
+  test("chained compacts carry the stranded inventory forward; one retire reclaims the whole chain") { withRetireGrace0 {
     val a = java.nio.file.Files.createTempDirectory("ret_ch_a").toString
     val b = java.nio.file.Files.createTempDirectory("ret_ch_b").toString
     val c = java.nio.file.Files.createTempDirectory("ret_ch_c").toString
@@ -96,9 +104,9 @@ class RetireSpec extends SparkSpec {
     val retired = DedupIndex.retirePrior(spark, prefix)
     assert(retired.size == 2 && !exists(a) && !exists(b), s"$retired")
     assert(Bucketing.priorLocations(spark, c).isEmpty)
-  }
+  } }
 
-  test("vector: rebuild records the prior; retire deletes it with knn/verdict parity") {
+  test("vector: rebuild records the prior; retire deletes it with knn/verdict parity") { withRetireGrace0 {
     val a = java.nio.file.Files.createTempDirectory("ret_vec_a").toString
     val b = java.nio.file.Files.createTempDirectory("ret_vec_b").toString
     val prefix = "ret_vec"
@@ -125,7 +133,7 @@ class RetireSpec extends SparkSpec {
     assert(retired.size == 1 && !exists(a), s"$retired")
     assert(VectorIndex.stats(spark, prefix).priorDirs.isEmpty)
     assert(serve() == before, "retire changed vector serving")
-  }
+  } }
 
   test("a reused output directory does not inherit a past experiment's prior inventory") {
     // retire acting on a STALE _prior from an earlier failed run could
@@ -147,5 +155,59 @@ class RetireSpec extends SparkSpec {
       s"stale inventory survived the rewrite: $priors")
     assert(Bucketing.readerAges(spark, out).isEmpty,
       "stale reader marker survived the rewrite")
+  }
+
+  test("minimum-stranded-age grace refuses a fresh retire — even forced — until the inventory ages") {
+    // r18 verdict item 3: reader markers are opt-in, so force could
+    // delete the copy an UNREGISTERED replica still serves mid-rollover;
+    // the stranded-age grace (default = writerLiveTtlMs) is the one
+    // guard independent of markers, and force does not override it
+    val a = java.nio.file.Files.createTempDirectory("ret_gr_a").toString
+    val b = java.nio.file.Files.createTempDirectory("ret_gr_b").toString
+    val prefix = "ret_gr"
+    DedupIndex.build(docs.limit(30), "doc_id", "text", a, prefix = prefix)
+    DedupIndex.compact(spark, b, prefix)
+    val e = intercept[graft.operators.ConflictException](
+      DedupIndex.retirePrior(spark, prefix, force = true))
+    assert(e.getMessage.contains("minimum-stranded-age") && exists(a),
+      e.getMessage)
+    // age the inventory past the grace (the catalog flip happened long
+    // ago) — the same forced retire now proceeds
+    val p = new org.apache.hadoop.fs.Path(s"$b/_prior")
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .setTimes(p, System.currentTimeMillis() -
+        Bucketing.retireGraceMs(spark) - 1000L, -1)
+    val retired = DedupIndex.retirePrior(spark, prefix, force = true)
+    assert(retired.size == 1 && !exists(a), s"$retired")
+  }
+
+  test("a compact nested under the old root never records the ancestor; retire never deletes an overlapping prior") {
+    // r18 advisor (medium): /data/idx -> /data/idx/v2 would inventory an
+    // ANCESTOR of the live index — retiring it recursively deletes the
+    // live data, and the marker guards sit under the nested dir where
+    // they never fire. Both ends now filter containment.
+    val a = java.nio.file.Files.createTempDirectory("ret_ov_a").toString
+    val nested = s"$a/v2"
+    val prefix = "ret_ov"
+    DedupIndex.build(docs.limit(30), "doc_id", "text", a, prefix = prefix)
+    DedupIndex.compact(spark, nested, prefix)
+    assert(Bucketing.priorLocations(spark, nested).isEmpty,
+      "ancestor of the live dir was recorded as a retirable prior")
+    // belt: a hand-written inventory naming the ancestor is skipped too
+    val fs = new org.apache.hadoop.fs.Path(nested)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val inv = new org.apache.hadoop.fs.Path(s"$nested/_prior")
+    val os = fs.create(inv, true)
+    os.write(a.getBytes("UTF-8")); os.close()
+    spark.conf.set("spark.graft.retireGraceMs", "0")
+    try {
+      assert(Bucketing.retirePriors(spark, nested, force = true).isEmpty)
+      assert(exists(nested) && exists(a), "retire deleted the live index")
+    } finally spark.conf.unset("spark.graft.retireGraceMs")
+    // the normalized containment check itself, both directions + non-overlap
+    assert(Bucketing.pathOverlaps(spark, a, nested))
+    assert(Bucketing.pathOverlaps(spark, nested, a))
+    assert(!Bucketing.pathOverlaps(spark, s"${a}x", a),
+      "sibling with a shared string prefix must not read as nested")
   }
 }

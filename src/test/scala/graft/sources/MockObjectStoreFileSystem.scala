@@ -71,6 +71,16 @@ class MockObjectStoreFileSystem extends MockRemoteFileSystem {
           "+ a manifest commit (spark.graft.append.staging=manifest)")
     super.rename(src, dst)
   }
+
+  /** Object stores have no mtime mutation (S3A throws) — rejecting it
+    * here is what lets specs exercise the heartbeat fallback
+    * (`Bucketing.touchMarker`'s overwrite-put): on the RawLocal-backed
+    * mock, setTimes would otherwise silently succeed and no test could
+    * catch a store-real liveness regression (r18 advisor). */
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    throw new java.io.IOException(
+      s"mos:// does not support setTimes (object stores cannot mutate " +
+        s"mtime): $p — heartbeat by overwrite-put instead")
 }
 
 /** [[MockObjectStoreFileSystem]] that additionally THROTTLES the publish
