@@ -642,9 +642,10 @@ object Bucketing {
           f.getName.matches("_lease_\\d+") ||
           f.getName.startsWith(".stage_") ||
           // a reused output dir must not inherit a past experiment's
-          // stranded-prior inventory (retire would delete live dirs) or
-          // reader markers — the new history starts empty
-          f.getName == "_prior" || f.getName.startsWith("_reader_"))
+          // stranded-prior inventory (retire would delete live dirs),
+          // reader markers, or carry ledger — the new history starts empty
+          f.getName == "_prior" || f.getName.startsWith("_reader_") ||
+          f.getName == "_carried")
         .foreach(fs.delete(_, true))
   }
 
@@ -1437,6 +1438,230 @@ object Bucketing {
     }
     writePriors(spark, dir, priors.filterNot(retired.contains))
     retired
+  }
+
+  // ---- wave carry-over (the online-compact transition machinery) -------
+  //
+  // compact/rebuild used to requireQuiesced: a full-index rewrite at
+  // 100 TB is HOURS of halted ingest per maintenance cycle — the last
+  // stop-the-world in the design (r18 verdict item 1). The wave set
+  // already provides consistent-snapshot semantics (as-of-wave reads
+  // prove it), so a compact can fold committed waves ≤ a chosen horizon H
+  // into the fresh location while writers KEEP APPENDING waves > H at the
+  // old one; those waves are then CARRIED over — per-file copies (the
+  // object-store-legal primitive; committed waves are immutable, so the
+  // copy races nothing) published under the marker protocol at the new
+  // location, atomically one wave at a time. A `_carried` ledger at the
+  // new dir records the horizon and every fromWave→toWave mapping, so
+  // catch-up carries are idempotent across calls and sessions. Wave
+  // numbers are preserved when free and REMAPPED via the lease protocol
+  // on collision (a writer already appending at the new location), so
+  // carried history and new ingest interleave safely.
+
+  /** Parse `toDir/_carried`: (fromDir, horizon, fromWave→toWave). None
+    * when the dir has no carry ledger (not a horizon-compact target). */
+  def readCarryLedger(spark: SparkSession,
+      dir: String): Option[(String, Int, Map[Int, Int])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_carried")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      val lines = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      if (!lines.headOption.exists(_.startsWith("graft-carry"))) None
+      else {
+        val from = lines.collectFirst {
+          case l if l.startsWith("from=") => l.stripPrefix("from=") }
+        val upTo = lines.collectFirst {
+          case l if l.startsWith("upTo=") => l.stripPrefix("upTo=").toInt }
+        val mapping = lines.drop(1).filter(_.contains("\t")).map { l =>
+          val Array(a, b) = l.split("\t", 2)
+          a.toInt -> b.toInt
+        }.toMap
+        for (f <- from; u <- upTo) yield (f, u, mapping)
+      }
+    }
+  }
+
+  /** (Re)write the carry ledger wholesale — single-maintenance-writer
+    * context (the compact that created it / its catch-up calls), so a
+    * plain overwrite-put is the right primitive, like `_prior`. */
+  def writeCarryLedger(spark: SparkSession, dir: String, fromDir: String,
+      upTo: Int, mapping: Seq[(Int, Int)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_carried")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val body = (Seq("graft-carry v1", s"from=$fromDir", s"upTo=$upTo") ++
+      mapping.sortBy(_._1).map { case (a, b) => s"$a\t$b" }).mkString("\n")
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** CLAIM a wave number at `toDir` for a carried wave: the source number
+    * when it is free (history keeps its numbering — as-of-wave probes
+    * stay meaningful across the carry), else a fresh number from the
+    * ordinary lease protocol (a writer already appending at `toDir` took
+    * it — the remap case). Either way the returned number is LEASED;
+    * release after the carried marker commits. */
+  def claimCarryWave(spark: SparkSession, toDir: String, subs: Seq[String],
+      desired: Int): Int = {
+    val fs = new org.apache.hadoop.fs.Path(toDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val taken = committedWaves(spark, toDir).toSet ++
+      quarantinedWaves(spark, toDir) ++
+      leasedWaves(spark, toDir) ++
+      (0 to maxStagedWave(spark, toDir, subs))
+    if (!taken.contains(desired) && createNoOverwrite(fs,
+        new org.apache.hadoop.fs.Path(s"$toDir/_lease_$desired")))
+      desired
+    else acquireWave(spark, toDir, subs)
+  }
+
+  /** COPY one committed wave's data files `fromDir` → `toDir` under the
+    * (possibly remapped) number `toWave` — per-file copies, bounded-pool
+    * parallel like every publish fan-out; committed waves are immutable,
+    * so the copy is race-free against live writers, and NOTHING at
+    * `toDir` is visible until [[commitCarriedWave]] lands the marker.
+    * Returns, per sub, the partition directory paths RELATIVE to the wave
+    * dir ("" for unpartitioned-below-wave tables) — exactly what
+    * [[registerWavePartitions]] needs, with no extra listing. */
+  def copyWaveFiles(spark: SparkSession, fromDir: String, toDir: String,
+      fromWave: Int, toWave: Int): Map[String, Set[String]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fromRoot = new org.apache.hadoop.fs.Path(fromDir)
+    val ffs = fromRoot.getFileSystem(conf)
+    val tfs = new org.apache.hadoop.fs.Path(toDir).getFileSystem(conf)
+    val out = scala.collection.mutable.Map.empty[String, Set[String]]
+    val copies = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+    ffs.listStatus(fromRoot)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+        && !st.getPath.getName.startsWith("_"))
+      .foreach { sub =>
+        val wd = new org.apache.hadoop.fs.Path(sub.getPath,
+          s"wave=$fromWave")
+        if (ffs.exists(wd)) {
+          val wdUri = ffs.makeQualified(wd).toUri
+          val parts = scala.collection.mutable.Set.empty[String]
+          listFileStatuses(ffs, wd).foreach { st =>
+            val f = st.getPath
+            if (!f.getName.startsWith(".") && !f.getName.startsWith("_")) {
+              val rel = wdUri.relativize(ffs.makeQualified(f).toUri).getPath
+              val relDir = rel.lastIndexOf('/') match {
+                case -1 => ""
+                case i => rel.substring(0, i)
+              }
+              parts += relDir
+              copies += ((f, new org.apache.hadoop.fs.Path(
+                s"$toDir/${sub.getPath.getName}/wave=$toWave/$rel")))
+            }
+          }
+          if (parts.nonEmpty) out(sub.getPath.getName) = parts.toSet
+        }
+      }
+    def copyOne(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      tfs.mkdirs(dst.getParent)
+      // overwrite = true: a crashed earlier carry of THIS wave left a
+      // partial uncommitted file set — invisible garbage the retry
+      // overwrites in place
+      org.apache.hadoop.fs.FileUtil.copy(ffs, src, tfs, dst, false, true,
+        conf)
+    }
+    if (copies.size <= 1) copies.foreach { case (s, d) => copyOne(s, d) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(copies.size, MovePoolThreads))
+      try {
+        val fs2 = copies.map { case (s, d) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = copyOne(s, d)
+          })
+        }
+        fs2.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    out.toMap
+  }
+
+  /** Register carried partition directories in `table`'s catalog entry —
+    * batched ALTER ADD, values unescaped/quoted exactly like the append
+    * path's registration. MUST run before the carried marker commits:
+    * a same-session probe between marker and registration would resolve
+    * the wave committed but scan none of its files. */
+  def registerWavePartitions(spark: SparkSession, table: String,
+      toWave: Int, relDirs: Set[String]): Unit = {
+    val specs = relDirs.toSeq.sorted.map { rel =>
+      val extra = rel.split("/").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        val lit = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(v)
+          .replace("\\", "\\\\").replace("'", "\\'")
+        s", $k='$lit'"
+      }.mkString
+      s"PARTITION (wave=$toWave$extra)"
+    }
+    specs.grouped(1000).foreach(g =>
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " + g.mkString(" ")))
+    spark.catalog.refreshTable(table)
+  }
+
+  /** SYNC tombstone part files `fromDir/tombs` → `toDir/tombs` (copy,
+    * never move — the old location keeps serving its readers throughout a
+    * horizon compact). Job-UUID part names are globally unique, so
+    * name-presence is the idempotence check; a takedown landing at the
+    * old location mid-carry reaches the new one on the next sync round.
+    * Returns true when `toDir/tombs` has any files (⇒ attach a table). */
+  def syncTombFiles(spark: SparkSession, fromDir: String,
+      toDir: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$fromDir/tombs")
+    val ffs = src.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(s"$toDir/tombs")
+    val tfs = dst.getFileSystem(conf)
+    if (ffs.exists(src)) {
+      val have =
+        if (tfs.exists(dst)) tfs.listStatus(dst).map(_.getPath.getName).toSet
+        else Set.empty[String]
+      val fresh = ffs.listStatus(src).map(_.getPath)
+        .filter(f => f.getName.startsWith("part-") && !have(f.getName))
+      if (fresh.nonEmpty) tfs.mkdirs(dst)
+      fresh.foreach(f => org.apache.hadoop.fs.FileUtil.copy(ffs, f, tfs,
+        new org.apache.hadoop.fs.Path(dst, f.getName), false, true, conf))
+    }
+    tfs.exists(dst) && tfs.listStatus(dst)
+      .exists(_.getPath.getName.startsWith("part-"))
+  }
+
+  /** PUBLISH a carried wave at `toDir`: the marker is copied from the
+    * source — verbatim for empty (rename-mode) markers; manifest bodies
+    * get their `wave=<from>` path segment rewritten to the (possibly
+    * remapped) `wave=<to>`, so [[verifyWaveManifests]] audits the carried
+    * wave exactly as a natively-appended one. Same no-overwrite contract
+    * as [[commitWave]] — the number was leased by [[claimCarryWave]]. */
+  def commitCarriedWave(spark: SparkSession, fromDir: String, toDir: String,
+      fromWave: Int, toWave: Int): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(s"$toDir/_wave_$toWave")
+    val tfs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    val ok = waveManifest(spark, fromDir, fromWave) match {
+      case None => createNoOverwrite(tfs, tp)
+      case Some(listed) =>
+        val entries = listed.toSeq.map { case (rel, sz) =>
+          val remapped = rel.split("/").map(seg =>
+            if (seg == s"wave=$fromWave") s"wave=$toWave" else seg)
+            .mkString("/")
+          s"$sz\t$remapped"
+        }.sorted
+        createNoOverwriteContent(tfs, tp,
+          ("graft-wave-manifest v1" +: entries).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    require(ok,
+      s"carried wave marker $tp already exists — the carry lease was " +
+        "bypassed or the filesystem lacks atomic create-no-overwrite")
   }
 
   /** PREFETCH every data file under `location` through the OS page cache —

@@ -600,11 +600,46 @@ object DedupIndex {
     * writers are known dead or drained. Readers of the OLD location are
     * unaffected throughout. Abandoned (never-committed) waves are
     * physically reclaimed here — they are excluded from the rewrite and
-    * the fresh history starts at wave 0. */
+    * the fresh history starts at wave 0.
+    *
+    * `upToWave` — the WAVE-HORIZON (online) mode (r18 verdict item 1): at
+    * 100 TB a full-index rewrite is hours, and the enforced quiesce above
+    * halts ingest for all of it — the last stop-the-world in the design.
+    * Passing a horizon H folds committed waves ≤ H into `outDir` as a
+    * fresh wave 0 WHILE WRITERS KEEP APPENDING waves > H at the old
+    * location (no quiesce check — waves are immutable once committed and
+    * the fold never reads anything above its snapshot); the > H waves are
+    * then CARRIED over — per-file copies published one marker at a time
+    * under the ordinary wave protocol, numbers preserved when free and
+    * lease-remapped when a writer already appending at `outDir` took one
+    * ([[Bucketing.claimCarryWave]]). The compact's own carry loop runs
+    * until it finds nothing new; waves committed at the OLD location
+    * after it returns reach the new one via [[carryNewWaves]] (the
+    * catch-up — idempotent through the `_carried` ledger) until the
+    * operator redirects writers. Horizon mode differences:
+    * TOMBSTONES are carried, not cleared (deletions stay materialized in
+    * the folded wave 0; carried waves keep honoring the list — so
+    * re-admitting a removed id still needs a FULL compact);
+    * re-graining/re-bucketing is refused (carried waves' partition values
+    * were derived at the source grain — a new grain would silently
+    * mis-prune them); quarantined waves stay behind at the old location
+    * (forensics) exactly as a full compact purges them. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "dedup_idx", outPrefix: String = null,
-      buckets: Int = 0, pvals: Int = 0, force: Boolean = false): Unit = {
-    if (pvalsOf(spark, prefix) > 0)
+      buckets: Int = 0, pvals: Int = 0, force: Boolean = false,
+      upToWave: Int = Int.MaxValue): Unit = {
+    val horizon = upToWave != Int.MaxValue
+    if (horizon) {
+      require(pvalsOf(spark, prefix) > 0,
+        "wave-horizon compact needs the wave-partitioned layout")
+      require(pvals == 0 && buckets <= 0,
+        "wave-horizon compact cannot re-grain or re-bucket: carried " +
+          "waves keep their source-grain partition values, which a new " +
+          "grain would silently mis-prune — run a full (quiesced) " +
+          "compact to re-shape")
+      require(upToWave >= 0, s"upToWave=$upToWave is not a wave horizon")
+    }
+    if (pvalsOf(spark, prefix) > 0 && !horizon)
       Bucketing.requireQuiesced(spark, dirOf(spark, prefix), force,
         "compact")
     // null outPrefix (the default) = in place under `prefix`: a literal
@@ -656,8 +691,9 @@ object DedupIndex {
     // files are physically reclaimed — filter them out, then restart the
     // wave history at 0 in the compacted artifact
     val srcPvals = pvalsOf(spark, prefix)
-    val cws = if (srcPvals > 0)
-      Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
+    val cws = (if (srcPvals > 0)
+      Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil)
+      .filter(_ <= upToWave)
     def liveOf(sub: String): DataFrame = {
       val (src, _, _, _) = tables(prefix).find(_._3 == sub).get
       val committed =
@@ -702,16 +738,75 @@ object DedupIndex {
         Seq((outPvals, outBuckets)).toDF("pvals", "buckets").coalesce(1),
         s"${outPfx}_meta", s"$outDir/meta")
     }
+    val oldDir = new org.apache.hadoop.fs.Path(oldLoc).getParent.toString
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
+    if (horizon) {
+      // carried forward, not cleared: deletions are materialized in the
+      // folded wave 0, but carried (> H) waves — and takedowns landing at
+      // the old location mid-transition — still need the list
+      if (Bucketing.syncTombFiles(spark, oldDir, outDir))
+        Bucketing.attachPlain(spark, s"${outPfx}_tombs", s"$outDir/tombs")
+    }
     if (outPvals > 0) Bucketing.commitWave(spark, outDir, 0)
+    if (horizon) {
+      Bucketing.writeCarryLedger(spark, outDir, oldDir, upToWave, Nil)
+      // carry committed > H waves until a round brings nothing new — a
+      // writer appending DURING this loop lands in a later round; one
+      // committing after the loop exits reaches the new location via the
+      // carryNewWaves catch-up
+      while (carryNewWaves(spark, outPfx).nonEmpty) ()
+    }
     // in-place flip (outPrefix == prefix): the old location is now
     // STRANDED — nobody serves it, nothing deletes it, and at 100 TB each
     // maintenance compact doubles storage until someone does (r17 verdict
     // item 2). Record it (plus any chain it carried) for the guarded
     // [[retirePrior]]; stats/Maintenance surface it until retired.
     if (outPfx == prefix)
-      Bucketing.recordPriorLocation(spark, outDir,
-        new org.apache.hadoop.fs.Path(oldLoc).getParent.toString)
+      Bucketing.recordPriorLocation(spark, outDir, oldDir)
+  }
+
+  /** CATCH-UP carry for a wave-horizon [[compact]]: copies (never moves)
+    * committed waves that landed at the retired source location since the
+    * last carry into the live index — per-file copies registered and then
+    * published one marker at a time, numbers preserved when free and
+    * lease-remapped on collision with a writer already appending here.
+    * Idempotent through the `_carried` ledger (safe to call at any
+    * cadence from any session attached to the live index); also re-syncs
+    * the tombstone list. Returns the (fromWave → toWave) pairs carried
+    * this call; an empty result with quiesced source writers means the
+    * transition is complete — redirect writers and [[retirePrior]] the
+    * old location. */
+  def carryNewWaves(spark: SparkSession,
+      prefix: String = "dedup_idx"): Seq[(Int, Int)] = {
+    val dir = dirOf(spark, prefix)
+    val ledger = Bucketing.readCarryLedger(spark, dir)
+    require(ledger.isDefined,
+      s"$dir has no _carried ledger — not a wave-horizon compact target")
+    val (from, upTo, mapping) = ledger.get
+    if (Bucketing.syncTombFiles(spark, from, dir) &&
+        !spark.catalog.tableExists(s"${prefix}_tombs"))
+      Bucketing.attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
+    else if (spark.catalog.tableExists(s"${prefix}_tombs"))
+      spark.catalog.refreshTable(s"${prefix}_tombs")
+    val pending = Bucketing.committedWaves(spark, from)
+      .filter(_ > upTo).filterNot(mapping.contains)
+    var m = mapping
+    pending.map { w =>
+      val toW = Bucketing.claimCarryWave(spark, dir,
+        Seq("hashes", "bands", "shingles"), w)
+      val parts = Bucketing.copyWaveFiles(spark, from, dir, w, toW)
+      tables(prefix).foreach { case (table, _, sub, _) =>
+        parts.get(sub).foreach(rel =>
+          Bucketing.registerWavePartitions(spark, table, toW, rel))
+      }
+      // marker LAST: a probe between registration and this commit still
+      // resolves a consistent horizon without the carried wave
+      Bucketing.commitCarriedWave(spark, from, dir, w, toW)
+      Bucketing.releaseWave(spark, dir, toW)
+      m = m + (w -> toW)
+      Bucketing.writeCarryLedger(spark, dir, from, upTo, m.toSeq)
+      (w, toW)
+    }
   }
 
   /** RETIRE the stranded prior locations a past in-place [[compact]] left

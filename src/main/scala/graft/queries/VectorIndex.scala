@@ -876,11 +876,35 @@ object VectorIndex {
     * snapshots the committed wave set once — appends/removals committing
     * after the snapshot are not in the output; writer quiesce is ENFORCED
     * (a live lease refuses the compact unless `force = true`). Abandoned
-    * (never-committed) waves are physically reclaimed here. */
+    * (never-committed) waves are physically reclaimed here.
+    *
+    * `upToWave` — the WAVE-HORIZON (online) mode, the
+    * [[DedupIndex.compact]] twin (see there for the full contract):
+    * folds committed waves ≤ H while writers keep appending > H at the
+    * old location (no quiesce check), then carries the > H waves over
+    * under the marker protocol; [[carryNewWaves]] is the catch-up.
+    * Tombstones carry instead of clearing; re-graining is refused
+    * (carried pcell values are source-grain). SOUND for compact because
+    * the model tables ride unchanged — carried waves were encoded with
+    * the SAME frozen centroids/codebooks; [[rebuild]] deliberately has no
+    * horizon mode: it RETRAINS the model, and a carried wave's
+    * bands/codes derived under the old model would silently mis-probe
+    * under the new one. */
   def compact(spark: SparkSession, outDir: String,
       prefix: String = "vec_idx", outPrefix: String = null,
-      pcells: Int = 0, force: Boolean = false): Unit = {
-    if (meta(spark, prefix).pcells > 0)
+      pcells: Int = 0, force: Boolean = false,
+      upToWave: Int = Int.MaxValue): Unit = {
+    val horizon = upToWave != Int.MaxValue
+    if (horizon) {
+      require(meta(spark, prefix).pcells > 0,
+        "wave-horizon compact needs the wave-partitioned layout")
+      require(pcells == 0,
+        "wave-horizon compact cannot re-grain: carried waves keep their " +
+          "source-grain pcell values, which a new grain would silently " +
+          "mis-prune — run a full (quiesced) compact to re-shape")
+      require(upToWave >= 0, s"upToWave=$upToWave is not a wave horizon")
+    }
+    if (meta(spark, prefix).pcells > 0 && !horizon)
       Bucketing.requireQuiesced(spark, dirOf(spark, prefix), force,
         "compact")
     // null outPrefix (the default) = in place under `prefix` (the
@@ -922,8 +946,9 @@ object VectorIndex {
     // crashed-append waves are filtered out here — compaction is where
     // their garbage is physically reclaimed — and the compacted artifact
     // restarts its wave history at 0
-    val cws = if (m.pcells > 0)
-      Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil
+    val cws = (if (m.pcells > 0)
+      Bucketing.committedWaves(spark, dirOf(spark, prefix)) else Nil)
+      .filter(_ <= upToWave)
     def live(table: String, idCol: String) = {
       val sub = table.stripPrefix(s"${prefix}_")
       val committed =
@@ -1020,13 +1045,56 @@ object VectorIndex {
           "pq_m", "pq_ksub", "corpus_rows", "buckets", "pcells")
         .coalesce(1), s"${outPfx}_meta", s"$outDir/meta")
     }
+    val oldDir = new org.apache.hadoop.fs.Path(oldLoc).getParent.toString
     spark.sql(s"DROP TABLE IF EXISTS ${outPfx}_tombs")
+    if (horizon) {
+      // tombstones carry forward ([[DedupIndex.compact]] rationale)
+      if (Bucketing.syncTombFiles(spark, oldDir, outDir))
+        attachPlain(spark, s"${outPfx}_tombs", s"$outDir/tombs")
+    }
     if (outPcells > 0) Bucketing.commitWave(spark, outDir, 0)
+    if (horizon) {
+      Bucketing.writeCarryLedger(spark, outDir, oldDir, upToWave, Nil)
+      while (carryNewWaves(spark, outPfx).nonEmpty) ()
+    }
     // in-place flip: record the stranded old location for the guarded
     // retire ([[DedupIndex.compact]] rationale — r17 verdict item 2)
     if (outPfx == prefix)
-      Bucketing.recordPriorLocation(spark, outDir,
-        new org.apache.hadoop.fs.Path(oldLoc).getParent.toString)
+      Bucketing.recordPriorLocation(spark, outDir, oldDir)
+  }
+
+  /** CATCH-UP carry for a wave-horizon [[compact]] —
+    * [[DedupIndex.carryNewWaves]] twin over the four vector data
+    * tables. */
+  def carryNewWaves(spark: SparkSession,
+      prefix: String = "vec_idx"): Seq[(Int, Int)] = {
+    val dir = dirOf(spark, prefix)
+    val ledger = Bucketing.readCarryLedger(spark, dir)
+    require(ledger.isDefined,
+      s"$dir has no _carried ledger — not a wave-horizon compact target")
+    val (from, upTo, mapping) = ledger.get
+    if (Bucketing.syncTombFiles(spark, from, dir) &&
+        !spark.catalog.tableExists(s"${prefix}_tombs"))
+      attachPlain(spark, s"${prefix}_tombs", s"$dir/tombs")
+    else if (spark.catalog.tableExists(s"${prefix}_tombs"))
+      spark.catalog.refreshTable(s"${prefix}_tombs")
+    val pending = Bucketing.committedWaves(spark, from)
+      .filter(_ > upTo).filterNot(mapping.contains)
+    var m = mapping
+    pending.map { w =>
+      val toW = Bucketing.claimCarryWave(spark, dir, DataSubs, w)
+      val parts = Bucketing.copyWaveFiles(spark, from, dir, w, toW)
+      DataSubs.foreach { sub =>
+        parts.get(sub).foreach(rel =>
+          Bucketing.registerWavePartitions(spark, s"${prefix}_$sub", toW,
+            rel))
+      }
+      Bucketing.commitCarriedWave(spark, from, dir, w, toW)
+      Bucketing.releaseWave(spark, dir, toW)
+      m = m + (w -> toW)
+      Bucketing.writeCarryLedger(spark, dir, from, upTo, m.toSeq)
+      (w, toW)
+    }
   }
 
   /** RETIRE the stranded prior locations past in-place [[compact]]s /
