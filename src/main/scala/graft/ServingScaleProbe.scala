@@ -104,6 +104,8 @@ object ServingScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // -1 = AutoPvals/AutoPcells (autoGrain of the corpus rows at build —
+    // the r19 half-decade point's operating mode; 0 = library defaults)
     val pvals = sys.env.getOrElse("SPARK_GRAFT_PVALS", "0").toInt
     val pcells = sys.env.getOrElse("SPARK_GRAFT_PCELLS", "0").toInt
     // SPARK_GRAFT_REGRAIN=1: compact with AutoPvals/AutoPcells instead of
@@ -130,10 +132,24 @@ object ServingScaleProbe {
     // partitions; a 14-doc pool prunes hard) vs fixed pipeline floor
     val prepSmall = sys.env.get("SPARK_GRAFT_PREP_SMALL").contains("1")
 
+    // SPARK_GRAFT_STATS=1: time stats() per decade in BOTH modes (r19
+    // verdict item 2) — the full aggregate (min of 2), the first folded
+    // call (sidecar backfill, pays the aggregate once), the folded
+    // steady state (min of 2), and the folded call after ONE append (the
+    // base-scan + broadcast-delta merge path) — with a docs/rows parity
+    // assert between the modes at every decade.
+    val statsMode = sys.env.get("SPARK_GRAFT_STATS").contains("1")
+    // SPARK_GRAFT_HOTCELL=1: plant a hot cell on the vector index (10%
+    // of corpus mass perturbed around ONE corpus vector, all landing in
+    // the same cell neighborhood), then measure the skewed probe wall —
+    // a hot-cell-landing batch vs the balanced batch — and stats skew:
+    // the r18 verdict item 4 decision measurement.
+    val hotCell = sys.env.get("SPARK_GRAFT_HOTCELL").contains("1")
+
     val points = decades.map { reps =>
       val rd = buildCorpus(spark, baseDir, work, reps)
-      val tg = if (pvals > 0) s"p$pvals" else ""
-      val vg = if (pcells > 0) s"p$pcells" else ""
+      val tg = if (pvals > 0) s"p$pvals" else if (pvals < 0) "pa" else ""
+      val vg = if (pcells > 0) s"p$pcells" else if (pcells < 0) "pa" else ""
       val tpfx = s"decade_txt_x$reps$tg"
       val vpfx = s"decade_vec_x$reps$vg"
       val tdir = s"$work/$tpfx"
@@ -157,7 +173,9 @@ object ServingScaleProbe {
         if (!new java.io.File(s"$tdir/hashes").exists())
           graft.queries.DedupIndex.build(docCorpus, "doc_id", "text", tdir,
             prefix = tpfx,
-            pvals = if (pvals > 0) pvals else graft.queries.DedupIndex.DefaultPvals)
+            pvals = if (pvals > 0) pvals
+              else if (pvals < 0) graft.queries.DedupIndex.AutoPvals
+              else graft.queries.DedupIndex.DefaultPvals)
         else if (!spark.catalog.tableExists(s"${tpfx}_hashes"))
           graft.queries.DedupIndex.attach(spark, tdir, tpfx)
       }
@@ -165,7 +183,9 @@ object ServingScaleProbe {
         if (!new java.io.File(s"$vdir/meta").exists())
           graft.queries.VectorIndex.build(vecCorpus, "vec_id", "embedding",
             vdir, minCos = 0.9, prefix = vpfx, targetCellRows = 512,
-            pcells = if (pcells > 0) pcells else graft.queries.VectorIndex.DefaultPcells)
+            pcells = if (pcells > 0) pcells
+              else if (pcells < 0) graft.queries.VectorIndex.AutoPcells
+              else graft.queries.VectorIndex.DefaultPcells)
         else if (!spark.catalog.tableExists(s"${vpfx}_meta"))
           graft.queries.VectorIndex.attach(spark, vdir, vpfx)
       }
@@ -178,6 +198,63 @@ object ServingScaleProbe {
       probeText(); probeVec() // warm file listings + codegen
       val tProbe = (1 to 3).map(_ => timed(probeText())._1).min
       val vProbe = (1 to 3).map(_ => timed(probeVec())._1).min
+
+      val statsStr = if (!statsMode) "" else {
+        import graft.queries.{DedupIndex, VectorIndex}
+        def tSt(mode: String): (Double, DedupIndex.IndexStats) = {
+          spark.conf.set("spark.graft.stats.mode", mode)
+          try timed(DedupIndex.stats(spark, tpfx))
+          finally spark.conf.unset("spark.graft.stats.mode")
+        }
+        def vSt(mode: String): (Double, VectorIndex.IndexStats) = {
+          spark.conf.set("spark.graft.stats.mode", mode)
+          try timed(VectorIndex.stats(spark, vpfx))
+          finally spark.conf.unset("spark.graft.stats.mode")
+        }
+        val (tFull1, stFull) = tSt("full")
+        val tFull = math.min(tFull1, tSt("full")._1)
+        val (tFold1, stFold1) = tSt("folded") // sidecar backfill
+        val tFold = math.min(tSt("folded")._1, tSt("folded")._1)
+        require(stFold1.docs == stFull.docs &&
+          stFold1.maxBandBucket == stFull.maxBandBucket,
+          s"text fold parity: $stFold1 vs $stFull")
+        val (vFull1, vstFull) = vSt("full")
+        val vFull = math.min(vFull1, vSt("full")._1)
+        val (vFold1, vstFold1) = vSt("folded")
+        val vFold = math.min(vSt("folded")._1, vSt("folded")._1)
+        require(vstFold1.totalRows == vstFull.totalRows &&
+          vstFold1.maxCellRows == vstFull.maxCellRows,
+          s"vec fold parity: $vstFold1 vs $vstFull")
+        // ONE small append each, then the folded DELTA path (new wave's
+        // sidecar backfill + the base-scan/broadcast-delta merge)
+        val tb = docs.filter(col("doc_id") < RepOff &&
+          col("doc_id") % 7 === 3 && col("doc_id") % 100 >= 2 &&
+          col("doc_id") % 100 < 4)
+          .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        DedupIndex.append(tb, "doc_id", "text", tpfx)
+        val tFoldD1 = tSt("folded")._1 // backfills the appended wave
+        val tFoldD = math.min(tSt("folded")._1, tSt("folded")._1)
+        val (tFullD, stFullD) = tSt("full")
+        require(tSt("folded")._2.docs == stFullD.docs, "delta parity")
+        val vb = embs.filter(col("vec_id") < RepOff &&
+          col("vec_id") % 7 === 3 && col("vec_id") % 100 >= 2 &&
+          col("vec_id") % 100 < 4)
+          .select((col("vec_id") + 90000000L).as("vec_id"),
+            col("embedding")).localCheckpoint(true)
+        VectorIndex.append(vb, "vec_id", "embedding", vpfx)
+        val vFoldD1 = vSt("folded")._1
+        val vFoldD = math.min(vSt("folded")._1, vSt("folded")._1)
+        val (vFullD, vstFullD) = vSt("full")
+        require(vSt("folded")._2.totalRows == vstFullD.totalRows,
+          "vec delta parity")
+        f""","text_stats_full":$tFull%.2f,"text_stats_fold_first":$tFold1%.2f,""" +
+          f""""text_stats_fold":$tFold%.2f,"text_stats_fold_delta_first":$tFoldD1%.2f,""" +
+          f""""text_stats_fold_delta":$tFoldD%.2f,"text_stats_full_delta":$tFullD%.2f,""" +
+          f""""vec_stats_full":$vFull%.2f,"vec_stats_fold_first":$vFold1%.2f,""" +
+          f""""vec_stats_fold":$vFold%.2f,"vec_stats_fold_delta_first":$vFoldD1%.2f,""" +
+          f""""vec_stats_fold_delta":$vFoldD%.2f,"vec_stats_full_delta":$vFullD%.2f"""
+      }
 
       val (tCompact, _) = timed {
         graft.queries.DedupIndex.compact(spark,
@@ -202,6 +279,43 @@ object ServingScaleProbe {
       val vProbeC = (1 to 3).map(_ => timed(probeVecC())._1).min
       val tgvC = graft.queries.DedupIndex.pvalsOf(spark, s"${tpfx}c")
       val vgvC = graft.queries.VectorIndex.meta(spark, s"${vpfx}c").pcells
+
+      val hotStr = if (!hotCell) "" else {
+        import graft.queries.VectorIndex
+        // PLANT a hot cell: 10% of corpus mass perturbed around ONE
+        // corpus vector (σ=0.02/dim, hash-deterministic) — every row
+        // routes to that vector's cell neighborhood and sits inside the
+        // 0.9-cosine near-dup regime, the worst case for both candidate
+        // volume and re-rank width
+        val baseV = vecCorpus.orderBy("vec_id").select("embedding")
+          .head().getSeq[Float](0)
+        val dims = baseV.size
+        val corpusVecRows = vecCorpus.count()
+        val hotN = math.max(1000L, corpusVecRows / 10)
+        def shifted(from: Long, n: Long) = spark.range(n)
+          .select((col("id") + from).as("vec_id"),
+            array((0 until dims).map { j =>
+              (lit(baseV(j).toDouble) +
+                (pmod(xxhash64(col("id") + from, lit(j)), lit(2000L))
+                  .cast("double") / 1000.0 - 1.0) * 0.02).cast("float")
+            }: _*).as("embedding"))
+        val stBefore = VectorIndex.stats(spark, vpfx)
+        VectorIndex.append(shifted(500000000L, hotN), "vec_id",
+          "embedding", vpfx)
+        val stAfter = VectorIndex.stats(spark, vpfx)
+        // hot batch: 6 FRESH samples from the same shifted distribution;
+        // the balanced batch re-measures on the grown index as control
+        val hotBatch = shifted(600000000L, 6).localCheckpoint(true)
+        def probeHot() = VectorIndex.incrementalDedup(hotBatch, "vec_id",
+          "embedding", vpfx, minCos = 0.9).count()
+        probeHot()
+        val tHot = (1 to 3).map(_ => timed(probeHot())._1).min
+        val tBal = (1 to 3).map(_ => timed(probeVec())._1).min
+        f""","hot_mass":$hotN,"cell_skew_before":${stBefore.cellSkew}%.2f,""" +
+          f""""cell_skew_hot":${stAfter.cellSkew}%.2f,""" +
+          f""""max_cell_rows_hot":${stAfter.maxCellRows},""" +
+          f""""vec_probe_hot":$tHot%.3f,"vec_probe_balanced_hot":$tBal%.3f"""
+      }
 
       val prepStr = if (!prepMode) "" else {
         import graft.queries.CorpusPrep

@@ -645,7 +645,11 @@ object Bucketing {
           // stranded-prior inventory (retire would delete live dirs),
           // reader markers, or carry ledger — the new history starts empty
           f.getName == "_prior" || f.getName.startsWith("_reader_") ||
-          f.getName == "_carried")
+          f.getName == "_carried" ||
+          // per-wave stats sidecars are keyed by wave NUMBER — the new
+          // history reuses those numbers, so stale sidecars would be
+          // trusted for waves they never measured ([[WaveStats]])
+          f.getName == "_wavestats")
         .foreach(fs.delete(_, true))
   }
 

@@ -243,9 +243,16 @@ object DedupIndex {
     *     the index (docs sharing a content hash), the dedup-rate
     *     denominator ops dashboards want.
     *
-    * Cost: one aggregate over the band table + tiny counts + driver-side
-    * file listings — a maintenance-cadence operation, not a per-probe
-    * one. */
+    * Cost (r19): the doc/hash/band aggregates fold from PER-WAVE CACHED
+    * sidecars ([[graft.operators.WaveStats]] — waves are immutable, so
+    * each wave's contribution is computed once, wave-pruned, and
+    * persisted under `_wavestats/`): a settled index reads metadata
+    * only; an appended-to index adds one shuffle-free scan of the base
+    * wave's occupancy table — never the full band-table distinct
+    * aggregate (14–30 s at the 5M-doc decade) the pre-r19 path paid per
+    * call. `spark.graft.stats.mode=full` restores that path (the parity
+    * oracle); tombstones, staging ages, priors, and file counts stay
+    * live-computed either way. */
   final case class IndexStats(docs: Long, liveDocs: Long, tombstones: Long,
       distinctHashes: Long, bandBuckets: Long, maxBandBucket: Long,
       meanBandBucket: Double, bandSkew: Double, fileSets: Map[String, Int],
@@ -274,17 +281,46 @@ object DedupIndex {
       if (pvals > 0) spark.table(table)
         .where(col("wave").isin(cws.map(Integer.valueOf): _*))
       else spark.table(table)
-    val docs = committedT(s"${prefix}_shingles")
-      .agg(count_distinct(col("doc_id"))).head().getLong(0)
-    val hashes = committedT(s"${prefix}_hashes")
-      .agg(count_distinct(col("ch"))).head().getLong(0)
-    val occ = committedT(s"${prefix}_bands")
-      .groupBy("b", "h").agg(count_distinct(col("doc_id")).as("n"))
-      .agg(count(lit(1)), max("n"), avg("n")).head()
-    // an empty index (degenerate but attachable) aggregates to nulls
-    val (buckets, maxN, meanN) = (occ.getLong(0),
-      if (occ.isNullAt(1)) 0L else occ.getLong(1),
-      if (occ.isNullAt(2)) 0.0 else occ.getDouble(2))
+    val (docs, hashes, buckets, maxN, meanN) =
+      if (pvals > 0 && graft.operators.WaveStats.mode(spark) == "folded") {
+        val d = dirOf(spark, prefix)
+        // catalog self-heal before computing sidecars: a wave committed
+        // by ANOTHER process prunes out of this session's scans until a
+        // RECOVER ([[appendStaged]] rationale) — and a sidecar computed
+        // over that pruned view would PERSIST zeros for the wave
+        if ({
+          val known = Bucketing.catalogWaves(spark, s"${prefix}_hashes")
+          cws.exists(!known(_))
+        }) tables(prefix).foreach { case (t, _, _, _) =>
+          spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+          spark.catalog.refreshTable(t)
+        }
+        val perWave = cws.map { w =>
+          graft.operators.WaveStats.ensure(spark, d, w,
+            ids = spark.table(s"${prefix}_shingles")
+              .where(col("wave") === w).select("doc_id"),
+            aux = Some(spark.table(s"${prefix}_hashes")
+              .where(col("wave") === w).select("ch")),
+            occ = spark.table(s"${prefix}_bands")
+              .where(col("wave") === w).groupBy("b", "h")
+              .agg(count_distinct(col("doc_id")).as("n")))
+        }
+        val f = graft.operators.WaveStats.fold(spark, d, perWave,
+          Seq("b", "h"))
+        (f.nIds, f.nAux, f.occCnt, f.occMax, f.occMean)
+      } else {
+        val dc = committedT(s"${prefix}_shingles")
+          .agg(count_distinct(col("doc_id"))).head().getLong(0)
+        val hc = committedT(s"${prefix}_hashes")
+          .agg(count_distinct(col("ch"))).head().getLong(0)
+        val occ = committedT(s"${prefix}_bands")
+          .groupBy("b", "h").agg(count_distinct(col("doc_id")).as("n"))
+          .agg(count(lit(1)), max("n"), avg("n")).head()
+        // an empty index (degenerate but attachable) aggregates to nulls
+        (dc, hc, occ.getLong(0),
+          if (occ.isNullAt(1)) 0L else occ.getLong(1),
+          if (occ.isNullAt(2)) 0.0 else occ.getDouble(2))
+      }
     val tombs =
       if (spark.catalog.tableExists(s"${prefix}_tombs"))
         spark.table(s"${prefix}_tombs").count()

@@ -552,18 +552,50 @@ object VectorIndex {
         (Bucketing.committedWaves(spark, d),
           Bucketing.abandonedWaves(spark, d, DataSubs))
       } else (Nil, 0)
-    val cellsT =
-      if (m.pcells > 0) spark.table(s"${prefix}_cells")
-        .where(col("wave").isin(cws.map(Integer.valueOf): _*))
-      else spark.table(s"${prefix}_cells")
-    val occ = cellsT
-      .groupBy("cell").agg(count_distinct(col("vec_id")).as("n"))
-      .agg(sum("n"), count(lit(1)), max("n"), avg("n")).head()
-    // an empty index (degenerate but attachable) aggregates to nulls
-    val (total, nCells, maxN, meanN) = (
-      if (occ.isNullAt(0)) 0L else occ.getLong(0), occ.getLong(1),
-      if (occ.isNullAt(2)) 0L else occ.getLong(2),
-      if (occ.isNullAt(3)) 0.0 else occ.getDouble(3))
+    // r19: fold from per-wave cached sidecars ([[DedupIndex.stats]]
+    // rationale — the cells-table occupancy aggregate was the
+    // data-proportional term); `spark.graft.stats.mode=full` restores
+    // the live aggregate (the parity oracle)
+    val (total, nCells, maxN, meanN) =
+      if (m.pcells > 0 &&
+          graft.operators.WaveStats.mode(spark) == "folded") {
+        val d = dirOf(spark, prefix)
+        // catalog self-heal before computing sidecars: a wave committed
+        // by ANOTHER process prunes out of this session's scans until a
+        // RECOVER, and a sidecar computed over that pruned view would
+        // PERSIST zeros for the wave ([[DedupIndex.stats]] twin)
+        if ({
+          val known = Bucketing.catalogWaves(spark, s"${prefix}_cells")
+          cws.exists(!known(_))
+        }) DataSubs.foreach { sub =>
+          spark.sql(s"ALTER TABLE ${prefix}_$sub RECOVER PARTITIONS")
+          spark.catalog.refreshTable(s"${prefix}_$sub")
+        }
+        val perWave = cws.map { w =>
+          graft.operators.WaveStats.ensure(spark, d, w,
+            ids = spark.table(s"${prefix}_cells")
+              .where(col("wave") === w).select("vec_id"),
+            aux = None,
+            occ = spark.table(s"${prefix}_cells")
+              .where(col("wave") === w).groupBy("cell")
+              .agg(count_distinct(col("vec_id")).as("n")))
+        }
+        val f = graft.operators.WaveStats.fold(spark, d, perWave,
+          Seq("cell"))
+        (f.occSum, f.occCnt, f.occMax, f.occMean)
+      } else {
+        val cellsT =
+          if (m.pcells > 0) spark.table(s"${prefix}_cells")
+            .where(col("wave").isin(cws.map(Integer.valueOf): _*))
+          else spark.table(s"${prefix}_cells")
+        val occ = cellsT
+          .groupBy("cell").agg(count_distinct(col("vec_id")).as("n"))
+          .agg(sum("n"), count(lit(1)), max("n"), avg("n")).head()
+        // an empty index (degenerate but attachable) aggregates to nulls
+        (if (occ.isNullAt(0)) 0L else occ.getLong(0), occ.getLong(1),
+          if (occ.isNullAt(2)) 0L else occ.getLong(2),
+          if (occ.isNullAt(3)) 0.0 else occ.getDouble(3))
+      }
     val tombs =
       if (spark.catalog.tableExists(s"${prefix}_tombs"))
         spark.table(s"${prefix}_tombs").count()
