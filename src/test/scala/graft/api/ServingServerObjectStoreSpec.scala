@@ -128,8 +128,8 @@ class ServingServerObjectStoreSpec extends SparkSpec {
         // a takedown pushes the tombstone fraction past the compact
         // threshold; /maintain/run folds the history into a fresh mos://
         // location — purging the quarantined remnant — and flips serving
-        val removed = corpus.limit(7).collect().map(_.getLong(0))
-        DedupIndex.remove(spark, removed.toSeq, tp)
+        val removed = corpus.orderBy("doc_id").limit(7).collect()
+        DedupIndex.remove(spark, removed.map(_.getLong(0)).toSeq, tp)
         val (s5, b5) = at("GET", "/api/v1/serving/dedup/maintain")
         assert(s5 == 200 && b5.contains("\"action\":\"compact\""), b5)
         val out = "mos://" +
@@ -158,13 +158,16 @@ class ServingServerObjectStoreSpec extends SparkSpec {
         assert(!exists(td), "old mos:// location survived the retire")
 
         // the compacted index serves the survivors and honors the
-        // takedown: appended twins still dedup, removed content reads new
+        // takedown: appended twins still dedup, and a tombstoned doc
+        // never serves as anyone's partner (an exact twin of a removed
+        // doc may still near-dup against a LIVE similar doc — the
+        // documented degrade semantics — but not against the removed id)
         assert(probeTwins().contains("\"verdict\":\"exact_dup\""))
-        val removedTwin = s"""{"docs": [${
-          docJson(920001L, corpus.limit(1).head())}]}"""
+        val removedTwin = s"""{"docs": [${docJson(920001L, removed(0))}]}"""
         val (sA, bA) = at("POST", "/api/v1/serving/dedup/ingest",
           Some(removedTwin))
-        assert(sA == 200 && bA.contains("\"verdict\":\"new\""), bA)
+        assert(sA == 200 &&
+          !bA.contains(s"\"partner_id\":${removed(0).getLong(0)}"), bA)
       } finally {
         spark.conf.unset("spark.graft.retireGraceMs")
         srv.stop()
