@@ -361,8 +361,10 @@ object ServingScaleProbe {
       val docRows = docCorpus.count()
       val vecRows = vecCorpus.count()
       spark.catalog.clearCache()
-      val tgv = if (pvals > 0) pvals else graft.queries.DedupIndex.DefaultPvals
-      val vgv = if (pcells > 0) pcells else graft.queries.VectorIndex.DefaultPcells
+      // report the grain the index actually carries (AutoPvals/AutoPcells
+      // builds resolve it from the corpus row count)
+      val tgv = graft.queries.DedupIndex.pvalsOf(spark, tpfx)
+      val vgv = graft.queries.VectorIndex.meta(spark, vpfx).pcells
       f"""{"reps":$reps,"doc_rows":$docRows,"vec_rows":$vecRows,""" +
         f""""pvals":$tgv,"pcells":$vgv,""" +
         f""""text_build":$tBuild%.2f,"text_probe":$tProbe%.3f,""" +
@@ -370,7 +372,7 @@ object ServingScaleProbe {
         f""""vec_probe":$vProbe%.3f,"vec_compact":$vCompact%.2f,""" +
         f""""pvals_c":$tgvC,"pcells_c":$vgvC,""" +
         f""""text_probe_c":$tProbeC%.3f,"vec_probe_c":$vProbeC%.3f""" +
-        prepStr + "}"
+        statsStr + hotStr + prepStr + "}"
     }
     println(s"""{"metric":"serving_scale_decades","points":${points.mkString("[", ",", "]")}}""")
     spark.stop()
