@@ -190,6 +190,18 @@ object ServingScaleProbe {
           graft.queries.VectorIndex.attach(spark, vdir, vpfx)
       }
 
+      // SPARK_GRAFT_WARM=1: time warm() right after build/attach (page
+      // cache warm here — the number records the listing walk + read
+      // path at this grain, not cold-bytes wall; ColdWarmProbe owns the
+      // drop_caches measurement)
+      val warmStr =
+        if (!sys.env.get("SPARK_GRAFT_WARM").contains("1")) ""
+        else {
+          val (tw, _) = timed(graft.queries.DedupIndex.warm(spark, tpfx))
+          val (vw, _) = timed(graft.queries.VectorIndex.warm(spark, vpfx))
+          f""","text_warm":$tw%.2f,"vec_warm":$vw%.2f"""
+        }
+
       def probeText() = graft.queries.DedupIndex
         .incrementalDedup(docBatch, "doc_id", "text", tpfx).count()
       def probeVec() = graft.queries.VectorIndex
@@ -230,7 +242,7 @@ object ServingScaleProbe {
         val tb = docs.filter(col("doc_id") < RepOff &&
           col("doc_id") % 7 === 3 && col("doc_id") % 100 >= 2 &&
           col("doc_id") % 100 < 4)
-          .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+          .select((col("doc_id") + 8000000000L).as("doc_id"), col("text"))
           .localCheckpoint(true)
         DedupIndex.append(tb, "doc_id", "text", tpfx)
         val tFoldD1 = tSt("folded")._1 // backfills the appended wave
@@ -240,7 +252,7 @@ object ServingScaleProbe {
         val vb = embs.filter(col("vec_id") < RepOff &&
           col("vec_id") % 7 === 3 && col("vec_id") % 100 >= 2 &&
           col("vec_id") % 100 < 4)
-          .select((col("vec_id") + 90000000L).as("vec_id"),
+          .select((col("vec_id") + 8000000000L).as("vec_id"),
             col("embedding")).localCheckpoint(true)
         VectorIndex.append(vb, "vec_id", "embedding", vpfx)
         val vFoldD1 = vSt("folded")._1
@@ -300,12 +312,12 @@ object ServingScaleProbe {
                   .cast("double") / 1000.0 - 1.0) * 0.02).cast("float")
             }: _*).as("embedding"))
         val stBefore = VectorIndex.stats(spark, vpfx)
-        VectorIndex.append(shifted(500000000L, hotN), "vec_id",
+        VectorIndex.append(shifted(8100000000L, hotN), "vec_id",
           "embedding", vpfx)
         val stAfter = VectorIndex.stats(spark, vpfx)
         // hot batch: 6 FRESH samples from the same shifted distribution;
         // the balanced batch re-measures on the grown index as control
-        val hotBatch = shifted(600000000L, 6).localCheckpoint(true)
+        val hotBatch = shifted(8200000000L, 6).localCheckpoint(true)
         def probeHot() = VectorIndex.incrementalDedup(hotBatch, "vec_id",
           "embedding", vpfx, minCos = 0.9).count()
         probeHot()
@@ -372,7 +384,7 @@ object ServingScaleProbe {
         f""""vec_probe":$vProbe%.3f,"vec_compact":$vCompact%.2f,""" +
         f""""pvals_c":$tgvC,"pcells_c":$vgvC,""" +
         f""""text_probe_c":$tProbeC%.3f,"vec_probe_c":$vProbeC%.3f""" +
-        statsStr + hotStr + prepStr + "}"
+        warmStr + statsStr + hotStr + prepStr + "}"
     }
     println(s"""{"metric":"serving_scale_decades","points":${points.mkString("[", ",", "]")}}""")
     spark.stop()
