@@ -924,6 +924,9 @@ object TextDedup {
     * local shingle), and the join-back is an equi-join AQE can handle: it
     * broadcasts the df table when it measures small and skew-splits the
     * sort-merge fallback — both regimes a window cannot reach. */
+  private[queries] def dfAnnotatedProbe(d: DataFrame): DataFrame =
+    dfAnnotatedOf(d)
+
   private def dfAnnotatedOf(d: DataFrame): DataFrame = {
     val base = hashedShingleRowsOf(d)
     val dfTab = base.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -2071,8 +2074,14 @@ object TextDedup {
         col("jaccard"))
   }
 
+  // Pass the UNPROJECTED documents frame: the derivation only reads
+  // doc_id/text (column pruning handles the scan), and an explicit
+  // .select here changes the canonicalized plan under every shared
+  // derivation, so q75 missed the family caches q41/q69 share and
+  // re-built the whole shingle→df→pair chain per pass (measured r19:
+  // 1.48 s with the projection vs 0.26 s riding the cache).
   def q75SplitLeakage(s: SparkSession, dir: String): DataFrame =
-    splitLeakageOf(docs(s, dir).select(col("doc_id"), col("text")), 0.5)
+    splitLeakageOf(docs(s, dir), 0.5)
       .orderBy("id_a", "id_b")
 
   /** Oracle mirrors the default df-cap (oracleQ41's CTE structure), so
@@ -2258,10 +2267,21 @@ object TextDedup {
     * ahead of the shuffle, and a partition's row count is bounded by
     * the eval-set size, not the corpus. */
   private[queries] def contaminationAttributionOf(train: DataFrame,
-      eval: DataFrame): DataFrame = {
-    val t = hashedShingleRowsOf(train).select(col("doc_id"), col("sh"))
-    val e = hashedShingleRowsOf(eval)
-      .select(col("doc_id").as("eval_id"), col("sh"))
+      eval: DataFrame): DataFrame =
+    contaminationAttributionFromRows(
+      hashedShingleRowsOf(train).select(col("doc_id"), col("sh")),
+      hashedShingleRowsOf(eval)
+        .select(col("doc_id").as("eval_id"), col("sh")))
+
+  /** Core of the attribution over ALREADY-DERIVED hashed-shingle rows:
+    * `t` = (doc_id, sh), `e` = (eval_id, sh). Split out so a caller
+    * whose train/eval frames are doc_id-level filters of ONE corpus
+    * (q78) can filter the SHARED [[hashedShingleRowsOf]] cache instead
+    * of deriving two private shingle chains — shingle derivation is
+    * per-row, so filter-then-derive and derive-then-filter are
+    * row-identical. */
+  private def contaminationAttributionFromRows(t: DataFrame,
+      e: DataFrame): DataFrame = {
     val ov = t.join(e, Seq("sh"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -2271,11 +2291,18 @@ object TextDedup {
       .select(col("doc_id"), col("eval_id"), col("n_overlap"))
   }
 
+  // The train/eval split is a doc_id-level filter, so it commutes with
+  // the per-row shingle derivation: filter the SHARED hashed-shingle
+  // cache (one derivation, reused by the whole dedup family) instead of
+  // deriving two private chains over projected+filtered bases that can
+  // never hit the cache (measured r19: 0.67 s → riding the family
+  // cache; rows identical by construction).
   def q78ContaminationAttribution(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("text"))
-    contaminationAttributionOf(
-      d.filter(col("doc_id") % 97 =!= 0),
-      d.filter(col("doc_id") % 97 === 0)).orderBy("doc_id")
+    val ex = hashedShingleRowsOf(docs(s, dir))
+    contaminationAttributionFromRows(
+      ex.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("sh")),
+      ex.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("sh"))).orderBy("doc_id")
   }
 
   val oracleQ78: String =
