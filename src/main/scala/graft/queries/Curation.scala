@@ -85,7 +85,9 @@ object Curation {
         .otherwise(hashes(tk, ng))), h =>
         when(ng === 0, empty).otherwise(mins(h, ng))), 1)
     }), 1)
-    d.select(col("doc_id"),
+    // Scale-adaptive parallelism for the md5-per-gram selection (see
+    // Tables.parallelized — identity at production split counts)
+    Tables.parallelized(d, "doc_id").select(col("doc_id"),
       greatest(size(split(col("text"), " ")) - (k - 1), lit(0))
         .cast("long").as("n_grams"),
       sel.as("sel"))

@@ -102,4 +102,31 @@ object Tables {
 
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap
+
+  /** Scale-adaptive input-parallelism guard for expensive per-row
+    * derivations (guide §2.5, "input skew: one huge unsplittable file …
+    * repartition immediately after the read"): when `d`'s physical scan
+    * parallelism is below HALF the session's shuffle parallelism — the
+    * tiny-single-file / single-row-group regime (a parquet file with
+    * one row group yields ONE scan task no matter the split config, so
+    * every map-side md5/shingle/HOF above it runs on one core) —
+    * hash-repartition by `key` to the shuffle parallelism so the
+    * derivation uses the whole cluster. At production scale a corpus
+    * scan has orders of magnitude more splits than cores and this is
+    * the IDENTITY — no exchange is added (the condition is evaluated
+    * from the actual plan, not hard-coded to any core count).
+    *
+    * The repartition keys on a DETERMINISTIC column hash (never
+    * round-robin): retried map tasks reproduce the same row→partition
+    * assignment without the sort-before-repartition tax, and the
+    * results are row-identical either way (everything above is
+    * aggregate/join work, partitioning never reaches output values).
+    * Callers apply this UNDER their `dedupCached` nodes, so the
+    * decision is part of the shared canonical plan and cache identity
+    * is preserved across the family. */
+  private[queries] def parallelized(d: DataFrame, key: String): DataFrame = {
+    val target = d.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = d.rdd.getNumPartitions
+    if (parts * 2 < target) d.repartition(target, col(key)) else d
+  }
 }

@@ -83,7 +83,8 @@ object TextDedup {
     * (doc_id, text) frame — [[TextOps]] builds its generic operators on
     * them; the (s, dir) forms bind them to the driver's documents table. */
   private[queries] def shingleSetsOf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), shingles3(toks).as("ts")).dedupCached
+    Tables.parallelized(d, "doc_id")
+      .select(col("doc_id"), shingles3(toks).as("ts")).dedupCached
 
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     shingleSetsOf(docs(s, dir))
@@ -117,7 +118,8 @@ object TextDedup {
     * without forking the 3-gram caches everything else shares. */
   private[queries] def shingleSetsNOf(d: DataFrame, n: Int): DataFrame =
     if (n == 3) shingleSetsOf(d)
-    else d.select(col("doc_id"), shinglesN(toks, n).as("ts")).dedupCached
+    else Tables.parallelized(d, "doc_id")
+      .select(col("doc_id"), shinglesN(toks, n).as("ts")).dedupCached
 
   private[queries] def hashedShingleRowsNOf(d: DataFrame, n: Int): DataFrame =
     if (n == 3) hashedShingleRowsOf(d)
