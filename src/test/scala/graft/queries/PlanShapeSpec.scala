@@ -125,7 +125,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   /** Hash-partitioned shuffles in the executed tree (the data-movement
-    * shuffles; the final ORDER BY's range exchange is excluded). */
+    * shuffles; the final ORDER BY's range exchange is excluded, and so
+    * is the EXPLICIT input-parallelism repartition `Tables.parallelized`
+    * places under per-row-heavy derivations — its REPARTITION_BY_NUM
+    * origin distinguishes it from the ENSURE_REQUIREMENTS exchanges a
+    * join/aggregation introduces, which are what these shape asserts
+    * guard against). */
   private def hashShufflesOf(df: org.apache.spark.sql.DataFrame) = {
     val exec = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
@@ -133,8 +138,25 @@ class PlanShapeSpec extends SparkSpec {
     }
     exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.outputPartitioning.toString.startsWith("hashpartitioning") => e
+          if e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+            e.shuffleOrigin != org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => e
     }
+  }
+
+  test("Tables.parallelized: repartitions a below-parallelism scan, identity otherwise") {
+    val target = spark.sessionState.conf.numShufflePartitions
+    val oneSplit = Tables.load(spark, sfDir, "documents")
+    assume(oneSplit.rdd.getNumPartitions * 2 < target,
+      "fixture not in the single-split regime")
+    val par = Tables.parallelized(oneSplit, "doc_id")
+    assert(par.rdd.getNumPartitions == target,
+      s"expected $target partitions, got ${par.rdd.getNumPartitions}")
+    assert(par.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"),
+      "no explicit repartition in the plan")
+    // already-parallel input: the SAME frame comes back, no exchange
+    val wide = oneSplit.repartition(target, org.apache.spark.sql.functions.col("doc_id"))
+    assert(Tables.parallelized(wide, "doc_id") eq wide,
+      "parallelized added an exchange to an already-parallel frame")
   }
 
   test("q50 quality filter is a pure projection: no joins, no hash shuffle") {
