@@ -260,6 +260,43 @@ object DedupIndex {
       stagingDirs: Int = 0, staleStagingDirs: Int = 0,
       priorDirs: Seq[String] = Nil, quarantinedWaveCount: Int = 0)
 
+  /** Build (or read back) wave `w`'s stats sidecar — folded mode's unit
+    * of work ([[graft.operators.WaveStats.ensure]]) bound to this
+    * index's tables. Shared by the read-side backfill in [[stats]] and
+    * the commit-time builders. */
+  private def ensureWaveStats(spark: SparkSession, d: String,
+      prefix: String, w: Int): graft.operators.WaveStats.PerWave =
+    graft.operators.WaveStats.ensure(spark, d, w,
+      ids = spark.table(s"${prefix}_shingles")
+        .where(col("wave") === w).select("doc_id"),
+      aux = Some(spark.table(s"${prefix}_hashes")
+        .where(col("wave") === w).select("ch")),
+      occ = spark.table(s"${prefix}_bands")
+        .where(col("wave") === w).groupBy("b", "h")
+        .agg(count_distinct(col("doc_id")).as("n")))
+
+  /** Commit-time sidecar build (r20 optimization): building lazily on
+    * the first folded `stats()` put the wave's full aggregate on the
+    * READ path — measured 8.8 s at the 5M-doc decade against the 0.08 s
+    * steady fold, i.e. a first maintenance call paid MORE than the
+    * full-mode aggregate the sidecars replace. At commit the wave's
+    * data pass just happened (page-cache-warm) and the cost is
+    * wave-proportional by construction. Failures are logged, never
+    * thrown: the wave is ALREADY committed (a caller retrying the
+    * append would double-append), and the sidecar is derived data the
+    * next `stats()` backfills. No-op outside folded mode. */
+  private[queries] def buildWaveStatsAtCommit(spark: SparkSession,
+      d: String, prefix: String, w: Int)(
+      ensure: (SparkSession, String, String, Int) =>
+        graft.operators.WaveStats.PerWave): Unit =
+    if (graft.operators.WaveStats.mode(spark) == "folded")
+      try { ensure(spark, d, prefix, w); () }
+      catch {
+        case e: Exception => Console.err.println(
+          s"[graft] wave $w sidecar build under $d failed " +
+            s"(stats() will backfill): $e")
+      }
+
   def stats(spark: SparkSession, prefix: String = "dedup_idx"): IndexStats = {
     // DISTINCT ids, not row counts: an at-least-once REPLAYED append
     // (verdict-neutral by the probe cores' batch-id anti-join) writes
@@ -295,16 +332,7 @@ object DedupIndex {
           spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
           spark.catalog.refreshTable(t)
         }
-        val perWave = cws.map { w =>
-          graft.operators.WaveStats.ensure(spark, d, w,
-            ids = spark.table(s"${prefix}_shingles")
-              .where(col("wave") === w).select("doc_id"),
-            aux = Some(spark.table(s"${prefix}_hashes")
-              .where(col("wave") === w).select("ch")),
-            occ = spark.table(s"${prefix}_bands")
-              .where(col("wave") === w).groupBy("b", "h")
-              .agg(count_distinct(col("doc_id")).as("n")))
-        }
+        val perWave = cws.map(w => ensureWaveStats(spark, d, prefix, w))
         val f = graft.operators.WaveStats.fold(spark, d, perWave,
           Seq("b", "h"))
         (f.nIds, f.nAux, f.occCnt, f.occMax, f.occMean)
@@ -406,7 +434,10 @@ object DedupIndex {
     deleteTombFiles(s, dir)
     // PUBLISH wave 0 — last, so every table (and the meta/tomb state)
     // is in place before any reader can resolve a committed wave
-    if (pvals > 0) Bucketing.commitWave(s, dir, 0)
+    if (pvals > 0) {
+      Bucketing.commitWave(s, dir, 0)
+      buildWaveStatsAtCommit(s, dir, prefix, 0)(ensureWaveStats)
+    }
     // release the derivation caches build() itself populated: the index
     // is on disk now, and a long-lived builder session should not keep
     // the corpus-sized shingle/band plans pinned
@@ -460,6 +491,7 @@ object DedupIndex {
       val d = dirOf(s, prefix)
       Bucketing.commitWave(s, d, w)
       Bucketing.releaseWave(s, d, w) // the marker supersedes the lease
+      buildWaveStatsAtCommit(s, d, prefix, w)(ensureWaveStats)
     }
   }
 
@@ -783,7 +815,12 @@ object DedupIndex {
       if (Bucketing.syncTombFiles(spark, oldDir, outDir))
         Bucketing.attachPlain(spark, s"${outPfx}_tombs", s"$outDir/tombs")
     }
-    if (outPvals > 0) Bucketing.commitWave(spark, outDir, 0)
+    if (outPvals > 0) {
+      Bucketing.commitWave(spark, outDir, 0)
+      // carried (> H) waves stay lazy: each is batch-proportional, and
+      // the carry loop below races appenders — the next stats() backfills
+      buildWaveStatsAtCommit(spark, outDir, outPfx, 0)(ensureWaveStats)
+    }
     if (horizon) {
       Bucketing.writeCarryLedger(spark, outDir, oldDir, upToWave, Nil)
       // carry committed > H waves until a round brings nothing new — a

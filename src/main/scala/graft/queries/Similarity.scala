@@ -366,13 +366,13 @@ object Similarity {
   /** The `vec_id % 7 = 3` slice stands in for an arriving batch; the rest
     * is the indexed corpus ([[VectorOps.semanticIncremental]] semantics).
     * Same τ as q60 so the two share the dup-graph regime. */
-  def q63SemanticIncremental(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    VectorOps.semanticIncrementalIndexed(
-      e.filter(col("vec_id") % 7 =!= 3), e.filter(col("vec_id") % 7 === 3),
+  def q63SemanticIncremental(s: SparkSession, dir: String): DataFrame =
+    // the By-Id split entry: corpus/batch band rows are filters over ONE
+    // cached full-corpus band artifact shared with q60/q63b (row-identical
+    // to the generic (corpus, batch) call — see semanticIncrementalById)
+    VectorOps.semanticIncrementalById(emb(s, dir), col("vec_id") % 7 === 3,
       SEMDEDUP_MINCOS, planes = PLANES, bands = NIBBLES, dims = DIMS)
       .orderBy("vec_id")
-  }
 
   /** q63b: the SAME incremental probe through the LIBRARY-DEFAULT knobs
     * ([[VectorOps.AutoPlanes]]/AutoBands → [[VectorOps.autoShape]]): the
@@ -383,13 +383,15 @@ object Similarity {
     * [[oracleQ63]]; at larger SFs autoShape picks a different shape and
     * this binding would need its shape re-pinned — the divergence
     * BENCH_NOTES' scale-envelope section documents. */
-  def q63bSemanticIncrementalAuto(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    VectorOps.semanticIncrementalIndexed(
-      e.filter(col("vec_id") % 7 =!= 3), e.filter(col("vec_id") % 7 === 3),
+  def q63bSemanticIncrementalAuto(s: SparkSession, dir: String): DataFrame =
+    // same By-Id split entry as q63 with the knobs left at the Auto
+    // sentinels: shape resolution (and the cell-route occupancy check)
+    // still runs the full auto path against the corpus half — the
+    // binding keeps exercising exactly what it always pinned; at the
+    // gate SF it resolves (16, 4) and so shares q63/q60's band cache
+    VectorOps.semanticIncrementalById(emb(s, dir), col("vec_id") % 7 === 3,
       SEMDEDUP_MINCOS)
       .orderBy("vec_id")
-  }
 
   val oracleQ63: String = {
     val sigBits = (0 until PLANES)

@@ -126,7 +126,74 @@ object Tables {
     * is preserved across the family. */
   private[queries] def parallelized(d: DataFrame, key: String): DataFrame = {
     val target = d.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = d.rdd.getNumPartitions
+    val parts = scanParallelismOf(d)
     if (parts * 2 < target) d.repartition(target, col(key)) else d
+  }
+
+  /** The frame's physical scan parallelism WITHOUT forcing physical
+    * planning (r19 used `d.rdd.getNumPartitions`, which plans the frame
+    * twice — once for the probe, once for the real query; on a 100 TB
+    * catalogued table that second planning pass is pure driver tax).
+    * The frames [[parallelized]] guards are narrow projections of one
+    * leaf, so the scan's split count IS the frame's parallelism:
+    *   - file-sourced leaf → replicate Spark's own split computation
+    *     (`FilePartition.maxSplitBytes` + the greedy pack) from the
+    *     already-listed FileIndex sizes — no job, no physical plan;
+    *   - cached leaf → the cached plan's output partitioning;
+    *   - anything else (in-memory batches, multi-leaf frames) → the old
+    *     RDD probe, whose cost was only ever material on file scans.
+    * Behavior is pinned both ways by TablesParallelizedSpec. */
+  private def scanParallelismOf(d: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the fast path applies only under PARTITIONING-PRESERVING operators
+    // (a Repartition/Join/Aggregate between leaf and frame changes the
+    // frame's parallelism away from the scan's — those fall back)
+    @annotation.tailrec
+    def leafUnderNarrowOps(p: LogicalPlan): Option[LeafNode] = p match {
+      case Project(_, c) => leafUnderNarrowOps(c)
+      case Filter(_, c) => leafUnderNarrowOps(c)
+      case SubqueryAlias(_, c) => leafUnderNarrowOps(c)
+      case l: LeafNode => Some(l)
+      case _ => None
+    }
+    leafUnderNarrowOps(d.queryExecution.analyzed) match {
+      case Some(lr: LogicalRelation) if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        fileScanParallelism(d, lr.relation.asInstanceOf[HadoopFsRelation])
+      case Some(im: InMemoryRelation) =>
+        im.cachedPlan.outputPartitioning.numPartitions
+      case _ => d.rdd.getNumPartitions
+    }
+  }
+
+  /** Spark's file-split arithmetic (maxSplitBytes + greedy packing of
+    * size-desc pieces, openCost charged per piece) over the relation's
+    * FileIndex — the same numbers `FilePartition.getFilePartitions`
+    * produces, computed from driver-cached listing metadata only. */
+  private def fileScanParallelism(d: DataFrame,
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Int = {
+    val s = d.sparkSession
+    val conf = s.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartNum = conf.filesMinPartitionNum
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val sizes = fs.location.listFiles(Nil, Nil)
+      .flatMap(_.files.map(_.getLen)).filter(_ > 0)
+    val totalBytes = sizes.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPartNum)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val pieces = sizes.flatMap { len =>
+      (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
+    }.sortBy(-_)
+    var n = 0
+    var cur = 0L
+    pieces.foreach { p =>
+      if (cur > 0 && cur + p > maxSplit) { n += 1; cur = 0L }
+      cur += p + openCost
+    }
+    if (cur > 0) n += 1
+    n
   }
 }

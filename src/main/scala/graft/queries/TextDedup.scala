@@ -943,7 +943,12 @@ object TextDedup {
     // ROW COUNT is one per document touching any hot shingle — on a web
     // corpus a boilerplate shingle with df ~ 10^6 puts millions of docs
     // here, so this side must NOT be force-broadcast; AQE broadcasts it
-    // when it measures small and falls back to a shuffle join when not
+    // when it measures small and falls back to a shuffle join when not.
+    // Deliberately NOT dedupCached even though hot_a/hot_b join it twice:
+    // the two broadcast builds run CONCURRENTLY as independent subtrees,
+    // while a cache entry serializes them into materialize-then-read —
+    // measured r20: q69 1.31 → 1.53/1.64 s, q41/q75 regress too (the
+    // tried-and-reverted negative in OPTIMIZATION_r20.md).
     val hot = exDf.filter(col("df") > dfCap)
       .groupBy("doc_id").agg(collect_list(col("sh")).as("hot"))
     val a = cold.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))

@@ -264,7 +264,10 @@ object VectorIndex {
       DedupIndex.deleteTombFiles(s, dir)
       // PUBLISH wave 0 — last, so every table is in place before any
       // reader can resolve a committed wave
-      if (pcells > 0) Bucketing.commitWave(s, dir, 0)
+      if (pcells > 0) {
+        Bucketing.commitWave(s, dir, 0)
+        DedupIndex.buildWaveStatsAtCommit(s, dir, prefix, 0)(ensureWaveStats)
+      }
     }
   }
 
@@ -536,6 +539,19 @@ object VectorIndex {
       staleStagingDirs: Int = 0, priorDirs: Seq[String] = Nil,
       quarantinedWaveCount: Int = 0)
 
+  /** Wave `w`'s stats sidecar bound to this index's tables — the
+    * [[DedupIndex.ensureWaveStats]] twin (cell occupancy; no
+    * protocol-disjoint aux column on the vector side). */
+  private def ensureWaveStats(spark: SparkSession, d: String,
+      prefix: String, w: Int): graft.operators.WaveStats.PerWave =
+    graft.operators.WaveStats.ensure(spark, d, w,
+      ids = spark.table(s"${prefix}_cells")
+        .where(col("wave") === w).select("vec_id"),
+      aux = None,
+      occ = spark.table(s"${prefix}_cells")
+        .where(col("wave") === w).groupBy("cell")
+        .agg(count_distinct(col("vec_id")).as("n")))
+
   def stats(spark: SparkSession, prefix: String = "vec_idx"): IndexStats = {
     val m = meta(spark, prefix)
     // DISTINCT vec_ids, not row counts: an at-least-once REPLAYED append
@@ -571,15 +587,7 @@ object VectorIndex {
           spark.sql(s"ALTER TABLE ${prefix}_$sub RECOVER PARTITIONS")
           spark.catalog.refreshTable(s"${prefix}_$sub")
         }
-        val perWave = cws.map { w =>
-          graft.operators.WaveStats.ensure(spark, d, w,
-            ids = spark.table(s"${prefix}_cells")
-              .where(col("wave") === w).select("vec_id"),
-            aux = None,
-            occ = spark.table(s"${prefix}_cells")
-              .where(col("wave") === w).groupBy("cell")
-              .agg(count_distinct(col("vec_id")).as("n")))
-        }
+        val perWave = cws.map(w => ensureWaveStats(spark, d, prefix, w))
         val f = graft.operators.WaveStats.fold(spark, d, perWave,
           Seq("cell"))
         (f.occSum, f.occCnt, f.occMax, f.occMean)
@@ -766,6 +774,7 @@ object VectorIndex {
       val d = dirOf(s, prefix)
       Bucketing.commitWave(s, d, w)
       Bucketing.releaseWave(s, d, w) // the marker supersedes the lease
+      DedupIndex.buildWaveStatsAtCommit(s, d, prefix, w)(ensureWaveStats)
     }
   }
 
@@ -1084,7 +1093,12 @@ object VectorIndex {
       if (Bucketing.syncTombFiles(spark, oldDir, outDir))
         attachPlain(spark, s"${outPfx}_tombs", s"$outDir/tombs")
     }
-    if (outPcells > 0) Bucketing.commitWave(spark, outDir, 0)
+    if (outPcells > 0) {
+      Bucketing.commitWave(spark, outDir, 0)
+      // carried (> H) waves stay lazy ([[DedupIndex.compact]] rationale)
+      DedupIndex.buildWaveStatsAtCommit(spark, outDir, outPfx, 0)(
+        ensureWaveStats)
+    }
     if (horizon) {
       Bucketing.writeCarryLedger(spark, outDir, oldDir, upToWave, Nil)
       while (carryNewWaves(spark, outPfx).nonEmpty) ()

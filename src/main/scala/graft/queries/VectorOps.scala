@@ -385,14 +385,34 @@ object VectorOps {
       .select(col("vec_id"), col("e.k").as("k"), col("e.v").as("v"))
   }
 
+  /** CACHED corpus-side band rows — the persisted-artifact form the
+    * family's scaladocs promise ("the corpus-side index and band rows
+    * are the cached artifacts a serving deployment persists"): every
+    * consumer of one corpus's band rows at the same (planes, bands,
+    * dims) — the dedup self-join's two sides, the incremental probe,
+    * the LSH-ANN candidate join, the recall audit — shares ONE
+    * in-memory relation by plan identity instead of re-deriving the
+    * projection per consumer (guide §2.4; the r19 q75/q78 discipline).
+    * Narrow (vec_id, k, v) rows at `bands` rows per vector; the
+    * configurable vector storage level. Batch/query sides stay
+    * UNCACHED — per-epoch serving frames must not accumulate cache
+    * entries (the [[indexUncached]] rationale). */
+  private[queries] def bandRowsCached(idx: DataFrame, planes: Int,
+      bands: Int, dims: Int): DataFrame =
+    Caching.cached(lshBandRows(idx, planes, bands, dims),
+      "spark.graft.vector.storageLevel")
+
   def knnLshIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       carry: Seq[String] = Nil): DataFrame = {
-    def bandsOf(idx: DataFrame): DataFrame = lshBandRows(idx, planes, bands, dims)
-
-    val qBands = bandsOf(queries)
+    // both sides deliberately uncached: each is consumed ONCE in this
+    // plan (a one-shot probe), and a cache entry would only serialize
+    // the scan into materialize-then-read (measured r20: q34/q81 pay
+    // ~0.03-0.07 s for a corpus-side cache here with nothing reusing it)
+    val qBands = lshBandRows(queries, planes, bands, dims)
       .select(col("vec_id").as("query_id"), col("k"), col("v"))
-    val cand = bandsOf(corpus).join(broadcast(qBands), Seq("k", "v"))
+    val cand = lshBandRows(corpus, planes, bands, dims)
+      .join(broadcast(qBands), Seq("k", "v"))
       .select(col("query_id"), col("vec_id")).distinct()
     val q = queries.select(col("vec_id").as("query_id"),
       col("efp").as("qefp"), col("nrm").as("qnrm"))
@@ -714,10 +734,31 @@ object VectorOps {
   final case class PqIndex(books: IndexedSeq[IndexedSeq[Array[Long]]],
       enc: DataFrame)
 
+  /** Bounded memo of the sampled(+refined) codebooks per (session,
+    * canonical corpus plan, m, ksub, iters): [[pqBooksSampled]] runs an
+    * eager top-ksub collect (and [[pqRefineBooks]] `iters` distributed
+    * passes) at CALL time, so Spark's plan-identity cache alone cannot
+    * stop a repeat call — the recall audit (q81) re-paid the ADC
+    * binding's (q96) training job, and each Bench pass re-paid it
+    * again. Driver-held arrays only — model reuse (the
+    * centsMemo/trainMemo pattern), not result caching: every probe
+    * still computes its answer from the corpus frames. */
+  private val pqBooksMemo = new BoundedMemo[(
+    org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+    IndexedSeq[IndexedSeq[Array[Long]]]](32)
+
+  private def memoizedPqBooks(corpus: DataFrame, m: Int, ksub: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Array[Long]]] =
+    pqBooksMemo.getOrBuild((corpus.sparkSession,
+      corpus.queryExecution.logical.canonicalized, m, ksub, iters)) {
+      val books0 = pqBooksSampled(corpus, m, ksub)
+      if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
+    }
+
   def pqIndexOf(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 0): PqIndex = {
-    val books0 = pqBooksSampled(corpus, m, ksub)
-    val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
+    val books = memoizedPqBooks(corpus, m, ksub, iters)
     PqIndex(books, Caching.cached(
       pqEncodeIndexed(corpus, books)
         .withColumn("rnorm2", pqRnorm2Col(col("codes"), books)),
@@ -756,12 +797,18 @@ object VectorOps {
   def knnPqIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, rerank: Int = 50, iters: Int = 0,
       carry: Seq[String] = Nil): DataFrame = {
-    val books0 = pqBooksSampled(corpus, m, ksub)
-    val books = if (iters > 0) pqRefineBooks(corpus, books0, iters) else books0
-    // one-shot form: encode lazily and uncached, so the oracle binding's
-    // plan stays a pure pipeline (pqIndexOf is the cached serving form)
-    val enc = pqEncodeIndexed(corpus, books)
-      .withColumn("rnorm2", pqRnorm2Col(col("codes"), books))
+    val books = memoizedPqBooks(corpus, m, ksub, iters)
+    // codes frame CACHED (r20; it was deliberately lazy before): with
+    // the books memoized, every caller over the same (corpus, m, ksub,
+    // iters) builds a literal-identical encode plan, so the ADC scan
+    // (q96) and the recall audit's PQ leg (q81) now share one narrow
+    // (vec_id, codes, rnorm2) relation instead of each re-encoding the
+    // corpus (guide §2.4) — the same artifact pqIndexOf persists for
+    // serving. Memory: m small ints + one long per vector.
+    val enc = Caching.cached(
+      pqEncodeIndexed(corpus, books)
+        .withColumn("rnorm2", pqRnorm2Col(col("codes"), books)),
+      "spark.graft.vector.storageLevel")
     pqProbe(corpus, books, enc, queries, k, rerank, carry)
   }
 
@@ -1149,7 +1196,10 @@ object VectorOps {
     * oracle-checked q60 binding exactly. */
   def lshCandidatePairs(idx: DataFrame, planes: Int = AutoPlanes,
       bands: Int = 4, dims: Int = 64): DataFrame = {
-    val b = lshBandRows(idx, resolvePlanes(planes, bands, idx), bands, dims)
+    // cached: the self-join reads the SAME band frame on both sides —
+    // uncached, each side re-derived the projection (and no other
+    // band-rows consumer of this corpus could share it)
+    val b = bandRowsCached(idx, resolvePlanes(planes, bands, idx), bands, dims)
     b.select(col("vec_id").as("id_a"), col("k"), col("v"))
       .join(b.select(col("vec_id").as("id_b"), col("k"), col("v")), Seq("k", "v"))
       .filter(col("id_a") < col("id_b"))
@@ -1365,7 +1415,9 @@ object VectorOps {
         assignCellsMulti(idx, memoizedCentroids(idx, k, kmeansIters,
           trainSampleCap), probes, probeMargin),
         "spark.graft.vector.storageLevel"))
-    val br = lshBandRows(idx, p, b, dims).join(cells, Seq("vec_id"))
+    // band rows cached (the self-join below reads them on both sides;
+    // the cell join itself stays lazy — its inputs are both cached)
+    val br = bandRowsCached(idx, p, b, dims).join(cells, Seq("vec_id"))
     val cand = br.select(col("vec_id").as("id_a"), col("cell"), col("k"),
         col("v"))
       .join(br.select(col("vec_id").as("id_b"), col("cell"), col("k"),
@@ -1422,9 +1474,48 @@ object VectorOps {
         dims = dims)
     }
     val (p, b) = resolveShape(planes, bands, minCos, corpus) // the big side
-    val cb = lshBandRows(corpus, p, b, dims)
+    // corpus side cached (the serving artifact a long-lived session /
+    // streaming ingest probes every epoch); the batch side stays a
+    // per-epoch uncached projection
+    val cb = bandRowsCached(corpus, p, b, dims)
       .select(col("vec_id").as("partner_id"), col("k"), col("v"))
     val bb = lshBandRows(batch, p, b, dims)
+    val cand = bb.join(cb, Seq("k", "v"))
+      .select(col("vec_id"), col("partner_id")).distinct()
+    bestPartnerOf(corpus, batch, cand, minCos)
+  }
+
+  /** [[semanticIncrementalIndexed]] where corpus and batch are the two
+    * halves of ONE indexed frame split by a vec_id-only predicate — the
+    * id-sliced-probe shape (batch = a slice of the corpus table, the
+    * declared q63/q63b bindings). Band rows derive ONCE over `all` and
+    * each side filters AFTER the derivation: the derivation is
+    * row-local and keeps vec_id, so filter-then-derive commutes and the
+    * results are row-identical to the generic entry — but the corpus
+    * side, the batch side, and any [[semanticDedupIndexed]] run over
+    * the same full frame now share a SINGLE cached band artifact
+    * instead of three private derivations (the r19 q75/q78
+    * cache-identity discipline; guide §2.4). Knob resolution (auto
+    * shape, cell-route occupancy check) is computed from the CORPUS
+    * half exactly like the generic entry, so auto-knob callers resolve
+    * identically; past the cell-route occupancy the generic entry takes
+    * over unchanged. `batchPred` must reference `vec_id` only — it is
+    * applied to the (vec_id, k, v) band frame. */
+  private[queries] def semanticIncrementalById(all: DataFrame,
+      batchPred: Column, minCos: Double, planes: Int = AutoPlanes,
+      bands: Int = AutoBands, dims: Int = 64): DataFrame = {
+    val corpus = all.filter(!batchPred)
+    val batch = all.filter(batchPred)
+    if (planes == AutoPlanes && bands == AutoBands &&
+        cellRouteEnabled(all.sparkSession) &&
+        autoBitsPer(memoizedCount(corpus)) >= DeepenMinBits)
+      return semanticIncrementalIndexed(corpus, batch, minCos, planes,
+        bands, dims)
+    val (p, b) = resolveShape(planes, bands, minCos, corpus)
+    val allBands = bandRowsCached(all, p, b, dims)
+    val cb = allBands.filter(!batchPred)
+      .select(col("vec_id").as("partner_id"), col("k"), col("v"))
+    val bb = allBands.filter(batchPred)
     val cand = bb.join(cb, Seq("k", "v"))
       .select(col("vec_id"), col("partner_id")).distinct()
     bestPartnerOf(corpus, batch, cand, minCos)
@@ -1501,7 +1592,9 @@ object VectorOps {
         kmeansIters, trainSampleCap, 1, 0L))(
       Caching.cached(assignCells(corpus, cents),
         "spark.graft.vector.storageLevel"))
-    val cb = lshBandRows(corpus, p, b, dims).join(corpusCells, Seq("vec_id"))
+    // corpus band rows cached: the streaming ingest loop probes this
+    // same (corpus, shape) artifact every epoch
+    val cb = bandRowsCached(corpus, p, b, dims).join(corpusCells, Seq("vec_id"))
       .select(col("vec_id").as("partner_id"), col("cell"), col("k"),
         col("v"))
     // `probes` widens only the BATCH side (the corpus index keeps its

@@ -159,6 +159,21 @@ class PlanShapeSpec extends SparkSpec {
       "parallelized added an exchange to an already-parallel frame")
   }
 
+  test("Tables.parallelized FileIndex probe decides exactly like the RDD probe (r20)") {
+    // the r20 probe reads split counts from the logical FileIndex instead
+    // of forcing physical planning (`d.rdd`): its repartition-or-identity
+    // decision must match the old probe's on every driver table
+    val target = spark.sessionState.conf.numShufflePartitions
+    Tables.names.foreach { n =>
+      val t = Tables.load(spark, sfDir, n)
+      val oldDecision = t.rdd.getNumPartitions * 2 < target
+      val newDecision = !(Tables.parallelized(t, t.columns.head) eq t)
+      assert(newDecision == oldDecision,
+        s"$n: FileIndex probe decided repartition=$newDecision, " +
+          s"RDD probe says $oldDecision")
+    }
+  }
+
   test("q50 quality filter is a pure projection: no joins, no hash shuffle") {
     val df = TextDedup.q50QualityFilter(spark, sfDir)
     assert(hashShufflesOf(df).isEmpty,

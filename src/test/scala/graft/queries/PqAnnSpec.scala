@@ -51,6 +51,29 @@ class PqAnnSpec extends SparkSpec {
     VectorOps.knnPqIndexed(corpusIdx, queryIdx, K, m = m, ksub = ksub,
       rerank = rerank, iters = iters)
 
+  test("repeat PQ probes share the memoized books and the cached codes frame (r20)") {
+    // two probes over the same (corpus, m, ksub, iters): the codebooks
+    // come from the driver memo (no second sampling job is observable
+    // from here, but the OUTPUT must be bit-identical), and both plans
+    // must read ONE cached codes relation (vec_id, codes, rnorm2) — the
+    // artifact q96's ADC scan and q81's PQ audit leg now share
+    val a = pq(rerank = 50)
+    val b = pq(rerank = 50)
+    def codeIms(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if im.cacheBuilder.cachedPlan.schema.fieldNames.toSeq ==
+            Seq("vec_id", "codes", "rnorm2") =>
+        im.cacheBuilder
+    }
+    val (ia, ib) = (codeIms(a), codeIms(b))
+    assert(ia.nonEmpty && ib.nonEmpty,
+      s"codes frame not cached (a=${ia.size}, b=${ib.size} relations)")
+    assert((ia ++ ib).distinct.size == 1,
+      "the two probes built separate codes caches")
+    assert(a.collect().map(_.toString) sameElements
+      b.collect().map(_.toString))
+  }
+
   test("rerank >= corpus size makes PQ EXACT — equal to the brute batch scan") {
     // the two-stage contract: ADC only selects the pool; scores come
     // from the exact integer cosine, so a full pool is brute force

@@ -139,6 +139,51 @@ class StatsFoldSpec extends SparkSpec {
     assertVecParity(prefix, "after replay twin")
   }
 
+  test("sidecars are built at wave COMMIT — a first stats() pays no backfill (r20)") {
+    // the r19 probe measured the LAZY backfill at 8.8 s for the 5M-doc
+    // decade's wave 0 — worse on the read path than the full aggregate
+    // the sidecars replace. Commit-time builds move that pass to the
+    // write side; the read side must find the sidecar ALREADY persisted.
+    val dir = java.nio.file.Files.createTempDirectory("sf_cm").toString
+    val prefix = "sf_cm"
+    DedupIndex.build(docs.limit(60), "doc_id", "text", dir, prefix = prefix)
+    assert(WaveStats.read(spark, dir, 0).nonEmpty,
+      "wave-0 sidecar missing right after build")
+    val b1 = docs.filter(col("doc_id") % 10 === 7).limit(6)
+      .select((col("doc_id") + 720000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    DedupIndex.append(b1, "doc_id", "text", prefix)
+    val w = Bucketing.committedWaves(spark, dir).max
+    assert(w > 0, s"append fixture did not commit a wave")
+    assert(WaveStats.read(spark, dir, w).nonEmpty,
+      s"wave-$w sidecar missing right after append commit")
+    // the commit-built numbers are the lazy path's numbers: parity holds
+    assertTextParity(prefix, "commit-built sidecars")
+    // vector twin
+    val vdir = java.nio.file.Files.createTempDirectory("sf_cmv").toString
+    val vprefix = "sf_cmv"
+    VectorIndex.build(emb.filter(col("vec_id") % 5 =!= 0), "vec_id",
+      "embedding", vdir, minCos = 0.35, prefix = vprefix)
+    assert(WaveStats.read(spark, vdir, 0).nonEmpty,
+      "vector wave-0 sidecar missing right after build")
+    val vb = emb.filter(col("vec_id") % 10 === 0).limit(12)
+      .select((col("vec_id") + 910000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    VectorIndex.append(vb, "vec_id", "embedding", vprefix)
+    val vw = Bucketing.committedWaves(spark, vdir).max
+    assert(WaveStats.read(spark, vdir, vw).nonEmpty,
+      s"vector wave-$vw sidecar missing right after append commit")
+    assertVecParity(vprefix, "commit-built sidecars")
+    // full mode commits build NO sidecar (the read path never folds)
+    val fdir = java.nio.file.Files.createTempDirectory("sf_cmf").toString
+    withMode("full") {
+      DedupIndex.build(docs.limit(20), "doc_id", "text", fdir,
+        prefix = "sf_cmf")
+      assert(WaveStats.read(spark, fdir, 0).isEmpty,
+        "full-mode build wrote a sidecar")
+    }
+  }
+
   test("a same-dir rebuild resets the sidecar history with the wave numbers") {
     val dir = java.nio.file.Files.createTempDirectory("sf_rb").toString
     val prefix = "sf_rb"

@@ -262,6 +262,43 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows(got) == rows(Similarity.q63SemanticIncremental(spark, sfDir)))
   }
 
+  test("q60/q63/q63b share ONE cached band-rows artifact (r20, plan identity)") {
+    spark.catalog.clearCache()
+    val q63 = Similarity.q63SemanticIncremental(spark, sfDir)
+    val q63b = Similarity.q63bSemanticIncrementalAuto(spark, sfDir)
+    // the full-corpus band frame the trio must share: emb-index × (16, 4)
+    graft.functions.GraftFunctions.register(spark)
+    val embIdx = VectorOps.index(Tables.load(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", carry = Seq("label"))
+    val pairsPlan = VectorOps.lshCandidatePairs(embIdx, 16, 4, 64)
+    // match on the CACHED plan's schema (the consumer-side output
+    // attributes get renamed through alias projections, e.g. id_a/k/v)
+    def bandIms(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if im.cacheBuilder.cachedPlan.schema.fieldNames.toSeq ==
+            Seq("vec_id", "k", "v") =>
+        im.cacheBuilder
+    }
+    val builders = Seq("q63" -> q63, "q63b" -> q63b,
+      "q60's candidate join" -> pairsPlan).map { case (n, df) =>
+      val ims = bandIms(df)
+      assert(ims.nonEmpty, s"$n does not read a cached band-rows relation")
+      n -> ims
+    }
+    val distinctBuilders = builders.flatMap(_._2).distinct
+    assert(distinctBuilders.size == 1,
+      s"the trio split the band cache: ${builders.map { case (n, b) =>
+        s"$n->${b.size} im(s)" }.mkString(", ")}")
+    // and the split entries stay row-identical to the generic two-frame
+    // call (filter-after-derive commutes with the row-local derivation)
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val generic = VectorOps.semanticIncremental(
+      e.filter(col("vec_id") % 7 =!= 3), e.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding", 0.35, planes = 16, bands = 4)
+      .orderBy("vec_id")
+    assert(rows(q63) == rows(generic))
+  }
+
   test("semanticIncremental verdicts are total and partners clear the threshold") {
     val batch = renamed.filter(col("vid") % 7 === 3)
     val got = VectorOps.semanticIncremental(
