@@ -929,6 +929,13 @@ object TextDedup {
   private[queries] def dfAnnotatedProbe(d: DataFrame): DataFrame =
     dfAnnotatedOf(d)
 
+  /** Cache point deliberately on the JOINED frame, not the (sh, df)
+    * table: moving it to dfTab (tried r20 — "cache the narrow side,
+    * re-stream the join" per guide §5) measured the family 1.96 → 3.20 s
+    * in-suite, because cappedPairStatsOf consumes this frame THREE times
+    * (cold a-side, cold b-side broadcast build, hot filter) and each
+    * consumer re-paid the join — including inside the broadcast-build
+    * subtree. One materialized copy beats three lazy recomputes here. */
   private def dfAnnotatedOf(d: DataFrame): DataFrame = {
     val base = hashedShingleRowsOf(d)
     val dfTab = base.groupBy("sh").agg(count(lit(1)).as("df"))
